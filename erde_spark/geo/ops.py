@@ -1,0 +1,448 @@
+"""Geometry math: measures, predicates, buffers, CRS transforms.
+
+Replicates the metric formulas the reference applies (see SURVEY.md §2.6):
+
+* area   — EPSG:3857 planar area × cos²(centroid lat) (`/root/reference/erde/op/area.py:44`)
+* length — EPSG:3857 planar length × cos(centroid lat) (`/root/reference/erde/op/length.py:44`)
+* buffer — radius / cos(centroid lat) in EPSG:3857 (`/root/reference/erde/op/buffer.py:44`)
+* coslat — cos(lat of 3857-centroid converted back to 4326) (`/root/reference/erde/utils.py:53-67`)
+
+The 4326↔3857 transform is the closed-form spherical Mercator (public
+formula; what pyproj computes for EPSG:3857), so no pyproj dependency.
+
+Predicates (intersects / within / contains) implement simple-features
+semantics for the geometry combinations the reference's tests exercise
+(point/line/polygon and their Multi* variants). Not a general-purpose GEOS
+replacement: exotic cases (self-intersecting rings, shared-boundary-only
+"within") follow documented approximations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from erde_spark.geo.geom import Geometry
+
+_R = 6378137.0  # WGS84 / spherical-Mercator radius
+
+
+# ---------------------------------------------------------------- transforms
+
+def mercator_fwd(lon: float, lat: float) -> tuple[float, float]:
+    """EPSG:4326 -> EPSG:3857."""
+    x = _R * math.radians(lon)
+    y = _R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+    return x, y
+
+
+def mercator_inv(x: float, y: float) -> tuple[float, float]:
+    """EPSG:3857 -> EPSG:4326."""
+    lon = math.degrees(x / _R)
+    lat = math.degrees(2 * math.atan(math.exp(y / _R)) - math.pi / 2)
+    return lon, lat
+
+
+def _map_coords(geom: Geometry, fn) -> Geometry:
+    gtype, data = geom
+    if gtype == 'Point':
+        return (gtype, fn(*data))
+    if gtype in ('LineString', 'MultiPoint'):
+        return (gtype, [fn(*c) for c in data])
+    if gtype in ('Polygon', 'MultiLineString'):
+        return (gtype, [[fn(*c) for c in part] for part in data])
+    if gtype == 'MultiPolygon':
+        return (gtype, [[[fn(*c) for c in ring] for ring in poly] for poly in data])
+    if gtype == 'GeometryCollection':
+        return (gtype, [_map_coords(g, fn) for g in data])
+    raise ValueError(gtype)
+
+
+def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
+    if from_crs == to_crs:
+        return geom
+    if (from_crs, to_crs) == (4326, 3857):
+        return _map_coords(geom, mercator_fwd)
+    if (from_crs, to_crs) == (3857, 4326):
+        return _map_coords(geom, mercator_inv)
+    raise NotImplementedError(
+        f'CRS transform {from_crs}->{to_crs} not supported: this engine ships the '
+        'closed-form spherical-Mercator pair (4326<->3857) only, matching the CRS '
+        'pairs the reference operators actually use; the container has no pyproj.')
+
+
+# ---------------------------------------------------------------- measures
+
+def _ring_signed_area(ring) -> float:
+    s = 0.0
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _poly_area(rings) -> float:
+    if not rings:
+        return 0.0
+    a = abs(_ring_signed_area(rings[0]))
+    for hole in rings[1:]:
+        a -= abs(_ring_signed_area(hole))
+    return a
+
+
+def geom_area(geom: Geometry) -> float:
+    gtype, data = geom
+    if gtype == 'Polygon':
+        return _poly_area(data)
+    if gtype == 'MultiPolygon':
+        return sum(_poly_area(p) for p in data)
+    if gtype == 'GeometryCollection':
+        return sum(geom_area(g) for g in data)
+    return 0.0
+
+
+def _line_length(coords) -> float:
+    s = 0.0
+    for i in range(len(coords) - 1):
+        dx = coords[i + 1][0] - coords[i][0]
+        dy = coords[i + 1][1] - coords[i][1]
+        s += math.hypot(dx, dy)
+    return s
+
+
+def geom_length(geom: Geometry) -> float:
+    gtype, data = geom
+    if gtype == 'LineString':
+        return _line_length(data)
+    if gtype == 'MultiLineString':
+        return sum(_line_length(l) for l in data)
+    if gtype == 'Polygon':
+        return sum(_line_length(r) for r in data)
+    if gtype == 'MultiPolygon':
+        return sum(sum(_line_length(r) for r in p) for p in data)
+    if gtype == 'GeometryCollection':
+        return sum(geom_length(g) for g in data)
+    return 0.0
+
+
+def geom_centroid(geom: Geometry) -> tuple[float, float]:
+    """Centroid following GEOS semantics: highest-dimension parts win."""
+    gtype, data = geom
+    if gtype == 'Point':
+        return data
+    if gtype == 'MultiPoint':
+        xs = [c[0] for c in data]
+        ys = [c[1] for c in data]
+        return (sum(xs) / len(xs), sum(ys) / len(ys))
+    if gtype in ('LineString', 'MultiLineString'):
+        lines = [data] if gtype == 'LineString' else data
+        sx = sy = sl = 0.0
+        for coords in lines:
+            for i in range(len(coords) - 1):
+                x1, y1 = coords[i]
+                x2, y2 = coords[i + 1]
+                seg = math.hypot(x2 - x1, y2 - y1)
+                sx += (x1 + x2) / 2 * seg
+                sy += (y1 + y2) / 2 * seg
+                sl += seg
+        if sl == 0:
+            return geom_centroid(('MultiPoint', [c for l in lines for c in l]))
+        return (sx / sl, sy / sl)
+    if gtype in ('Polygon', 'MultiPolygon'):
+        polys = [data] if gtype == 'Polygon' else data
+        sx = sy = sa = 0.0
+        for rings in polys:
+            for k, ring in enumerate(rings):
+                sign = 1.0 if k == 0 else -1.0
+                a = _ring_signed_area(ring)
+                # ring centroid weighted by signed area; normalize orientation
+                cx = cy = 0.0
+                for i in range(len(ring) - 1):
+                    x1, y1 = ring[i]
+                    x2, y2 = ring[i + 1]
+                    cross = x1 * y2 - x2 * y1
+                    cx += (x1 + x2) * cross
+                    cy += (y1 + y2) * cross
+                if a != 0:
+                    cx /= 6 * a
+                    cy /= 6 * a
+                    sx += cx * abs(a) * sign
+                    sy += cy * abs(a) * sign
+                    sa += abs(a) * sign
+        if sa == 0:
+            return geom_centroid(('MultiPoint', [c for p in polys for r in p for c in r]))
+        return (sx / sa, sy / sa)
+    if gtype == 'GeometryCollection':
+        # use highest-dimension members
+        polys = [g for g in data if g[0] in ('Polygon', 'MultiPolygon')]
+        if polys:
+            return geom_centroid(('GeometryCollection', polys)) if len(polys) > 1 else geom_centroid(polys[0])
+        lines = [g for g in data if g[0] in ('LineString', 'MultiLineString')]
+        if lines:
+            mls = [l for g in lines for l in (g[1] if g[0] == 'MultiLineString' else [g[1]])]
+            return geom_centroid(('MultiLineString', mls))
+        pts = [g[1] for g in data if g[0] == 'Point']
+        return geom_centroid(('MultiPoint', pts))
+    raise ValueError(gtype)
+
+
+def _iter_coords(geom: Geometry):
+    gtype, data = geom
+    if gtype == 'Point':
+        yield data
+    elif gtype in ('LineString', 'MultiPoint'):
+        yield from data
+    elif gtype in ('Polygon', 'MultiLineString'):
+        for part in data:
+            yield from part
+    elif gtype == 'MultiPolygon':
+        for poly in data:
+            for ring in poly:
+                yield from ring
+    elif gtype == 'GeometryCollection':
+        for g in data:
+            yield from _iter_coords(g)
+
+
+def geom_bounds(geom: Geometry) -> tuple[float, float, float, float]:
+    xs, ys = zip(*_iter_coords(geom))
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def geom_type_of(geom: Geometry) -> str:
+    return geom[0]
+
+
+# ---------------------------------------------------------------- predicates
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(px, py, ax, ay, bx, by) -> bool:
+    if _orient(ax, ay, bx, by, px, py) != 0:
+        return False
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _seg_intersect(p1, p2, q1, q2) -> bool:
+    d1 = _orient(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+    d2 = _orient(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+    d3 = _orient(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+    d4 = _orient(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    if d1 == 0 and _on_segment(p1[0], p1[1], q1[0], q1[1], q2[0], q2[1]):
+        return True
+    if d2 == 0 and _on_segment(p2[0], p2[1], q1[0], q1[1], q2[0], q2[1]):
+        return True
+    if d3 == 0 and _on_segment(q1[0], q1[1], p1[0], p1[1], p2[0], p2[1]):
+        return True
+    if d4 == 0 and _on_segment(q2[0], q2[1], p1[0], p1[1], p2[0], p2[1]):
+        return True
+    return False
+
+
+def _seg_proper_cross(p1, p2, q1, q2) -> bool:
+    d1 = _orient(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+    d2 = _orient(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+    d3 = _orient(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+    d4 = _orient(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and 0 not in (d1, d2, d3, d4)
+
+
+def _point_in_ring(px, py, ring) -> bool:
+    """Strict interior test by ray casting (boundary NOT included)."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > py) != (y2 > py):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _point_in_polygon(px, py, rings) -> int:
+    """2 = interior, 1 = boundary, 0 = exterior."""
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            if _on_segment(px, py, ring[i][0], ring[i][1], ring[i + 1][0], ring[i + 1][1]):
+                return 1
+    if not _point_in_ring(px, py, rings[0]):
+        return 0
+    for hole in rings[1:]:
+        if _point_in_ring(px, py, hole):
+            return 0
+    return 2
+
+
+def _as_parts(geom: Geometry):
+    """Split Multi*/collections into simple-geometry parts."""
+    gtype, data = geom
+    if gtype == 'MultiPoint':
+        return [('Point', c) for c in data]
+    if gtype == 'MultiLineString':
+        return [('LineString', l) for l in data]
+    if gtype == 'MultiPolygon':
+        return [('Polygon', p) for p in data]
+    if gtype == 'GeometryCollection':
+        return [p for g in data for p in _as_parts(g)]
+    return [geom]
+
+
+def _segments(geom: Geometry):
+    gtype, data = geom
+    if gtype == 'LineString':
+        for i in range(len(data) - 1):
+            yield data[i], data[i + 1]
+    elif gtype == 'Polygon':
+        for ring in data:
+            for i in range(len(ring) - 1):
+                yield ring[i], ring[i + 1]
+
+
+def _simple_intersects(a: Geometry, b: Geometry) -> bool:
+    ta, tb = a[0], b[0]
+    if ta == 'Point' and tb == 'Point':
+        return a[1] == b[1]
+    if ta == 'Point':
+        return _simple_intersects(b, a)
+    if tb == 'Point':
+        px, py = b[1]
+        if ta == 'LineString':
+            return any(_on_segment(px, py, s[0][0], s[0][1], s[1][0], s[1][1])
+                       for s in _segments(a))
+        return _point_in_polygon(px, py, a[1]) > 0
+    if ta == 'LineString' and tb == 'LineString':
+        return any(_seg_intersect(p1, p2, q1, q2)
+                   for p1, p2 in _segments(a) for q1, q2 in _segments(b))
+    if 'Polygon' in (ta, tb) and 'LineString' in (ta, tb):
+        poly, line = (a, b) if ta == 'Polygon' else (b, a)
+        if any(_point_in_polygon(x, y, poly[1]) > 0 for x, y in line[1]):
+            return True
+        return any(_seg_intersect(p1, p2, q1, q2)
+                   for p1, p2 in _segments(poly) for q1, q2 in _segments(line))
+    # polygon-polygon
+    if any(_point_in_polygon(x, y, b[1]) > 0 for x, y in a[1][0]):
+        return True
+    if any(_point_in_polygon(x, y, a[1]) > 0 for x, y in b[1][0]):
+        return True
+    return any(_seg_intersect(p1, p2, q1, q2)
+               for p1, p2 in _segments(a) for q1, q2 in _segments(b))
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    # cheap bbox reject first
+    ax1, ay1, ax2, ay2 = geom_bounds(a)
+    bx1, by1, bx2, by2 = geom_bounds(b)
+    if ax2 < bx1 or bx2 < ax1 or ay2 < by1 or by2 < ay1:
+        return False
+    return any(_simple_intersects(pa, pb)
+               for pa in _as_parts(a) for pb in _as_parts(b))
+
+
+def _simple_within(a: Geometry, b: Geometry) -> bool:
+    """a strictly-or-boundary inside b with interior contact (approximation
+    of GEOS 'within' adequate for the reference's test geometries)."""
+    ta, tb = a[0], b[0]
+    if tb == 'Point':
+        return ta == 'Point' and a[1] == b[1]
+    if tb == 'LineString':
+        if ta == 'Point':
+            return any(_on_segment(a[1][0], a[1][1], s[0][0], s[0][1], s[1][0], s[1][1])
+                       for s in _segments(b))
+        if ta == 'LineString':
+            return all(
+                any(_on_segment(x, y, s[0][0], s[0][1], s[1][0], s[1][1]) for s in _segments(b))
+                for x, y in a[1])
+        return False
+    # b is a Polygon
+    if ta == 'Point':
+        return _point_in_polygon(a[1][0], a[1][1], b[1]) == 2
+    if ta == 'LineString':
+        codes = [_point_in_polygon(x, y, b[1]) for x, y in a[1]]
+        if any(c == 0 for c in codes):
+            return False
+        if any(_seg_proper_cross(p1, p2, q1, q2)
+               for p1, p2 in _segments(a) for q1, q2 in _segments(b)):
+            return False
+        # need interior contact: check a midpoint
+        mx = (a[1][0][0] + a[1][1][0]) / 2
+        my = (a[1][0][1] + a[1][1][1]) / 2
+        return _point_in_polygon(mx, my, b[1]) == 2 or any(c == 2 for c in codes)
+    # polygon within polygon
+    codes = [_point_in_polygon(x, y, b[1]) for x, y in a[1][0]]
+    if any(c == 0 for c in codes):
+        return False
+    if any(_seg_proper_cross(p1, p2, q1, q2)
+           for p1, p2 in _segments(a) for q1, q2 in _segments(b)):
+        return False
+    # a hole of b poking strictly inside a breaks containment
+    for hole in b[1][1:]:
+        if any(_point_in_polygon(x, y, a[1]) == 2 for x, y in hole):
+            return False
+    cx, cy = geom_centroid(a)
+    return _point_in_polygon(cx, cy, b[1]) == 2 or any(c == 2 for c in codes)
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    parts_b = _as_parts(b)
+    return all(any(_simple_within(pa, pb) for pb in parts_b) for pa in _as_parts(a))
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    return within(b, a)
+
+
+PREDICATES = {'intersects': intersects, 'within': within, 'contains': contains}
+
+
+# ---------------------------------------------------------------- buffer
+
+def point_buffer(x: float, y: float, radius: float, resolution: int = 16) -> Geometry:
+    """Circle approximation: ``4*resolution``-gon, CCW shell (shapely's
+    default resolution=16 segments per quadrant, which the reference passes
+    through, `/root/reference/erde/op/buffer.py:27`)."""
+    n = 4 * max(1, int(resolution))
+    ring = []
+    for i in range(n):
+        theta = 2 * math.pi * i / n
+        ring.append((x + radius * math.cos(theta), y + radius * math.sin(theta)))
+    ring.append(ring[0])
+    return ('Polygon', [ring])
+
+
+def buffer_geom(geom: Geometry, radius: float, resolution: int = 16) -> Geometry:
+    """Buffer. v1 supports Point/MultiPoint (the geometry type every
+    reference test and example buffers). Line/polygon offsetting needs
+    polygon boolean ops (no GEOS in this container) — explicitly stubbed.
+    """
+    gtype, data = geom
+    if radius <= 0:
+        raise NotImplementedError('zero/negative buffers not supported in v1')
+    if gtype == 'Point':
+        return point_buffer(data[0], data[1], radius, resolution)
+    if gtype == 'MultiPoint':
+        return ('MultiPolygon', [point_buffer(x, y, radius, resolution)[1] for x, y in data])
+    raise NotImplementedError(
+        f'buffer of {gtype} requires polygon boolean ops (GEOS); v1 buffers points only')
+
+
+# ---------------------------------------------------------------- coslat
+
+def coslat_factor(geom: Geometry, crs: int = 4326) -> float:
+    """cos(latitude) correction factor (reference `erde/utils.py:53-67`:
+    centroid computed in 3857, converted back to 4326)."""
+    if crs == 4326:
+        g3857 = transform_geom(geom, 4326, 3857)
+    elif crs == 3857:
+        g3857 = geom
+    else:
+        raise NotImplementedError(f'coslat for CRS {crs}')
+    cx, cy = geom_centroid(g3857)
+    lon, lat = mercator_inv(cx, cy)
+    return math.cos(math.radians(lat))

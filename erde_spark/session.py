@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+confs hold (AQE, Arrow, sane shuffle parallelism). Nothing here is
+local-mode-specific except the master default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "erde_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # match parallelism to cores locally; AQE coalesces further at runtime
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load parquet tables from a testdata scale-factor dir as a dict."""
+    if not names:
+        names = ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings")
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

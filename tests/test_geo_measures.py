@@ -1,0 +1,133 @@
+"""Metric area/length/buffer/convert operator tests.
+
+Golden values follow the reference's tolerance strategy
+(`/root/reference/tests/area/test_area.py:16-26`: rectangle ≈ 250,000 m² at
+1%; `/root/reference/tests/length/test_length.py:7-20`: line ≈ 2,000 m).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from erde_spark import area, buffer, convert, length
+from erde_spark.functions.geo import st_geomfromtext, st_linestring_between, st_point
+from erde_spark.geo import geom as G
+from erde_spark.geo import ops as O
+from erde_spark.geo.crs import get_crs, set_crs
+
+LAT = 55.0
+LON = 82.9
+
+
+def _gdf(spark, wkts, crs=4326):
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], 'id int, wkt string')
+    df = df.withColumn('geometry', st_geomfromtext('wkt')).drop('wkt')
+    return set_crs(df, crs)
+
+
+def _rect_wkt(lon, lat, dlon, dlat):
+    return (f'POLYGON (({lon} {lat}, {lon + dlon} {lat}, {lon + dlon} {lat + dlat}, '
+            f'{lon} {lat + dlat}, {lon} {lat}))')
+
+
+def test_area_metric_4326(spark):
+    # ~500m x ~500m rectangle at lat 55 (reference golden: ~250,000 m², 1%)
+    dlat = 500.0 / 111_194.9
+    dlon = 500.0 / (111_194.9 * math.cos(math.radians(LAT)))
+    df = _gdf(spark, [_rect_wkt(LON, LAT, dlon, dlat)])
+    got = area(df).select('area').first()[0]
+    assert abs(got - 250_000) / 250_000 < 0.01
+
+
+def test_area_3857_input(spark):
+    x, y = O.mercator_fwd(LON, LAT)
+    df = _gdf(spark, [f'POLYGON (({x} {y}, {x + 100} {y}, {x + 100} {y + 100}, {x} {y + 100}, {x} {y}))'], crs=3857)
+    got = area(df).select('area').first()[0]
+    # 100x100 mercator units scaled by cos² ≈ true metric area
+    assert abs(got - 100 * 100 * math.cos(math.radians(LAT)) ** 2) / got < 0.01
+
+
+def test_area_skip_transform(spark):
+    df = _gdf(spark, ['POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'], crs=3857)
+    assert area(df, skip_transform=True).select('area').first()[0] == 100.0
+
+
+def test_area_nullify_irrelevant(spark):
+    df = _gdf(spark, ['POINT (0 0)', 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+                      'LINESTRING (0 0, 1 1)'], crs=3857)
+    rows = area(df, skip_transform=True, nullify_irrelevant=True).orderBy('id').collect()
+    # reference produces NaN; NaN maps to null over Arrow — null is the
+    # Spark-idiomatic missing value (documented divergence)
+    assert rows[0]['area'] is None and rows[1]['area'] == 1.0 and rows[2]['area'] is None
+
+
+def test_area_requires_crs(spark):
+    df = spark.createDataFrame([(1,)], 'id int').withColumn(
+        'geometry', st_geomfromtext(F.lit('POINT (0 0)')))
+    with pytest.raises(ValueError, match='no CRS'):
+        area(df)
+    assert area(df, default_crs=4326).columns[-1] == 'area'
+
+
+def test_length_metric(spark):
+    # ~2000 m east-west line at lat 55 (reference golden, 1%)
+    dlon = 2000.0 / (111_194.9 * math.cos(math.radians(LAT)))
+    df = _gdf(spark, [f'LINESTRING ({LON} {LAT}, {LON + dlon} {LAT})'])
+    got = length(df).select('length').first()[0]
+    assert abs(got - 2000) / 2000 < 0.01
+
+
+def test_length_nullify(spark):
+    df = _gdf(spark, ['POINT (0 0)', 'LINESTRING (0 0, 3 4)'], crs=3857)
+    rows = length(df, skip_transform=True, nullify_irrelevant=True).orderBy('id').collect()
+    assert rows[0]['length'] is None and rows[1]['length'] == 5.0
+
+
+def test_buffer_metric_area(spark):
+    df = _gdf(spark, [f'POINT ({LON} {LAT})'])
+    buffered = buffer(df, 1000.0)
+    assert get_crs(buffered) == 4326
+    got = area(buffered).select('area').first()[0]
+    # 64-gon slightly under pi r²; within 1%
+    assert abs(got - math.pi * 1e6) / (math.pi * 1e6) < 0.01
+
+
+def test_buffer_dissolve_collects(spark):
+    df = _gdf(spark, [f'POINT ({LON} {LAT})', f'POINT ({LON + 1} {LAT})'])
+    got = buffer(df, 100.0, dissolve=True).collect()
+    assert len(got) == 1
+    g = G.wkb_loads(bytes(got[0]['geometry']))
+    assert g[0] == 'MultiPolygon' and len(g[1]) == 2
+
+
+def test_buffer_requires_crs(spark):
+    df = spark.createDataFrame([(1,)], 'id int').withColumn(
+        'geometry', st_geomfromtext(F.lit('POINT (0 0)')))
+    with pytest.raises(ValueError):
+        buffer(df, 100.0)
+
+
+def test_convert_roundtrip(spark):
+    df = _gdf(spark, [f'POINT ({LON} {LAT})'])
+    to3857 = convert(df, to_crs=3857)
+    assert get_crs(to3857) == 3857
+    back = convert(to3857, to_crs=4326)
+    g = G.wkb_loads(bytes(back.first()['geometry']))
+    assert abs(g[1][0] - LON) < 1e-9 and abs(g[1][1] - LAT) < 1e-9
+
+
+def test_convert_from_crs_stamps(spark):
+    df = spark.createDataFrame([(1,)], 'id int').withColumn(
+        'geometry', st_geomfromtext(F.lit('POINT (0 0)')))
+    with pytest.raises(RuntimeError):
+        convert(df, to_crs=3857)
+    assert get_crs(convert(df, from_crs=4326)) == 4326
+
+
+def test_st_point_and_linestring_between(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], 'x1 double, y1 double, x2 double, y2 double')
+    df = df.withColumn('p1', st_point('x1', 'y1')).withColumn('p2', st_point('x2', 'y2'))
+    df = df.withColumn('line', st_linestring_between('p1', 'p2'))
+    g = G.wkb_loads(bytes(df.first()['line']))
+    assert g == ('LineString', [(0.0, 0.0), (3.0, 4.0)])
