@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each with an explicit scale posture:
+
+* ``exact_dedup``          — hash-groupBy on a normalized fingerprint.
+  One shuffle, map-side combined; the canonical 100 TB exact-dedup plan.
+* ``jaccard_pairs``        — EXACT n-gram/token Jaccard via inverted-index
+  self-join. Correct but fan-out grows with document frequency of common
+  tokens; at scale use it only behind ``minhash_lsh_pairs`` candidates or
+  with ``max_doc_freq`` pruning.
+* ``minhash_lsh_pairs``    — MinHash signatures + banded LSH bucketing;
+  candidates verified with exact Jaccard. The scale path: cost is
+  O(docs × perms) + bucket-local joins, no all-pairs anywhere.
+* ``simhash_pairs``        — 64-bit SimHash with pigeonhole chunk bucketing
+  for Hamming-distance candidate generation.
+* ``embedding_cosine_pairs`` — near-dup by embedding cosine similarity;
+  brute-force block product (fine to ~1M docs); LSH variant in
+  ``erde_spark.scale.similarity`` for beyond.
+
+All id pairs are emitted once with ``id_a < id_b``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from erde_spark.scale.text import fingerprint, tokens
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                keep: str = 'min') -> DataFrame:
+    """Collapse exact duplicates (after whitespace/case normalization).
+
+    Returns one row per distinct fingerprint: the kept id (min or max),
+    the fingerprint, and the group size. Single hash-partitioned groupBy —
+    shuffles one small row per document, combines map-side.
+    """
+    keep_fn = {'min': F.min, 'max': F.max}[keep]
+    return (df
+            .select(F.col(id_col), fingerprint(F.col(text_col)).alias('fingerprint'))
+            .groupBy('fingerprint')
+            .agg(keep_fn(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias('n_dups')))
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Plain exact row dedup (``dropDuplicates``) — one shuffle on the
+    subset columns; AQE handles skew."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+# ---------------------------------------------------------------- exact jaccard
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias('id'),
+                     F.array_distinct(tokens(F.col(text_col))).alias('toks'))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                  threshold: float = 0.6, max_doc_freq: int | None = None) -> DataFrame:
+    """EXACT token-set Jaccard similarity pairs >= threshold.
+
+    Physical plan: tokenize -> explode -> self-equi-join on token (one
+    shuffle by token) -> groupBy(pair) to count the intersection -> join
+    set sizes -> filter. ``max_doc_freq`` drops tokens appearing in more
+    than that many documents before the join (stopword-style pruning: such
+    tokens contribute little to Jaccard but dominate join fan-out; this
+    makes the result an upper-bound filter, document if used).
+    """
+    tok = _token_sets(df, id_col, text_col)
+    sizes = tok.select('id', F.size('toks').alias('n'))
+    ex = tok.select('id', F.explode('toks').alias('tok'))
+    if max_doc_freq is not None:
+        freq = ex.groupBy('tok').agg(F.count(F.lit(1)).alias('__df'))
+        ex = (ex.join(F.broadcast(freq.filter(F.col('__df') <= max_doc_freq)), 'tok')
+                .drop('__df'))
+    a = ex.alias('a')
+    b = ex.alias('b')
+    inter = (a.join(b, (F.col('a.tok') == F.col('b.tok')) & (F.col('a.id') < F.col('b.id')))
+              .groupBy(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
+              .agg(F.count(F.lit(1)).alias('inter')))
+    sa = sizes.select(F.col('id').alias('id_a'), F.col('n').alias('na'))
+    sb = sizes.select(F.col('id').alias('id_b'), F.col('n').alias('nb'))
+    return (inter.join(sa, 'id_a').join(sb, 'id_b')
+            .withColumn('jaccard',
+                        F.col('inter') / (F.col('na') + F.col('nb') - F.col('inter')))
+            .filter(F.col('jaccard') >= threshold)
+            .select('id_a', 'id_b', 'jaccard'))
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+def _md5_u64(token: str) -> int:
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], 'little')
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                       num_perm: int = 64, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    Token base hash = first 8 bytes of md5 (stable across engines and
+    runs); permutations are universal hashes (a*h + b) mod 2^61-1 with
+    seeded coefficients. Vectorized per Arrow batch: tokens x perms matrix
+    min in numpy.
+    """
+    av, bv = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            if toks is None or len(toks) == 0:
+                out.append([0] * num_perm)
+                continue
+            h = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
+            # (len(toks), num_perm) universal-hash matrix, min over tokens
+            m = (np.outer(h, av) + bv) % _MERSENNE
+            out.append(m.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    tok = _token_sets(df, id_col, text_col)
+    return tok.select(F.col('id'), _sig('toks').alias('sig'))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                      threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
+                      seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    token-set Jaccard (so output precision is exact; recall is the LSH
+    collision probability, ~1-(1-t^r)^b).
+
+    Plan: signatures (1 narrow shuffle-free projection) -> explode to
+    ``bands`` bucket keys -> self-join per bucket (shuffle on band hash,
+    bounded fan-out) -> distinct candidate pairs -> verify with
+    ``array_intersect`` on the token sets (JVM-side).
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, seed)
+
+    band_cols = [
+        F.struct(F.lit(i).alias('band'),
+                 F.hash(F.slice('sig', i * rows + 1, rows)).alias('bh')).alias(f'__b{i}')
+        for i in range(bands)]
+    buckets = (sig.select('id', F.explode(F.array(*band_cols)).alias('b'))
+                  .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
+    a, b = buckets.alias('a'), buckets.alias('b')
+    cand = (a.join(b, (F.col('a.band') == F.col('b.band')) &
+                      (F.col('a.bh') == F.col('b.bh')) &
+                      (F.col('a.id') < F.col('b.id')))
+             .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
+             .distinct())
+
+    tok = _token_sets(df, id_col, text_col)
+    ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
+    tb = tok.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
+    verified = (cand.join(ta, 'id_a').join(tb, 'id_b')
+                .withColumn('inter', F.size(F.array_intersect('toks_a', 'toks_b')))
+                .withColumn('jaccard', F.col('inter') /
+                            (F.size('toks_a') + F.size('toks_b') - F.col('inter')))
+                .filter(F.col('jaccard') >= threshold))
+    return verified.select('id_a', 'id_b', 'jaccard')
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash over distinct tokens (unit
+    weights; md5-derived token bits, engine-stable)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sh(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            if toks is None or len(toks) == 0:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = _md5_u64(t)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= (1 << i)
+            # to signed 64-bit
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype='int64')
+
+    tok = _token_sets(df, id_col, text_col)
+    return tok.select(F.col('id'), _sh('toks').alias('simhash'))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                  max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= ``max_hamming`` (< 4).
+
+    Pigeonhole bucketing: split the 64-bit hash into 4 16-bit chunks; any
+    pair within Hamming distance 3 agrees exactly on >= 1 chunk, so
+    equi-joining per chunk finds all of them with no all-pairs product.
+    """
+    if max_hamming >= 4:
+        raise ValueError('pigeonhole split of 4 chunks supports max_hamming <= 3')
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        'id', 'simhash',
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias('ci'),
+                     F.shiftrightunsigned('simhash', 16 * i).bitwiseAND(F.lit(0xFFFF))
+                      .alias('cv'))
+            for i in range(4)])).alias('c')) \
+        .select('id', 'simhash', F.col('c.ci').alias('ci'), F.col('c.cv').alias('cv'))
+    a, b = chunks.alias('a'), chunks.alias('b')
+    cand = (a.join(b, (F.col('a.ci') == F.col('b.ci')) & (F.col('a.cv') == F.col('b.cv')) &
+                      (F.col('a.id') < F.col('b.id')))
+             .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'),
+                     F.col('a.simhash').alias('sh_a'), F.col('b.simhash').alias('sh_b'))
+             .distinct())
+    return (cand
+            .withColumn('hamming', F.bit_count(F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
+            .filter(F.col('hamming') <= max_hamming)
+            .select('id_a', 'id_b', 'hamming'))
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
+                           vec_col: str = 'embedding',
+                           threshold: float = 0.9) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity >= threshold.
+
+    Brute force: normalize once, self-join id_a < id_b, dot product in a
+    vectorized pandas UDF (numpy per Arrow batch). Quadratic — the
+    baseline / verification path; use ``similarity.lsh_buckets`` to
+    restrict candidates at scale.
+    """
+    from erde_spark.scale.similarity import cosine_udf, normalized
+    v = normalized(df, id_col, vec_col)
+    a = v.select(F.col('id').alias('id_a'), F.col('nvec').alias('va'))
+    b = v.select(F.col('id').alias('id_b'), F.col('nvec').alias('vb'))
+    return (a.join(b, F.col('id_a') < F.col('id_b'))
+             .withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
+             .filter(F.col('cosine') >= threshold)
+             .select('id_a', 'id_b', 'cosine'))

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container ships no image/audio codecs, so the decode step is a
+clearly-marked stub (``decode_media`` raises ``NotImplementedError``); the
+Spark-side plumbing — schema, batch shape, ``mapInPandas`` iterator
+contract, partition sizing — is real and tested with a deterministic fake
+decoder. Swapping in PIL/torchaudio later only replaces ``decode_media``.
+
+Design for 100 TB of media:
+
+* media bytes ride a ``binary`` column; metadata (format, width, height,
+  duration) is a sibling struct so filters prune on parquet stats WITHOUT
+  touching the blob column (column pruning keeps the scan narrow);
+* feature extraction is ``mapInPandas`` (iterator of Arrow batches in,
+  iterator out) so one task streams through its partition at bounded
+  memory no matter the blob sizes;
+* ``spark.sql.files.maxPartitionBytes`` should be lowered (e.g. 64 MB)
+  when blobs dominate so tasks stay balanced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_T = T.StructType([
+    T.StructField('format', T.StringType()),
+    T.StructField('width', T.IntegerType()),
+    T.StructField('height', T.IntegerType()),
+    T.StructField('n_bytes', T.LongType()),
+])
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField('asset_id', T.LongType()),
+    T.StructField('media', T.BinaryType()),
+    T.StructField('meta', MEDIA_META_T),
+])
+
+
+def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
+    """Decode a media blob to a pixel/sample array. STUB: the container
+    has no codec libraries (PIL/ffmpeg); install one and implement."""
+    raise NotImplementedError(
+        'media decoding requires an image/audio codec library not present '
+        'in this container; use fake=True paths for plumbing tests')
+
+
+def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: seeds pixels from the blob hash.
+    Gives plumbing tests a real ndarray with the declared shape."""
+    seed = int.from_bytes(hashlib.md5(blob).digest()[:4], 'little')
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def synthesize_assets(df: DataFrame, id_col: str = 'doc_id',
+                      payload_col: str = 'text') -> DataFrame:
+    """Build a demo asset table from any table: binary blob derived
+    deterministically from a payload column (plumbing fixture)."""
+    return df.select(
+        F.col(id_col).cast('long').alias('asset_id'),
+        F.encode(F.col(payload_col), 'utf-8').alias('media'),
+        F.struct(
+            F.lit('fake/raw').alias('format'),
+            (F.length(F.col(payload_col)) % 64 + 8).cast('int').alias('width'),
+            F.lit(8).cast('int').alias('height'),
+            F.length(F.encode(F.col(payload_col), 'utf-8')).cast('long').alias('n_bytes'),
+        ).alias('meta'))
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField('asset_id', T.LongType()),
+    T.StructField('feat_mean', T.DoubleType()),
+    T.StructField('feat_std', T.DoubleType()),
+    T.StructField('features', T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_features(assets: DataFrame, fake: bool = False,
+                     n_features: int = 8) -> DataFrame:
+    """Decode + featurize every asset via ``mapInPandas``.
+
+    Iterator-of-batches contract: constant memory per task regardless of
+    partition size. With ``fake=True`` uses the deterministic stand-in
+    decoder; otherwise calls :func:`decode_media` (stubbed).
+    """
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, stds, feats = [], [], [], []
+            for _, row in pdf.iterrows():
+                blob = bytes(row['media'])
+                meta = row['meta']
+                if fake:
+                    arr = _fake_decode(blob, int(meta['width']), int(meta['height']))
+                else:
+                    arr = decode_media(blob, meta['format'])
+                flat = arr.astype(np.float64).ravel()
+                ids.append(int(row['asset_id']))
+                means.append(float(flat.mean()))
+                stds.append(float(flat.std()))
+                # fixed-length pooled feature: mean of n_features equal slices
+                chunks = np.array_split(flat, n_features)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+            yield pd.DataFrame({'asset_id': ids, 'feat_mean': means,
+                                'feat_std': stds, 'features': feats})
+
+    return assets.mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode each asset into frame-index
+    rows (decode stubbed; index arithmetic and fan-out shape are real).
+    Downstream decode would run per (asset_id, frame_idx) row."""
+    n_frames = (F.col('meta.n_bytes') / 16).cast('int') + 1  # fake frame count
+    return assets.select(
+        'asset_id',
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias('frame_idx'),
+        'meta')

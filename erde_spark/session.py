@@ -33,13 +33,27 @@ def get_spark(app_name: str = "erde_spark", master: str | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
+    # the driver-generated events table carries ns-precision timestamps,
+    # which Spark's parquet reader rejects unless read as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
-    """Load parquet tables from a testdata scale-factor dir as a dict."""
+    """Load parquet tables from a testdata scale-factor dir as a dict.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with ``nanosAsLong`` it
+    scans as a long which we convert to a microsecond timestamp column.
+    """
+    from pyspark.sql import functions as F
     if not names:
         names = ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings")
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[n] = df
+    return out
