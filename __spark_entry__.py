@@ -1,38 +1,753 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship spatial-demand query at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the scale extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query.
+
+Hash-match discipline (the driver compares order-insensitive value hashes):
+
+* money/quantity columns are exact 2-decimal values -> aggregate via
+  ``decimal(18,4)`` casts on BOTH sides, then cast back to double, so sums
+  are bit-exact regardless of partial-aggregation order;
+* geo measures use closed-form spherical-Mercator math on both sides;
+  residual float noise is ~1e-9 relative (see erde_spark/geo/ops.py
+  translation-before-shoelace), rounded well above it;
+* every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = '/root/testdata/sf0.001'
+
+_R = 6378137.0
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict:
+    from erde_spark.session import load_tables
+    return load_tables(spark, sf_dir, *names)
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent exact sum of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast('decimal(18,4)')).cast('double')
+
+
+# ---------------------------------------------------------------- synthesized geometry
+# The TPC-H-ish testdata has no geometry columns; geo operators are gated on
+# deterministic synthesized geometry derived from integer keys. The same
+# arithmetic appears in the oracle SQL, so coordinates are bit-identical.
+
+def _cust_points(cust: DataFrame) -> DataFrame:
+    from erde_spark.functions.geo import st_point
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0          # 30.0 .. 39.9, exact tenths
+    lat = 50.0 + ((k * 13) % 80) / 10.0    # 50.0 .. 57.9
+    return cust.select('c_custkey', 'c_acctbal', 'c_mktsegment',
+                       lon.alias('lon'), lat.alias('lat'),
+                       st_point(lon, lat).alias('geometry'))
+
+
+def _nation_rects(nation: DataFrame) -> DataFrame:
+    from erde_spark.functions.geo import st_envelope
+    k = F.col('n_nationkey')
+    xmin = 30.0 + (k % 5) * 2.0 + 0.05
+    ymin = 50.0 + F.floor(k / 5) * 1.6 + 0.03
+    return nation.select('n_nationkey', 'n_name',
+                         st_envelope(xmin, ymin, xmin + 1.9, ymin + 1.5).alias('geometry'))
+
+
+_CUST_POINT_SQL = """
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           30.0 + (c_custkey % 100)/10.0 AS lon,
+           50.0 + ((c_custkey*13) % 80)/10.0 AS lat
+    FROM customer
+"""
+
+_NATION_RECT_SQL = """
+    SELECT n_nationkey, n_name,
+           30.0 + (n_nationkey % 5)*2.0 + 0.05 AS xmin,
+           50.0 + floor(n_nationkey/5)*1.6 + 0.03 AS ymin,
+           30.0 + (n_nationkey % 5)*2.0 + 0.05 + 1.9 AS xmax,
+           50.0 + floor(n_nationkey/5)*1.6 + 0.03 + 1.5 AS ymax
+    FROM nation
+"""
+
+
+# ================================================================ relational
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    disc_price = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    charge = disc_price * (1 + F.col('l_tax'))
+    return (li.filter(F.col('l_shipdate') <= F.lit('1998-09-02').cast('timestamp'))
+            .groupBy('l_returnflag', 'l_linestatus')
+            .agg(_dsum('l_quantity').alias('sum_qty'),
+                 _dsum('l_extendedprice').alias('sum_base_price'),
+                 F.sum(disc_price.cast('decimal(18,6)')).cast('double').alias('sum_disc_price'),
+                 F.sum(charge.cast('decimal(18,6)')).cast('double').alias('sum_charge'),
+                 F.round(_dsum('l_quantity') / F.count('l_quantity'), 4).alias('avg_qty'),
+                 F.round(_dsum('l_discount') / F.count('l_discount'), 6).alias('avg_disc'),
+                 F.count(F.lit(1)).alias('count_order')))
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    t = _t(spark, sf_dir, 'customer', 'orders', 'lineitem')
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = (t['customer'].filter(F.col('c_mktsegment') == 'BUILDING')
+         .join(t['orders'], F.col('c_custkey') == F.col('o_custkey'))
+         .join(t['lineitem'], F.col('o_orderkey') == F.col('l_orderkey')))
+    return (j.groupBy('o_orderkey', 'o_orderdate', 'o_orderpriority')
+            .agg(F.sum(rev).cast('double').alias('revenue'))
+            .orderBy(F.desc('revenue'), F.asc('o_orderkey'))
+            .limit(10))
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    t = _t(spark, sf_dir, 'region', 'nation', 'customer', 'orders', 'lineitem')
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = (t['region'].join(t['nation'], F.col('r_regionkey') == F.col('n_regionkey'))
+         .join(t['customer'], F.col('n_nationkey') == F.col('c_nationkey'))
+         .join(t['orders'], F.col('c_custkey') == F.col('o_custkey'))
+         .join(t['lineitem'], F.col('o_orderkey') == F.col('l_orderkey')))
+    return (j.groupBy('r_name', 'n_name')
+            .agg(F.sum(rev).cast('double').alias('revenue'),
+                 F.count(F.lit(1)).alias('n_items')))
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_subset_dsl(spark, sf_dir):
+    from erde_spark.operators.subset import subset
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    return subset(li, 'l_orderkey:ok, l_linenumber:line, l_quantity:qty, l_returnflag')
+
+
+_SUBSET_SQL = """
+SELECT l_orderkey AS ok, l_linenumber AS line, l_quantity AS qty, l_returnflag
+FROM lineitem
+"""
+
+
+def q_lookup_customer(spark, sf_dir):
+    from erde_spark.operators.lookup import lookup
+    t = _t(spark, sf_dir, 'orders', 'customer')
+    out = lookup(t['orders'], t['customer'], ['c_name', 'c_mktsegment'],
+                 left_on='o_custkey', right_on='c_custkey')
+    return out.select('o_orderkey', 'o_custkey', 'c_name', 'c_mktsegment')
+
+
+_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, c.c_name, c.c_mktsegment
+FROM orders LEFT JOIN (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY c_name ASC) = 1
+) c ON o_custkey = c.c_custkey
+"""
+
+
+def q_crossjoin_dims(spark, sf_dir):
+    from erde_spark.operators.lookup import crossjoin
+    t = _t(spark, sf_dir, 'region', 'nation')
+    return crossjoin(t['region'].select('r_name'), t['nation'].select('n_name'))
+
+
+_CROSSJOIN_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def q_column_stats(spark, sf_dir):
+    """Per-column min/mean/max/variance/count (reference GpkgReader.stats).
+    Mean and population variance computed from decimal-exact power sums so
+    the values are engine-independent."""
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    out = []
+    for c in ('l_quantity', 'l_extendedprice', 'l_discount'):
+        col = F.col(c)
+        s1 = F.sum(col.cast('decimal(28,6)')).cast('double')
+        s2 = F.sum((col * col).cast('decimal(28,8)')).cast('double')
+        n = F.count(col)
+        out.append(li.agg(
+            F.lit(c).alias('column_name'),
+            F.min(col).cast('double').alias('min'),
+            F.round(s1 / n, 6).alias('mean'),
+            F.max(col).cast('double').alias('max'),
+            F.round((s2 - s1 * s1 / n) / n, 4).alias('variance'),
+            n.alias('count')))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_STATS_SQL = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS column_name, CAST(MIN(l_quantity) AS DOUBLE) AS min,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_quantity), 6) AS mean,
+    CAST(MAX(l_quantity) AS DOUBLE) AS max,
+    ROUND((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)^2/COUNT(l_quantity))/COUNT(l_quantity), 4) AS variance,
+    COUNT(l_quantity) AS count FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(MIN(l_extendedprice) AS DOUBLE),
+    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_extendedprice), 6),
+    CAST(MAX(l_extendedprice) AS DOUBLE),
+    ROUND((CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+      - CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)^2/COUNT(l_extendedprice))/COUNT(l_extendedprice), 4),
+    COUNT(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(MIN(l_discount) AS DOUBLE),
+    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_discount), 6),
+    CAST(MAX(l_discount) AS DOUBLE),
+    ROUND((CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(28,8))) AS DOUBLE)
+      - CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)^2/COUNT(l_discount))/COUNT(l_discount), 4),
+    COUNT(l_discount) FROM lineitem
+)
+"""
+
+
+def q_window_top3(spark, sf_dir):
+    """Top-3 orders per customer by total price (window/rank surface)."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    w = Window.partitionBy('o_custkey').orderBy(F.desc('o_totalprice'), F.asc('o_orderkey'))
+    return (o.withColumn('rk', F.row_number().over(w))
+            .filter(F.col('rk') <= 3)
+            .select('o_custkey', 'o_orderkey', 'o_totalprice', 'rk'))
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_distinct_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, 'customer')['customer']
+    return c.select('c_mktsegment').distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ================================================================ events
+
+def q_events_hourly(spark, sf_dir):
+    from erde_spark.streaming.windows import tumbling_agg
+    ev = _t(spark, sf_dir, 'events')['events']
+    return tumbling_agg(ev, 'ts', '1 hour',
+                        {'n': F.count(F.lit(1)),
+                         'sum_value': F.round(_dsum('value'), 2)},
+                        by=['event_type']).drop('window_end')
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Extract an int field from the JSON props column, aggregate per type."""
+    ev = _t(spark, sf_dir, 'events')['events']
+    k = F.regexp_extract(F.col('props'), r'"k":\s*(\d+)', 1).cast('long')
+    return (ev.withColumn('k', k)
+            .groupBy('event_type')
+            .agg(F.sum('k').alias('sum_k'), F.count('k').alias('n')))
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Session windows (5-minute gap) per user — Spark session_window."""
+    from erde_spark.streaming.windows import session_agg
+    ev = _t(spark, sf_dir, 'events')['events']
+    return session_agg(ev, 'ts', '5 minutes',
+                       {'n': F.count(F.lit(1))}, by=['user_id'])
+
+
+_SESSIONIZE_SQL = """
+WITH m AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 5 MINUTE
+      THEN 0 ELSE 1 END AS new_s
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL 5 MINUTE AS window_end,
+       user_id, COUNT(*) AS n
+FROM g GROUP BY user_id, sid
+"""
+
+
+# ================================================================ geo
+
+def q_geo_rect_area(spark, sf_dir):
+    """Metric area of per-customer rectangles (erde `area` semantics:
+    3857 planar area x cos^2(lat))."""
+    from erde_spark.functions.geo import st_envelope, st_metric_area
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0
+    lat = 50.0 + ((k * 13) % 80) / 10.0
+    w = 0.01 + (k % 5) * 0.002
+    h = 0.008 + (k % 3) * 0.003
+    rect = st_envelope(lon, lat, lon + w, lat + h)
+    return cust.select(k.alias('c_custkey'),
+                       F.round(st_metric_area(rect), 2).alias('area_m2'))
+
+
+_GEO_AREA_SQL = """
+WITH p AS (SELECT c_custkey,
+    30.0 + (c_custkey % 100)/10.0 AS lon, 50.0 + ((c_custkey*13) % 80)/10.0 AS lat,
+    0.01 + (c_custkey % 5)*0.002 AS w, 0.008 + (c_custkey % 3)*0.003 AS h
+  FROM customer),
+m AS (SELECT c_custkey,
+    6378137.0*radians(lon) AS x1, 6378137.0*radians(lon+w) AS x2,
+    6378137.0*ln(tan(pi()/4 + radians(lat)/2)) AS y1,
+    6378137.0*ln(tan(pi()/4 + radians(lat+h)/2)) AS y2
+  FROM p)
+SELECT c_custkey,
+  ROUND((x2-x1)*(y2-y1) *
+    cos(radians(degrees(2*atan(exp(((y1+y2)/2)/6378137.0)) - pi()/2)))^2, 2) AS area_m2
+FROM m
+"""
+
+
+def q_geo_line_length(spark, sf_dir):
+    """Metric length of a per-customer segment (erde `length` semantics:
+    3857 planar length x cos(lat))."""
+    from erde_spark.functions.geo import (st_linestring_between, st_metric_length,
+                                          st_point)
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0
+    lat = 50.0 + ((k * 13) % 80) / 10.0
+    line = st_linestring_between(st_point(lon, lat),
+                                 st_point(lon + F.lit(0.01), lat + F.lit(0.005)))
+    return cust.select(k.alias('c_custkey'),
+                       F.round(st_metric_length(line), 4).alias('length_m'))
+
+
+_GEO_LENGTH_SQL = """
+WITH p AS (SELECT c_custkey,
+    30.0 + (c_custkey % 100)/10.0 AS lon, 50.0 + ((c_custkey*13) % 80)/10.0 AS lat
+  FROM customer),
+m AS (SELECT c_custkey,
+    6378137.0*radians(lon) AS x1, 6378137.0*radians(lon+0.01) AS x2,
+    6378137.0*ln(tan(pi()/4 + radians(lat)/2)) AS y1,
+    6378137.0*ln(tan(pi()/4 + radians(lat+0.005)/2)) AS y2
+  FROM p)
+SELECT c_custkey,
+  ROUND(sqrt((x2-x1)^2 + (y2-y1)^2) *
+    cos(radians(degrees(2*atan(exp(((y1+y2)/2)/6378137.0)) - pi()/2))), 4) AS length_m
+FROM m
+"""
+
+
+def q_geo_buffer_area(spark, sf_dir):
+    """Metric buffer then metric area. The 64-gon buffer of radius r has
+    exact metric area 32*sin(pi/32)*r^2 (radius scaling by 1/cos(lat)
+    cancels the cos^2(lat) area correction) — the oracle checks the full
+    buffer->reproject->area pipeline against that closed form."""
+    from erde_spark.functions.geo import st_buffer, st_metric_area, st_point
+    cust = _t(spark, sf_dir, 'customer')['customer'].limit(500)
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0
+    lat = 50.0 + ((k * 13) % 80) / 10.0
+    r = 500.0 + (k % 10) * 100.0
+    buf = st_buffer(st_point(lon, lat), r)
+    return cust.select(k.alias('c_custkey'),
+                       F.round(st_metric_area(buf), 0).alias('buffer_area_m2'))
+
+
+_GEO_BUFFER_SQL = """
+SELECT c_custkey,
+  ROUND(32*sin(pi()/32) * (500.0 + (c_custkey % 10)*100.0)^2, 0) AS buffer_area_m2
+FROM customer LIMIT 500
+"""
+
+
+def q_sjoin_points_rects(spark, sf_dir):
+    """Spatial inner join: customer points inside nation rectangles."""
+    from erde_spark.operators.sjoin import sjoin
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    pts = _cust_points(t['customer'])
+    rects = _nation_rects(t['nation'])
+    out = sjoin(pts, rects, op='within')
+    return out.select('c_custkey', 'n_nationkey', 'n_name')
+
+
+_SJOIN_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL})
+SELECT p.c_custkey, r.n_nationkey, r.n_name
+FROM p JOIN r ON p.lon > r.xmin AND p.lon < r.xmax
+             AND p.lat > r.ymin AND p.lat < r.ymax
+"""
+
+
+def q_sagg_rect_demand(spark, sf_dir):
+    """Spatial aggregate (the reference's flagship `sagg` pattern): per
+    nation rectangle, sum + count of contained customer balances."""
+    from erde_spark.operators.sjoin import sagg
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    pts = _cust_points(t['customer'])
+    rects = _nation_rects(t['nation'])
+    out = sagg(rects, pts, {'c_acctbal': 'sum', 'c_custkey': 'count'}, op='contains')
+    return out.select('n_nationkey', 'n_name',
+                      F.round(F.col('c_acctbal').cast('double'), 2).alias('sum_acctbal'),
+                      F.col('c_custkey').cast('long').alias('n_customers'))
+
+
+_SAGG_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL})
+SELECT r.n_nationkey, r.n_name,
+  ROUND(CAST(SUM(p.c_acctbal) AS DOUBLE), 2) AS sum_acctbal,
+  COUNT(p.c_custkey) AS n_customers
+FROM r LEFT JOIN p ON p.lon > r.xmin AND p.lon < r.xmax
+                  AND p.lat > r.ymin AND p.lat < r.ymax
+GROUP BY r.n_nationkey, r.n_name
+"""
+
+
+def q_sfilter_outside(spark, sf_dir):
+    """Spatial anti filter: customers outside every nation rectangle."""
+    from erde_spark.operators.sjoin import sfilter
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    pts = _cust_points(t['customer'])
+    rects = _nation_rects(t['nation'])
+    return sfilter(pts, rects, negative=True, op='within') \
+        .select('c_custkey', 'lon', 'lat')
+
+
+_SFILTER_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL})
+SELECT c_custkey, lon, lat FROM p
+WHERE NOT EXISTS (SELECT 1 FROM r
+  WHERE p.lon > r.xmin AND p.lon < r.xmax
+    AND p.lat > r.ymin AND p.lat < r.ymax)
+"""
+
+
+def q_slookup_nation(spark, sf_dir):
+    """Spatial lookup: first (only — rects are disjoint) containing
+    rectangle's name per customer point."""
+    from erde_spark.operators.sjoin import slookup
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    pts = _cust_points(t['customer'])
+    rects = _nation_rects(t['nation'])
+    return slookup(pts, rects, 'n_name', op='within').select('c_custkey', 'n_name')
+
+
+_SLOOKUP_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL})
+SELECT p.c_custkey, r.n_name
+FROM p LEFT JOIN r ON p.lon > r.xmin AND p.lon < r.xmax
+                  AND p.lat > r.ymin AND p.lat < r.ymax
+"""
+
+
+def q_geo_transform(spark, sf_dir):
+    """CRS conversion 4326 -> 3857 (erde `convert`): projected x/y."""
+    from erde_spark.functions.geo import st_centroid_xy, st_point, st_transform
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0
+    lat = 50.0 + ((k * 13) % 80) / 10.0
+    xy = st_centroid_xy(st_transform(st_point(lon, lat), 4326, 3857))
+    return cust.select(k.alias('c_custkey'),
+                       F.round(xy['x'], 6).alias('x_3857'),
+                       F.round(xy['y'], 6).alias('y_3857'))
+
+
+_GEO_TRANSFORM_SQL = """
+SELECT c_custkey,
+  ROUND(6378137.0*radians(30.0 + (c_custkey % 100)/10.0), 6) AS x_3857,
+  ROUND(6378137.0*ln(tan(pi()/4 + radians(50.0 + ((c_custkey*13) % 80)/10.0)/2)), 6) AS y_3857
+FROM customer
+"""
+
+
+# ================================================================ text / dedup / similarity
+
+def q_text_analysis(spark, sf_dir):
+    from erde_spark.scale.text import (fingerprint, lang_id, mean_token_len,
+                                       punct_ratio, stopword_ratio, token_count)
+    d = _t(spark, sf_dir, 'documents')['documents']
+    c = F.col('text')
+    return d.select('doc_id',
+                    token_count(c).alias('n_tokens'),
+                    F.round(stopword_ratio(c), 4).alias('stopword_ratio'),
+                    F.round(punct_ratio(c), 4).alias('punct_ratio'),
+                    F.round(mean_token_len(c), 4).alias('mean_token_len'),
+                    lang_id(c).alias('lang_pred'),
+                    fingerprint(c).alias('fingerprint'))
+
+
+_TEXT_SQL = """
+WITH t AS (SELECT doc_id, lower(text) AS low,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, low, toks, len(toks) AS n,
+    len(list_filter(toks, x -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','this','that'], x))) AS sw,
+    len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','is','to'], x))) AS s_en,
+    len(list_filter(list_distinct(toks), x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(list_distinct(toks), x -> list_contains(['le','la','et','les','est'], x))) AS s_fr,
+    len(list_filter(list_distinct(toks), x -> list_contains(['el','los','las','es','una'], x))) AS s_es
+  FROM t)
+SELECT doc_id,
+  CAST(n AS INT) AS n_tokens,
+  ROUND(CASE WHEN n > 0 THEN sw*1.0/n ELSE 0.0 END, 4) AS stopword_ratio,
+  ROUND(CASE WHEN length(low) > 0 THEN
+    (length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g')))*1.0/length(low)
+    ELSE 0.0 END, 4) AS punct_ratio,
+  ROUND(CASE WHEN n > 0 THEN
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum')*1.0/n ELSE 0.0 END, 4) AS mean_token_len,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM s JOIN documents USING (doc_id)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from erde_spark.scale.dedup import exact_dedup
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return exact_dedup(d)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from erde_spark.scale.dedup import jaccard_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return jaccard_pairs(d, threshold=0.8) \
+        .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
+
+
+_DEDUP_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, list_distinct(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.toks, b.toks))*1.0 /
+    (len(a.toks)+len(b.toks)-len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))*1.0 /
+    (len(a.toks)+len(b.toks)-len(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified. Same
+    precision as exact Jaccard; recall is probabilistic -> no SQL oracle
+    (driver rows-only check)."""
+    from erde_spark.scale.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return minhash_lsh_pairs(d, threshold=0.8) \
+        .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash hamming<=3 candidate pairs (no SQL oracle: md5-bit simhash
+    isn't expressible in ANSI SQL; driver rows-only check)."""
+    from erde_spark.scale.dedup import simhash_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from erde_spark.scale.dedup import embedding_cosine_pairs
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    return embedding_cosine_pairs(e, threshold=0.8) \
+        .select('id_a', 'id_b', F.round('cosine', 4).alias('cosine'))
+
+
+_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 20 vectors (ANN
+    baseline). Rank-only output: integer-exact hash match."""
+    from erde_spark.scale.similarity import cosine_topk
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    q = e.filter(F.col('vec_id') < 20)
+    return cosine_topk(e, q, k=5).select('query_id', 'vec_id', 'rank')
+
+
+_SIMILARITY_TOPK_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id,
+  CAST(row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) DESC,
+             c.vec_id ASC) AS INT) AS rank
+FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= 5
+"""
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """Approximate LSH top-k (no oracle — approximate by design; driver
+    rows-only check)."""
+    from erde_spark.scale.similarity import lsh_topk
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    q = e.filter(F.col('vec_id') < 20)
+    return lsh_topk(e, q, k=5, n_bits=10, n_probes=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column -> mapInPandas feature
+    extraction with the deterministic fake decoder (no SQL oracle; driver
+    rows-only check)."""
+    from erde_spark.scale.multimodal import extract_features, synthesize_assets
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return extract_features(synthesize_assets(d), fake=True) \
+        .select('asset_id', F.round('feat_mean', 4).alias('feat_mean'),
+                F.round('feat_std', 4).alias('feat_std'))
+
+
+# ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: spatial aggregate of customer-point demand per
+    nation rectangle at sf0.001 (exercises geometry synthesis, the grid
+    spatial join, and groupBy aggregation end-to-end)."""
+    return q_sagg_rect_demand(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        'tpch_q1_pricing': q_tpch_q1,
+        'tpch_q3_topk': q_tpch_q3,
+        'tpch_q5_region_revenue': q_tpch_q5,
+        'subset_dsl': q_subset_dsl,
+        'lookup_customer': q_lookup_customer,
+        'crossjoin_dims': q_crossjoin_dims,
+        'column_stats': q_column_stats,
+        'window_top3_orders': q_window_top3,
+        'distinct_segments': q_distinct_segments,
+        'events_hourly': q_events_hourly,
+        'events_json': q_events_json,
+        'events_sessionize': q_events_sessionize,
+        'geo_rect_area': q_geo_rect_area,
+        'geo_line_length': q_geo_line_length,
+        'geo_buffer_area': q_geo_buffer_area,
+        'geo_transform': q_geo_transform,
+        'sjoin_points_rects': q_sjoin_points_rects,
+        'sagg_rect_demand': q_sagg_rect_demand,
+        'sfilter_outside': q_sfilter_outside,
+        'slookup_nation': q_slookup_nation,
+        'text_analysis': q_text_analysis,
+        'dedup_exact': q_dedup_exact,
+        'dedup_jaccard': q_dedup_jaccard,
+        'dedup_minhash_lsh': q_dedup_minhash_lsh,
+        'dedup_simhash': q_dedup_simhash,
+        'dedup_embedding': q_dedup_embedding,
+        'similarity_topk': q_similarity_topk,
+        'similarity_lsh': q_similarity_lsh,
+        'multimodal_features': q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'tpch_q1_pricing': _Q1_SQL,
+        'tpch_q3_topk': _Q3_SQL,
+        'tpch_q5_region_revenue': _Q5_SQL,
+        'subset_dsl': _SUBSET_SQL,
+        'lookup_customer': _LOOKUP_SQL,
+        'crossjoin_dims': _CROSSJOIN_SQL,
+        'column_stats': _STATS_SQL,
+        'window_top3_orders': _WINDOW_SQL,
+        'distinct_segments': _DISTINCT_SQL,
+        'events_hourly': _EVENTS_HOURLY_SQL,
+        'events_json': _EVENTS_JSON_SQL,
+        'events_sessionize': _SESSIONIZE_SQL,
+        'geo_rect_area': _GEO_AREA_SQL,
+        'geo_line_length': _GEO_LENGTH_SQL,
+        'geo_buffer_area': _GEO_BUFFER_SQL,
+        'geo_transform': _GEO_TRANSFORM_SQL,
+        'sjoin_points_rects': _SJOIN_SQL,
+        'sagg_rect_demand': _SAGG_SQL,
+        'sfilter_outside': _SFILTER_SQL,
+        'slookup_nation': _SLOOKUP_SQL,
+        'text_analysis': _TEXT_SQL,
+        'dedup_exact': _DEDUP_EXACT_SQL,
+        'dedup_jaccard': _DEDUP_JACCARD_SQL,
+        'dedup_embedding': _DEDUP_EMBEDDING_SQL,
+        'similarity_topk': _SIMILARITY_TOPK_SQL,
+        # no oracle (approximate / not SQL-expressible): dedup_minhash_lsh,
+        # dedup_simhash, similarity_lsh, multimodal_features
+    }

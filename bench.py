@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Headline set = every operator family with a scale-appropriate algorithm:
+the intentionally-quadratic verification ops (exact all-pairs Jaccard,
+brute-force embedding pairs) are exercised by the correctness gate at
+sf0.01 and replaced here by their scale-path equivalents (MinHash LSH,
+LSH top-k).
+"""
+
+import json
+import os
+import time
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+
+BENCH_QUERIES = [
+    'tpch_q1_pricing',
+    'tpch_q3_topk',
+    'tpch_q5_region_revenue',
+    'lookup_customer',
+    'column_stats',
+    'window_top3_orders',
+    'events_hourly',
+    'events_sessionize',
+    'events_json',
+    'geo_rect_area',
+    'geo_buffer_area',
+    'sjoin_points_rects',
+    'sagg_rect_demand',
+    'sfilter_outside',
+    'text_analysis',
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'dedup_simhash',
+    'similarity_topk',
+    'similarity_lsh',
+    'multimodal_features',
+]
+
+
+def main():
+    from erde_spark.session import get_spark
+    spark = get_spark(app_name='erde_spark_bench')
+
+    qs = entry.queries()
+    # warm the JVM/Arrow paths once so per-query numbers measure the
+    # queries, not session startup
+    qs['tpch_q1_pricing'](spark, SF_DIR).count()
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    print(json.dumps({
+        'metric': 'headline_queries_total_sec',
+        'value': round(total, 3),
+        'unit': 'sec',
+        'queries': timings,
+        'sf': float(sf),
+    }))
+
+
+if __name__ == '__main__':
+    main()

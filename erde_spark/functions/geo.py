@@ -215,6 +215,20 @@ def st_linestring_between(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def st_envelope(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """Axis-aligned rectangle Polygon from bounds columns (CCW shell)."""
+    out = []
+    for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+        if x0 is None or y0 is None or x1 is None or y1 is None:
+            out.append(None)
+            continue
+        x0, y0, x1, y1 = float(x0), float(y0), float(x1), float(y1)
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        out.append(G.wkb_dumps(('Polygon', [ring])))
+    return pd.Series(out)
+
+
 def st_predicate(left_col, right_col, op: str = 'intersects'):
     """Exact spatial predicate column (used as the refine step of the
     grid spatial join)."""

@@ -73,11 +73,17 @@ def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
 # ---------------------------------------------------------------- measures
 
 def _ring_signed_area(ring) -> float:
+    # translate to the first vertex before the shoelace: cross terms of
+    # raw Mercator-scale coordinates (~1e6-1e7) cancel catastrophically,
+    # costing ~6 digits; relative coordinates keep full precision
+    if not ring:
+        return 0.0
+    x0, y0 = ring[0]
     s = 0.0
     n = len(ring)
     for i in range(n - 1):
-        x1, y1 = ring[i]
-        x2, y2 = ring[i + 1]
+        x1, y1 = ring[i][0] - x0, ring[i][1] - y0
+        x2, y2 = ring[i + 1][0] - x0, ring[i + 1][1] - y0
         s += x1 * y2 - x2 * y1
     return s / 2.0
 
@@ -156,17 +162,19 @@ def geom_centroid(geom: Geometry) -> tuple[float, float]:
             for k, ring in enumerate(rings):
                 sign = 1.0 if k == 0 else -1.0
                 a = _ring_signed_area(ring)
-                # ring centroid weighted by signed area; normalize orientation
+                # ring centroid weighted by signed area; computed relative
+                # to the first vertex (same cancellation fix as area)
+                x0, y0 = ring[0]
                 cx = cy = 0.0
                 for i in range(len(ring) - 1):
-                    x1, y1 = ring[i]
-                    x2, y2 = ring[i + 1]
+                    x1, y1 = ring[i][0] - x0, ring[i][1] - y0
+                    x2, y2 = ring[i + 1][0] - x0, ring[i + 1][1] - y0
                     cross = x1 * y2 - x2 * y1
                     cx += (x1 + x2) * cross
                     cy += (y1 + y2) * cross
                 if a != 0:
-                    cx /= 6 * a
-                    cy /= 6 * a
+                    cx = cx / (6 * a) + x0
+                    cy = cy / (6 * a) + y0
                     sx += cx * abs(a) * sign
                     sy += cy * abs(a) * sign
                     sa += abs(a) * sign

@@ -101,6 +101,16 @@ def _md5_u64(token: str) -> int:
     return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], 'little')
 
 
+def _hash_tokens(batch_token_arrays) -> dict:
+    """Hash every distinct token in an Arrow batch once (natural-language
+    vocabularies are tiny relative to token occurrences)."""
+    vocab = set()
+    for toks in batch_token_arrays:
+        if toks is not None:
+            vocab.update(toks)
+    return {t: _md5_u64(t) for t in vocab}
+
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -124,12 +134,13 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(tok_arrays: pd.Series) -> pd.Series:
+        hashed = _hash_tokens(tok_arrays)
         out = []
         for toks in tok_arrays:
             if toks is None or len(toks) == 0:
                 out.append([0] * num_perm)
                 continue
-            h = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
+            h = np.array([hashed[t] for t in toks], dtype=np.uint64)
             # (len(toks), num_perm) universal-hash matrix, min over tokens
             m = (np.outer(h, av) + bv) % _MERSENNE
             out.append(m.min(axis=0).astype(np.int64).tolist())
@@ -140,17 +151,32 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                      threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.6, num_perm: int = 128, bands: int | None = None,
                       seed: int = 42) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     token-set Jaccard (so output precision is exact; recall is the LSH
     collision probability, ~1-(1-t^r)^b).
+
+    ``bands`` defaults to the threshold-matched banding: pick rows r so the
+    S-curve midpoint (1/b)^(1/r) sits just below ``threshold`` — a sharper
+    curve admits far fewer sub-threshold candidate pairs into the exact
+    verification join, which dominates cost on dup-dense corpora.
 
     Plan: signatures (1 narrow shuffle-free projection) -> explode to
     ``bands`` bucket keys -> self-join per bucket (shuffle on band hash,
     bounded fan-out) -> distinct candidate pairs -> verify with
     ``array_intersect`` on the token sets (JVM-side).
     """
+    if bands is None:
+        import math
+        best = num_perm  # fallback: 1 row per band
+        for r in range(2, num_perm + 1):
+            if num_perm % r:
+                continue
+            b = num_perm // r
+            if (1.0 / b) ** (1.0 / r) <= threshold * 0.92:
+                best = b  # largest r (sharpest curve) whose midpoint is below t
+        bands = best
     if num_perm % bands != 0:
         raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
     rows = num_perm // bands
@@ -188,6 +214,12 @@ def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> Da
 
     @F.pandas_udf(T.LongType())
     def _sh(tok_arrays: pd.Series) -> pd.Series:
+        hashed = _hash_tokens(tok_arrays)
+        # one ±1 bit-row per distinct token, computed once per batch
+        shifts = np.arange(64, dtype=np.uint64)
+        signs = {t: np.where(((np.uint64(h) >> shifts) & np.uint64(1)).astype(bool),
+                             1, -1).astype(np.int64)
+                 for t, h in hashed.items()}
         out = []
         for toks in tok_arrays:
             if toks is None or len(toks) == 0:
@@ -195,13 +227,8 @@ def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> Da
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for t in toks:
-                h = _md5_u64(t)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= (1 << i)
+                acc += signs[t]
+            val = int(((acc > 0).astype(np.uint64) << shifts).sum())
             # to signed 64-bit
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out, dtype='int64')

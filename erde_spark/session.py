@@ -54,6 +54,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div: ns epoch values overflow double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[n] = df
     return out
