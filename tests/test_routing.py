@@ -1,0 +1,198 @@
+"""Routing kernels against a mock OSRM server at the HTTP boundary
+(the reference's test strategy, SURVEY.md §5.2)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from erde_spark.geo import geom as G
+from tests.osrm_mock import M_PER_DEG, SNAP, SPEED, MockOsrm
+
+
+@pytest.fixture(scope='module')
+def osrm():
+    with MockOsrm() as m:
+        yield m
+
+
+# ---------------------------------------------------------------- polyline
+
+def test_polyline_google_example():
+    from erde_spark.routing.polyline import decode, encode
+    coords = [(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]
+    enc = encode(coords)
+    assert enc == '_p~iF~ps|U_ulLnnqC_mqNvxq`@'  # canonical spec example
+    assert decode(enc) == coords
+
+
+def test_polyline_roundtrip_negative_and_small():
+    from erde_spark.routing.polyline import decode, encode
+    coords = [(0.0, 0.0), (-0.00001, 0.00001), (55.75123, -37.61556)]
+    assert decode(encode(coords)) == [(round(a, 5), round(b, 5)) for a, b in coords]
+
+
+# ---------------------------------------------------------------- block split
+
+def test_split_block_shape_reference_regimes():
+    from erde_spark.routing.table import split_block_shape
+    # semantics from /root/reference/erde/op/table.py:165-173
+    assert split_block_shape(10, 10, 2000) == (10, 10)          # fits
+    assert split_block_shape(100, 50, 2000) == (100, 2000 // 100)  # rows >= cols
+    assert split_block_shape(50, 100, 2000) == (2000 // 100, 100)  # cols > rows
+    assert split_block_shape(5000, 1, 2000) == (2000, 1)
+    assert split_block_shape(1, 5000, 2000) == (1, 2000)
+    # square oversize: rows not < cols -> cols shrinks to max(mts//rows,1)
+    assert split_block_shape(3000, 3000, 2000) == (2000, 1)
+
+
+# ---------------------------------------------------------------- route
+
+def _line_df(spark, lines, extra=None):
+    rows = []
+    for i, coords in enumerate(lines):
+        row = {'rid': i, 'geometry': G.wkb_dumps(('LineString', coords))}
+        row.update((extra or {}).get(i, {}))
+        rows.append((row['rid'], row['geometry']))
+    return spark.createDataFrame(rows, 'rid long, geometry binary')
+
+
+def test_route_df(spark, osrm):
+    from erde_spark.routing.route import route_df
+    lines = [[(10.0, 0.0), (10.1, 0.0)], [(20.0, 0.0), (20.0, 0.2), (20.1, 0.2)]]
+    df = _line_df(spark, lines)
+    out = route_df(df, osrm.url, overview='full', annotations='duration,distance,nodes')
+    rows = {r['rid']: r for r in out.collect()}
+    assert len(rows) == 2
+    d0 = 0.1 * M_PER_DEG
+    assert rows[0]['distance'] == pytest.approx(d0, rel=1e-6)
+    assert rows[0]['duration'] == pytest.approx(d0 / SPEED, rel=1e-6)
+    # geometry decoded back to the input line (mock echoes it)
+    geom = G.wkb_loads(bytes(rows[0]['geometry']))
+    assert geom[0] == 'LineString'
+    assert geom[1][0] == pytest.approx((10.0, 0.0), abs=1e-5)
+    # node dedup across legs: leg2 starts with leg1's last edge
+    assert rows[1]['nodes'] == [100, 101, 102, 103]
+
+
+def test_route_df_alternatives(spark, osrm):
+    from erde_spark.routing.route import route_df
+    df = _line_df(spark, [[(10.0, 0.0), (10.1, 0.0)]])
+    out = route_df(df, osrm.url, alternatives=2).orderBy('alternative').collect()
+    assert [r['alternative'] for r in out] == [1, 2]
+    assert out[1]['duration'] == pytest.approx(out[0]['duration'] * 1.5, rel=1e-6)
+
+
+def test_route_df_overview_false_keeps_input(spark, osrm):
+    from erde_spark.routing.route import route_df
+    line = [(10.0, 0.0), (10.5, 0.5)]
+    df = _line_df(spark, [line])
+    out = route_df(df, osrm.url, overview='false').collect()[0]
+    assert G.wkb_loads(bytes(out['geometry'])) == ('LineString', line)
+
+
+# ---------------------------------------------------------------- od table
+
+def _point_df(spark, name, pts):
+    from erde_spark.functions.geo import st_point
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pts)],
+                               f'{name} long, x double, y double')
+    return df.select(name, st_point(F.col('x'), F.col('y')).alias('geometry'))
+
+
+def test_od_table_full_coverage(spark, osrm):
+    from erde_spark.routing.table import od_table
+    src = _point_df(spark, 'sid', [(10.0, 0.0), (10.1, 0.0), (10.2, 0.0)])
+    dst = _point_df(spark, 'did', [(10.0, 0.1), (10.0, 0.2)])
+    out = od_table(src, dst, osrm.url, annotations='duration,distance').collect()
+    assert len(out) == 6
+    pairs = {(r['source'], r['destination']) for r in out}
+    assert pairs == {(s, d) for s in range(3) for d in range(2)}
+    r00 = next(r for r in out if (r['source'], r['destination']) == (0, 0))
+    assert r00['distance'] == pytest.approx(0.1 * M_PER_DEG, rel=1e-4)
+    assert r00['duration'] == pytest.approx(0.1 * M_PER_DEG / SPEED, rel=1e-4)
+    assert r00['source_snap'] == SNAP and r00['destination_snap'] == SNAP
+    assert G.wkb_loads(bytes(r00['geometry']))[1] == pytest.approx((10.0, 0.0), abs=1e-5)
+    assert G.wkb_loads(bytes(r00['geometry_dest']))[1] == pytest.approx((10.0, 0.1), abs=1e-5)
+
+
+def test_od_table_block_split_equivalence(spark, osrm):
+    """Results must be identical whatever the block size (the scale knob)."""
+    from erde_spark.routing.table import od_table
+    src = _point_df(spark, 'sid', [(10.0 + i / 100, 0.0) for i in range(7)])
+    dst = _point_df(spark, 'did', [(10.0, 0.1 + j / 100) for j in range(5)])
+    big = od_table(src, dst, osrm.url, max_table_size=2000)
+    small = od_table(src, dst, osrm.url, max_table_size=6)
+    key = lambda r: (r['source'], r['destination'])
+    a = sorted(((r['source'], r['destination'], r['duration']) for r in big.collect()))
+    b = sorted(((r['source'], r['destination'], r['duration']) for r in small.collect()))
+    assert a == b and len(a) == 35
+
+
+def test_od_table_lines_keep_columns(spark, osrm):
+    from erde_spark.routing.table import od_table_lines
+    src = _point_df(spark, 'sid', [(10.0, 0.0)]).withColumn('name', F.lit('src0'))
+    dst = _point_df(spark, 'did', [(10.0, 0.1)]).withColumn('dname', F.lit('dst0'))
+    out = od_table_lines(src, dst, osrm.url, keep_columns=['name', 'dname']).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r['name'] == 'src0' and r['dname'] == 'dst0'
+    geom = G.wkb_loads(bytes(r['geometry']))
+    assert geom[0] == 'LineString' and len(geom[1]) == 2
+
+
+def test_od_table_bad_annotations(spark, osrm):
+    from erde_spark.routing.table import od_table
+    src = _point_df(spark, 'sid', [(10.0, 0.0)])
+    with pytest.raises(ValueError, match='annotations'):
+        od_table(src, src, osrm.url, annotations='speed')
+
+
+# ---------------------------------------------------------------- isochrone
+
+def test_isochrone_bands(spark, osrm):
+    """With straight-line durations, bands must approximate circles:
+    origin inside, nested levels, radius ~ level*60*SPEED."""
+    from erde_spark.geo import ops as O
+    from erde_spark.routing.isochrone import isochrones
+    src = _point_df(spark, 'sid', [(10.0, 0.0)])
+    out = isochrones(src, osrm.url, durations=[5, 10], speed=SPEED * 3.6,
+                     max_snap=100.0).collect()
+    assert [r['duration'] for r in sorted(out, key=lambda r: r['duration'])] == [5.0, 10.0]
+    geoms = {r['duration']: G.wkb_loads(bytes(r['geometry'])) for r in out}
+    for lv, g in geoms.items():
+        assert g[0] == 'MultiPolygon'
+        assert O.contains(g, ('Point', (10.0, 0.0))), f'origin not in {lv}-min band'
+        # radius check: the band boundary should be ~ lv*60*SPEED metres out
+        expected_r = lv * 60 * SPEED
+        xs = [c[0] for poly in g[1] for c in poly[0]]
+        max_extent_m = (max(xs) - 10.0) * M_PER_DEG
+        assert 0.6 * expected_r < max_extent_m < 1.35 * expected_r
+    # nesting: 5-min band within 10-min band (sample: its shell vertices)
+    five, ten = geoms[5.0], geoms[10.0]
+    pts = five[1][0][0][::5]
+    inside = sum(1 for p in pts if O.intersects(ten, ('Point', p)))
+    assert inside >= len(pts) * 0.9
+
+
+def test_isochrone_keeps_source_columns(spark, osrm):
+    from erde_spark.routing.isochrone import isochrones
+    src = _point_df(spark, 'sid', [(10.0, 0.0), (12.0, 0.0)]) \
+        .withColumn('label', F.concat(F.lit('s'), F.col('sid')))
+    out = isochrones(src, osrm.url, durations=[5], speed=SPEED * 3.6,
+                     max_snap=100.0).collect()
+    assert {(r['sid'], r['label']) for r in out} == {(0, 's0'), (1, 's1')}
+
+
+# ---------------------------------------------------------------- client
+
+def test_config_merge_and_resolve():
+    from erde_spark.routing.client import data_merge, resolve_router
+    base = {'routers': {'a': 'http://a'}, 'l': [1]}
+    upd = {'routers': {'b': 'http://b'}, 'l': [2]}
+    merged = data_merge(base, upd)
+    assert merged == {'routers': {'a': 'http://a', 'b': 'http://b'}, 'l': [1, 2]}
+    assert resolve_router('http://x:5000') == 'http://x:5000'
+    assert resolve_router('b', {'routers': {'b': 'http://b'}}) == 'http://b'
+    with pytest.raises(ValueError, match='router'):
+        resolve_router('nonexistent', {'routers': {}})
