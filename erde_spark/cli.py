@@ -1,0 +1,224 @@
+"""One-decorator CLI over spark-submit-able commands.
+
+Reproduces the reference's ``@autocli`` contract
+(`/root/reference/erde/__init__.py:171-337`): annotate a function's
+parameters with ``DataFrame`` and the CLI opens the path argument via the
+IO facade (``read_df``); a ``DataFrame`` return value appends a positional
+``output-path`` argument and the result is written via ``write_df``.
+Scalar annotations/defaults become typed options. The ``erde_spark``
+entrypoint registers the same 9 subcommands as the reference: area,
+buffer, convert, isochrone, length, osm, route, subset, table
+(`/root/reference/erde/__init__.py:340-377`).
+
+Execution is lazy end-to-end: the command builds one DataFrame graph
+(scan -> operator -> write) and Catalyst plans it — the reference's
+reader/writer background processes dissolve into Spark stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import sys
+import time
+
+from pyspark.sql import DataFrame
+
+from erde_spark.io import read_df, write_df
+
+
+def _add_param(parser: argparse.ArgumentParser, name: str, param: inspect.Parameter):
+    cli_name = name.replace('_', '-')
+    ann = param.annotation
+    has_default = param.default is not inspect.Parameter.empty
+    if ann is DataFrame:
+        parser.add_argument(name, metavar=cli_name, help=f'input path for {name}')
+        return 'df'
+    if param.kind == inspect.Parameter.VAR_POSITIONAL:
+        parser.add_argument(name, nargs='+')
+        return 'var'
+    typ = ann if ann in (int, float, str) else None
+    if typ is None and has_default and param.default is not None:
+        typ = type(param.default)
+    if typ is bool or isinstance(param.default, bool):
+        parser.add_argument(f'--{cli_name}', dest=name, default=bool(param.default),
+                            action='store_false' if param.default else 'store_true')
+        return 'flag'
+    if has_default:
+        parser.add_argument(f'--{cli_name}', dest=name, type=typ or str,
+                            default=param.default)
+    else:
+        parser.add_argument(name, metavar=cli_name, type=typ or str)
+    return 'opt'
+
+
+def autocli(func):
+    """Attach an argparse builder + runner to ``func``.
+
+    ``func.cli(argv)`` parses arguments, opens DataFrame-annotated params
+    from paths, runs, and writes a returned DataFrame to the trailing
+    ``output-path`` argument.
+    """
+    # eval_str: PEP 563 stringified annotations must resolve to real types
+    sig = inspect.signature(func, eval_str=True)
+    returns_df = sig.return_annotation is DataFrame
+
+    def build(parser: argparse.ArgumentParser):
+        kinds = {}
+        for name, param in sig.parameters.items():
+            kinds[name] = _add_param(parser, name, param)
+        if returns_df:
+            parser.add_argument('output_path', metavar='output-path',
+                                help='where to write the result')
+        parser.set_defaults(__func=func, __kinds=kinds, __returns_df=returns_df,
+                            __sig=sig)
+        return parser
+
+    def cli(argv=None):
+        parser = build(argparse.ArgumentParser(prog=func.__name__,
+                                               description=func.__doc__))
+        ns = parser.parse_args(argv)
+        return run_parsed(ns)
+
+    func.build_parser = build
+    func.cli = cli
+    return func
+
+
+def run_parsed(ns: argparse.Namespace):
+    """Execute a parsed autocli command namespace."""
+    func = ns.__func
+    sig = ns.__sig
+    t0 = time.time()
+    args = []
+    kwargs = {}
+    for name, param in sig.parameters.items():
+        kind = ns.__kinds[name]
+        val = getattr(ns, name)
+        if kind == 'df':
+            val = read_df(val)
+        if kind == 'var':
+            args.extend(val)
+        elif param.default is inspect.Parameter.empty:
+            args.append(val)
+        else:
+            kwargs[name] = val
+    result = func(*args, **kwargs)
+    if ns.__returns_df and result is not None:
+        write_df(result, ns.output_path)
+    print(f'{func.__name__} finished in {time.time() - t0:.1f}s', file=sys.stderr)
+    return result
+
+
+# ---------------------------------------------------------------- commands
+
+@autocli
+def area(input_data: DataFrame, column_name: str = 'area',
+         skip_transform: bool = False, nullify_irrelevant: bool = False,
+         default_crs: int = 4326) -> DataFrame:
+    """Add a metric-area column."""
+    from erde_spark.operators.area import area as _area
+    return _area(input_data, column_name, skip_transform, nullify_irrelevant,
+                 default_crs)
+
+
+@autocli
+def buffer(input_data: DataFrame, radius: float, dissolve: bool = False,
+           resolution: int = 16, default_crs: int = 4326) -> DataFrame:
+    """Replace geometry with its metric buffer."""
+    from erde_spark.operators.buffer import buffer as _buffer
+    return _buffer(input_data, radius, dissolve, default_crs, resolution)
+
+
+@autocli
+def convert(input_data: DataFrame, to_crs: int = None, from_crs: int = None) -> DataFrame:
+    """Set and/or reproject the CRS."""
+    from erde_spark.operators.convert import convert as _convert
+    return _convert(input_data, to_crs, from_crs)
+
+
+@autocli
+def length(input_data: DataFrame, column_name: str = 'length',
+           skip_transform: bool = False, nullify_irrelevant: bool = False,
+           default_crs: int = 4326) -> DataFrame:
+    """Add a metric-length column."""
+    from erde_spark.operators.length import length as _length
+    return _length(input_data, column_name, skip_transform, nullify_irrelevant,
+                   default_crs)
+
+
+@autocli
+def subset(input_data: DataFrame, columns: str) -> DataFrame:
+    """Rename/drop/keep/assert columns with the subset DSL."""
+    from erde_spark.operators.subset import subset as _subset
+    return _subset(input_data, columns)
+
+
+@autocli
+def route(input_data: DataFrame, mode: str, overview: str = 'full',
+          annotations: str = 'duration,distance', alternatives: int = 1,
+          retries: int = 10) -> DataFrame:
+    """Route each row's waypoint LineString via OSRM."""
+    from erde_spark.routing.route import route_df
+    return route_df(input_data, mode, overview, annotations, alternatives, retries)
+
+
+@autocli
+def table(sources: DataFrame, destinations: DataFrame, router: str,
+          annotations: str = 'duration', mts: int = 2000,
+          keep_columns: str = None) -> DataFrame:
+    """OD matrix between source and destination points."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.routing.table import od_table_lines
+    keep = keep_columns.split(',') if keep_columns else None
+    src = sources.withColumn('sid', F.monotonically_increasing_id())
+    dst = destinations.withColumn('did', F.monotonically_increasing_id())
+    return od_table_lines(src, dst, router, keep_columns=keep,
+                          max_table_size=mts, annotations=annotations)
+
+
+@autocli
+def isochrone(sources: DataFrame, router: str, durations: str, speed: float,
+              grid_density: float = 1.0, max_snap: float = 250.0,
+              mts: int = 2000) -> DataFrame:
+    """Isochrone MultiPolygons per source point and duration level."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.routing.isochrone import isochrones
+    levels = [float(d) for d in str(durations).split(',')]
+    src = sources.withColumn('sid', F.monotonically_increasing_id())
+    return isochrones(src, router, levels, speed, grid_density, max_snap, mts)
+
+
+@autocli
+def osm(*filenames, layers: str = 'points,lines,multipolygons', tags: str = None,
+        crop: str = None, columns: str = None, keep_tmp_files: bool = False,
+        dry: bool = False):
+    """Filter/crop/merge/convert OSM files via osmium + ogr2ogr."""
+    from erde_spark.io.osm import run_osm_pipeline
+    return run_osm_pipeline(
+        *filenames, dry=dry, keep_tmp_files=keep_tmp_files, layers=layers,
+        tags=tags.split(',') if tags else None, crop=crop,
+        columns=columns.split(';') if columns else None)
+
+
+COMMANDS = {
+    'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
+    'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
+}
+
+
+def entrypoint(argv=None):
+    parser = argparse.ArgumentParser(
+        prog='erde_spark',
+        description='PySpark-native geospatial/analytics toolkit CLI')
+    sub = parser.add_subparsers(dest='command', required=True)
+    for name, fn in COMMANDS.items():
+        fn.build_parser(sub.add_parser(name, help=(fn.__doc__ or '').strip()))
+    ns = parser.parse_args(argv)
+    return run_parsed(ns)
+
+
+if __name__ == '__main__':
+    entrypoint()
