@@ -48,21 +48,22 @@ def _with_bounds(df: DataFrame, on: str, prefix: str) -> DataFrame:
 def _estimate_cell_size(left_b: DataFrame, right_b: DataFrame) -> float:
     """Sample-based cell sizing: ~2× the mean bbox extent of whichever side
     has extended geometries; for point-point joins fall back to 1/64 of the
-    sampled data extent. Only a small sampled aggregation job — no full scan."""
-    def _sample_stats(df, p):
-        row = (df.select((F.col(f'{p}maxx') - F.col(f'{p}minx')).alias('w'),
+    sampled data extent. ONE sampled aggregation job (both sides unioned)
+    — no full scan, no second job."""
+    def _sample(df, p):
+        return df.select((F.col(f'{p}maxx') - F.col(f'{p}minx')).alias('w'),
                          (F.col(f'{p}maxy') - F.col(f'{p}miny')).alias('h'),
-                         F.col(f'{p}minx').alias('x'), F.col(f'{p}miny').alias('y'))
-               .limit(4000)
-               .agg(F.avg('w').alias('w'), F.avg('h').alias('h'),
-                    (F.max('x') - F.min('x')).alias('ex'),
-                    (F.max('y') - F.min('y')).alias('ey')).first())
-        return row
-    ls, rs = _sample_stats(left_b, '__l_'), _sample_stats(right_b, '__r_')
-    sizes = [v for v in (ls['w'], ls['h'], rs['w'], rs['h']) if v]
+                         F.col(f'{p}minx').alias('x'),
+                         F.col(f'{p}miny').alias('y')).limit(4000)
+    row = (_sample(left_b, '__l_').unionByName(_sample(right_b, '__r_'))
+           .agg(F.avg(F.when(F.col('w') > 0, F.col('w'))).alias('w'),
+                F.avg(F.when(F.col('h') > 0, F.col('h'))).alias('h'),
+                (F.max('x') - F.min('x')).alias('ex'),
+                (F.max('y') - F.min('y')).alias('ey')).first())
+    sizes = [v for v in (row['w'], row['h']) if v]
     if sizes:
         return 2.0 * max(sizes)
-    extents = [v for v in (ls['ex'], ls['ey'], rs['ex'], rs['ey']) if v]
+    extents = [v for v in (row['ex'], row['ey']) if v]
     if extents:
         return max(extents) / 64.0
     return 1.0

@@ -1,0 +1,60 @@
+"""Chunk-stream facade tests (reference read_stream/write_stream contract:
+`tests/io/test_streaming.py`, `tests/io/test_io_base.py`)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import erde_spark as es
+from erde_spark.geo import geom as G
+
+
+def test_read_stream_is_dataframe(spark, tmp_path):
+    p = tmp_path / 'x.csv'
+    p.write_text('a,b\n1,2\n3,4\n')
+    df = es.read_stream(str(p), spark=spark)
+    assert df.count() == 2
+
+
+def test_read_stream_geometry_filter_wkt(spark, tmp_path):
+    p = tmp_path / 'pts.csv'
+    p.write_text('WKT,pid\n"POINT (1 1)",1\n"POINT (9 9)",2\n')
+    df = es.read_stream(str(p), spark=spark,
+                        geometry_filter='POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')
+    rows = df.collect()
+    assert [r['pid'] for r in rows] == [1]
+
+
+def test_write_stream_appends_chunks(spark, tmp_path):
+    out = str(tmp_path / 'out.parquet')
+    a = spark.createDataFrame([(1,)], 'v int')
+    b = spark.createDataFrame([(2,)], 'v int')
+    with es.write_stream(out) as w:
+        w(a)
+        w(b)
+    assert {r['v'] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+
+def test_write_stream_cleans_partial_output_on_error(spark, tmp_path):
+    out = str(tmp_path / 'out.parquet')
+    a = spark.createDataFrame([(1,)], 'v int')
+    with pytest.raises(RuntimeError):
+        with es.write_stream(out) as w:
+            w(a)
+            raise RuntimeError('boom')
+    assert not os.path.exists(out)
+
+
+def test_as_local_chunks(spark):
+    from erde_spark.streaming.chunks import as_local_chunks
+    df = spark.range(25).select(F.col('id'))
+    chunks = list(as_local_chunks(df, chunk_size=10))
+    assert [len(c) for c in chunks] == [10, 10, 5]
+    assert sorted(v for c in chunks for v in c['id']) == list(range(25))
+
+
+def test_read_write_geom_roundtrip(spark, tmp_path):
+    p = str(tmp_path / 'g.csv')
+    es.write_geom(('Point', (5.0, 6.0)), p, spark)
+    assert es.read_geom(p, spark) == ('Point', (5.0, 6.0))
