@@ -667,6 +667,98 @@ def q_similarity_lsh(spark, sf_dir):
     return lsh_topk(e, q, k=5, n_bits=10, n_probes=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-representative dedup: MinHash-LSH pairs -> connected
+    components -> keep min doc_id per cluster (the linear-cost production
+    dedup; no SQL oracle — LSH recall is probabilistic; rows-only)."""
+    from erde_spark.scale.dedup import dedup_clusters
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return dedup_clusters(d, threshold=0.9) \
+        .select('doc_id', 'cluster_size')
+
+
+_MOCK_OSRM = None
+
+
+def _mock_osrm_url() -> str:
+    """Deterministic offline OSRM backend (straight-line metrics) so the
+    routing kernels run end-to-end in the correctness gate without a real
+    router. Server lives until process exit (queries are lazy)."""
+    global _MOCK_OSRM
+    if _MOCK_OSRM is None:
+        from tests.osrm_mock import MockOsrm
+        _MOCK_OSRM = MockOsrm().__enter__()
+    return _MOCK_OSRM.url
+
+
+def q_routing_route(spark, sf_dir):
+    """OSRM per-row routing kernel (rows-only: external-service op)."""
+    from erde_spark.functions.geo import st_linestring_between, st_point
+    from erde_spark.routing.route import route_df
+    cust = _t(spark, sf_dir, 'customer')['customer'].limit(50)
+    k = F.col('c_custkey')
+    lon = 30.0 + (k % 100) / 10.0
+    lat = 50.0 + ((k * 13) % 80) / 10.0
+    lines = cust.select(
+        k.alias('c_custkey'),
+        st_linestring_between(st_point(lon, lat),
+                              st_point(lon + F.lit(0.05), lat + F.lit(0.05)))
+        .alias('geometry'))
+    out = route_df(lines, _mock_osrm_url(), overview='full',
+                   annotations='duration,distance')
+    return out.select('c_custkey', 'alternative',
+                      F.round('duration', 2).alias('duration'),
+                      F.round('distance', 2).alias('distance'))
+
+
+def q_routing_od_table(spark, sf_dir):
+    """OSRM OD-matrix kernel, block-split (rows-only)."""
+    from erde_spark.functions.geo import st_point
+    from erde_spark.routing.table import od_table
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    src = cust.limit(20).select(k.alias('sid'),
+                                st_point(30.0 + (k % 100) / 10.0,
+                                         50.0 + ((k * 13) % 80) / 10.0).alias('geometry'))
+    dst = cust.limit(10).select(k.alias('did'),
+                                st_point(31.0 + (k % 50) / 10.0,
+                                         51.0 + ((k * 7) % 60) / 10.0).alias('geometry'))
+    out = od_table(src, dst, _mock_osrm_url(), max_table_size=64,
+                   annotations='duration,distance')
+    return out.select('source', 'destination',
+                      F.round('duration', 2).alias('duration'),
+                      F.round('distance', 2).alias('distance'))
+
+
+def q_routing_isochrone(spark, sf_dir):
+    """Isochrone kernel: grid -> OD table -> raster -> contour per source
+    (rows-only)."""
+    from erde_spark.functions.geo import st_geometrytype, st_point
+    from erde_spark.routing.isochrone import isochrones
+    cust = _t(spark, sf_dir, 'customer')['customer'].limit(2)
+    k = F.col('c_custkey')
+    src = cust.select(k.alias('sid'),
+                      st_point(30.0 + (k % 10) * 2.0, F.lit(0.0)).alias('geometry'))
+    out = isochrones(src, _mock_osrm_url(), durations=[3, 6], speed=36.0,
+                     max_snap=100.0)
+    return out.select('sid', 'duration',
+                      st_geometrytype(F.col('geometry')).alias('geom_type'))
+
+
+def q_events_stateful(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState) driven over
+    the events table via a file-stream + availableNow (rows-only)."""
+    import tempfile
+
+    from erde_spark.streaming.stateful import (run_stateful_batch,
+                                               running_user_stats)
+    ev = _t(spark, sf_dir, 'events')['events'].limit(500)
+    out = run_stateful_batch(spark, ev, running_user_stats, tempfile.mkdtemp())
+    return (out.groupBy('user_id')
+            .agg(F.max('n_events').alias('n_events'),
+                 F.round(F.max('sum_value'), 4).alias('sum_value')))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> mapInPandas feature
     extraction with the deterministic fake decoder (no SQL oracle; driver
@@ -715,9 +807,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding': q_dedup_embedding,
+        'dedup_clusters': q_dedup_clusters,
         'similarity_topk': q_similarity_topk,
         'similarity_lsh': q_similarity_lsh,
         'multimodal_features': q_multimodal_features,
+        'routing_route': q_routing_route,
+        'routing_od_table': q_routing_od_table,
+        'routing_isochrone': q_routing_isochrone,
+        'events_stateful': q_events_stateful,
     }
 
 
@@ -748,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
-        # no oracle (approximate / not SQL-expressible): dedup_minhash_lsh,
-        # dedup_simhash, similarity_lsh, multimodal_features
+        # no oracle (approximate / external-service / not SQL-expressible):
+        # dedup_minhash_lsh, dedup_simhash, dedup_clusters, similarity_lsh,
+        # multimodal_features, routing_route, routing_od_table,
+        # routing_isochrone, events_stateful
     }

@@ -213,32 +213,56 @@ ISO_EXTRA_FIELDS = [T.StructField('duration', T.DoubleType()),
                     T.StructField('geometry', T.BinaryType())]
 
 
-def isochrones(sources: DataFrame, router: str, durations: list[float],
-               speed: float, grid_density: float = 1.0,
-               max_snap: float = MAX_SNAP, mts: int = MAX_TABLE_SIZE,
+def isochrones(sources: DataFrame, router: str, durations,
+               speed, grid_density=1.0,
+               max_snap=MAX_SNAP, mts: int = MAX_TABLE_SIZE,
                id_col: str = 'sid', geometry: str = 'geometry',
                retries: int = 10) -> DataFrame:
     """Isochrone MultiPolygons per source and duration level (minutes).
 
+    Column-as-parameter resolution (reference
+    `erde/op/isochrone.py:290-300`): ``router``, ``durations``, ``speed``,
+    ``grid_density`` and ``max_snap`` may each name a column of
+    ``sources`` — then every source row uses its own value (durations as
+    a comma-separated string), so one run can mix transport modes/limits.
+
     Output: all non-geometry source columns + ``duration`` (minutes) +
     ``geometry`` (MultiPolygon, EPSG:4326) — one row per source x level.
     """
-    host = resolve_router(router)
-    levels = sorted(float(d) for d in durations)
+    cols = sources.columns
+
+    def _per_row(row, param, cast=float):
+        """Resolve a parameter: column value if it names a column."""
+        if isinstance(param, str) and param in cols:
+            return row[param]
+        return param
+
+    host_const = None if (isinstance(router, str) and router in cols) else \
+        resolve_router(router)
     passthrough = [f for f in sources.schema.fields if f.name != geometry]
     out_schema = T.StructType(list(passthrough) + ISO_EXTRA_FIELDS)
     pass_names = [f.name for f in passthrough]
 
     def _one_source(pdf: pd.DataFrame) -> pd.DataFrame:
         row = pdf.iloc[0]
+        host = host_const or resolve_router(row[router])
+        raw_levels = _per_row(row, durations)
+        if isinstance(raw_levels, str):
+            raw_levels = raw_levels.split(',')
+        levels = sorted(float(d) for d in (raw_levels if hasattr(raw_levels, '__iter__')
+                                           and not isinstance(raw_levels, (int, float))
+                                           else [raw_levels]))
+        spd = float(_per_row(row, speed))
+        density = float(_per_row(row, grid_density))
+        snap_limit = float(_per_row(row, max_snap))
         origin = G.wkb_loads(bytes(row[geometry]))
         if origin[0] != 'Point':
             raise ValueError('isochrone sources must be Points')
         lon, lat = origin[1]
         ox, oy = O.mercator_fwd(lon, lat)
         coslat = math.cos(math.radians(lat))
-        radius = speed / KMH2MPS * max(levels) * 60
-        step = speed / KMH2MPS * GRID_EVERY_N_SECONDS / math.sqrt(grid_density) / coslat
+        radius = spd / KMH2MPS * max(levels) * 60
+        step = spd / KMH2MPS * GRID_EVERY_N_SECONDS / math.sqrt(density) / coslat
         grid = hex_grid(ox, oy, radius / coslat, step)
 
         # OD table source -> grid (lon/lat for OSRM), block-split by mts
@@ -260,7 +284,7 @@ def isochrones(sources: DataFrame, router: str, durations: list[float],
 
         keep = dur != 0  # zero-duration points are the source's own snap
         full = dur + (ssnap + dsnap) / SNAP_SPEED * KMH2MPS
-        full[dsnap > max_snap] = UNREACHABLE
+        full[dsnap > snap_limit] = UNREACHABLE
         px = np.append(grid[keep, 0], ox)
         py = np.append(grid[keep, 1], oy)
         pz = np.append(full[keep], 0.0)

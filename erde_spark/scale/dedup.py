@@ -268,6 +268,66 @@ def simhash_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             .select('id_a', 'id_b', 'hamming'))
 
 
+# ---------------------------------------------------------------- clustering
+
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         max_iterations: int = 12) -> DataFrame:
+    """(id, component) — connected components over an undirected edge list
+    (columns ``id_a``/``id_b``): min-label propagation with pointer
+    jumping, so rounds grow the reached radius exponentially
+    (O(log diameter) rounds instead of O(diameter)).
+
+    Each round: (1) every node adopts the min label among itself and its
+    neighbors; (2) pointer jump — every node re-reads its current
+    component's label. Labels are eagerly localCheckpoint'ed per round:
+    iterative plans otherwise accrue lineage that inflates Catalyst
+    analysis time quadratically.
+    """
+    edges = (pairs.select('id_a', 'id_b')
+             .union(pairs.select(F.col('id_b').alias('id_a'),
+                                 F.col('id_a').alias('id_b'))))
+    edges = edges.localCheckpoint(eager=True)
+    labels = ids.select(F.col(ids.columns[0]).alias('id'),
+                        F.col(ids.columns[0]).alias('component')) \
+        .localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        nmin = (edges.join(labels, edges['id_b'] == labels['id'])
+                .groupBy('id_a').agg(F.min('component').alias('nmin'))
+                .withColumnRenamed('id_a', 'id'))
+        stepped = (labels.join(nmin, 'id', 'left')
+                   .select('id', F.least('component', F.coalesce('nmin', 'component'))
+                           .alias('component')))
+        # pointer jump: component <- label(component)
+        ptr = stepped.select(F.col('id').alias('pid'), F.col('component').alias('pcomp'))
+        jumped = (stepped.join(ptr, stepped['component'] == ptr['pid'], 'left')
+                  .select('id', F.least('component', F.coalesce('pcomp', 'component'))
+                          .alias('component'))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(labels.withColumnRenamed('component', 'old'), 'id')
+                   .filter(F.col('component') != F.col('old')).limit(1).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                   threshold: float = 0.8, **lsh_kw) -> DataFrame:
+    """One representative per near-duplicate cluster: MinHash-LSH pairs ->
+    connected components -> keep the minimum id of each component.
+
+    THE production dedup shape at 100 TB: pair enumeration inside dense
+    dup clusters is quadratic, but components + representatives stay
+    linear in documents once candidates exist.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **lsh_kw)
+    comp = connected_components(pairs, df.select(id_col))
+    reps = comp.groupBy('component').agg(F.min('id').alias('keep_id'),
+                                         F.count(F.lit(1)).alias('cluster_size'))
+    return (df.join(reps.select(F.col('keep_id').alias(id_col), 'cluster_size'),
+                    id_col, 'inner'))
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',

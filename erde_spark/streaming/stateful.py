@@ -1,0 +1,65 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no event-time state at all (SURVEY.md §2.8) — this is
+the engine's extension surface for stateful stream processing, exposed for
+the ``events`` table shape. State lives in Spark's state store per key;
+each micro-batch receives the key's new rows plus its persisted state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = T.StructType([
+    T.StructField('user_id', T.LongType()),
+    T.StructField('n_events', T.LongType()),
+    T.StructField('sum_value', T.DoubleType()),
+])
+
+_STATE_SCHEMA = 'n LONG, s DOUBLE'
+
+
+def running_user_stats(stream: DataFrame, key_col: str = 'user_id',
+                       value_col: str = 'value') -> DataFrame:
+    """Running per-key event count + value sum across micro-batches.
+
+    Works only on streaming DataFrames (``readStream``). Each update-mode
+    output row carries the key's cumulative totals so far — the canonical
+    "profile accumulator" shape for a training-data ingest stream.
+    """
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({'user_id': [key[0]], 'n_events': [n], 'sum_value': [s]})
+
+    return (stream.groupBy(key_col).applyInPandasWithState(
+        _update, outputStructType=RUNNING_SCHEMA, stateStructType=_STATE_SCHEMA,
+        outputMode='update', timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
+                       ts_col: str = 'ts') -> DataFrame:
+    """Drive a stateful streaming transform over a batch table: write the
+    table as the file-stream source, run with availableNow into a memory
+    sink, return the final result as a DataFrame (test/backfill utility)."""
+    src_dir = f'{tmp_dir}/src'
+    ckpt = f'{tmp_dir}/ckpt'
+    source_df.write.mode('overwrite').parquet(src_dir)
+    stream = spark.readStream.schema(source_df.schema).parquet(src_dir)
+    out = transform(stream)
+    import re
+    name = 'stateful_out_' + re.sub(r'\W', '_', tmp_dir).strip('_')
+    q = (out.writeStream.format('memory').queryName(name)
+         .outputMode('update').option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
