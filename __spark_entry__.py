@@ -523,6 +523,101 @@ FROM customer
 """
 
 
+def q_sjfull_geoms(spark, sf_dir):
+    """sjfull: spatial join keeping BOTH geometries; verify via both
+    sides' coordinates (x/y of each kept geometry)."""
+    from erde_spark.functions.geo import st_centroid_xy
+    from erde_spark.operators.sjoin import sjfull
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    pts = _cust_points(t['customer'])
+    rects = _nation_rects(t['nation'])
+    out = sjfull(pts, rects, op='within')
+    lxy = st_centroid_xy(F.col('geometry'))
+    rxy = st_centroid_xy(F.col('geometry_right'))
+    return out.select('c_custkey', 'n_nationkey',
+                      F.round(lxy['x'], 6).alias('left_x'),
+                      F.round(rxy['x'], 6).alias('right_cx'))
+
+
+_SJFULL_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL})
+SELECT p.c_custkey, r.n_nationkey,
+  ROUND(p.lon, 6) AS left_x,
+  ROUND((r.xmin + r.xmax)/2, 6) AS right_cx
+FROM p JOIN r ON p.lon > r.xmin AND p.lon < r.xmax
+             AND p.lat > r.ymin AND p.lat < r.ymax
+"""
+
+
+def q_geo_lonlat_detect(spark, sf_dir):
+    """lon/lat column-pair autodetect -> point geometry (reference
+    lonlat2gdf); verified by extracting the point coordinates back."""
+    from erde_spark.functions.geo import lonlat_to_geometry, st_centroid_xy
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    df = cust.select(k.alias('c_custkey'),
+                     (30.0 + (k % 100) / 10.0).alias('lon'),
+                     (50.0 + ((k * 13) % 80) / 10.0).alias('lat'))
+    out = lonlat_to_geometry(df)
+    xy = st_centroid_xy(F.col('geometry'))
+    return out.select('c_custkey', F.round(xy['x'], 6).alias('gx'),
+                      F.round(xy['y'], 6).alias('gy'))
+
+
+_LONLAT_SQL = """
+SELECT c_custkey,
+  ROUND(30.0 + (c_custkey % 100)/10.0, 6) AS gx,
+  ROUND(50.0 + ((c_custkey*13) % 80)/10.0, 6) AS gy
+FROM customer
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """union / intersect / except surface over order priorities."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    urgent = o.filter(F.col('o_orderpriority') == '1-URGENT').select('o_custkey')
+    high = o.filter(F.col('o_orderpriority') == '2-HIGH').select('o_custkey')
+    both = urgent.intersect(high)
+    only_urgent = urgent.distinct().exceptAll(both)
+    return (both.withColumn('bucket', F.lit('both'))
+            .unionByName(only_urgent.withColumn('bucket', F.lit('urgent_only'))))
+
+
+_SET_OPS_SQL = """
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     hi AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+     inboth AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM hi)
+SELECT o_custkey, 'both' AS bucket FROM inboth
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS bucket FROM
+  (SELECT DISTINCT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM inboth)
+"""
+
+
+def q_geo_buffer_dissolve(spark, sf_dir):
+    """buffer(dissolve=True): all buffers collected into one MultiPolygon;
+    its metric area = sum of the per-point 64-gon areas (disjoint rects ->
+    no overlap merging needed; closed-form oracle)."""
+    from erde_spark.functions.geo import st_metric_area, st_point
+    from erde_spark.geo.crs import set_crs
+    from erde_spark.operators.buffer import buffer as _buffer
+    cust = _t(spark, sf_dir, 'customer')['customer'].limit(100)
+    k = F.col('c_custkey')
+    pts = cust.select(k.alias('c_custkey'),
+                      st_point(30.0 + (k % 100) / 10.0,
+                               F.lit(0.0)).alias('geometry'))
+    pts = set_crs(pts, 4326)
+    r = 10.0  # small disjoint buffers at distinct lons
+    out = _buffer(pts, r, dissolve=True)
+    return out.select(F.round(st_metric_area(F.col('geometry')), 2).alias('total_area'))
+
+
+_BUFFER_DISSOLVE_SQL = """
+SELECT ROUND(SUM(a), 2) AS total_area FROM (
+  SELECT 32*sin(pi()/32)*10.0*10.0 AS a FROM customer LIMIT 100)
+"""
+
+
 # ================================================================ text / dedup / similarity
 
 def q_text_analysis(spark, sf_dir):
@@ -798,6 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geo_buffer_area': q_geo_buffer_area,
         'geo_transform': q_geo_transform,
         'sjoin_points_rects': q_sjoin_points_rects,
+        'sjfull_geoms': q_sjfull_geoms,
+        'geo_lonlat_detect': q_geo_lonlat_detect,
+        'set_ops': q_set_ops,
+        'geo_buffer_dissolve': q_geo_buffer_dissolve,
         'sagg_rect_demand': q_sagg_rect_demand,
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
@@ -837,6 +936,10 @@ def oracle_sql() -> dict[str, str]:
         'geo_buffer_area': _GEO_BUFFER_SQL,
         'geo_transform': _GEO_TRANSFORM_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
+        'sjfull_geoms': _SJFULL_SQL,
+        'geo_lonlat_detect': _LONLAT_SQL,
+        'set_ops': _SET_OPS_SQL,
+        'geo_buffer_dissolve': _BUFFER_DISSOLVE_SQL,
         'sagg_rect_demand': _SAGG_SQL,
         'sfilter_outside': _SFILTER_SQL,
         'slookup_nation': _SLOOKUP_SQL,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     'sfilter_outside',
     'text_analysis',
     'dedup_exact',
+    'dedup_clusters',
     'dedup_minhash_lsh',
     'dedup_simhash',
     'similarity_topk',

@@ -107,7 +107,40 @@ class GeoJsonSeqDriver(_Driver):
         return set_crs(df, 4326, 'geometry')
 
     def write(self, df, path, mode='overwrite', **kw):
-        raise NotImplementedError('geojsonl sink: planned (needs feature-object assembly)')
+        from pyspark.sql import types as T
+
+        from erde_spark.geo import geom as G
+
+        @F.pandas_udf(T.StringType())
+        def _feature(gj: pd.Series, props: pd.Series) -> pd.Series:
+            import json
+            out = []
+            for g, p in zip(gj, props):
+                geom = None if g is None else _geom_to_geojson(G.wkb_loads(bytes(g)))
+                out.append(json.dumps(
+                    {'type': 'Feature', 'properties': json.loads(p), 'geometry': geom},
+                    separators=(',', ':')))
+            return pd.Series(out)
+
+        prop_cols = [c for c in df.columns if c != 'geometry']
+        lines = df.select(_feature(
+            F.col('geometry'),
+            F.to_json(F.struct(*[F.col(c) for c in prop_cols]))).alias('value'))
+        lines.write.mode(mode).text(path, **kw)
+
+
+def _geom_to_geojson(geom) -> dict:
+    t, data = geom
+    if t == 'GeometryCollection':
+        return {'type': t, 'geometries': [_geom_to_geojson(g) for g in data]}
+    if t == 'Point':
+        return {'type': t, 'coordinates': list(data)}
+    if t in ('LineString', 'MultiPoint'):
+        return {'type': t, 'coordinates': [list(p) for p in data]}
+    if t in ('Polygon', 'MultiLineString'):
+        return {'type': t, 'coordinates': [[list(p) for p in part] for part in data]}
+    return {'type': t, 'coordinates':
+            [[[list(p) for p in ring] for ring in poly] for poly in data]}
 
 
 def _geojson_to_geom(d: dict):

@@ -68,6 +68,20 @@ def test_geojsonl_read(spark, tmp_path):
     assert G.wkb_loads(bytes(rows[1]['geometry']))[0] == 'Polygon'
 
 
+def test_geojsonl_roundtrip(spark, tmp_path):
+    src = tmp_path / 'f.geojsonl.json'
+    src.write_text(
+        '{"type":"Feature","properties":{"name":"A","num":1},"geometry":{"type":"Point","coordinates":[1.5,2.5]}}\n'
+        '{"type":"Feature","properties":{"name":"B","num":2},"geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]}}\n')
+    df = read_df(str(src), spark)
+    outdir = tmp_path / 'out.geojsonl'
+    write_df(df, str(outdir) + '.json')  # .geojsonl.json dispatch
+    back = read_df(str(outdir) + '.json', spark).orderBy('num').collect()
+    assert [r['name'] for r in back] == ['A', 'B']
+    assert G.wkb_loads(bytes(back[0]['geometry'])) == ('Point', (1.5, 2.5))
+    assert G.wkb_loads(bytes(back[1]['geometry']))[0] == 'Polygon'
+
+
 def test_gated_formats_raise_clearly(spark):
     for path in ['x.gpkg', 'x.shp', 'x.fgb', 'x.geojson', 'x.xlsx']:
         with pytest.raises(NotImplementedError, match='requires'):
