@@ -76,7 +76,7 @@ def route_df(df: DataFrame, mode: str, overview: str = 'full',
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for _, r in pdf.iterrows():  # row count == HTTP count; not hot
                 line = G.wkb_loads(bytes(r[geometry]))
                 if line[0] != 'LineString':
                     raise ValueError(f'route input must be LineString, got {line[0]}')

@@ -151,7 +151,7 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                      threshold: float = 0.6, num_perm: int = 128, bands: int | None = None,
+                      threshold: float = 0.6, num_perm: int = 144, bands: int | None = None,
                       seed: int = 42) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     token-set Jaccard (so output precision is exact; recall is the LSH

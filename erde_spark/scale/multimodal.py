@@ -94,15 +94,16 @@ def extract_features(assets: DataFrame, fake: bool = False,
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, stds, feats = [], [], [], []
-            for _, row in pdf.iterrows():
-                blob = bytes(row['media'])
-                meta = row['meta']
+            # zip columns directly — iterrows() constructs a Series per row
+            # and is ~10x slower per asset
+            for aid, blob, meta in zip(pdf['asset_id'], pdf['media'], pdf['meta']):
+                blob = bytes(blob)
                 if fake:
                     arr = _fake_decode(blob, int(meta['width']), int(meta['height']))
                 else:
                     arr = decode_media(blob, meta['format'])
                 flat = arr.astype(np.float64).ravel()
-                ids.append(int(row['asset_id']))
+                ids.append(int(aid))
                 means.append(float(flat.mean()))
                 stds.append(float(flat.std()))
                 # fixed-length pooled feature: mean of n_features equal slices
