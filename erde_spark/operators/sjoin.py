@@ -78,10 +78,26 @@ def _explode_cells(df: DataFrame, prefix: str, cell: float) -> DataFrame:
               .withColumn('__cy', F.explode(F.sequence(cy0, cy1))))
 
 
+#: a geometry whose bbox covers more than this many grid cells skips the
+#: explode (unbounded fan-out) and joins via the broadcast large-geometry
+#: path instead — the standard hybrid for continent-sized outliers.
+MAX_CELLS_PER_GEOM = 256
+
+
 def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: str,
               op: str, cell_size: float | None) -> DataFrame:
     """Inner candidate join returning ``__lid``/``__rid`` pair rows with both
-    full row payloads as structs ``__lrow``/``__rrow``."""
+    full row payloads as structs ``__lrow``/``__rrow``.
+
+    Two physical paths, unioned:
+
+    * grid path — both geometries small: explode to covering cells,
+      equi-join, bbox prefilter, reference-cell dedup, exact refine;
+    * large path — either geometry covers > MAX_CELLS_PER_GEOM cells:
+      such rows are rare outliers by construction (cell size tracks the
+      median bbox), so they broadcast and join on the JVM bbox predicate
+      directly, then refine. No pair can appear in both paths.
+    """
     if op not in _OPS:
         raise ValueError(f'op must be one of {_OPS}, got {op!r}')
 
@@ -109,20 +125,40 @@ def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: s
                .select('__rid', '__rrow', F.col(right_on).alias('__rgeom'),
                        '__r_minx', '__r_miny', '__r_maxx', '__r_maxy'))
 
-    lc = _explode_cells(lx, '__l_', cell_size)
-    rc = _explode_cells(rx, '__r_', cell_size)
+    bbox_overlap = ((F.col('__l_minx') <= F.col('__r_maxx')) &
+                    (F.col('__r_minx') <= F.col('__l_maxx')) &
+                    (F.col('__l_miny') <= F.col('__r_maxy')) &
+                    (F.col('__r_miny') <= F.col('__l_maxy')))
+
+    def _ncells(p):
+        return ((F.floor(F.col(f'{p}maxx') / cell_size) -
+                 F.floor(F.col(f'{p}minx') / cell_size) + 1) *
+                (F.floor(F.col(f'{p}maxy') / cell_size) -
+                 F.floor(F.col(f'{p}miny') / cell_size) + 1))
+
+    l_small = lx.filter(_ncells('__l_') <= MAX_CELLS_PER_GEOM)
+    l_large = lx.filter(_ncells('__l_') > MAX_CELLS_PER_GEOM)
+    r_small = rx.filter(_ncells('__r_') <= MAX_CELLS_PER_GEOM)
+    r_large = rx.filter(_ncells('__r_') > MAX_CELLS_PER_GEOM)
+
+    lc = _explode_cells(l_small, '__l_', cell_size)
+    rc = _explode_cells(r_small, '__r_', cell_size)
 
     cand = lc.join(rc, on=['__cx', '__cy'], how='inner')
-    # bbox overlap prefilter — pure JVM comparisons
-    cand = cand.filter((F.col('__l_minx') <= F.col('__r_maxx')) &
-                       (F.col('__r_minx') <= F.col('__l_maxx')) &
-                       (F.col('__l_miny') <= F.col('__r_maxy')) &
-                       (F.col('__r_miny') <= F.col('__l_maxy')))
+    cand = cand.filter(bbox_overlap)
     # reference-cell dedup: keep the pair only in the cell holding the
     # bottom-left corner of the bbox intersection
     ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell_size)).cast('long')
     ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell_size)).cast('long')
     cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
+
+    # large path: oversized-left x all-right, plus small-left x
+    # oversized-right (the large x large pairs live in the first branch)
+    large = (F.broadcast(l_large).join(rx, bbox_overlap)
+             .unionByName(l_small.join(F.broadcast(r_large), bbox_overlap)))
+
+    out_cols = ['__lid', '__rid', '__lrow', '__rrow', '__lgeom', '__rgeom']
+    cand = cand.select(*out_cols).unionByName(large.select(*out_cols))
     # exact predicate refine (Arrow batch, survivors only)
     cand = cand.filter(st_predicate(F.col('__lgeom'), F.col('__rgeom'), op))
     return cand.select('__lid', '__rid', '__lrow', '__rrow')
