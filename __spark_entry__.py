@@ -273,6 +273,51 @@ def q_distinct_segments(spark, sf_dir):
 _DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def q_tpch_q14_promo(spark, sf_dir):
+    """Promo revenue share per month (lineitem x part, conditional agg)."""
+    t = _t(spark, sf_dir, 'lineitem', 'part')
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = t['lineitem'].join(t['part'], F.col('l_partkey') == F.col('p_partkey'))
+    month = F.date_trunc('month', F.col('l_shipdate'))
+    return (j.groupBy(month.alias('month'))
+            .agg(F.sum(F.when(F.col('p_type').startswith('PROMO'), rev)
+                       .otherwise(F.lit(0).cast('decimal(18,6)')))
+                 .cast('double').alias('promo_rev'),
+                 F.sum(rev).cast('double').alias('total_rev'),
+                 F.count(F.lit(1)).alias('n_items')))
+
+
+_Q14_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_supplier_by_nation(spark, sf_dir):
+    """supplier x nation x region rollup (covers the supplier table)."""
+    t = _t(spark, sf_dir, 'supplier', 'nation', 'region')
+    j = (t['supplier'].join(t['nation'], F.col('s_nationkey') == F.col('n_nationkey'))
+         .join(t['region'], F.col('n_regionkey') == F.col('r_regionkey')))
+    return (j.groupBy('r_name', 'n_name')
+            .agg(F.count(F.lit(1)).alias('n_suppliers'),
+                 F.round(_dsum('s_acctbal'), 2).alias('sum_acctbal')))
+
+
+_SUPPLIER_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+  ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 # ================================================================ events
 
 def q_events_hourly(spark, sf_dir):
@@ -306,6 +351,26 @@ SELECT event_type,
   CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(*) AS n
 FROM events GROUP BY event_type
+"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (1 hour every 30 min): every event lands in 2
+    windows — oracle = union of the two shifted half-hour truncations."""
+    from erde_spark.streaming.windows import sliding_agg
+    ev = _t(spark, sf_dir, 'events')['events']
+    return sliding_agg(ev, 'ts', '1 hour', '30 minutes',
+                       {'n': F.count(F.lit(1))}).drop('window_end')
+
+
+_EVENTS_SLIDING_SQL = """
+WITH g AS (SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP))/1800)*1800)
+                       AS TIMESTAMP) AS half FROM events)
+SELECT window_start, COUNT(*) AS n FROM (
+  SELECT half AS window_start FROM g
+  UNION ALL
+  SELECT half - INTERVAL 30 MINUTE AS window_start FROM g
+) GROUP BY window_start
 """
 
 
@@ -885,7 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
         'distinct_segments': q_distinct_segments,
+        'tpch_q14_promo': q_tpch_q14_promo,
+        'supplier_by_nation': q_supplier_by_nation,
         'events_hourly': q_events_hourly,
+        'events_sliding': q_events_sliding,
         'events_json': q_events_json,
         'events_sessionize': q_events_sessionize,
         'geo_rect_area': q_geo_rect_area,
@@ -928,7 +996,10 @@ def oracle_sql() -> dict[str, str]:
         'column_stats': _STATS_SQL,
         'window_top3_orders': _WINDOW_SQL,
         'distinct_segments': _DISTINCT_SQL,
+        'tpch_q14_promo': _Q14_SQL,
+        'supplier_by_nation': _SUPPLIER_SQL,
         'events_hourly': _EVENTS_HOURLY_SQL,
+        'events_sliding': _EVENTS_SLIDING_SQL,
         'events_json': _EVENTS_JSON_SQL,
         'events_sessionize': _SESSIONIZE_SQL,
         'geo_rect_area': _GEO_AREA_SQL,
