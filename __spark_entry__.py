@@ -18,17 +18,45 @@ Hash-match discipline (the driver compares order-insensitive value hashes):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# make the repo importable no matter how the driver loaded this module
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_DEFAULT = '/root/testdata/sf0.001'
 
 _R = 6378137.0
 
+_SHIPPED = False
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship erde_spark to executor Python workers (their PYTHONPATH may
+    not contain the repo when the driver runs from elsewhere)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    try:
+        import shutil
+        import tempfile
+        zip_base = os.path.join(tempfile.gettempdir(), 'erde_spark_pkg')
+        if not os.path.exists(zip_base + '.zip'):
+            shutil.make_archive(zip_base, 'zip', root_dir=_REPO, base_dir='erde_spark')
+        spark.sparkContext.addPyFile(zip_base + '.zip')
+    except Exception:
+        pass  # local runs with PYTHONPATH set don't need it
+    _SHIPPED = True
+
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict:
+    _ensure_shipped(spark)
     from erde_spark.session import load_tables
     return load_tables(spark, sf_dir, *names)
 
@@ -846,6 +874,11 @@ def _mock_osrm_url() -> str:
     router. Server lives until process exit (queries are lazy)."""
     global _MOCK_OSRM
     if _MOCK_OSRM is None:
+        import os
+        import sys
+        repo = os.path.dirname(os.path.abspath(__file__))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
         from tests.osrm_mock import MockOsrm
         _MOCK_OSRM = MockOsrm().__enter__()
     return _MOCK_OSRM.url

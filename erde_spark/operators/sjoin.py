@@ -69,19 +69,51 @@ def _estimate_cell_size(left_b: DataFrame, right_b: DataFrame) -> float:
     return 1.0
 
 
-def _explode_cells(df: DataFrame, prefix: str, cell: float) -> DataFrame:
+#: a geometry whose bbox covers more than this many grid cells skips the
+#: explode (unbounded fan-out) and routes through the sentinel-cell path
+#: instead — the hybrid for continent-sized outliers.
+MAX_CELLS_PER_GEOM = 256
+
+#: sentinel cells are salted across this many join keys so the rows that
+#: meet oversized geometries spread over many reducers instead of one.
+SENTINEL_SALTS = 32
+
+# cell-x values no real geometry can reach (|floor(coord/cell)| stays far
+# below 2^61 for any sane coordinate/cell combination)
+_SENT_L = -(1 << 62)       # cell hosting oversized LEFT geometries
+_SENT_R = -(1 << 62) + 1   # cell hosting oversized RIGHT geometries
+_SENT_CUT = -(1 << 61)
+
+
+def _covering_cells(prefix: str, cell: float):
+    """(ncells, array<struct<cx,cy>>) of grid cells covering the bbox."""
     cx0 = F.floor(F.col(f'{prefix}minx') / cell).cast('long')
     cx1 = F.floor(F.col(f'{prefix}maxx') / cell).cast('long')
     cy0 = F.floor(F.col(f'{prefix}miny') / cell).cast('long')
     cy1 = F.floor(F.col(f'{prefix}maxy') / cell).cast('long')
-    return (df.withColumn('__cx', F.explode(F.sequence(cx0, cx1)))
-              .withColumn('__cy', F.explode(F.sequence(cy0, cy1))))
+    n = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    cells = F.flatten(F.transform(
+        F.sequence(cx0, cx1),
+        lambda x: F.transform(F.sequence(cy0, cy1),
+                              lambda y: F.struct(x.alias('cx'), y.alias('cy')))))
+    return n, cells
 
 
-#: a geometry whose bbox covers more than this many grid cells skips the
-#: explode (unbounded fan-out) and joins via the broadcast large-geometry
-#: path instead — the standard hybrid for continent-sized outliers.
-MAX_CELLS_PER_GEOM = 256
+def _sentinel(sent: int, salt):
+    return F.struct(F.lit(sent).cast('long').alias('cx'),
+                    salt.cast('long').alias('cy'))
+
+
+def _all_salts(sent: int):
+    return F.transform(F.sequence(F.lit(0), F.lit(SENTINEL_SALTS - 1)),
+                       lambda s: _sentinel(sent, s))
+
+
+def _explode_cells(df: DataFrame, cells_col) -> DataFrame:
+    return (df.withColumn('__cell', F.explode(cells_col))
+              .withColumn('__cx', F.col('__cell.cx'))
+              .withColumn('__cy', F.col('__cell.cy'))
+              .drop('__cell'))
 
 
 def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: str,
@@ -89,14 +121,27 @@ def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: s
     """Inner candidate join returning ``__lid``/``__rid`` pair rows with both
     full row payloads as structs ``__lrow``/``__rrow``.
 
-    Two physical paths, unioned:
+    ONE equi-join handles both regular and oversized geometries — each side
+    is scanned once and crosses the Python (bounds-UDF) boundary once:
 
-    * grid path — both geometries small: explode to covering cells,
-      equi-join, bbox prefilter, reference-cell dedup, exact refine;
-    * large path — either geometry covers > MAX_CELLS_PER_GEOM cells:
-      such rows are rare outliers by construction (cell size tracks the
-      median bbox), so they broadcast and join on the JVM bbox predicate
-      directly, then refine. No pair can appear in both paths.
+    * small geometries (bbox covers <= MAX_CELLS_PER_GEOM cells) explode to
+      their covering cells as usual;
+    * an oversized geometry explodes to a *sentinel cell* instead —
+      ``SENTINEL_SALTS`` salted copies of ``(_SENT_L, s)`` (left) /
+      ``(_SENT_R, s)`` (right);
+    * to meet them, every small left row adds ONE extra cell
+      ``(_SENT_R, hash(lid)%salts)`` and every right row adds
+      ``(_SENT_L, hash(rid)%salts)`` (oversized right rows add both).
+
+    Pair-uniqueness: small x small pairs meet only in covering cells
+    (reference-cell dedup keeps one); any pair involving an oversized
+    geometry meets in exactly one salted sentinel cell (the salted side
+    emits one salt, the oversized side emits all of them; oversized left
+    rows deliberately do NOT emit ``_SENT_R`` so large x large pairs meet
+    only in ``_SENT_L``). The salting spreads the sentinel rows across
+    ``SENTINEL_SALTS`` reducers, so the rare-outlier path costs one extra
+    shuffle row per input row instead of a second full scan or a hot
+    single-reducer partition.
     """
     if op not in _OPS:
         raise ValueError(f'op must be one of {_OPS}, got {op!r}')
@@ -130,35 +175,39 @@ def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: s
                     (F.col('__l_miny') <= F.col('__r_maxy')) &
                     (F.col('__r_miny') <= F.col('__l_maxy')))
 
-    def _ncells(p):
-        return ((F.floor(F.col(f'{p}maxx') / cell_size) -
-                 F.floor(F.col(f'{p}minx') / cell_size) + 1) *
-                (F.floor(F.col(f'{p}maxy') / cell_size) -
-                 F.floor(F.col(f'{p}miny') / cell_size) + 1))
+    # Null geometry matches nothing: emit an empty cell array so the explode
+    # drops the row. (An isNotNull FILTER here would be predicate-pushed
+    # below the bounds projection and force a second UDF evaluation.)
+    n_l, cov_l = _covering_cells('__l_', cell_size)
+    l_salt = F.pmod(F.hash('__lid'), F.lit(SENTINEL_SALTS))
+    l_cells = (F.when(n_l <= MAX_CELLS_PER_GEOM,
+                      F.concat(cov_l, F.array(_sentinel(_SENT_R, l_salt))))
+                .when(F.col('__l_minx').isNull(),
+                      F.array().cast('array<struct<cx:bigint,cy:bigint>>'))
+                .otherwise(_all_salts(_SENT_L)))
 
-    l_small = lx.filter(_ncells('__l_') <= MAX_CELLS_PER_GEOM)
-    l_large = lx.filter(_ncells('__l_') > MAX_CELLS_PER_GEOM)
-    r_small = rx.filter(_ncells('__r_') <= MAX_CELLS_PER_GEOM)
-    r_large = rx.filter(_ncells('__r_') > MAX_CELLS_PER_GEOM)
+    n_r, cov_r = _covering_cells('__r_', cell_size)
+    r_salt = F.pmod(F.hash('__rid'), F.lit(SENTINEL_SALTS))
+    r_cells = (F.when(n_r <= MAX_CELLS_PER_GEOM,
+                      F.concat(F.array(_sentinel(_SENT_L, r_salt)), cov_r))
+                .when(F.col('__r_minx').isNull(),
+                      F.array().cast('array<struct<cx:bigint,cy:bigint>>'))
+                .otherwise(F.concat(_all_salts(_SENT_R),
+                                    F.array(_sentinel(_SENT_L, r_salt)))))
 
-    lc = _explode_cells(l_small, '__l_', cell_size)
-    rc = _explode_cells(r_small, '__r_', cell_size)
+    lc = _explode_cells(lx, l_cells)
+    rc = _explode_cells(rx, r_cells)
 
     cand = lc.join(rc, on=['__cx', '__cy'], how='inner')
     cand = cand.filter(bbox_overlap)
-    # reference-cell dedup: keep the pair only in the cell holding the
-    # bottom-left corner of the bbox intersection
+    # reference-cell dedup: a small x small pair can meet in many covering
+    # cells — keep it only in the cell holding the bottom-left corner of the
+    # bbox intersection. Sentinel meetings are unique by construction.
     ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell_size)).cast('long')
     ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell_size)).cast('long')
-    cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
+    cand = cand.filter((F.col('__cx') < F.lit(_SENT_CUT)) |
+                       ((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy)))
 
-    # large path: oversized-left x all-right, plus small-left x
-    # oversized-right (the large x large pairs live in the first branch)
-    large = (F.broadcast(l_large).join(rx, bbox_overlap)
-             .unionByName(l_small.join(F.broadcast(r_large), bbox_overlap)))
-
-    out_cols = ['__lid', '__rid', '__lrow', '__rrow', '__lgeom', '__rgeom']
-    cand = cand.select(*out_cols).unionByName(large.select(*out_cols))
     # exact predicate refine (Arrow batch, survivors only)
     cand = cand.filter(st_predicate(F.col('__lgeom'), F.col('__rgeom'), op))
     return cand.select('__lid', '__rid', '__lrow', '__rrow')

@@ -50,6 +50,9 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     if not names:
         names = ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings")
+    # the caller's session may not come from get_spark(); the events scan
+    # needs this conf regardless (runtime-settable)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -147,3 +147,24 @@ def test_sjoin_polygon_polygon(polys, spark):
     big = set_crs(big.withColumn('geometry', st_geomfromtext('wkt')).drop('wkt'), 3857)
     got = sorted(r['pname'] for r in sjoin(polys, big, op='within').collect())
     assert got == ['X', 'Y']
+
+
+def test_oversized_geometry_sentinel_path(pts, polys):
+    """cell_size tiny enough that every polygon bbox covers far more than
+    MAX_CELLS_PER_GEOM cells -> all polygons ride the sentinel path. Results
+    must be identical to the default grid path, with no duplicate pairs."""
+    got = [(r['name'], r['pname'])
+           for r in sjoin(pts, polys, cell_size=0.01).collect()]
+    assert sorted(got) == [('A', 'X'), ('B', 'X'), ('C', 'X'), ('C', 'Y'),
+                           ('D', 'Y'), ('E', 'Z'), ('H', 'X'), ('I', 'Y')]
+    assert len(got) == len(set(got))
+
+
+def test_oversized_both_sides(polys):
+    """large x large: overlapping polygons X/Y must pair exactly once when
+    both sides are oversized for the grid."""
+    got = [(r['pname'], r['pname_right'])
+           for r in sjfull(polys, polys, cell_size=0.01).collect()]
+    assert len(got) == len(set(got))
+    assert ('X', 'Y') in got and ('Y', 'X') in got and ('X', 'X') in got
+    assert ('X', 'Z') not in got
