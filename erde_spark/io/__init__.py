@@ -3,9 +3,11 @@
 Mirrors the reference's mini-catalog (`/root/reference/erde/io/__init__.py:30-44`):
 ``read_df(path)`` / ``write_df(df, path)`` regex-match the path to a driver.
 Formats backed natively by Spark (csv, parquet, json, geojsonl) scan
-distributed with pushdown; fiona-backed GIS formats (gpkg/shp/fgb/geojson)
-and excel need libraries absent from this container and are registered as
-explicit gated stubs with the real dispatch plumbing in place.
+distributed with pushdown. GPKG is a real sqlite3-backed distributed
+source/sink (io/gpkg.py); whole-file GeoJSON reads via wholeTextFiles.
+shp/fgb (fiona) and excel (openpyxl) need libraries absent from this
+container and stay registered as explicit gated stubs with the real
+dispatch plumbing in place.
 
 Geometry convention (reference `/root/reference/erde/io/__init__.py:7-27`):
 a ``geometry`` or ``WKT`` string column is auto-parsed to a WKB ``geometry``
@@ -82,51 +84,61 @@ class GeoJsonSeqDriver(_Driver):
     path_re = re.compile(r'^.*\.(geojsonl\.json|geojsonl|ndgeojson)$')
 
     def read(self, spark, path, **kw):
-        from pyspark.sql import types as T
-
-        from erde_spark.geo import geom as G
-
-        # Mixed feature types (Point [x,y] vs Polygon [[[x,y]]]) break JSON
-        # schema inference for `coordinates`; declare `geometry` as a raw
-        # JSON string and parse it Arrow-batched below.
-        inferred = spark.read.json(path, **kw).schema
-        fields = [T.StructField('geometry', T.StringType()) if f.name == 'geometry' else f
-                  for f in inferred.fields]
-        raw = spark.read.json(path, schema=T.StructType(fields), **kw)
-
-        @F.pandas_udf(T.BinaryType())
-        def _assemble(gj: pd.Series) -> pd.Series:
-            import json
-            out = []
-            for v in gj:
-                out.append(None if v is None
-                           else G.wkb_dumps(_geojson_to_geom(json.loads(v))))
-            return pd.Series(out)
-
-        df = raw.select('properties.*', _assemble(F.col('geometry')).alias('geometry'))
-        return set_crs(df, 4326, 'geometry')
+        return _read_feature_json(spark, path, **kw)
 
     def write(self, df, path, mode='overwrite', **kw):
-        from pyspark.sql import types as T
+        _feature_lines(df).write.mode(mode).text(path, **kw)
 
-        from erde_spark.geo import geom as G
 
-        @F.pandas_udf(T.StringType())
-        def _feature(gj: pd.Series, props: pd.Series) -> pd.Series:
-            import json
-            out = []
-            for g, p in zip(gj, props):
-                geom = None if g is None else _geom_to_geojson(G.wkb_loads(bytes(g)))
-                out.append(json.dumps(
-                    {'type': 'Feature', 'properties': json.loads(p), 'geometry': geom},
-                    separators=(',', ':')))
-            return pd.Series(out)
+def _read_feature_json(spark, src, **kw) -> DataFrame:
+    """Build a DataFrame from GeoJSON Feature objects, one JSON doc per
+    input record. ``src`` is a path (line-delimited file) or an RDD of
+    feature strings. Mixed feature types (Point ``[x,y]`` vs Polygon
+    ``[[[x,y]]]``) break JSON schema inference for ``coordinates``, so
+    ``geometry`` is declared a raw JSON string and parsed Arrow-batched."""
+    from pyspark.sql import types as T
 
-        prop_cols = [c for c in df.columns if c != 'geometry']
-        lines = df.select(_feature(
-            F.col('geometry'),
-            F.to_json(F.struct(*[F.col(c) for c in prop_cols]))).alias('value'))
-        lines.write.mode(mode).text(path, **kw)
+    from erde_spark.geo import geom as G
+
+    inferred = spark.read.json(src, **kw).schema
+    fields = [T.StructField('geometry', T.StringType()) if f.name == 'geometry' else f
+              for f in inferred.fields]
+    raw = spark.read.json(src, schema=T.StructType(fields), **kw)
+
+    @F.pandas_udf(T.BinaryType())
+    def _assemble(gj: pd.Series) -> pd.Series:
+        import json
+        out = []
+        for v in gj:
+            out.append(None if v is None
+                       else G.wkb_dumps(_geojson_to_geom(json.loads(v))))
+        return pd.Series(out)
+
+    df = raw.select('properties.*', _assemble(F.col('geometry')).alias('geometry'))
+    return set_crs(df, 4326, 'geometry')
+
+
+def _feature_lines(df: DataFrame) -> DataFrame:
+    """DataFrame -> single string column of GeoJSON Feature lines."""
+    from pyspark.sql import types as T
+
+    from erde_spark.geo import geom as G
+
+    @F.pandas_udf(T.StringType())
+    def _feature(gj: pd.Series, props: pd.Series) -> pd.Series:
+        import json
+        out = []
+        for g, p in zip(gj, props):
+            geom = None if g is None else _geom_to_geojson(G.wkb_loads(bytes(g)))
+            out.append(json.dumps(
+                {'type': 'Feature', 'properties': json.loads(p), 'geometry': geom},
+                separators=(',', ':')))
+        return pd.Series(out)
+
+    prop_cols = [c for c in df.columns if c != 'geometry']
+    return df.select(_feature(
+        F.col('geometry'),
+        F.to_json(F.struct(*[F.col(c) for c in prop_cols]))).alias('value'))
 
 
 def _geom_to_geojson(geom) -> dict:
@@ -185,11 +197,21 @@ class _GatedDriver(_Driver):
     write = read
 
 
-class GpkgDriver(_GatedDriver):
+class GpkgDriver(_Driver):
+    """Real GeoPackage source/sink on stdlib sqlite3 (see io/gpkg.py):
+    distributed rowid-sliced scan, rtree bbox pushdown, single-file
+    streamed write. Sub-addressing `file.gpkg:layer`
+    (reference /root/reference/erde/io/gpkg.py:13)."""
     name = 'gpkg'
-    # sub-addressing `file.gpkg:layer` (reference /root/reference/erde/io/gpkg.py:13)
     path_re = re.compile(r'^(?P<file>.*\.gpkg)(?::(?P<layer>[a-z0-9_]+))?$', re.I)
-    missing = 'fiona/GDAL'
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.gpkg import read_gpkg
+        return read_gpkg(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.gpkg import write_gpkg
+        write_gpkg(df, path, mode=mode, **kw)
 
 
 class ShpDriver(_GatedDriver):
@@ -204,10 +226,38 @@ class FgbDriver(_GatedDriver):
     missing = 'fiona/GDAL'
 
 
-class GeoJsonDriver(_GatedDriver):
+class GeoJsonDriver(_Driver):
+    """Whole-file GeoJSON FeatureCollection — no fiona needed. A .geojson
+    file is one JSON document, so it is non-splittable: each FILE is one
+    scan task (``wholeTextFiles``), features then fan out as rows; many
+    files parallelize. The write funnels through the driver to produce the
+    single-document file the format requires (use .geojsonl for the fully
+    distributed path)."""
     name = 'geojson'
     path_re = re.compile(r'^.*\.geojson$')
-    missing = 'fiona/GDAL (whole-file GeoJSON; use .geojsonl for the native path)'
+
+    def read(self, spark, path, **kw):
+        def _features(pair):
+            import json
+            fc = json.loads(pair[1])
+            feats = fc['features'] if fc.get('type') == 'FeatureCollection' else [fc]
+            for f in feats:
+                yield json.dumps(f, separators=(',', ':'))
+        lines = spark.sparkContext.wholeTextFiles(path).flatMap(_features)
+        return _read_feature_json(spark, lines, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        import os
+        if mode == 'error' and os.path.exists(path):
+            raise FileExistsError(path)
+        with open(path, 'w') as f:
+            f.write('{"type":"FeatureCollection","features":[\n')
+            first = True
+            # one partition at a time through the driver (single-doc format)
+            for row in _feature_lines(df).toLocalIterator():
+                f.write(('' if first else ',\n') + row['value'])
+                first = False
+            f.write('\n]}\n')
 
 
 class XlsDriver(_GatedDriver):

@@ -83,9 +83,68 @@ def test_geojsonl_roundtrip(spark, tmp_path):
 
 
 def test_gated_formats_raise_clearly(spark):
-    for path in ['x.gpkg', 'x.shp', 'x.fgb', 'x.geojson', 'x.xlsx']:
+    for path in ['x.shp', 'x.fgb', 'x.xlsx']:
         with pytest.raises(NotImplementedError, match='requires'):
             read_df(path, spark)
+
+
+def _mk_points_df(spark, n=10):
+    df = spark.range(n).select(
+        F.col('id'), (F.col('id') * 1.5).alias('val'),
+        F.concat(F.lit('n'), F.col('id')).alias('name'))
+    from erde_spark.functions.geo import st_point
+    from erde_spark.geo.crs import set_crs
+    return set_crs(df.withColumn(
+        'geometry', st_point(F.col('id') * 1.0, F.col('id') * 2.0)), 4326)
+
+
+def test_gpkg_roundtrip(spark, tmp_path):
+    p = str(tmp_path / 'pts.gpkg:mylayer')
+    df = _mk_points_df(spark)
+    write_df(df, p)
+    back = read_df(p, spark)
+    assert get_crs(back) == 4326
+    rows = {r['id']: r for r in back.collect()}
+    assert len(rows) == 10 and rows[3]['val'] == 4.5 and rows[3]['name'] == 'n3'
+    g = G.wkb_loads(bytes(rows[3]['geometry']))
+    assert g == ('Point', (3.0, 6.0))
+
+
+def test_gpkg_layer_autodetect_and_append(spark, tmp_path):
+    p = str(tmp_path / 'pts.gpkg')
+    df = _mk_points_df(spark, 5)
+    write_df(df, p + ':a')
+    write_df(df, p + ':a', mode='append')
+    assert read_df(p, spark).count() == 10  # autodetects layer 'a'
+    write_df(df, p + ':a')  # overwrite = delete-then-create
+    assert read_df(p + ':a', spark).count() == 5
+
+
+def test_gpkg_bbox_filter(spark, tmp_path):
+    p = str(tmp_path / 'pts.gpkg:pts')
+    write_df(_mk_points_df(spark, 10), p)
+    got = read_df(p, spark, bbox=(2.5, 0.0, 6.5, 100.0))
+    assert sorted(r['id'] for r in got.collect()) == [3, 4, 5, 6]
+
+
+def test_gpkg_stats(spark, tmp_path):
+    from erde_spark.io.gpkg import gpkg_stats
+    p = str(tmp_path / 'pts.gpkg:pts')
+    write_df(_mk_points_df(spark, 10), p)
+    st = gpkg_stats(p).set_index('column')
+    assert st.loc['val', 'min'] == 0.0 and st.loc['val', 'max'] == 13.5
+    assert st.loc['val', 'count'] == 10
+    assert abs(st.loc['id', 'mean'] - 4.5) < 1e-9
+
+
+def test_gpkg_unwrap_wrap():
+    from erde_spark.io.gpkg import gpkg_unwrap, gpkg_wrap
+    wkb = G.wkb_dumps(('Point', (1.0, 2.0)))
+    assert gpkg_unwrap(gpkg_wrap(wkb)) == wkb
+    # envelope indicator 1 (32-byte XY envelope) also strips correctly
+    import struct
+    blob = b'GP\x00\x03' + struct.pack('<i', 4326) + b'\x00' * 32 + wkb
+    assert gpkg_unwrap(blob) == wkb
 
 
 def test_read_write_geom(spark, tmp_path):
@@ -93,3 +152,34 @@ def test_read_write_geom(spark, tmp_path):
     p = str(tmp_path / 'g.csv')
     write_geom(('Point', (5.0, 6.0)), p, spark)
     assert read_geom(p, spark) == ('Point', (5.0, 6.0))
+
+
+def test_geojson_wholefile_roundtrip(spark, tmp_path):
+    p = str(tmp_path / 'fc.geojson')
+    df = _mk_points_df(spark, 6)
+    write_df(df, p)
+    import json
+    with open(p) as f:
+        fc = json.load(f)  # must be ONE valid JSON document
+    assert fc['type'] == 'FeatureCollection' and len(fc['features']) == 6
+    back = read_df(p, spark)
+    assert get_crs(back) == 4326
+    rows = {r['id']: r for r in back.collect()}
+    assert rows[2]['name'] == 'n2'
+    assert G.wkb_loads(bytes(rows[2]['geometry'])) == ('Point', (2.0, 4.0))
+
+
+def test_geojson_mixed_geometry_types(spark, tmp_path):
+    import json
+    p = str(tmp_path / 'mix.geojson')
+    with open(p, 'w') as f:
+        json.dump({'type': 'FeatureCollection', 'features': [
+            {'type': 'Feature', 'properties': {'n': 1},
+             'geometry': {'type': 'Point', 'coordinates': [1, 2]}},
+            {'type': 'Feature', 'properties': {'n': 2},
+             'geometry': {'type': 'Polygon',
+                          'coordinates': [[[0, 0], [1, 0], [1, 1], [0, 0]]]}},
+        ]}, f)
+    back = read_df(p, spark)
+    types = {r['n']: G.wkb_loads(bytes(r['geometry']))[0] for r in back.collect()}
+    assert types == {1: 'Point', 2: 'Polygon'}
