@@ -3,11 +3,11 @@
 Mirrors the reference's mini-catalog (`/root/reference/erde/io/__init__.py:30-44`):
 ``read_df(path)`` / ``write_df(df, path)`` regex-match the path to a driver.
 Formats backed natively by Spark (csv, parquet, json, geojsonl) scan
-distributed with pushdown. GPKG is a real sqlite3-backed distributed
-source/sink (io/gpkg.py); whole-file GeoJSON reads via wholeTextFiles.
-shp/fgb (fiona) and excel (openpyxl) need libraries absent from this
-container and stay registered as explicit gated stubs with the real
-dispatch plumbing in place.
+distributed with pushdown. GPKG (sqlite3), SHP (.shx-sliced binary scan)
+and XLSX (zipfile+ElementTree) are real stdlib-backed sources/sinks;
+whole-file GeoJSON reads via wholeTextFiles. fgb (FlatGeobuf) needs
+fiona/GDAL which is absent from this container and stays a gated stub
+with the real dispatch plumbing in place.
 
 Geometry convention (reference `/root/reference/erde/io/__init__.py:7-27`):
 a ``geometry`` or ``WKT`` string column is auto-parsed to a WKB ``geometry``
@@ -214,10 +214,22 @@ class GpkgDriver(_Driver):
         write_gpkg(df, path, mode=mode, **kw)
 
 
-class ShpDriver(_GatedDriver):
+class ShpDriver(_Driver):
+    """Real ESRI Shapefile source/sink on the stdlib (see io/shp.py):
+    the .shx offset index + fixed-width .dbf records make the scan
+    splittable, so the read parallelizes like parquet; the write streams
+    through the driver (single-writer format).
+    (reference /root/reference/erde/io/shp.py:11-43)."""
     name = 'shp'
     path_re = re.compile(r'^.*\.shp$')
-    missing = 'fiona/GDAL'
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.shp import read_shp
+        return read_shp(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.shp import write_shp
+        write_shp(df, path, mode=mode, **kw)
 
 
 class FgbDriver(_GatedDriver):
@@ -260,11 +272,21 @@ class GeoJsonDriver(_Driver):
             f.write('\n]}\n')
 
 
-class XlsDriver(_GatedDriver):
+class XlsDriver(_Driver):
+    """Real XLSX source/sink on stdlib zipfile+ElementTree (see io/xlsx.py).
+    `file.xlsx:sheet` sub-addressing (reference /root/reference/erde/io/xls.py:7).
+    Driver-side IO — the format caps at ~1M rows, so no distributed scan
+    is warranted."""
     name = 'xls'
-    # `file.xlsx:sheet` (reference /root/reference/erde/io/xls.py:7)
     path_re = re.compile(r'^(?P<file>.*\.xlsx?)(?::(?P<sheet>[a-z0-9_ -]+))?$', re.I)
-    missing = 'openpyxl/xlrd'
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.xlsx import read_xlsx
+        return read_xlsx(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.xlsx import write_xlsx
+        write_xlsx(df, path, mode=mode, **kw)
 
 
 class PostgresDriver(_Driver):
