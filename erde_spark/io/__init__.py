@@ -3,11 +3,11 @@
 Mirrors the reference's mini-catalog (`/root/reference/erde/io/__init__.py:30-44`):
 ``read_df(path)`` / ``write_df(df, path)`` regex-match the path to a driver.
 Formats backed natively by Spark (csv, parquet, json, geojsonl) scan
-distributed with pushdown. GPKG (sqlite3), SHP (.shx-sliced binary scan)
-and XLSX (zipfile+ElementTree) are real stdlib-backed sources/sinks;
-whole-file GeoJSON reads via wholeTextFiles. fgb (FlatGeobuf) needs
-fiona/GDAL which is absent from this container and stays a gated stub
-with the real dispatch plumbing in place.
+distributed with pushdown. GPKG (sqlite3), SHP (.shx-sliced binary scan),
+FGB (FlatGeobuf with a hand-rolled FlatBuffers codec) and XLSX
+(zipfile+ElementTree) are real stdlib-backed sources/sinks; whole-file
+GeoJSON reads via wholeTextFiles. Every format the reference dispatches
+is therefore real here — no gated stubs remain.
 
 Geometry convention (reference `/root/reference/erde/io/__init__.py:7-27`):
 a ``geometry`` or ``WKT`` string column is auto-parsed to a WKB ``geometry``
@@ -182,21 +182,6 @@ class JsonDriver(_Driver):
         df.write.mode(mode).json(path, **kw)
 
 
-class _GatedDriver(_Driver):
-    """Format whose backing library is absent in this container. The
-    dispatch, sub-addressing and API shape are real; the IO raises with a
-    clear message (SURVEY.md §2.1 'gated stub')."""
-    missing = ''
-
-    def read(self, spark, path, **kw):
-        raise NotImplementedError(
-            f'{self.name} source requires {self.missing}, not available in this '
-            f'container. Path parsed OK: {path!r} — plumbing is in place; '
-            'install the library to enable.')
-
-    write = read
-
-
 class GpkgDriver(_Driver):
     """Real GeoPackage source/sink on stdlib sqlite3 (see io/gpkg.py):
     distributed rowid-sliced scan, rtree bbox pushdown, single-file
@@ -232,10 +217,21 @@ class ShpDriver(_Driver):
         write_shp(df, path, mode=mode, **kw)
 
 
-class FgbDriver(_GatedDriver):
+class FgbDriver(_Driver):
+    """Real FlatGeobuf source/sink on the stdlib (see io/fgb.py): packed
+    R-tree leaf offsets make the scan splittable with bbox pushdown; the
+    write streams through the driver (single-writer format).
+    (reference /root/reference/erde/io/fgb.py:11-59)."""
     name = 'fgb'
     path_re = re.compile(r'^.*\.fgb$')
-    missing = 'fiona/GDAL'
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.fgb import read_fgb
+        return read_fgb(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.fgb import write_fgb
+        write_fgb(df, path, mode=mode, **kw)
 
 
 class GeoJsonDriver(_Driver):

@@ -82,9 +82,9 @@ def test_geojsonl_roundtrip(spark, tmp_path):
     assert G.wkb_loads(bytes(back[1]['geometry']))[0] == 'Polygon'
 
 
-def test_gated_formats_raise_clearly(spark):
-    with pytest.raises(NotImplementedError, match='requires'):
-        read_df('x.fgb', spark)
+def test_missing_file_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        read_df('/nonexistent/x.fgb', spark)
 
 
 def _mk_points_df(spark, n=10):
@@ -233,6 +233,55 @@ def test_shp_geometry_types(spark, tmp_path):
 
 def test_shp_bbox_and_partitions(spark, tmp_path):
     p = str(tmp_path / 'pts.shp')
+    write_df(_mk_points_df(spark, 100), p)
+    got = read_df(p, spark, bbox=(10.0, 0.0, 20.0, 1000.0), num_partitions=7)
+    assert sorted(r['id'] for r in got.collect()) == list(range(10, 21))
+    # splittable scan: the slice plan really produces multiple partitions
+    assert read_df(p, spark, num_partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_fgb_roundtrip(spark, tmp_path):
+    p = str(tmp_path / 'pts.fgb')
+    write_df(_mk_points_df(spark), p)
+    with open(p, 'rb') as fh:
+        assert fh.read(4) == b'fgb\x03'   # spec magic, major version 3
+    back = read_df(p, spark)
+    assert get_crs(back) == 4326
+    assert dict(back.dtypes) == {'id': 'bigint', 'val': 'double',
+                                 'name': 'string', 'geometry': 'binary'}
+    rows = {r['id']: r for r in back.collect()}
+    assert len(rows) == 10 and rows[3]['val'] == 4.5 and rows[3]['name'] == 'n3'
+    assert G.wkb_loads(bytes(rows[3]['geometry'])) == ('Point', (3.0, 6.0))
+
+
+def test_fgb_geometry_types(spark, tmp_path):
+    geoms = [
+        ('Point', (1.5, 2.5)),
+        ('LineString', [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]),
+        ('MultiPoint', [(1.0, 1.0), (2.0, 2.0)]),
+        ('MultiLineString', [[(0.0, 0.0), (1.0, 1.0)], [(2.0, 2.0), (3.0, 3.0)]]),
+        ('Polygon', [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                     [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]]),
+        ('MultiPolygon', [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+                          [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]]]),
+        ('GeometryCollection', [('Point', (1.0, 2.0)),
+                                ('LineString', [(0.0, 0.0), (1.0, 1.0)])]),
+        None,
+    ]
+    p = str(tmp_path / 'mixed.fgb')
+    rows = [(i, None if g is None else bytearray(G.wkb_dumps(g)))
+            for i, g in enumerate(geoms)]
+    write_df(spark.createDataFrame(rows, 'fid long, geometry binary'), p)
+    back = {r['fid']: r['geometry'] for r in read_df(p, spark).collect()}
+    for i, g in enumerate(geoms):
+        if g is None:
+            assert back[i] is None
+        else:
+            assert G.wkb_loads(bytes(back[i])) == g
+
+
+def test_fgb_bbox_and_partitions(spark, tmp_path):
+    p = str(tmp_path / 'pts.fgb')
     write_df(_mk_points_df(spark, 100), p)
     got = read_df(p, spark, bbox=(10.0, 0.0, 20.0, 1000.0), num_partitions=7)
     assert sorted(r['id'] for r in got.collect()) == list(range(10, 21))
