@@ -152,9 +152,9 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                       threshold: float = 0.6, num_perm: int = 144, bands: int | None = None,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, broadcast_docs: bool | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
-    token-set Jaccard (so output precision is exact; recall is the LSH
+    token-set Jaccard (output precision is exact; recall is the LSH
     collision probability, ~1-(1-t^r)^b).
 
     ``bands`` defaults to the threshold-matched banding: pick rows r so the
@@ -162,13 +162,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     curve admits far fewer sub-threshold candidate pairs into the exact
     verification join, which dominates cost on dup-dense corpora.
 
-    Plan: signatures (1 narrow shuffle-free projection) -> explode to
-    ``bands`` bucket keys -> self-join per bucket (shuffle on band hash,
-    bounded fan-out) -> distinct candidate pairs -> verify with
-    ``array_intersect`` on the token sets (JVM-side).
+    Plan: signatures (narrow shuffle-free projection) -> explode to
+    ``bands`` bucket keys -> self-join per bucket -> distinct candidate
+    pairs -> signature pre-filter (estimated Jaccard = matching-minhash
+    fraction, cut 4 sigma below threshold, so true pairs survive with
+    ~1-1e-4 probability while clearly-sub-threshold candidates skip the
+    expensive set intersection) -> exact Jaccard on 64-bit token hashes
+    (xxhash64 per distinct token: integer ``array_intersect`` is several
+    times cheaper than string, identical up to ~1e-10/pair collisions).
+
+    Pair-level cost is unavoidable; DOC-level tables (signatures, token
+    sets) are only ever joined onto pairs. ``broadcast_docs=None`` decides
+    adaptively (docs <= 2M broadcast, map-side join, no pair shuffle;
+    larger corpora fall back to shuffle joins which AQE re-plans).
     """
     if bands is None:
-        import math
         best = num_perm  # fallback: 1 row per band
         for r in range(2, num_perm + 1):
             if num_perm % r:
@@ -180,6 +188,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     if num_perm % bands != 0:
         raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
     rows = num_perm // bands
+    if broadcast_docs is None:
+        broadcast_docs = df.count() <= 2_000_000
+    small = F.broadcast if broadcast_docs else (lambda x: x)
     sig = minhash_signatures(df, id_col, text_col, num_perm, seed)
 
     band_cols = [
@@ -189,16 +200,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     buckets = (sig.select('id', F.explode(F.array(*band_cols)).alias('b'))
                   .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
     a, b = buckets.alias('a'), buckets.alias('b')
-    cand = (a.join(b, (F.col('a.band') == F.col('b.band')) &
-                      (F.col('a.bh') == F.col('b.bh')) &
-                      (F.col('a.id') < F.col('b.id')))
+    cand = (a.join(small(b), (F.col('a.band') == F.col('b.band')) &
+                             (F.col('a.bh') == F.col('b.bh')) &
+                             (F.col('a.id') < F.col('b.id')))
              .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
              .distinct())
 
-    tok = _token_sets(df, id_col, text_col)
+    est_cut = threshold - 4.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
+    if est_cut > 0:
+        sa = sig.select(F.col('id').alias('id_a'), F.col('sig').alias('sig_a'))
+        sb = sig.select(F.col('id').alias('id_b'), F.col('sig').alias('sig_b'))
+        matches = F.size(F.filter(
+            F.zip_with('sig_a', 'sig_b', lambda x, y: x == y), lambda v: v))
+        cand = (cand.join(small(sa), 'id_a').join(small(sb), 'id_b')
+                .filter(matches >= F.lit(est_cut * num_perm))
+                .select('id_a', 'id_b'))
+
+    tok = df.select(
+        F.col(id_col).alias('id'),
+        F.array_distinct(F.transform(tokens(F.col(text_col)),
+                                     lambda t: F.xxhash64(t))).alias('toks'))
     ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
     tb = tok.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
-    verified = (cand.join(ta, 'id_a').join(tb, 'id_b')
+    verified = (cand.join(small(ta), 'id_a').join(small(tb), 'id_b')
                 .withColumn('inter', F.size(F.array_intersect('toks_a', 'toks_b')))
                 .withColumn('jaccard', F.col('inter') /
                             (F.size('toks_a') + F.size('toks_b') - F.col('inter')))
