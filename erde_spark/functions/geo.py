@@ -13,6 +13,7 @@ mirroring the reference (WKT in CSV, WKB toward PostGIS —
 from __future__ import annotations
 
 import math
+import struct
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -29,13 +30,32 @@ _XY_T = T.StructType([T.StructField('x', T.DoubleType()), T.StructField('y', T.D
 
 
 def _wkb_map(series: pd.Series, fn, default=None):
+    """Apply ``fn`` per parsed geometry, memoizing per Arrow batch: join
+    fan-out repeats the small side's geometries thousands of times (e.g.
+    every point paired with the same 25 region polygons), so the parse +
+    compute runs once per DISTINCT value instead of once per row."""
+    cache = {}
     out = []
     for v in series:
         if v is None:
             out.append(default)
+            continue
+        b = bytes(v)
+        if b in cache:
+            out.append(cache[b])
         else:
-            out.append(fn(G.wkb_loads(bytes(v))))
+            cache[b] = r = fn(G.wkb_loads(b))
+            out.append(r)
     return out
+
+
+def _wkb_point_fast(b: bytes):
+    """('Point', (x, y)) without the generic parser when the buffer is a
+    plain 2D WKB point (21 bytes: endian + type + 2 doubles), else None."""
+    if len(b) == 21 and (b[1:5] == b'\x01\x00\x00\x00'
+                         or b[1:5] == b'\x00\x00\x00\x01'):
+        return ('Point', struct.unpack_from('<2d' if b[0] == 1 else '>2d', b, 5))
+    return None
 
 
 @F.pandas_udf(T.BinaryType())
@@ -103,7 +123,22 @@ def st_geometrytype(wkb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(_BOUNDS_T)
 def st_bounds(wkb: pd.Series) -> pd.DataFrame:
-    rows = _wkb_map(wkb, O.geom_bounds, default=(None,) * 4)
+    cache = {}
+    rows = []
+    for v in wkb:
+        if v is None:
+            rows.append((None,) * 4)
+            continue
+        b = bytes(v)
+        pt = _wkb_point_fast(b)
+        if pt is not None:
+            x, y = pt[1]
+            rows.append((x, y, x, y))
+        elif b in cache:
+            rows.append(cache[b])
+        else:
+            cache[b] = r = O.geom_bounds(G.wkb_loads(b))
+            rows.append(r)
     return pd.DataFrame(rows, columns=['minx', 'miny', 'maxx', 'maxy'])
 
 
@@ -236,12 +271,24 @@ def st_predicate(left_col, right_col, op: str = 'intersects'):
 
     @F.pandas_udf(T.BooleanType())
     def _pr(a: pd.Series, b: pd.Series) -> pd.Series:
+        # parse memoized per batch: the refine step sees each small-side
+        # geometry once per candidate pair, not once overall
+        cache = {}
+
+        def load(v):
+            k = bytes(v)
+            g = cache.get(k)
+            if g is None:
+                g = _wkb_point_fast(k) or G.wkb_loads(k)
+                cache[k] = g
+            return g
+
         out = []
         for va, vb in zip(a, b):
             if va is None or vb is None:
                 out.append(False)
             else:
-                out.append(bool(pred(G.wkb_loads(bytes(va)), G.wkb_loads(bytes(vb)))))
+                out.append(bool(pred(load(va), load(vb))))
         return pd.Series(out, dtype='bool')
     return _pr(left_col, right_col)
 
