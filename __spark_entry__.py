@@ -188,6 +188,184 @@ GROUP BY r_name, n_name
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Selective filter + global aggregate — the predicate-pushdown
+    showcase: all four filters reach the parquet scan."""
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    f = (li.filter((F.col('l_shipdate') >= F.lit('1996-01-01').cast('timestamp'))
+                   & (F.col('l_shipdate') < F.lit('1997-01-01').cast('timestamp'))
+                   & (F.col('l_discount') >= 0.05) & (F.col('l_discount') <= 0.07)
+                   & (F.col('l_quantity') < 24)))
+    return f.agg(
+        F.sum((F.col('l_extendedprice') * F.col('l_discount'))
+              .cast('decimal(18,6)')).cast('double').alias('revenue'),
+        F.count(F.lit(1)).alias('n_rows'))
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q4(spark, sf_dir):
+    """EXISTS-style LEFT SEMI join: orders having at least one returned
+    lineitem, counted by priority."""
+    t = _t(spark, sf_dir, 'orders', 'lineitem')
+    flagged = t['lineitem'].filter(F.col('l_returnflag') == 'R').select('l_orderkey')
+    return (t['orders']
+            .join(flagged, F.col('o_orderkey') == F.col('l_orderkey'), 'left_semi')
+            .groupBy('o_orderpriority')
+            .agg(F.count(F.lit(1)).alias('order_count')))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """LEFT OUTER join + two-level aggregation: distribution of customers
+    by their order count."""
+    t = _t(spark, sf_dir, 'customer', 'orders')
+    per_cust = (t['customer']
+                .join(t['orders'], F.col('c_custkey') == F.col('o_custkey'), 'left')
+                .groupBy('c_custkey')
+                .agg(F.count('o_orderkey').alias('c_count')))
+    return per_cust.groupBy('c_count').agg(F.count(F.lit(1)).alias('custdist'))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """HAVING on a grouped sum, joined back to dims (large-volume
+    customers): the partial-agg-then-join shape."""
+    t = _t(spark, sf_dir, 'customer', 'orders', 'lineitem')
+    big = (t['lineitem'].groupBy('l_orderkey')
+           .agg(_dsum('l_quantity').alias('total_qty'))
+           .filter(F.col('total_qty') > 250))
+    return (big.join(t['orders'], F.col('l_orderkey') == F.col('o_orderkey'))
+            .join(t['customer'], F.col('o_custkey') == F.col('c_custkey'))
+            .select('c_name', 'o_orderkey', 'o_totalprice', 'total_qty'))
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive OR-of-ANDs predicate over a dimension join (discounted
+    revenue for three brand/size/quantity envelopes)."""
+    t = _t(spark, sf_dir, 'lineitem', 'part')
+    j = t['lineitem'].join(t['part'], F.col('l_partkey') == F.col('p_partkey'))
+    q, s, b = F.col('l_quantity'), F.col('p_size'), F.col('p_brand')
+    cond = (((b == 'Brand#12') & q.between(1, 11) & s.between(1, 5))
+            | ((b == 'Brand#23') & q.between(10, 20) & s.between(1, 10))
+            | ((b == 'Brand#34') & q.between(20, 30) & s.between(1, 15)))
+    return j.filter(cond).agg(
+        F.sum((F.col('l_extendedprice') * (1 - F.col('l_discount')))
+              .cast('decimal(18,6)')).cast('double').alias('revenue'),
+        F.count(F.lit(1)).alias('n_rows'))
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand='Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand='Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand='Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue per customer, top 20 (multi-join + group +
+    deterministic top-k, ties broken by key)."""
+    t = _t(spark, sf_dir, 'customer', 'orders', 'lineitem', 'nation')
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = (t['customer']
+         .join(t['orders'], F.col('c_custkey') == F.col('o_custkey'))
+         .join(t['lineitem'].filter(F.col('l_returnflag') == 'R'),
+               F.col('o_orderkey') == F.col('l_orderkey'))
+         .join(t['nation'], F.col('c_nationkey') == F.col('n_nationkey')))
+    return (j.groupBy('c_custkey', 'c_name', 'n_name')
+            .agg(F.sum(rev).cast('double').alias('revenue'))
+            .orderBy(F.desc('revenue'), F.asc('c_custkey'))
+            .limit(20))
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """NOT EXISTS-style LEFT ANTI join: customers who never placed an
+    urgent-priority order."""
+    t = _t(spark, sf_dir, 'customer', 'orders')
+    urgent = (t['orders'].filter(F.col('o_orderpriority') == '1-URGENT')
+              .select('o_custkey'))
+    return (t['customer']
+            .join(urgent, F.col('c_custkey') == F.col('o_custkey'), 'left_anti')
+            .select('c_custkey', 'c_name', 'c_mktsegment'))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery threshold: customers above the global average
+    balance (threshold computed decimal-exact on both sides)."""
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    thr = cust.agg((F.sum(F.col('c_acctbal').cast('decimal(18,4)')).cast('double')
+                    / F.count(F.lit(1))).alias('thr'))
+    return (cust.crossJoin(F.broadcast(thr))
+            .filter(F.col('c_acctbal') > F.col('thr'))
+            .select('c_custkey', 'c_acctbal'))
+
+
+_SCALAR_SUB_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*) FROM customer)
+"""
+
+
 def q_subset_dsl(spark, sf_dir):
     from erde_spark.operators.subset import subset
     li = _t(spark, sf_dir, 'lineitem')['lineitem']
@@ -855,6 +1033,16 @@ def q_similarity_lsh(spark, sf_dir):
     return lsh_topk(e, q, k=5, n_bits=10, n_probes=4)
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k: sampled-kmeans coarse quantizer,
+    queries probe nearest lists (no oracle — approximate by design;
+    driver rows-only check)."""
+    from erde_spark.scale.similarity import ivf_topk
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    q = e.filter(F.col('vec_id') < 20)
+    return ivf_topk(e, q, k=5, n_lists=16, n_probes=3)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Cluster-representative dedup: MinHash-LSH pairs -> connected
     components -> keep min doc_id per cluster (the linear-cost production
@@ -977,6 +1165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q1_pricing': q_tpch_q1,
         'tpch_q3_topk': q_tpch_q3,
         'tpch_q5_region_revenue': q_tpch_q5,
+        'tpch_q6_revenue': q_tpch_q6,
+        'tpch_q4_semijoin': q_tpch_q4,
+        'tpch_q13_custdist': q_tpch_q13,
+        'tpch_q18_bigorders': q_tpch_q18,
+        'tpch_q19_disjunctive': q_tpch_q19,
+        'tpch_q10_returns': q_tpch_q10,
+        'anti_join_no_urgent': q_anti_join,
+        'scalar_subquery_acctbal': q_scalar_subquery,
         'subset_dsl': q_subset_dsl,
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
@@ -1010,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_clusters': q_dedup_clusters,
         'similarity_topk': q_similarity_topk,
         'similarity_lsh': q_similarity_lsh,
+        'similarity_ivf': q_similarity_ivf,
         'multimodal_features': q_multimodal_features,
         'routing_route': q_routing_route,
         'routing_od_table': q_routing_od_table,
@@ -1023,6 +1220,14 @@ def oracle_sql() -> dict[str, str]:
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,
+        'tpch_q6_revenue': _Q6_SQL,
+        'tpch_q4_semijoin': _Q4_SQL,
+        'tpch_q13_custdist': _Q13_SQL,
+        'tpch_q18_bigorders': _Q18_SQL,
+        'tpch_q19_disjunctive': _Q19_SQL,
+        'tpch_q10_returns': _Q10_SQL,
+        'anti_join_no_urgent': _ANTI_SQL,
+        'scalar_subquery_acctbal': _SCALAR_SUB_SQL,
         'subset_dsl': _SUBSET_SQL,
         'lookup_customer': _LOOKUP_SQL,
         'crossjoin_dims': _CROSSJOIN_SQL,
@@ -1054,6 +1259,6 @@ def oracle_sql() -> dict[str, str]:
         'similarity_topk': _SIMILARITY_TOPK_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters, similarity_lsh,
-        # multimodal_features, routing_route, routing_od_table,
-        # routing_isochrone, events_stateful
+        # similarity_ivf, multimodal_features, routing_route,
+        # routing_od_table, routing_isochrone, events_stateful
     }

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 * ``cosine_topk``     — exact brute-force top-k. Queries are broadcast, so
   the plan is one pass over the corpus with no corpus shuffle — this is
@@ -10,6 +10,11 @@ Two tiers:
   approximate scale path when both sides are large. Bucket id is a packed
   sign-bit integer; candidates are bucket-equi-joined (plain shuffle
   join), then ranked exactly.
+* ``ivf_topk``        — IVF (inverted-file) coarse quantizer: k-means
+  centroids learned once from a bounded sample, corpus partitioned into
+  ``n_lists`` inverted lists, queries probe the ``n_probes`` nearest
+  lists. Same probe/recall dial as FAISS IVF-Flat, expressed as a Spark
+  equi-join on list id.
 
 Dot products run in a vectorized pandas UDF (numpy per Arrow batch) —
 measured ~20x faster than ``F.aggregate``/``zip_with`` chains on 64-dim
@@ -128,6 +133,89 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         j = j.filter(F.col('vec_id') != F.col('query_id'))
     scored = (j.select('query_id', 'vec_id', 'cvec', 'qvec').distinct()
                .withColumn('cosine', cosine_udf(F.col('cvec'), F.col('qvec'))))
+    w = Window.partitionBy('query_id').orderBy(F.desc('cosine'), F.asc('vec_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k)
+            .select('query_id', 'vec_id', 'cosine', 'rank'))
+
+
+# ---------------------------------------------------------------- IVF
+
+def _kmeans_centroids(sample: np.ndarray, n_lists: int, seed: int = 42,
+                      iters: int = 10) -> np.ndarray:
+    """Spherical k-means on unit vectors (deterministic seed). Classic
+    coarse-quantizer training; the sample is bounded, so this is constant
+    driver work regardless of corpus size."""
+    rng = np.random.RandomState(seed)
+    n_lists = min(n_lists, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[j] = v / n
+    return cent
+
+
+def ivf_index(df: DataFrame, n_lists: int = 16, id_col: str = 'vec_id',
+              vec_col: str = 'embedding', sample_size: int = 4096,
+              seed: int = 42):
+    """(centroids, indexed_df): learn ``n_lists`` centroids from a bounded
+    sample (one small driver collect — constant memory at any corpus
+    size), then assign every vector to its nearest list map-side.
+
+    Returns the centroid matrix and (id, nvec, list_id). At 100 TB the
+    assignment is a single narrow pass; the index can be written
+    partitioned by ``list_id`` so probes become partition-pruned scans.
+    """
+    nv = normalized(df, id_col, vec_col)
+    sample = np.stack([np.asarray(r['nvec'], dtype=np.float64)
+                       for r in nv.select('nvec').limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_lists, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='int32')
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return cent, nv.withColumn('list_id', _assign(F.col('nvec')))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, n_probes: int = 3, seed: int = 42,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             sample_size: int = 4096, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k via IVF: each query scans only its ``n_probes``
+    nearest inverted lists (equi-join on list id), ranked exactly within
+    candidates. Returns (query_id, vec_id, cosine, rank)."""
+    cent, indexed = ivf_index(corpus, n_lists, id_col, vec_col,
+                              sample_size, seed)
+    cb = indexed.select(F.col('id').alias('vec_id'),
+                        F.col('nvec').alias('cvec'), 'list_id')
+
+    probe_t = T.ArrayType(T.IntegerType())
+
+    @F.pandas_udf(probe_t)
+    def _probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='object')
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probes]
+        return pd.Series([row.astype('int32').tolist() for row in order])
+
+    qb = (normalized(queries, id_col, vec_col)
+          .select(F.col('id').alias('query_id'), F.col('nvec').alias('qvec'))
+          .withColumn('list_id', F.explode(_probes(F.col('qvec')))))
+    j = cb.join(F.broadcast(qb), 'list_id')
+    if exclude_self:
+        j = j.filter(F.col('vec_id') != F.col('query_id'))
+    scored = j.withColumn('cosine', cosine_udf(F.col('cvec'), F.col('qvec')))
     w = Window.partitionBy('query_id').orderBy(F.desc('cosine'), F.asc('vec_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k)

@@ -151,6 +151,23 @@ def test_lsh_topk_finds_near_identical(spark, embs):
     assert got == {i: i for i in range(5)}  # self is its own nearest neighbor
 
 
+def test_ivf_topk_recall(spark, embs):
+    """IVF with all lists probed is exhaustive -> must equal exact
+    brute-force top-k; with 1 probe the self-match (cosine 1.0, same
+    list by construction) must still rank first."""
+    from erde_spark.scale.similarity import cosine_topk, ivf_topk
+    q = embs.filter(F.col('vec_id') < 5)
+    exact = {(r['query_id'], r['rank']): r['vec_id'] for r in
+             cosine_topk(embs, q, k=3).collect()}
+    full = {(r['query_id'], r['rank']): r['vec_id'] for r in
+            ivf_topk(embs, q, k=3, n_lists=4, n_probes=4).collect()}
+    assert full == exact
+    one = {r['query_id']: r['vec_id'] for r in
+           ivf_topk(embs, q, k=1, n_lists=4, n_probes=1,
+                    exclude_self=False).collect()}
+    assert one == {i: i for i in range(5)}
+
+
 # ---------------------------------------------------------------- multimodal
 
 def test_multimodal_plumbing(spark, docs):
