@@ -1033,6 +1033,15 @@ def q_similarity_lsh(spark, sf_dir):
     return lsh_topk(e, q, k=5, n_bits=10, n_probes=4)
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint near-dup candidates: pairs
+    sharing >= 8 MOSS fingerprints (no SQL oracle — rolling hashes aren't
+    ANSI-SQL-expressible; driver rows-only check)."""
+    from erde_spark.scale.text import winnow_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return winnow_pairs(d, min_shared=8)
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN top-k: sampled-kmeans coarse quantizer,
     queries probe nearest lists (no oracle — approximate by design;
@@ -1198,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
         'text_analysis': q_text_analysis,
+        'text_winnow_pairs': q_text_winnow,
         'dedup_exact': q_dedup_exact,
         'dedup_jaccard': q_dedup_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,

@@ -168,6 +168,28 @@ def test_ivf_topk_recall(spark, embs):
     assert one == {i: i for i in range(5)}
 
 
+def test_winnow_fingerprints(spark):
+    """MOSS guarantee: a shared substring of length >= k+window-1 yields a
+    shared fingerprint; disjoint texts share none; whitespace-normalized."""
+    from erde_spark.scale.text import winnow_fingerprints, winnow_pairs
+    common = 'the quick brown fox jumps over the lazy dog again and again'
+    docs = spark.createDataFrame([
+        (1, 'AAAA ' + common + ' BBBB'),
+        (2, 'CCCC   ' + common.upper() + '\tDDDD'),   # case/ws-insensitive
+        (3, 'zq ' * 40),
+    ], 'doc_id long, text string')
+    fp = {r['id']: set(r['fingerprints'])
+          for r in winnow_fingerprints(docs, k=9, window=8).collect()}
+    assert fp[1] & fp[2], 'overlapping docs must share a fingerprint'
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    pairs = winnow_pairs(docs, min_shared=1, k=9, window=8).collect()
+    assert [(r['id_a'], r['id_b']) for r in pairs] == [(1, 2)]
+    # deterministic across runs
+    fp2 = {r['id']: set(r['fingerprints'])
+           for r in winnow_fingerprints(docs, k=9, window=8).collect()}
+    assert fp == fp2
+
+
 # ---------------------------------------------------------------- multimodal
 
 def test_multimodal_plumbing(spark, docs):
