@@ -59,3 +59,41 @@ def test_sagg_shuffle_count(spark):
     import __spark_entry__ as E
     q = E.q_sagg_rect_demand(spark, SF)
     assert count_shuffles(q) <= 6
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key -> sort-merge join with
+    zero Exchange and zero per-side Sort (the 100 TB recurring-join
+    shape)."""
+    from erde_spark.operators.bucketing import (bucketed_join, join_exchanges,
+                                                write_bucketed)
+    from erde_spark.plans.inspect import physical_plan
+    li = spark.read.parquet(f'{SF}/lineitem.parquet').select(
+        'l_orderkey', 'l_quantity')
+    orders = spark.read.parquet(f'{SF}/orders.parquet').select(
+        'o_orderkey', 'o_totalprice')
+    for name, df, key in (('t_li_b', li, 'l_orderkey'),
+                          ('t_ord_b', orders, 'o_orderkey')):
+        spark.sql(f'DROP TABLE IF EXISTS {name}')
+        (df.write.format('parquet').bucketBy(8, key).sortBy(key)
+           .option('path', str(tmp_path / name)).mode('overwrite')
+           .saveAsTable(name))
+    try:
+        # disable AQE re-planning and auto-broadcast: at test scale Spark
+        # would broadcast (which bypasses bucketing entirely); the property
+        # under test is the big-big co-located sort-merge shape
+        spark.conf.set('spark.sql.adaptive.enabled', 'false')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+        j = bucketed_join(spark, 't_li_b', 't_ord_b',
+                          left_on='l_orderkey', right_on='o_orderkey')
+        assert join_exchanges(j) == 0
+        plan = physical_plan(j)
+        assert 'SortMergeJoin' in plan
+        n = j.count()
+        assert n == li.count()  # every lineitem matches exactly one order
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', 'true')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold',
+                       str(64 * 1024 * 1024))
+        spark.sql('DROP TABLE IF EXISTS t_li_b')
+        spark.sql('DROP TABLE IF EXISTS t_ord_b')
