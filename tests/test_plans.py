@@ -97,3 +97,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql('DROP TABLE IF EXISTS t_li_b')
         spark.sql('DROP TABLE IF EXISTS t_ord_b')
+
+
+def test_q6_pushes_all_filters_to_scan(spark):
+    """All four q6 predicates must reach the parquet scan, and the scan
+    must read only the four referenced columns."""
+    import __spark_entry__ as e
+    df = e.queries()['tpch_q6_revenue'](spark, SF)
+    pushed = ' '.join(pushed_filters(df))
+    for frag in ('l_shipdate', 'l_discount', 'l_quantity'):
+        assert frag in pushed
+    (schema,) = [s for s in read_schemas(df) if 'l_extendedprice' in s]
+    assert schema.count(':') == 4  # exactly 4 columns scanned
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    """Semi/anti gate queries must compile to real semi/anti joins (no
+    distinct+inner fallback materializing the probe side)."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    semi = physical_plan(e.queries()['tpch_q4_semijoin'](spark, SF))
+    anti = physical_plan(e.queries()['anti_join_no_urgent'](spark, SF))
+    assert 'LeftSemi' in semi
+    assert 'LeftAnti' in anti
