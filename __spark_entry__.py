@@ -328,6 +328,414 @@ LIMIT 20
 """
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Volume shipping between two nations (TPC-H Q7 shape: dual-role
+    dimension join — nation joined once through supplier, once through
+    customer — with a symmetric pair predicate and per-year rollup).
+    Reference has no SQL surface; pattern parity per SURVEY.md §2.3."""
+    t = _t(spark, sf_dir, 'supplier', 'lineitem', 'orders', 'customer', 'nation')
+    n1 = t['nation'].select(F.col('n_nationkey').alias('n1_key'),
+                            F.col('n_name').alias('supp_nation'))
+    n2 = t['nation'].select(F.col('n_nationkey').alias('n2_key'),
+                            F.col('n_name').alias('cust_nation'))
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = (t['supplier']
+         .join(t['lineitem'], F.col('s_suppkey') == F.col('l_suppkey'))
+         .join(t['orders'], F.col('l_orderkey') == F.col('o_orderkey'))
+         .join(t['customer'], F.col('o_custkey') == F.col('c_custkey'))
+         .join(F.broadcast(n1), F.col('s_nationkey') == F.col('n1_key'))
+         .join(F.broadcast(n2), F.col('c_nationkey') == F.col('n2_key'))
+         .filter((((F.col('supp_nation') == 'NATION_1') & (F.col('cust_nation') == 'NATION_2'))
+                  | ((F.col('supp_nation') == 'NATION_2') & (F.col('cust_nation') == 'NATION_1')))
+                 & (F.col('l_shipdate') >= F.lit('1996-01-01').cast('timestamp'))
+                 & (F.col('l_shipdate') < F.lit('1998-01-01').cast('timestamp'))))
+    return (j.groupBy('supp_nation', 'cust_nation',
+                      F.year('l_shipdate').alias('l_year'))
+            .agg(F.sum(rev).cast('double').alias('revenue')))
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """National market share (TPC-H Q8 shape: 6-table join, conditional
+    aggregate numerator over unconditional denominator)."""
+    t = _t(spark, sf_dir, 'region', 'nation', 'customer', 'orders',
+           'lineitem', 'part', 'supplier')
+    ns = t['nation'].select(F.col('n_nationkey').alias('ns_key'),
+                            F.col('n_name').alias('supp_nation'))
+    vol = (F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+    j = (t['region'].filter(F.col('r_name') == 'ASIA')
+         .join(t['nation'], F.col('r_regionkey') == F.col('n_regionkey'))
+         .join(t['customer'], F.col('n_nationkey') == F.col('c_nationkey'))
+         .join(t['orders'], F.col('c_custkey') == F.col('o_custkey'))
+         .join(t['lineitem'], F.col('o_orderkey') == F.col('l_orderkey'))
+         .join(F.broadcast(t['part'].filter(F.col('p_type') == 'ECONOMY')),
+               F.col('l_partkey') == F.col('p_partkey'))
+         .join(F.broadcast(t['supplier']), F.col('l_suppkey') == F.col('s_suppkey'))
+         .join(F.broadcast(ns), F.col('s_nationkey') == F.col('ns_key')))
+    num = F.sum(F.when(F.col('supp_nation') == 'NATION_3', vol)
+                .otherwise(F.lit(0).cast('decimal(18,6)'))).cast('double')
+    return (j.groupBy(F.year('o_orderdate').alias('o_year'))
+            .agg((num / F.sum(vol).cast('double')).alias('mkt_share'),
+                 F.count(F.lit(1)).alias('n_rows')))
+
+
+_Q8_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS mkt_share,
+       COUNT(*) AS n_rows
+FROM region JOIN nation nc ON r_regionkey = nc.n_regionkey
+            JOIN customer ON nc.n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY o_year
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Product-type profit by nation and year (TPC-H Q9 shape). The
+    testdata has no partsupp/ps_supplycost, so cost is modeled as
+    0.5*p_retailprice*l_quantity — same join graph and LIKE filter."""
+    t = _t(spark, sf_dir, 'lineitem', 'part', 'supplier', 'nation', 'orders')
+    amount = ((F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)')
+              - (F.lit(0.5) * F.col('p_retailprice') * F.col('l_quantity')).cast('decimal(18,6)'))
+    j = (t['lineitem']
+         .join(F.broadcast(t['part'].filter(F.col('p_name').like('%gear%'))),
+               F.col('l_partkey') == F.col('p_partkey'))
+         .join(F.broadcast(t['supplier']), F.col('l_suppkey') == F.col('s_suppkey'))
+         .join(F.broadcast(t['nation']), F.col('s_nationkey') == F.col('n_nationkey'))
+         .join(t['orders'], F.col('l_orderkey') == F.col('o_orderkey')))
+    return (j.groupBy(F.col('n_name').alias('nation'),
+                      F.year('o_orderdate').alias('o_year'))
+            .agg(F.sum(amount).cast('double').alias('sum_profit')))
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+                - CAST(0.5*p_retailprice*l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important parts by value share (TPC-H Q11 shape: grouped sum
+    filtered against a fraction of the global sum of the same base rows).
+    Value = lineitem revenue through NATION_5 suppliers (no partsupp)."""
+    t = _t(spark, sf_dir, 'lineitem', 'supplier', 'nation')
+    base = (t['lineitem']
+            .join(F.broadcast(t['supplier']), F.col('l_suppkey') == F.col('s_suppkey'))
+            .join(F.broadcast(t['nation'].filter(F.col('n_name') == 'NATION_5')),
+                  F.col('s_nationkey') == F.col('n_nationkey'))
+            .select('l_partkey', 'l_extendedprice'))
+    per_part = (base.groupBy('l_partkey')
+                .agg(_dsum('l_extendedprice').alias('part_value')))
+    total = base.agg((_dsum('l_extendedprice') * F.lit(0.001)).alias('thr'))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col('part_value') > F.col('thr'))
+            .select('l_partkey', 'part_value'))
+
+
+_Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5')
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+        FROM base)
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Late-shipment counts by priority class (TPC-H Q12 shape:
+    conditional CASE aggregation over a fact-dim join; the testdata has
+    no l_shipmode/commitdate, so 'late' = shipped >90 days after order)."""
+    t = _t(spark, sf_dir, 'orders', 'lineitem')
+    j = t['orders'].join(t['lineitem'], F.col('o_orderkey') == F.col('l_orderkey'))
+    prio_class = (F.when(F.col('o_orderpriority').isin('1-URGENT', '2-HIGH'), 'high')
+                  .otherwise('low').alias('prio_class'))
+    late = F.col('l_shipdate') > F.col('o_orderdate') + F.expr('INTERVAL 90 DAYS')
+    return (j.groupBy(prio_class)
+            .agg(F.sum(F.when(late, 1).otherwise(0)).alias('late_count'),
+                 F.count(F.lit(1)).alias('line_count')))
+
+
+_Q12_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END
+         AS prio_class,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+         AS late_count,
+       COUNT(*) AS line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY prio_class
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape: aggregate
+    view + scalar-max equality join; exact because revenue sums are
+    decimal-cast on both sides)."""
+    t = _t(spark, sf_dir, 'supplier', 'lineitem')
+    rev = (t['lineitem']
+           .filter((F.col('l_shipdate') >= F.lit('1996-01-01').cast('timestamp'))
+                   & (F.col('l_shipdate') < F.lit('1996-04-01').cast('timestamp')))
+           .groupBy('l_suppkey')
+           .agg(F.sum((F.col('l_extendedprice') * (1 - F.col('l_discount')))
+                      .cast('decimal(18,6)')).cast('double').alias('total_revenue')))
+    mx = rev.agg(F.max('total_revenue').alias('mx'))
+    return (t['supplier']
+            .join(rev, F.col('s_suppkey') == F.col('l_suppkey'))
+            .crossJoin(F.broadcast(mx))
+            .filter(F.col('total_revenue') == F.col('mx'))
+            .select('s_suppkey', 's_name', 'total_revenue'))
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Supplier count per part descriptor (TPC-H Q16 shape: DISTINCT
+    pair derivation, NOT-IN anti join, COUNT(DISTINCT) rollup; the
+    supplier-part relation comes from lineitem, not partsupp)."""
+    t = _t(spark, sf_dir, 'lineitem', 'part', 'supplier')
+    ps = t['lineitem'].select('l_partkey', 'l_suppkey').distinct()
+    bad = t['supplier'].filter(F.col('s_acctbal') < 0).select('s_suppkey')
+    return (ps.join(F.broadcast(bad), F.col('l_suppkey') == F.col('s_suppkey'),
+                    'left_anti')
+            .join(F.broadcast(t['part'].filter(
+                (F.col('p_type') != 'PROMO')
+                & F.col('p_size').isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))),
+                F.col('l_partkey') == F.col('p_partkey'))
+            .groupBy('p_brand', 'p_type', 'p_size')
+            .agg(F.countDistinct('l_suppkey').alias('supplier_cnt')))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1,5,9,13,17,21,25,29,33,37,41,45,49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity order revenue (TPC-H Q17 shape: correlated
+    per-part average subquery → grouped-avg join in Spark)."""
+    t = _t(spark, sf_dir, 'lineitem', 'part')
+    per_part = (t['lineitem'].groupBy(F.col('l_partkey').alias('ap_partkey'))
+                .agg((_dsum('l_quantity') / F.count(F.lit(1))).alias('avg_qty')))
+    brand = t['part'].filter(F.col('p_brand') == 'Brand#3').select('p_partkey')
+    j = (t['lineitem']
+         .join(F.broadcast(brand), F.col('l_partkey') == F.col('p_partkey'))
+         .join(per_part, F.col('l_partkey') == F.col('ap_partkey'))
+         .filter(F.col('l_quantity') < F.lit(0.2) * F.col('avg_qty')))
+    return j.agg((_dsum('l_extendedprice') / F.lit(7.0)).alias('avg_yearly'),
+                 F.count(F.lit(1)).alias('n_rows'))
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                                 / COUNT(*)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Suppliers with heavy shipments of a part family (TPC-H Q20 shape:
+    nested semi-join chain gated on a grouped HAVING; availqty threshold
+    becomes shipped-quantity threshold since there is no partsupp)."""
+    t = _t(spark, sf_dir, 'supplier', 'nation', 'lineitem', 'part')
+    red_parts = t['part'].filter(F.col('p_name').like('red%')).select('p_partkey')
+    qual = (t['lineitem']
+            .join(F.broadcast(red_parts), F.col('l_partkey') == F.col('p_partkey'))
+            .filter((F.col('l_shipdate') >= F.lit('1997-01-01').cast('timestamp'))
+                    & (F.col('l_shipdate') < F.lit('1998-01-01').cast('timestamp')))
+            .groupBy('l_suppkey', 'l_partkey')
+            .agg(_dsum('l_quantity').alias('qty'))
+            .filter(F.col('qty') > 30)
+            .select('l_suppkey'))
+    return (t['supplier']
+            .join(F.broadcast(t['nation'].filter(F.col('n_name') == 'NATION_7')),
+                  F.col('s_nationkey') == F.col('n_nationkey'))
+            .join(qual, F.col('s_suppkey') == F.col('l_suppkey'), 'left_semi')
+            .select('s_suppkey', 's_name'))
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 30)
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Suppliers solely responsible for returned lines in multi-supplier
+    orders (TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation,
+    lowered to per-order distinct-supplier counts; l_returnflag='R'
+    stands in for the missing receipt/commit dates)."""
+    t = _t(spark, sf_dir, 'supplier', 'lineitem', 'orders')
+    aux = (t['lineitem'].groupBy(F.col('l_orderkey').alias('aux_orderkey'))
+           .agg(F.countDistinct('l_suppkey').alias('nsupp'),
+                F.countDistinct(F.when(F.col('l_returnflag') == 'R',
+                                       F.col('l_suppkey'))).alias('nsupp_r')))
+    l1 = t['lineitem'].filter(F.col('l_returnflag') == 'R')
+    return (l1.join(t['orders'].filter(F.col('o_orderstatus') == 'F'),
+                    F.col('l_orderkey') == F.col('o_orderkey'))
+            .join(aux, F.col('l_orderkey') == F.col('aux_orderkey'))
+            .filter((F.col('nsupp') > 1) & (F.col('nsupp_r') == 1))
+            .join(F.broadcast(t['supplier']), F.col('l_suppkey') == F.col('s_suppkey'))
+            .groupBy('s_name')
+            .agg(F.count(F.lit(1)).alias('numwait')))
+
+
+_Q21_SQL = """
+WITH aux AS (
+  SELECT l_orderkey AS aux_orderkey,
+         COUNT(DISTINCT l_suppkey) AS nsupp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nsupp_r
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN aux ON l1.l_orderkey = aux_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND nsupp > 1 AND nsupp_r = 1
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Idle wealthy customers by country code (TPC-H Q22 shape: scalar
+    positive-average subquery + NOT-EXISTS anti join + substring-style
+    code bucketing via c_custkey % 7, since there is no c_phone; 'no
+    orders' is 'no urgent orders' — every customer orders in this data)."""
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    orders = (_t(spark, sf_dir, 'orders')['orders']
+              .filter(F.col('o_orderpriority') == '1-URGENT'))
+    avg_pos = (cust.filter(F.col('c_acctbal') > 0)
+               .agg((F.sum(F.col('c_acctbal').cast('decimal(18,4)')).cast('double')
+                     / F.count(F.lit(1))).alias('avg_pos')))
+    sel = (cust.withColumn('cntrycode', F.col('c_custkey') % 7)
+           .filter(F.col('cntrycode').isin(1, 2, 4, 6))
+           .crossJoin(F.broadcast(avg_pos))
+           .filter(F.col('c_acctbal') > F.col('avg_pos'))
+           .join(orders.select('o_custkey'),
+                 F.col('c_custkey') == F.col('o_custkey'), 'left_anti'))
+    return (sel.groupBy('cntrycode')
+            .agg(F.count(F.lit(1)).alias('numcust'),
+                 _dsum('c_acctbal').alias('totacctbal')))
+
+
+_Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM (SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey FROM customer) c
+WHERE cntrycode IN (1,2,4,6)
+  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+"""
+
+
+def q_tpch_q2(spark, sf_dir):
+    """Minimum-balance supplier per part in a region (TPC-H Q2 shape:
+    correlated MIN subquery → grouped-min equality join; supplier-part
+    pairs derived from lineitem, s_acctbal stands in for ps_supplycost)."""
+    t = _t(spark, sf_dir, 'lineitem', 'part', 'supplier', 'nation', 'region')
+    ps = t['lineitem'].select('l_partkey', 'l_suppkey').distinct()
+    esupp = (t['supplier']
+             .join(F.broadcast(t['nation']), F.col('s_nationkey') == F.col('n_nationkey'))
+             .join(F.broadcast(t['region'].filter(F.col('r_name') == 'EUROPE')),
+                   F.col('n_regionkey') == F.col('r_regionkey'))
+             .select('s_suppkey', 's_name', 's_acctbal', 'n_name'))
+    parts = t['part'].filter((F.col('p_type') == 'STANDARD') & (F.col('p_size') < 10))
+    j = (ps.join(F.broadcast(esupp), F.col('l_suppkey') == F.col('s_suppkey'))
+         .join(F.broadcast(parts), F.col('l_partkey') == F.col('p_partkey'))
+         .select('p_partkey', 'p_name', 's_suppkey', 's_name', 's_acctbal', 'n_name'))
+    mn = (j.groupBy(F.col('p_partkey').alias('mn_partkey'))
+          .agg(F.min('s_acctbal').alias('min_bal')))
+    return (j.join(mn, (F.col('p_partkey') == F.col('mn_partkey'))
+                   & (F.col('s_acctbal') == F.col('min_bal')))
+            .select('s_acctbal', 's_name', 'n_name', 'p_partkey', 'p_name'))
+
+
+_Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size < 10)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM j
+WHERE s_acctbal = (SELECT MIN(j2.s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+"""
+
+
 def q_anti_join(spark, sf_dir):
     """NOT EXISTS-style LEFT ANTI join: customers who never placed an
     urgent-priority order."""
@@ -1180,6 +1588,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q18_bigorders': q_tpch_q18,
         'tpch_q19_disjunctive': q_tpch_q19,
         'tpch_q10_returns': q_tpch_q10,
+        'tpch_q2_min_supplier': q_tpch_q2,
+        'tpch_q7_nation_volume': q_tpch_q7,
+        'tpch_q8_mktshare': q_tpch_q8,
+        'tpch_q9_profit': q_tpch_q9,
+        'tpch_q11_important_parts': q_tpch_q11,
+        'tpch_q12_late_lines': q_tpch_q12,
+        'tpch_q15_top_supplier': q_tpch_q15,
+        'tpch_q16_supplier_cnt': q_tpch_q16,
+        'tpch_q17_small_qty': q_tpch_q17,
+        'tpch_q20_heavy_shippers': q_tpch_q20,
+        'tpch_q21_waiting': q_tpch_q21,
+        'tpch_q22_idle_customers': q_tpch_q22,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'subset_dsl': q_subset_dsl,
@@ -1236,6 +1656,18 @@ def oracle_sql() -> dict[str, str]:
         'tpch_q18_bigorders': _Q18_SQL,
         'tpch_q19_disjunctive': _Q19_SQL,
         'tpch_q10_returns': _Q10_SQL,
+        'tpch_q2_min_supplier': _Q2_SQL,
+        'tpch_q7_nation_volume': _Q7_SQL,
+        'tpch_q8_mktshare': _Q8_SQL,
+        'tpch_q9_profit': _Q9_SQL,
+        'tpch_q11_important_parts': _Q11_SQL,
+        'tpch_q12_late_lines': _Q12_SQL,
+        'tpch_q15_top_supplier': _Q15_SQL,
+        'tpch_q16_supplier_cnt': _Q16_SQL,
+        'tpch_q17_small_qty': _Q17_SQL,
+        'tpch_q20_heavy_shippers': _Q20_SQL,
+        'tpch_q21_waiting': _Q21_SQL,
+        'tpch_q22_idle_customers': _Q22_SQL,
         'anti_join_no_urgent': _ANTI_SQL,
         'scalar_subquery_acctbal': _SCALAR_SUB_SQL,
         'subset_dsl': _SUBSET_SQL,
