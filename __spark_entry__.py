@@ -736,6 +736,134 @@ WHERE s_acctbal = (SELECT MIN(j2.s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_p
 """
 
 
+def q_asof_last_click(spark, sf_dir):
+    """As-of join (extension — SURVEY.md §2.3 notes the reference has no
+    as-of join): every 'view' event annotated with the user's most recent
+    'click' at-or-before it. Single-shuffle union+window plan; the oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    from erde_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, 'events')['events']
+    views = (ev.filter(F.col('event_type') == 'view')
+             .select('event_id', 'user_id', 'ts'))
+    clicks = (ev.filter(F.col('event_type') == 'click')
+              .select('user_id', 'ts', F.col('value').alias('click_value')))
+    out = asof_join(views, clicks, 'ts', by='user_id')
+    return out.select('event_id', 'user_id', 'ts',
+                      F.col('ts_right').alias('click_ts'),
+                      F.round('click_value', 2).alias('click_value'))
+
+
+_ASOF_SQL = """
+SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts,
+       ROUND(c.value, 2) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
+
+
+def q_range_band_join(spark, sf_dir):
+    """Range (non-equi band) join: classify lineitems into quantity bands
+    defined by a tiny [lo, hi) dimension. Broadcast-nested-loop on a
+    3-row dim — the correct physical plan at any fact-side scale."""
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    bands = spark.createDataFrame(
+        [('small', 0.0, 10.0), ('mid', 10.0, 25.0), ('large', 25.0, 60.0)],
+        'band string, lo double, hi double')
+    j = li.join(F.broadcast(bands),
+                (F.col('l_quantity') >= F.col('lo')) & (F.col('l_quantity') < F.col('hi')))
+    return (j.groupBy('band')
+            .agg(F.count(F.lit(1)).alias('n'),
+                 _dsum('l_extendedprice').alias('revenue')))
+
+
+_RANGE_BAND_SQL = """
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), ('large', 25.0, 60.0))
+     b(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP hierarchy totals: (returnflag, linestatus) -> returnflag ->
+    grand total in one pass (partial-agg friendly, single shuffle)."""
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    return (li.rollup('l_returnflag', 'l_linestatus')
+            .agg(F.count(F.lit(1)).alias('n'),
+                 _dsum('l_quantity').alias('sum_qty')))
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (orderstatus, orderpriority): all 4 grouping-set
+    combinations of order counts and exact total price."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    return (o.cube('o_orderstatus', 'o_orderpriority')
+            .agg(F.count(F.lit(1)).alias('n'),
+                 _dsum('o_totalprice').alias('total_price')))
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_priority_revenue(spark, sf_dir):
+    """PIVOT: order revenue by market segment (rows) x order priority
+    (columns). Explicit pivot-value list keeps the plan a single
+    conditional aggregation — no distinct-values pre-scan."""
+    t = _t(spark, sf_dir, 'orders', 'customer')
+    prios = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW']
+    j = t['orders'].join(t['customer'], F.col('o_custkey') == F.col('c_custkey'))
+    return (j.groupBy('c_mktsegment')
+            .pivot('o_orderpriority', prios)
+            .agg(_dsum('o_totalprice')))
+
+
+_PIVOT_SQL = """
+SELECT c_mktsegment,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "1-URGENT",
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "2-HIGH",
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "3-MEDIUM",
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "4-NOT SPECIFIED",
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "5-LOW"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) of extended price per
+    return flag — Spark `percentile` vs DuckDB `quantile_cont`, rounded to
+    4 decimals to absorb last-ulp interpolation differences."""
+    li = _t(spark, sf_dir, 'lineitem')['lineitem']
+    return (li.groupBy('l_returnflag')
+            .agg(F.round(F.percentile('l_extendedprice', F.lit(0.5)), 4).alias('p50'),
+                 F.round(F.percentile('l_extendedprice', F.lit(0.9)), 4).alias('p90'),
+                 F.count(F.lit(1)).alias('n')))
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_anti_join(spark, sf_dir):
     """NOT EXISTS-style LEFT ANTI join: customers who never placed an
     urgent-priority order."""
@@ -1600,6 +1728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q20_heavy_shippers': q_tpch_q20,
         'tpch_q21_waiting': q_tpch_q21,
         'tpch_q22_idle_customers': q_tpch_q22,
+        'asof_last_click': q_asof_last_click,
+        'range_band_join': q_range_band_join,
+        'rollup_pricing': q_rollup_pricing,
+        'cube_orders': q_cube_orders,
+        'pivot_priority_revenue': q_pivot_priority_revenue,
+        'percentile_prices': q_percentile_prices,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'subset_dsl': q_subset_dsl,
@@ -1668,6 +1802,12 @@ def oracle_sql() -> dict[str, str]:
         'tpch_q20_heavy_shippers': _Q20_SQL,
         'tpch_q21_waiting': _Q21_SQL,
         'tpch_q22_idle_customers': _Q22_SQL,
+        'asof_last_click': _ASOF_SQL,
+        'range_band_join': _RANGE_BAND_SQL,
+        'rollup_pricing': _ROLLUP_SQL,
+        'cube_orders': _CUBE_SQL,
+        'pivot_priority_revenue': _PIVOT_SQL,
+        'percentile_prices': _PERCENTILE_SQL,
         'anti_join_no_urgent': _ANTI_SQL,
         'scalar_subquery_acctbal': _SCALAR_SUB_SQL,
         'subset_dsl': _SUBSET_SQL,

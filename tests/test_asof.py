@@ -1,0 +1,81 @@
+"""As-of join tests (extension operator — SURVEY.md §2.3 notes the
+reference has no as-of join; semantics follow SQL ASOF JOIN / pandas
+merge_asof: nearest right row at-or-before / at-or-after each left ts)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from erde_spark.operators.asof import asof_join
+
+T = dt.datetime
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0, 10), 'a'), (1, T(2024, 1, 1, 0, 0, 20), 'b'),
+         (2, T(2024, 1, 1, 0, 0, 5), 'c'), (2, T(2024, 1, 1, 0, 0, 1), 'd')],
+        'uid long, ts timestamp, tag string')
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0, 8), 100.0), (1, T(2024, 1, 1, 0, 0, 15), 200.0),
+         (2, T(2024, 1, 1, 0, 0, 5), 300.0)],
+        'uid long, ts timestamp, price double')
+    return left, right
+
+
+def _by_tag(df):
+    return {r['tag']: r['price'] for r in df.collect()}
+
+
+def test_backward_inclusive(sides):
+    left, right = sides
+    got = _by_tag(asof_join(left, right, 'ts', by='uid'))
+    # 'c' matches the equal-timestamp right row (inclusive bound);
+    # 'd' predates every right row -> NULL
+    assert got == {'a': 100.0, 'b': 200.0, 'c': 300.0, 'd': None}
+
+
+def test_forward(sides):
+    left, right = sides
+    got = _by_tag(asof_join(left, right, 'ts', by='uid', direction='forward'))
+    assert got == {'a': 200.0, 'b': None, 'c': 300.0, 'd': 300.0}
+
+
+def test_tolerance_seconds(sides):
+    left, right = sides
+    got = _by_tag(asof_join(left, right, 'ts', by='uid', tolerance=3))
+    # 'a' is 2s after its match (keeps), 'b' is 5s after (dropped)
+    assert got == {'a': 100.0, 'b': None, 'c': 300.0, 'd': None}
+
+
+def test_right_ts_exposed_and_suffix(sides):
+    left, right = sides
+    out = asof_join(left, right, 'ts', by='uid')
+    assert 'ts_right' in out.columns and 'price' in out.columns
+    row = [r for r in out.collect() if r['tag'] == 'a'][0]
+    assert row['ts_right'] == T(2024, 1, 1, 0, 0, 8)
+
+
+def test_numeric_on_column(spark):
+    left = spark.createDataFrame([(1, 10), (1, 3)], 'k long, x long')
+    right = spark.createDataFrame([(1, 5, 'five'), (1, 9, 'nine')], 'k long, x long, v string')
+    got = {r['x']: r['v'] for r in asof_join(left, right, 'x', by='k').collect()}
+    assert got == {10: 'nine', 3: None}
+
+
+def test_no_by_keys(spark):
+    left = spark.createDataFrame([(7,)], 'x long')
+    right = spark.createDataFrame([(5, 'v')], 'x long, v string')
+    assert asof_join(left, right, 'x').first()['v'] == 'v'
+
+
+def test_single_shuffle_plan(sides):
+    """The physical plan must contain exactly one exchange (the union is
+    windowed once) — no pair-join blowup, no second shuffle."""
+    left, right = sides
+    plan = asof_join(left, right, 'ts', by='uid')._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count('Exchange hashpartitioning') == 1
+    assert 'NestedLoop' not in plan and 'CartesianProduct' not in plan
