@@ -425,19 +425,28 @@ def point_buffer(x: float, y: float, radius: float, resolution: int = 16) -> Geo
 
 
 def buffer_geom(geom: Geometry, radius: float, resolution: int = 16) -> Geometry:
-    """Buffer. v1 supports Point/MultiPoint (the geometry type every
-    reference test and example buffers). Line/polygon offsetting needs
-    polygon boolean ops (no GEOS in this container) — explicitly stubbed.
+    """Buffer of any geometry type (reference `erde/op/buffer.py:41` calls
+    shapely ``buffer``; semantics matched per type).
+
+    Points buffer to exact ``resolution``-per-quarter-circle polygons.
+    Lines and polygons (no GEOS in this container) go through the signed
+    distance field + interpolated marching squares kernel
+    (`erde_spark.geo.field`), accurate to ~``radius/resolution``; negative
+    radii erode polygons and empty out points/lines, as in shapely.
     """
     gtype, data = geom
-    if radius <= 0:
-        raise NotImplementedError('zero/negative buffers not supported in v1')
-    if gtype == 'Point':
-        return point_buffer(data[0], data[1], radius, resolution)
-    if gtype == 'MultiPoint':
-        return ('MultiPolygon', [point_buffer(x, y, radius, resolution)[1] for x, y in data])
-    raise NotImplementedError(
-        f'buffer of {gtype} requires polygon boolean ops (GEOS); v1 buffers points only')
+    if radius == 0:
+        raise NotImplementedError('zero-distance buffer not supported')
+    if radius < 0 and gtype in ('Point', 'MultiPoint', 'LineString', 'MultiLineString'):
+        return ('MultiPolygon', [])
+    if radius > 0:
+        if gtype == 'Point':
+            return point_buffer(data[0], data[1], radius, resolution)
+        if gtype == 'MultiPoint':
+            return ('MultiPolygon',
+                    [point_buffer(x, y, radius, resolution)[1] for x, y in data])
+    from erde_spark.geo.field import buffer_field
+    return buffer_field([geom], radius, resolution)
 
 
 # ---------------------------------------------------------------- coslat

@@ -33,15 +33,18 @@ def buffer(df: DataFrame, radius: float, dissolve: bool = False,
 
 
 def _dissolve(df: DataFrame, geometry: str) -> DataFrame:
-    """Collect all buffer polygons into one MultiPolygon row.
+    """Union all buffer polygons into one MultiPolygon row (reference
+    shapely ``unary_union``, `erde/op/buffer.py:47,51`).
 
-    Reference uses shapely ``unary_union`` which also merges overlapping
-    polygons; true boolean union needs GEOS (absent here), so overlapping
-    shells are kept as-is inside the MultiPolygon. Distributed shape: a
-    two-level tree aggregation (partial collect per partition, final merge),
-    valid because the merge is concatenation.
+    Overlapping shells genuinely merge: non-overlapping parts pass through
+    with their exact vertices; each connected overlap group is re-traced by
+    the distance-field union kernel (`erde_spark.geo.field.union_field`,
+    resolution-bounded — GEOS-free). Distributed shape: a two-level tree
+    aggregation (partial collect per partition, final merge in one task).
     """
     from erde_spark.geo import geom as G
+    from erde_spark.geo import ops as O
+    from erde_spark.geo.field import union_field
 
     @F.pandas_udf(T.BinaryType())
     def _merge(wkb_lists: pd.Series) -> pd.Series:
@@ -58,7 +61,38 @@ def _dissolve(df: DataFrame, geometry: str) -> DataFrame:
                     polys.extend(g[1])
                 else:
                     raise ValueError(f'dissolve expects polygonal geometries, got {g[0]}')
-            out.append(G.wkb_dumps(('MultiPolygon', polys)))
+            # group polygons into connected overlap components (bbox
+            # prefilter + exact intersects); singletons keep exact vertices
+            n = len(polys)
+            parent = list(range(n))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            bbs = [O.geom_bounds(('Polygon', p)) for p in polys]
+            order = sorted(range(n), key=lambda i: bbs[i][0])
+            for oi, i in enumerate(order):  # x-sweep: only x-overlapping pairs
+                for j in order[oi + 1:]:
+                    a, b = bbs[i], bbs[j]
+                    if b[0] > a[2]:
+                        break
+                    if find(i) == find(j) or a[1] > b[3] or b[1] > a[3]:
+                        continue
+                    if O.intersects(('Polygon', polys[i]), ('Polygon', polys[j])):
+                        parent[find(i)] = find(j)
+            groups: dict = {}
+            for i in range(n):
+                groups.setdefault(find(i), []).append(polys[i])
+            merged = []
+            for grp in groups.values():
+                if len(grp) == 1:
+                    merged.append(grp[0])
+                else:
+                    merged.extend(union_field([('Polygon', p) for p in grp])[1])
+            out.append(G.wkb_dumps(('MultiPolygon', merged)))
         return pd.Series(out)
 
     return (df.agg(F.collect_list(F.col(geometry)).alias('__gs'))

@@ -95,9 +95,14 @@ def test_point_buffer_area():
     assert abs(O.geom_area(buf) - math.pi * 100 ** 2) / (math.pi * 100 ** 2) < 0.01
 
 
-def test_buffer_unsupported_types():
+def test_buffer_line_now_supported():
+    out = O.buffer_geom(G.wkt_loads('LINESTRING (0 0, 1 1)'), 0.1)
+    assert out[0] == 'MultiPolygon' and len(out[1]) == 1
+
+
+def test_buffer_zero_unsupported():
     with pytest.raises(NotImplementedError):
-        O.buffer_geom(G.wkt_loads('LINESTRING (0 0, 1 1)'), 1.0)
+        O.buffer_geom(G.wkt_loads('LINESTRING (0 0, 1 1)'), 0.0)
 
 
 def test_coslat():
