@@ -1425,6 +1425,33 @@ SELECT ROUND(SUM(a), 2) AS total_area FROM (
 """
 
 
+def q_geo_line_buffer(spark, sf_dir):
+    """Line buffering via the distance-field kernel (`geo/field.py`) —
+    previously a GEOS-gated stub. The buffer area is resolution-bounded
+    (no closed form), so the oracle checks the exact INVARIANTS instead:
+    every buffer is a MultiPolygon that spatially contains its source
+    line, for all 200 synthesized lines."""
+    from erde_spark.functions.geo import (st_buffer, st_geometrytype,
+                                          st_linestring_between, st_point,
+                                          st_predicate)
+    cust = _t(spark, sf_dir, 'customer')['customer'].limit(200)
+    k = F.col('c_custkey')
+    a = st_point(30.0 + (k % 100) / 10.0, 50.0 + ((k * 13) % 80) / 10.0)
+    b = st_point(30.0 + (k % 100) / 10.0 + 0.01, 50.0 + ((k * 13) % 80) / 10.0 + 0.005)
+    line = st_linestring_between(a, b)
+    buf = st_buffer(line, 200.0)
+    return (cust.select(st_geometrytype(buf).alias('gtype'),
+                        st_predicate(buf, line, 'contains').alias('contains_line'))
+            .groupBy('gtype', 'contains_line')
+            .agg(F.count(F.lit(1)).alias('n')))
+
+
+_LINE_BUFFER_SQL = """
+SELECT 'MultiPolygon' AS gtype, TRUE AS contains_line, COUNT(*) AS n
+FROM (SELECT c_custkey FROM customer LIMIT 200)
+"""
+
+
 # ================================================================ text / dedup / similarity
 
 def q_text_analysis(spark, sf_dir):
@@ -1757,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'set_ops': q_set_ops,
         'geo_buffer_dissolve': q_geo_buffer_dissolve,
+        'geo_line_buffer': q_geo_line_buffer,
         'sagg_rect_demand': q_sagg_rect_demand,
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
@@ -1831,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_lonlat_detect': _LONLAT_SQL,
         'set_ops': _SET_OPS_SQL,
         'geo_buffer_dissolve': _BUFFER_DISSOLVE_SQL,
+        'geo_line_buffer': _LINE_BUFFER_SQL,
         'sagg_rect_demand': _SAGG_SQL,
         'sfilter_outside': _SFILTER_SQL,
         'slookup_nation': _SLOOKUP_SQL,

@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     'lookup_customer',
     'column_stats',
     'window_top3_orders',
+    'asof_last_click',
+    'range_band_join',
+    'rollup_pricing',
     'events_hourly',
     'events_sessionize',
     'events_json',

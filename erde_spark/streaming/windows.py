@@ -58,6 +58,16 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+def stream_dedup(df: DataFrame, ts_col: str, delay: str,
+                 keys: list[str]) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates of a key are
+    dropped while it stays within the watermark window, and the key's
+    state is evicted once the watermark passes — the only dedup shape that
+    survives an unbounded 100 TB stream (a plain ``dropDuplicates`` on a
+    stream accumulates state forever)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_parquet_pipeline(spark, in_dir: str, schema, transform: Callable[[DataFrame], DataFrame],
                             out_dir: str, checkpoint_dir: str,
                             trigger_once: bool = True):

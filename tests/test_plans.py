@@ -120,3 +120,52 @@ def test_semi_anti_joins_stay_joins(spark):
     anti = physical_plan(e.queries()['anti_join_no_urgent'](spark, SF))
     assert 'LeftSemi' in semi
     assert 'LeftAnti' in anti
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    """Q7 joins nation twice (supplier side + customer side); both must be
+    broadcasts — the fact-side join order leaves lineitem unshuffled by
+    any dimension."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    plan = physical_plan(e.queries()['tpch_q7_nation_volume'](spark, SF))
+    assert plan.count('BroadcastHashJoin') >= 2
+    # the shipdate range must reach the lineitem scan
+    df = e.queries()['tpch_q7_nation_volume'](spark, SF)
+    assert any('l_shipdate' in f for f in pushed_filters(df))
+
+
+def test_q9_pushes_like_filter_to_part_scan(spark):
+    """Q9's p_name LIKE '%gear%' must reach the part scan (StringContains
+    pushdown), and part/supplier/nation must be broadcast."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    df = e.queries()['tpch_q9_profit'](spark, SF)
+    assert any('p_name' in f for f in pushed_filters(df))
+    assert physical_plan(df).count('BroadcastHashJoin') >= 3
+
+
+def test_q8_region_filter_pushed(spark):
+    import __spark_entry__ as e
+    df = e.queries()['tpch_q8_mktshare'](spark, SF)
+    assert any('r_name' in f for f in pushed_filters(df))
+
+
+def test_rollup_single_shuffle_expand(spark):
+    """ROLLUP lowers to Expand + one hash aggregate pair — a single
+    shuffle, not one pass per grouping set."""
+    import __spark_entry__ as e
+    df = e.queries()['rollup_pricing'](spark, SF)
+    plan = __import__('erde_spark.plans.inspect', fromlist=['physical_plan']).physical_plan(df)
+    assert 'Expand' in plan
+    assert count_shuffles(df) <= 2
+
+
+def test_range_band_join_is_broadcast_nested_loop(spark):
+    """A 3-row band dim must broadcast (nested-loop on the non-equi
+    condition) — never a cartesian shuffle."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    plan = physical_plan(e.queries()['range_band_join'](spark, SF))
+    assert 'BroadcastNestedLoopJoin' in plan
+    assert 'CartesianProduct' not in plan

@@ -58,3 +58,28 @@ def test_read_write_geom_roundtrip(spark, tmp_path):
     p = str(tmp_path / 'g.csv')
     es.write_geom(('Point', (5.0, 6.0)), p, spark)
     assert es.read_geom(p, spark) == ('Point', (5.0, 6.0))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are dropped while inside
+    the watermark window; state stays bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    from erde_spark.streaming.windows import stream_dedup, stream_parquet_pipeline
+
+    schema = T.StructType([T.StructField('event_id', T.LongType()),
+                           T.StructField('ts', T.TimestampType())])
+    t0 = dt.datetime(2024, 1, 1)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ('in', 'out', 'ckpt'))
+    rows = [(1, t0), (2, t0 + dt.timedelta(seconds=10)),
+            (1, t0 + dt.timedelta(seconds=20)),   # dup of 1
+            (3, t0 + dt.timedelta(seconds=30)),
+            (2, t0 + dt.timedelta(seconds=35))]   # dup of 2
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    stream_parquet_pipeline(
+        spark, in_dir, schema,
+        lambda df: stream_dedup(df, 'ts', '10 minutes', ['event_id']),
+        out_dir, ckpt)
+    got = sorted(r['event_id'] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]
