@@ -25,5 +25,9 @@ from erde_spark.operators.buffer import buffer  # noqa: F401
 from erde_spark.operators.area import area  # noqa: F401
 from erde_spark.operators.length import length  # noqa: F401
 from erde_spark.operators.convert import convert  # noqa: F401
+from erde_spark.operators.asof import asof_join  # noqa: F401
+from erde_spark.operators.stats import stats  # noqa: F401
+from erde_spark.operators.zorder import cluster_by_zorder, zorder_value  # noqa: F401
+from erde_spark.functions.sqlreg import register_sql_functions  # noqa: F401
 
 __version__ = "0.1.0"
