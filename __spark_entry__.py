@@ -1248,6 +1248,41 @@ FROM p JOIN r ON p.lon > r.xmin AND p.lon < r.xmax
 """
 
 
+def q_snearest_rect(spark, sf_dir):
+    """Nearest-neighbor spatial join (extension operator): every customer
+    point paired with its closest nation rectangle within 0.123456 deg;
+    ties (points on the lattice gap midlines equidistant from 2-4 rects)
+    break by right-row content, which the oracle replicates with
+    ROW_NUMBER ordered by (dist, nationkey). Points on the vertical gap
+    MIDLINES (lon 32/34/36/38) are excluded: their left/right distances
+    differ only at 1-ulp FP resolution, where Spark's hypot and SQL's
+    sqrt(dx^2+dy^2) legitimately disagree about the winner."""
+    from erde_spark.operators.sjoin import snearest
+    t = _t(spark, sf_dir, 'customer', 'nation')
+    cust = t['customer'].filter(~(F.col('c_custkey') % 100).isin(20, 40, 60, 80))
+    pts = _cust_points(cust).select('c_custkey', 'geometry')
+    rects = _nation_rects(t['nation'])
+    out = snearest(pts, rects, max_distance=0.123456)
+    return out.select('c_custkey', 'n_nationkey', 'n_name',
+                      F.round('distance', 6).alias('distance'))
+
+
+_SNEAREST_SQL = f"""
+WITH p AS ({_CUST_POINT_SQL}), r AS ({_NATION_RECT_SQL}),
+d AS (
+  SELECT p.c_custkey, r.n_nationkey, r.n_name,
+         SQRT(POW(GREATEST(r.xmin - p.lon, 0, p.lon - r.xmax), 2)
+            + POW(GREATEST(r.ymin - p.lat, 0, p.lat - r.ymax), 2)) AS dist
+  FROM p CROSS JOIN r
+  WHERE p.c_custkey % 100 NOT IN (20, 40, 60, 80))
+SELECT c_custkey, n_nationkey, n_name, ROUND(dist, 6) AS distance
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY dist, n_nationkey) AS rn
+      FROM d WHERE dist <= 0.123456)
+WHERE rn = 1
+"""
+
+
 def q_sagg_rect_demand(spark, sf_dir):
     """Spatial aggregate (the reference's flagship `sagg` pattern): per
     nation rectangle, sum + count of contained customer balances."""
@@ -1780,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geo_buffer_area': q_geo_buffer_area,
         'geo_transform': q_geo_transform,
         'sjoin_points_rects': q_sjoin_points_rects,
+        'snearest_rect': q_snearest_rect,
         'sjfull_geoms': q_sjfull_geoms,
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'set_ops': q_set_ops,
@@ -1855,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_buffer_area': _GEO_BUFFER_SQL,
         'geo_transform': _GEO_TRANSFORM_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
+        'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,
         'geo_lonlat_detect': _LONLAT_SQL,
         'set_ops': _SET_OPS_SQL,

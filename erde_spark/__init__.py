@@ -20,7 +20,7 @@ from erde_spark.io import read_df, write_df, read_geom, write_geom  # noqa: F401
 from erde_spark.streaming.chunks import read_stream, write_stream  # noqa: F401
 from erde_spark.operators.subset import subset  # noqa: F401
 from erde_spark.operators.lookup import lookup, crossjoin  # noqa: F401
-from erde_spark.operators.sjoin import sjoin, sjfull, sagg, slookup, sfilter  # noqa: F401
+from erde_spark.operators.sjoin import sjoin, sjfull, sagg, slookup, sfilter, snearest  # noqa: F401
 from erde_spark.operators.buffer import buffer  # noqa: F401
 from erde_spark.operators.area import area  # noqa: F401
 from erde_spark.operators.length import length  # noqa: F401

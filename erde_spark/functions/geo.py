@@ -293,6 +293,29 @@ def st_predicate(left_col, right_col, op: str = 'intersects'):
     return _pr(left_col, right_col)
 
 
+@F.pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Planar minimum distance in CRS units (0 when intersecting); WKB
+    parses memoized per Arrow batch like st_predicate."""
+    cache = {}
+
+    def load(v):
+        k = bytes(v)
+        g = cache.get(k)
+        if g is None:
+            g = _wkb_point_fast(k) or G.wkb_loads(k)
+            cache[k] = g
+        return g
+
+    out = []
+    for va, vb in zip(a, b):
+        if va is None or vb is None:
+            out.append(None)
+        else:
+            out.append(O.geom_distance(load(va), load(vb)))
+    return pd.Series(out, dtype='float64')
+
+
 LONLAT_PAIRS = [('lon', 'lat'), ('lng', 'lat'), ('long', 'lat'),
                 ('longitude', 'latitude'), ('x', 'y'), ('X', 'Y')]
 

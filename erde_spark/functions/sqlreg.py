@@ -95,10 +95,12 @@ def _st_y(wkb: pd.Series) -> pd.Series:
 
 def register_sql_functions(spark: SparkSession) -> None:
     """Idempotent: (re)binds the ST_* names on this session."""
-    from erde_spark.functions.geo import (st_astext, st_geometrytype,
-                                          st_geomfromtext, st_linestring_between,
-                                          st_point, st_try_geomfromtext)
+    from erde_spark.functions.geo import (st_astext, st_distance,
+                                          st_geometrytype, st_geomfromtext,
+                                          st_linestring_between, st_point,
+                                          st_try_geomfromtext)
     reg = spark.udf.register
+    reg('st_distance', st_distance)
     reg('st_geomfromtext', st_geomfromtext)
     reg('st_try_geomfromtext', st_try_geomfromtext)
     reg('st_astext', st_astext)

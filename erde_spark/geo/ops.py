@@ -411,6 +411,63 @@ PREDICATES = {'intersects': intersects, 'within': within, 'contains': contains}
 
 # ---------------------------------------------------------------- buffer
 
+def _pt_seg_dist(px: float, py: float, x1: float, y1: float,
+                 x2: float, y2: float) -> float:
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    if l2 == 0.0:
+        return math.hypot(px - x1, py - y1)
+    t = ((px - x1) * dx + (py - y1) * dy) / l2
+    t = 0.0 if t < 0.0 else 1.0 if t > 1.0 else t
+    return math.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+
+
+def _vertices(geom: Geometry):
+    gtype, data = geom
+    if gtype == 'Point':
+        yield data
+    elif gtype == 'LineString':
+        yield from data
+    else:  # Polygon
+        for ring in data:
+            yield from ring
+
+
+def geom_distance(a: Geometry, b: Geometry) -> float:
+    """Planar minimum distance between two geometries (CRS units).
+
+    0 when they intersect (incl. containment). Otherwise, for two
+    non-crossing geometries the closest approach is always attained at a
+    vertex of one against a segment (or vertex) of the other, so the min
+    over both vertex-vs-other directions is exact.
+    """
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    for pa in _as_parts(a):
+        for pb in _as_parts(b):
+            sb = list(_segments(pb))
+            for vx, vy in _vertices(pa):
+                if sb:
+                    for (x1, y1), (x2, y2) in sb:
+                        d = _pt_seg_dist(vx, vy, x1, y1, x2, y2)
+                        if d < best:
+                            best = d
+                else:
+                    for wx, wy in _vertices(pb):
+                        d = math.hypot(vx - wx, vy - wy)
+                        if d < best:
+                            best = d
+            sa = list(_segments(pa))
+            if sa:
+                for wx, wy in _vertices(pb):
+                    for (x1, y1), (x2, y2) in sa:
+                        d = _pt_seg_dist(wx, wy, x1, y1, x2, y2)
+                        if d < best:
+                            best = d
+    return best
+
+
 def point_buffer(x: float, y: float, radius: float, resolution: int = 16) -> Geometry:
     """Circle approximation: ``4*resolution``-gon, CCW shell (shapely's
     default resolution=16 segments per quadrant, which the reference passes

@@ -347,6 +347,94 @@ def slookup(left_df: DataFrame, right_df: DataFrame, columns: str | list[str],
                 left_on, right_on, suffixes, join, op, cell_size)
 
 
+def snearest(left_df: DataFrame, right_df: DataFrame, max_distance: float,
+             left_on: str = 'geometry', right_on: str = 'geometry',
+             how: str = 'inner', suffixes: tuple[str, str] = ('', '_right'),
+             distance_col: str = 'distance') -> DataFrame:
+    """Nearest-neighbor spatial join (gpd ``sjoin_nearest`` shape — an
+    extension; the reference's family stops at predicate joins): for each
+    left row, the single closest right row within ``max_distance`` (CRS
+    units), plus its distance. Ties break deterministically by the right
+    row's column values (lexicographic). ``how='left'`` keeps unmatched
+    left rows with NULLs.
+
+    Physical strategy: the search radius bounds the problem, so the grid
+    cell size IS ``max_distance`` — each left bbox dilated by the radius
+    explodes to its covering cells, rights explode to theirs, candidates
+    equi-join on cell (one shuffle, AQE-skew-handled), pairs dedupe by the
+    reference-cell trick, exact distances compute in one Arrow pass, and
+    ``min(struct(distance, rid, payload))`` per left row picks the nearest
+    — a map-side-combining aggregate, never a driver loop.
+    """
+    if max_distance <= 0:
+        raise ValueError('max_distance must be positive')
+    if how not in ('inner', 'left'):
+        raise ValueError(f'how must be inner or left, got {how!r}')
+    from erde_spark.functions.geo import st_distance
+
+    lcols, rcols = left_df.columns, right_df.columns
+    cell = float(max_distance)
+    left = left_df.withColumn('__lid', F.monotonically_increasing_id())
+    right = right_df.withColumn('__rid', F.monotonically_increasing_id())
+    left = _with_bounds(left, left_on, '__l_')
+    right = _with_bounds(right, right_on, '__r_')
+
+    # dilate the left bbox by the search radius; covering cells + ref-cell
+    # dedup then work exactly as in the predicate join
+    for c, delta in (('__l_minx', -cell), ('__l_miny', -cell),
+                     ('__l_maxx', cell), ('__l_maxy', cell)):
+        left = left.withColumn(c, F.col(c) + F.lit(delta))
+
+    lx = (left.withColumn('__lrow', F.struct(*[F.col(c) for c in lcols]))
+              .select('__lid', '__lrow', F.col(left_on).alias('__lgeom'),
+                      '__l_minx', '__l_miny', '__l_maxx', '__l_maxy'))
+    rx = (right.withColumn('__rrow', F.struct(*[F.col(c) for c in rcols]))
+               .select('__rid', '__rrow', F.col(right_on).alias('__rgeom'),
+                       '__r_minx', '__r_miny', '__r_maxx', '__r_maxy'))
+
+    _, cov_l = _covering_cells('__l_', cell)
+    _, cov_r = _covering_cells('__r_', cell)
+    empty = F.array().cast('array<struct<cx:bigint,cy:bigint>>')
+    lc = _explode_cells(lx, F.when(F.col('__l_minx').isNull(), empty).otherwise(cov_l))
+    rc = _explode_cells(rx, F.when(F.col('__r_minx').isNull(), empty).otherwise(cov_r))
+
+    cand = lc.join(rc, on=['__cx', '__cy'], how='inner')
+    cand = cand.filter((F.col('__l_minx') <= F.col('__r_maxx')) &
+                       (F.col('__r_minx') <= F.col('__l_maxx')) &
+                       (F.col('__l_miny') <= F.col('__r_maxy')) &
+                       (F.col('__r_miny') <= F.col('__l_maxy')))
+    ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell)).cast('long')
+    ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell)).cast('long')
+    cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
+
+    cand = (cand.withColumn('__d', st_distance(F.col('__lgeom'), F.col('__rgeom')))
+            .filter(F.col('__d') <= F.lit(float(max_distance))))
+
+    # tie-break on the right row CONTENT (lexicographic over its columns),
+    # not an internal row id — reproducible across engines and runs
+    best = (cand.groupBy('__lid')
+            .agg(F.min(F.struct(F.col('__d'), F.col('__rrow'), F.col('__rid')))
+                 .alias('__best')))
+
+    def _out_cols(nearest_struct):
+        cols = [F.col(f'__lrow.{c}').alias(
+                    c + suffixes[0] if (c in rcols and suffixes[0]) else c)
+                for c in lcols]
+        for c in rcols:
+            if c == right_on:
+                continue
+            name = c + suffixes[1] if c in lcols else c
+            cols.append(nearest_struct(f'__rrow.{c}').alias(name))
+        cols.append(nearest_struct('__d').alias(distance_col))
+        return cols
+
+    if how == 'inner':
+        lrows = lx.select('__lid', '__lrow').join(best, '__lid')
+        return lrows.select(*_out_cols(lambda p: F.col(f'__best.{p}')))
+    lrows = lx.select('__lid', '__lrow').join(best, '__lid', 'left')
+    return lrows.select(*_out_cols(lambda p: F.col(f'__best.{p}')))
+
+
 def sfilter(left_df: DataFrame, filter_df: DataFrame, left_on: str = 'geometry',
             right_on: str = 'geometry', negative: bool = False,
             op: str = 'intersects', cell_size: float | None = None) -> DataFrame:

@@ -168,3 +168,76 @@ def test_oversized_both_sides(polys):
     assert len(got) == len(set(got))
     assert ('X', 'Y') in got and ('Y', 'X') in got and ('X', 'X') in got
     assert ('X', 'Z') not in got
+
+
+# ---------------------------------------------------------------- snearest
+
+def _pt_df(spark, rows):
+    from erde_spark.geo import geom as G
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField('geometry', T.BinaryType()),
+                           T.StructField('name', T.StringType())])
+    return spark.createDataFrame(
+        [(G.wkb_dumps(('Point', (float(x), float(y)))), n) for x, y, n in rows], schema)
+
+
+def test_snearest_picks_closest(spark):
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(0, 0, 'a'), (50, 50, 'b')])
+    sites = _pt_df(spark, [(3, 4, 's_far'), (0, 1, 's_near'), (51, 50, 's_b')])
+    got = {r['name']: (r['name_right'], r['distance'])
+           for r in snearest(pts, sites, max_distance=10.0).collect()}
+    assert got == {'a': ('s_near', 1.0), 'b': ('s_b', 1.0)}
+
+
+def test_snearest_left_keeps_unmatched(spark):
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(0, 0, 'a'), (500, 500, 'far')])
+    sites = _pt_df(spark, [(0, 2, 's')])
+    got = {r['name']: r['name_right']
+           for r in snearest(pts, sites, max_distance=5.0, how='left').collect()}
+    assert got == {'a': 's', 'far': None}
+    inner = snearest(pts, sites, max_distance=5.0, how='inner')
+    assert inner.count() == 1
+
+
+def test_snearest_respects_max_distance(spark):
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(0, 0, 'a')])
+    sites = _pt_df(spark, [(0, 7, 's')])
+    assert snearest(pts, sites, max_distance=5.0).count() == 0
+    assert snearest(pts, sites, max_distance=8.0).count() == 1
+
+
+def test_snearest_tie_breaks_by_payload(spark):
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(0, 0, 'a')])
+    # two sites exactly 5 away -> lexicographically smaller name wins
+    # (tie-break = right row content; geometry binary compares first only
+    # if earlier columns tie, so order sites columns accordingly)
+    sites = _pt_df(spark, [(3, 4, 'zz'), (4, 3, 'aa')])
+    row = snearest(pts, sites.select('name', 'geometry'),
+                   max_distance=6.0).first()
+    assert row['name_right'] == 'aa' and row['distance'] == 5.0
+
+
+def test_snearest_cross_cell_match(spark):
+    """The nearest site lives in a diagonal neighbor cell (distance just
+    under max_distance) — the dilated-bbox covering must find it."""
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(9.9, 9.9, 'a')])
+    sites = _pt_df(spark, [(10.1, 10.1, 's')])
+    row = snearest(pts, sites, max_distance=1.0).first()
+    assert row['name_right'] == 's'
+    assert row['distance'] == pytest.approx(2 ** 0.5 * 0.2, rel=1e-9)
+
+
+def test_geom_distance_kernel():
+    from erde_spark.geo.ops import geom_distance
+    poly = ('Polygon', [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]])
+    assert geom_distance(('Point', (5, 5)), poly) == 0.0
+    assert geom_distance(('Point', (13, 14)), poly) == 5.0
+    assert geom_distance(('LineString', [(0, 0), (10, 0)]),
+                         ('LineString', [(0, 3), (10, 3)])) == 3.0
+    assert geom_distance(('LineString', [(0, 0), (10, 10)]),
+                         ('LineString', [(0, 10), (10, 0)])) == 0.0

@@ -59,3 +59,9 @@ def test_sql_makeline(spark):
         "SELECT st_astext(st_makeline(st_point(0.0, 0.0), st_point(1.0, 1.0))) AS l"
     ).first()
     assert row['l'] == 'LINESTRING (0 0, 1 1)'
+
+
+def test_sql_distance(spark):
+    row = spark.sql(
+        "SELECT st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) AS d").first()
+    assert row['d'] == 5.0
