@@ -1489,6 +1489,54 @@ FROM (SELECT c_custkey FROM customer LIMIT 200)
 
 # ================================================================ text / dedup / similarity
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus top-20 tokens: the classic explode -> count -> top-k text
+    pipeline, all JVM-side (split/explode/groupBy/window). Deterministic
+    order: count desc, then token asc."""
+    d = _t(spark, sf_dir, 'documents')['documents']
+    tok = (d.select(F.explode(F.split(F.lower('text'), ' ')).alias('token'))
+           .filter(F.col('token') != ''))
+    counts = tok.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+    return (counts.orderBy(F.col('n').desc(), F.col('token'))
+            .limit(20))
+
+
+_TOP_TOKENS_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword token counting (GPT-2 pre-tokenizer shape: leading-
+    space word / number / punctuation runs) via one JVM-side regexp_count
+    — no Python in the loop. Aggregated per language; the regex is chosen
+    to mean the same thing in Java regex and RE2 so the oracle is exact."""
+    d = _t(spark, sf_dir, 'documents')['documents']
+    pat = r' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'
+    n = F.regexp_count('text', F.lit(pat))
+    return (d.groupBy('lang')
+            .agg(F.sum(n).alias('total_tokens'),
+                 F.round(F.sum(n) / F.count(F.lit(1)), 4).alias('avg_tokens'),
+                 F.count(F.lit(1)).alias('n_docs')))
+
+
+_TOKEN_BPE_SQL = r"""
+SELECT lang,
+       SUM(n) AS total_tokens,
+       ROUND(SUM(n) / COUNT(*), 4) AS avg_tokens,
+       COUNT(*) AS n_docs
+FROM (SELECT lang,
+             len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n
+      FROM documents)
+GROUP BY lang
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     from erde_spark.scale.text import (fingerprint, lang_id, mean_token_len,
                                        punct_ratio, stopword_ratio, token_count)
@@ -1825,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
         'text_analysis': q_text_analysis,
+        'top_tokens': q_top_tokens,
+        'token_count_bpe': q_token_count_bpe,
         'text_winnow_pairs': q_text_winnow,
         'dedup_exact': q_dedup_exact,
         'dedup_jaccard': q_dedup_jaccard,
@@ -1901,6 +1951,8 @@ def oracle_sql() -> dict[str, str]:
         'sfilter_outside': _SFILTER_SQL,
         'slookup_nation': _SLOOKUP_SQL,
         'text_analysis': _TEXT_SQL,
+        'top_tokens': _TOP_TOKENS_SQL,
+        'token_count_bpe': _TOKEN_BPE_SQL,
         'dedup_exact': _DEDUP_EXACT_SQL,
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,

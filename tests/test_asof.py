@@ -79,3 +79,33 @@ def test_single_shuffle_plan(sides):
         .executedPlan().toString()
     assert plan.count('Exchange hashpartitioning') == 1
     assert 'NestedLoop' not in plan and 'CartesianProduct' not in plan
+
+
+def test_asof_matches_python_model(spark):
+    """Randomized differential test: asof_join output equals a brute-force
+    per-row scan model, across seeds, directions and key distributions."""
+    import random
+
+    for seed, direction in [(1, 'backward'), (2, 'forward'), (3, 'backward')]:
+        rng = random.Random(seed)
+        lrows = [(rng.randrange(5), rng.randrange(1000), i)
+                 for i in range(120)]
+        rrows = [(rng.randrange(5), rng.randrange(1000), i * 10)
+                 for i in range(80)]
+        left = spark.createDataFrame(lrows, 'k long, x long, tag long')
+        right = spark.createDataFrame(rrows, 'k long, x long, val long')
+
+        def model(k, x):
+            if direction == 'backward':
+                cand = [(rx, v) for rk, rx, v in rrows if rk == k and rx <= x]
+                best = max(cand, default=None)
+            else:
+                cand = [(-rx, v) for rk, rx, v in rrows if rk == k and rx >= x]
+                best = max(cand, default=None)
+            return best[1] if best else None
+
+        got = {r['tag']: r['val']
+               for r in asof_join(left, right, 'x', by='k',
+                                  direction=direction).collect()}
+        want = {tag: model(k, x) for k, x, tag in lrows}
+        assert got == want, f'seed={seed} direction={direction}'

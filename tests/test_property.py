@@ -109,3 +109,20 @@ def test_centroid_inside_bbox(radii, jitter):
     x1, y1, x2, y2 = O.geom_bounds(('Polygon', [r]))
     assert x1 - 1e-6 <= cx <= x2 + 1e-6
     assert y1 - 1e-6 <= cy <= y2 + 1e-6
+
+
+@given(geometry, geometry)
+@settings(max_examples=150, deadline=None)
+def test_geom_distance_symmetric_nonnegative(a, b):
+    d1 = O.geom_distance(a, b)
+    d2 = O.geom_distance(b, a)
+    assert d1 >= 0.0
+    assert math.isclose(d1, d2, rel_tol=1e-12, abs_tol=1e-12)
+    if O.intersects(a, b):
+        assert d1 == 0.0
+
+
+@given(geometry)
+@settings(max_examples=100, deadline=None)
+def test_geom_distance_self_is_zero(geom):
+    assert O.geom_distance(geom, geom) == 0.0
