@@ -76,6 +76,19 @@ class ParquetDriver(_Driver):
         df.write.mode(mode).parquet(path, **kw)
 
 
+class OrcDriver(_Driver):
+    """Spark-native columnar ORC (an extension beyond the reference's
+    format list — free via ``spark.read.orc``)."""
+    name = 'orc'
+    path_re = re.compile(r'^.*\.orc$')
+
+    def read(self, spark, path, **kw):
+        return spark.read.orc(path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        df.write.mode(mode).orc(path, **kw)
+
+
 class GeoJsonSeqDriver(_Driver):
     """Line-delimited GeoJSON — native Spark JSON source, geometry assembled
     from the `geometry` struct (reference uses fiona driver GeoJSONSeq,
@@ -320,9 +333,9 @@ class PostgresDriver(_Driver):
 
 
 DRIVERS: list[_Driver] = [
-    PostgresDriver(), CsvDriver(), ParquetDriver(), GeoJsonSeqDriver(),
-    GpkgDriver(), ShpDriver(), FgbDriver(), GeoJsonDriver(), XlsDriver(),
-    JsonDriver(),
+    PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
+    GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
+    GeoJsonDriver(), XlsDriver(), JsonDriver(),
 ]
 
 

@@ -313,3 +313,12 @@ def test_xlsx_sheet_addressing_and_types(spark, tmp_path):
     assert rows[1]['f'] is None and rows[1]['s'] == 'b, "q"'
     with pytest.raises(ValueError, match='not found'):
         read_df(p + ':nope', spark)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    import erde_spark as es
+    p = str(tmp_path / 'x.orc')
+    df = spark.createDataFrame([(1, 'a'), (2, 'b')], 'k int, v string')
+    es.write_df(df, p)
+    back = es.read_df(p, spark)
+    assert sorted((r['k'], r['v']) for r in back.collect()) == [(1, 'a'), (2, 'b')]

@@ -169,3 +169,15 @@ def test_range_band_join_is_broadcast_nested_loop(spark):
     plan = physical_plan(e.queries()['range_band_join'](spark, SF))
     assert 'BroadcastNestedLoopJoin' in plan
     assert 'CartesianProduct' not in plan
+
+
+def test_snearest_single_pair_shuffle(spark):
+    """snearest = one cell equi-join + one aggregate: no cartesian, no
+    nested loop, and exactly one Arrow distance pass."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import count_python_udf_passes, physical_plan
+    df = e.queries()['snearest_rect'](spark, SF)
+    plan = physical_plan(df)
+    assert 'CartesianProduct' not in plan and 'NestedLoop' not in plan
+    # bounds UDF per side + point/rect synthesis + one distance refine
+    assert count_python_udf_passes(df) <= 6
