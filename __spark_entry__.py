@@ -1007,6 +1007,46 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
 """
 
 
+def q_window_running(spark, sf_dir):
+    """Ordered-frame window surface: per-customer running revenue
+    (cumulative sum) and days since the previous order (lag). One shuffle
+    on the partition key; decimal-cast running sum is order-exact."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    w = (Window.partitionBy('o_custkey')
+         .orderBy('o_orderdate', 'o_orderkey'))
+    run = (F.sum(F.col('o_totalprice').cast('decimal(18,4)'))
+           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    prev = F.lag('o_orderdate').over(w)
+    return o.select(
+        'o_custkey', 'o_orderkey',
+        run.cast('double').alias('running_total'),
+        F.datediff('o_orderdate', prev).cast('long').alias('days_since_prev'))
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_total,
+  CAST(date_diff('day',
+       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+       o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
+def q_sketch_cardinality(spark, sf_dir):
+    """HLL sketch vs exact cardinality per event type (approx answers are
+    engine-specific, so this is a rows-only check; the exact column and
+    the <2% relative-error bound are asserted in tests/test_scale.py)."""
+    ev = _t(spark, sf_dir, 'events')['events']
+    return (ev.groupBy('event_type')
+            .agg(F.countDistinct('user_id').alias('exact_users'),
+                 F.approx_count_distinct('user_id', 0.02).alias('approx_users')))
+
+
 def q_distinct_segments(spark, sf_dir):
     c = _t(spark, sf_dir, 'customer')['customer']
     return c.select('c_mktsegment').distinct()
@@ -1851,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
+        'window_running_revenue': q_window_running,
+        'sketch_cardinality': q_sketch_cardinality,
         'distinct_segments': q_distinct_segments,
         'tpch_q14_promo': q_tpch_q14_promo,
         'supplier_by_nation': q_supplier_by_nation,
@@ -1929,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         'crossjoin_dims': _CROSSJOIN_SQL,
         'column_stats': _STATS_SQL,
         'window_top3_orders': _WINDOW_SQL,
+        'window_running_revenue': _WINDOW_RUNNING_SQL,
         'distinct_segments': _DISTINCT_SQL,
         'tpch_q14_promo': _Q14_SQL,
         'supplier_by_nation': _SUPPLIER_SQL,

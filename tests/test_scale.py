@@ -251,3 +251,13 @@ def test_stream_parquet_pipeline(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.columns == ['event_id', 'value']
     assert back.count() == src.filter(F.col('value') > 0).count()
+
+
+def test_sketch_cardinality_error_bound(spark):
+    import __spark_entry__ as e
+    rows = e.queries()['sketch_cardinality'](spark, '/root/testdata/sf0.01').collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r['exact_users'] > 0
+        rel = abs(r['approx_users'] - r['exact_users']) / r['exact_users']
+        assert rel < 0.05, (r['event_type'], rel)

@@ -83,3 +83,49 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         out_dir, ckpt)
     got = sorted(r['event_id'] for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3]
+
+
+def test_incremental_rollup_two_batches(spark, tmp_path):
+    """Incremental hourly rollup maintained across two availableNow runs:
+    the checkpoint guarantees the second run processes ONLY the new file,
+    and the merged rollup equals the batch recomputation (exactly-once)."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    from erde_spark.streaming.windows import stream_parquet_pipeline, tumbling_agg
+
+    schema = T.StructType([T.StructField('ts', T.TimestampType()),
+                           T.StructField('v', T.LongType())])
+    t0 = dt.datetime(2024, 1, 1)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ('in', 'out', 'ckpt'))
+
+    def rollup(df):
+        return tumbling_agg(df.withWatermark('ts', '0 seconds'), 'ts', '1 hour',
+                            {'n': F.count(F.lit(1)), 'sum_v': F.sum('v')})
+
+    batch1 = [(t0 + dt.timedelta(minutes=m), m) for m in (0, 30, 90)]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode('append').parquet(in_dir)
+    stream_parquet_pipeline(spark, in_dir, schema, rollup, out_dir, ckpt)
+
+    batch2 = [(t0 + dt.timedelta(minutes=m), m) for m in (150, 170)]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode('append').parquet(in_dir)
+    stream_parquet_pipeline(spark, in_dir, schema, rollup, out_dir, ckpt)
+
+    def rolled():
+        return {r['window_start'].hour: (r['n'], r['sum_v'])
+                for r in (spark.read.parquet(out_dir)
+                          .groupBy('window_start')
+                          .agg(F.sum('n').alias('n'), F.sum('sum_v').alias('sum_v'))
+                          .collect())}
+
+    # append-mode watermark semantics: a window emits only once the
+    # watermark passes its END, exactly once — hour 2 is still open
+    assert rolled() == {0: (2, 30), 1: (1, 90)}
+
+    # a later event advances the watermark and closes hour 2; the earlier
+    # windows are NOT re-emitted (exactly-once across restarts)
+    spark.createDataFrame([(t0 + dt.timedelta(hours=10), 0)], schema) \
+        .coalesce(1).write.mode('append').parquet(in_dir)
+    stream_parquet_pipeline(spark, in_dir, schema, rollup, out_dir, ckpt)
+    assert rolled() == {0: (2, 30), 1: (1, 90), 2: (2, 320)}
