@@ -736,6 +736,32 @@ WHERE s_acctbal = (SELECT MIN(j2.s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_p
 """
 
 
+def q_resample_locf(spark, sf_dir):
+    """Time-series gap-fill (extension): every user resampled onto a
+    6-hour grid with the latest event value carried forward. Generated
+    grid (JVM sequence) + one-shuffle as-of join; oracle = DuckDB
+    generate_series x users ASOF LEFT JOIN events."""
+    from erde_spark.operators.timeseries import resample_locf
+    ev = _t(spark, sf_dir, 'events')['events']
+    out = resample_locf(ev, 'ts', '6 hours', by='user_id',
+                        value_cols=['value'],
+                        start='2024-01-01 00:00:00', end='2024-01-30 18:00:00')
+    return out.select('user_id', 'grid_ts',
+                      F.round('value', 2).alias('value'), 'ts_obs')
+
+
+_RESAMPLE_SQL = """
+WITH grid AS (
+  SELECT u.user_id, g.ts AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                     TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOUR)) AS ts) g)
+SELECT grid.user_id, grid.grid_ts, ROUND(e.value, 2) AS value, e.ts AS ts_obs
+FROM grid ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+  ON grid.user_id = e.user_id AND grid.grid_ts >= e.ts
+"""
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join (extension — SURVEY.md §2.3 notes the reference has no
     as-of join): every 'view' event annotated with the user's most recent
@@ -1879,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q21_waiting': q_tpch_q21,
         'tpch_q22_idle_customers': q_tpch_q22,
         'asof_last_click': q_asof_last_click,
+        'resample_locf': q_resample_locf,
         'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
         'cube_orders': q_cube_orders,
@@ -1959,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         'tpch_q21_waiting': _Q21_SQL,
         'tpch_q22_idle_customers': _Q22_SQL,
         'asof_last_click': _ASOF_SQL,
+        'resample_locf': _RESAMPLE_SQL,
         'range_band_join': _RANGE_BAND_SQL,
         'rollup_pricing': _ROLLUP_SQL,
         'cube_orders': _CUBE_SQL,

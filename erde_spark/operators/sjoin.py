@@ -27,7 +27,7 @@ near the median geometry bbox so most rows land in O(1) cells.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from erde_spark.functions.geo import st_bounds, st_predicate
@@ -350,13 +350,13 @@ def slookup(left_df: DataFrame, right_df: DataFrame, columns: str | list[str],
 def snearest(left_df: DataFrame, right_df: DataFrame, max_distance: float,
              left_on: str = 'geometry', right_on: str = 'geometry',
              how: str = 'inner', suffixes: tuple[str, str] = ('', '_right'),
-             distance_col: str = 'distance') -> DataFrame:
+             distance_col: str = 'distance', k: int = 1) -> DataFrame:
     """Nearest-neighbor spatial join (gpd ``sjoin_nearest`` shape — an
     extension; the reference's family stops at predicate joins): for each
-    left row, the single closest right row within ``max_distance`` (CRS
-    units), plus its distance. Ties break deterministically by the right
-    row's column values (lexicographic). ``how='left'`` keeps unmatched
-    left rows with NULLs.
+    left row, the ``k`` closest right rows within ``max_distance`` (CRS
+    units), plus their distances. Ties break deterministically by the
+    right row's column values (lexicographic). ``how='left'`` keeps
+    unmatched left rows with NULLs (one row each).
 
     Physical strategy: the search radius bounds the problem, so the grid
     cell size IS ``max_distance`` — each left bbox dilated by the radius
@@ -412,9 +412,15 @@ def snearest(left_df: DataFrame, right_df: DataFrame, max_distance: float,
 
     # tie-break on the right row CONTENT (lexicographic over its columns),
     # not an internal row id — reproducible across engines and runs
-    best = (cand.groupBy('__lid')
-            .agg(F.min(F.struct(F.col('__d'), F.col('__rrow'), F.col('__rid')))
-                 .alias('__best')))
+    pick = F.struct(F.col('__d'), F.col('__rrow'), F.col('__rid'))
+    if k == 1:
+        # min-struct aggregate: map-side combining, no per-group sort
+        best = cand.groupBy('__lid').agg(F.min(pick).alias('__best'))
+    else:
+        w = Window.partitionBy('__lid').orderBy('__d', '__rrow', '__rid')
+        best = (cand.withColumn('__rn', F.row_number().over(w))
+                .filter(F.col('__rn') <= k)
+                .select('__lid', pick.alias('__best')))
 
     def _out_cols(nearest_struct):
         cols = [F.col(f'__lrow.{c}').alias(

@@ -109,3 +109,29 @@ def test_asof_matches_python_model(spark):
                                   direction=direction).collect()}
         want = {tag: model(k, x) for k, x, tag in lrows}
         assert got == want, f'seed={seed} direction={direction}'
+
+
+def test_resample_locf(spark):
+    """Gap-fill semantics: grid points before the first observation are
+    NULL; later points carry the latest value forward."""
+    from erde_spark.operators.timeseries import resample_locf
+    df = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 10), 5.0), (1, T(2024, 1, 1, 2, 30), 7.0),
+         (2, T(2024, 1, 1, 1, 45), 9.0)],
+        'k long, ts timestamp, v double')
+    out = resample_locf(df, 'ts', '1 hour', by='k',
+                        start='2024-01-01 00:00:00', end='2024-01-01 03:00:00')
+    got = {(r['k'], r['grid_ts'].hour): r['v'] for r in out.collect()}
+    assert got == {(1, 0): None, (1, 1): 5.0, (1, 2): 5.0, (1, 3): 7.0,
+                   (2, 0): None, (2, 1): None, (2, 2): 9.0, (2, 3): 9.0}
+    assert out.count() == 8  # 2 keys x 4 grid points
+
+
+def test_resample_locf_auto_bounds_and_no_keys(spark):
+    from erde_spark.operators.timeseries import resample_locf
+    df = spark.createDataFrame(
+        [(T(2024, 1, 1, 0, 0), 1.0), (T(2024, 1, 1, 4, 0), 2.0)],
+        'ts timestamp, v double')
+    out = resample_locf(df, 'ts', '2 hours')
+    rows = sorted((r['grid_ts'].hour, r['v']) for r in out.collect())
+    assert rows == [(0, 1.0), (2, 1.0), (4, 2.0)]

@@ -241,3 +241,14 @@ def test_geom_distance_kernel():
                          ('LineString', [(0, 3), (10, 3)])) == 3.0
     assert geom_distance(('LineString', [(0, 0), (10, 10)]),
                          ('LineString', [(0, 10), (10, 0)])) == 0.0
+
+
+def test_snearest_k_neighbors(spark):
+    from erde_spark.operators.sjoin import snearest
+    pts = _pt_df(spark, [(0, 0, 'a')])
+    sites = _pt_df(spark, [(1, 0, 's1'), (2, 0, 's2'), (3, 0, 's3'), (40, 0, 'sfar')])
+    rows = snearest(pts, sites, max_distance=10.0, k=2).collect()
+    got = sorted((r['name_right'], r['distance']) for r in rows)
+    assert got == [('s1', 1.0), ('s2', 2.0)]
+    # k larger than the match count returns what exists
+    assert snearest(pts, sites, max_distance=10.0, k=5).count() == 3
