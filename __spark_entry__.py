@@ -928,6 +928,32 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
 """
 
 
+def q_full_outer_priority(spark, sf_dir):
+    """FULL OUTER join (the one join kind not covered elsewhere): per
+    customer, urgent-order stats vs low-priority-order stats; customers
+    appearing on only one side keep NULLs on the other."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    urgent = (o.filter(F.col('o_orderpriority') == '1-URGENT')
+              .groupBy(F.col('o_custkey').alias('u_custkey'))
+              .agg(F.count(F.lit(1)).alias('urgent_orders')))
+    low = (o.filter(F.col('o_orderpriority') == '5-LOW')
+           .groupBy(F.col('o_custkey').alias('l_custkey'))
+           .agg(F.count(F.lit(1)).alias('low_orders')))
+    j = urgent.join(low, F.col('u_custkey') == F.col('l_custkey'), 'full_outer')
+    return j.select(F.coalesce('u_custkey', 'l_custkey').alias('custkey'),
+                    'urgent_orders', 'low_orders')
+
+
+_FULL_OUTER_SQL = """
+WITH u AS (SELECT o_custkey AS u_custkey, COUNT(*) AS urgent_orders
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+     l AS (SELECT o_custkey AS l_custkey, COUNT(*) AS low_orders
+           FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+SELECT COALESCE(u_custkey, l_custkey) AS custkey, urgent_orders, low_orders
+FROM u FULL OUTER JOIN l ON u_custkey = l_custkey
+"""
+
+
 def q_subset_dsl(spark, sf_dir):
     from erde_spark.operators.subset import subset
     li = _t(spark, sf_dir, 'lineitem')['lineitem']
@@ -1911,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cube_orders': q_cube_orders,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'percentile_prices': q_percentile_prices,
+        'full_outer_priority': q_full_outer_priority,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'subset_dsl': q_subset_dsl,
@@ -1992,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         'cube_orders': _CUBE_SQL,
         'pivot_priority_revenue': _PIVOT_SQL,
         'percentile_prices': _PERCENTILE_SQL,
+        'full_outer_priority': _FULL_OUTER_SQL,
         'anti_join_no_urgent': _ANTI_SQL,
         'scalar_subquery_acctbal': _SCALAR_SUB_SQL,
         'subset_dsl': _SUBSET_SQL,

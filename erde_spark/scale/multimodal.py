@@ -115,6 +115,38 @@ def extract_features(assets: DataFrame, fake: bool = False,
     return assets.mapInPandas(_run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = ('asset_id long, out_w int, out_h int, '
+                 'pixels array<double>')
+
+
+def resize_media(assets: DataFrame, out_w: int, out_h: int,
+                 fake: bool = False) -> DataFrame:
+    """Decode + nearest-neighbor resize via ``mapInPandas`` (same
+    iterator-of-batches constant-memory contract as feature extraction).
+    The resampling arithmetic is real numpy index math; only the decode
+    step is stubbed (``fake=True`` uses the deterministic stand-in)."""
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixels = [], []
+            for aid, blob, meta in zip(pdf['asset_id'], pdf['media'], pdf['meta']):
+                blob = bytes(blob)
+                if fake:
+                    arr = _fake_decode(blob, int(meta['width']), int(meta['height']))
+                else:
+                    arr = decode_media(blob, meta['format'])
+                h, w = arr.shape[:2]
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = arr[np.ix_(yi, xi)]
+                ids.append(int(aid))
+                pixels.append(small.astype(np.float64).ravel().tolist())
+            yield pd.DataFrame({'asset_id': ids,
+                                'out_w': out_w, 'out_h': out_h,
+                                'pixels': pixels})
+
+    return assets.mapInPandas(_run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode each asset into frame-index
     rows (decode stubbed; index arithmetic and fan-out shape are real).

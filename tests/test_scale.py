@@ -208,6 +208,18 @@ def test_multimodal_plumbing(spark, docs):
     assert plan.count() > 20  # fan-out happened
 
 
+def test_multimodal_resize(spark, docs):
+    from erde_spark.scale.multimodal import resize_media, synthesize_assets
+    assets = synthesize_assets(docs.limit(10))
+    out = resize_media(assets, out_w=4, out_h=3, fake=True).collect()
+    assert len(out) == 10
+    assert all(len(r['pixels']) == 12 for r in out)
+    # deterministic across runs
+    again = resize_media(synthesize_assets(docs.limit(10)), 4, 3, fake=True).collect()
+    assert sorted((r['asset_id'], tuple(r['pixels'])) for r in out) == \
+           sorted((r['asset_id'], tuple(r['pixels'])) for r in again)
+
+
 def test_decode_media_is_stubbed(spark, docs):
     from erde_spark.scale.multimodal import extract_features, synthesize_assets
     import pyspark.errors
