@@ -25,17 +25,22 @@ BENCH_QUERIES = [
     'column_stats',
     'window_top3_orders',
     'asof_last_click',
+    'resample_locf',
     'range_band_join',
     'rollup_pricing',
+    'percentile_prices',
     'events_hourly',
     'events_sessionize',
     'events_json',
     'geo_rect_area',
     'geo_buffer_area',
     'sjoin_points_rects',
+    'snearest_rect',
     'sagg_rect_demand',
     'sfilter_outside',
     'text_analysis',
+    'top_tokens',
+    'token_count_bpe',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',
