@@ -1706,6 +1706,38 @@ WHERE len(list_intersect(a.toks, b.toks))*1.0 /
 """
 
 
+def q_cluster_components_jaccard(spark, sf_dir):
+    """Connected components over the EXACT n-gram-Jaccard pair graph
+    (threshold 0.8): the clustering machinery (min-label propagation +
+    pointer jumping) gets a full value oracle here — DuckDB reproduces
+    the same components with a recursive CTE (transitive closure ->
+    min reachable id). The LSH-based dedup_clusters shares this exact
+    component code; only its candidate recall is probabilistic."""
+    from erde_spark.scale.dedup import connected_components, jaccard_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    pairs = jaccard_pairs(d, threshold=0.8)
+    comp = connected_components(pairs, d.select('doc_id'))
+    return comp.select(F.col('id').alias('doc_id'), 'component')
+
+
+_CLUSTER_CC_SQL = """
+WITH RECURSIVE
+t AS (SELECT doc_id, list_distinct(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks
+  FROM documents),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))*1.0 /
+    (len(a.toks)+len(b.toks)-len(list_intersect(a.toks, b.toks))) >= 0.8),
+edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.b, reach.r FROM reach JOIN edges ON edges.a = reach.id)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified. Same
     precision as exact Jaccard; recall is probabilistic -> no SQL oracle
@@ -1974,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_winnow_pairs': q_text_winnow,
         'dedup_exact': q_dedup_exact,
         'dedup_jaccard': q_dedup_jaccard,
+        'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding': q_dedup_embedding,
@@ -2054,10 +2087,14 @@ def oracle_sql() -> dict[str, str]:
         'token_count_bpe': _TOKEN_BPE_SQL,
         'dedup_exact': _DEDUP_EXACT_SQL,
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
+        'cluster_components_jaccard': _CLUSTER_CC_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
-        # dedup_minhash_lsh, dedup_simhash, dedup_clusters, similarity_lsh,
-        # similarity_ivf, multimodal_features, routing_route,
-        # routing_od_table, routing_isochrone, events_stateful
+        # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
+        # LSH recall; their shared component machinery IS value-gated via
+        # cluster_components_jaccard), similarity_lsh, similarity_ivf,
+        # multimodal_features, routing_route, routing_od_table,
+        # routing_isochrone, events_stateful, sketch_cardinality,
+        # text_winnow_pairs, geo queries listed above keep closed forms
     }
