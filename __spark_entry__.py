@@ -1823,9 +1823,12 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Cluster-representative dedup: MinHash-LSH pairs -> connected
-    components -> keep min doc_id per cluster (the linear-cost production
-    dedup; no SQL oracle — LSH recall is probabilistic; rows-only)."""
+    """Cluster-representative dedup: per-bucket SPANNING star edges
+    (O(docs x bands), never clique^2 pair enumeration) -> verified exact
+    Jaccard -> connected components -> keep min doc_id per cluster, with a
+    representative-merge pass repairing star-edge splits (the linear-cost
+    production dedup; no SQL oracle — LSH recall is probabilistic;
+    rows-only)."""
     from erde_spark.scale.dedup import dedup_clusters
     d = _t(spark, sf_dir, 'documents')['documents']
     return dedup_clusters(d, threshold=0.9) \

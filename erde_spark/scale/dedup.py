@@ -150,6 +150,68 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
     return tok.select(F.col('id'), _sig('toks').alias('sig'))
 
 
+def _threshold_bands(num_perm: int, threshold: float) -> int:
+    """Threshold-matched banding: the largest rows-per-band r (sharpest
+    S-curve) whose midpoint (1/b)^(1/r) sits just below the threshold."""
+    best = num_perm  # fallback: 1 row per band
+    for r in range(2, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        if (1.0 / b) ** (1.0 / r) <= threshold * 0.92:
+            best = b
+    return best
+
+
+def _lsh_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bh) — one row per (document, band); bh hashes the band's
+    signature slice so bucket keys are fixed-width ints."""
+    band_cols = [
+        F.struct(F.lit(i).alias('band'),
+                 F.hash(F.slice('sig', i * rows + 1, rows)).alias('bh')).alias(f'__b{i}')
+        for i in range(bands)]
+    return (sig.select('id', F.explode(F.array(*band_cols)).alias('b'))
+               .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
+
+
+def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks: array<long>) distinct 64-bit token hashes per document.
+    Integer ``array_intersect`` is several times cheaper than string,
+    identical up to ~1e-10/pair collisions."""
+    return df.select(
+        F.col(id_col).alias('id'),
+        F.array_distinct(F.transform(tokens(F.col(text_col)),
+                                     lambda t: F.xxhash64(t))).alias('toks'))
+
+
+def _verify_jaccard(cand: DataFrame, sig: DataFrame, tok: DataFrame,
+                    threshold: float, num_perm: int, small) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Two stages: a signature pre-filter (estimated Jaccard = fraction of
+    matching minhashes, cut 4 sigma below threshold so true pairs survive
+    with ~1-1e-4 probability while clearly-sub-threshold candidates skip
+    the set intersection), then exact Jaccard on hashed token sets.
+    """
+    est_cut = threshold - 4.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
+    if est_cut > 0:
+        sa = sig.select(F.col('id').alias('id_a'), F.col('sig').alias('sig_a'))
+        sb = sig.select(F.col('id').alias('id_b'), F.col('sig').alias('sig_b'))
+        matches = F.size(F.filter(
+            F.zip_with('sig_a', 'sig_b', lambda x, y: x == y), lambda v: v))
+        cand = (cand.join(small(sa), 'id_a').join(small(sb), 'id_b')
+                .filter(matches >= F.lit(est_cut * num_perm))
+                .select('id_a', 'id_b'))
+    ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
+    tb = tok.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
+    return (cand.join(small(ta), 'id_a').join(small(tb), 'id_b')
+            .withColumn('inter', F.size(F.array_intersect('toks_a', 'toks_b')))
+            .withColumn('jaccard', F.col('inter') /
+                        (F.size('toks_a') + F.size('toks_b') - F.col('inter')))
+            .filter(F.col('jaccard') >= threshold)
+            .select('id_a', 'id_b', 'jaccard'))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                       threshold: float = 0.6, num_perm: int = 144, bands: int | None = None,
                       seed: int = 42, broadcast_docs: bool | None = None) -> DataFrame:
@@ -172,62 +234,83 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     times cheaper than string, identical up to ~1e-10/pair collisions).
 
     Pair-level cost is unavoidable; DOC-level tables (signatures, token
-    sets) are only ever joined onto pairs. ``broadcast_docs=None`` decides
-    adaptively (docs <= 2M broadcast, map-side join, no pair shuffle;
-    larger corpora fall back to shuffle joins which AQE re-plans).
+    sets) are only ever joined onto pairs. Both are eagerly materialized
+    (``localCheckpoint``) before the self-joins: each feeds 2+ plan
+    branches, and re-running the Python signature/tokenize kernels per
+    branch would quadruple the Arrow traffic — the linear precompute is
+    exactly what a production dedup does with its signature table.
+    ``broadcast_docs=None`` decides adaptively (docs <= 2M broadcast,
+    map-side join, no pair shuffle; larger corpora fall back to shuffle
+    joins which AQE re-plans).
     """
     if bands is None:
-        best = num_perm  # fallback: 1 row per band
-        for r in range(2, num_perm + 1):
-            if num_perm % r:
-                continue
-            b = num_perm // r
-            if (1.0 / b) ** (1.0 / r) <= threshold * 0.92:
-                best = b  # largest r (sharpest curve) whose midpoint is below t
-        bands = best
+        bands = _threshold_bands(num_perm, threshold)
     if num_perm % bands != 0:
         raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
     rows = num_perm // bands
     if broadcast_docs is None:
         broadcast_docs = df.count() <= 2_000_000
     small = F.broadcast if broadcast_docs else (lambda x: x)
-    sig = minhash_signatures(df, id_col, text_col, num_perm, seed)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+        .localCheckpoint(eager=True)
+    tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
 
-    band_cols = [
-        F.struct(F.lit(i).alias('band'),
-                 F.hash(F.slice('sig', i * rows + 1, rows)).alias('bh')).alias(f'__b{i}')
-        for i in range(bands)]
-    buckets = (sig.select('id', F.explode(F.array(*band_cols)).alias('b'))
-                  .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
+    buckets = _lsh_buckets(sig, bands, rows)
     a, b = buckets.alias('a'), buckets.alias('b')
+    # multi-band collisions are deduped with distinct() rather than the
+    # canonical-band filter: the filter's zip_with/slice are higher-order
+    # functions Spark evaluates interpreted (outside whole-stage codegen),
+    # which measured ~15x slower than shuffling the duplicate pairs
     cand = (a.join(small(b), (F.col('a.band') == F.col('b.band')) &
                              (F.col('a.bh') == F.col('b.bh')) &
                              (F.col('a.id') < F.col('b.id')))
              .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
              .distinct())
+    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
 
-    est_cut = threshold - 4.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
-    if est_cut > 0:
-        sa = sig.select(F.col('id').alias('id_a'), F.col('sig').alias('sig_a'))
-        sb = sig.select(F.col('id').alias('id_b'), F.col('sig').alias('sig_b'))
-        matches = F.size(F.filter(
-            F.zip_with('sig_a', 'sig_b', lambda x, y: x == y), lambda v: v))
-        cand = (cand.join(small(sa), 'id_a').join(small(sb), 'id_b')
-                .filter(matches >= F.lit(est_cut * num_perm))
-                .select('id_a', 'id_b'))
 
-    tok = df.select(
-        F.col(id_col).alias('id'),
-        F.array_distinct(F.transform(tokens(F.col(text_col)),
-                                     lambda t: F.xxhash64(t))).alias('toks'))
-    ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
-    tb = tok.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
-    verified = (cand.join(small(ta), 'id_a').join(small(tb), 'id_b')
-                .withColumn('inter', F.size(F.array_intersect('toks_a', 'toks_b')))
-                .withColumn('jaccard', F.col('inter') /
-                            (F.size('toks_a') + F.size('toks_b') - F.col('inter')))
-                .filter(F.col('jaccard') >= threshold))
-    return verified.select('id_a', 'id_b', 'jaccard')
+def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                           threshold: float = 0.6, num_perm: int = 144,
+                           bands: int | None = None, seed: int = 42,
+                           broadcast_docs: bool | None = None) -> DataFrame:
+    """Verified near-duplicate edges sufficient to CONNECT each cluster,
+    without enumerating every pair of a duplicate clique.
+
+    Per LSH bucket, only star edges (bucket-min id, member id) are
+    emitted — O(docs x bands) candidates instead of O(clique^2). A
+    2,000-document duplicate clique yields ~2,000 verified edges here vs
+    ~2,000,000 from ``minhash_lsh_pairs``; connected components are
+    identical whenever star edges verify (near-dup clusters are
+    near-cliques, so they almost always do — ``dedup_clusters`` adds a
+    representative-merge pass that repairs the rare split). Use this for
+    clustering; use ``minhash_lsh_pairs`` when the pair list itself is the
+    product.
+    """
+    if bands is None:
+        bands = _threshold_bands(num_perm, threshold)
+    if num_perm % bands != 0:
+        raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
+    rows = num_perm // bands
+    if broadcast_docs is None:
+        broadcast_docs = df.count() <= 2_000_000
+    small = F.broadcast if broadcast_docs else (lambda x: x)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+        .localCheckpoint(eager=True)
+    tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
+    buckets = _lsh_buckets(sig, bands, rows)
+    cand = _bucket_star_edges(buckets)
+    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
+
+
+def _bucket_star_edges(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
+    """Distinct (id_a, id_b) star edges per (band, bh) bucket: every member
+    paired with its bucket's minimum id. One shuffle on the bucket key
+    (map-side combined min + broadcast-back), one on the pair distinct."""
+    mins = buckets.groupBy('band', 'bh').agg(F.min(member_col).alias('id_a'))
+    return (buckets.join(mins, ['band', 'bh'])
+            .filter(F.col(member_col) > F.col('id_a'))
+            .select('id_a', F.col(member_col).alias('id_b'))
+            .distinct())
 
 
 # ---------------------------------------------------------------- simhash
@@ -301,19 +384,32 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     jumping, so rounds grow the reached radius exponentially
     (O(log diameter) rounds instead of O(diameter)).
 
+    Only nodes that appear in an edge enter the iteration — in a dedup
+    corpus most documents are singletons, and carrying them through every
+    round would dominate the per-round join cost; they rejoin at the end
+    with ``component = id``.
+
     Each round: (1) every node adopts the min label among itself and its
     neighbors; (2) pointer jump — every node re-reads its current
     component's label. Labels are eagerly localCheckpoint'ed per round:
     iterative plans otherwise accrue lineage that inflates Catalyst
-    analysis time quadratically.
+    analysis time quadratically. Convergence is detected from the label
+    sum — labels only ever decrease, so an unchanged sum is a fixpoint —
+    one aggregation on the already-checkpointed labels instead of a
+    join-and-compare against the previous round.
     """
     edges = (pairs.select('id_a', 'id_b')
              .union(pairs.select(F.col('id_b').alias('id_a'),
                                  F.col('id_a').alias('id_b'))))
     edges = edges.localCheckpoint(eager=True)
-    labels = ids.select(F.col(ids.columns[0]).alias('id'),
-                        F.col(ids.columns[0]).alias('component')) \
-        .localCheckpoint(eager=True)
+    labels = (edges.select(F.col('id_a').alias('id')).distinct()
+              .select('id', F.col('id').alias('component'))
+              .localCheckpoint(eager=True))
+    numeric = isinstance(labels.schema['component'].dataType, T.NumericType)
+    # decimal sum: long-id sums overflow int64 on large corpora
+    label_sum = (lambda df_: df_.agg(
+        F.sum(F.col('component').cast(T.DecimalType(38, 0)))).first()[0])
+    prev_sum = label_sum(labels) if numeric else None
     for i in range(max_iterations):
         nmin = (edges.join(labels, edges['id_b'] == labels['id'])
                 .groupBy('id_a').agg(F.min('component').alias('nmin'))
@@ -327,25 +423,85 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                   .select('id', F.least('component', F.coalesce('pcomp', 'component'))
                           .alias('component'))
                   .localCheckpoint(eager=True))
-        changed = (jumped.join(labels.withColumnRenamed('component', 'old'), 'id')
-                   .filter(F.col('component') != F.col('old')).limit(1).count())
+        if numeric:
+            cur_sum = label_sum(jumped)
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (jumped.join(labels.withColumnRenamed('component', 'old'), 'id')
+                       .filter(F.col('component') != F.col('old')).limit(1).count()) > 0
         labels = jumped
-        if changed == 0:
+        if not changed:
             break
-    return labels
+    singles = (ids.select(F.col(ids.columns[0]).alias('id'))
+               .join(labels.select('id'), 'id', 'left_anti')
+               .select('id', F.col('id').alias('component')))
+    return labels.unionByName(singles)
 
 
 def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                   threshold: float = 0.8, **lsh_kw) -> DataFrame:
-    """One representative per near-duplicate cluster: MinHash-LSH pairs ->
+                   threshold: float = 0.8, pair_strategy: str = 'spanning',
+                   merge_rounds: int = 2, **lsh_kw) -> DataFrame:
+    """One representative per near-duplicate cluster: MinHash-LSH edges ->
     connected components -> keep the minimum id of each component.
 
-    THE production dedup shape at 100 TB: pair enumeration inside dense
-    dup clusters is quadratic, but components + representatives stay
-    linear in documents once candidates exist.
+    THE production dedup shape at 100 TB: with ``pair_strategy='spanning'``
+    (default) candidate edges are per-bucket stars — O(docs x bands) —
+    so a dense duplicate clique costs linear work end to end; components +
+    representatives stay linear in documents. ``pair_strategy='pairs'``
+    enumerates and verifies every clique pair (quadratic in cluster size)
+    and exists for verification against the spanning path.
+
+    A star edge that fails exact verification can split a cluster that
+    all-pairs would have connected, so after components are labeled a
+    merge pass re-buckets the REPRESENTATIVES: representatives sharing an
+    LSH bucket are verified pairwise (there are few — they are mutual
+    non-duplicates except exactly where a split happened) and any verified
+    pair merges its two components. The pass repeats up to
+    ``merge_rounds`` times or until no merge fires, restoring the
+    invariant that no two kept documents are near-duplicates at the
+    threshold (up to LSH recall, the same bound as the pairs path).
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **lsh_kw)
-    comp = connected_components(pairs, df.select(id_col))
+    if pair_strategy == 'pairs':
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **lsh_kw)
+        comp = connected_components(pairs, df.select(id_col))
+    elif pair_strategy == 'spanning':
+        num_perm = lsh_kw.get('num_perm', 144)
+        bands = lsh_kw.get('bands') or _threshold_bands(num_perm, threshold)
+        rows = num_perm // bands
+        seed = lsh_kw.get('seed', 42)
+        broadcast_docs = lsh_kw.get('broadcast_docs')
+        if broadcast_docs is None:
+            broadcast_docs = df.count() <= 2_000_000
+        small = F.broadcast if broadcast_docs else (lambda x: x)
+        sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+            .localCheckpoint(eager=True)
+        tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
+        buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
+        edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
+                                threshold, num_perm, small)
+        comp = connected_components(edges, df.select(id_col)) \
+            .localCheckpoint(eager=True)
+        for _ in range(merge_rounds):
+            # representatives (= component labels) back into their buckets;
+            # star edges among representatives that still collide
+            rep_buckets = (buckets.join(comp, 'id')
+                           .select(F.col('component').alias('rid'), 'band', 'bh')
+                           .distinct())
+            rep_cand = _bucket_star_edges(rep_buckets, member_col='rid')
+            merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
+                .select('id_a', 'id_b').localCheckpoint(eager=True)
+            if merges.limit(1).count() == 0:
+                break
+            rep_map = (connected_components(
+                merges, comp.select(F.col('component')).distinct())
+                .withColumnRenamed('component', 'supercomp')
+                .withColumnRenamed('id', 'component'))
+            comp = (comp.join(rep_map, 'component')
+                    .select('id', F.col('supercomp').alias('component'))
+                    .localCheckpoint(eager=True))
+    else:
+        raise ValueError(f'unknown pair_strategy {pair_strategy!r}')
     reps = comp.groupBy('component').agg(F.min('id').alias('keep_id'),
                                          F.count(F.lit(1)).alias('cluster_size'))
     return (df.join(reps.select(F.col('keep_id').alias(id_col), 'cluster_size'),
