@@ -870,6 +870,101 @@ GROUP BY c_mktsegment
 """
 
 
+def q_string_funcs(spark, sf_dir):
+    """String-function surface (SURVEY.md §2.6: the reference has no
+    string library — Spark F.* provides it natively): case mapping,
+    substring, length, padding, split-indexing, literal regexp_replace,
+    multi-column concat. Pure whole-stage-codegen projection — no Python,
+    no shuffle."""
+    c = _t(spark, sf_dir, 'customer')['customer']
+    return c.select(
+        'c_custkey',
+        F.upper('c_name').alias('name_upper'),
+        F.lower('c_mktsegment').alias('seg_lower'),
+        F.substring('c_name', 1, 8).alias('name_prefix'),
+        F.length('c_name').cast('long').alias('name_len'),
+        F.lpad(F.col('c_custkey').cast('string'), 10, '0').alias('key_padded'),
+        F.split('c_name', '#').getItem(1).alias('name_num'),
+        F.regexp_replace('c_name', 'Customer#', 'C-').alias('name_short'),
+        F.concat_ws('|', 'c_mktsegment', 'c_name').alias('seg_name'))
+
+
+_STRING_FUNCS_SQL = """
+SELECT c_custkey,
+  UPPER(c_name) AS name_upper,
+  LOWER(c_mktsegment) AS seg_lower,
+  SUBSTRING(c_name, 1, 8) AS name_prefix,
+  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+  STRING_SPLIT(c_name, '#')[2] AS name_num,
+  REGEXP_REPLACE(c_name, 'Customer#', 'C-') AS name_short,
+  CONCAT_WS('|', c_mktsegment, c_name) AS seg_name
+FROM customer
+"""
+
+
+def q_date_funcs(spark, sf_dir):
+    """Date/time-function surface (the reference never touches
+    timestamps — SURVEY.md §1.2): extract year/quarter/month/day,
+    day-of-week (normalized to Sunday=0 across engines), month
+    truncation, and day arithmetic against a fixed epoch. Projection
+    only — codegen, no shuffle."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    return o.select(
+        'o_orderkey',
+        F.year('o_orderdate').cast('long').alias('yr'),
+        F.quarter('o_orderdate').cast('long').alias('qtr'),
+        F.month('o_orderdate').cast('long').alias('mon'),
+        F.dayofmonth('o_orderdate').cast('long').alias('dom'),
+        (F.dayofweek('o_orderdate') - 1).cast('long').alias('dow'),
+        F.date_trunc('month', 'o_orderdate').alias('month_start'),
+        F.datediff('o_orderdate', F.lit('1995-01-01').cast('timestamp'))
+         .cast('long').alias('days_since_1995'))
+
+
+_DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+  CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+  CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+  CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+  CAST(DAYOFWEEK(o_orderdate) % 7 AS BIGINT) AS dow,
+  DATE_TRUNC('month', o_orderdate) AS month_start,
+  CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+    AS days_since_1995
+FROM orders
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array-function surface over tokenized documents: sort, distinct
+    count, containment, slicing, and string re-join — all JVM built-ins
+    (SURVEY.md §2.6 "map/array functions: Spark F.* covers natively").
+    Arrays are re-joined to strings so the oracle compare stays on scalar
+    columns."""
+    d = _t(spark, sf_dir, 'documents')['documents']
+    toks = F.split(F.lower('text'), r'\s+')
+    return d.select(
+        'doc_id',
+        F.size(toks).cast('long').alias('n_tokens'),
+        F.size(F.array_distinct(toks)).cast('long').alias('n_distinct'),
+        F.array_contains(toks, 'the').alias('has_the'),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ' ')
+         .alias('first5_sorted'))
+
+
+_ARRAY_FUNCS_SQL = """
+SELECT doc_id,
+  CAST(LENGTH(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(LENGTH(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(text), '\\s+'))) AS BIGINT)
+    AS n_distinct,
+  LIST_CONTAINS(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), 'the') AS has_the,
+  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(text), '\\s+')))[1:5], ' ')
+    AS first5_sorted
+FROM documents
+"""
+
+
 def q_percentile_prices(spark, sf_dir):
     """Exact interpolated percentiles (median / p90) of extended price per
     return flag — Spark `percentile` vs DuckDB `quantile_cont`, rounded to
@@ -1972,6 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cube_orders': q_cube_orders,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'percentile_prices': q_percentile_prices,
+        'string_funcs': q_string_funcs,
+        'date_funcs': q_date_funcs,
+        'array_funcs': q_array_funcs,
         'full_outer_priority': q_full_outer_priority,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
@@ -2055,6 +2153,9 @@ def oracle_sql() -> dict[str, str]:
         'cube_orders': _CUBE_SQL,
         'pivot_priority_revenue': _PIVOT_SQL,
         'percentile_prices': _PERCENTILE_SQL,
+        'string_funcs': _STRING_FUNCS_SQL,
+        'date_funcs': _DATE_FUNCS_SQL,
+        'array_funcs': _ARRAY_FUNCS_SQL,
         'full_outer_priority': _FULL_OUTER_SQL,
         'anti_join_no_urgent': _ANTI_SQL,
         'scalar_subquery_acctbal': _SCALAR_SUB_SQL,

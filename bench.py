@@ -56,9 +56,17 @@ def main():
     spark = get_spark(app_name='erde_spark_bench')
 
     qs = entry.queries()
-    # warm the JVM/Arrow paths once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM and the Python-worker/Arrow paths once so per-query
+    # numbers measure the queries, not session startup: tpch_q1 exercises
+    # scan+shuffle codegen; the tiny pandas UDF spawns the Python worker
+    # daemon and imports pandas/numpy in every worker before timing starts
     qs['tpch_q1_pricing'](spark, SF_DIR).count()
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x):
+        return x + 1
+    spark.range(0, 1024, 1, 32).select(_warm('id')).count()
 
     timings = {}
     total = 0.0
