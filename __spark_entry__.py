@@ -846,6 +846,36 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((status), (priority)) through the engine's
+    SQL entry point (spark.sql over a temp view) — one shuffle, both
+    aggregates computed in a single pass with grouping() markers
+    disambiguating the set each row belongs to."""
+    o = _t(spark, sf_dir, 'orders')['orders']
+    o.createOrReplaceTempView('__gs_orders')
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 def q_pivot_priority_revenue(spark, sf_dir):
     """PIVOT: order revenue by market segment (rows) x order priority
     (columns). Explicit pivot-value list keeps the plan a single
@@ -1801,6 +1831,34 @@ WHERE len(list_intersect(a.toks, b.toks))*1.0 /
 """
 
 
+def q_dedup_jaccard_ngram(spark, sf_dir):
+    """EXACT char-5-gram (shingle) Jaccard pairs — the Broder-style
+    shingle unit, robust to intra-word edits that word tokens miss; same
+    inverted-index plan as dedup_jaccard with shingles as the set
+    element."""
+    from erde_spark.scale.dedup import jaccard_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return jaccard_pairs(d, threshold=0.7, shingles=5) \
+        .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
+
+
+_DEDUP_JACCARD_NGRAM_SQL = """
+WITH s AS (SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+t AS (SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(length(s)-4, 1)), i -> substring(s, i, 5)))
+    AS toks
+  FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.toks, b.toks))*1.0 /
+    (len(a.toks)+len(b.toks)-len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))*1.0 /
+    (len(a.toks)+len(b.toks)-len(list_intersect(a.toks, b.toks))) >= 0.7
+"""
+
+
 def q_cluster_components_jaccard(spark, sf_dir):
     """Connected components over the EXACT n-gram-Jaccard pair graph
     (threshold 0.8): the clustering machinery (min-label propagation +
@@ -2065,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
         'cube_orders': q_cube_orders,
+        'grouping_sets_orders': q_grouping_sets,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
@@ -2107,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_winnow_pairs': q_text_winnow,
         'dedup_exact': q_dedup_exact,
         'dedup_jaccard': q_dedup_jaccard,
+        'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
         'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2151,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         'range_band_join': _RANGE_BAND_SQL,
         'rollup_pricing': _ROLLUP_SQL,
         'cube_orders': _CUBE_SQL,
+        'grouping_sets_orders': _GROUPING_SETS_SQL,
         'pivot_priority_revenue': _PIVOT_SQL,
         'percentile_prices': _PERCENTILE_SQL,
         'string_funcs': _STRING_FUNCS_SQL,
@@ -2191,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         'token_count_bpe': _TOKEN_BPE_SQL,
         'dedup_exact': _DEDUP_EXACT_SQL,
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
+        'dedup_jaccard_ngram': _DEDUP_JACCARD_NGRAM_SQL,
         'cluster_components_jaccard': _CLUSTER_CC_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,

@@ -30,7 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from erde_spark.scale.text import fingerprint, tokens
+from erde_spark.scale.text import char_shingles, fingerprint, tokens
+
+
+def _units(text_col, shingles: int | None):
+    """The set-similarity unit: lowercase word tokens by default, or
+    overlapping character n-grams when ``shingles`` is given (the
+    shingle->minhash pipeline of Broder '97 — robust to intra-word edits
+    and language-agnostic)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return char_shingles(c, shingles) if shingles else tokens(c)
 
 # ---------------------------------------------------------------- exact
 
@@ -58,13 +67,15 @@ def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 # ---------------------------------------------------------------- exact jaccard
 
-def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_sets(df: DataFrame, id_col: str, text_col: str,
+                shingles: int | None = None) -> DataFrame:
     return df.select(F.col(id_col).alias('id'),
-                     F.array_distinct(tokens(F.col(text_col))).alias('toks'))
+                     F.array_distinct(_units(text_col, shingles)).alias('toks'))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                  threshold: float = 0.6, max_doc_freq: int | None = None) -> DataFrame:
+                  threshold: float = 0.6, max_doc_freq: int | None = None,
+                  shingles: int | None = None) -> DataFrame:
     """EXACT token-set Jaccard similarity pairs >= threshold.
 
     Physical plan: tokenize -> explode -> self-equi-join on token (one
@@ -74,7 +85,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
     tokens contribute little to Jaccard but dominate join fan-out; this
     makes the result an upper-bound filter, document if used).
     """
-    tok = _token_sets(df, id_col, text_col)
+    tok = _token_sets(df, id_col, text_col, shingles)
     sizes = tok.select('id', F.size('toks').alias('n'))
     ex = tok.select('id', F.explode('toks').alias('tok'))
     if max_doc_freq is not None:
@@ -122,7 +133,8 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                       num_perm: int = 64, seed: int = 42) -> DataFrame:
+                       num_perm: int = 64, seed: int = 42,
+                       shingles: int | None = None) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures.
 
     Token base hash = first 8 bytes of md5 (stable across engines and
@@ -146,7 +158,7 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
             out.append(m.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    tok = _token_sets(df, id_col, text_col)
+    tok = _token_sets(df, id_col, text_col, shingles)
     return tok.select(F.col('id'), _sig('toks').alias('sig'))
 
 
@@ -174,13 +186,14 @@ def _lsh_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
                .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
 
 
-def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str,
+                       shingles: int | None = None) -> DataFrame:
     """(id, toks: array<long>) distinct 64-bit token hashes per document.
     Integer ``array_intersect`` is several times cheaper than string,
     identical up to ~1e-10/pair collisions."""
     return df.select(
         F.col(id_col).alias('id'),
-        F.array_distinct(F.transform(tokens(F.col(text_col)),
+        F.array_distinct(F.transform(_units(text_col, shingles),
                                      lambda t: F.xxhash64(t))).alias('toks'))
 
 
@@ -214,7 +227,8 @@ def _verify_jaccard(cand: DataFrame, sig: DataFrame, tok: DataFrame,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                       threshold: float = 0.6, num_perm: int = 144, bands: int | None = None,
-                      seed: int = 42, broadcast_docs: bool | None = None) -> DataFrame:
+                      seed: int = 42, broadcast_docs: bool | None = None,
+                      shingles: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     token-set Jaccard (output precision is exact; recall is the LSH
     collision probability, ~1-(1-t^r)^b).
@@ -251,9 +265,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     if broadcast_docs is None:
         broadcast_docs = df.count() <= 2_000_000
     small = F.broadcast if broadcast_docs else (lambda x: x)
-    sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+    sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
         .localCheckpoint(eager=True)
-    tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
+    tok = _hashed_token_sets(df, id_col, text_col, shingles) \
+        .localCheckpoint(eager=True)
 
     buckets = _lsh_buckets(sig, bands, rows)
     a, b = buckets.alias('a'), buckets.alias('b')
@@ -272,7 +287,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
 def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                            threshold: float = 0.6, num_perm: int = 144,
                            bands: int | None = None, seed: int = 42,
-                           broadcast_docs: bool | None = None) -> DataFrame:
+                           broadcast_docs: bool | None = None,
+                           shingles: int | None = None) -> DataFrame:
     """Verified near-duplicate edges sufficient to CONNECT each cluster,
     without enumerating every pair of a duplicate clique.
 
@@ -294,9 +310,10 @@ def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str 
     if broadcast_docs is None:
         broadcast_docs = df.count() <= 2_000_000
     small = F.broadcast if broadcast_docs else (lambda x: x)
-    sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+    sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
         .localCheckpoint(eager=True)
-    tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
+    tok = _hashed_token_sets(df, id_col, text_col, shingles) \
+        .localCheckpoint(eager=True)
     buckets = _lsh_buckets(sig, bands, rows)
     cand = _bucket_star_edges(buckets)
     return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
@@ -441,7 +458,8 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
 
 def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                    threshold: float = 0.8, pair_strategy: str = 'spanning',
-                   merge_rounds: int = 2, **lsh_kw) -> DataFrame:
+                   merge_rounds: int = 2, shingles: int | None = None,
+                   **lsh_kw) -> DataFrame:
     """One representative per near-duplicate cluster: MinHash-LSH edges ->
     connected components -> keep the minimum id of each component.
 
@@ -463,7 +481,8 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
     threshold (up to LSH recall, the same bound as the pairs path).
     """
     if pair_strategy == 'pairs':
-        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **lsh_kw)
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold,
+                                  shingles=shingles, **lsh_kw)
         comp = connected_components(pairs, df.select(id_col))
     elif pair_strategy == 'spanning':
         num_perm = lsh_kw.get('num_perm', 144)
@@ -474,9 +493,10 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         if broadcast_docs is None:
             broadcast_docs = df.count() <= 2_000_000
         small = F.broadcast if broadcast_docs else (lambda x: x)
-        sig = minhash_signatures(df, id_col, text_col, num_perm, seed) \
+        sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
             .localCheckpoint(eager=True)
-        tok = _hashed_token_sets(df, id_col, text_col).localCheckpoint(eager=True)
+        tok = _hashed_token_sets(df, id_col, text_col, shingles) \
+            .localCheckpoint(eager=True)
         buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
                                 threshold, num_perm, small)

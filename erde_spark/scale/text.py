@@ -37,6 +37,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Array of overlapping lowercase character n-grams (shingles) —
+    the classic MinHash unit (Broder '97): robust to word-boundary edits
+    that word tokens miss. Whitespace runs collapse to one space first so
+    formatting-only changes don't alter the shingle set. Built from JVM
+    ``sequence``/``transform``/``substring`` — higher-order functions are
+    interpreted (not codegen), but this is a LINEAR per-document pass, not
+    a per-pair one, so the cost is bounded by corpus size.
+
+    Documents shorter than ``n`` chars yield a single whole-text shingle
+    (never an empty set, so Jaccard stays defined)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(F.regexp_replace(F.lower(c), r'\s+', ' '))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(s, i, n))
+
+
 def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
     """Fraction of tokens that are stopwords (0 for empty docs)."""
     t = tokens(col)

@@ -100,6 +100,31 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
     assert lsh == exact
 
 
+def test_shingled_minhash_matches_exact(spark, docs):
+    """Char-5-gram shingle units: LSH + exact verify recovers every
+    identical-shingle-set pair, and shingle sets differ from word-token
+    sets (whitespace-normalized n-grams see intra-word structure)."""
+    from erde_spark.scale.dedup import jaccard_pairs, minhash_lsh_pairs
+    exact = {(r['id_a'], r['id_b']) for r in
+             jaccard_pairs(docs, threshold=0.999, shingles=5).collect()}
+    lsh = {(r['id_a'], r['id_b']) for r in
+           minhash_lsh_pairs(docs, threshold=0.999, shingles=5).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_char_shingles_unit(spark):
+    from erde_spark.scale.text import char_shingles
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([('a  B cd',), ('xy',)], 'text string')
+    got = [r['sh'] for r in
+           df.select(char_shingles('text', 3).alias('sh')).collect()]
+    # whitespace collapsed + lowercased: 'a b cd' -> 3-grams
+    assert got[0] == ['a b', ' b ', 'b c', ' cd']
+    # shorter than n -> single whole-text shingle
+    assert got[1] == ['xy']
+
+
 def test_simhash_pairs(spark, docs):
     from erde_spark.scale.dedup import simhash_pairs
     out = simhash_pairs(docs, max_hamming=3).collect()
