@@ -490,18 +490,23 @@ def q_tpch_q12(spark, sf_dir):
                   .otherwise('low').alias('prio_class'))
     late = F.col('l_shipdate') > F.col('o_orderdate') + F.expr('INTERVAL 90 DAYS')
     return (j.groupBy(prio_class)
-            .agg(F.sum(F.when(late, 1).otherwise(0)).alias('late_count'),
-                 F.count(F.lit(1)).alias('line_count')))
+            .agg(F.sum(F.when(late, 1).otherwise(0)).cast('long').alias('late_count'),
+                 F.count(F.lit(1)).alias('line_count'))
+            .orderBy('prio_class'))
 
 
+# CAST(SUM(...) AS BIGINT): DuckDB sums integers into HUGEINT (int128),
+# which hash-canonicalizes differently from Spark's bigint even when the
+# values are equal; ORDER BY keeps both sides deterministically sorted.
 _Q12_SQL = """
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END
          AS prio_class,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
-         AS late_count,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_count,
        COUNT(*) AS line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY prio_class
+ORDER BY prio_class
 """
 
 
@@ -1215,13 +1220,25 @@ FROM orders
 
 
 def q_sketch_cardinality(spark, sf_dir):
-    """HLL sketch vs exact cardinality per event type (approx answers are
-    engine-specific, so this is a rows-only check; the exact column and
-    the <2% relative-error bound are asserted in tests/test_scale.py)."""
+    """HLL sketch vs exact cardinality per event type. The raw approx
+    value is engine-specific, so the DRIVER-GATEABLE output is the exact
+    count plus a Spark-computed ``within_2pct`` flag (HLL with rsd=0.02
+    stays within ~2.5%% with overwhelming probability at these
+    cardinalities); the oracle recomputes the exact counts and asserts the
+    flag TRUE. The raw approx value itself is asserted in
+    tests/test_scale.py."""
     ev = _t(spark, sf_dir, 'events')['events']
+    exact = F.countDistinct('user_id')
+    approx = F.approx_count_distinct('user_id', 0.02)
     return (ev.groupBy('event_type')
-            .agg(F.countDistinct('user_id').alias('exact_users'),
-                 F.approx_count_distinct('user_id', 0.02).alias('approx_users')))
+            .agg(exact.alias('exact_users'),
+                 (F.abs(approx - exact) / exact <= 0.025).alias('within_2pct')))
+
+
+_SKETCH_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_2pct
+FROM events GROUP BY event_type
+"""
 
 
 def q_distinct_segments(spark, sf_dir):
@@ -2096,11 +2113,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness gate checks the
+    FIRST 50 entries, so positions 1-50 hold exactly one-or-more oracled
+    queries per SURVEY.md §2 operator family (relational core, subset/
+    lookup/stats facades, windows, set-ops, time-series extensions, agg
+    shapes, function surfaces, sketches, event windows, geo measures,
+    the sjoin family, text, dedup, similarity). Redundant TPC-H variants
+    (all 22 passed the round-1 gate, see CORRECTNESS_r01.json) and the
+    rows-only queries sit at the tail."""
     return {
+        # -- first 50: one+ oracled query per §2 family ------------------
         'tpch_q1_pricing': q_tpch_q1,
+        'tpch_q6_revenue': q_tpch_q6,
+        'tpch_q12_late_lines': q_tpch_q12,
+        'subset_dsl': q_subset_dsl,
+        'lookup_customer': q_lookup_customer,
+        'crossjoin_dims': q_crossjoin_dims,
+        'column_stats': q_column_stats,
+        'window_top3_orders': q_window_top3,
+        'window_running_revenue': q_window_running,
+        'set_ops': q_set_ops,
+        'asof_last_click': q_asof_last_click,
+        'resample_locf': q_resample_locf,
+        'range_band_join': q_range_band_join,
+        'rollup_pricing': q_rollup_pricing,
+        'grouping_sets_orders': q_grouping_sets,
+        'pivot_priority_revenue': q_pivot_priority_revenue,
+        'percentile_prices': q_percentile_prices,
+        'string_funcs': q_string_funcs,
+        'date_funcs': q_date_funcs,
+        'array_funcs': q_array_funcs,
+        'full_outer_priority': q_full_outer_priority,
+        'anti_join_no_urgent': q_anti_join,
+        'scalar_subquery_acctbal': q_scalar_subquery,
+        'sketch_cardinality': q_sketch_cardinality,
+        'events_hourly': q_events_hourly,
+        'events_sliding': q_events_sliding,
+        'events_json': q_events_json,
+        'events_sessionize': q_events_sessionize,
+        'geo_rect_area': q_geo_rect_area,
+        'geo_line_length': q_geo_line_length,
+        'geo_buffer_area': q_geo_buffer_area,
+        'geo_transform': q_geo_transform,
+        'geo_lonlat_detect': q_geo_lonlat_detect,
+        'geo_buffer_dissolve': q_geo_buffer_dissolve,
+        'geo_line_buffer': q_geo_line_buffer,
+        'sjoin_points_rects': q_sjoin_points_rects,
+        'snearest_rect': q_snearest_rect,
+        'sjfull_geoms': q_sjfull_geoms,
+        'sagg_rect_demand': q_sagg_rect_demand,
+        'sfilter_outside': q_sfilter_outside,
+        'slookup_nation': q_slookup_nation,
+        'text_analysis': q_text_analysis,
+        'top_tokens': q_top_tokens,
+        'token_count_bpe': q_token_count_bpe,
+        'dedup_exact': q_dedup_exact,
+        'dedup_jaccard': q_dedup_jaccard,
+        'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
+        'cluster_components_jaccard': q_cluster_components_jaccard,
+        'dedup_embedding': q_dedup_embedding,
+        'similarity_topk': q_similarity_topk,
+        # -- tail: TPC-H variants green in round 1, + rows-only ops ------
         'tpch_q3_topk': q_tpch_q3,
         'tpch_q5_region_revenue': q_tpch_q5,
-        'tpch_q6_revenue': q_tpch_q6,
         'tpch_q4_semijoin': q_tpch_q4,
         'tpch_q13_custdist': q_tpch_q13,
         'tpch_q18_bigorders': q_tpch_q18,
@@ -2111,68 +2186,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q8_mktshare': q_tpch_q8,
         'tpch_q9_profit': q_tpch_q9,
         'tpch_q11_important_parts': q_tpch_q11,
-        'tpch_q12_late_lines': q_tpch_q12,
+        'tpch_q14_promo': q_tpch_q14_promo,
         'tpch_q15_top_supplier': q_tpch_q15,
         'tpch_q16_supplier_cnt': q_tpch_q16,
         'tpch_q17_small_qty': q_tpch_q17,
         'tpch_q20_heavy_shippers': q_tpch_q20,
         'tpch_q21_waiting': q_tpch_q21,
         'tpch_q22_idle_customers': q_tpch_q22,
-        'asof_last_click': q_asof_last_click,
-        'resample_locf': q_resample_locf,
-        'range_band_join': q_range_band_join,
-        'rollup_pricing': q_rollup_pricing,
         'cube_orders': q_cube_orders,
-        'grouping_sets_orders': q_grouping_sets,
-        'pivot_priority_revenue': q_pivot_priority_revenue,
-        'percentile_prices': q_percentile_prices,
-        'string_funcs': q_string_funcs,
-        'date_funcs': q_date_funcs,
-        'array_funcs': q_array_funcs,
-        'full_outer_priority': q_full_outer_priority,
-        'anti_join_no_urgent': q_anti_join,
-        'scalar_subquery_acctbal': q_scalar_subquery,
-        'subset_dsl': q_subset_dsl,
-        'lookup_customer': q_lookup_customer,
-        'crossjoin_dims': q_crossjoin_dims,
-        'column_stats': q_column_stats,
-        'window_top3_orders': q_window_top3,
-        'window_running_revenue': q_window_running,
-        'sketch_cardinality': q_sketch_cardinality,
         'distinct_segments': q_distinct_segments,
-        'tpch_q14_promo': q_tpch_q14_promo,
         'supplier_by_nation': q_supplier_by_nation,
-        'events_hourly': q_events_hourly,
-        'events_sliding': q_events_sliding,
-        'events_json': q_events_json,
-        'events_sessionize': q_events_sessionize,
-        'geo_rect_area': q_geo_rect_area,
-        'geo_line_length': q_geo_line_length,
-        'geo_buffer_area': q_geo_buffer_area,
-        'geo_transform': q_geo_transform,
-        'sjoin_points_rects': q_sjoin_points_rects,
-        'snearest_rect': q_snearest_rect,
-        'sjfull_geoms': q_sjfull_geoms,
-        'geo_lonlat_detect': q_geo_lonlat_detect,
-        'set_ops': q_set_ops,
-        'geo_buffer_dissolve': q_geo_buffer_dissolve,
-        'geo_line_buffer': q_geo_line_buffer,
-        'sagg_rect_demand': q_sagg_rect_demand,
-        'sfilter_outside': q_sfilter_outside,
-        'slookup_nation': q_slookup_nation,
-        'text_analysis': q_text_analysis,
-        'top_tokens': q_top_tokens,
-        'token_count_bpe': q_token_count_bpe,
         'text_winnow_pairs': q_text_winnow,
-        'dedup_exact': q_dedup_exact,
-        'dedup_jaccard': q_dedup_jaccard,
-        'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
-        'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
-        'dedup_embedding': q_dedup_embedding,
         'dedup_clusters': q_dedup_clusters,
-        'similarity_topk': q_similarity_topk,
         'similarity_lsh': q_similarity_lsh,
         'similarity_ivf': q_similarity_ivf,
         'multimodal_features': q_multimodal_features,
@@ -2226,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         'column_stats': _STATS_SQL,
         'window_top3_orders': _WINDOW_SQL,
         'window_running_revenue': _WINDOW_RUNNING_SQL,
+        'sketch_cardinality': _SKETCH_SQL,
         'distinct_segments': _DISTINCT_SQL,
         'tpch_q14_promo': _Q14_SQL,
         'supplier_by_nation': _SUPPLIER_SQL,
@@ -2261,6 +2289,6 @@ def oracle_sql() -> dict[str, str]:
         # LSH recall; their shared component machinery IS value-gated via
         # cluster_components_jaccard), similarity_lsh, similarity_ivf,
         # multimodal_features, routing_route, routing_od_table,
-        # routing_isochrone, events_stateful, sketch_cardinality,
-        # text_winnow_pairs, geo queries listed above keep closed forms
+        # routing_isochrone, events_stateful, text_winnow_pairs;
+        # geo queries listed above keep closed forms
     }
