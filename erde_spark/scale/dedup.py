@@ -124,6 +124,22 @@ def _hash_tokens(batch_token_arrays) -> dict:
 
 _MERSENNE = (1 << 61) - 1
 
+#: broadcast the doc-level tables (signatures, hashed token sets — both
+#: O(corpus text) in size) when Catalyst estimates the input below this.
+_BROADCAST_INPUT_BYTES = 2 << 30
+
+
+def _should_broadcast(df: DataFrame) -> bool:
+    """Decide map-side-join mode from Catalyst's optimized-plan size
+    estimate — a metadata lookup (file sizes x selectivity), never a scan.
+    A counting job here would be a full pass over the corpus just to pick
+    a join strategy (at 100 TB, hours before any real work starts)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes().toString()) <= _BROADCAST_INPUT_BYTES
+    except Exception:
+        return False  # unknown size: assume large, let AQE re-plan
+
 
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
@@ -263,7 +279,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
         raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
     rows = num_perm // bands
     if broadcast_docs is None:
-        broadcast_docs = df.count() <= 2_000_000
+        broadcast_docs = _should_broadcast(df)
     small = F.broadcast if broadcast_docs else (lambda x: x)
     sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
         .localCheckpoint(eager=True)
@@ -308,7 +324,7 @@ def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str 
         raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
     rows = num_perm // bands
     if broadcast_docs is None:
-        broadcast_docs = df.count() <= 2_000_000
+        broadcast_docs = _should_broadcast(df)
     small = F.broadcast if broadcast_docs else (lambda x: x)
     sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
         .localCheckpoint(eager=True)
@@ -328,6 +344,22 @@ def _bucket_star_edges(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
             .filter(F.col(member_col) > F.col('id_a'))
             .select('id_a', F.col(member_col).alias('id_b'))
             .distinct())
+
+
+def _bucket_all_pairs(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
+    """Distinct (id_a, id_b) — EVERY member pair per (band, bh) bucket
+    (quadratic per bucket). Used only where bucket membership is known to
+    be small, e.g. cluster REPRESENTATIVES re-bucketed for the merge pass:
+    star edges there would miss rep pairs whose shared buckets all have a
+    third, non-matching rep as their minimum, because bucket minima never
+    change unless a merge fires."""
+    a, b = buckets.alias('a'), buckets.alias('b')
+    return (a.join(b, (F.col('a.band') == F.col('b.band')) &
+                      (F.col('a.bh') == F.col('b.bh')) &
+                      (F.col(f'a.{member_col}') < F.col(f'b.{member_col}')))
+             .select(F.col(f'a.{member_col}').alias('id_a'),
+                     F.col(f'b.{member_col}').alias('id_b'))
+             .distinct())
 
 
 # ---------------------------------------------------------------- simhash
@@ -422,7 +454,10 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     labels = (edges.select(F.col('id_a').alias('id')).distinct()
               .select('id', F.col('id').alias('component'))
               .localCheckpoint(eager=True))
-    numeric = isinstance(labels.schema['component'].dataType, T.NumericType)
+    # sum-shortcut only for integral ids: a fractional label decrease
+    # smaller than 1 could leave the truncated decimal sum unchanged and
+    # terminate propagation early; float/decimal ids use the join-compare
+    numeric = isinstance(labels.schema['component'].dataType, T.IntegralType)
     # decimal sum: long-id sums overflow int64 on large corpora
     label_sum = (lambda df_: df_.agg(
         F.sum(F.col('component').cast(T.DecimalType(38, 0)))).first()[0])
@@ -472,13 +507,13 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
 
     A star edge that fails exact verification can split a cluster that
     all-pairs would have connected, so after components are labeled a
-    merge pass re-buckets the REPRESENTATIVES: representatives sharing an
-    LSH bucket are verified pairwise (there are few — they are mutual
-    non-duplicates except exactly where a split happened) and any verified
-    pair merges its two components. The pass repeats up to
-    ``merge_rounds`` times or until no merge fires, restoring the
-    invariant that no two kept documents are near-duplicates at the
-    threshold (up to LSH recall, the same bound as the pairs path).
+    merge pass re-buckets the REPRESENTATIVES: ALL pairs of
+    representatives sharing an LSH bucket are verified (they are few —
+    members that verified already merged) and any verified pair merges
+    its two components. The pass repeats until no merge fires (up to
+    ``merge_rounds`` times); at convergence no two kept documents that
+    share any LSH bucket are near-duplicates at the threshold — i.e. the
+    pairs-path invariant up to LSH recall.
     """
     if pair_strategy == 'pairs':
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold,
@@ -487,11 +522,13 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
     elif pair_strategy == 'spanning':
         num_perm = lsh_kw.get('num_perm', 144)
         bands = lsh_kw.get('bands') or _threshold_bands(num_perm, threshold)
+        if num_perm % bands != 0:
+            raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
         rows = num_perm // bands
         seed = lsh_kw.get('seed', 42)
         broadcast_docs = lsh_kw.get('broadcast_docs')
         if broadcast_docs is None:
-            broadcast_docs = df.count() <= 2_000_000
+            broadcast_docs = _should_broadcast(df)
         small = F.broadcast if broadcast_docs else (lambda x: x)
         sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
             .localCheckpoint(eager=True)
@@ -504,11 +541,15 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             .localCheckpoint(eager=True)
         for _ in range(merge_rounds):
             # representatives (= component labels) back into their buckets;
-            # star edges among representatives that still collide
+            # ALL pairs of representatives sharing a bucket are verified
+            # (star edges would miss pairs whose shared buckets all have a
+            # third, non-matching rep as their min). Reps per bucket are
+            # few — members that verified already merged — so the
+            # per-bucket product is bounded.
             rep_buckets = (buckets.join(comp, 'id')
                            .select(F.col('component').alias('rid'), 'band', 'bh')
                            .distinct())
-            rep_cand = _bucket_star_edges(rep_buckets, member_col='rid')
+            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
             merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
                 .select('id_a', 'id_b').localCheckpoint(eager=True)
             if merges.limit(1).count() == 0:
