@@ -69,6 +69,24 @@ def _estimate_cell_size(left_b: DataFrame, right_b: DataFrame) -> float:
     return 1.0
 
 
+#: a side whose Catalyst size estimate sits below this broadcasts whole:
+#: the join becomes a broadcast-nested-loop on the JVM bbox predicate +
+#: exact refine, skipping cell sizing/explode/dedup entirely. This is the
+#: right 100 TB plan for the most common spatial-join shape — billions of
+#: points vs a small table of admin boundaries.
+BROADCAST_SIDE_BYTES = 32 << 20
+
+
+def _catalyst_size(df: DataFrame) -> int:
+    """Optimized-plan size estimate (metadata, never a scan)."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.BigInt to int when it fits; JavaObject otherwise
+        return raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return 1 << 62  # unknown: treat as large
+
+
 #: a geometry whose bbox covers more than this many grid cells skips the
 #: explode (unbounded fan-out) and routes through the sentinel-cell path
 #: instead — the hybrid for continent-sized outliers.
@@ -160,9 +178,6 @@ def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: s
     left = _with_bounds(left, left_on, '__l_')
     right = _with_bounds(right, right_on, '__r_')
 
-    if cell_size is None:
-        cell_size = _estimate_cell_size(left, right)
-
     lx = (left.withColumn('__lrow', F.struct(*[F.col(c) for c in lcols]))
               .select('__lid', '__lrow', F.col(left_on).alias('__lgeom'),
                       '__l_minx', '__l_miny', '__l_maxx', '__l_maxy'))
@@ -174,6 +189,22 @@ def _sj_pairs(left_df: DataFrame, right_df: DataFrame, left_on: str, right_on: s
                     (F.col('__r_minx') <= F.col('__l_maxx')) &
                     (F.col('__l_miny') <= F.col('__r_maxy')) &
                     (F.col('__r_miny') <= F.col('__l_maxy')))
+
+    # small-side fast path: broadcast the small side whole and join on the
+    # codegen'd bbox predicate (broadcast-nested-loop), then refine. No
+    # cell sizing job, no explode, no dedup — each pair meets exactly once.
+    # An explicit cell_size opts out (forces the grid path).
+    if cell_size is None:
+        r_small = _catalyst_size(right_df) <= BROADCAST_SIDE_BYTES
+        l_small = (not r_small) and _catalyst_size(left_df) <= BROADCAST_SIDE_BYTES
+        if r_small or l_small:
+            cand = (lx.join(F.broadcast(rx), bbox_overlap) if r_small
+                    else rx.join(F.broadcast(lx), bbox_overlap))
+            cand = cand.filter(st_predicate(F.col('__lgeom'), F.col('__rgeom'), op))
+            return cand.select('__lid', '__rid', '__lrow', '__rrow')
+
+    if cell_size is None:
+        cell_size = _estimate_cell_size(left, right)
 
     # Null geometry matches nothing: emit an empty cell array so the explode
     # drops the row. (An isNotNull FILTER here would be predicate-pushed
@@ -392,20 +423,26 @@ def snearest(left_df: DataFrame, right_df: DataFrame, max_distance: float,
                .select('__rid', '__rrow', F.col(right_on).alias('__rgeom'),
                        '__r_minx', '__r_miny', '__r_maxx', '__r_maxy'))
 
-    _, cov_l = _covering_cells('__l_', cell)
-    _, cov_r = _covering_cells('__r_', cell)
-    empty = F.array().cast('array<struct<cx:bigint,cy:bigint>>')
-    lc = _explode_cells(lx, F.when(F.col('__l_minx').isNull(), empty).otherwise(cov_l))
-    rc = _explode_cells(rx, F.when(F.col('__r_minx').isNull(), empty).otherwise(cov_r))
-
-    cand = lc.join(rc, on=['__cx', '__cy'], how='inner')
-    cand = cand.filter((F.col('__l_minx') <= F.col('__r_maxx')) &
-                       (F.col('__r_minx') <= F.col('__l_maxx')) &
-                       (F.col('__l_miny') <= F.col('__r_maxy')) &
-                       (F.col('__r_miny') <= F.col('__l_maxy')))
-    ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell)).cast('long')
-    ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell)).cast('long')
-    cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
+    bbox_overlap = ((F.col('__l_minx') <= F.col('__r_maxx')) &
+                    (F.col('__r_minx') <= F.col('__l_maxx')) &
+                    (F.col('__l_miny') <= F.col('__r_maxy')) &
+                    (F.col('__r_miny') <= F.col('__l_maxy')))
+    if _catalyst_size(right_df) <= BROADCAST_SIDE_BYTES:
+        # small-side fast path: broadcast-nested-loop on the (radius-
+        # dilated) bbox predicate — no cell explode, pairs unique as-is
+        cand = lx.join(F.broadcast(rx), bbox_overlap)
+    else:
+        _, cov_l = _covering_cells('__l_', cell)
+        _, cov_r = _covering_cells('__r_', cell)
+        empty = F.array().cast('array<struct<cx:bigint,cy:bigint>>')
+        lc = _explode_cells(lx, F.when(F.col('__l_minx').isNull(), empty)
+                            .otherwise(cov_l))
+        rc = _explode_cells(rx, F.when(F.col('__r_minx').isNull(), empty)
+                            .otherwise(cov_r))
+        cand = lc.join(rc, on=['__cx', '__cy'], how='inner').filter(bbox_overlap)
+        ref_cx = F.floor(F.greatest('__l_minx', '__r_minx') / F.lit(cell)).cast('long')
+        ref_cy = F.floor(F.greatest('__l_miny', '__r_miny') / F.lit(cell)).cast('long')
+        cand = cand.filter((F.col('__cx') == ref_cx) & (F.col('__cy') == ref_cy))
 
     cand = (cand.withColumn('__d', st_distance(F.col('__lgeom'), F.col('__rgeom')))
             .filter(F.col('__d') <= F.lit(float(max_distance))))

@@ -135,8 +135,10 @@ def _should_broadcast(df: DataFrame) -> bool:
     A counting job here would be a full pass over the corpus just to pick
     a join strategy (at 100 TB, hours before any real work starts)."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString()) <= _BROADCAST_INPUT_BYTES
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.BigInt to int when it fits; JavaObject otherwise
+        size = raw if isinstance(raw, int) else int(raw.toString())
+        return size <= _BROADCAST_INPUT_BYTES
     except Exception:
         return False  # unknown size: assume large, let AQE re-plan
 

@@ -171,13 +171,41 @@ def test_range_band_join_is_broadcast_nested_loop(spark):
     assert 'CartesianProduct' not in plan
 
 
-def test_snearest_single_pair_shuffle(spark):
-    """snearest = one cell equi-join + one aggregate: no cartesian, no
-    nested loop, and exactly one Arrow distance pass."""
+def test_snearest_small_side_broadcasts(spark):
+    """snearest against a 25-row rect table takes the small-side fast
+    path: broadcast-nested-loop on the dilated bbox predicate — no
+    cartesian shuffle, no cell explode, one Arrow distance pass."""
     import __spark_entry__ as e
     from erde_spark.plans.inspect import count_python_udf_passes, physical_plan
     df = e.queries()['snearest_rect'](spark, SF)
     plan = physical_plan(df)
-    assert 'CartesianProduct' not in plan and 'NestedLoop' not in plan
+    assert 'BroadcastNestedLoopJoin' in plan
+    assert 'CartesianProduct' not in plan
     # bounds UDF per side + point/rect synthesis + one distance refine
     assert count_python_udf_passes(df) <= 6
+
+
+def test_sjoin_small_side_broadcasts(spark):
+    """The predicate-join family (sjoin/sagg/sfilter via _sj_pairs) takes
+    the broadcast fast path when one side is small: nested-loop on the
+    codegen'd bbox predicate, not the grid explode."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    plan = physical_plan(e.queries()['sjoin_points_rects'](spark, SF))
+    assert 'BroadcastNestedLoopJoin' in plan
+    assert 'CartesianProduct' not in plan
+
+
+def test_sjoin_explicit_cell_size_forces_grid(spark):
+    """An explicit cell_size opts out of the fast path: the grid plan
+    (cell equi-join, SortMerge/ShuffledHash) must appear instead of a
+    nested loop."""
+    from erde_spark.operators.sjoin import sjoin
+    import __spark_entry__ as e
+    t = e._t(spark, SF, 'customer', 'nation')
+    pts = e._cust_points(t['customer'])
+    rects = e._nation_rects(t['nation'])
+    from erde_spark.plans.inspect import physical_plan
+    plan = physical_plan(sjoin(pts, rects, op='within', cell_size=1.0))
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert 'CartesianProduct' not in plan
