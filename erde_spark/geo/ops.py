@@ -57,17 +57,117 @@ def _map_coords(geom: Geometry, fn) -> Geometry:
     raise ValueError(gtype)
 
 
+# -- transverse Mercator (UTM, WGS84) -----------------------------------
+# Krüger flattening series to n^3 (public formulas; see the exposition in
+# Karney 2011 "Transverse Mercator with an accuracy of a few nanometers"
+# and the standard UTM parameterization). Sub-mm accurate inside a zone —
+# far below the 1e-6 deg round-trip contract.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_A = _WGS84_A / (1 + _TM_N) * (1 + _TM_N ** 2 / 4 + _TM_N ** 4 / 64)
+_TM_K0 = 0.9996
+_TM_ALPHA = (_TM_N / 2 - 2 * _TM_N ** 2 / 3 + 5 * _TM_N ** 3 / 16,
+             13 * _TM_N ** 2 / 48 - 3 * _TM_N ** 3 / 5,
+             61 * _TM_N ** 3 / 240)
+_TM_BETA = (_TM_N / 2 - 2 * _TM_N ** 2 / 3 + 37 * _TM_N ** 3 / 96,
+            _TM_N ** 2 / 48 + _TM_N ** 3 / 15,
+            17 * _TM_N ** 3 / 480)
+_TM_DELTA = (2 * _TM_N - 2 * _TM_N ** 2 / 3 - 2 * _TM_N ** 3,
+             7 * _TM_N ** 2 / 3 - 8 * _TM_N ** 3 / 5,
+             56 * _TM_N ** 3 / 15)
+_TM_2SQN = 2.0 * math.sqrt(_TM_N) / (1.0 + _TM_N)
+
+
+def utm_fwd(lon: float, lat: float, lon0: float, n0: float):
+    """(lon, lat) degrees -> UTM easting/northing for central meridian
+    ``lon0`` (radians) and false northing ``n0``."""
+    phi = math.radians(lat)
+    dlam = math.radians(lon) - lon0
+    s = math.sin(phi)
+    t = math.sinh(math.atanh(s) - _TM_2SQN * math.atanh(_TM_2SQN * s))
+    xi = math.atan2(t, math.cos(dlam))
+    eta = math.asinh(math.sin(dlam) / math.hypot(t, math.cos(dlam)))
+    x, y = eta, xi
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        x += a * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        y += a * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+    return 500000.0 + _TM_K0 * _TM_A * x, n0 + _TM_K0 * _TM_A * y
+
+
+def utm_inv(e: float, n: float, lon0: float, n0: float):
+    """UTM easting/northing -> (lon, lat) degrees."""
+    xi = (n - n0) / (_TM_K0 * _TM_A)
+    eta = (e - 500000.0) / (_TM_K0 * _TM_A)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi += d * math.sin(2 * j * chi)
+    lam = lon0 + math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _utm_zone_params(epsg: int):
+    """(central meridian radians, false northing) for EPSG:326xx/327xx
+    (WGS84 UTM north/south), else None."""
+    if 32601 <= epsg <= 32660:
+        zone, n0 = epsg - 32600, 0.0
+    elif 32701 <= epsg <= 32760:
+        zone, n0 = epsg - 32700, 10000000.0
+    else:
+        return None
+    return math.radians(zone * 6 - 183), n0
+
+
+def _to_lonlat_fn(crs: int):
+    """Coordinate fn CRS -> EPSG:4326, or None when crs IS 4326."""
+    if crs == 4326:
+        return None
+    if crs == 3857:
+        return mercator_inv
+    p = _utm_zone_params(crs)
+    if p is not None:
+        return lambda x, y: utm_inv(x, y, *p)
+    raise NotImplementedError(
+        f'CRS {crs} not supported: this engine ships closed-form transforms for '
+        'EPSG:4326, EPSG:3857 (spherical Mercator) and EPSG:326xx/327xx (WGS84 '
+        'UTM, Krüger series); the container has no pyproj for arbitrary CRS.')
+
+
+def _from_lonlat_fn(crs: int):
+    """Coordinate fn EPSG:4326 -> CRS, or None when crs IS 4326."""
+    if crs == 4326:
+        return None
+    if crs == 3857:
+        return mercator_fwd
+    p = _utm_zone_params(crs)
+    if p is not None:
+        return lambda lon, lat: utm_fwd(lon, lat, *p)
+    raise NotImplementedError(
+        f'CRS {crs} not supported: this engine ships closed-form transforms for '
+        'EPSG:4326, EPSG:3857 (spherical Mercator) and EPSG:326xx/327xx (WGS84 '
+        'UTM, Krüger series); the container has no pyproj for arbitrary CRS.')
+
+
 def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
+    """Reproject between any two of {4326, 3857, UTM 326xx/327xx},
+    composing through lon/lat (reference `erde/op/convert.py:4-16`
+    transforms arbitrary pyproj CRS; this engine covers the closed-form
+    families above and raises for the rest)."""
     if from_crs == to_crs:
         return geom
-    if (from_crs, to_crs) == (4326, 3857):
-        return _map_coords(geom, mercator_fwd)
-    if (from_crs, to_crs) == (3857, 4326):
-        return _map_coords(geom, mercator_inv)
-    raise NotImplementedError(
-        f'CRS transform {from_crs}->{to_crs} not supported: this engine ships the '
-        'closed-form spherical-Mercator pair (4326<->3857) only, matching the CRS '
-        'pairs the reference operators actually use; the container has no pyproj.')
+    inv = _to_lonlat_fn(from_crs)
+    fwd = _from_lonlat_fn(to_crs)
+    if inv and fwd:
+        fn = lambda x, y: fwd(*inv(x, y))  # noqa: E731
+    else:
+        fn = inv or fwd
+    return _map_coords(geom, fn)
 
 
 # ---------------------------------------------------------------- measures

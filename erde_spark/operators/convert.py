@@ -1,8 +1,10 @@
 """CRS set/convert operator (reference `/root/reference/erde/op/convert.py:4-16`).
 
 ``from_crs`` stamps the CRS (no coordinate change); ``to_crs`` reprojects.
-Supported reprojection pair: EPSG:4326 <-> EPSG:3857 (closed-form spherical
-Mercator; the only pair the reference's operators exercise).
+Supported CRS: EPSG:4326, EPSG:3857 (closed-form spherical Mercator) and
+EPSG:326xx/327xx (WGS84 UTM, Krüger flattening series — sub-mm in zone);
+pairs compose through lon/lat. The reference reprojects arbitrary pyproj
+CRS; this container has no pyproj, so other codes raise.
 """
 
 from __future__ import annotations

@@ -59,6 +59,38 @@ def test_mercator_inverse(c):
     assert math.isclose(lat, lat2, abs_tol=1e-9)
 
 
+utm_coord = st.tuples(
+    st.floats(min_value=9.01, max_value=20.99, allow_nan=False, width=64),
+    st.floats(min_value=-80.0, max_value=84.0, allow_nan=False, width=64))
+
+
+@given(utm_coord)
+@settings(max_examples=300, deadline=None)
+def test_utm_roundtrip_zone33(c):
+    """4326 -> EPSG:32633 -> 4326 inside the zone (±1 neighbour) at
+    < 1e-6 deg — the reference `convert` contract for UTM CRS."""
+    lon, lat = c
+    crs = 32633 if lat >= 0 else 32733
+    g = O.transform_geom(('Point', (lon, lat)), 4326, crs)
+    lon2, lat2 = O.transform_geom(g, crs, 4326)[1]
+    assert math.isclose(lon, lon2, abs_tol=1e-6)
+    assert math.isclose(lat, lat2, abs_tol=1e-6)
+
+
+def test_utm_known_values():
+    """Zone-center exactness + cross-zone composition via lon/lat."""
+    e, n = O.transform_geom(('Point', (15.0, 0.0)), 4326, 32633)[1]
+    assert math.isclose(e, 500000.0, abs_tol=1e-6)
+    assert math.isclose(n, 0.0, abs_tol=1e-6)
+    # south-zone false northing
+    _, ns = O.transform_geom(('Point', (15.0, 0.0)), 4326, 32733)[1]
+    assert math.isclose(ns, 10000000.0, abs_tol=1e-6)
+    # 3857 -> UTM composes through 4326
+    g = O.transform_geom(('Point', (15.0, 50.0)), 4326, 3857)
+    e2, n2 = O.transform_geom(g, 3857, 32633)[1]
+    assert math.isclose(e2, 500000.0, abs_tol=1e-5)
+
+
 @given(st.lists(st.tuples(
     st.floats(min_value=-85, max_value=85, allow_nan=False),
     st.floats(min_value=-179, max_value=179, allow_nan=False)),
