@@ -1,11 +1,14 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container ships no image/audio codecs, so the decode step is a
-clearly-marked stub (``decode_media`` raises ``NotImplementedError``); the
-Spark-side plumbing — schema, batch shape, ``mapInPandas`` iterator
-contract, partition sizing — is real and tested with a deterministic fake
-decoder. Swapping in PIL/torchaudio later only replaces ``decode_media``.
+``decode_media`` decodes PNG for real via the pure-stdlib codec in
+:mod:`erde_spark.scale.png` (zlib is stdlib; full filter set, CRC
+checked). Other formats (JPEG/WebP/audio/video) need codec libraries the
+container doesn't ship and raise ``NotImplementedError`` — swapping in
+PIL/torchaudio later only extends ``decode_media``. The Spark-side
+plumbing — schema, batch shape, ``mapInPandas`` iterator contract,
+partition sizing — is format-agnostic and tested with both real PNGs and
+a deterministic fake decoder.
 
 Design for 100 TB of media:
 
@@ -45,11 +48,17 @@ ASSET_SCHEMA = T.StructType([
 
 
 def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
-    """Decode a media blob to a pixel/sample array. STUB: the container
-    has no codec libraries (PIL/ffmpeg); install one and implement."""
+    """Decode a media blob to a pixel/sample array.
+
+    PNG is decoded for real (pure-stdlib codec, full filter set —
+    :mod:`erde_spark.scale.png`); every other format still needs a codec
+    library the container doesn't ship and raises."""
+    from erde_spark.scale.png import decode_png, is_png
+    if (fmt or '').lower() in ('image/png', 'png') or is_png(blob):
+        return decode_png(bytes(blob))
     raise NotImplementedError(
-        'media decoding requires an image/audio codec library not present '
-        'in this container; use fake=True paths for plumbing tests')
+        f'media format {fmt!r}: only PNG decodes without codec libraries '
+        '(PIL/ffmpeg not in this container); use fake=True for plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -1,0 +1,151 @@
+"""Minimal pure-stdlib PNG codec: 8-bit greyscale / grey+alpha / RGB /
+RGBA, non-interlaced (zlib + struct — no image libraries).
+
+The decoder implements the full scanline filter set (None / Sub / Up /
+Average / Paeth; public PNG spec, RFC 2083 §6) with CRC verification, so
+`decode_media` is a real decoder for the web's dominant lossless format;
+other formats (JPEG/WebP/audio/video) still require codec libraries the
+container doesn't ship. The encoder exists for tests and fixtures; its
+``filter_type`` knob lets tests exercise every unfilter path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b'\x89PNG\r\n\x1a\n'
+#: color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _SIG
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 ndarray, shape (h, w) for greyscale or
+    (h, w, channels) otherwise."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError('not a PNG: bad signature')
+    pos, idat, header = 8, [], None
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack('>I', data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack('>I', data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f'PNG chunk {ctype!r}: CRC mismatch')
+        pos += 12 + length
+        if ctype == b'IHDR':
+            header = struct.unpack('>IIBBBBB', chunk)
+        elif ctype == b'IDAT':
+            idat.append(chunk)
+        elif ctype == b'IEND':
+            break
+    if header is None:
+        raise ValueError('PNG missing IHDR')
+    w, h, depth, color, comp, filt, interlace = header
+    if depth != 8:
+        raise NotImplementedError(f'PNG bit depth {depth} (only 8 supported)')
+    if color not in _CHANNELS:
+        raise NotImplementedError(f'PNG color type {color} (palette unsupported)')
+    if interlace != 0:
+        raise NotImplementedError('interlaced (Adam7) PNG unsupported')
+    if comp != 0 or filt != 0:
+        raise ValueError('invalid PNG compression/filter method')
+
+    ch = _CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b''.join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError('PNG data length mismatch')
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:                      # Sub: left-neighbour prefix sum
+            for x in range(ch, stride):
+                row[x] = row[x] + row[x - ch]
+        elif f == 2:                      # Up
+            row += prev
+        elif f == 3:                      # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                      # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f'PNG filter type {f} invalid')
+        out[y] = row
+        prev = row
+    arr = out.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 ndarray -> PNG bytes. ``filter_type`` applies one filter to
+    every scanline (0=None default; 1-4 exist so tests can cover each
+    decoder unfilter path)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ch = arr.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * ch)
+    n = w * ch
+    lines = []
+    prev = np.zeros(n, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row.copy()
+            filt[ch:] = row[ch:] - row[:-ch]
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            left = np.zeros(n, dtype=np.int64)
+            left[ch:] = row[:-ch]
+            filt = (row.astype(np.int64)
+                    - (left + prev.astype(np.int64)) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            filt = np.empty(n, dtype=np.uint8)
+            for x in range(n):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (int(row[x]) - pred) & 0xFF
+        else:
+            raise ValueError(f'filter_type {filter_type} invalid')
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack('>I', len(payload)) + ctype + payload
+                + struct.pack('>I', zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b''.join(lines))
+    return _SIG + chunk(b'IHDR', ihdr) + chunk(b'IDAT', idat) + chunk(b'IEND', b'')

@@ -1,0 +1,136 @@
+"""@autocli input x function x output combination matrix.
+
+Mirrors the reference's contract (`/root/reference/erde/__init__.py:217-243`,
+tested in `/root/reference/tests/test_command.py:11-100`): of the 12
+input (df/stream) x function (func/generator) x output (nothing/df/stream)
+combinations, generators must write to a stream, and a stream input cannot
+return a single DataFrame.
+"""
+
+import pytest
+from pyspark.sql import DataFrame
+
+from erde_spark.cli import AutocliError, autocli
+from erde_spark.streaming.chunks import read_stream, write_stream
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    path = str(tmp_path / 'in.parquet')
+    spark.range(20).toDF('id').write.parquet(path)
+    return path
+
+
+def test_df_func_df(spark, src, tmp_path):
+    out = str(tmp_path / 'out.parquet')
+
+    @autocli
+    def head10(input_data: DataFrame) -> DataFrame:
+        return input_data.limit(10)
+
+    head10.cli([src, out])
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_df_func_nothing(spark, src):
+    seen = {}
+
+    @autocli
+    def consume(input_data: DataFrame):
+        seen['n'] = input_data.count()
+
+    consume.cli([src])
+    assert seen['n'] == 20
+
+
+def test_df_generator_stream(spark, src, tmp_path):
+    """Combo 6: one-call input, generator function, stream output — each
+    yielded chunk appends into the sink."""
+    out = str(tmp_path / 'out.parquet')
+
+    @autocli
+    def split(input_data: DataFrame) -> write_stream:
+        yield input_data.filter('id < 5')
+        yield input_data.filter('id >= 5')
+
+    split.cli([src, out])
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_stream_func_stream(spark, src, tmp_path):
+    """Combo 9: stream input (opened by the decorator), func, stream out."""
+    out = str(tmp_path / 'out.parquet')
+
+    @autocli
+    def passthrough(input_data: read_stream) -> write_stream:
+        return input_data.filter('id % 2 = 0')
+
+    passthrough.cli([src, out])
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_stream_generator_stream(spark, src, tmp_path):
+    """Combo 12: stream input, generator, stream output."""
+    out = str(tmp_path / 'out.parquet')
+
+    @autocli
+    def requeue(input_data: read_stream) -> write_stream:
+        yield input_data.filter('id < 3')
+        yield input_data.filter('id >= 17')
+
+    requeue.cli([src, out])
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_stream_func_nothing(spark, src):
+    """Combo 7: stream input consumed for side effects only."""
+    seen = {}
+
+    @autocli
+    def consume(input_data: read_stream):
+        seen['n'] = input_data.count()
+
+    consume.cli([src])
+    assert seen['n'] == 20
+
+
+def test_forbidden_two_stream_inputs():
+    with pytest.raises(AutocliError, match='at most one read_stream'):
+        @autocli
+        def bad1(a: read_stream, b: read_stream):
+            pass
+
+
+def test_forbidden_generator_without_stream_output():
+    with pytest.raises(AutocliError, match='generator'):
+        @autocli
+        def bad2(input_data: DataFrame):
+            yield 1
+
+    with pytest.raises(AutocliError, match='generator'):
+        @autocli
+        def bad2b(input_data: DataFrame) -> DataFrame:
+            yield input_data
+
+
+def test_forbidden_stream_input_df_output():
+    with pytest.raises(AutocliError, match='read_stream input'):
+        @autocli
+        def bad3(input_data: read_stream) -> DataFrame:
+            return input_data
+
+
+def test_stream_output_cleanup_on_failure(spark, src, tmp_path):
+    """A generator that crashes mid-stream removes its partial sink
+    (reference write-stream cancel semantics)."""
+    import os
+    out = str(tmp_path / 'out.parquet')
+
+    @autocli
+    def crash(input_data: DataFrame) -> write_stream:
+        yield input_data.limit(3)
+        raise ValueError('boom')
+
+    with pytest.raises(ValueError, match='boom'):
+        crash.cli([src, out])
+    assert not os.path.exists(out)

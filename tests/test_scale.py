@@ -245,11 +245,52 @@ def test_multimodal_resize(spark, docs):
            sorted((r['asset_id'], tuple(r['pixels'])) for r in again)
 
 
-def test_decode_media_is_stubbed(spark, docs):
+def test_decode_media_non_png_raises(spark, docs):
+    """synthesize_assets emits fake/raw blobs — non-PNG formats still
+    raise (only PNG decodes without codec libraries)."""
     from erde_spark.scale.multimodal import extract_features, synthesize_assets
-    import pyspark.errors
     with pytest.raises(Exception):  # NotImplementedError inside executor
         extract_features(synthesize_assets(docs.limit(1)), fake=False).collect()
+
+
+def test_png_roundtrip_all_filters():
+    """Every decoder unfilter path (None/Sub/Up/Average/Paeth) x every
+    supported channel count recovers the exact pixels."""
+    from erde_spark.scale.png import decode_png, encode_png
+    rng = np.random.RandomState(11)
+    for shape in ((7, 5), (6, 4, 2), (5, 9, 3), (4, 3, 4)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for ftype in range(5):
+            got = decode_png(encode_png(arr, filter_type=ftype))
+            assert got.shape == arr.shape, (shape, ftype)
+            assert (got == arr).all(), (shape, ftype)
+
+
+def test_png_rejects_garbage():
+    from erde_spark.scale.png import decode_png
+    with pytest.raises(ValueError, match='signature'):
+        decode_png(b'not a png at all')
+
+
+def test_extract_features_real_png(spark):
+    """decode_media on REAL PNG blobs: feat_mean must equal the true
+    pixel mean of the encoded image."""
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    from erde_spark.scale.png import encode_png
+    rng = np.random.RandomState(3)
+    rows, expected = [], {}
+    for aid in range(6):
+        h, w = 8 + aid, 5 + aid
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((aid, bytearray(encode_png(arr, filter_type=aid % 5)),
+                     ('image/png', w, h, None)))
+        expected[aid] = float(arr.astype(np.float64).mean())
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r['asset_id']: r['feat_mean']
+           for r in extract_features(assets, fake=False).collect()}
+    assert got.keys() == expected.keys()
+    for aid, mean in expected.items():
+        assert abs(got[aid] - mean) < 1e-9, aid
 
 
 # ---------------------------------------------------------------- windows
