@@ -83,9 +83,12 @@ def wkb_loads(buf: bytes) -> Geometry:
 def _wkb_read(buf: bytes, off: int):
     endian = '<' if buf[off] == 1 else '>'
     (code,) = struct.unpack_from(endian + 'I', buf, off + 1)
-    code = code & 0xFF  # strip any SRID/dimension flags conservatively
+    has_srid = bool(code & 0x20000000)  # PostGIS EWKB: SRID follows type
+    code = code & 0xFF  # strip SRID/dimension flags
     gtype = _CODE_TYPES[code]
     off += 5
+    if has_srid:
+        off += 4  # skip the embedded 4-byte SRID (EWKB)
     if gtype == 'Point':
         x, y = struct.unpack_from(endian + '2d', buf, off)
         return ('Point', (x, y)), off + 16

@@ -316,7 +316,8 @@ class PostgresDriver(_Driver):
               .option('dbtable', d['table']).option('user', d['user'])
               .option('password', d['pass'] or '').load())
         if d['geom']:
-            from erde_spark.functions.geo import st_try_geomfromtext  # hex WKB cols
+            # PostGIS emits hex EWKB; unhex to bytes — the WKB kernel
+            # skips the embedded SRID flag (geo/geom.py _wkb_read)
             for g in d['geom'].split(','):
                 df = df.withColumn(g, F.unhex(F.col(g)))
         return df
@@ -325,11 +326,52 @@ class PostgresDriver(_Driver):
         m = self.path_re.match(path)
         d = m.groupdict()
         url = f"jdbc:postgresql://{d['host']}:{d['port'] or 5432}/{d['db']}"
-        if 'geometry' in df.columns and dict(df.dtypes)['geometry'] == 'binary':
-            df = df.withColumn('geometry', F.hex(F.col('geometry')))
-        (df.write.format('jdbc').option('url', url).option('dbtable', d['table'])
+        has_geom = 'geometry' in df.columns and dict(df.dtypes)['geometry'] == 'binary'
+        out, crs_num = df, None
+        if has_geom:
+            crs_num = self._guess_srid(df)
+            out = df.withColumn('geometry', F.hex(F.col('geometry')))
+        (out.write.format('jdbc').option('url', url).option('dbtable', d['table'])
          .option('user', d['user']).option('password', d['pass'] or '')
          .mode(mode).save())
+        if has_geom:
+            self._geometry_ddl(df.sparkSession, url, d, crs_num)
+
+    @staticmethod
+    def _guess_srid(df) -> int:
+        """Reference SRID guess (`/root/reference/erde/io/postgres.py:55-60`):
+        stamped CRS if present, else 4326 when x-extents fit in degrees,
+        else web mercator."""
+        from erde_spark.geo.crs import get_crs
+        crs = get_crs(df, 'geometry')
+        if crs is not None:
+            return crs
+        from erde_spark.functions.geo import st_bounds
+        ext = (df.select(st_bounds(F.col('geometry')).alias('b'))
+               .agg(F.min('b.minx').alias('xmin'), F.max('b.maxx').alias('xmax'))
+               .first())
+        in_degrees = (ext['xmin'] is not None
+                      and -181 < ext['xmin'] and ext['xmax'] < 181)
+        return 4326 if in_degrees else 3857
+
+    @staticmethod
+    def _geometry_ddl(spark, url: str, d: dict, crs_num: int) -> None:
+        """Post-write geometry DDL parity with the reference
+        (`/root/reference/erde/io/postgres.py:42-65`): the hex-WKB text
+        column becomes a PostGIS Geometry and gets its SRID stamped."""
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        props.setProperty('user', d['user'])
+        props.setProperty('password', d['pass'] or '')
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            st.execute(f'ALTER TABLE {d["table"]} ALTER COLUMN "geometry" '
+                       'TYPE Geometry USING "geometry"::geometry')
+            st.execute(f'UPDATE {d["table"]} '
+                       f'SET "geometry"=st_setsrid("geometry", {int(crs_num)})')
+        finally:
+            conn.close()
 
 
 DRIVERS: list[_Driver] = [

@@ -95,6 +95,13 @@ def read_xlsx(spark: SparkSession, path: str, **kw) -> DataFrame:
     file, sheet = split_path(path)
     if not os.path.exists(file):
         raise FileNotFoundError(file)
+    with open(file, 'rb') as fh:
+        magic = fh.read(8)
+    if magic == b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1':  # OLE2 compound file
+        raise NotImplementedError(
+            f'{file}: legacy OLE2 .xls (BIFF) is not supported — only the '
+            'zip-based .xlsx format; re-save the workbook as .xlsx '
+            '(the reference reads both via pandas/xlrd, not in this container)')
     with zipfile.ZipFile(file) as zf:
         shared = _shared_strings(zf)
         root = ET.fromstring(_sheet_xml(zf, sheet))

@@ -111,5 +111,20 @@ def test_coslat():
 
 
 def test_transform_unsupported():
+    # Lambert-93: outside the closed-form families (4326/3857/UTM)
     with pytest.raises(NotImplementedError):
-        O.transform_geom(('Point', (0.0, 0.0)), 4326, 32633)
+        O.transform_geom(('Point', (0.0, 0.0)), 4326, 2154)
+
+
+def test_wkb_reads_postgis_ewkb():
+    """EWKB (PostGIS hex output) embeds an SRID after the type word when
+    flag 0x20000000 is set; the reader must skip it."""
+    import struct
+    ewkb = (b'\x01' + struct.pack('<I', 0x20000001)        # Point + SRID flag
+            + struct.pack('<I', 4326)                      # embedded SRID
+            + struct.pack('<2d', 30.5, 50.25))
+    assert G.wkb_loads(ewkb) == ('Point', (30.5, 50.25))
+    # nested EWKB inside a multi-geometry
+    mp = (b'\x01' + struct.pack('<I', 0x20000004)          # MultiPoint + flag
+          + struct.pack('<I', 3857) + struct.pack('<I', 1) + ewkb)
+    assert G.wkb_loads(mp) == ('MultiPoint', [(30.5, 50.25)])

@@ -289,6 +289,17 @@ def test_fgb_bbox_and_partitions(spark, tmp_path):
     assert read_df(p, spark, num_partitions=7).rdd.getNumPartitions() == 7
 
 
+def test_legacy_xls_clear_error(spark, tmp_path):
+    """An OLE2 .xls matches the path regex but must fail with a clear
+    message, not a zipfile traceback."""
+    import pytest
+    p = str(tmp_path / 'legacy.xls')
+    with open(p, 'wb') as f:
+        f.write(b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1' + b'\x00' * 64)
+    with pytest.raises(NotImplementedError, match='BIFF'):
+        read_df(p, spark)
+
+
 def test_xlsx_roundtrip(spark, tmp_path):
     p = str(tmp_path / 'out.xlsx')
     write_df(_mk_points_df(spark), p)
