@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import argparse
 import inspect
+import os
 import sys
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -33,6 +35,39 @@ class AutocliError(TypeError):
     ``ErdeDecoratorError``, `/root/reference/erde/__init__.py:217-243`:
     of the 12 combos, generators must write to a stream, and a stream
     input cannot collapse back to a single returned DataFrame)."""
+
+
+def dprint(*args, **kwargs):
+    """Debug logging gated on ``ELOG=1`` (reference ``dprint``,
+    `/root/reference/erde/__init__.py:25-28`)."""
+    if os.environ.get('ELOG') == '1':
+        print(*args, file=sys.stderr, **kwargs)
+
+
+@contextmanager
+def debug_capture():
+    """Post-mortem debugger on command failure when ``IPDB=1`` or
+    ``PUDB=1`` (reference `/root/reference/erde/__init__.py:36-47`).
+    ipdb/pudb aren't in this container, so stdlib pdb is the fallback;
+    the exception always re-raises after the debugger exits."""
+    try:
+        yield
+    except Exception:
+        want = os.environ.get('IPDB') == '1' or os.environ.get('PUDB') == '1'
+        if want:
+            import traceback
+            traceback.print_exc()
+            try:
+                if os.environ.get('PUDB') == '1':
+                    import pudb
+                    pudb.post_mortem()
+                else:
+                    import ipdb
+                    ipdb.post_mortem()
+            except ImportError:
+                import pdb
+                pdb.post_mortem()
+        raise
 
 
 def _add_param(parser: argparse.ArgumentParser, name: str, param: inspect.Parameter):
@@ -139,19 +174,21 @@ def run_parsed(ns: argparse.Namespace):
             args.append(val)
         else:
             kwargs[name] = val
-    result = func(*args, **kwargs)
-    if ns.__returns_stream:
-        # generator: append every yielded chunk; plain func: write once.
-        # write_stream's context removes partial output on failure.
-        with write_stream(ns.output_path) as w:
-            if ns.__is_gen:
-                for chunk in result:
-                    w(chunk)
-            elif result is not None:
-                w(result)
-        result = None
-    elif ns.__returns_df and result is not None:
-        write_df(result, ns.output_path)
+    with debug_capture():
+        result = func(*args, **kwargs)
+        if ns.__returns_stream:
+            # generator: append every yielded chunk; plain func: write once.
+            # write_stream's context removes partial output on failure.
+            with write_stream(ns.output_path) as w:
+                if ns.__is_gen:
+                    for chunk in result:
+                        w(chunk)
+                        dprint(f'{func.__name__}: chunk appended -> {ns.output_path}')
+                elif result is not None:
+                    w(result)
+            result = None
+        elif ns.__returns_df and result is not None:
+            write_df(result, ns.output_path)
     print(f'{func.__name__} finished in {time.time() - t0:.1f}s', file=sys.stderr)
     return result
 

@@ -67,12 +67,19 @@ class StreamWriter:
         self.path = path
         self._first = True
         self._wrote = False
+        self._chunks = 0
 
     def __call__(self, df: DataFrame) -> None:
+        import os
+        import sys
         from erde_spark.io import write_df
         write_df(df, self.path, mode='overwrite' if self._first else 'append')
         self._first = False
         self._wrote = True
+        self._chunks += 1
+        if os.environ.get('EPBAR') == '1':  # reference's chunk pbar analog
+            print(f'\rwrite_stream {self.path}: {self._chunks} chunks',
+                  end='', file=sys.stderr)
 
     def cancel(self) -> None:
         """Best-effort removal of partial output."""
