@@ -285,7 +285,13 @@ class XlsDriver(_Driver):
     """Real XLSX source/sink on stdlib zipfile+ElementTree (see io/xlsx.py).
     `file.xlsx:sheet` sub-addressing (reference /root/reference/erde/io/xls.py:7).
     Driver-side IO — the format caps at ~1M rows, so no distributed scan
-    is warranted."""
+    is warranted.
+
+    Parity note: the reference pins ``pd.read_excel(engine='openpyxl')``
+    (`/root/reference/erde/io/xls.py:13`), which reads ONLY zip-based
+    .xlsx — legacy OLE2 .xls fails there too — and its ``write_df``
+    raises ``NotImplementedError`` (`xls.py:18`). This driver matches the
+    read surface (with a clearer OLE2 error) and adds the sink."""
     name = 'xls'
     path_re = re.compile(r'^(?P<file>.*\.xlsx?)(?::(?P<sheet>[a-z0-9_ -]+))?$', re.I)
 

@@ -443,4 +443,19 @@ def test_dedup_clusters_rejects_bad_bands(spark):
     docs = _clique_corpus(spark)
     with pytest.raises(ValueError, match='divisible'):
         dedup_clusters(docs, threshold=0.8, pair_strategy='spanning',
-                       bands=7)  # 144 % 7 != 0
+                       bands=7)  # 96 % 7 != 0
+
+
+def test_minhash_no_count_probe(spark, docs, monkeypatch):
+    """Choosing broadcast mode must be a Catalyst metadata lookup, never
+    a counting job over the corpus (at 100 TB that is a full scan before
+    any real work)."""
+    from pyspark.sql import DataFrame
+    from erde_spark.scale.dedup import minhash_lsh_pairs, minhash_spanning_edges
+
+    def boom(self):
+        raise AssertionError('count() ran during dedup plan construction')
+
+    monkeypatch.setattr(DataFrame, 'count', boom)
+    minhash_lsh_pairs(docs, threshold=0.9)
+    minhash_spanning_edges(docs, threshold=0.9)
