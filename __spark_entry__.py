@@ -47,9 +47,16 @@ def _ensure_shipped(spark: SparkSession) -> None:
         import shutil
         import tempfile
         zip_base = os.path.join(tempfile.gettempdir(), 'erde_spark_pkg')
-        if not os.path.exists(zip_base + '.zip'):
+        zip_path = zip_base + '.zip'
+        # rebuild when any package file is newer than the zip — a stale
+        # cached zip would ship outdated code to executors across runs
+        pkg = os.path.join(_REPO, 'erde_spark')
+        newest = max(os.path.getmtime(os.path.join(root, f))
+                     for root, _, files in os.walk(pkg)
+                     for f in files if f.endswith('.py'))
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
             shutil.make_archive(zip_base, 'zip', root_dir=_REPO, base_dir='erde_spark')
-        spark.sparkContext.addPyFile(zip_base + '.zip')
+        spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # local runs with PYTHONPATH set don't need it
     _SHIPPED = True
