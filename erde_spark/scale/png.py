@@ -1,12 +1,18 @@
-"""Minimal pure-stdlib PNG codec: 8-bit greyscale / grey+alpha / RGB /
-RGBA, non-interlaced (zlib + struct — no image libraries).
+"""Minimal pure-stdlib media codecs: PNG images and WAV audio.
 
-The decoder implements the full scanline filter set (None / Sub / Up /
-Average / Paeth; public PNG spec, RFC 2083 §6) with CRC verification, so
-`decode_media` is a real decoder for the web's dominant lossless format;
-other formats (JPEG/WebP/audio/video) still require codec libraries the
-container doesn't ship. The encoder exists for tests and fixtures; its
-``filter_type`` knob lets tests exercise every unfilter path.
+PNG: 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced (zlib +
+struct — no image libraries). The decoder implements the full scanline
+filter set (None / Sub / Up / Average / Paeth; public PNG spec, RFC 2083
+§6) with CRC verification, so `decode_media` is a real decoder for the
+web's dominant lossless format. The encoder exists for tests and
+fixtures; its ``filter_type`` knob lets tests exercise every unfilter
+path.
+
+WAV: PCM 8/16/32-bit int and 32/64-bit float via the stdlib ``wave`` +
+struct modules — samples come back as an (n_frames, n_channels) ndarray.
+
+Other formats (JPEG/WebP/MP3/video) still require codec libraries the
+container doesn't ship.
 """
 
 from __future__ import annotations
@@ -149,3 +155,73 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, 0)
     idat = zlib.compress(b''.join(lines))
     return _SIG + chunk(b'IHDR', ihdr) + chunk(b'IDAT', idat) + chunk(b'IEND', b'')
+
+
+# ---------------------------------------------------------------- WAV
+
+#: sample width -> dtype; 8-bit WAV PCM is unsigned per the RIFF spec
+_WAV_INT = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+
+def is_wav(data: bytes) -> bool:
+    return bytes(data[:4]) == b'RIFF' and bytes(data[8:12]) == b'WAVE'
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """WAV bytes -> (n_frames, n_channels) ndarray.
+
+    PCM integer widths decode via the stdlib ``wave`` module (int8/16/32);
+    IEEE-float WAV (format tag 3) is parsed from the RIFF chunks directly
+    since ``wave`` rejects non-PCM.
+    """
+    import io
+    import wave
+    data = bytes(data)
+    if not is_wav(data):
+        raise ValueError('not a WAV: bad RIFF/WAVE header')
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
+            raw = w.readframes(n_frames)
+        if width not in _WAV_INT:
+            raise ValueError(f'unsupported PCM sample width {width}')
+        arr = np.frombuffer(raw, dtype=_WAV_INT[width])
+        return arr.reshape(-1, n_ch)
+    except wave.Error:
+        pass  # non-PCM (e.g. IEEE float): parse RIFF chunks by hand
+    pos, fmt, frames = 12, None, b''
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack('<I', data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b'fmt ':
+            fmt = struct.unpack('<HHIIHH', body[:16])
+        elif cid == b'data':
+            frames = body
+    if fmt is None:
+        raise ValueError('WAV missing fmt chunk')
+    tag, n_ch, _, _, _, bits = fmt
+    if tag == 3 and bits in (32, 64):  # IEEE float
+        arr = np.frombuffer(frames, dtype=np.float32 if bits == 32 else np.float64)
+        return arr.reshape(-1, n_ch)
+    raise NotImplementedError(f'WAV format tag {tag} / {bits}-bit unsupported')
+
+
+def encode_wav(arr: np.ndarray, framerate: int = 16000) -> bytes:
+    """(n_frames, n_channels) int ndarray -> PCM WAV bytes (fixtures)."""
+    import io
+    import wave
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.dtype not in (np.uint8, np.int16, np.int32):
+        raise ValueError('encode_wav takes uint8/int16/int32 samples '
+                         '(8-bit WAV PCM is unsigned)')
+    buf = io.BytesIO()
+    with wave.open(buf, 'wb') as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(arr.dtype.itemsize)
+        w.setframerate(framerate)
+        w.writeframes(np.ascontiguousarray(arr).tobytes())
+    return buf.getvalue()

@@ -272,6 +272,44 @@ def test_png_rejects_garbage():
         decode_png(b'not a png at all')
 
 
+def test_wav_roundtrip_and_float():
+    from erde_spark.scale.png import decode_wav, encode_wav
+    rng = np.random.RandomState(5)
+    # int PCM round-trips bit-exact at every width (8-bit is unsigned)
+    for dtype in (np.uint8, np.int16, np.int32):
+        info = np.iinfo(dtype)
+        arr = rng.randint(info.min, info.max, size=(50, 2)).astype(dtype)
+        got = decode_wav(encode_wav(arr))
+        assert got.dtype == dtype and (got == arr).all()
+    # IEEE-float WAV (format tag 3) via the hand-rolled RIFF path
+    import struct
+    samples = rng.normal(size=(30, 1)).astype(np.float32)
+    body = samples.tobytes()
+    fmt = struct.pack('<HHIIHH', 3, 1, 16000, 16000 * 4, 4, 32)
+    wav = (b'RIFF' + struct.pack('<I', 4 + 8 + len(fmt) + 8 + len(body))
+           + b'WAVE' + b'fmt ' + struct.pack('<I', len(fmt)) + fmt
+           + b'data' + struct.pack('<I', len(body)) + body)
+    got = decode_wav(wav)
+    assert got.dtype == np.float32 and (got == samples).all()
+
+
+def test_extract_features_real_wav(spark):
+    """decode_media on REAL WAV blobs through the mapInPandas pipeline."""
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    from erde_spark.scale.png import encode_wav
+    rng = np.random.RandomState(9)
+    rows, expected = [], {}
+    for aid in range(4):
+        arr = rng.randint(-3000, 3000, size=(200 + aid, 2)).astype(np.int16)
+        rows.append((aid, bytearray(encode_wav(arr)), ('audio/wav', None, None, None)))
+        expected[aid] = float(arr.astype(np.float64).mean())
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r['asset_id']: r['feat_mean']
+           for r in extract_features(assets, fake=False).collect()}
+    for aid, mean in expected.items():
+        assert abs(got[aid] - mean) < 1e-9, aid
+
+
 def test_extract_features_real_png(spark):
     """decode_media on REAL PNG blobs: feat_mean must equal the true
     pixel mean of the encoded image."""
