@@ -1766,9 +1766,11 @@ def q_token_count_bpe(spark, sf_dir):
                  F.count(F.lit(1)).alias('n_docs')))
 
 
+# CAST(SUM(..) AS BIGINT): DuckDB sums integers into HUGEINT, which
+# hash-canonicalizes differently from Spark's bigint (same issue as q12)
 _TOKEN_BPE_SQL = r"""
 SELECT lang,
-       SUM(n) AS total_tokens,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
        ROUND(SUM(n) / COUNT(*), 4) AS avg_tokens,
        COUNT(*) AS n_docs
 FROM (SELECT lang,
