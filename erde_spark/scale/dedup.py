@@ -587,6 +587,32 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                     id_col, 'inner'))
 
 
+# ---------------------------------------------------------------- streaming
+
+def streaming_exact_dedup(stream: DataFrame, id_col: str = 'doc_id',
+                          text_col: str = 'text', ts_col: str | None = None,
+                          watermark: str = '1 hour') -> DataFrame:
+    """Exact dedup over a STREAMING DataFrame: fingerprint each document
+    and drop repeats across micro-batches.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is EVICTED once the watermark passes — the only shape
+    that survives an unbounded stream (state is bounded by the watermark
+    horizon, not the stream's lifetime). Without an event-time column the
+    state grows with distinct documents (fine for bounded backfills via
+    ``availableNow``, not for true 24/7 ingestion — pass ``ts_col``).
+
+    Ingestion-side dedup composes with the batch tiers: run this at
+    ingest to kill exact repeats cheaply, then the MinHash cluster pass
+    offline for near-dups.
+    """
+    out = stream.withColumn('fingerprint', fingerprint(F.col(text_col)))
+    if ts_col is not None:
+        return (out.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(['fingerprint']))
+    return out.dropDuplicates(['fingerprint'])
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',

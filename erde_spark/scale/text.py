@@ -216,3 +216,41 @@ def analyze(df: DataFrame, text_col: str = 'text') -> DataFrame:
         'lang_pred': lang_id(c),
         'fingerprint': fingerprint(c),
     })
+
+
+def gopher_quality_flags(col: Column | str, min_tokens: int = 50,
+                         max_tokens: int = 100_000,
+                         min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                         max_punct_ratio: float = 0.2,
+                         min_stop_hits: int = 2) -> Column:
+    """Per-rule boolean struct of Gopher-style quality gates (published
+    heuristics: Rae et al. 2021 §A1.1 'quality filtering'): token-count
+    window, mean-token-length window, punctuation-noise ceiling, and a
+    minimum number of DISTINCT stopword hits (a cheap English-fluency
+    signal). All JVM expressions over one tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n = F.size(t)
+    mtl = mean_token_len(c)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(t), F.array(*[F.lit(s) for s in STOPWORDS])))
+    return F.struct(
+        ((n >= min_tokens) & (n <= max_tokens)).alias('tokens_ok'),
+        ((mtl >= min_mean_len) & (mtl <= max_mean_len)).alias('mean_len_ok'),
+        (punct_ratio(c) <= max_punct_ratio).alias('punct_ok'),
+        (stop_hits >= min_stop_hits).alias('stopwords_ok'))
+
+
+def quality_filter(df: DataFrame, text_col: str = 'text',
+                   keep_flags: bool = False, **bounds) -> DataFrame:
+    """Keep only rows passing every Gopher-style gate (the curation-
+    pipeline filter shape: one projection computes all rule flags, the
+    filter is their conjunction — no shuffle, fully pushdown-friendly).
+    ``keep_flags=True`` retains the per-rule booleans for auditing."""
+    flags = gopher_quality_flags(F.col(text_col), **bounds)
+    out = df.withColumn('__q', flags)
+    kept = out.filter(F.col('__q.tokens_ok') & F.col('__q.mean_len_ok')
+                      & F.col('__q.punct_ok') & F.col('__q.stopwords_ok'))
+    if keep_flags:
+        return kept.select('*', F.col('__q.*')).drop('__q')
+    return kept.drop('__q')

@@ -386,6 +386,67 @@ def test_sketch_cardinality_error_bound(spark):
     assert all(r['within_2pct'] for r in out)
 
 
+def test_quality_filter_matches_duckdb(spark, docs, duck):
+    """Every Gopher gate cross-checked: kept doc_ids equal DuckDB's
+    evaluation of the same rules."""
+    from erde_spark.scale.text import STOPWORDS, quality_filter
+    got = {r['doc_id'] for r in
+           quality_filter(docs, min_tokens=30, max_tokens=500,
+                          max_punct_ratio=0.1).select('doc_id').collect()}
+    stoplist = ', '.join(f"'{s}'" for s in STOPWORDS)
+    exp = {r[0] for r in duck.execute(f"""
+        WITH t AS (SELECT doc_id, lower(text) AS low,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n,
+            CASE WHEN len(toks) > 0 THEN
+              list_aggregate(list_transform(toks, x -> length(x)), 'sum')*1.0/len(toks)
+              ELSE 0.0 END AS mtl,
+            CASE WHEN length(low) > 0 THEN
+              (length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g')))*1.0
+                / length(low) ELSE 0.0 END AS punct,
+            len(list_intersect(list_distinct(toks), [{stoplist}])) AS hits
+          FROM t)
+        SELECT doc_id FROM s
+        WHERE n BETWEEN 30 AND 500 AND mtl BETWEEN 3.0 AND 10.0
+          AND punct <= 0.1 AND hits >= 2""").fetchall()}
+    assert got == exp
+    assert 0 < len(got) < docs.count()  # the gates actually discriminate
+
+
+def test_quality_filter_flags(spark, docs):
+    from erde_spark.scale.text import quality_filter
+    out = quality_filter(docs.limit(50), keep_flags=True)
+    row = out.first()
+    for c in ('tokens_ok', 'mean_len_ok', 'punct_ok', 'stopwords_ok'):
+        assert row[c] is True  # kept rows pass every gate
+
+
+def test_streaming_exact_dedup(spark, docs, tmp_path):
+    """Exact dedup across micro-batches of a file stream: output distinct
+    fingerprints equal the batch dedup's."""
+    from erde_spark.scale.dedup import exact_dedup, streaming_exact_dedup
+    src_dir = str(tmp_path / 'in')
+    sample = docs.limit(200).select('doc_id', 'text')
+    # two overlapping files -> duplicate docs across micro-batches
+    sample.filter('doc_id < 150').write.parquet(src_dir)
+    sample.filter('doc_id >= 100').write.mode('append').parquet(src_dir)
+    stream = spark.readStream.schema(sample.schema).parquet(src_dir)
+    out = streaming_exact_dedup(stream)
+    out_dir, ckpt = str(tmp_path / 'out'), str(tmp_path / 'ck')
+
+    q = (out.writeStream.format('parquet').option('path', out_dir)
+         .option('checkpointLocation', ckpt)
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    n_expected = exact_dedup(sample).count()
+    assert back.select('fingerprint').distinct().count() == n_expected
+    # every surviving fingerprint appears exactly once
+    assert back.groupBy('fingerprint').count().filter('count > 1').count() == 0
+
+
 # ---------------------------------------------------------------- clustering
 
 def test_connected_components_matches_union_find(spark):
