@@ -1824,6 +1824,38 @@ FROM s JOIN documents USING (doc_id)
 """
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Gopher-rule quality filtering (Rae et al. 2021 heuristics): docs
+    passing the token-count / mean-token-length / punctuation /
+    stopword-presence gates; oracle reproduces each rule in SQL."""
+    from erde_spark.scale.text import quality_filter
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return quality_filter(d, min_tokens=30, max_tokens=500,
+                          max_punct_ratio=0.1).select('doc_id', 'lang')
+
+
+def _quality_filter_sql():
+    from erde_spark.scale.text import STOPWORDS
+    stoplist = ', '.join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, lower(text) AS low,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, lang, len(toks) AS n,
+    CASE WHEN len(toks) > 0 THEN
+      list_aggregate(list_transform(toks, x -> length(x)), 'sum')*1.0/len(toks)
+      ELSE 0.0 END AS mtl,
+    CASE WHEN length(low) > 0 THEN
+      (length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g')))*1.0/length(low)
+      ELSE 0.0 END AS punct,
+    len(list_intersect(list_distinct(toks), [{stoplist}])) AS hits
+  FROM t)
+SELECT doc_id, lang FROM s
+WHERE n BETWEEN 30 AND 500 AND mtl BETWEEN 3.0 AND 10.0
+  AND punct <= 0.1 AND hits >= 2
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from erde_spark.scale.dedup import exact_dedup
     d = _t(spark, sf_dir, 'documents')['documents']
@@ -2205,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cube_orders': q_cube_orders,
         'distinct_segments': q_distinct_segments,
         'supplier_by_nation': q_supplier_by_nation,
+        'text_quality_filter': q_text_quality_filter,
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2293,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         'cluster_components_jaccard': _CLUSTER_CC_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
+        'text_quality_filter': _quality_filter_sql(),
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via
