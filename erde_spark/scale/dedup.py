@@ -557,6 +557,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                                 threshold, num_perm, small)
         comp = connected_components(edges, df.select(id_col)) \
             .localCheckpoint(eager=True)
+        touched = None  # round 1 checks all rep pairs; later rounds prune
         for _ in range(merge_rounds):
             # representatives (= component labels) back into their buckets;
             # ALL pairs of representatives sharing a bucket are verified
@@ -567,7 +568,27 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             rep_buckets = (buckets.join(comp, 'id')
                            .select(F.col('component').alias('rid'), 'band', 'bh')
                            .distinct())
+            if touched is not None:
+                # rounds after the first only need pairs involving a rep
+                # whose component changed last round: every pair of
+                # UNCHANGED reps sharing a bucket was already verified
+                # (and refuted) by the previous all-pairs round — and an
+                # unchanged rep's bucket set is itself unchanged. Restrict
+                # to buckets holding a touched rep BEFORE the quadratic
+                # pair step, then to pairs involving a touched rep.
+                tb = touched.withColumnRenamed('t', 'rid')
+                hot = (rep_buckets.join(tb, 'rid', 'left_semi')
+                       .select('band', 'bh').distinct())
+                rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
             rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
+            if touched is not None:
+                rep_cand = (rep_cand
+                            .join(touched.withColumnRenamed('t', 'id_a'),
+                                  'id_a', 'left_semi')
+                            .unionByName(rep_cand.join(
+                                touched.withColumnRenamed('t', 'id_b'),
+                                'id_b', 'left_semi'))
+                            .distinct())
             merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
                 .select('id_a', 'id_b').localCheckpoint(eager=True)
             if merges.limit(1).count() == 0:
@@ -576,6 +597,15 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 merges, comp.select(F.col('component')).distinct())
                 .withColumnRenamed('component', 'supercomp')
                 .withColumnRenamed('id', 'component'))
+            # reps whose label changed (absorbed into another component)
+            # plus the absorbing labels themselves
+            touched = (rep_map
+                       .filter(F.col('component') != F.col('supercomp'))
+                       .select(F.col('component').alias('t'))
+                       .unionByName(rep_map
+                                    .filter(F.col('component') != F.col('supercomp'))
+                                    .select(F.col('supercomp').alias('t')))
+                       .distinct().localCheckpoint(eager=True))
             comp = (comp.join(rep_map, 'component')
                     .select('id', F.col('supercomp').alias('component'))
                     .localCheckpoint(eager=True))
