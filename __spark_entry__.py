@@ -1984,6 +1984,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed (sign-LSH + multiprobe) embedding near-dup pairs — the
+    scale tier over brute-force cosine pairs. Precision is exact (cosine
+    verified); recall is the hyperplane collision probability, so no SQL
+    oracle (driver rows-only; precision/recall pytest on planted dups in
+    tests/test_scale.py)."""
+    from erde_spark.scale.dedup import embedding_lsh_pairs
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    return embedding_lsh_pairs(e, threshold=0.8) \
+        .select('id_a', 'id_b', F.round('cosine', 4).alias('cosine'))
+
+
 def q_similarity_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for the first 20 vectors (ANN
     baseline). Rank-only output: integer-exact hash match."""
@@ -2241,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
+        'dedup_embedding_lsh': q_dedup_embedding_lsh,
         'dedup_clusters': q_dedup_clusters,
         'similarity_lsh': q_similarity_lsh,
         'similarity_ivf': q_similarity_ivf,

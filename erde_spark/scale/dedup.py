@@ -652,8 +652,8 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
 
     Brute force: normalize once, self-join id_a < id_b, dot product in a
     vectorized pandas UDF (numpy per Arrow batch). Quadratic — the
-    baseline / verification path; use ``similarity.lsh_buckets`` to
-    restrict candidates at scale.
+    baseline / verification path; :func:`embedding_lsh_pairs` is the
+    bucketed tier for corpora where all-pairs is unpayable.
     """
     from erde_spark.scale.similarity import cosine_udf, normalized
     v = normalized(df, id_col, vec_col)
@@ -663,3 +663,34 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
              .withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
              .filter(F.col('cosine') >= threshold)
              .select('id_a', 'id_b', 'cosine'))
+
+
+def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
+                        vec_col: str = 'embedding', threshold: float = 0.9,
+                        dim: int = 64, n_bits: int = 10, n_probes: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane sign-LSH
+    buckets (+ lowest-index-bit multiprobe), candidates self-joined per
+    bucket, verified with the exact cosine — precision is exact, recall
+    is the hyperplane collision probability (1 - theta/pi per bit; high
+    for the near-parallel vectors a dedup cares about). The embedding
+    analogue of ``minhash_lsh_pairs``: cost is O(vectors x probes) +
+    bucket-local joins, never all-pairs.
+    """
+    from erde_spark.scale.similarity import cosine_udf, lsh_buckets
+    v = lsh_buckets(df, id_col, vec_col, dim, n_bits, seed)
+    # multiprobe: each vector also lands in its bucket with the i lowest
+    # bits flipped, widening recall without a second scan
+    probes = F.array(*[F.col('bucket').bitwiseXOR(F.lit(1 << i))
+                       for i in range(max(0, n_probes - 1))],
+                     F.col('bucket'))
+    ve = v.select('id', 'nvec', F.explode(probes).alias('bucket'))
+    a = ve.select(F.col('id').alias('id_a'), F.col('nvec').alias('va'), 'bucket')
+    b = ve.select(F.col('id').alias('id_b'), F.col('nvec').alias('vb'), 'bucket')
+    cand = (a.join(b, ['bucket'])
+             .filter(F.col('id_a') < F.col('id_b'))
+             .select('id_a', 'id_b', 'va', 'vb')
+             .dropDuplicates(['id_a', 'id_b']))
+    return (cand.withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
+            .filter(F.col('cosine') >= threshold)
+            .select('id_a', 'id_b', 'cosine'))

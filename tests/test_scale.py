@@ -545,6 +545,33 @@ def test_dedup_clusters_rejects_bad_bands(spark):
                        bands=7)  # 96 % 7 != 0
 
 
+def test_embedding_lsh_pairs_precision_and_recall(spark):
+    """Bucketed embedding near-dup on a corpus with PLANTED near-dups
+    (the testdata embeddings are near-orthogonal random vectors with no
+    pairs above cosine 0.52 at any SF): exact precision against brute
+    force, and high recall on the planted pairs. Hyperplanes and
+    perturbations are seeded, so the outcome is deterministic."""
+    from erde_spark.scale.dedup import embedding_cosine_pairs, embedding_lsh_pairs
+    rng = np.random.RandomState(4)
+    base = rng.normal(size=(30, 64))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # 15 slightly-perturbed copies of the first 15 -> cosine ~0.999
+    for i in range(15):
+        rows.append((30 + i, (base[i] + rng.normal(scale=0.01, size=64)).tolist()))
+    embs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    exact = {(r['id_a'], r['id_b']): round(r['cosine'], 4)
+             for r in embedding_cosine_pairs(embs, threshold=0.9).collect()}
+    planted = {(i, 30 + i) for i in range(15)}
+    assert planted <= set(exact)             # the fixture is what we think
+    lsh = {(r['id_a'], r['id_b']): round(r['cosine'], 4)
+           for r in embedding_lsh_pairs(embs, threshold=0.9).collect()}
+    assert set(lsh) <= set(exact)            # exact precision
+    for k, v in lsh.items():
+        assert v == exact[k]
+    found = len(planted & set(lsh))
+    assert found >= 12, f'only {found}/15 planted pairs recalled'
+
+
 def test_minhash_no_count_probe(spark, docs, monkeypatch):
     """Choosing broadcast mode must be a Catalyst metadata lookup, never
     a counting job over the corpus (at 100 TB that is a full scan before
