@@ -1856,6 +1856,91 @@ WHERE n BETWEEN 30 AND 500 AND mtl BETWEEN 3.0 AND 10.0
 """
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-20 for a 3-term query, all JVM-side (filter-before-
+    shuffle tf, broadcast stats/df joins, TakeOrdered top-k); oracle
+    reproduces the Lucene-idf formula term by term."""
+    from erde_spark.scale.ranking import bm25_topk
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return bm25_topk(d, ['spark', 'vector', 'hash'], k=20)
+
+
+_BM25_SQL = """
+WITH d AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents),
+base AS (SELECT doc_id, len(toks) AS doclen,
+    list_filter(toks, x -> list_contains(['spark','vector','hash'], x)) AS hits
+  FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(doclen) AS doclen
+  FROM (SELECT doc_id, doclen, unnest(hits) AS term FROM base)
+  GROUP BY doc_id, term),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM base),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, ROUND(SUM(
+  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))
+), 4) AS score
+FROM tf CROSS JOIN stats JOIN dfreq USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic md5-bucket 10% sample: map-only filter, identical
+    row set on any engine / any partitioning (portable reproducible
+    splits — `df.sample()` is neither)."""
+    from erde_spark.scale.sampling import hash_sample
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return hash_sample(d, 'doc_id', 0.1).select('doc_id', 'lang')
+
+
+_SAMPLE_HASH_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exactly-20-per-language deterministic stratified sample (hash-
+    order rank within stratum)."""
+    from erde_spark.scale.sampling import stratified_sample
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return stratified_sample(d, 'lang', 'doc_id', 20).select('doc_id', 'lang')
+
+
+_SAMPLE_STRAT_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by hash range —
+    mutually exclusive, exhaustive, one map-only pass; result = rows per
+    split."""
+    from erde_spark.scale.sampling import hash_split
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return (hash_split(d, 'doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})
+            .groupBy('split').agg(F.count(F.lit(1)).alias('n')))
+
+
+_SAMPLE_SPLIT_SQL = """
+SELECT CASE WHEN k < 'cccc' THEN 'train'
+            WHEN k < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k FROM documents)
+GROUP BY 1
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from erde_spark.scale.dedup import exact_dedup
     d = _t(spark, sf_dir, 'documents')['documents']
@@ -2194,8 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
-        'date_funcs': q_date_funcs,
-        'array_funcs': q_array_funcs,
+        'bm25_search': q_bm25_search,
+        'sample_hash': q_sample_hash,
         'full_outer_priority': q_full_outer_priority,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
@@ -2227,6 +2312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_embedding': q_dedup_embedding,
         'similarity_topk': q_similarity_topk,
         # -- tail: TPC-H variants green in round 1, + rows-only ops ------
+        'date_funcs': q_date_funcs,
+        'array_funcs': q_array_funcs,
+        'sample_stratified': q_sample_stratified,
+        'sample_split': q_sample_split,
         'tpch_q3_topk': q_tpch_q3,
         'tpch_q5_region_revenue': q_tpch_q5,
         'tpch_q4_semijoin': q_tpch_q4,
@@ -2340,6 +2429,10 @@ def oracle_sql() -> dict[str, str]:
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
         'text_quality_filter': _quality_filter_sql(),
+        'bm25_search': _BM25_SQL,
+        'sample_hash': _SAMPLE_HASH_SQL,
+        'sample_stratified': _SAMPLE_STRAT_SQL,
+        'sample_split': _SAMPLE_SPLIT_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via

@@ -81,7 +81,7 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif f == 1:                      # Sub: left-neighbour prefix sum
             for x in range(ch, stride):
-                row[x] = row[x] + row[x - ch]
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
         elif f == 2:                      # Up
             row += prev
         elif f == 3:                      # Average

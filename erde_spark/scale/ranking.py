@@ -1,0 +1,82 @@
+"""BM25 full-text relevance ranking over document tables.
+
+The classic Robertson/Sparck-Jones BM25 with the Lucene always-positive
+idf variant: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``. Everything is
+JVM-side DataFrame algebra — no Python in the loop:
+
+- the per-document pass projects ``(id, doclen, tokens ∩ query_terms)``
+  in one codegen stage, so the explode that follows carries only query-
+  term occurrences, not the corpus (filter-before-shuffle);
+- corpus stats (N, avgdl) are a single global aggregate broadcast back
+  via a 1-row cross join (never a driver ``collect``);
+- per-term document frequencies are a k-row aggregate broadcast-joined
+  onto the term-frequency table (k = number of query terms, tiny);
+- the final top-k is ``orderBy(...).limit(k)`` → Spark's
+  TakeOrderedAndProject, a per-partition partial top-k + driver merge,
+  never a full sort.
+
+At 100 TB: one shuffle on ``(doc, term)`` whose input is pre-filtered to
+query-term hits only, one scalar aggregate, two broadcast joins. Scales
+linearly with executors; no all-pairs, no skew-prone wide keys (a query
+term hitting every doc shuffles one row per hit, combine-reduced
+map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erde_spark.scale.text import token_count, tokens
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                id_col: str = 'doc_id', text_col: str = 'text',
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Per-document BM25 score for a bag-of-words query.
+
+    Returns ``(id_col, score)`` for every document matching at least one
+    query term; ``score`` is rounded to 4 decimals so downstream ordering
+    is stable across engines/float orders.
+    """
+    if not query_terms:
+        raise ValueError('query_terms must be non-empty')
+    terms = F.array(*[F.lit(t) for t in query_terms])
+
+    base = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias('doclen'),
+        F.filter(tokens(text_col), lambda x: F.array_contains(terms, x))
+         .alias('hits'))
+
+    tf = (base.select(id_col, 'doclen', F.explode('hits').alias('term'))
+          .groupBy(id_col, 'term')
+          .agg(F.count(F.lit(1)).alias('tf'),
+               F.first('doclen').alias('doclen')))
+
+    stats = docs.agg(F.count(F.lit(1)).alias('n_docs'),
+                     F.avg(token_count(text_col)).alias('avgdl'))
+    dfreq = tf.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
+
+    scored = (tf.crossJoin(F.broadcast(stats))
+              .join(F.broadcast(dfreq), 'term'))
+    idf = F.log(F.lit(1.0) + (F.col('n_docs') - F.col('df') + 0.5)
+                / (F.col('df') + 0.5))
+    part = (F.col('tf') * (k1 + 1.0)
+            / (F.col('tf') + k1 * (1.0 - b + b * F.col('doclen') / F.col('avgdl'))))
+    return (scored.withColumn('s', idf * part)
+            .groupBy(id_col)
+            .agg(F.round(F.sum('s'), 4).alias('score')))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              id_col: str = 'doc_id', text_col: str = 'text',
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` documents by BM25 score (score desc, id asc tie-break).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — partial
+    top-k per partition, merged on the driver: O(k) driver memory at any
+    corpus size.
+    """
+    scores = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
+    return scores.orderBy(F.col('score').desc(), F.col(id_col)).limit(k)

@@ -1,0 +1,100 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and row order, so two
+runs (or Spark vs another engine) disagree — useless for reproducible
+corpus curation or held-out splits. These samplers key every decision off
+``md5(id)`` instead: the same row lands in the same split on ANY engine
+that computes md5 of the same string bytes, at any parallelism, under
+repartitioning, after compaction.
+
+Scale posture (100 TB):
+
+- ``hash_sample`` is a stateless map-side filter — no shuffle, no state,
+  pushes through joins/unions; selectivity is ``fraction`` exactly in
+  expectation with a 16-bit bucket granularity (1/65536 steps).
+- ``hash_split`` is the same trick partitioned into disjoint named
+  splits (train/val/test) — one pass, mutually exclusive by construction.
+- ``stratified_sample`` takes exactly ``n`` rows per stratum via a
+  window rank over the hash. One shuffle on the strata column; fine for
+  the usual case (strata = languages/sources, thousands at most). For a
+  HUGE single stratum the per-stratum sort dominates — use
+  ``hash_sample`` with a per-stratum fraction instead (map-only).
+- ``top_n_sample`` is a global exactly-n sample via TakeOrdered over the
+  hash: partial top-n per partition + driver merge, O(n) driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_key(id_col: Column | str, salt: str = '') -> Column:
+    """Deterministic 4-hex-digit (16-bit) bucket of a row id: the first 4
+    chars of ``md5(cast(id as string) || salt)``. Portable: any engine's
+    md5 of the same UTF-8 bytes yields the same lowercase hex."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.encode(F.concat(c.cast('string'), F.lit(salt)), 'UTF-8')),
+        1, 4)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Upper-bound hex string for a [0,1] fraction. Keys are exactly 4
+    lowercase hex chars, so fraction 1.0 must map to a string that sorts
+    AFTER 'ffff' — 'g' does; '10000' would sort before it."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f'fraction must be in [0, 1], got {fraction}')
+    n = int(fraction * 0x10000)
+    return 'g' if n >= 0x10000 else format(n, '04x')
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = '') -> DataFrame:
+    """Keep rows whose 16-bit hash bucket falls below ``fraction``.
+    Deterministic, repartition-proof, map-only (no shuffle). Different
+    ``salt`` values give independent samples."""
+    return df.filter(sample_key(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
+               salt: str = '') -> DataFrame:
+    """Assign every row to one named split (e.g. train/val/test) by hash
+    range. ``splits`` maps name -> fraction; fractions must sum to <= 1
+    (rows past the total get split ``NULL`` — filter or treat as holdout).
+    Adds a ``split`` column; one map-only pass, splits mutually exclusive
+    and individually identical to ``hash_sample`` of the cumulated range.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f'split fractions sum to {total} > 1')
+    key = sample_key(id_col, salt)
+    expr = F.lit(None).cast('string')
+    cum = 0.0
+    bounds = []
+    for name, frac in splits.items():
+        lo, cum = cum, cum + frac
+        bounds.append((name, _threshold_hex(lo), _threshold_hex(cum)))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((key >= F.lit(lo)) & (key < F.lit(hi)), name).otherwise(expr)
+    return df.withColumn('split', expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      n_per_stratum: int, salt: str = '') -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, picked by hash
+    order (deterministic; ties broken by id). One shuffle on the strata
+    column."""
+    w = (Window.partitionBy(strata_col)
+         .orderBy(sample_key(id_col, salt), F.col(id_col)))
+    return (df.withColumn('_rk', F.row_number().over(w))
+            .filter(F.col('_rk') <= n_per_stratum)
+            .drop('_rk'))
+
+
+def top_n_sample(df: DataFrame, id_col: str, n: int,
+                 salt: str = '') -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows globally, by hash order — compiles
+    to TakeOrderedAndProject (partial top-n per partition), never a full
+    sort."""
+    return df.orderBy(sample_key(id_col, salt), F.col(id_col)).limit(n)

@@ -1,0 +1,160 @@
+"""BM25 ranking and deterministic sampling (scale/ranking.py,
+scale/sampling.py): exact-formula oracles, determinism under
+repartitioning, and plan-shape assertions (map-only sampling, TakeOrdered
+top-k)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from erde_spark.plans.inspect import count_shuffles, physical_plan
+from erde_spark.scale.ranking import bm25_scores, bm25_topk
+from erde_spark.scale.sampling import (hash_sample, hash_split, sample_key,
+                                       stratified_sample, top_n_sample)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, 'spark spark spark joins the table', 'en'),
+        (1, 'vector search with a vector index', 'en'),
+        (2, 'hash join beats sort merge join on small tables', 'en'),
+        (3, 'the quick brown fox jumps over the lazy dog', 'en'),
+        (4, 'spark vector hash all in one doc', 'en'),
+    ]
+    return spark.createDataFrame(rows, 'doc_id long, text string, lang string')
+
+
+def _ref_bm25(corpus, terms, k1=1.2, b=0.75):
+    """Independent pure-Python BM25 for the oracle."""
+    toks = {i: t.lower().split() for i, t, _ in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            out[i] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark, docs):
+    got = {r['doc_id']: r['score']
+           for r in bm25_scores(docs, ['spark', 'vector', 'hash']).collect()}
+    want = _ref_bm25([(r['doc_id'], r['text'], r['lang'])
+                      for r in docs.collect()], ['spark', 'vector', 'hash'])
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
+def test_bm25_topk_order_and_plan(spark, docs):
+    top = bm25_topk(docs, ['spark'], k=2)
+    rows = top.collect()
+    # doc 0 has tf=3 of a rarer-than-nothing term; it must rank first
+    assert rows[0]['doc_id'] == 0
+    assert len(rows) == 2
+    assert 'TakeOrderedAndProject' in physical_plan(top)
+
+
+def test_bm25_empty_terms_raises(spark, docs):
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_hash_sample_deterministic_and_maponly(spark):
+    df = spark.range(0, 5000).withColumnRenamed('id', 'doc_id')
+    s1 = {r['doc_id'] for r in hash_sample(df, 'doc_id', 0.2).collect()}
+    s2 = {r['doc_id'] for r in
+          hash_sample(df.repartition(13), 'doc_id', 0.2).collect()}
+    assert s1 == s2                       # repartition-proof
+    assert 0.15 < len(s1) / 5000 < 0.25   # ~fraction
+    assert count_shuffles(hash_sample(df, 'doc_id', 0.2)) == 0
+
+
+def test_hash_sample_salt_independence(spark):
+    df = spark.range(0, 2000).withColumnRenamed('id', 'doc_id')
+    a = {r['doc_id'] for r in hash_sample(df, 'doc_id', 0.3, salt='a').collect()}
+    b = {r['doc_id'] for r in hash_sample(df, 'doc_id', 0.3, salt='b').collect()}
+    # independent samples: overlap ~ p^2, far from either sample alone
+    assert len(a & b) < 0.6 * min(len(a), len(b))
+
+
+def test_hash_split_partition_of_unity(spark):
+    df = spark.range(0, 3000).withColumnRenamed('id', 'doc_id')
+    out = hash_split(df, 'doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})
+    counts = {r['split']: r['n'] for r in
+              out.groupBy('split').agg(F.count(F.lit(1)).alias('n')).collect()}
+    assert None not in counts and sum(counts.values()) == 3000
+    assert counts['train'] > counts['val'] and counts['train'] > counts['test']
+    # each split equals the matching hash_sample range boundary behavior:
+    # train is exactly hash_sample(0.8)
+    train = {r['doc_id'] for r in
+             out.filter(F.col('split') == 'train').collect()}
+    assert train == {r['doc_id'] for r in
+                     hash_sample(df, 'doc_id', 0.8).collect()}
+
+
+def test_hash_split_full_fraction_includes_ffff_keys(spark):
+    # fraction 1.0 must keep EVERY row, including keys sorting at 'ffff'
+    df = spark.range(0, 4000).withColumnRenamed('id', 'doc_id')
+    out = hash_split(df, 'doc_id', {'all': 1.0})
+    assert out.filter(F.col('split').isNull()).count() == 0
+
+
+def test_hash_split_overcommit_raises(spark):
+    df = spark.range(0, 10).withColumnRenamed('id', 'doc_id')
+    with pytest.raises(ValueError):
+        hash_split(df, 'doc_id', {'a': 0.7, 'b': 0.7})
+
+
+def test_stratified_exact_n_per_stratum(spark):
+    df = (spark.range(0, 1000).withColumnRenamed('id', 'doc_id')
+          .withColumn('lang', F.when(F.col('doc_id') % 3 == 0, 'en')
+                      .when(F.col('doc_id') % 3 == 1, 'de').otherwise('fr')))
+    out = stratified_sample(df, 'lang', 'doc_id', 7)
+    counts = {r['lang']: r['n'] for r in
+              out.groupBy('lang').agg(F.count(F.lit(1)).alias('n')).collect()}
+    assert counts == {'en': 7, 'de': 7, 'fr': 7}
+    # deterministic under repartitioning
+    a = {r['doc_id'] for r in out.collect()}
+    b = {r['doc_id'] for r in
+         stratified_sample(df.repartition(11), 'lang', 'doc_id', 7).collect()}
+    assert a == b
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame([(1, 'en'), (2, 'en'), (3, 'xx')],
+                               'doc_id long, lang string')
+    out = stratified_sample(df, 'lang', 'doc_id', 5)
+    assert out.count() == 3
+
+
+def test_top_n_sample_plan_and_determinism(spark):
+    df = spark.range(0, 5000).withColumnRenamed('id', 'doc_id')
+    t = top_n_sample(df, 'doc_id', 25)
+    assert 'TakeOrderedAndProject' in physical_plan(t)
+    a = [r['doc_id'] for r in t.collect()]
+    b = [r['doc_id'] for r in
+         top_n_sample(df.repartition(17), 'doc_id', 25).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 25
+
+
+def test_sample_key_is_portable_md5(spark):
+    # the contract the DuckDB oracle relies on: first 4 hex chars of
+    # md5(str(id))
+    import hashlib
+    df = spark.createDataFrame([(42,), (7,)], 'doc_id long')
+    got = {r['doc_id']: r['k']
+           for r in df.select('doc_id',
+                              sample_key('doc_id').alias('k')).collect()}
+    for i in (42, 7):
+        assert got[i] == hashlib.md5(str(i).encode()).hexdigest()[:4]
