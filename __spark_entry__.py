@@ -1780,6 +1780,86 @@ GROUP BY lang
 """
 
 
+def q_repetition_ngrams(spark, sf_dir):
+    """Intra-document repetition (Gopher-style duplicate-bigram fraction):
+    per doc, total vs distinct word bigrams and the repeat fraction. All
+    JVM higher-order functions — one linear scan, no shuffle at all (the
+    output is per-row). Int columns compare exactly; the double fraction
+    is an exact small-rational in BOTH engines (same IEEE division), so
+    ROUND(.,4) canonicalizes identically."""
+    from erde_spark.scale.text import word_ngrams
+    d = _t(spark, sf_dir, 'documents')['documents']
+    g = word_ngrams(F.col('text'), 2)
+    nd = F.size(F.array_distinct(g))
+    return d.select(
+        'doc_id',
+        F.size(g).cast('long').alias('n_bigrams'),
+        nd.cast('long').alias('n_distinct'),
+        F.round(F.when(F.size(g) > 0,
+                       F.lit(1.0) - nd / F.size(g)).otherwise(F.lit(0.0)),
+                4).alias('dup_fraction'))
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+1], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM toks)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       ROUND(CASE WHEN len(grams) > 0 THEN
+               1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             ELSE 0.0 END, 4) AS dup_fraction
+FROM g
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a word 4-gram with
+    a small 'eval' slice (doc_id % 97 == 0 stands in for the benchmark
+    set). The eval n-gram set is broadcast — the corpus is scanned once
+    and never shuffled by n-gram; hit counts combine map-side."""
+    from erde_spark.scale.text import contamination_hits
+    d = _t(spark, sf_dir, 'documents')['documents']
+    ev = d.filter(F.col('doc_id') % 97 == 0)
+    corpus = d.filter(F.col('doc_id') % 97 != 0)
+    hits = contamination_hits(corpus, ev, n=4)
+    return hits.select('doc_id',
+                       F.col('contaminated_ngrams').cast('long')
+                       .alias('contaminated_ngrams'))
+
+
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_transform(generate_series(1, len(t) - 3),
+                          i -> array_to_string(t[i:i+3], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM toks),
+ev AS (SELECT DISTINCT unnest(grams) AS ngram FROM g WHERE doc_id % 97 = 0),
+dg AS (SELECT DISTINCT doc_id, unnest(grams) AS ngram
+       FROM g WHERE doc_id % 97 <> 0)
+SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
+FROM dg JOIN ev USING (ngram)
+GROUP BY dg.doc_id
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     from erde_spark.scale.text import (fingerprint, lang_id, mean_token_len,
                                        punct_ratio, stopword_ratio, token_count)
@@ -2339,6 +2419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'distinct_segments': q_distinct_segments,
         'supplier_by_nation': q_supplier_by_nation,
         'text_quality_filter': q_text_quality_filter,
+        'repetition_ngrams': q_repetition_ngrams,
+        'contamination_check': q_contamination,
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2429,6 +2511,8 @@ def oracle_sql() -> dict[str, str]:
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
         'text_quality_filter': _quality_filter_sql(),
+        'repetition_ngrams': _REPETITION_SQL,
+        'contamination_check': _CONTAMINATION_SQL,
         'bm25_search': _BM25_SQL,
         'sample_hash': _SAMPLE_HASH_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,

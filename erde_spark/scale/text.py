@@ -123,6 +123,53 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of overlapping word n-grams (space-joined token windows).
+    Documents with fewer than ``n`` tokens yield an empty array. JVM
+    higher-order functions only (``sequence``/``transform``/``slice``),
+    so the per-document pass is linear and stays executor-side."""
+    t = tokens(col)
+    m = F.size(t) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                        lambda i: F.array_join(F.slice(t, i, n), ' '))
+    return F.when(m >= 1, grams).otherwise(
+        F.array().cast(T.ArrayType(T.StringType())))
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style intra-document repetition signal
+    (Rae et al. 2021 §A1.1 'repetition'): high values mark boilerplate /
+    looping generations. 0.0 for documents shorter than ``n`` tokens."""
+    g = word_ngrams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        1.0 - F.size(F.array_distinct(g)) / F.size(g)).otherwise(F.lit(0.0))
+
+
+def contamination_hits(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
+                       id_col: str = 'doc_id',
+                       text_col: str = 'text') -> DataFrame:
+    """Benchmark decontamination: (id, contaminated_ngrams) for every
+    corpus document sharing at least one word ``n``-gram with the eval
+    set (the GPT-3 appendix-C / PaLM 13-gram overlap method; n is a
+    parameter because the right n depends on tokenizer granularity).
+
+    Scale shape: the eval set is always tiny relative to a 100 TB corpus,
+    so its distinct n-gram set is broadcast; the corpus side is ONE linear
+    scan (explode + distinct-per-doc + broadcast semi-style join + map-side
+    combined groupBy). The corpus is never shuffled by n-gram."""
+    ev = (eval_df.select(F.explode(word_ngrams(text_col, n)).alias('ngram'))
+          .distinct())
+    doc_grams = (corpus
+                 .select(F.col(id_col), F.explode(word_ngrams(text_col, n))
+                         .alias('ngram'))
+                 .dropDuplicates([id_col, 'ngram']))
+    return (doc_grams.join(F.broadcast(ev), 'ngram')
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias('contaminated_ngrams')))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text. The exact-dedup key."""

@@ -59,6 +59,37 @@ def test_analyze_shape(spark, docs):
     assert row['lang_pred'] in ('en', 'de', 'fr', 'es', 'und')
 
 
+def test_word_ngrams_and_dup_fraction(spark):
+    from erde_spark.scale.text import dup_ngram_fraction, word_ngrams
+    df = spark.createDataFrame(
+        [(1, 'a b c a b c'), (2, 'x y'), (3, 'solo'), (4, '')],
+        ['i', 'text'])
+    rows = {r['i']: r for r in df.select(
+        'i', word_ngrams('text', 2).alias('g'),
+        dup_ngram_fraction('text', 2).alias('f')).collect()}
+    assert rows[1]['g'] == ['a b', 'b c', 'c a', 'a b', 'b c']
+    assert abs(rows[1]['f'] - (1 - 3 / 5)) < 1e-12
+    assert rows[2]['g'] == ['x y'] and rows[2]['f'] == 0.0
+    assert rows[3]['g'] == [] and rows[3]['f'] == 0.0
+    assert rows[4]['g'] == [] and rows[4]['f'] == 0.0
+
+
+def test_contamination_hits(spark):
+    from erde_spark.scale.text import contamination_hits
+    corpus = spark.createDataFrame(
+        [(1, 'the quick brown fox jumps over the lazy dog'),
+         (2, 'entirely different words here with no overlap at all'),
+         (3, 'quick brown fox jumps high')],
+        ['doc_id', 'text'])
+    ev = spark.createDataFrame(
+        [(100, 'a quick brown fox jumps today')], ['doc_id', 'text'])
+    got = {r['doc_id']: r['contaminated_ngrams'] for r in
+           contamination_hits(corpus, ev, n=4).collect()}
+    # eval 4-grams: {a quick brown fox, quick brown fox jumps,
+    #                brown fox jumps today}
+    assert got == {1: 1, 3: 1}
+
+
 # ---------------------------------------------------------------- dedup
 
 def test_exact_dedup(spark, docs, duck):
