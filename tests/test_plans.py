@@ -209,3 +209,15 @@ def test_sjoin_explicit_cell_size_forces_grid(spark):
     plan = physical_plan(sjoin(pts, rects, op='within', cell_size=1.0))
     assert 'BroadcastNestedLoopJoin' not in plan
     assert 'CartesianProduct' not in plan
+
+
+def test_contamination_broadcasts_eval_ngrams(spark):
+    """Decontamination must broadcast the (small) eval n-gram set: the
+    corpus side is one scan + map-side-combined groupBy, never shuffled
+    by n-gram."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    q = e.queries()['contamination_check'](spark, SF)
+    plan = physical_plan(q)
+    assert has_broadcast_join(q)
+    assert 'SortMergeJoin' not in plan
