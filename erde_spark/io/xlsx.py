@@ -90,18 +90,20 @@ def _cell_value(c, shared: list[str]):
 
 def read_xlsx(spark: SparkSession, path: str, **kw) -> DataFrame:
     """First row = header; column types unified per column (all-int stays
-    long, mixed int/float widens to double, else string)."""
-    from erde_spark.io import _try_geo
+    long, mixed int/float widens to double, else string). OLE2 ``.xls``
+    files route to the stdlib BIFF8 parser (``io/xls_biff.py``) — the
+    reference cannot read those at all (`erde/io/xls.py:13` forces
+    ``engine='openpyxl'``, which is zip-only)."""
     file, sheet = split_path(path)
     if not os.path.exists(file):
         raise FileNotFoundError(file)
     with open(file, 'rb') as fh:
         magic = fh.read(8)
     if magic == b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1':  # OLE2 compound file
-        raise NotImplementedError(
-            f'{file}: legacy OLE2 .xls (BIFF) is not supported — only the '
-            'zip-based .xlsx format; re-save the workbook as .xlsx '
-            '(the reference reads both via pandas/xlrd, not in this container)')
+        from erde_spark.io.xls_biff import parse_xls
+        with open(file, 'rb') as fh:
+            rows = parse_xls(fh.read(), sheet)
+        return _rows_to_df(spark, rows, file)
     with zipfile.ZipFile(file) as zf:
         shared = _shared_strings(zf)
         root = ET.fromstring(_sheet_xml(zf, sheet))
@@ -118,6 +120,14 @@ def read_xlsx(spark: SparkSession, path: str, **kw) -> DataFrame:
             val = _cell_value(c, shared)
             if val is not None:
                 rows.setdefault(row_no, {})[col_no] = val
+    return _rows_to_df(spark, rows, file)
+
+
+def _rows_to_df(spark: SparkSession, rows: dict[int, dict[int, object]],
+                file: str) -> DataFrame:
+    """Sparse {row: {col: value}} -> DataFrame: first row is the header,
+    per-column types unified the way pandas inference would."""
+    from erde_spark.io import _try_geo
     if not rows:
         raise ValueError(f'empty sheet in {file!r}')
     hdr_no = min(rows)

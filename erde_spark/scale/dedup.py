@@ -22,7 +22,6 @@ All id pairs are emitted once with ``id_a < id_b``.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -108,20 +107,6 @@ def jaccard_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
 
 # ---------------------------------------------------------------- minhash LSH
 
-def _md5_u64(token: str) -> int:
-    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], 'little')
-
-
-def _hash_tokens(batch_token_arrays) -> dict:
-    """Hash every distinct token in an Arrow batch once (natural-language
-    vocabularies are tiny relative to token occurrences)."""
-    vocab = set()
-    for toks in batch_token_arrays:
-        if toks is not None:
-            vocab.update(toks)
-    return {t: _md5_u64(t) for t in vocab}
-
-
 _MERSENNE = (1 << 61) - 1
 
 #: broadcast the doc-level tables (signatures, hashed token sets — both
@@ -150,21 +135,16 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
-                       num_perm: int = 64, seed: int = 42,
-                       shingles: int | None = None) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures.
-
-    Token base hash = first 8 bytes of md5 (stable across engines and
-    runs); permutations are universal hashes (a*h + b) mod 2^61-1 with
-    seeded coefficients. Vectorized per Arrow batch: tokens x perms matrix
-    min in numpy.
-    """
+def _sig_from_hashes(tok: DataFrame, num_perm: int = 64,
+                     seed: int = 42) -> DataFrame:
+    """(id, sig) MinHash signatures from a hashed-token-set table
+    (id, toks: array<long>) — the one table the whole dedup stack shares,
+    so documents are tokenized and hashed exactly once (JVM ``xxhash64``)
+    and the Arrow crossing carries int64 lists, not token strings."""
     av, bv = _perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(tok_arrays: pd.Series) -> pd.Series:
-        hashed = _hash_tokens(tok_arrays)
         out = []
         # per-doc (tokens x perms) matrices beat one batch-wide matrix +
         # minimum.reduceat here (measured 7.5 vs 11.3 ms/batch): the
@@ -173,13 +153,26 @@ def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 't
             if toks is None or len(toks) == 0:
                 out.append([0] * num_perm)
                 continue
-            h = np.array([hashed[t] for t in toks], dtype=np.uint64)
+            h = np.asarray(toks, dtype=np.int64).astype(np.uint64)
             m = (np.outer(h, av) + bv) % _MERSENNE
             out.append(m.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    tok = _token_sets(df, id_col, text_col, shingles)
     return tok.select(F.col('id'), _sig('toks').alias('sig'))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+                       num_perm: int = 64, seed: int = 42,
+                       shingles: int | None = None) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    Token base hash = JVM ``xxhash64`` (deterministic across runs and
+    partitionings; never leaves the JVM as a string); permutations are
+    universal hashes (a*h + b) mod 2^61-1 with seeded coefficients,
+    vectorized per Arrow batch as a tokens x perms matrix min in numpy.
+    """
+    return _sig_from_hashes(_hashed_token_sets(df, id_col, text_col, shingles),
+                            num_perm, seed)
 
 
 def _threshold_bands(num_perm: int, threshold: float) -> int:
@@ -299,10 +292,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     if broadcast_docs is None:
         broadcast_docs = _should_broadcast(df)
     small = F.broadcast if broadcast_docs else (lambda x: x)
-    sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
-        .localCheckpoint(eager=True)
     tok = _hashed_token_sets(df, id_col, text_col, shingles) \
         .localCheckpoint(eager=True)
+    sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
 
     buckets = _lsh_buckets(sig, bands, rows)
     a, b = buckets.alias('a'), buckets.alias('b')
@@ -344,10 +336,9 @@ def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str 
     if broadcast_docs is None:
         broadcast_docs = _should_broadcast(df)
     small = F.broadcast if broadcast_docs else (lambda x: x)
-    sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
-        .localCheckpoint(eager=True)
     tok = _hashed_token_sets(df, id_col, text_col, shingles) \
         .localCheckpoint(eager=True)
+    sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
     buckets = _lsh_buckets(sig, bands, rows)
     cand = _bucket_star_edges(buckets)
     return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
@@ -384,30 +375,27 @@ def _bucket_all_pairs(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
 
 def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over distinct tokens (unit
-    weights; md5-derived token bits, engine-stable)."""
+    weights; JVM ``xxhash64`` token bits — deterministic across runs, and
+    the Arrow crossing carries int64 lists, never token strings)."""
 
     @F.pandas_udf(T.LongType())
     def _sh(tok_arrays: pd.Series) -> pd.Series:
-        hashed = _hash_tokens(tok_arrays)
-        # one ±1 bit-row per distinct token, computed once per batch
         shifts = np.arange(64, dtype=np.uint64)
-        signs = {t: np.where(((np.uint64(h) >> shifts) & np.uint64(1)).astype(bool),
-                             1, -1).astype(np.int64)
-                 for t, h in hashed.items()}
         out = []
         for toks in tok_arrays:
             if toks is None or len(toks) == 0:
                 out.append(0)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                acc += signs[t]
+            h = np.asarray(toks, dtype=np.int64).astype(np.uint64)
+            # (tokens x 64) ±1 bit matrix, summed down the token axis
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
             val = int(((acc > 0).astype(np.uint64) << shifts).sum())
             # to signed 64-bit
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out, dtype='int64')
 
-    tok = _token_sets(df, id_col, text_col)
+    tok = _hashed_token_sets(df, id_col, text_col)
     return tok.select(F.col('id'), _sh('toks').alias('simhash'))
 
 
@@ -548,10 +536,9 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         if broadcast_docs is None:
             broadcast_docs = _should_broadcast(df)
         small = F.broadcast if broadcast_docs else (lambda x: x)
-        sig = minhash_signatures(df, id_col, text_col, num_perm, seed, shingles) \
-            .localCheckpoint(eager=True)
         tok = _hashed_token_sets(df, id_col, text_col, shingles) \
             .localCheckpoint(eager=True)
+        sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
         buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
                                 threshold, num_perm, small)
