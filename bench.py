@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     'text_analysis',
     'top_tokens',
     'token_count_bpe',
+    'text_quality_filter',
+    'repetition_ngrams',
+    'contamination_check',
+    'bm25_search',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',
