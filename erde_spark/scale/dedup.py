@@ -630,6 +630,93 @@ def streaming_exact_dedup(stream: DataFrame, id_col: str = 'doc_id',
     return out.dropDuplicates(['fingerprint'])
 
 
+def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
+                            checkpoint_dir: str, state_dir: str,
+                            id_col: str = 'doc_id', text_col: str = 'text',
+                            threshold: float = 0.8, num_perm: int = 96,
+                            bands: int | None = None, seed: int = 42,
+                            shingles: int | None = None,
+                            trigger_once: bool = True,
+                            max_files_per_trigger: int | None = None):
+    """Streaming NEAR-duplicate dedup: every micro-batch is deduped
+    against itself (spanning MinHash clusters) and against a persistent
+    signature store of everything kept so far; survivors append to
+    ``out_dir`` and their buckets/token-sets extend the store.
+
+    The state join is a bucket equi-join on (band, bh) — the batch never
+    compares against the whole store, only against store rows sharing an
+    LSH bucket, so per-batch cost is O(batch x bands + collisions)
+    regardless of store size. Candidates are verified with exact Jaccard
+    before anything is dropped (precision exact, recall = LSH).
+
+    State and output are written under ``batch=<id>`` subdirectories with
+    overwrite, so a replayed micro-batch (foreachBatch's at-least-once
+    contract) lands idempotently instead of duplicating rows. The store
+    grows with KEPT documents — the standard signature-store shape; at
+    100 TB you partition/bucket the store by (band, bh) so the equi-join
+    is co-located.
+    """
+    if bands is None:
+        bands = _threshold_bands(num_perm, threshold)
+    if num_perm % bands != 0:
+        raise ValueError(f'num_perm={num_perm} must be divisible by bands={bands}')
+    rows = num_perm // bands
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        kept = dedup_clusters(batch_df, id_col, text_col, threshold,
+                              pair_strategy='spanning', num_perm=num_perm,
+                              bands=bands, seed=seed,
+                              shingles=shingles).drop('cluster_size')
+        tok = _hashed_token_sets(kept, id_col, text_col, shingles) \
+            .localCheckpoint(eager=True)
+        sig = _sig_from_hashes(tok, num_perm, seed)
+        bk = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
+        if os.path.isdir(os.path.join(state_dir, 'buckets')):
+            sb = sess.read.parquet(os.path.join(state_dir, 'buckets')).drop('batch')
+            st = sess.read.parquet(os.path.join(state_dir, 'toks')).drop('batch')
+            cand = (bk.join(sb.withColumnRenamed('id', 'sid'), ['band', 'bh'])
+                    .filter(F.col('id') != F.col('sid'))
+                    .select(F.col('id').alias('id_a'), F.col('sid').alias('id_b'))
+                    .distinct())
+            ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
+            tb = st.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
+            dup_ids = (cand.join(ta, 'id_a').join(tb, 'id_b')
+                       .withColumn('inter',
+                                   F.size(F.array_intersect('toks_a', 'toks_b')))
+                       .withColumn('j', F.col('inter') /
+                                   (F.size('toks_a') + F.size('toks_b')
+                                    - F.col('inter')))
+                       .filter(F.col('j') >= threshold)
+                       .select(F.col('id_a').alias('id')).distinct()
+                       .localCheckpoint(eager=True))
+            kept = kept.join(dup_ids.withColumnRenamed('id', id_col),
+                             id_col, 'left_anti')
+            tok = tok.join(dup_ids, 'id', 'left_anti')
+            bk = bk.join(dup_ids, 'id', 'left_anti')
+        kept.write.mode('overwrite').parquet(
+            os.path.join(out_dir, f'batch={batch_id}'))
+        tok.write.mode('overwrite').parquet(
+            os.path.join(state_dir, 'toks', f'batch={batch_id}'))
+        bk.write.mode('overwrite').parquet(
+            os.path.join(state_dir, 'buckets', f'batch={batch_id}'))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option('maxFilesPerTrigger', str(max_files_per_trigger))
+    src = reader.parquet(in_dir)
+    writer = (src.writeStream.foreachBatch(_process)
+              .option('checkpointLocation', checkpoint_dir))
+    if trigger_once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',

