@@ -2001,6 +2001,35 @@ WHERE rk <= 20
 """
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Corpus rebalanced to a 40/20/20/10/10 language mix (the data-
+    mixing step of a training run). Quotas derive from per-group counts
+    (one bounded agg), rows are chosen by deterministic hash rank within
+    group — exactly reproducible in the oracle."""
+    from erde_spark.scale.sampling import target_mix
+    d = _t(spark, sf_dir, 'documents')['documents']
+    out = target_mix(d, 'lang', 'doc_id',
+                     {'en': 0.4, 'de': 0.2, 'fr': 0.2, 'es': 0.1, 'zh': 0.1})
+    return out.select('doc_id', 'lang')
+
+
+# wt is cast to DOUBLE so quota arithmetic is the same IEEE math as the
+# Python driver side (DuckDB decimal literals would round differently)
+_CORPUS_MIX_SQL = """
+WITH w(lang, wt) AS (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+                            ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+                            ('zh', CAST(0.1 AS DOUBLE))),
+c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT MIN(n / wt) AS t_max FROM c JOIN w USING (lang)),
+q AS (SELECT lang, CAST(FLOOR(wt * t_max + 1e-9) AS BIGINT) AS quota FROM w, t),
+r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+      FROM documents WHERE lang IN (SELECT lang FROM w))
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rk <= quota
+"""
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split by hash range —
     mutually exclusive, exhaustive, one map-only pass; result = rows per
@@ -2421,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_filter': q_text_quality_filter,
         'repetition_ngrams': q_repetition_ngrams,
         'contamination_check': q_contamination,
+        'corpus_mix': q_corpus_mix,
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2513,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
         'text_quality_filter': _quality_filter_sql(),
         'repetition_ngrams': _REPETITION_SQL,
         'contamination_check': _CONTAMINATION_SQL,
+        'corpus_mix': _CORPUS_MIX_SQL,
         'bm25_search': _BM25_SQL,
         'sample_hash': _SAMPLE_HASH_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,

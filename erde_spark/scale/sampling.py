@@ -92,6 +92,49 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
             .drop('_rk'))
 
 
+def target_mix(df: DataFrame, group_col: str, id_col: str,
+               weights: dict[str, float], salt: str = '') -> DataFrame:
+    """Rebalance a corpus to target group proportions — the data-mixing
+    step of a training run (e.g. 40% en / 20% de / ... by language, or
+    web/books/code source weights).
+
+    Keeps the LARGEST total consistent with the weights: the binding
+    group (smallest n_g / w_g) is kept whole and every other group is
+    downsampled to w_g * T rows, chosen deterministically by hash order
+    (same portability contract as the other samplers). Groups absent
+    from ``weights`` are dropped.
+
+    Scale shape: one map-side-combined count per group (collected — one
+    row per group, bounded by the group cardinality: languages/sources,
+    thousands at most), then one shuffle on the group column for the
+    within-group rank. The count pass here is semantic — the quotas ARE
+    a function of the group sizes — not a planning probe.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError('weights must be a non-empty dict of positive numbers')
+    total_w = sum(weights.values())
+    norm = {g: w / total_w for g, w in weights.items()}
+    counts = {r['g']: r['n'] for r in
+              (df.filter(F.col(group_col).isin(*norm))
+               .groupBy(F.col(group_col).alias('g'))
+               .agg(F.count(F.lit(1)).alias('n')).collect())}
+    missing = set(norm) - set(counts)
+    if missing:
+        raise ValueError(f'groups absent from the data: {sorted(missing)}')
+    t_max = min(counts[g] / w for g, w in norm.items())
+    quotas = {g: int(w * t_max + 1e-9) for g, w in norm.items()}
+    quota_col = F.lit(None).cast('long')
+    for g, q in quotas.items():
+        quota_col = F.when(F.col(group_col) == g, q).otherwise(quota_col)
+    w_rank = (Window.partitionBy(group_col)
+              .orderBy(sample_key(id_col, salt), F.col(id_col)))
+    return (df.filter(F.col(group_col).isin(*norm))
+            .withColumn('_q', quota_col)
+            .withColumn('_rk', F.row_number().over(w_rank))
+            .filter(F.col('_rk') <= F.col('_q'))
+            .drop('_q', '_rk'))
+
+
 def top_n_sample(df: DataFrame, id_col: str, n: int,
                  salt: str = '') -> DataFrame:
     """Exactly ``min(n, |df|)`` rows globally, by hash order — compiles

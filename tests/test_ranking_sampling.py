@@ -158,3 +158,36 @@ def test_sample_key_is_portable_md5(spark):
                               sample_key('doc_id').alias('k')).collect()}
     for i in (42, 7):
         assert got[i] == hashlib.md5(str(i).encode()).hexdigest()[:4]
+
+
+def test_target_mix_proportions_and_binding_group(spark):
+    """The binding group (smallest n/w) is kept whole; every other group
+    is cut to floor(w * T); output proportions track the weights."""
+    import pyspark.sql.functions as F
+    from erde_spark.scale.sampling import target_mix
+    rows = ([(i, 'en') for i in range(80)] + [(100 + i, 'de') for i in range(40)]
+            + [(200 + i, 'zh') for i in range(10)])
+    df = spark.createDataFrame(rows, ['doc_id', 'lang'])
+    # zh binds: T = 10/0.1 = 100 -> quotas en 50, de 40, zh 10
+    out = target_mix(df, 'lang', 'doc_id',
+                     {'en': 0.5, 'de': 0.4, 'zh': 0.1})
+    got = {r['lang']: r['n'] for r in
+           out.groupBy('lang').agg(F.count('*').alias('n')).collect()}
+    assert got == {'en': 50, 'de': 40, 'zh': 10}
+    # deterministic across runs
+    again = target_mix(df, 'lang', 'doc_id', {'en': 0.5, 'de': 0.4, 'zh': 0.1})
+    assert sorted(r['doc_id'] for r in out.collect()) == \
+        sorted(r['doc_id'] for r in again.collect())
+
+
+def test_target_mix_drops_unlisted_and_validates(spark):
+    import pytest
+    from erde_spark.scale.sampling import target_mix
+    df = spark.createDataFrame(
+        [(1, 'en'), (2, 'de'), (3, 'xx')], ['doc_id', 'lang'])
+    out = target_mix(df, 'lang', 'doc_id', {'en': 0.5, 'de': 0.5})
+    assert {r['lang'] for r in out.collect()} == {'en', 'de'}
+    with pytest.raises(ValueError):
+        target_mix(df, 'lang', 'doc_id', {})
+    with pytest.raises(ValueError):
+        target_mix(df, 'lang', 'doc_id', {'en': 0.5, 'absent': 0.5})
