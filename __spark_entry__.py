@@ -1860,6 +1860,37 @@ GROUP BY dg.doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing per language shard: each doc's
+    token count, running start offset, and first/last 512-token sequence
+    index. Window runs per shard (parallel, deterministic); all-integer
+    output hashes exactly."""
+    from erde_spark.scale.text import pack_offsets
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return pack_offsets(d, max_tokens=512, shard_col='lang')
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_offset
+  FROM t)
+SELECT lang, doc_id, n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((end_offset - n_tokens) / 512) AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0 THEN FLOOR((end_offset - 1) / 512)
+                 ELSE FLOOR((end_offset - n_tokens) / 512) END AS BIGINT)
+         AS last_seq
+FROM o
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     from erde_spark.scale.text import (fingerprint, lang_id, mean_token_len,
                                        punct_ratio, stopword_ratio, token_count)
@@ -2451,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         'contamination_check': q_contamination,
         'corpus_mix': q_corpus_mix,
+        'pack_sequences': q_pack_sequences,
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2544,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         'repetition_ngrams': _REPETITION_SQL,
         'contamination_check': _CONTAMINATION_SQL,
         'corpus_mix': _CORPUS_MIX_SQL,
+        'pack_sequences': _PACK_SQL,
         'bm25_search': _BM25_SQL,
         'sample_hash': _SAMPLE_HASH_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,

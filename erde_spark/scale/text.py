@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -168,6 +168,43 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     return (doc_grams.join(F.broadcast(ev), 'ngram')
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias('contaminated_ngrams')))
+
+
+def pack_offsets(df: DataFrame, id_col: str = 'doc_id',
+                 text_col: str = 'text', max_tokens: int = 2048,
+                 shard_col: str | None = None,
+                 order_col: str | None = None) -> DataFrame:
+    """Concat-then-chunk sequence packing — the GPT-style training
+    batcher: documents are laid end to end in a deterministic order and
+    cut into fixed ``max_tokens`` windows (documents may span a cut).
+    Returns each document's placement: token count, global start offset,
+    and the first/last sequence index it lands in.
+
+    Scale shape: the running sum is a window over ``shard_col`` — pass a
+    shard (language, source, hash bucket) so every shard packs
+    independently in parallel; with ``shard_col=None`` the window is
+    global, i.e. ONE ordered partition — fine for a head sample, wrong
+    for 100 TB (offsets are then per-shard, which is what a sharded
+    training run wants anyway).
+    """
+    if max_tokens <= 0:
+        raise ValueError('max_tokens must be positive')
+    order = F.col(order_col) if order_col else F.col(id_col)
+    part = [F.col(shard_col)] if shard_col else [F.lit(0)]
+    w = (Window.partitionBy(*part).orderBy(order, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = token_count(F.col(text_col))
+    out = (df.withColumn('n_tokens', n.cast('long'))
+           .withColumn('end_offset', F.sum('n_tokens').over(w))
+           .withColumn('start_offset', F.col('end_offset') - F.col('n_tokens')))
+    first = F.floor(F.col('start_offset') / max_tokens)
+    last = F.when(F.col('n_tokens') > 0,
+                  F.floor((F.col('end_offset') - 1) / max_tokens)) \
+        .otherwise(first)
+    keep = ([F.col(shard_col)] if shard_col else []) + [
+        F.col(id_col), F.col('n_tokens'), F.col('start_offset'),
+        first.cast('long').alias('first_seq'), last.cast('long').alias('last_seq')]
+    return out.select(*keep)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -646,3 +646,28 @@ def test_minhash_no_count_probe(spark, docs, monkeypatch):
     monkeypatch.setattr(DataFrame, 'count', boom)
     minhash_lsh_pairs(docs, threshold=0.9)
     minhash_spanning_edges(docs, threshold=0.9)
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_offsets_chunks_and_shards(spark):
+    """Known layout: docs of 3/2/4 tokens at max_tokens=4 -> offsets
+    0/3/5, sequences (0,0)/(0,1)/(1,2); empty docs take zero space."""
+    from erde_spark.scale.text import pack_offsets
+    df = spark.createDataFrame(
+        [(1, 'a b c'), (2, 'd e'), (3, 'f g h i'), (4, '')],
+        ['doc_id', 'text'])
+    got = {r['doc_id']: (r['n_tokens'], r['start_offset'],
+                         r['first_seq'], r['last_seq'])
+           for r in pack_offsets(df, max_tokens=4).collect()}
+    assert got[1] == (3, 0, 0, 0)
+    assert got[2] == (2, 3, 0, 1)   # spans the cut at offset 4
+    assert got[3] == (4, 5, 1, 2)
+    assert got[4] == (0, 9, 2, 2)   # empty doc: zero-width placement
+    # sharded: each shard packs from offset 0 independently
+    df2 = spark.createDataFrame(
+        [(1, 'en', 'a b'), (2, 'en', 'c'), (3, 'de', 'x y z')],
+        ['doc_id', 'lang', 'text'])
+    by = {r['doc_id']: r['start_offset'] for r in
+          pack_offsets(df2, shard_col='lang', max_tokens=4).collect()}
+    assert by == {1: 0, 2: 2, 3: 0}
