@@ -1860,6 +1860,39 @@ GROUP BY dg.doc_id
 """
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per doc against the corpus's own top-256
+    tokens (CCNet-style fluency signal). Integer counts hash exactly;
+    the rate is an exact small-rational in both engines."""
+    from erde_spark.scale.text import vocab_coverage
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return (vocab_coverage(d, vocab_size=256)
+            .withColumnRenamed('id', 'doc_id'))
+
+
+_OOV_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (SELECT token, COUNT(*) AS n FROM tk GROUP BY token)
+  ORDER BY n DESC, token LIMIT 256),
+per_doc AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+  FROM tk LEFT JOIN vocab v USING (token)
+  GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.in_vocab, 0) AS BIGINT) AS in_vocab,
+       ROUND(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                  THEN 1.0 - CAST(p.in_vocab AS DOUBLE) / p.n_tokens
+                  ELSE 0.0 END, 4) AS oov_rate
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-then-chunk sequence packing per language shard: each doc's
     token count, running start offset, and first/last 512-token sequence
@@ -2483,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
+        'oov_rate': q_oov_rate,
         'text_winnow_pairs': q_text_winnow,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
@@ -2577,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         'contamination_check': _CONTAMINATION_SQL,
         'corpus_mix': _CORPUS_MIX_SQL,
         'pack_sequences': _PACK_SQL,
+        'oov_rate': _OOV_SQL,
         'bm25_search': _BM25_SQL,
         'sample_hash': _SAMPLE_HASH_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,

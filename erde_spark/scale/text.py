@@ -170,6 +170,38 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
             .agg(F.count(F.lit(1)).alias('contaminated_ngrams')))
 
 
+def vocab_coverage(df: DataFrame, id_col: str = 'doc_id',
+                   text_col: str = 'text', vocab_size: int = 512) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens — the cheap fluency/domain-shift signal of
+    CCNet-style curation (documents full of rare tokens are boilerplate,
+    code, or noise). Returns (id, n_tokens, in_vocab, oov_rate).
+
+    Two linear passes: a token-count aggregation cut to the top-k via
+    TakeOrdered — partial top-k per partition, never a global sort or a
+    single-partition window — then the tiny deterministic vocabulary
+    (count desc, token asc) broadcast back over one explode of the
+    corpus. Token OCCURRENCES are counted, not distinct tokens."""
+    t = df.select(F.col(id_col).alias('id'),
+                  F.explode(tokens(text_col)).alias('token'))
+    counts = t.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+    vocab = (counts.orderBy(F.col('n').desc(), F.col('token'))
+             .limit(vocab_size).select('token'))
+    per_doc = (t.join(F.broadcast(vocab).withColumn('_iv', F.lit(1)),
+                      'token', 'left')
+               .groupBy('id')
+               .agg(F.count(F.lit(1)).alias('n_tokens'),
+                    F.sum(F.coalesce('_iv', F.lit(0))).alias('in_vocab')))
+    return (df.select(F.col(id_col).alias('id'))
+            .join(per_doc, 'id', 'left')
+            .select('id',
+                    F.coalesce('n_tokens', F.lit(0)).cast('long').alias('n_tokens'),
+                    F.coalesce('in_vocab', F.lit(0)).cast('long').alias('in_vocab'),
+                    F.round(F.when(F.coalesce('n_tokens', F.lit(0)) > 0,
+                                   1.0 - F.col('in_vocab') / F.col('n_tokens'))
+                            .otherwise(F.lit(0.0)), 4).alias('oov_rate')))
+
+
 def pack_offsets(df: DataFrame, id_col: str = 'doc_id',
                  text_col: str = 'text', max_tokens: int = 2048,
                  shard_col: str | None = None,

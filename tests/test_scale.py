@@ -671,3 +671,16 @@ def test_pack_offsets_chunks_and_shards(spark):
     by = {r['doc_id']: r['start_offset'] for r in
           pack_offsets(df2, shard_col='lang', max_tokens=4).collect()}
     assert by == {1: 0, 2: 2, 3: 0}
+
+
+def test_vocab_coverage_known_values(spark):
+    from erde_spark.scale.text import vocab_coverage
+    df = spark.createDataFrame(
+        [(1, 'a a b'), (2, 'a rare'), (3, '')], ['doc_id', 'text'])
+    # vocab_size=2 -> vocab {a (3x), b (1x, ties broken by token asc
+    # against 'rare' count 1)}
+    got = {r['id']: (r['n_tokens'], r['in_vocab'], r['oov_rate'])
+           for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert got[1] == (3, 3, 0.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)
