@@ -43,6 +43,8 @@ def cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     compound file (handles both the regular FAT and the mini stream)."""
     if data[:8] != _OLE_MAGIC:
         raise ValueError('not an OLE2 compound file')
+    if len(data) < 512:
+        raise ValueError('truncated OLE2 compound file (header under 512 bytes)')
     ssz = 1 << struct.unpack_from('<H', data, 30)[0]
     mini_ssz = 1 << struct.unpack_from('<H', data, 32)[0]
     n_fat = struct.unpack_from('<I', data, 44)[0]

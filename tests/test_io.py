@@ -289,14 +289,15 @@ def test_fgb_bbox_and_partitions(spark, tmp_path):
     assert read_df(p, spark, num_partitions=7).rdd.getNumPartitions() == 7
 
 
-def test_legacy_xls_clear_error(spark, tmp_path):
-    """An OLE2 .xls matches the path regex but must fail with a clear
-    message, not a zipfile traceback."""
+def test_corrupt_xls_clear_error(spark, tmp_path):
+    """OLE2 .xls now parses via the BIFF8 reader (tests/test_xls_biff.py);
+    a CORRUPT/truncated OLE2 file must still fail with a clear message,
+    not a struct/zipfile traceback."""
     import pytest
     p = str(tmp_path / 'legacy.xls')
     with open(p, 'wb') as f:
         f.write(b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1' + b'\x00' * 64)
-    with pytest.raises(NotImplementedError, match='BIFF'):
+    with pytest.raises(ValueError, match='truncated OLE2'):
         read_df(p, spark)
 
 
