@@ -2147,6 +2147,40 @@ WHERE len(list_intersect(a.toks, b.toks))*1.0 /
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Per-doc max containment (|A∩B|/|A| vs any other doc) at threshold
+    0.9 — the 'is this document mostly quoted somewhere else' curation
+    flag, asymmetric where Jaccard is not. Aggregated per doc so the
+    gate result stays one row per flagged document."""
+    from erde_spark.scale.dedup import containment_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    p = containment_pairs(d, threshold=0.9)
+    both = (p.select(F.col('id_a').alias('doc_id'),
+                     F.col('containment_a').alias('c'))
+            .unionByName(p.select(F.col('id_b').alias('doc_id'),
+                                  F.col('containment_b').alias('c'))))
+    return (both.filter(F.col('c') >= 0.9).groupBy('doc_id')
+            .agg(F.round(F.max('c'), 6).alias('max_containment')))
+
+
+_DEDUP_CONTAIN_SQL = """
+WITH t AS (SELECT doc_id, list_distinct(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks) AS ca,
+         len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks) AS cb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+dirs AS (
+  SELECT id_a AS doc_id, ca AS c FROM p
+  UNION ALL
+  SELECT id_b AS doc_id, cb AS c FROM p)
+SELECT doc_id, ROUND(MAX(c), 6) AS max_containment
+FROM dirs WHERE c >= 0.9 GROUP BY doc_id
+"""
+
+
 def q_dedup_jaccard_ngram(spark, sf_dir):
     """EXACT char-5-gram (shingle) Jaccard pairs — the Broder-style
     shingle unit, robust to intra-word edits that word tokens miss; same
@@ -2518,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pack_sequences': q_pack_sequences,
         'oov_rate': q_oov_rate,
         'text_winnow_pairs': q_text_winnow,
+        'dedup_containment': q_dedup_containment,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_lsh': q_dedup_embedding_lsh,
@@ -2603,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_exact': _DEDUP_EXACT_SQL,
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
         'dedup_jaccard_ngram': _DEDUP_JACCARD_NGRAM_SQL,
+        'dedup_containment': _DEDUP_CONTAIN_SQL,
         'cluster_components_jaccard': _CLUSTER_CC_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,

@@ -105,6 +105,40 @@ def jaccard_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             .select('id_a', 'id_b', 'jaccard'))
 
 
+def containment_pairs(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text', threshold: float = 0.8,
+                      max_doc_freq: int | None = None,
+                      shingles: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-duplication: containment(A in B) = |A∩B| / |A|.
+
+    Jaccard misses the short-document-quoted-inside-a-long-one case (a
+    100-token doc fully contained in a 10,000-token doc has Jaccard
+    ~0.01 but containment 1.0) — the classic boilerplate/quotation shape
+    a curation pipeline must catch. Same inverted-index plan as
+    :func:`jaccard_pairs` (one shuffle by token); each unordered pair is
+    emitted once with both direction scores, filtered on the max.
+    """
+    tok = _token_sets(df, id_col, text_col, shingles)
+    sizes = tok.select('id', F.size('toks').alias('n'))
+    ex = tok.select('id', F.explode('toks').alias('tok'))
+    if max_doc_freq is not None:
+        freq = ex.groupBy('tok').agg(F.count(F.lit(1)).alias('__df'))
+        ex = (ex.join(F.broadcast(freq.filter(F.col('__df') <= max_doc_freq)),
+                      'tok').drop('__df'))
+    a, b = ex.alias('a'), ex.alias('b')
+    inter = (a.join(b, (F.col('a.tok') == F.col('b.tok'))
+                    & (F.col('a.id') < F.col('b.id')))
+             .groupBy(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
+             .agg(F.count(F.lit(1)).alias('inter')))
+    sa = sizes.select(F.col('id').alias('id_a'), F.col('n').alias('na'))
+    sb = sizes.select(F.col('id').alias('id_b'), F.col('n').alias('nb'))
+    return (inter.join(sa, 'id_a').join(sb, 'id_b')
+            .withColumn('containment_a', F.col('inter') / F.col('na'))
+            .withColumn('containment_b', F.col('inter') / F.col('nb'))
+            .filter(F.greatest('containment_a', 'containment_b') >= threshold)
+            .select('id_a', 'id_b', 'containment_a', 'containment_b'))
+
+
 # ---------------------------------------------------------------- minhash LSH
 
 _MERSENNE = (1 << 61) - 1

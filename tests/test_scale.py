@@ -684,3 +684,19 @@ def test_vocab_coverage_known_values(spark):
     assert got[1] == (3, 3, 0.0)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (0, 0, 0.0)
+
+
+def test_containment_pairs_short_in_long(spark):
+    """A short doc fully inside a long doc: Jaccard tiny, containment 1.0
+    — the asymmetric boilerplate case."""
+    from erde_spark.scale.dedup import containment_pairs, jaccard_pairs
+    long = 'w' + ' w'.join(str(i) for i in range(60))
+    df = spark.createDataFrame(
+        [(1, 'w0 w1 w2 w3 w4'), (2, long), (3, 'zz yy xx')],
+        ['doc_id', 'text'])
+    out = {(r['id_a'], r['id_b']): (r['containment_a'], r['containment_b'])
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    ca, cb = out[(1, 2)]
+    assert ca == 1.0 and cb < 0.2
+    assert jaccard_pairs(df, threshold=0.9).count() == 0
