@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     'repetition_ngrams',
     'contamination_check',
     'bm25_search',
+    'corpus_mix',
+    'pack_sequences',
+    'oov_rate',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',

@@ -66,14 +66,67 @@ class CsvDriver(_Driver):
 
 
 class ParquetDriver(_Driver):
+    """Plain parquet via the native scan, plus GeoParquet awareness on
+    read: if any footer carries the standard ``geo`` file-metadata key
+    (geoparquet.org spec — the reference has no GeoParquet support at
+    all), the primary geometry column keeps its WKB bytes and the
+    declared CRS is stamped into column metadata so the whole geo
+    operator surface works on it directly. Footer inspection reads ONE
+    file's metadata via pyarrow — never a data scan."""
     name = 'parquet'
     path_re = re.compile(r'^.*\.(parquet|pq)$')
 
     def read(self, spark, path, **kw):
-        return spark.read.parquet(path, **kw)
+        df = spark.read.parquet(path, **kw)
+        meta = _geoparquet_meta(path)
+        if meta:
+            from erde_spark.geo.crs import set_crs
+            col, crs = meta
+            if col in df.columns:
+                if col != 'geometry':
+                    df = df.withColumnRenamed(col, 'geometry')
+                df = set_crs(df, crs)
+        return df
 
     def write(self, df, path, mode='overwrite', **kw):
         df.write.mode(mode).parquet(path, **kw)
+
+
+def _geoparquet_meta(path: str) -> tuple[str, int] | None:
+    """(primary geometry column, EPSG code) from the first parquet
+    footer under ``path`` carrying the ``geo`` key, else None. Bounded
+    driver-side metadata read (no row groups touched)."""
+    import glob
+    import json
+    import os
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    files = ([path] if os.path.isfile(path)
+             else sorted(glob.glob(os.path.join(path, '*.parquet'))))
+    for f in files[:4]:
+        try:
+            kv = pq.ParquetFile(f).metadata.metadata or {}
+        except Exception:
+            continue
+        raw = kv.get(b'geo')
+        if not raw:
+            continue
+        try:
+            g = json.loads(raw)
+            col = g['primary_column']
+            crs = g['columns'][col].get('crs')
+            # spec: missing/None crs means OGC:CRS84 (lon/lat WGS84)
+            epsg = 4326
+            if isinstance(crs, dict):
+                ident = crs.get('id', {})
+                if str(ident.get('authority', '')).upper() == 'EPSG':
+                    epsg = int(ident.get('code', 4326))
+            return col, epsg
+        except Exception:
+            return None
+    return None
 
 
 class OrcDriver(_Driver):

@@ -389,13 +389,33 @@ def _bucket_star_edges(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
             .distinct())
 
 
-def _bucket_all_pairs(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
+def _bucket_all_pairs(buckets: DataFrame, member_col: str = 'id',
+                      max_bucket: int | None = 64) -> DataFrame:
     """Distinct (id_a, id_b) — EVERY member pair per (band, bh) bucket
     (quadratic per bucket). Used only where bucket membership is known to
     be small, e.g. cluster REPRESENTATIVES re-bucketed for the merge pass:
     star edges there would miss rep pairs whose shared buckets all have a
     third, non-matching rep as their minimum, because bucket minima never
-    change unless a merge fires."""
+    change unless a merge fires.
+
+    Buckets larger than ``max_bucket`` fall back to star edges: at r rows
+    per band an oversized bucket is a hash-collision artifact (hundreds of
+    mutually DISSIMILAR reps — mostly short documents), and enumerating
+    its k²/2 pairs dominated the whole merge pass (measured at sf0.1
+    t=0.9: 106 of ~58k buckets held 93% of 758k candidate pairs). A true
+    near-dup pair shares ~b·t^r buckets in expectation (~5 of 12 at
+    t=0.9), so it is still all-pairs-enumerated unless EVERY shared
+    bucket is oversized. ``max_bucket=None`` restores unconditional
+    all-pairs."""
+    if max_bucket is not None:
+        sizes = buckets.groupBy('band', 'bh').agg(
+            F.count(F.lit(1)).alias('__k'))
+        buckets = buckets.join(sizes, ['band', 'bh'])
+        small_b = buckets.filter(F.col('__k') <= max_bucket).drop('__k')
+        big_b = buckets.filter(F.col('__k') > max_bucket).drop('__k')
+        return (_bucket_all_pairs(small_b, member_col, None)
+                .unionByName(_bucket_star_edges(big_b, member_col))
+                .distinct())
     a, b = buckets.alias('a'), buckets.alias('b')
     return (a.join(b, (F.col('a.band') == F.col('b.band')) &
                       (F.col('a.bh') == F.col('b.bh')) &
@@ -465,6 +485,34 @@ def simhash_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
 
 
 # ---------------------------------------------------------------- clustering
+
+#: merge-repair edge sets up to this size are resolved with a driver
+#: union-find instead of a distributed CC round (they are bounded by the
+#: representative count, not the corpus)
+_MERGE_COLLECT_CAP = 100_000
+
+
+def _union_find_min(edges: list[tuple]) -> dict:
+    """{label: min-label-of-its-merge-set} for labels whose set minimum
+    differs — plain union-find, driver-side, input bounded by caller."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the surviving label matches CC's min-label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent if find(x) != x}
+
 
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          max_iterations: int = 12) -> DataFrame:
@@ -549,11 +597,14 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
     all-pairs would have connected, so after components are labeled a
     merge pass re-buckets the REPRESENTATIVES: ALL pairs of
     representatives sharing an LSH bucket are verified (they are few —
-    members that verified already merged) and any verified pair merges
-    its two components. The pass repeats until no merge fires (up to
-    ``merge_rounds`` times); at convergence no two kept documents that
-    share any LSH bucket are near-duplicates at the threshold — i.e. the
-    pairs-path invariant up to LSH recall.
+    members that verified already merged; hash-collision buckets above
+    ``_bucket_all_pairs``'s ``max_bucket`` cap fall back to star edges)
+    and any verified pair merges its two components. The pass repeats
+    until no merge fires (up to ``merge_rounds`` times); at convergence
+    no two kept documents sharing a NON-OVERSIZED LSH bucket are
+    near-duplicates at the threshold — the pairs-path invariant up to
+    LSH recall and the oversized-bucket fallback (a true pair shares
+    ~b·t^r buckets, so it escapes only if every one is oversized).
     """
     if pair_strategy == 'pairs':
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold,
@@ -601,7 +652,14 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 hot = (rep_buckets.join(tb, 'rid', 'left_semi')
                        .select('band', 'bh').distinct())
                 rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
-            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
+            # materialize: the bucket-size split inside _bucket_all_pairs
+            # references this plan four times — uncheckpointed, Catalyst
+            # re-analyzes the join+distinct per branch per round
+            rep_buckets = rep_buckets.localCheckpoint(eager=True)
+            # also materialized: the size-capped pair DAG is referenced
+            # twice by the touched-rep post-filter below
+            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid') \
+                .localCheckpoint(eager=True)
             if touched is not None:
                 rep_cand = (rep_cand
                             .join(touched.withColumnRenamed('t', 'id_a'),
@@ -612,8 +670,34 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                             .distinct())
             merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
                 .select('id_a', 'id_b').localCheckpoint(eager=True)
-            if merges.limit(1).count() == 0:
+            edge_rows = merges.limit(_MERGE_COLLECT_CAP + 1).collect()
+            if not edge_rows:
                 break
+            if len(edge_rows) <= _MERGE_COLLECT_CAP:
+                # merge edges are representative REPAIRS — tiny relative
+                # to the corpus by construction (bounded by rep count).
+                # Union-find on the driver + one broadcast-mapped join
+                # replaces a whole distributed CC round (~10 jobs) with
+                # one; the distributed path below remains for the
+                # degenerate huge-merge case.
+                remap = _union_find_min(
+                    [(r['id_a'], r['id_b']) for r in edge_rows])
+                if not remap:
+                    break
+                ctype = comp.schema['component'].dataType
+                map_df = comp.sparkSession.createDataFrame(
+                    list(remap.items()),
+                    T.StructType([T.StructField('component', ctype),
+                                  T.StructField('__super', ctype)]))
+                t_vals = sorted({v for kv in remap.items() for v in kv})
+                touched = comp.sparkSession.createDataFrame(
+                    [(v,) for v in t_vals],
+                    T.StructType([T.StructField('t', ctype)]))
+                comp = (comp.join(F.broadcast(map_df), 'component', 'left')
+                        .select('id', F.coalesce('__super', 'component')
+                                .alias('component'))
+                        .localCheckpoint(eager=True))
+                continue
             rep_map = (connected_components(
                 merges, comp.select(F.col('component')).distinct())
                 .withColumnRenamed('component', 'supercomp')

@@ -334,3 +334,34 @@ def test_orc_roundtrip(spark, tmp_path):
     es.write_df(df, p)
     back = es.read_df(p, spark)
     assert sorted((r['k'], r['v']) for r in back.collect()) == [(1, 'a'), (2, 'b')]
+
+
+def test_geoparquet_read_metadata(spark, tmp_path):
+    """A GeoParquet file (standard 'geo' footer metadata) reads with its
+    primary column as 'geometry' and the declared CRS stamped."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    wkb = G.wkb_dumps(('Point', (3.0, 4.0)))
+    table = pa.table({'gid': [1], 'geom': [wkb]})
+    geo = {'version': '1.0.0', 'primary_column': 'geom',
+           'columns': {'geom': {'encoding': 'WKB',
+                                'geometry_types': ['Point'],
+                                'crs': {'id': {'authority': 'EPSG',
+                                               'code': 3857}}}}}
+    table = table.replace_schema_metadata({b'geo': json.dumps(geo).encode()})
+    p = str(tmp_path / 'gp.parquet')
+    pq.write_table(table, p)
+    df = read_df(p, spark)
+    assert 'geometry' in df.columns
+    assert get_crs(df) == 3857
+    assert G.wkb_loads(bytes(df.first()['geometry'])) == ('Point', (3.0, 4.0))
+
+
+def test_plain_parquet_unaffected_by_geo_probe(spark, tmp_path):
+    df = spark.createDataFrame([(1, 'a')], 'id int, s string')
+    p = str(tmp_path / 'x.parquet')
+    write_df(df, p)
+    back = read_df(p, spark)
+    assert back.columns == ['id', 's'] and back.count() == 1
