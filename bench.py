@@ -98,6 +98,12 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         total += best
+        # drop leftover localCheckpoint blocks and cached plans so one
+        # query's storage doesn't degrade the next (measured: the dedup
+        # entries ran ~2.5x slower late in the bench than standalone)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     print(json.dumps({

@@ -161,10 +161,12 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame, n: int = 8,
     combined groupBy). The corpus is never shuffled by n-gram."""
     ev = (eval_df.select(F.explode(word_ngrams(text_col, n)).alias('ngram'))
           .distinct())
+    # per-doc dedup happens MAP-SIDE (array_distinct before the explode):
+    # the corpus's n-gram stream is never shuffled for distinctness
     doc_grams = (corpus
-                 .select(F.col(id_col), F.explode(word_ngrams(text_col, n))
-                         .alias('ngram'))
-                 .dropDuplicates([id_col, 'ngram']))
+                 .select(F.col(id_col),
+                         F.explode(F.array_distinct(word_ngrams(text_col, n)))
+                         .alias('ngram')))
     return (doc_grams.join(F.broadcast(ev), 'ngram')
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias('contaminated_ngrams')))
