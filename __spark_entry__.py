@@ -2463,9 +2463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries per SURVEY.md §2 operator family (relational core, subset/
     lookup/stats facades, windows, set-ops, time-series extensions, agg
     shapes, function surfaces, sketches, event windows, geo measures,
-    the sjoin family, text, dedup, similarity). Redundant TPC-H variants
-    (all 22 passed the round-1 gate, see CORRECTNESS_r01.json) and the
-    rows-only queries sit at the tail."""
+    the sjoin family, text, dedup, similarity) plus the curation-
+    pipeline family (decontamination, repetition, corpus mixing,
+    sequence packing, OOV rate). Redundant per-family variants (all
+    green in earlier gates, see CORRECTNESS_r01.json), TPC-H variants,
+    and the rows-only queries sit at the tail."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'tpch_q1_pricing': q_tpch_q1,
@@ -2476,13 +2478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
-        'window_running_revenue': q_window_running,
         'set_ops': q_set_ops,
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
         'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
-        'grouping_sets_orders': q_grouping_sets,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
@@ -2493,8 +2493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
-        'events_sliding': q_events_sliding,
-        'events_json': q_events_json,
         'events_sessionize': q_events_sessionize,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -2502,7 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geo_transform': q_geo_transform,
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'geo_buffer_dissolve': q_geo_buffer_dissolve,
-        'geo_line_buffer': q_geo_line_buffer,
         'sjoin_points_rects': q_sjoin_points_rects,
         'snearest_rect': q_snearest_rect,
         'sjfull_geoms': q_sjfull_geoms,
@@ -2518,6 +2515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_embedding': q_dedup_embedding,
         'similarity_topk': q_similarity_topk,
+        'contamination_check': q_contamination,
+        'repetition_ngrams': q_repetition_ngrams,
+        'corpus_mix': q_corpus_mix,
+        'pack_sequences': q_pack_sequences,
+        'oov_rate': q_oov_rate,
         # -- tail: TPC-H variants green in round 1, + rows-only ops ------
         'date_funcs': q_date_funcs,
         'array_funcs': q_array_funcs,
@@ -2545,12 +2547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cube_orders': q_cube_orders,
         'distinct_segments': q_distinct_segments,
         'supplier_by_nation': q_supplier_by_nation,
+        'window_running_revenue': q_window_running,
+        'events_sliding': q_events_sliding,
+        'events_json': q_events_json,
+        'grouping_sets_orders': q_grouping_sets,
+        'geo_line_buffer': q_geo_line_buffer,
         'text_quality_filter': q_text_quality_filter,
-        'repetition_ngrams': q_repetition_ngrams,
-        'contamination_check': q_contamination,
-        'corpus_mix': q_corpus_mix,
-        'pack_sequences': q_pack_sequences,
-        'oov_rate': q_oov_rate,
         'text_winnow_pairs': q_text_winnow,
         'dedup_containment': q_dedup_containment,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
