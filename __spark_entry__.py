@@ -2288,6 +2288,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         .select('id_a', 'id_b', F.round('cosine', 4).alias('cosine'))
 
 
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Semantic (embedding) dedup end-to-end: sign-LSH verified cosine
+    pairs -> connected components -> one kept representative per cluster
+    (SemDeDup-style curation). Rows-only — LSH recall is probabilistic."""
+    from erde_spark.scale.dedup import embedding_dedup_clusters
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    return embedding_dedup_clusters(e, threshold=0.9) \
+        .select('vec_id', 'cluster_size')
+
+
 def q_similarity_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for the first 20 vectors (ANN
     baseline). Rank-only output: integer-exact hash match."""
@@ -2558,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_lsh': q_dedup_embedding_lsh,
+        'dedup_embedding_clusters': q_dedup_embedding_clusters,
         'dedup_clusters': q_dedup_clusters,
         'similarity_lsh': q_similarity_lsh,
         'similarity_ivf': q_similarity_ivf,

@@ -857,6 +857,26 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
              .select('id_a', 'id_b', 'cosine'))
 
 
+def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
+                             vec_col: str = 'embedding',
+                             threshold: float = 0.9, dim: int = 64,
+                             n_bits: int = 10, n_probes: int = 3,
+                             seed: int = 42) -> DataFrame:
+    """One representative per embedding near-duplicate cluster: sign-LSH
+    verified cosine pairs -> connected components -> keep the minimum id
+    of each component, with cluster sizes. The embedding analogue of
+    :func:`dedup_clusters` (semantic dedup over an encoder's vectors,
+    e.g. SemDeDup-style curation): never all-pairs, bucketed candidates
+    only, exact-cosine verified."""
+    pairs = embedding_lsh_pairs(df, id_col, vec_col, threshold, dim,
+                                n_bits, n_probes, seed)
+    comp = connected_components(pairs, df.select(id_col))
+    reps = comp.groupBy('component').agg(F.min('id').alias('keep_id'),
+                                         F.count(F.lit(1)).alias('cluster_size'))
+    return df.join(reps.select(F.col('keep_id').alias(id_col), 'cluster_size'),
+                   id_col, 'inner')
+
+
 def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
                         vec_col: str = 'embedding', threshold: float = 0.9,
                         dim: int = 64, n_bits: int = 10, n_probes: int = 3,

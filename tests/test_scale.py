@@ -700,3 +700,29 @@ def test_containment_pairs_short_in_long(spark):
     ca, cb = out[(1, 2)]
     assert ca == 1.0 and cb < 0.2
     assert jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_embedding_dedup_clusters_kept_set(spark):
+    """Planted duplicate vectors: identical vectors always share LSH
+    buckets, so every dup cluster collapses to its min id and no two
+    kept vectors are near-dups."""
+    import numpy as np
+    from erde_spark.scale.dedup import (embedding_cosine_pairs,
+                                        embedding_dedup_clusters)
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64).astype(float)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+    # ids 100..104 duplicate vectors 0..4 exactly
+    for i in range(5):
+        rows.append((100 + i, base[i].tolist()))
+    df = spark.createDataFrame(rows, ['vec_id', 'embedding'])
+    kept = embedding_dedup_clusters(df, threshold=0.95)
+    got = {r['vec_id']: r['cluster_size'] for r in kept.collect()}
+    # dup clusters keep the min id with size 2; singletons size 1
+    for i in range(5):
+        assert got[i] == 2 and 100 + i not in got
+    assert sum(1 for s_ in got.values() if s_ == 1) == 15
+    survivors = df.join(kept.select('vec_id'), 'vec_id', 'left_semi')
+    assert embedding_cosine_pairs(survivors, threshold=0.95).count() == 0
