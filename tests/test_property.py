@@ -158,3 +158,36 @@ def test_geom_distance_symmetric_nonnegative(a, b):
 @settings(max_examples=100, deadline=None)
 def test_geom_distance_self_is_zero(geom):
     assert O.geom_distance(geom, geom) == 0.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_union_find_min_matches_bruteforce(edges):
+    """_union_find_min must map every node in a merge set to the set's
+    global minimum — cross-checked against a brute-force closure."""
+    from erde_spark.scale.dedup import _union_find_min
+    remap = _union_find_min(edges)
+    # brute force: adjacency closure
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x])
+        seen |= comp
+        m = min(comp)
+        for x in comp:
+            if x != m:
+                assert remap.get(x) == m, (x, m, remap)
+            else:
+                assert x not in remap
