@@ -7,8 +7,15 @@ the scale-extension operators composed the way a 100 TB corpus run would:
 3. near-dedup       — MinHash + banded LSH candidate pairs, exact-Jaccard
                       verified, connected components, one survivor per
                       cluster
-4. tokenize + stats — BPE-ish token counts for the survivors
-5. z-order layout   — cluster output by (lang, n_tokens) so downstream
+4. decontamination  — drop docs sharing word 4-grams with the eval
+                      slice (eval n-grams broadcast; corpus never
+                      shuffled by n-gram)
+5. repetition gate  — Gopher duplicate-bigram fraction ceiling
+6. corpus mixing    — rebalance to target language proportions
+                      (deterministic hash-rank quotas)
+7. tokenize + stats — BPE-ish token counts for the survivors
+8. sequence packing — concat-then-chunk offsets per language shard
+9. z-order layout   — cluster output by (lang, n_tokens) so downstream
                       scans prune row groups
 
 Every step is a lazy DataFrame transform; nothing collects to the driver.
@@ -43,11 +50,33 @@ def curate(spark, sf_dir: str):
     #    MinHash-LSH connected component (singletons included)
     docs = dedup_clusters(docs, threshold=0.85)
 
-    # 4. token statistics for the survivors
+    # 4. decontamination against the held-out eval slice
+    from erde_spark.scale.text import (contamination_hits,
+                                       dup_ngram_fraction, pack_offsets)
+    ev = docs.filter(F.col('doc_id') % 97 == 0)
+    corpus = docs.filter(F.col('doc_id') % 97 != 0)
+    dirty = contamination_hits(corpus, ev, n=4)
+    docs = corpus.join(dirty.select('doc_id'), 'doc_id', 'left_anti')
+
+    # 5. repetition ceiling (boilerplate / looping generations)
+    docs = docs.filter(dup_ngram_fraction(F.col('text'), 2) < 0.5)
+
+    # 6. rebalance to a target language mix (binding group kept whole)
+    from erde_spark.scale.sampling import target_mix
+    docs = target_mix(docs, 'lang', 'doc_id',
+                      {'en': 0.4, 'de': 0.2, 'fr': 0.2, 'es': 0.1,
+                       'zh': 0.1})
+
+    # 7. token statistics for the survivors
     pat = r' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'
     docs = docs.withColumn('n_tokens', F.regexp_count('text', F.lit(pat)))
 
-    # 5. z-ordered layout for downstream scan pruning
+    # 8. sequence-packing offsets, per language shard
+    offsets = pack_offsets(docs, max_tokens=512, shard_col='lang')
+    docs = docs.join(offsets.select('doc_id', 'start_offset', 'first_seq'),
+                     'doc_id')
+
+    # 9. z-ordered layout for downstream scan pruning
     docs = docs.withColumn('lang_code',
                            F.crc32(F.col('lang')).bitwiseAND(F.lit(0xFFFF)))
     return cluster_by_zorder(docs, ['lang_code', 'n_tokens'], num_partitions=8)

@@ -221,3 +221,25 @@ def test_contamination_broadcasts_eval_ngrams(spark):
     plan = physical_plan(q)
     assert has_broadcast_join(q)
     assert 'SortMergeJoin' not in plan
+
+
+def test_oov_vocab_is_takeordered_and_broadcast(spark):
+    """vocab_coverage: the top-k vocabulary must compile to TakeOrdered
+    (partial per-partition top-k, no global sort) and broadcast back."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    q = e.queries()['oov_rate'](spark, SF)
+    plan = physical_plan(q)
+    assert 'TakeOrderedAndProject' in plan
+    assert has_broadcast_join(q)
+
+
+def test_corpus_mix_single_shuffle_rank(spark):
+    """target_mix: one exchange for the within-group rank windows; no
+    join for quotas (they are literals from the bounded count pass)."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    q = e.queries()['corpus_mix'](spark, SF)
+    plan = physical_plan(q)
+    assert 'SortMergeJoin' not in plan and 'BroadcastHashJoin' not in plan
+    assert plan.count('Window') >= 1
