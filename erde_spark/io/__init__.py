@@ -89,7 +89,44 @@ class ParquetDriver(_Driver):
         return df
 
     def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.geo.crs import get_crs
         df.write.mode(mode).parquet(path, **kw)
+        if 'geometry' in df.columns:
+            crs = get_crs(df)
+            if crs is not None:
+                _stamp_geoparquet(path, 'geometry', crs)
+
+
+def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
+    """Rewrite each part file's footer with the standard GeoParquet
+    ``geo`` metadata (geoparquet.org 1.0) so GeoPandas/DuckDB/GDAL read
+    the output natively. Spark's own round-trip already works via its
+    schema metadata; this is the cross-engine interop stamp. File count
+    equals the write's partition count (bounded); each rewrite is one
+    local pyarrow pass."""
+    import glob
+    import json
+    import os
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return
+    geo = {'version': '1.0.0', 'primary_column': col,
+           'columns': {col: {
+               'encoding': 'WKB', 'geometry_types': [],
+               'crs': {'id': {'authority': 'EPSG', 'code': int(epsg)}}}}}
+    blob = json.dumps(geo).encode()
+    files = ([path] if os.path.isfile(path)
+             else glob.glob(os.path.join(path, '*.parquet')))
+    for f in files:
+        t = pq.read_table(f)
+        md = dict(t.schema.metadata or {})
+        md[b'geo'] = blob
+        pq.write_table(t.replace_schema_metadata(md), f)
+        # the rewrite invalidates Hadoop's local-FS checksum sidecar
+        crc = os.path.join(os.path.dirname(f), '.' + os.path.basename(f) + '.crc')
+        if os.path.exists(crc):
+            os.remove(crc)
 
 
 def _geoparquet_meta(path: str) -> tuple[str, int] | None:

@@ -365,3 +365,27 @@ def test_plain_parquet_unaffected_by_geo_probe(spark, tmp_path):
     write_df(df, p)
     back = read_df(p, spark)
     assert back.columns == ['id', 's'] and back.count() == 1
+
+
+def test_geoparquet_write_stamps_footer(spark, tmp_path):
+    """write_df of a CRS-stamped geo frame emits GeoParquet 'geo' footer
+    metadata on every part file; read_df and DuckDB both see it."""
+    import glob
+    import json
+
+    import duckdb
+    import pyarrow.parquet as pq
+    p = str(tmp_path / 'geo.parquet')
+    write_df(_mk_points_df(spark, 6), p)
+    parts = glob.glob(p + '/*.parquet')
+    assert parts
+    for f in parts:
+        md = pq.ParquetFile(f).metadata.metadata
+        geo = json.loads(md[b'geo'])
+        assert geo['primary_column'] == 'geometry'
+        assert geo['columns']['geometry']['crs']['id']['code'] == 4326
+    back = read_df(p, spark)
+    assert get_crs(back) == 4326 and back.count() == 6
+    # cross-engine: DuckDB reads the same files
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+    assert n == 6
