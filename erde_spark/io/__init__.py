@@ -118,6 +118,11 @@ def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
     blob = json.dumps(geo).encode()
     files = ([path] if os.path.isfile(path)
              else glob.glob(os.path.join(path, '*.parquet')))
+    if len(files) > 512:
+        # driver-side rewrite doesn't scale to huge outputs: leave them
+        # as plain parquet (Spark's own schema metadata still round-trips
+        # the CRS); interop stamping is for the bounded geo-export case
+        return
     for f in files:
         t = pq.read_table(f)
         md = dict(t.schema.metadata or {})
