@@ -285,9 +285,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str = 'doc_id',
             n_h = len(raw) - k + 1
             h = np.zeros(n_h, dtype=np.uint64)
             p = np.uint64(1)
-            for o in range(k - 1, -1, -1):
-                h += raw[o:o + n_h] * p
-                p = p * B
+            # uint64 wraparound IS the hash's modulus (2^64); numpy's
+            # overflow warning is expected, not a bug
+            with np.errstate(over='ignore'):
+                for o in range(k - 1, -1, -1):
+                    h += raw[o:o + n_h] * p
+                    p = p * B
             if len(h) <= window:
                 keep = np.array([h.min()], dtype=np.uint64)
             else:
