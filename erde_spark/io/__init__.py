@@ -457,10 +457,23 @@ class PostgresDriver(_Driver):
         return 4326 if in_degrees else 3857
 
     @staticmethod
-    def _geometry_ddl(spark, url: str, d: dict, crs_num: int) -> None:
+    @staticmethod
+    def _geometry_ddl_sql(table: str, crs_num: int) -> list[str]:
+        """The post-write statements, as strings (pure — unit-testable
+        without a server): hex-WKB text column -> PostGIS Geometry, then
+        SRID stamp. Mirrors the reference's write path
+        (`/root/reference/erde/io/postgres.py:42-65`)."""
+        return [
+            f'ALTER TABLE {table} ALTER COLUMN "geometry" '
+            'TYPE Geometry USING "geometry"::geometry',
+            f'UPDATE {table} '
+            f'SET "geometry"=st_setsrid("geometry", {int(crs_num)})',
+        ]
+
+    @classmethod
+    def _geometry_ddl(cls, spark, url: str, d: dict, crs_num: int) -> None:
         """Post-write geometry DDL parity with the reference
-        (`/root/reference/erde/io/postgres.py:42-65`): the hex-WKB text
-        column becomes a PostGIS Geometry and gets its SRID stamped."""
+        (`/root/reference/erde/io/postgres.py:42-65`)."""
         jvm = spark._jvm
         props = jvm.java.util.Properties()
         props.setProperty('user', d['user'])
@@ -468,10 +481,8 @@ class PostgresDriver(_Driver):
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             st = conn.createStatement()
-            st.execute(f'ALTER TABLE {d["table"]} ALTER COLUMN "geometry" '
-                       'TYPE Geometry USING "geometry"::geometry')
-            st.execute(f'UPDATE {d["table"]} '
-                       f'SET "geometry"=st_setsrid("geometry", {int(crs_num)})')
+            for sql in cls._geometry_ddl_sql(d['table'], crs_num):
+                st.execute(sql)
         finally:
             conn.close()
 
