@@ -243,3 +243,14 @@ def test_corpus_mix_single_shuffle_rank(spark):
     plan = physical_plan(q)
     assert 'SortMergeJoin' not in plan and 'BroadcastHashJoin' not in plan
     assert plan.count('Window') >= 1
+
+
+def test_pack_sequences_windows_per_shard(spark):
+    """Sharded packing must not degenerate to one global window: no
+    SinglePartition exchange in the plan (the shard column partitions
+    the running sum)."""
+    import __spark_entry__ as e
+    from erde_spark.plans.inspect import physical_plan
+    plan = physical_plan(e.queries()['pack_sequences'](spark, SF))
+    assert 'SinglePartition' not in plan
+    assert 'Window' in plan
