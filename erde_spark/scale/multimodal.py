@@ -1,11 +1,12 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-``decode_media`` decodes PNG for real via the pure-stdlib codec in
-:mod:`erde_spark.scale.png` (zlib is stdlib; full filter set, CRC
-checked). Other formats (JPEG/WebP/audio/video) need codec libraries the
-container doesn't ship and raise ``NotImplementedError`` — swapping in
-PIL/torchaudio later only extends ``decode_media``. The Spark-side
+``decode_media`` decodes PNG, BMP (24-bit) and WAV for real via the
+pure-stdlib codecs in :mod:`erde_spark.scale.png` (zlib is stdlib; PNG
+full filter set, CRC checked). Remaining formats (JPEG/WebP/video) need
+codec libraries the container doesn't ship and raise
+``NotImplementedError`` — swapping in PIL/torchaudio later only extends
+``decode_media``. The Spark-side
 plumbing — schema, batch shape, ``mapInPandas`` iterator contract,
 partition sizing — is format-agnostic and tested with both real PNGs and
 a deterministic fake decoder.
@@ -53,15 +54,18 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     PNG images and WAV audio decode for real (pure-stdlib codecs —
     :mod:`erde_spark.scale.png`); every other format still needs a codec
     library the container doesn't ship and raises."""
-    from erde_spark.scale.png import decode_png, decode_wav, is_png, is_wav
+    from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
+                                      is_bmp, is_png, is_wav)
     if (fmt or '').lower() in ('image/png', 'png') or is_png(blob):
         return decode_png(bytes(blob))
+    if (fmt or '').lower() in ('image/bmp', 'bmp') or is_bmp(blob):
+        return decode_bmp(bytes(blob))
     if (fmt or '').lower() in ('audio/wav', 'audio/x-wav', 'wav') or is_wav(blob):
         return decode_wav(bytes(blob))
     raise NotImplementedError(
-        f'media format {fmt!r}: only PNG and WAV decode without codec '
-        'libraries (PIL/ffmpeg not in this container); use fake=True for '
-        'plumbing tests')
+        f'media format {fmt!r}: only PNG, BMP and WAV decode without '
+        'codec libraries (PIL/ffmpeg not in this container); use '
+        'fake=True for plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

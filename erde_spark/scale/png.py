@@ -225,3 +225,53 @@ def encode_wav(arr: np.ndarray, framerate: int = 16000) -> bytes:
         w.setframerate(framerate)
         w.writeframes(np.ascontiguousarray(arr).tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------- BMP
+
+def is_bmp(data: bytes) -> bool:
+    return len(data) > 2 and data[:2] == b'BM'
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB array.
+    Bottom-up and top-down row orders both handled; rows are 4-byte
+    padded per the format. Other bit depths / compressions raise (they
+    need palette or RLE handling this minimal codec doesn't carry)."""
+    if not is_bmp(data):
+        raise ValueError('not a BMP (missing BM magic)')
+    off = struct.unpack_from('<I', data, 10)[0]
+    hdr_size = struct.unpack_from('<I', data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError('BITMAPCOREHEADER BMP not supported')
+    w, h = struct.unpack_from('<ii', data, 18)
+    bpp = struct.unpack_from('<H', data, 28)[0]
+    comp = struct.unpack_from('<I', data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f'only uncompressed 24-bit BMP supported (bpp={bpp}, '
+            f'compression={comp})')
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    bgr = arr[:, :, ::-1]
+    body = bytearray()
+    for row in bgr[::-1]:
+        body += row.tobytes() + b'\x00' * (stride - w * 3)
+    off = 14 + 40
+    header = (b'BM' + struct.pack('<IHHI', off + len(body), 0, 0, off)
+              + struct.pack('<IiiHHIIiiII', 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return bytes(header + body)

@@ -726,3 +726,26 @@ def test_embedding_dedup_clusters_kept_set(spark):
     assert sum(1 for s_ in got.values() if s_ == 1) == 15
     survivors = df.join(kept.select('vec_id'), 'vec_id', 'left_semi')
     assert embedding_cosine_pairs(survivors, threshold=0.95).count() == 0
+
+
+def test_bmp_roundtrip_and_decode_media():
+    import numpy as np
+    from erde_spark.scale.multimodal import decode_media
+    from erde_spark.scale.png import decode_bmp, encode_bmp
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    blob = encode_bmp(img)
+    assert np.array_equal(decode_bmp(blob), img)
+    assert np.array_equal(decode_media(blob, 'image/bmp'), img)
+    # magic sniffing without a format hint
+    assert np.array_equal(decode_media(blob, None), img)
+    # top-down variant (negative height) decodes identically
+    import struct
+    h = struct.unpack_from('<i', blob, 22)[0]
+    td = bytearray(blob)
+    struct.pack_into('<i', td, 22, -h)
+    body = bytearray(td[54:])
+    stride = (7 * 3 + 3) & ~3
+    flipped = b''.join(bytes(body[i*stride:(i+1)*stride])
+                       for i in reversed(range(5)))
+    assert np.array_equal(decode_bmp(bytes(td[:54]) + flipped), img)
