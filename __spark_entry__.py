@@ -1924,6 +1924,80 @@ FROM o
 """
 
 
+def q_corpus_health(spark, sf_dir):
+    """Per-language corpus health report — the counts a curation run
+    monitors, in ONE pass shape: docs, Gopher-quality passes, repetitive
+    docs (dup-bigram fraction > 0.2), exact-duplicate rows (beyond each
+    fingerprint's first), and short docs (< 30 tokens). All integers, so
+    the oracle compares exactly; every signal is a JVM expression over
+    one scan plus the one fingerprint window."""
+    from erde_spark.scale.text import (dup_ngram_fraction, fingerprint,
+                                       gopher_quality_flags, token_count)
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, 'documents')['documents']
+    flags = gopher_quality_flags(F.col('text'))
+    w = Window.partitionBy(fingerprint(F.col('text'))).orderBy('doc_id')
+    rows = (d.withColumn('__q', flags)
+            .withColumn('__dupno', F.row_number().over(w))
+            .select('lang',
+                    (F.col('__q.tokens_ok') & F.col('__q.mean_len_ok')
+                     & F.col('__q.punct_ok') & F.col('__q.stopwords_ok'))
+                    .cast('int').alias('qok'),
+                    (dup_ngram_fraction(F.col('text'), 2) > 0.2)
+                    .cast('int').alias('rep'),
+                    (F.col('__dupno') > 1).cast('int').alias('dup'),
+                    (token_count(F.col('text')) < 30).cast('int').alias('short')))
+    return (rows.groupBy('lang')
+            .agg(F.count(F.lit(1)).alias('n_docs'),
+                 F.sum('qok').cast('long').alias('n_quality_pass'),
+                 F.sum('rep').cast('long').alias('n_repetitive'),
+                 F.sum('dup').cast('long').alias('n_exact_dup_rows'),
+                 F.sum('short').cast('long').alias('n_short')))
+
+
+def _corpus_health_sql() -> str:
+    from erde_spark.scale.text import STOPWORDS
+    stop = '[' + ','.join(f"'{s}'" for s in STOPWORDS) + ']'
+    return f"""
+WITH base AS (
+  SELECT lang, doc_id, lower(text) AS low,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+feat AS (
+  SELECT lang, doc_id, fp,
+         len(toks) AS n,
+         CASE WHEN len(toks) > 0 THEN
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             * 1.0 / len(toks) ELSE 0.0 END AS mtl,
+         CASE WHEN length(low) > 0 THEN
+           (length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g')))
+             * 1.0 / length(low) ELSE 0.0 END AS punct,
+         len(list_intersect(list_distinct(toks), {stop})) AS stop_hits,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' '))
+         ELSE []::VARCHAR[] END AS grams,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dupno
+  FROM base)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n >= 50 AND n <= 100000 AND mtl >= 3.0
+                      AND mtl <= 10.0 AND punct <= 0.2 AND stop_hits >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+       CAST(SUM(CASE WHEN len(grams) > 0 AND
+                  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                      / len(grams) > 0.2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN dupno > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup_rows,
+       CAST(SUM(CASE WHEN n < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM feat
+GROUP BY lang
+"""
+
+
 def q_text_analysis(spark, sf_dir):
     from erde_spark.scale.text import (fingerprint, lang_id, mean_token_len,
                                        punct_ratio, stopword_ratio, token_count)
@@ -2565,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_filter': q_text_quality_filter,
         'text_winnow_pairs': q_text_winnow,
         'dedup_containment': q_dedup_containment,
+        'corpus_health': q_corpus_health,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_lsh': q_dedup_embedding_lsh,
@@ -2652,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_jaccard': _DEDUP_JACCARD_SQL,
         'dedup_jaccard_ngram': _DEDUP_JACCARD_NGRAM_SQL,
         'dedup_containment': _DEDUP_CONTAIN_SQL,
+        'corpus_health': _corpus_health_sql(),
         'cluster_components_jaccard': _CLUSTER_CC_SQL,
         'dedup_embedding': _DEDUP_EMBEDDING_SQL,
         'similarity_topk': _SIMILARITY_TOPK_SQL,
