@@ -2151,8 +2151,9 @@ def q_corpus_mix(spark, sf_dir):
     return out.select('doc_id', 'lang')
 
 
-# wt is cast to DOUBLE so quota arithmetic is the same IEEE math as the
-# Python driver side (DuckDB decimal literals would round differently)
+# wt is cast to DOUBLE; the Spark side computes quotas in exact rational
+# arithmetic (Fraction), and the oracle's +1e-9 guard makes the DOUBLE
+# floor agree with the exact floor for counts up to ~4e6 (ulp < 1e-9)
 _CORPUS_MIX_SQL = """
 WITH w(lang, wt) AS (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
                             ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),

@@ -84,6 +84,11 @@ class ParquetDriver(_Driver):
             col, crs = meta
             if col in df.columns:
                 if col != 'geometry':
+                    if 'geometry' in df.columns:
+                        # a clashing unrelated 'geometry' column would make
+                        # the rename ambiguous — keep the primary under its
+                        # original name and just stamp the CRS on it
+                        return set_crs(df, crs, col)
                     df = df.withColumnRenamed(col, 'geometry')
                 df = set_crs(df, crs)
         return df
@@ -124,10 +129,19 @@ def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
         # the CRS); interop stamping is for the bounded geo-export case
         return
     for f in files:
-        t = pq.read_table(f)
-        md = dict(t.schema.metadata or {})
+        # stream row groups through a ParquetWriter rather than
+        # pq.read_table: peak driver memory is one row group, not the
+        # whole part file (a multi-GB part must not OOM the driver)
+        pf = pq.ParquetFile(f)
+        md = dict(pf.schema_arrow.metadata or {})
         md[b'geo'] = blob
-        pq.write_table(t.replace_schema_metadata(md), f)
+        schema = pf.schema_arrow.with_metadata(md)
+        tmp = f + '.geotmp'
+        with pq.ParquetWriter(tmp, schema) as w:
+            for batch in pf.iter_batches():
+                w.write_batch(batch.cast(schema))
+        pf.close()
+        os.replace(tmp, f)
         # the rewrite invalidates Hadoop's local-FS checksum sidecar
         crc = os.path.join(os.path.dirname(f), '.' + os.path.basename(f) + '.crc')
         if os.path.exists(crc):
@@ -456,7 +470,6 @@ class PostgresDriver(_Driver):
                       and -181 < ext['xmin'] and ext['xmax'] < 181)
         return 4326 if in_degrees else 3857
 
-    @staticmethod
     @staticmethod
     def _geometry_ddl_sql(table: str, crs_num: int) -> list[str]:
         """The post-write statements, as strings (pure — unit-testable

@@ -121,8 +121,14 @@ def target_mix(df: DataFrame, group_col: str, id_col: str,
     missing = set(norm) - set(counts)
     if missing:
         raise ValueError(f'groups absent from the data: {sorted(missing)}')
-    t_max = min(counts[g] / w for g, w in norm.items())
-    quotas = {g: int(w * t_max + 1e-9) for g, w in norm.items()}
+    # exact rational arithmetic for the quotas: the binding group's quota
+    # must be exactly its count (documented 'kept whole' contract), and a
+    # 1-ulp float error in w * (n_g / w_g) would truncate it to n_g - 1
+    # once counts pass ~2e6. Fraction makes quota_g = floor(w_g * T) exact.
+    from fractions import Fraction
+    fw = {g: Fraction(w).limit_denominator(10**9) for g, w in norm.items()}
+    t_max = min(Fraction(counts[g]) / fw[g] for g in norm)
+    quotas = {g: int(fw[g] * t_max) for g in norm}
     quota_col = F.lit(None).cast('long')
     for g, q in quotas.items():
         quota_col = F.when(F.col(group_col) == g, q).otherwise(quota_col)

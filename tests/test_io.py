@@ -359,6 +359,30 @@ def test_geoparquet_read_metadata(spark, tmp_path):
     assert G.wkb_loads(bytes(df.first()['geometry'])) == ('Point', (3.0, 4.0))
 
 
+def test_geoparquet_read_primary_name_clash(spark, tmp_path):
+    """A file whose primary geometry column is 'geom' but that ALSO has
+    an unrelated 'geometry' column must not produce duplicate column
+    names: the primary keeps its name and gets the CRS stamp."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    wkb = G.wkb_dumps(('Point', (3.0, 4.0)))
+    table = pa.table({'gid': [1], 'geom': [wkb], 'geometry': ['unrelated']})
+    geo = {'version': '1.0.0', 'primary_column': 'geom',
+           'columns': {'geom': {'encoding': 'WKB',
+                                'geometry_types': ['Point'],
+                                'crs': {'id': {'authority': 'EPSG',
+                                               'code': 3857}}}}}
+    table = table.replace_schema_metadata({b'geo': json.dumps(geo).encode()})
+    p = str(tmp_path / 'gpclash.parquet')
+    pq.write_table(table, p)
+    df = read_df(p, spark)
+    assert sorted(df.columns) == ['geom', 'geometry', 'gid']
+    assert get_crs(df, 'geom') == 3857
+    assert df.first()['geometry'] == 'unrelated'
+
+
 def test_plain_parquet_unaffected_by_geo_probe(spark, tmp_path):
     df = spark.createDataFrame([(1, 'a')], 'id int, s string')
     p = str(tmp_path / 'x.parquet')
