@@ -2522,6 +2522,35 @@ def q_events_stateful(spark, sf_dir):
                  F.round(F.max('sum_value'), 4).alias('sum_value')))
 
 
+def q_streaming_neardup_backfill(spark, sf_dir):
+    """Bounded BACKFILL through the streaming near-dup pipeline: the
+    documents table split into 4 deterministic micro-batch files, each
+    batch deduped against itself and the persistent LSH signature store
+    (bucket equi-join — never batch x whole-store), survivors appended.
+    Returns the kept documents; rows-only (streaming + LSH recall, no
+    SQL oracle)."""
+    import os
+    import tempfile
+
+    from erde_spark.scale.dedup import streaming_neardup_dedup
+    d = _t(spark, sf_dir, 'documents')['documents']
+    base = tempfile.mkdtemp(prefix='erde_neardup_backfill_')
+    in_dir = os.path.join(base, 'in')
+    # 2 input files = 2 micro-batches under maxFilesPerTrigger=1 — the
+    # second batch exercises the store equi-join path; hash split keeps
+    # file membership deterministic across runs
+    (d.repartition(2, F.abs(F.hash('doc_id')) % 2)
+     .write.mode('overwrite').parquet(in_dir))
+    streaming_neardup_dedup(
+        spark, in_dir, d.schema,
+        out_dir=os.path.join(base, 'out'),
+        checkpoint_dir=os.path.join(base, 'ckpt'),
+        state_dir=os.path.join(base, 'state'),
+        threshold=0.9, max_files_per_trigger=1)
+    return (spark.read.parquet(os.path.join(base, 'out'))
+            .select('doc_id', 'lang'))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> mapInPandas feature
     extraction with the deterministic fake decoder (no SQL oracle; driver
@@ -2662,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'routing_od_table': q_routing_od_table,
         'routing_isochrone': q_routing_isochrone,
         'events_stateful': q_events_stateful,
+        'streaming_neardup_backfill': q_streaming_neardup_backfill,
     }
 
 

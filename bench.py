@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     'dedup_clusters',
     'dedup_minhash_lsh',
     'dedup_simhash',
+    'dedup_embedding_clusters',
+    'streaming_neardup_backfill',
     'similarity_topk',
     'similarity_lsh',
     'multimodal_features',

@@ -515,11 +515,22 @@ def _union_find_min(edges: list[tuple]) -> dict:
 
 
 def connected_components(pairs: DataFrame, ids: DataFrame,
-                         max_iterations: int = 12) -> DataFrame:
+                         max_iterations: int = 12,
+                         collect_cap: int | None = None) -> DataFrame:
     """(id, component) — connected components over an undirected edge list
     (columns ``id_a``/``id_b``): min-label propagation with pointer
     jumping, so rounds grow the reached radius exponentially
     (O(log diameter) rounds instead of O(diameter)).
+
+    Edge sets at or under ``collect_cap`` (default ``_MERGE_COLLECT_CAP``)
+    take a driver fast path: one bounded ``limit(cap+1)`` probe, then
+    union-find in memory — identical min-label output, replacing ~10
+    iterative Spark jobs with one. Verified near-dup edges are SPARSE
+    relative to the corpus (the spanning strategy emits O(docs x bands)
+    candidates and only true near-dups survive verification), but at
+    100 TB they still exceed any driver cap, so the distributed
+    iteration below remains the scale path; the probe itself terminates
+    early and never materializes more than cap+1 rows.
 
     Only nodes that appear in an edge enter the iteration — in a dedup
     corpus most documents are singletons, and carrying them through every
@@ -535,6 +546,23 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     one aggregation on the already-checkpointed labels instead of a
     join-and-compare against the previous round.
     """
+    if collect_cap is None:
+        collect_cap = _MERGE_COLLECT_CAP
+    if collect_cap:
+        probe = pairs.select('id_a', 'id_b').limit(collect_cap + 1).collect()
+        if len(probe) <= collect_cap:
+            edge_list = [(r['id_a'], r['id_b']) for r in probe]
+            remap = _union_find_min(edge_list)
+            nodes = {x for e in edge_list for x in e}
+            itype = pairs.schema['id_a'].dataType
+            labels = pairs.sparkSession.createDataFrame(
+                [(x, remap.get(x, x)) for x in sorted(nodes)],
+                T.StructType([T.StructField('id', itype),
+                              T.StructField('component', itype)]))
+            singles = (ids.select(F.col(ids.columns[0]).alias('id'))
+                       .join(labels.select('id'), 'id', 'left_anti')
+                       .select('id', F.col('id').alias('component')))
+            return labels.unionByName(singles)
     edges = (pairs.select('id_a', 'id_b')
              .union(pairs.select(F.col('id_b').alias('id_a'),
                                  F.col('id_a').alias('id_b'))))
@@ -630,6 +658,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         comp = connected_components(edges, df.select(id_col)) \
             .localCheckpoint(eager=True)
         touched = None  # round 1 checks all rep pairs; later rounds prune
+        touched_vals = None  # driver-known touched labels (bounded list)
         for _ in range(merge_rounds):
             # representatives (= component labels) back into their buckets;
             # ALL pairs of representatives sharing a bucket are verified
@@ -648,19 +677,29 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 # unchanged rep's bucket set is itself unchanged. Restrict
                 # to buckets holding a touched rep BEFORE the quadratic
                 # pair step, then to pairs involving a touched rep.
-                tb = touched.withColumnRenamed('t', 'rid')
-                hot = (rep_buckets.join(tb, 'rid', 'left_semi')
-                       .select('band', 'bh').distinct())
+                if touched_vals is not None:
+                    # touched labels are a driver-bounded list (the merge
+                    # collect cap): an isin filter beats two semi-joins
+                    hot = (rep_buckets.filter(F.col('rid').isin(touched_vals))
+                           .select('band', 'bh').distinct())
+                else:
+                    tb = touched.withColumnRenamed('t', 'rid')
+                    hot = (rep_buckets.join(tb, 'rid', 'left_semi')
+                           .select('band', 'bh').distinct())
                 rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
             # materialize: the bucket-size split inside _bucket_all_pairs
             # references this plan four times — uncheckpointed, Catalyst
             # re-analyzes the join+distinct per branch per round
             rep_buckets = rep_buckets.localCheckpoint(eager=True)
-            # also materialized: the size-capped pair DAG is referenced
-            # twice by the touched-rep post-filter below
-            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid') \
-                .localCheckpoint(eager=True)
-            if touched is not None:
+            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
+            if touched is not None and touched_vals is not None:
+                rep_cand = rep_cand.filter(
+                    F.col('id_a').isin(touched_vals) |
+                    F.col('id_b').isin(touched_vals))
+            elif touched is not None:
+                # distributed touched set (degenerate huge-merge rounds):
+                # the pair DAG is referenced twice — materialize it first
+                rep_cand = rep_cand.localCheckpoint(eager=True)
                 rep_cand = (rep_cand
                             .join(touched.withColumnRenamed('t', 'id_a'),
                                   'id_a', 'left_semi')
@@ -669,7 +708,11 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                                 'id_b', 'left_semi'))
                             .distinct())
             merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
-                .select('id_a', 'id_b').localCheckpoint(eager=True)
+                .select('id_a', 'id_b')
+            # probe-collect directly: in the common (bounded) path the
+            # merge edges are consumed on the driver and the frame is
+            # never re-read, so a checkpoint would be a wasted job; the
+            # degenerate over-cap path re-materializes below
             edge_rows = merges.limit(_MERGE_COLLECT_CAP + 1).collect()
             if not edge_rows:
                 break
@@ -693,13 +736,19 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 touched = comp.sparkSession.createDataFrame(
                     [(v,) for v in t_vals],
                     T.StructType([T.StructField('t', ctype)]))
+                # isin over a literal list is only a win while the
+                # expression stays small; past that, Catalyst analysis
+                # on the IN-list dwarfs the semi-join it replaces
+                touched_vals = t_vals if len(t_vals) <= 5000 else None
                 comp = (comp.join(F.broadcast(map_df), 'component', 'left')
                         .select('id', F.coalesce('__super', 'component')
                                 .alias('component'))
                         .localCheckpoint(eager=True))
                 continue
+            merges = merges.localCheckpoint(eager=True)
             rep_map = (connected_components(
-                merges, comp.select(F.col('component')).distinct())
+                merges, comp.select(F.col('component')).distinct(),
+                collect_cap=0)  # known > cap: skip the probe
                 .withColumnRenamed('component', 'supercomp')
                 .withColumnRenamed('id', 'component'))
             # reps whose label changed (absorbed into another component)
@@ -711,6 +760,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                                     .filter(F.col('component') != F.col('supercomp'))
                                     .select(F.col('supercomp').alias('t')))
                        .distinct().localCheckpoint(eager=True))
+            touched_vals = None
             comp = (comp.join(rep_map, 'component')
                     .select('id', F.col('supercomp').alias('component'))
                     .localCheckpoint(eager=True))
@@ -888,21 +938,32 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
     for the near-parallel vectors a dedup cares about). The embedding
     analogue of ``minhash_lsh_pairs``: cost is O(vectors x probes) +
     bucket-local joins, never all-pairs.
+
+    The multiprobe-collision dedup shuffles BARE id pairs: vectors are
+    joined back only onto the surviving distinct pairs (same shape as
+    ``_verify_jaccard``). Carrying ``nvec`` through the distinct would
+    move O(candidates x dim) doubles through the exchange — at corpus
+    scale that is shuffling the embedding table itself.
     """
     from erde_spark.scale.similarity import cosine_udf, lsh_buckets
-    v = lsh_buckets(df, id_col, vec_col, dim, n_bits, seed)
+    v = lsh_buckets(df, id_col, vec_col, dim, n_bits, seed) \
+        .localCheckpoint(eager=True)  # feeds both the probe explode and the pair-side joins
+    small = F.broadcast if _should_broadcast(df) else (lambda x: x)
     # multiprobe: each vector also lands in its bucket with the i lowest
     # bits flipped, widening recall without a second scan
     probes = F.array(*[F.col('bucket').bitwiseXOR(F.lit(1 << i))
                        for i in range(max(0, n_probes - 1))],
                      F.col('bucket'))
-    ve = v.select('id', 'nvec', F.explode(probes).alias('bucket'))
-    a = ve.select(F.col('id').alias('id_a'), F.col('nvec').alias('va'), 'bucket')
-    b = ve.select(F.col('id').alias('id_b'), F.col('nvec').alias('vb'), 'bucket')
+    ve = v.select('id', F.explode(probes).alias('bucket'))
+    a = ve.select(F.col('id').alias('id_a'), 'bucket')
+    b = ve.select(F.col('id').alias('id_b'), 'bucket')
     cand = (a.join(b, ['bucket'])
              .filter(F.col('id_a') < F.col('id_b'))
-             .select('id_a', 'id_b', 'va', 'vb')
-             .dropDuplicates(['id_a', 'id_b']))
-    return (cand.withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
+             .select('id_a', 'id_b')
+             .distinct())
+    va = v.select(F.col('id').alias('id_a'), F.col('nvec').alias('va'))
+    vb = v.select(F.col('id').alias('id_b'), F.col('nvec').alias('vb'))
+    return (cand.join(small(va), 'id_a').join(small(vb), 'id_b')
+            .withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
             .filter(F.col('cosine') >= threshold)
             .select('id_a', 'id_b', 'cosine'))

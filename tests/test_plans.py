@@ -254,3 +254,24 @@ def test_pack_sequences_windows_per_shard(spark):
     plan = physical_plan(e.queries()['pack_sequences'](spark, SF))
     assert 'SinglePartition' not in plan
     assert 'Window' in plan
+
+
+def test_embedding_lsh_pair_distinct_carries_bare_ids(spark):
+    """embedding_lsh_pairs: the candidate-pair distinct must shuffle
+    BARE (id_a, id_b) — vectors join back only onto surviving pairs.
+    An exchange carrying nvec/va/vb would shuffle O(candidates x dim)
+    doubles, i.e. the embedding table itself."""
+    import re
+
+    from erde_spark.plans.inspect import physical_plan
+    from erde_spark.scale.dedup import embedding_lsh_pairs
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet')
+    plan = physical_plan(embedding_lsh_pairs(emb, threshold=0.9))
+    aggs = [ln for ln in plan.splitlines() if 'HashAggregate(keys=[id_a' in ln]
+    assert aggs, 'pair distinct missing from the plan'
+    for ln in aggs:
+        assert not re.search(r'\b(nvec|va|vb)\b', ln), ln
+    # the distinct exchange itself partitions on the bare pair key
+    ex = [ln for ln in plan.splitlines()
+          if 'Exchange hashpartitioning(id_a' in ln]
+    assert ex and all('nvec' not in ln and 'va' not in ln for ln in ex)

@@ -512,7 +512,9 @@ def test_streaming_neardup_dedup(spark, docs, tmp_path):
 
 def test_connected_components_matches_union_find(spark):
     """Full value oracle for connected_components: random 100-node edge
-    list vs a brute-force union-find, singletons included."""
+    list vs a brute-force union-find, singletons included — on BOTH the
+    driver fast path (edge count under collect_cap) and the distributed
+    min-label iteration (collect_cap=0 forces it)."""
     import random
 
     from erde_spark.scale.dedup import connected_components
@@ -524,8 +526,6 @@ def test_connected_components_matches_union_find(spark):
             edges.add((min(a, b), max(a, b)))
     pairs = spark.createDataFrame(sorted(edges), 'id_a long, id_b long')
     ids = spark.createDataFrame([(i,) for i in range(120)], 'id long')
-    got = {r['id']: r['component']
-           for r in connected_components(pairs, ids).collect()}
 
     parent = list(range(120))
 
@@ -541,7 +541,11 @@ def test_connected_components_matches_union_find(spark):
     for i in range(120):
         groups.setdefault(find(i), []).append(i)
     exp = {i: min(g) for g in groups.values() for i in g}
-    assert got == exp
+    for cap in (None, 0):  # driver union-find / distributed iteration
+        got = {r['id']: r['component']
+               for r in connected_components(pairs, ids,
+                                             collect_cap=cap).collect()}
+        assert got == exp, f'collect_cap={cap}'
 
 
 def test_connected_components_fractional_ids(spark):
