@@ -104,24 +104,49 @@ TABLE_SCHEMA_BASE = [
 ]
 
 
+def _row_count_estimate(df: DataFrame) -> int | None:
+    """Catalyst's row-count statistic for the optimized plan, or None
+    when the optimizer doesn't know (no CBO stats / no literal source).
+    A planning probe, not semantics — same discipline as the broadcast
+    decision in ``scale.dedup``: read the estimate, never scan."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(opt.get().longValue()) if opt.isDefined() else None
+    except Exception:
+        return None
+
+
 def od_table(sources: DataFrame, destinations: DataFrame, router: str,
              max_table_size: int = 2_000, annotations: str = 'duration',
              retries: int = 10, source_id: str = 'sid', dest_id: str = 'did',
-             geometry: str = 'geometry', extra_params: dict | None = None) -> DataFrame:
+             geometry: str = 'geometry', extra_params: dict | None = None,
+             n_sources: int | None = None,
+             n_destinations: int | None = None) -> DataFrame:
     """All-pairs OD matrix as long rows.
 
     ``sources``/``destinations`` need an id column and a Point
     ``geometry``. Output: (source, destination, <annotations...>,
     source_snap, destination_snap, geometry, geometry_dest) where ids are
     the input id values and geometries are the input points.
+
+    The block split needs the two cardinalities. Pass ``n_sources`` /
+    ``n_destinations`` when the caller knows them (or wants to bound
+    them); otherwise Catalyst's row-count estimate is used, and only when
+    the optimizer doesn't know either does a count job run. Estimates are
+    safe in BOTH directions: ``split_block_shape`` returns per-block row
+    CAPS with br*bc <= max_table_size on every path, so a wrong
+    cardinality only changes block granularity, never the per-request
+    cell bound.
     """
     ann = sorted(set(annotations.split(',')))
     if set(ann) - {'duration', 'distance'}:
         raise ValueError("annotations must be 'duration', 'distance' or "
                          "'duration,distance'")
     host = resolve_router(router)
-    n_src = sources.count()
-    n_dst = destinations.count()
+    n_src = (n_sources if n_sources is not None
+             else _row_count_estimate(sources) or sources.count())
+    n_dst = (n_destinations if n_destinations is not None
+             else _row_count_estimate(destinations) or destinations.count())
     br, bc = split_block_shape(n_src, n_dst, max_table_size)
 
     sb = _blocked(sources, source_id, geometry, br, '__s')

@@ -196,3 +196,37 @@ def test_config_merge_and_resolve():
     assert resolve_router('b', {'routers': {'b': 'http://b'}}) == 'http://b'
     with pytest.raises(ValueError, match='router'):
         resolve_router('nonexistent', {'routers': {}})
+
+
+def test_od_table_size_hints_skip_count_jobs(spark, osrm, monkeypatch):
+    """With n_sources/n_destinations hints the block planning must not
+    run ANY count job (the hint replaces the probe); results match the
+    probed path."""
+    from pyspark.sql import DataFrame
+
+    from erde_spark.routing.table import od_table
+    src = _point_df(spark, 'sid', [(10.0 + i / 100, 0.0) for i in range(4)])
+    dst = _point_df(spark, 'did', [(10.0, 0.1 + j / 100) for j in range(3)])
+    baseline = sorted((r['source'], r['destination'], r['duration'])
+                      for r in od_table(src, dst, osrm.url).collect())
+
+    def _no_count(self):
+        raise AssertionError('count job ran despite size hints')
+    monkeypatch.setattr(DataFrame, 'count', _no_count)
+    out = od_table(src, dst, osrm.url, n_sources=4, n_destinations=3)
+    monkeypatch.undo()
+    assert sorted((r['source'], r['destination'], r['duration'])
+                  for r in out.collect()) == baseline and len(baseline) == 12
+
+
+def test_od_table_wrong_hint_still_full_coverage(spark, osrm):
+    """A wrong cardinality hint only changes block granularity — every
+    (source, destination) pair still appears exactly once and each
+    request stays under max_table_size (per-block caps)."""
+    from erde_spark.routing.table import od_table
+    src = _point_df(spark, 'sid', [(10.0 + i / 100, 0.0) for i in range(6)])
+    dst = _point_df(spark, 'did', [(10.0, 0.1 + j / 100) for j in range(4)])
+    out = od_table(src, dst, osrm.url, max_table_size=8,
+                   n_sources=2, n_destinations=100).collect()
+    pairs = sorted((r['source'], r['destination']) for r in out)
+    assert pairs == sorted((s, d) for s in range(6) for d in range(4))

@@ -753,3 +753,22 @@ def test_bmp_roundtrip_and_decode_media():
     flipped = b''.join(bytes(body[i*stride:(i+1)*stride])
                        for i in reversed(range(5)))
     assert np.array_equal(decode_bmp(bytes(td[:54]) + flipped), img)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH recall as a TESTED metric, not an ad-hoc A/B note: at the
+    sf0.01 corpus and t=0.8 (pinned seed 42, default banding), the
+    banded-LSH pair set must recover >= 85% of the exact inverted-index
+    Jaccard pairs. Precision is exact by construction (every candidate
+    is verified), so only recall needs the measurement."""
+    from erde_spark.scale.dedup import jaccard_pairs, minhash_lsh_pairs
+    docs = spark.read.parquet('/root/testdata/sf0.01/documents.parquet')
+    exact = {(r['id_a'], r['id_b'])
+             for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r['id_a'], r['id_b'])
+           for r in minhash_lsh_pairs(docs, threshold=0.8,
+                                      seed=42).collect()}
+    assert exact, 'fixture corpus must contain exact pairs at t=0.8'
+    assert lsh <= exact, 'LSH emitted a pair the exact oracle rejects'
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.85, f'LSH recall {recall:.3f} < 0.85 ({len(lsh)}/{len(exact)})'
