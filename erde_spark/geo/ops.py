@@ -57,59 +57,284 @@ def _map_coords(geom: Geometry, fn) -> Geometry:
     raise ValueError(gtype)
 
 
-# -- transverse Mercator (UTM, WGS84) -----------------------------------
+# -- transverse Mercator (generalized Krüger) ----------------------------
 # Krüger flattening series to n^3 (public formulas; see the exposition in
 # Karney 2011 "Transverse Mercator with an accuracy of a few nanometers"
-# and the standard UTM parameterization). Sub-mm accurate inside a zone —
-# far below the 1e-6 deg round-trip contract.
+# and the standard UTM parameterization), generalized over ellipsoid and
+# the full EPSG 9807 parameter set (lat0/lon0/k0/false E-N). Truncation
+# error is O(n^4 * a) ~ 0.05 mm — far below the 1 cm contract.
 
-_WGS84_A = 6378137.0
-_WGS84_F = 1.0 / 298.257223563
-_TM_N = _WGS84_F / (2.0 - _WGS84_F)
-_TM_A = _WGS84_A / (1 + _TM_N) * (1 + _TM_N ** 2 / 4 + _TM_N ** 4 / 64)
-_TM_K0 = 0.9996
-_TM_ALPHA = (_TM_N / 2 - 2 * _TM_N ** 2 / 3 + 5 * _TM_N ** 3 / 16,
-             13 * _TM_N ** 2 / 48 - 3 * _TM_N ** 3 / 5,
-             61 * _TM_N ** 3 / 240)
-_TM_BETA = (_TM_N / 2 - 2 * _TM_N ** 2 / 3 + 37 * _TM_N ** 3 / 96,
-            _TM_N ** 2 / 48 + _TM_N ** 3 / 15,
-            17 * _TM_N ** 3 / 480)
-_TM_DELTA = (2 * _TM_N - 2 * _TM_N ** 2 / 3 - 2 * _TM_N ** 3,
-             7 * _TM_N ** 2 / 3 - 8 * _TM_N ** 3 / 5,
-             56 * _TM_N ** 3 / 15)
-_TM_2SQN = 2.0 * math.sqrt(_TM_N) / (1.0 + _TM_N)
+#: (semi-major axis a, flattening f) — the ellipsoids the CRS registry uses
+ELLIPSOIDS = {
+    'WGS84': (6378137.0, 1.0 / 298.257223563),
+    'GRS80': (6378137.0, 1.0 / 298.257222101),
+    'airy': (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
+    'intl': (6378388.0, 1.0 / 297.0),               # International 1924
+    'clrk66': (6378206.4, 1.0 / 294.978698214),     # Clarke 1866 (NAD27)
+}
+
+_WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
 
 
-def utm_fwd(lon: float, lat: float, lon0: float, n0: float):
-    """(lon, lat) degrees -> UTM easting/northing for central meridian
-    ``lon0`` (radians) and false northing ``n0``."""
-    phi = math.radians(lat)
-    dlam = math.radians(lon) - lon0
+def _tm_consts(a: float, f: float):
+    """Cached Krüger series constants for one ellipsoid: (rectifying
+    radius A, alpha, beta, delta, 2*sqrt(n)/(1+n))."""
+    c = _tm_consts_cache.get((a, f))
+    if c is None:
+        n = f / (2.0 - f)
+        A = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+        alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+                 13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+                 61 * n ** 3 / 240)
+        beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+                n ** 2 / 48 + n ** 3 / 15,
+                17 * n ** 3 / 480)
+        delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+                 7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+                 56 * n ** 3 / 15)
+        c = (A, alpha, beta, delta, 2.0 * math.sqrt(n) / (1.0 + n))
+        _tm_consts_cache[(a, f)] = c
+    return c
+
+
+_tm_consts_cache: dict = {}
+
+
+def _tm_xi_eta(phi: float, dlam: float, consts):
+    """Conformal (xi', eta') then full (xi, eta) Gauss-Krüger coords."""
+    A, alpha, _, _, sq2n = consts
     s = math.sin(phi)
-    t = math.sinh(math.atanh(s) - _TM_2SQN * math.atanh(_TM_2SQN * s))
+    t = math.sinh(math.atanh(s) - sq2n * math.atanh(sq2n * s))
     xi = math.atan2(t, math.cos(dlam))
     eta = math.asinh(math.sin(dlam) / math.hypot(t, math.cos(dlam)))
     x, y = eta, xi
-    for j, a in enumerate(_TM_ALPHA, start=1):
-        x += a * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
-        y += a * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
-    return 500000.0 + _TM_K0 * _TM_A * x, n0 + _TM_K0 * _TM_A * y
+    for j, c in enumerate(alpha, start=1):
+        x += c * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        y += c * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+    return y, x  # (xi_full, eta_full)
 
 
-def utm_inv(e: float, n: float, lon0: float, n0: float):
-    """UTM easting/northing -> (lon, lat) degrees."""
-    xi = (n - n0) / (_TM_K0 * _TM_A)
-    eta = (e - 500000.0) / (_TM_K0 * _TM_A)
+def tm_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+           lon0: float, k0: float, fe: float, fn: float):
+    """(lon, lat) degrees -> projected E/N for a transverse Mercator with
+    natural origin (``lat0``, ``lon0``) radians, scale ``k0`` and false
+    easting/northing (EPSG method 9807)."""
+    consts = _tm_consts(a, f)
+    A = consts[0]
+    xi, eta = _tm_xi_eta(math.radians(lat), math.radians(lon) - lon0, consts)
+    # meridian arc from the equator to lat0, in the same rectifying scale
+    xi0 = _tm_xi_eta(lat0, 0.0, consts)[0] if lat0 else 0.0
+    return fe + k0 * A * eta, fn + k0 * A * (xi - xi0)
+
+
+def tm_inv(e: float, n: float, a: float, f: float, lat0: float,
+           lon0: float, k0: float, fe: float, fn: float):
+    """Projected E/N -> (lon, lat) degrees (EPSG method 9807 inverse)."""
+    consts = _tm_consts(a, f)
+    A, _, beta, delta, _ = consts
+    xi0 = _tm_xi_eta(lat0, 0.0, consts)[0] if lat0 else 0.0
+    xi = (n - fn) / (k0 * A) + xi0
+    eta = (e - fe) / (k0 * A)
     xi_p, eta_p = xi, eta
-    for j, b in enumerate(_TM_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
         eta_p -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
     chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
     phi = chi
-    for j, d in enumerate(_TM_DELTA, start=1):
+    for j, d in enumerate(delta, start=1):
         phi += d * math.sin(2 * j * chi)
     lam = lon0 + math.atan2(math.sinh(eta_p), math.cos(xi_p))
     return math.degrees(lam), math.degrees(phi)
+
+
+def utm_fwd(lon: float, lat: float, lon0: float, n0: float):
+    """(lon, lat) degrees -> WGS84 UTM easting/northing for central
+    meridian ``lon0`` (radians) and false northing ``n0``."""
+    return tm_fwd(lon, lat, _WGS84_A, _WGS84_F, 0.0, lon0, 0.9996,
+                  500000.0, n0)
+
+
+def utm_inv(e: float, n: float, lon0: float, n0: float):
+    """WGS84 UTM easting/northing -> (lon, lat) degrees."""
+    return tm_inv(e, n, _WGS84_A, _WGS84_F, 0.0, lon0, 0.9996,
+                  500000.0, n0)
+
+
+# -- Lambert Conformal Conic (2SP, EPSG method 9802) ---------------------
+# Closed-form ellipsoidal formulas from the public EPSG Guidance Note 7-2
+# / Snyder "Map Projections: A Working Manual" (USGS PP 1395, 1987).
+
+def _lcc_m(phi: float, e: float) -> float:
+    return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+
+def _lcc_t(phi: float, e: float) -> float:
+    es = e * math.sin(phi)
+    return (math.tan(math.pi / 4 - phi / 2)
+            / ((1 - es) / (1 + es)) ** (e / 2))
+
+
+def _lcc_consts(a: float, f: float, lat0: float, phi1: float, phi2: float):
+    key = (a, f, lat0, phi1, phi2)
+    c = _lcc_consts_cache.get(key)
+    if c is None:
+        e = math.sqrt(2 * f - f * f)
+        m1, m2 = _lcc_m(phi1, e), _lcc_m(phi2, e)
+        t0, t1, t2 = (_lcc_t(p, e) for p in (lat0, phi1, phi2))
+        n = ((math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+             if phi1 != phi2 else math.sin(phi1))
+        big_f = m1 / (n * t1 ** n)
+        r0 = a * big_f * t0 ** n
+        c = (e, n, big_f, r0)
+        _lcc_consts_cache[key] = c
+    return c
+
+
+_lcc_consts_cache: dict = {}
+
+
+def lcc_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+            lon0: float, phi1: float, phi2: float, fe: float, fn: float):
+    """(lon, lat) degrees -> Lambert Conformal Conic (2SP) E/N; ``lat0``/
+    ``lon0`` = false-origin latitude/longitude, ``phi1``/``phi2`` =
+    standard parallels (all radians)."""
+    e, n, big_f, r0 = _lcc_consts(a, f, lat0, phi1, phi2)
+    phi = math.radians(lat)
+    r = a * big_f * _lcc_t(phi, e) ** n
+    theta = n * (math.radians(lon) - lon0)
+    return fe + r * math.sin(theta), fn + r0 - r * math.cos(theta)
+
+
+def lcc_inv(east: float, north: float, a: float, f: float, lat0: float,
+            lon0: float, phi1: float, phi2: float, fe: float, fn: float):
+    """Lambert Conformal Conic (2SP) E/N -> (lon, lat) degrees."""
+    e, n, big_f, r0 = _lcc_consts(a, f, lat0, phi1, phi2)
+    dx, dy = east - fe, r0 - (north - fn)
+    r = math.hypot(dx, dy)
+    if n < 0:  # south-facing cone: r and both atan2 operands negate
+        r, dx, dy = -r, -dx, -dy
+    theta = math.atan2(dx, dy)
+    t = (r / (a * big_f)) ** (1.0 / n)
+    phi = math.pi / 2 - 2 * math.atan(t)
+    for _ in range(8):  # converges to <1e-12 rad in ~4 iterations
+        es = e * math.sin(phi)
+        phi = math.pi / 2 - 2 * math.atan(t * ((1 - es) / (1 + es)) ** (e / 2))
+    return math.degrees(lon0 + theta / n), math.degrees(phi)
+
+
+# -- datum shift (7-parameter Helmert, EPSG 9606 position vector) --------
+
+def _geodetic_to_geocentric(lon: float, lat: float, a: float, f: float):
+    e2 = 2 * f - f * f
+    phi, lam = math.radians(lat), math.radians(lon)
+    s = math.sin(phi)
+    nu = a / math.sqrt(1 - e2 * s * s)
+    return (nu * math.cos(phi) * math.cos(lam),
+            nu * math.cos(phi) * math.sin(lam),
+            nu * (1 - e2) * s)
+
+
+def _geocentric_to_geodetic(x: float, y: float, z: float, a: float, f: float):
+    e2 = 2 * f - f * f
+    p = math.hypot(x, y)
+    phi = math.atan2(z, p * (1 - e2))
+    for _ in range(8):
+        s = math.sin(phi)
+        nu = a / math.sqrt(1 - e2 * s * s)
+        phi = math.atan2(z + e2 * nu * s, p)
+    return math.degrees(math.atan2(y, x)), math.degrees(phi)
+
+
+def _helmert(x: float, y: float, z: float, p: tuple, inverse: bool):
+    """7-parameter position-vector transformation (EPSG 9606):
+    p = (tx, ty, tz [m], rx, ry, rz [arc-sec], s [ppm])."""
+    tx, ty, tz, rx, ry, rz, s = p
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx, ry, rz))
+    m = 1 + s * 1e-6
+    if not inverse:
+        return (tx + m * (x - rz * y + ry * z),
+                ty + m * (rz * x + y - rx * z),
+                tz + m * (-ry * x + rx * y + z))
+    # exact-enough reverse for small angles/scale: apply the inverse
+    # rotation/scale to the translated vector
+    x, y, z = x - tx, y - ty, z - tz
+    return ((x + rz * y - ry * z) / m,
+            (y - rz * x + rx * z) / m,
+            (z + ry * x - rx * y) / m)
+
+
+def _datum_to_wgs84(lon: float, lat: float, ellps: tuple, towgs84: tuple | None):
+    if not towgs84:
+        return lon, lat
+    xyz = _geodetic_to_geocentric(lon, lat, *ellps)
+    return _geocentric_to_geodetic(*_helmert(*xyz, towgs84, False),
+                                   _WGS84_A, _WGS84_F)
+
+
+def _wgs84_to_datum(lon: float, lat: float, ellps: tuple, towgs84: tuple | None):
+    if not towgs84:
+        return lon, lat
+    xyz = _geodetic_to_geocentric(lon, lat, _WGS84_A, _WGS84_F)
+    return _geocentric_to_geodetic(*_helmert(*xyz, towgs84, True), *ellps)
+
+
+# -- CRS registry --------------------------------------------------------
+
+def _d(deg, mins=0.0, secs=0.0):
+    return math.radians(deg + mins / 60.0 + secs / 3600.0)
+
+
+#: Named projected CRS beyond the closed-form Mercator/UTM families.
+#: Parameters are the published EPSG definitions; ``towgs84`` is the
+#: standard 7-parameter Helmert where the datum is not WGS84-compatible
+#: (NAD83/ETRS89/RGF93 are treated as zero-shift — the metre-level
+#: plate-drift refinement needs grid files this container cannot ship).
+_CRS_TABLE = {
+    # British National Grid: TM on Airy 1830, OSGB36 datum
+    27700: {'proj': 'tm', 'ellps': 'airy',
+            'params': (_d(49), _d(-2), 0.9996012717, 400000.0, -100000.0),
+            'towgs84': (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)},
+    # RGF93 / Lambert-93 (France): LCC-2SP on GRS80, zero shift
+    2154: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (_d(46.5), _d(3), _d(44), _d(49), 700000.0, 6600000.0),
+           'towgs84': None},
+    # NAD83 / Maryland (metres): State Plane LCC-2SP on GRS80
+    26985: {'proj': 'lcc', 'ellps': 'GRS80',
+            'params': (_d(37, 40), _d(-77), _d(38, 18), _d(39, 27),
+                       400000.0, 0.0),
+            'towgs84': None},
+    # ETRS89 / UTM zone 32N (most of Germany): plain TM on GRS80
+    25832: {'proj': 'tm', 'ellps': 'GRS80',
+            'params': (0.0, _d(9), 0.9996, 500000.0, 0.0),
+            'towgs84': None},
+    # NAD83 / Texas South Central (metres): wide-zone LCC-2SP
+    32140: {'proj': 'lcc', 'ellps': 'GRS80',
+            'params': (_d(27, 50), _d(-99), _d(28, 23), _d(30, 17),
+                       600000.0, 4000000.0),
+            'towgs84': None},
+}
+
+
+def _table_fns(epsg: int):
+    """(to_lonlat, from_lonlat) for a registry CRS, else None."""
+    spec = _CRS_TABLE.get(epsg)
+    if spec is None:
+        return None
+    ellps = ELLIPSOIDS[spec['ellps']]
+    params, towgs84 = spec['params'], spec['towgs84']
+    fwd_proj = tm_fwd if spec['proj'] == 'tm' else lcc_fwd
+    inv_proj = tm_inv if spec['proj'] == 'tm' else lcc_inv
+
+    def to_lonlat(x, y):
+        lon, lat = inv_proj(x, y, *ellps, *params)
+        return _datum_to_wgs84(lon, lat, ellps, towgs84)
+
+    def from_lonlat(lon, lat):
+        lon, lat = _wgs84_to_datum(lon, lat, ellps, towgs84)
+        return fwd_proj(lon, lat, *ellps, *params)
+
+    return to_lonlat, from_lonlat
 
 
 def _utm_zone_params(epsg: int):
@@ -124,6 +349,16 @@ def _utm_zone_params(epsg: int):
     return math.radians(zone * 6 - 183), n0
 
 
+_CRS_ERR = (
+    '{crs} not supported: this engine ships closed-form transforms for '
+    'EPSG:4326, EPSG:3857 (spherical Mercator), EPSG:326xx/327xx (WGS84 '
+    'UTM, Krüger series) and the registry CRS %s (generalized transverse '
+    'Mercator / Lambert Conformal Conic 2SP + Helmert datum shift); the '
+    'container has no pyproj for arbitrary CRS. Registering another '
+    'TM/LCC-based EPSG code is a one-line _CRS_TABLE entry.'
+    % sorted(_CRS_TABLE))
+
+
 def _to_lonlat_fn(crs: int):
     """Coordinate fn CRS -> EPSG:4326, or None when crs IS 4326."""
     if crs == 4326:
@@ -133,10 +368,10 @@ def _to_lonlat_fn(crs: int):
     p = _utm_zone_params(crs)
     if p is not None:
         return lambda x, y: utm_inv(x, y, *p)
-    raise NotImplementedError(
-        f'CRS {crs} not supported: this engine ships closed-form transforms for '
-        'EPSG:4326, EPSG:3857 (spherical Mercator) and EPSG:326xx/327xx (WGS84 '
-        'UTM, Krüger series); the container has no pyproj for arbitrary CRS.')
+    fns = _table_fns(crs)
+    if fns is not None:
+        return fns[0]
+    raise NotImplementedError(_CRS_ERR.format(crs=f'CRS {crs}'))
 
 
 def _from_lonlat_fn(crs: int):
@@ -148,10 +383,10 @@ def _from_lonlat_fn(crs: int):
     p = _utm_zone_params(crs)
     if p is not None:
         return lambda lon, lat: utm_fwd(lon, lat, *p)
-    raise NotImplementedError(
-        f'CRS {crs} not supported: this engine ships closed-form transforms for '
-        'EPSG:4326, EPSG:3857 (spherical Mercator) and EPSG:326xx/327xx (WGS84 '
-        'UTM, Krüger series); the container has no pyproj for arbitrary CRS.')
+    fns = _table_fns(crs)
+    if fns is not None:
+        return fns[1]
+    raise NotImplementedError(_CRS_ERR.format(crs=f'CRS {crs}'))
 
 
 def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:

@@ -1,10 +1,14 @@
 """CRS set/convert operator (reference `/root/reference/erde/op/convert.py:4-16`).
 
 ``from_crs`` stamps the CRS (no coordinate change); ``to_crs`` reprojects.
-Supported CRS: EPSG:4326, EPSG:3857 (closed-form spherical Mercator) and
-EPSG:326xx/327xx (WGS84 UTM, Krüger flattening series — sub-mm in zone);
-pairs compose through lon/lat. The reference reprojects arbitrary pyproj
-CRS; this container has no pyproj, so other codes raise.
+Supported CRS: EPSG:4326, EPSG:3857 (closed-form spherical Mercator),
+EPSG:326xx/327xx (WGS84 UTM, Krüger flattening series — sub-mm in zone)
+and the ``erde_spark.geo.ops._CRS_TABLE`` registry (generalized
+transverse Mercator and Lambert Conformal Conic 2SP with 7-parameter
+Helmert datum shift — ships OSGB 27700, Lambert-93 2154, State Plane
+26985/32140, ETRS89 UTM 25832; other TM/LCC codes are one-line registry
+entries); pairs compose through lon/lat. The reference reprojects
+arbitrary pyproj CRS; this container has no pyproj, so other codes raise.
 """
 
 from __future__ import annotations

@@ -117,6 +117,25 @@ def test_convert_roundtrip(spark):
     assert abs(g[1][0] - LON) < 1e-9 and abs(g[1][1] - LAT) < 1e-9
 
 
+def test_convert_registry_crs_end_to_end(spark):
+    """convert() accepts the registry CRS (generalized TM + LCC +
+    datum): a London point to British National Grid lands at the
+    published OS grid reference for Trafalgar Square (~TQ300804,
+    530 km E / 180 km N band), and round-trips < 1e-7 deg."""
+    lon, lat = -0.1281, 51.5080
+    df = _gdf(spark, [f'POINT ({lon} {lat})'])
+    bng = convert(df, to_crs=27700)
+    assert get_crs(bng) == 27700
+    e, n = G.wkb_loads(bytes(bng.first()['geometry']))[1]
+    assert 529000 < e < 531000 and 180000 < n < 181500, (e, n)
+    back = G.wkb_loads(bytes(convert(bng, to_crs=4326).first()['geometry']))[1]
+    assert abs(back[0] - lon) < 1e-7 and abs(back[1] - lat) < 1e-7
+    # LCC leg: Paris to Lambert-93 (published grid ~652 km E / 6862 km N)
+    paris = convert(_gdf(spark, ['POINT (2.3522 48.8566)']), to_crs=2154)
+    e2, n2 = G.wkb_loads(bytes(paris.first()['geometry']))[1]
+    assert 651000 < e2 < 653500 and 6861000 < n2 < 6864000, (e2, n2)
+
+
 def test_convert_from_crs_stamps(spark):
     df = spark.createDataFrame([(1,)], 'id int').withColumn(
         'geometry', st_geomfromtext(F.lit('POINT (0 0)')))

