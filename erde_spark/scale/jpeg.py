@@ -1,0 +1,487 @@
+"""Baseline JPEG (JFIF) codec in numpy — no codec libraries.
+
+Implements the baseline-sequential DCT process of the public ITU-T T.81
+spec (ISO/IEC 10918-1): segment parsing, Huffman entropy coding, zigzag,
+dequantization, 8x8 type-III DCT, chroma upsampling and the JFIF
+YCbCr<->RGB conversion. Standard quantization and Huffman tables are the
+spec's own Annex K examples. Restart markers (DRI/RSTn) are honored.
+
+Scope mirrors the reference's PIL-based media reads as far as this
+container allows (no PIL/ffmpeg): progressive (SOF2), arithmetic-coded
+(SOF9+) and hierarchical processes raise a clear ``NotImplementedError``
+— baseline sequential is the overwhelmingly dominant web-crawl profile.
+
+The encoder exists so tests and pipelines can synthesize REAL JPEG bytes
+(grayscale or color, optional 4:2:0 subsampling) without external
+fixtures; decode(encode(img)) round-trips within quantization error.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# -- constants (ITU-T T.81 Annex K) --------------------------------------
+
+#: zigzag scan order: index i of the scan -> position in the 8x8 block
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8-point DCT-II matrix: spatial = C.T @ coeffs @ C
+_DCT_C = np.array([[math.sqrt((1 if k == 0 else 2) / 8)
+                    * math.cos((2 * n + 1) * k * math.pi / 16)
+                    for n in range(8)] for k in range(8)])
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) > 3 and data[:2] == b'\xff\xd8'
+
+
+# -- Huffman machinery ---------------------------------------------------
+
+def _build_codes(bits, vals):
+    """T.81 Annex C code assignment: {symbol: (code, length)}."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits, vals):
+    """{(length, code): symbol} for bit-at-a-time decoding."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing.
+    Holds at most one byte of lookahead, so ``align()`` leaves ``pos``
+    exactly at the next unread byte (where a RSTn marker sits)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.buf = b
+        self.nbits = 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.nbits == 0:
+                self._fill()
+            take = min(n, self.nbits)
+            self.nbits -= take
+            v = (v << take) | ((self.buf >> self.nbits) & ((1 << take) - 1))
+            n -= take
+        return v
+
+    def decode(self, table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError('invalid Huffman code in entropy stream')
+
+    def align(self):
+        self.nbits = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t low bits to the signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# -- decoder -------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline-sequential JFIF -> uint8 array, (H, W) grayscale or
+    (H, W, 3) RGB. Raises ``NotImplementedError`` for progressive /
+    arithmetic / hierarchical processes and 12-bit precision."""
+    if not is_jpeg(data):
+        raise ValueError('not a JPEG stream (missing SOI)')
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        i += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(data[i:i + 2], 'big')
+        seg = data[i + 2:i + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if prec:
+                    tbl = np.frombuffer(seg[p:p + 128], '>u2').astype(np.int32)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                huff[(cls, tid)] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended huffman)
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f'{prec}-bit JPEG precision')
+            h, w, nc = int.from_bytes(seg[1:3], 'big'), \
+                int.from_bytes(seg[3:5], 'big'), seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 15, 'tq': tq})
+            frame = {'h': h, 'w': w, 'comps': comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                'only baseline-sequential JPEG decodes (SOF0/SOF1); '
+                f'SOF marker 0x{marker:02X} is a progressive/arithmetic/'
+                'hierarchical process')
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], 'big')
+        elif marker == 0xDA:  # SOS -> entropy-coded scan follows
+            if frame is None:
+                raise ValueError('SOS before SOF')
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame['comps'] if x['id'] == cid)
+                scan.append((comp, tabs >> 4, tabs & 15))
+            return _decode_scan(data, i + ln, frame, scan, qt, huff, restart)
+        i += ln
+    raise ValueError('no SOS scan found')
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart):
+    h, w = frame['h'], frame['w']
+    hmax = max(c['h'] for c, _, _ in scan)
+    vmax = max(c['v'] for c, _, _ in scan)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    planes = [np.zeros((my * c['v'] * 8, mx * c['h'] * 8), np.float64)
+              for c, _, _ in scan]
+    preds = [0] * len(scan)
+    rd = _BitReader(data, pos)
+    mcu = 0
+    while mcu < mx * my:
+        if restart and mcu and mcu % restart == 0:
+            # the encoder byte-aligned and emitted RSTn here; the
+            # one-byte-lookahead reader makes pos exact after align()
+            rd.align()
+            if (data[rd.pos] == 0xFF
+                    and 0xD0 <= data[rd.pos + 1] <= 0xD7):
+                rd.pos += 2
+            preds = [0] * len(scan)
+        byi, bxi = divmod(mcu, mx)
+        try:
+            for ci, (c, dc_t, ac_t) in enumerate(scan):
+                dq = qt[c['tq']]
+                for v in range(c['v']):
+                    for hh in range(c['h']):
+                        blk = _decode_block(rd, huff[(0, dc_t)],
+                                            huff[(1, ac_t)], preds, ci, dq)
+                        y0 = (byi * c['v'] + v) * 8
+                        x0 = (bxi * c['h'] + hh) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+        except _MarkerHit as m:
+            if 0xD0 <= m.marker <= 0xD7:
+                # RST reached mid-read (padding consumed as code bits):
+                # resync to the marker, reset predictors, redo this MCU
+                rd.pos += 2
+                rd.align()
+                preds = [0] * len(scan)
+                continue
+            raise ValueError(f'unexpected marker 0x{m.marker:02X} mid-scan')
+        mcu += 1
+    out = []
+    for ci, (c, _, _) in enumerate(scan):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c['v'], axis=0),
+                      hmax // c['h'], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(rd, dc_table, ac_table, preds, ci, dq):
+    coef = np.zeros(64, np.float64)
+    t = rd.decode(dc_table)
+    preds[ci] += _extend(rd.read(t), t)
+    coef[0] = preds[ci] * dq[0]
+    k = 1
+    while k < 64:
+        rs = rd.decode(ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            k += 16
+            continue
+        k += r
+        coef[ZIGZAG[k]] = _extend(rd.read(s), s) * dq[k]
+        k += 1
+    block = coef.reshape(8, 8)
+    return _DCT_C.T @ block @ _DCT_C + 128.0
+
+
+# -- encoder -------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.nbits = 0, 0
+
+    def write(self, code: int, n: int):
+        self.buf = (self.buf << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg convention)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(wr, block, dq, dc_codes, ac_codes, pred):
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    q = np.round(coef.reshape(-1)[ZIGZAG] / dq).astype(np.int64)
+    diff = int(q[0]) - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(q)[0])) if np.any(q[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wr.write(code, ln)
+    return int(q[0])
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF bytes.
+    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling);
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qly = _scale_qt(_QT_LUMA, quality)
+    qlc = _scale_qt(_QT_CHROMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even then 2x2 box average
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode='edge')
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode='edge')
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = my * sv * 8, mx * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode='edge'))
+
+    out = bytearray(b'\xff\xd8')  # SOI
+    out += b'\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00'
+
+    def seg(marker, payload):
+        out.extend(b'\xff' + bytes([marker])
+                   + (len(payload) + 2).to_bytes(2, 'big') + payload)
+
+    seg(0xDB, bytes([0]) + bytes(qly.tolist()))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(qlc.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, 'big') + w.to_bytes(2, 'big') \
+        + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    seg(0xC0, sof)
+    tables = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc, (bits, vals) in tables:
+        seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, 'big') + b'')
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    dc_l, ac_l = _build_codes(*_HT_DC_LUMA), _build_codes(*_HT_AC_LUMA)
+    dc_c, ac_c = _build_codes(*_HT_DC_CHROMA), _build_codes(*_HT_AC_CHROMA)
+    wr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for mcu in range(mx * my):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wr.flush()
+            wr.out += b'\xff' + bytes([0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        byi, bxi = divmod(mcu, mx)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            dq = qly if qsel[ci] == 0 else qlc
+            dcod = dc_l if ci == 0 else dc_c
+            acod = ac_l if ci == 0 else ac_c
+            for v in range(sv):
+                for hh in range(sh):
+                    y0, x0 = (byi * sv + v) * 8, (bxi * sh + hh) * 8
+                    preds[ci] = _encode_block(
+                        wr, p[y0:y0 + 8, x0:x0 + 8], dq, dcod, acod,
+                        preds[ci])
+    wr.flush()
+    out += wr.out
+    out += b'\xff\xd9'  # EOI
+    return bytes(out)

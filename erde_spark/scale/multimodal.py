@@ -51,21 +51,26 @@ ASSET_SCHEMA = T.StructType([
 def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     """Decode a media blob to a pixel/sample array.
 
-    PNG images and WAV audio decode for real (pure-stdlib codecs —
-    :mod:`erde_spark.scale.png`); every other format still needs a codec
-    library the container doesn't ship and raises."""
+    PNG/BMP images, baseline JPEG and WAV audio decode for real
+    (pure numpy/stdlib codecs — :mod:`erde_spark.scale.png`,
+    :mod:`erde_spark.scale.jpeg`); every other format still needs a
+    codec library the container doesn't ship and raises."""
+    from erde_spark.scale.jpeg import decode_jpeg, is_jpeg
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
                                       is_bmp, is_png, is_wav)
     if (fmt or '').lower() in ('image/png', 'png') or is_png(blob):
         return decode_png(bytes(blob))
+    if (fmt or '').lower() in ('image/jpeg', 'image/jpg', 'jpeg',
+                               'jpg') or is_jpeg(blob):
+        return decode_jpeg(bytes(blob))
     if (fmt or '').lower() in ('image/bmp', 'bmp') or is_bmp(blob):
         return decode_bmp(bytes(blob))
     if (fmt or '').lower() in ('audio/wav', 'audio/x-wav', 'wav') or is_wav(blob):
         return decode_wav(bytes(blob))
     raise NotImplementedError(
-        f'media format {fmt!r}: only PNG, BMP and WAV decode without '
-        'codec libraries (PIL/ffmpeg not in this container); use '
-        'fake=True for plumbing tests')
+        f'media format {fmt!r}: only PNG, BMP, baseline JPEG and WAV '
+        'decode without codec libraries (PIL/ffmpeg not in this '
+        'container); use fake=True for plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

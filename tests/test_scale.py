@@ -362,6 +362,72 @@ def test_extract_features_real_png(spark):
         assert abs(got[aid] - mean) < 1e-9, aid
 
 
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG: decode(encode(img)) within quantization error for
+    grayscale, 4:4:4 and 4:2:0 color, and with restart markers."""
+    from erde_spark.scale.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+    rng = np.random.RandomState(7)
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = np.clip(80 + 1.5 * xx + 1.2 * yy + rng.randn(h, w) * 3,
+                   0, 255).astype(np.uint8)
+    rgb = np.stack([np.clip(50 + 2.0 * xx, 0, 255),
+                    np.clip(200 - 1.5 * yy, 0, 255),
+                    np.clip(120 + 0.5 * xx + 0.8 * yy, 0, 255)],
+                   axis=-1).astype(np.uint8)
+    for img, sub, ri in [(gray, False, 0), (rgb, False, 0),
+                         (rgb, True, 0), (rgb, True, 2), (gray, False, 3)]:
+        data = encode_jpeg(img, quality=90, subsample=sub,
+                           restart_interval=ri)
+        assert is_jpeg(data)
+        back = decode_jpeg(data)
+        assert back.shape == img.shape
+        rmse = float(np.sqrt(((back.astype(float)
+                               - img.astype(float)) ** 2).mean()))
+        assert rmse < 4.0, (sub, ri, rmse)
+
+
+def test_jpeg_progressive_raises():
+    import struct
+
+    from erde_spark.scale.jpeg import decode_jpeg
+    sof2 = (b'\xff\xd8\xff\xc2' + struct.pack('>H', 11)
+            + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match='progressive'):
+        decode_jpeg(sof2)
+
+
+def test_extract_features_mixed_png_jpeg(spark):
+    """decode_media over a MIXED PNG+JPEG asset table through the
+    mapInPandas pipeline: PNG means are exact; JPEG means within the
+    lossy-compression tolerance."""
+    from erde_spark.scale.jpeg import encode_jpeg
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    from erde_spark.scale.png import encode_png
+    rng = np.random.RandomState(11)
+    rows, expected, lossy = [], {}, set()
+    for aid in range(6):
+        h, w = 16 + aid, 13 + aid
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.clip(60 + 2 * xx[..., None] + yy[..., None]
+                      + rng.randn(h, w, 3) * 2, 0, 255).astype(np.uint8)
+        if aid % 2:
+            blob, fmt = encode_jpeg(arr, quality=90,
+                                    subsample=bool(aid % 4 == 3)), 'image/jpeg'
+            lossy.add(aid)
+        else:
+            blob, fmt = encode_png(arr), 'image/png'
+        rows.append((aid, bytearray(blob), (fmt, w, h, None)))
+        expected[aid] = float(arr.astype(np.float64).mean())
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r['asset_id']: r['feat_mean']
+           for r in extract_features(assets, fake=False).collect()}
+    assert got.keys() == expected.keys()
+    for aid, mean in expected.items():
+        tol = 1.5 if aid in lossy else 1e-9
+        assert abs(got[aid] - mean) < tol, (aid, got[aid], mean)
+
+
 # ---------------------------------------------------------------- windows
 
 def test_tumbling_agg_matches_duckdb(spark, duck):
