@@ -28,7 +28,10 @@ def get_spark(app_name: str = "erde_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # off by default (bench noise); tools that read the /api/v1 stage
+        # metrics (tools/scale_check.py) opt in via the env var
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,141 @@
+"""Direct scale-up evidence for the dedup/sjoin/curation family.
+
+Synthesizes a 10x corpus ("sf1") from the sf0.1 testdata and runs the
+headline scale-path operators at both sizes, recording wall seconds,
+total shuffle-write bytes (Spark /api/v1 stage metrics) and output rows.
+Observed scaling close to ~10x in time and shuffle for a 10x input is
+the direct evidence behind the "would survive 100x" plan-shape claims.
+
+The 10x corpus construction keeps the duplicate STRUCTURE of each copy
+while making copies mutually dissimilar (every token gets a per-copy
+suffix, so cross-copy Jaccard is 0): the result is 10 independent
+shards, whose ground truth is exactly 10x the sf0.1 one — the right
+fixture for verifying linear scaling (10x dup-density would instead
+scale pair outputs quadratically by design).
+
+Usage: SPARK_GRAFT_UI=1 python tools/scale_check.py [--runs N]
+Writes results as a markdown table on stdout (paste into SCALE.md).
+"""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, '.')
+
+SF01 = '/root/testdata/sf0.1'
+SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.scale_sf1')
+
+
+def shuffle_write_bytes(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(urllib.request.urlopen(
+        f'{ui}/api/v1/applications/{app}/stages?status=complete'))
+    return sum(s.get('shuffleWriteBytes', 0) for s in stages)
+
+
+def build_sf1(spark):
+    """10 mutually-dissimilar copies of the sf0.1 documents + customer."""
+    from pyspark.sql import functions as F
+    if os.path.isdir(os.path.join(SF1_DIR, 'documents.parquet')):
+        return
+    docs = spark.read.parquet(f'{SF01}/documents.parquet')
+    n = docs.agg(F.max('doc_id')).first()[0] + 1
+    copies = []
+    for i in range(10):
+        copies.append(docs.select(
+            (F.col('doc_id') + i * n).alias('doc_id'),
+            F.regexp_replace('text', r'(\S+)', r'$1' + f'x{i}').alias('text'),
+            'lang'))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode('overwrite').parquet(f'{SF1_DIR}/documents.parquet')
+    cust = spark.read.parquet(f'{SF01}/customer.parquet')
+    m = cust.agg(F.max('c_custkey')).first()[0] + 1
+    cc = [cust.withColumn('c_custkey', F.col('c_custkey') + i * m)
+          for i in range(10)]
+    outc = cc[0]
+    for c in cc[1:]:
+        outc = outc.unionByName(c)
+    outc.write.mode('overwrite').parquet(f'{SF1_DIR}/customer.parquet')
+    for t in ('nation',):
+        spark.read.parquet(f'{SF01}/{t}.parquet').write.mode(
+            'overwrite').parquet(f'{SF1_DIR}/{t}.parquet')
+
+
+def op_dedup_clusters(spark, sf):
+    from erde_spark.scale.dedup import dedup_clusters
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return dedup_clusters(d, threshold=0.9).select('doc_id', 'cluster_size')
+
+
+def op_minhash_lsh(spark, sf):
+    from erde_spark.scale.dedup import minhash_lsh_pairs
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return minhash_lsh_pairs(d, threshold=0.9)
+
+
+def op_sjoin(spark, sf):
+    import __spark_entry__ as e
+    from erde_spark.operators.sjoin import sjoin
+    cust = spark.read.parquet(f'{sf}/customer.parquet')
+    nation = spark.read.parquet(f'{sf}/nation.parquet')
+    pts = e._cust_points(cust)
+    rects = e._nation_rects(nation)
+    return sjoin(pts, rects, op='within').select(
+        'c_custkey', 'n_nationkey', 'n_name')
+
+
+def op_contamination(spark, sf):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import contamination_hits
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    ev = d.filter(F.col('doc_id') % 97 == 0)
+    corpus = d.filter(F.col('doc_id') % 97 != 0)
+    return contamination_hits(corpus, ev, n=4)
+
+
+OPS = {
+    'dedup_clusters': op_dedup_clusters,
+    'dedup_minhash_lsh': op_minhash_lsh,
+    'sjoin_points_rects': op_sjoin,
+    'contamination_check': op_contamination,
+}
+
+
+def main():
+    os.environ.setdefault('SPARK_GRAFT_UI', '1')
+    from erde_spark.session import get_spark
+    spark = get_spark(app_name='erde_spark_scale_check')
+    build_sf1(spark)
+    # warm JVM + python workers
+    spark.read.parquet(f'{SF01}/documents.parquet').count()
+    results = []
+    for name, fn in OPS.items():
+        row = {'op': name}
+        for label, sf in (('sf0.1', SF01), ('sf1', SF1_DIR)):
+            sw0 = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            rows = fn(spark, sf).count()
+            dt = time.perf_counter() - t0
+            sw = shuffle_write_bytes(spark) - sw0
+            row[label] = (dt, sw, rows)
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark.catalog.clearCache()
+        (t1, s1, r1), (t10, s10, r10) = row['sf0.1'], row['sf1']
+        results.append(row)
+        print(f"| {name} | {t1:.1f}s / {s1/1e6:.0f}MB / {r1} rows "
+              f"| {t10:.1f}s / {s10/1e6:.0f}MB / {r10} rows "
+              f"| {t10/t1:.1f}x / {s10/max(s1,1):.1f}x / {r10/max(r1,1):.1f}x |",
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()
