@@ -111,9 +111,11 @@ def test_coslat():
 
 
 def test_transform_unsupported():
-    # Lambert-93: outside the closed-form families (4326/3857/UTM)
+    # Swiss LV95 is Hotine oblique Mercator — outside the closed-form
+    # families (Mercator/UTM/registry TM/LCC) and not registrable as a
+    # one-line table entry, so it must raise clearly
     with pytest.raises(NotImplementedError):
-        O.transform_geom(('Point', (0.0, 0.0)), 4326, 2154)
+        O.transform_geom(('Point', (0.0, 0.0)), 4326, 2056)
 
 
 def test_wkb_reads_postgis_ewkb():
