@@ -7,6 +7,13 @@ timing noise on this box is 10-20x on cold single runs, so best-of-N warm
 is the only measurement that tracks plan changes rather than scheduler
 luck.
 
+`streaming_neardup_backfill` is a PIPELINE entry, not a single query:
+it runs two full spanning-dedup passes (one per micro-batch), the
+batch-vs-store LSH bucket equi-join, and six parquet writes through the
+Structured Streaming foreachBatch machinery — its ~11 s is the cost of
+the whole ingest pipeline at sf0.1, kept in the bench because it is the
+flagship streaming curation surface.
+
 Headline set = every operator family with a scale-appropriate algorithm:
 the intentionally-quadratic verification ops (exact all-pairs Jaccard,
 brute-force embedding pairs) are exercised by the correctness gate at
