@@ -400,8 +400,8 @@ class XlsDriver(_Driver):
     (`/root/reference/erde/io/xls.py:13`), which reads ONLY zip-based
     .xlsx — legacy OLE2 .xls fails there — and its ``write_df`` raises
     ``NotImplementedError`` (`xls.py:18`). This driver EXCEEDS the read
-    surface (legacy BIFF8 .xls reads via the stdlib CFB parser in
-    io/xls_biff.py) and adds the .xlsx sink."""
+    surface (legacy BIFF8 AND BIFF5 .xls read via the stdlib CFB parser
+    in io/xls_biff.py) and adds the .xlsx sink."""
     name = 'xls'
     path_re = re.compile(r'^(?P<file>.*\.xlsx?)(?::(?P<sheet>[a-z0-9_ -]+))?$', re.I)
 

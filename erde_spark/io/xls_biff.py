@@ -2,14 +2,17 @@
 stdlib, same hand-rolled-codec approach as the FGB/SHP drivers.
 
 Scope (a data-table reader, mirroring what `read_df` needs): CFB v3/v4
-container, ``Workbook`` stream lookup (FAT and miniFAT chains), the
-workbook-globals substream (BOUNDSHEET sheet directory + SST shared
+container, ``Workbook``/``Book`` stream lookup (FAT and miniFAT chains),
+the workbook-globals substream (BOUNDSHEET sheet directory + SST shared
 strings incl. CONTINUE splits), and the worksheet cell records
-LABELSST / LABEL / NUMBER / RK / MULRK / BOOLERR / FORMULA(+STRING).
-Number formats are not decoded (dates come back as serial numbers) and
-BIFF5 ``Book`` streams raise — documented, like the reference's own
-`.xls` limits (`/root/reference/erde/io/xls.py:13` reads via
-``engine='openpyxl'``, which cannot open OLE2 ``.xls`` at all).
+LABELSST / LABEL / RSTRING / NUMBER / RK / MULRK / BOOLERR /
+FORMULA(+STRING). Both BIFF8 (Excel 97+, unicode SST) and BIFF5
+(Excel 5.0/95 ``Book`` streams: inline codepage byte strings, no SST,
+grbit-less BOUNDSHEET/STRING) parse; the version comes from the BOF
+record. Number formats are not decoded (dates come back as serial
+numbers) and pre-BIFF5 streams raise — the reference cannot read OLE2
+`.xls` at all (`/root/reference/erde/io/xls.py:13` forces
+``engine='openpyxl'``).
 
 Excel files cap at ~1M rows, so parsing is driver-side: the parsed rows
 feed ``spark.createDataFrame`` exactly like the ``.xlsx`` path.
@@ -217,28 +220,57 @@ def _rk_value(rk: int) -> float | int:
     return v / 100 if div100 else v
 
 
-def parse_xls(data: bytes, sheet: str | None = None) -> dict[int, dict[int, object]]:
-    """Parse one worksheet of a BIFF8 workbook into sparse rows
-    ({row_index: {col_index: value}}, 0-based) — the same shape the
-    ``.xlsx`` reader builds, so header/type inference is shared."""
-    try:
-        stream = cfb_stream(data, ('Workbook',))
-    except ValueError:
-        cfb_stream(data, ('Book',))  # raises if absent either way
-        raise NotImplementedError(
-            'BIFF5 (Excel 5.0/95 "Book" stream) .xls is not supported — '
-            'only BIFF8 (Excel 97+); re-save the workbook')
+#: CODEPAGE record value -> python codec for BIFF5 byte strings
+_CODEPAGES = {
+    437: 'cp437', 850: 'cp850', 866: 'cp866', 932: 'cp932', 936: 'gbk',
+    949: 'cp949', 950: 'big5', 1251: 'cp1251', 1252: 'cp1252',
+    1253: 'cp1253', 1254: 'cp1254', 1255: 'cp1255', 1256: 'cp1256',
+    1257: 'cp1257', 10000: 'mac_roman',
+}
 
-    # workbook globals: sheet directory + shared strings
+
+def parse_xls(data: bytes, sheet: str | None = None) -> dict[int, dict[int, object]]:
+    """Parse one worksheet of a BIFF8 or BIFF5 workbook into sparse rows
+    ({row_index: {col_index: value}}, 0-based) — the same shape the
+    ``.xlsx`` reader builds, so header/type inference is shared.
+
+    BIFF8 ('Workbook' stream, Excel 97+) carries unicode strings through
+    the SST; BIFF5 ('Book' stream, Excel 5.0/95) has no SST — string
+    cells are inline LABEL/RSTRING byte strings in the CODEPAGE
+    record's encoding, and BOUNDSHEET/STRING records drop the grbit
+    byte. The version is read from the BOF record, not the stream name.
+    Pre-BIFF5 worksheet-only streams raise."""
+    stream = cfb_stream(data, ('Workbook', 'Book'))
+
+    first = next(_records(stream), None)
+    if not first or first[0] != 0x809:
+        raise NotImplementedError(
+            'stream does not start with a BIFF5/BIFF8 BOF record — '
+            'pre-Excel-5.0 .xls is not supported; re-save the workbook')
+    vers = struct.unpack_from('<H', first[1], 0)[0]
+    if vers < 0x500:
+        raise NotImplementedError(
+            f'BIFF version 0x{vers:04X} (pre-Excel-5.0) .xls is not '
+            'supported; re-save the workbook')
+    biff5 = vers < 0x600
+    codec = 'cp1252'
+
+    # workbook globals: sheet directory + shared strings (BIFF8)
     sheets: list[tuple[str, int]] = []
     sst_parts: list[bytes] = []
     collecting_sst = False
     for op, rec, _nxt in _records(stream):
         if op == 0x85:  # BOUNDSHEET
             pos = struct.unpack_from('<I', rec, 0)[0]
-            name, _ = _short_string(rec, 6)
+            if biff5:  # u8 length + byte chars, no grbit
+                name = rec[7:7 + rec[6]].decode(codec, 'replace')
+            else:
+                name, _ = _short_string(rec, 6)
             sheets.append((name, pos))
             collecting_sst = False
+        elif op == 0x42:  # CODEPAGE
+            cp = struct.unpack_from('<H', rec, 0)[0]
+            codec = _CODEPAGES.get(cp, codec)
         elif op == 0xFC:  # SST
             sst_parts = [rec]
             collecting_sst = True
@@ -287,11 +319,15 @@ def parse_xls(data: bytes, sheet: str | None = None) -> dict[int, dict[int, obje
             r, c, _xf, val, is_err = struct.unpack_from('<HHHBB', rec)
             if not is_err:
                 put(r, c, bool(val))
-        elif op == 0x204:  # LABEL (inline string cell)
-            r, c, _xf, cch, flags = struct.unpack_from('<HHHHB', rec)
-            high = bool(flags & 1)
-            raw = rec[9:9 + cch * (2 if high else 1)]
-            put(r, c, raw.decode('utf-16-le' if high else 'latin-1'))
+        elif op in (0x204, 0xD6):  # LABEL / RSTRING (inline string cell)
+            r, c, _xf, cch = struct.unpack_from('<HHHH', rec)
+            if biff5:  # byte string in the workbook codepage, no grbit
+                put(r, c, rec[8:8 + cch].decode(codec, 'replace'))
+            else:
+                flags = rec[8]
+                high = bool(flags & 1)
+                raw = rec[9:9 + cch * (2 if high else 1)]
+                put(r, c, raw.decode('utf-16-le' if high else 'latin-1'))
         elif op == 0x06:  # FORMULA: cached result
             r, c, _xf = struct.unpack_from('<HHH', rec)
             num = rec[6:14]
@@ -304,10 +340,14 @@ def parse_xls(data: bytes, sheet: str | None = None) -> dict[int, dict[int, obje
             else:
                 put(r, c, struct.unpack('<d', num)[0])
         elif op == 0x207 and pending_formula:  # STRING (formula result)
-            cch, flags = struct.unpack_from('<HB', rec)
-            high = bool(flags & 1)
-            raw = rec[3:3 + cch * (2 if high else 1)]
-            put(*pending_formula, raw.decode('utf-16-le' if high else 'latin-1'))
+            cch = struct.unpack_from('<H', rec)[0]
+            if biff5:
+                put(*pending_formula, rec[2:2 + cch].decode(codec, 'replace'))
+            else:
+                high = bool(rec[2] & 1)
+                raw = rec[3:3 + cch * (2 if high else 1)]
+                put(*pending_formula,
+                    raw.decode('utf-16-le' if high else 'latin-1'))
             pending_formula = None
     # integers stored as doubles come back int when exact (xlsx parity)
     for r in rows.values():

@@ -67,7 +67,7 @@ def _biff_workbook(split_sst=False):
     return wb + s1 + s2
 
 
-def _cfb(stream: bytes) -> bytes:
+def _cfb(stream: bytes, stream_name: str = 'Workbook') -> bytes:
     """Minimal CFB v3 container: 1 FAT sector, 1 dir sector, the stream
     padded into full 512-byte sectors (>= 4096 so no mini stream)."""
     stream_padded = stream + b'\x00' * (max(4096, len(stream)) - len(stream))
@@ -95,7 +95,7 @@ def _cfb(stream: bytes) -> bytes:
     # belong in the mini stream, which this minimal writer doesn't emit;
     # the BIFF record iterator stops at the zero padding
     directory = (dirent('Root Entry', 5, 1, 0xFFFFFFFE, 0)
-                 + dirent('Workbook', 2, 0xFFFFFFFF, 2, len(stream_padded))
+                 + dirent(stream_name, 2, 0xFFFFFFFF, 2, len(stream_padded))
                  + b'\x00' * 256)
 
     hdr = bytearray(512)
@@ -154,3 +154,78 @@ def test_rk_decoding():
     assert _rk_value((250 << 2) | 3) == 2.5  # int with /100 flag
     ieee = struct.unpack('<Q', struct.pack('<d', 1.5))[0]
     assert _rk_value(ieee >> 32 & 0xFFFFFFFC) == 1.5
+
+
+def _biff5_workbook():
+    """Excel 5.0/95 'Book' stream: BOF vers=0x0500, CODEPAGE 1252,
+    grbit-less BOUNDSHEET names, inline byte-string LABELs (no SST)."""
+    def bof(dt):
+        return _rec(0x809, struct.pack('<HHHH', 0x500, dt, 0, 0))
+
+    def boundsheet(pos, name):
+        return _rec(0x85, struct.pack('<IHB', pos, 0, len(name))
+                    + name.encode('cp1252'))
+
+    def label(r, c, text):
+        raw = text.encode('cp1252')
+        return _rec(0x204, struct.pack('<HHHH', r, c, 0, len(raw)) + raw)
+
+    s1 = bof(0x10)
+    s1 += label(0, 0, 'name')
+    s1 += label(0, 1, 'value')
+    s1 += label(1, 0, 'caf\xe9')            # cp1252 high byte
+    s1 += _rec(0x203, struct.pack('<HHH', 1, 1, 0) + struct.pack('<d', 2.5))
+    s1 += label(2, 0, 'tab')
+    s1 += _rec(0x27E, struct.pack('<HHHI', 2, 1, 0, (9 << 2) | 2))
+    s1 += _rec(0x0A, b'')
+    s2 = bof(0x10)
+    s2 += label(0, 0, 'only')
+    s2 += label(1, 0, 'two')
+    s2 += _rec(0x0A, b'')
+
+    head = bof(0x5) + _rec(0x42, struct.pack('<H', 1252))
+    bs_len = 2 * (4 + 7 + 5)  # record hdr + <IHB> + 5-char name
+    globals_len = len(head) + bs_len + 4  # + EOF
+    wb = (head
+          + boundsheet(globals_len, 'blatt')
+          + boundsheet(globals_len + len(s1), 'sheeb')
+          + _rec(0x0A, b''))
+    assert len(wb) == globals_len
+    return wb + s1 + s2
+
+
+@pytest.fixture
+def xls5_file(tmp_path):
+    p = tmp_path / 'excel95.xls'
+    p.write_bytes(_cfb(_biff5_workbook(), stream_name='Book'))
+    return str(p)
+
+
+def test_parse_biff5_cells(xls5_file):
+    from erde_spark.io.xls_biff import parse_xls
+    rows = parse_xls(open(xls5_file, 'rb').read())
+    assert rows[0] == {0: 'name', 1: 'value'}
+    assert rows[1] == {0: 'caf\xe9', 1: 2.5}
+    assert rows[2] == {0: 'tab', 1: 9}
+
+
+def test_read_df_biff5(spark, xls5_file):
+    from erde_spark.io import read_df
+    df = read_df(xls5_file, spark)
+    assert df.columns == ['name', 'value']
+    got = {r['name']: r['value'] for r in df.collect()}
+    assert got == {'caf\xe9': 2.5, 'tab': 9.0}
+
+
+def test_read_df_biff5_sheet_addressing(spark, xls5_file):
+    from erde_spark.io import read_df
+    df = read_df(f'{xls5_file}:sheeb', spark)
+    assert df.columns == ['only']
+    assert [r['only'] for r in df.collect()] == ['two']
+
+
+def test_pre_biff5_raises(tmp_path):
+    from erde_spark.io.xls_biff import parse_xls
+    stream = _rec(0x809, struct.pack('<HHHH', 0x400, 0x10, 0, 0))
+    with pytest.raises(NotImplementedError, match='pre-Excel-5.0'):
+        parse_xls(_cfb(stream, stream_name='Book'))
