@@ -2522,6 +2522,62 @@ def q_events_stateful(spark, sf_dir):
                  F.round(F.max('sum_value'), 4).alias('sum_value')))
 
 
+def q_lm_quality_score(spark, sf_dir):
+    """CCNet-style LM quality proxy: per-document mean token log-prob
+    under the corpus's own add-0.5-smoothed unigram LM (low = noise,
+    boilerplate, wrong-language)."""
+    from erde_spark.scale.text import unigram_logprob
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return unigram_logprob(d)
+
+
+_LM_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != '')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+tot AS (SELECT SUM(n) AS nn, COUNT(*) AS v FROM c),
+lp AS (SELECT token, ln((n + 0.5) / (nn + 0.5 * v)) AS lp FROM c, tot),
+pd AS (SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS avg_lp
+       FROM t JOIN lp USING (token) GROUP BY doc_id)
+SELECT d.doc_id AS id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+       ROUND(COALESCE(pd.avg_lp, 0.0), 4) AS avg_logprob
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+def q_token_divergence(spark, sf_dir):
+    """Distribution-shift report: top-20 tokens by contribution to
+    KL(en || de) between the two language slices' smoothed unigram
+    distributions (which tokens make the en slice most unlike de)."""
+    from erde_spark.scale.text import token_divergence
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return token_divergence(d, 'lang', 'en', 'de')
+
+
+_TOKEN_DIVERGENCE_SQL = """
+WITH t AS (SELECT lang, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != '')) AS token
+           FROM documents WHERE lang IN ('en', 'de')),
+ca AS (SELECT token, COUNT(*) AS n FROM t WHERE lang = 'en' GROUP BY token),
+cb AS (SELECT token, COUNT(*) AS n FROM t WHERE lang = 'de' GROUP BY token),
+b AS (SELECT COALESCE(ca.token, cb.token) AS token,
+             COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+tot AS (SELECT SUM(n_a) AS na, SUM(n_b) AS nb, COUNT(*) AS v FROM b)
+SELECT token,
+       ROUND((n_a + 0.5) / (na + 0.5 * v), 6) AS p_a,
+       ROUND((n_b + 0.5) / (nb + 0.5 * v), 6) AS p_b,
+       ROUND((n_a + 0.5) / (na + 0.5 * v)
+             * ln(((n_a + 0.5) / (na + 0.5 * v))
+                  / ((n_b + 0.5) / (nb + 0.5 * v))), 6) AS kl_term
+FROM b, tot
+ORDER BY kl_term DESC, token
+LIMIT 20
+"""
+
+
 def q_streaming_neardup_backfill(spark, sf_dir):
     """Bounded BACKFILL through the streaming near-dup pipeline: the
     documents table split into 4 deterministic micro-batch files, each
@@ -2692,6 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'routing_isochrone': q_routing_isochrone,
         'events_stateful': q_events_stateful,
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
+        'lm_quality_score': q_lm_quality_score,
+        'token_divergence': q_token_divergence,
     }
 
 
@@ -2781,6 +2839,8 @@ def oracle_sql() -> dict[str, str]:
         'sample_hash': _SAMPLE_HASH_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,
         'sample_split': _SAMPLE_SPLIT_SQL,
+        'lm_quality_score': _LM_QUALITY_SQL,
+        'token_divergence': _TOKEN_DIVERGENCE_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     'corpus_mix',
     'pack_sequences',
     'oov_rate',
+    'lm_quality_score',
+    'token_divergence',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',

@@ -204,6 +204,80 @@ def vocab_coverage(df: DataFrame, id_col: str = 'doc_id',
                             .otherwise(F.lit(0.0)), 4).alias('oov_rate')))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = 'doc_id',
+                    text_col: str = 'text', alpha: float = 0.5) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's OWN
+    add-``alpha``-smoothed unigram LM — the cheap LM-quality proxy of
+    CCNet-style curation (a document whose tokens are all corpus-rare
+    scores low: boilerplate, noise, wrong-language). Returns
+    (id, n_tokens, avg_logprob rounded to 4).
+
+    Scale shape: one word-count aggregation (map-side combined), a
+    two-scalar collect for the corpus totals (semantic constants, same
+    bounded-collect discipline as ``target_mix``), then one join of the
+    exploded token stream against the per-token logprob table — the
+    classic word-count shuffle; AQE broadcasts the vocab side when it is
+    small. No driver-side loops, no Python UDFs.
+    """
+    t = df.select(F.col(id_col).alias('id'),
+                  F.explode(tokens(text_col)).alias('token'))
+    counts = t.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+    tot = counts.agg(F.sum('n').alias('N'),
+                     F.count(F.lit(1)).alias('V')).first()
+    n_total, v_size = int(tot['N'] or 0), int(tot['V'] or 0)
+    denom = float(n_total + alpha * v_size) or 1.0
+    lp = counts.select(
+        'token', F.log((F.col('n') + F.lit(alpha)) / F.lit(denom)).alias('lp'))
+    per_doc = (t.join(lp, 'token')  # every corpus token is in the vocab
+               .groupBy('id')
+               .agg(F.count(F.lit(1)).alias('n_tokens'),
+                    F.avg('lp').alias('avg_lp')))
+    return (df.select(F.col(id_col).alias('id'))
+            .join(per_doc, 'id', 'left')
+            .select('id',
+                    F.coalesce('n_tokens', F.lit(0)).cast('long')
+                    .alias('n_tokens'),
+                    F.round(F.coalesce('avg_lp', F.lit(0.0)), 4)
+                    .alias('avg_logprob')))
+
+
+def token_divergence(df: DataFrame, group_col: str, slice_a, slice_b,
+                     id_col: str = 'doc_id', text_col: str = 'text',
+                     alpha: float = 0.5, top_k: int = 20) -> DataFrame:
+    """Top-``top_k`` tokens by contribution to KL(P_a || P_b) between two
+    corpus slices' add-``alpha``-smoothed unigram distributions (union
+    vocabulary) — the distribution-shift report of corpus curation:
+    which tokens make slice A most unlike slice B. Returns
+    (token, p_a, p_b, kl_term), kl_term descending, token ascending
+    tiebreak, all rounded to 6.
+
+    Scale shape: two word-count aggregations, a full-outer token join,
+    two scalar collects for the totals, and a TakeOrdered top-k —
+    never a global sort of the vocabulary.
+    """
+    def _counts(v):
+        return (df.filter(F.col(group_col) == v)
+                .select(F.explode(tokens(text_col)).alias('token'))
+                .groupBy('token').agg(F.count(F.lit(1)).alias('n')))
+    ca, cb = _counts(slice_a), _counts(slice_b)
+    both = (ca.withColumnRenamed('n', 'n_a')
+            .join(cb.withColumnRenamed('n', 'n_b'), 'token', 'full_outer')
+            .select('token', F.coalesce('n_a', F.lit(0)).alias('n_a'),
+                    F.coalesce('n_b', F.lit(0)).alias('n_b')))
+    tot = both.agg(F.sum('n_a').alias('na'), F.sum('n_b').alias('nb'),
+                   F.count(F.lit(1)).alias('v')).first()
+    da = float((tot['na'] or 0) + alpha * (tot['v'] or 0)) or 1.0
+    db = float((tot['nb'] or 0) + alpha * (tot['v'] or 0)) or 1.0
+    p_a = (F.col('n_a') + F.lit(alpha)) / F.lit(da)
+    p_b = (F.col('n_b') + F.lit(alpha)) / F.lit(db)
+    return (both.select('token',
+                        F.round(p_a, 6).alias('p_a'),
+                        F.round(p_b, 6).alias('p_b'),
+                        F.round(p_a * F.log(p_a / p_b), 6).alias('kl_term'))
+            .orderBy(F.col('kl_term').desc(), 'token')
+            .limit(top_k))
+
+
 def pack_offsets(df: DataFrame, id_col: str = 'doc_id',
                  text_col: str = 'text', max_tokens: int = 2048,
                  shard_col: str | None = None,

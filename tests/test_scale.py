@@ -838,3 +838,49 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert lsh <= exact, 'LSH emitted a pair the exact oracle rejects'
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.85, f'LSH recall {recall:.3f} < 0.85 ({len(lsh)}/{len(exact)})'
+
+
+def test_unigram_logprob_matches_duckdb(spark, docs, duck):
+    from erde_spark.scale.text import unigram_logprob
+    got = {r['id']: (r['n_tokens'], r['avg_logprob'])
+           for r in unigram_logprob(docs).collect()}
+    exp = {i: (n, lp) for i, n, lp in duck.execute("""
+        WITH t AS (SELECT doc_id, unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS token FROM documents),
+        c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+        tot AS (SELECT SUM(n) AS nn, COUNT(*) AS v FROM c),
+        lp AS (SELECT token, ln((n+0.5)/(nn+0.5*v)) AS lp FROM c, tot),
+        pd AS (SELECT doc_id, COUNT(*) n_tokens, AVG(lp) avg_lp
+               FROM t JOIN lp USING (token) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(pd.n_tokens, 0),
+               ROUND(COALESCE(pd.avg_lp, 0.0), 4)
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        """).fetchall()}
+    assert got == exp
+    # rarer-token documents score lower than common-token ones on average
+    assert all(lp <= 0 for _, lp in got.values())
+
+
+def test_token_divergence_properties(spark, docs):
+    """KL top-k report: kl_term descending, probabilities valid, and the
+    top divergent tokens are en-heavy (p_a > p_b)."""
+    from erde_spark.scale.text import token_divergence
+    rows = token_divergence(docs, 'lang', 'en', 'de').collect()
+    assert len(rows) == 20
+    kl = [r['kl_term'] for r in rows]
+    assert kl == sorted(kl, reverse=True)
+    assert all(0 < r['p_a'] <= 1 and 0 < r['p_b'] <= 1 for r in rows)
+    assert all(r['p_a'] > r['p_b'] for r in rows[:5])
+
+
+def test_curation_score_plans_stay_jvm(spark, docs):
+    """Neither new curation op crosses into Python or degenerates to a
+    single-partition sort of the vocabulary."""
+    from erde_spark.plans.inspect import count_python_udf_passes, physical_plan
+    from erde_spark.scale.text import token_divergence, unigram_logprob
+    for q in (unigram_logprob(docs),
+              token_divergence(docs, 'lang', 'en', 'de')):
+        assert count_python_udf_passes(q) == 0
+    plan = physical_plan(token_divergence(docs, 'lang', 'en', 'de'))
+    assert 'TakeOrderedAndProject' in plan
