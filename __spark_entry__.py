@@ -2522,6 +2522,20 @@ def q_events_stateful(spark, sf_dir):
                  F.round(F.max('sum_value'), 4).alias('sum_value')))
 
 
+def q_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN: coarse inverted lists + m-byte product-quantization
+    codes, ADC candidate scoring, exact top-k refine — the
+    memory-compressed billion-scale tier (rows-only: approximate by
+    construction; recall vs brute force is pinned in tests)."""
+    from erde_spark.scale.similarity import ivfpq_topk
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    q = e.filter(F.col('vec_id') < 20)
+    return (ivfpq_topk(e, q, k=5, n_lists=16, n_probes=6, m=16, ks=64,
+                       refine=8)
+            .select('query_id', 'vec_id', F.round('cosine', 4).alias('cosine'),
+                    'rank'))
+
+
 def q_lm_quality_score(spark, sf_dir):
     """CCNet-style LM quality proxy: per-document mean token log-prob
     under the corpus's own add-0.5-smoothed unigram LM (low = noise,
@@ -2750,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
         'lm_quality_score': q_lm_quality_score,
         'token_divergence': q_token_divergence,
+        'similarity_ivfpq': q_similarity_ivfpq,
     }
 
 

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     'streaming_neardup_backfill',
     'similarity_topk',
     'similarity_lsh',
+    'similarity_ivfpq',
     'multimodal_features',
 ]
 

@@ -220,3 +220,147 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k)
             .select('query_id', 'vec_id', 'cosine', 'rank'))
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _pq_codebooks(sample: np.ndarray, m: int, ks: int,
+                  seed: int = 42, iters: int = 12) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ks, dim/m) — classic product
+    quantization training (Jégou et al. 2011, public method). Bounded
+    driver work: the sample is capped by the caller."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f'dim {dim} not divisible by m={m} subspaces')
+    sub = dim // m
+    ks = min(ks, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        cent = x[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             sample_size: int = 4096, seed: int = 42):
+    """(centroids, codebooks, indexed_df) — IVF-PQ index build: coarse
+    k-means lists (as :func:`ivf_index`) plus an ``m``-byte PQ code per
+    vector (``m`` subspaces x ``ks``<=256 centers). The corpus shrinks
+    from ``4*dim`` bytes to ``m`` bytes per vector (e.g. 64-dim float ->
+    8 bytes, 32x), which is what makes billion-scale ANN fit in memory.
+
+    Scale shape: training is one bounded sample collect; encoding is a
+    single map-side pandas-UDF pass (codebooks broadcast via closure);
+    the index frame (id, list_id, code) can be written partitioned by
+    list_id for partition-pruned probes."""
+    if ks > 256:
+        raise ValueError('ks must be <= 256 (one byte per subspace code)')
+    cent, indexed = ivf_index(df, n_lists, id_col, vec_col,
+                              sample_size, seed)
+    sample = np.stack([np.asarray(r['nvec'], dtype=np.float64)
+                       for r in indexed.select('nvec')
+                       .limit(sample_size).collect()])
+    books = _pq_codebooks(sample, m, ks, seed)
+    sub = sample.shape[1] // m
+
+    @F.pandas_udf(T.BinaryType())
+    def _encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='object')
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return cent, books, indexed.withColumn('code', _encode(F.col('nvec')))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_lists: int = 16, n_probes: int = 3, m: int = 8,
+               ks: int = 256, refine: int = 4, seed: int = 42,
+               id_col: str = 'vec_id', vec_col: str = 'embedding',
+               sample_size: int = 4096,
+               exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k via IVF-PQ with asymmetric distance computation:
+    queries probe their ``n_probes`` nearest lists, candidates are scored
+    from the m-byte codes via per-query lookup tables (no full vectors
+    touched), and the top ``k*refine`` ADC candidates are re-ranked with
+    the exact cosine (``refine=0`` skips the exact pass and returns ADC
+    scores). Returns (query_id, vec_id, cosine, rank).
+
+    The candidate scan reads ``m`` bytes per corpus row — at 100 TB of
+    raw embeddings the probe tier touches ~3% of lists x 32x less data;
+    only the k*refine survivors per query load real vectors."""
+    cent, books, indexed = pq_index(corpus, n_lists, m, ks, id_col,
+                                    vec_col, sample_size, seed)
+    cb = indexed.select(F.col('id').alias('vec_id'), 'list_id', 'code')
+    sub = books.shape[2]
+
+    probe_t = T.ArrayType(T.IntegerType())
+
+    @F.pandas_udf(probe_t)
+    def _probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='object')
+        mtx = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        order = np.argsort(-(mtx @ cent.T), axis=1)[:, :n_probes]
+        return pd.Series([row.astype('int32').tolist() for row in order])
+
+    nq = normalized(queries, id_col, vec_col)
+    qb = (nq.select(F.col('id').alias('query_id'), F.col('nvec').alias('qvec'))
+          .withColumn('list_id', F.explode(_probes(F.col('qvec')))))
+    j = cb.join(F.broadcast(qb), 'list_id')
+    if exclude_self:
+        j = j.filter(F.col('vec_id') != F.col('query_id'))
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(code: pd.Series, qvec: pd.Series) -> pd.Series:
+        if len(code) == 0:
+            return pd.Series([], dtype='float64')
+        luts: dict[bytes, np.ndarray] = {}
+        out = np.empty(len(code))
+        for i, (c, q) in enumerate(zip(code, qvec)):
+            qa = np.asarray(q, dtype=np.float64)
+            key = qa.tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                # (m, ks) table of per-subspace dot products
+                lut = np.stack([books[jj] @ qa[jj * sub:(jj + 1) * sub]
+                                for jj in range(books.shape[0])])
+                luts[key] = lut
+            idx = np.frombuffer(bytes(c), dtype=np.uint8)
+            out[i] = lut[np.arange(len(idx)), idx].sum()
+        return pd.Series(out)
+
+    scored = j.withColumn('adc', _adc(F.col('code'), F.col('qvec')))
+    w = Window.partitionBy('query_id').orderBy(F.desc('adc'), F.asc('vec_id'))
+    if not refine:
+        return (scored.withColumn('rank', F.row_number().over(w))
+                .filter(F.col('rank') <= k)
+                .select('query_id', 'vec_id',
+                        F.col('adc').alias('cosine'), 'rank'))
+    cand = (scored.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k * refine)
+            .select('query_id', 'vec_id', 'qvec'))
+    vecs = indexed.select(F.col('id').alias('vec_id'),
+                          F.col('nvec').alias('cvec'))
+    exact = (cand.join(vecs, 'vec_id')
+             .withColumn('cosine', cosine_udf(F.col('cvec'), F.col('qvec'))))
+    w2 = Window.partitionBy('query_id').orderBy(F.desc('cosine'),
+                                                F.asc('vec_id'))
+    return (exact.withColumn('rank', F.row_number().over(w2))
+            .filter(F.col('rank') <= k)
+            .select('query_id', 'vec_id', 'cosine', 'rank'))

@@ -884,3 +884,40 @@ def test_curation_score_plans_stay_jvm(spark, docs):
         assert count_python_udf_passes(q) == 0
     plan = physical_plan(token_divergence(docs, 'lang', 'en', 'de'))
     assert 'TakeOrderedAndProject' in plan
+
+
+def test_ivfpq_codes_compress_and_recall(spark, embs):
+    """IVF-PQ: codes are exactly m bytes per vector (32x smaller than
+    the 64-dim float vectors), and ADC + exact-refine recovers >=90% of
+    the brute-force top-10 on the fixture corpus (deterministic seed)."""
+    from erde_spark.scale.similarity import cosine_topk, ivfpq_topk, pq_index
+    _, books, indexed = pq_index(embs, n_lists=8, m=16, ks=32)
+    assert books.shape == (16, 32, 4)  # m subspaces, ks centers, dim/m
+    codes = indexed.select('code').limit(20).collect()
+    assert all(len(bytes(r['code'])) == 16 for r in codes)
+
+    q = embs.filter(F.col('vec_id') < 10)
+    exact = {(r['query_id'], r['vec_id'])
+             for r in cosine_topk(embs, q, k=10).collect()}
+    approx = {(r['query_id'], r['vec_id'])
+              for r in ivfpq_topk(embs, q, k=10, n_lists=8, n_probes=6,
+                                  m=16, ks=32, refine=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivfpq_adc_only_mode(spark, embs):
+    """refine=0 returns ADC scores directly: k rows per query, ranks
+    contiguous, scores monotonically non-increasing."""
+    from erde_spark.scale.similarity import ivfpq_topk
+    q = embs.filter(F.col('vec_id') < 3)
+    out = ivfpq_topk(embs, q, k=5, refine=0, n_lists=8, n_probes=4,
+                     m=8, ks=32).orderBy('query_id', 'rank').collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r['query_id'], []).append((r['rank'], r['cosine']))
+    for ranks in by_q.values():
+        assert [rk for rk, _ in ranks] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in ranks]
+        assert scores == sorted(scores, reverse=True)
