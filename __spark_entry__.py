@@ -2316,6 +2316,32 @@ SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 """
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size HISTOGRAM over the exact Jaccard pair
+    graph (how much of the corpus sits in 1/2/3...-doc near-dup
+    clusters — the dedup-impact report a curation run starts with).
+    Exercises pairs -> components -> per-component size -> histogram
+    end-to-end against the recursive-CTE oracle."""
+    from erde_spark.scale.dedup import connected_components, jaccard_pairs
+    d = _t(spark, sf_dir, 'documents')['documents']
+    comp = connected_components(jaccard_pairs(d, threshold=0.8),
+                                d.select('doc_id'))
+    return (comp.groupBy('component')
+            .agg(F.count(F.lit(1)).alias('cluster_size'))
+            .groupBy('cluster_size')
+            .agg(F.count(F.lit(1)).alias('n_clusters'),
+                 F.sum('cluster_size').alias('n_docs')))
+
+
+_DEDUP_CLUSTER_SIZES_SQL = _CLUSTER_CC_SQL.replace(
+    'SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id', """,
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster_size) AS n_docs
+FROM sizes GROUP BY cluster_size
+""")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified. Same
     precision as exact Jaccard; recall is probabilistic -> no SQL oracle
@@ -2765,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_quality_score': q_lm_quality_score,
         'token_divergence': q_token_divergence,
         'similarity_ivfpq': q_similarity_ivfpq,
+        'dedup_cluster_sizes': q_dedup_cluster_sizes,
     }
 
 
@@ -2856,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         'sample_split': _SAMPLE_SPLIT_SQL,
         'lm_quality_score': _LM_QUALITY_SQL,
         'token_divergence': _TOKEN_DIVERGENCE_SQL,
+        'dedup_cluster_sizes': _DEDUP_CLUSTER_SIZES_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Three tiers:
+Four tiers:
 
 * ``cosine_topk``     — exact brute-force top-k. Queries are broadcast, so
   the plan is one pass over the corpus with no corpus shuffle — this is
@@ -15,6 +15,10 @@ Three tiers:
   ``n_lists`` inverted lists, queries probe the ``n_probes`` nearest
   lists. Same probe/recall dial as FAISS IVF-Flat, expressed as a Spark
   equi-join on list id.
+* ``ivfpq_topk``      — IVF + product quantization: m-byte codes per
+  vector (32x compression at 64-dim), per-query ADC lookup tables over
+  the probed lists, exact-cosine refine of the survivors. The
+  billion-scale memory tier (FAISS IVFPQ shape).
 
 Dot products run in a vectorized pandas UDF (numpy per Arrow batch) —
 measured ~20x faster than ``F.aggregate``/``zip_with`` chains on 64-dim
