@@ -39,6 +39,13 @@ def pg_url():
     if r.returncode != 0:
         shutil.rmtree(d, ignore_errors=True)
         pytest.skip(f'initdb failed: {r.stderr[-200:]}')
+    # scramuser must authenticate with SCRAM-SHA-256 (first match wins);
+    # everyone else stays on trust
+    hba = f'{d}/data/pg_hba.conf'
+    with open(hba) as f:
+        rules = f.read()
+    with open(hba, 'w') as f:
+        f.write('host all scramuser 127.0.0.1/32 scram-sha-256\n' + rules)
     r = _su(f'pg_ctl -D {d}/data -o "-p {PORT} -k {d} -h 127.0.0.1" '
             f'-l {d}/log -w start')
     if r.returncode != 0:
@@ -144,3 +151,37 @@ def test_wire_distributed_copy_write(spark, pg_url):
     back = read_df(f'{pg_url}/t_dist', spark)
     assert back.count() == 1000
     assert back.agg(F.sum('id')).first()[0] == 499500
+
+
+def test_scram_sha256_auth(spark, pg_url):
+    """SCRAM-SHA-256 (the PostgreSQL default auth): a role restricted to
+    scram in pg_hba authenticates with the right password, fails with
+    the wrong one, and the full read_df path works over the scram
+    connection."""
+    from erde_spark.io.pg_wire import PgConnection, PgError
+    host_port = pg_url.split('@')[1].split('/')[0]
+    host, port = host_port.split(':')
+    admin = PgConnection(host, int(port), 'erde', 'postgres')
+    try:
+        admin.query("DROP ROLE IF EXISTS scramuser")
+        admin.query("CREATE ROLE scramuser LOGIN PASSWORD 'tops3cret'")
+        admin.query('DROP TABLE IF EXISTS t_scram')
+        admin.query('CREATE TABLE t_scram (id int)')
+        admin.query('INSERT INTO t_scram VALUES (41), (42)')
+        admin.query('GRANT SELECT ON t_scram TO scramuser')
+    finally:
+        admin.close()
+    ok = PgConnection(host, int(port), 'scramuser', 'postgres',
+                      password='tops3cret')
+    try:
+        _, rows = ok.query('SELECT SUM(id) FROM t_scram')
+        assert rows == [['83']]
+    finally:
+        ok.close()
+    with pytest.raises(PgError):
+        PgConnection(host, int(port), 'scramuser', 'postgres',
+                     password='wrong')
+    from erde_spark.io import read_df
+    df = read_df(f'postgresql://scramuser:tops3cret@{host}:{port}'
+                 '/postgres/t_scram', spark)
+    assert sorted(r['id'] for r in df.collect()) == [41, 42]
