@@ -313,7 +313,21 @@ _CRS_TABLE = {
             'params': (_d(27, 50), _d(-99), _d(28, 23), _d(30, 17),
                        600000.0, 4000000.0),
             'towgs84': None},
+    # ETRS89 / Poland CS92 (single national TM zone, k0=0.9993)
+    2180: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(19), 0.9993, 500000.0, -5300000.0),
+           'towgs84': None},
+    # SVY21 / Singapore TM (k0=1, metre-precision false origin)
+    3414: {'proj': 'tm', 'ellps': 'WGS84',
+           'params': (_d(1, 22), _d(103, 50), 1.0, 28001.642, 38744.572),
+           'towgs84': None},
 }
+
+#: geographic (lon/lat degree) CRS that are WGS84-compatible at the
+#: metre level without grid files: ETRS89, NAD83, RGF93. Treated as
+#: zero-shift aliases of 4326 — the same approximation the projected
+#: registry entries on those datums already make.
+_GEOGRAPHIC_WGS84_COMPAT = {4258, 4269, 4171}
 
 
 def _table_fns(epsg: int):
@@ -361,7 +375,7 @@ _CRS_ERR = (
 
 def _to_lonlat_fn(crs: int):
     """Coordinate fn CRS -> EPSG:4326, or None when crs IS 4326."""
-    if crs == 4326:
+    if crs == 4326 or crs in _GEOGRAPHIC_WGS84_COMPAT:
         return None
     if crs == 3857:
         return mercator_inv
@@ -376,7 +390,7 @@ def _to_lonlat_fn(crs: int):
 
 def _from_lonlat_fn(crs: int):
     """Coordinate fn EPSG:4326 -> CRS, or None when crs IS 4326."""
-    if crs == 4326:
+    if crs == 4326 or crs in _GEOGRAPHIC_WGS84_COMPAT:
         return None
     if crs == 3857:
         return mercator_fwd
@@ -402,6 +416,8 @@ def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
         fn = lambda x, y: fwd(*inv(x, y))  # noqa: E731
     else:
         fn = inv or fwd
+    if fn is None:  # both sides WGS84-compatible geographic: identity
+        return geom
     return _map_coords(geom, fn)
 
 

@@ -260,6 +260,8 @@ registry_cases = [
     (26985, st.tuples(st.floats(-79.5, -75.0), st.floats(37.9, 39.7))),
     (32140, st.tuples(st.floats(-101.0, -96.0), st.floats(27.8, 30.7))),
     (25832, st.tuples(st.floats(6.0, 12.0), st.floats(47.0, 55.0))),
+    (2180, st.tuples(st.floats(14.1, 24.2), st.floats(49.0, 54.9))),
+    (3414, st.tuples(st.floats(103.6, 104.1), st.floats(1.15, 1.48))),
 ]
 
 
@@ -289,3 +291,19 @@ def test_registry_crs_cross_composition():
     back = O.transform_geom(g2154, 2154, 27700)[1]
     assert math.isclose(back[0], g27700[1][0], abs_tol=0.01)
     assert math.isclose(back[1], g27700[1][1], abs_tol=0.01)
+
+
+def test_svy21_false_origin_and_geographic_aliases():
+    """SVY21's natural origin (1d22'N 103d50'E) projects exactly to the
+    published false E/N (28001.642, 38744.572); WGS84-compatible
+    geographic codes (ETRS89/NAD83/RGF93) pass through as lon/lat."""
+    e, n = O.transform_geom(
+        ('Point', (103 + 50 / 60, 1 + 22 / 60)), 4326, 3414)[1]
+    assert math.isclose(e, 28001.642, abs_tol=1e-6)
+    assert math.isclose(n, 38744.572, abs_tol=1e-6)
+    # geographic alias: 4258 -> 3857 equals 4326 -> 3857
+    a = O.transform_geom(('Point', (12.5, 47.25)), 4258, 3857)[1]
+    b = O.transform_geom(('Point', (12.5, 47.25)), 4326, 3857)[1]
+    assert a == b
+    # and identity between compatible geographic systems
+    assert O.transform_geom(('Point', (1.0, 2.0)), 4326, 4269)[1] == (1.0, 2.0)
