@@ -2562,6 +2562,29 @@ def q_similarity_ivfpq(spark, sf_dir):
                     'rank'))
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """First BPE merge iteration: corpus-wide adjacent character-pair
+    frequencies inside words (Sennrich et al. 2016) — the aggregation a
+    distributed tokenizer-training loop runs per merge round."""
+    from erde_spark.scale.text import bpe_pair_stats
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return bpe_pair_stats(d, top_k=50)
+
+
+_BPE_PAIR_SQL = """
+WITH t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != '')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+p AS (SELECT unnest(list_transform(range(1, len(token)),
+                                   i -> substr(token, i::INT, 2))) AS pair,
+             n
+      FROM c WHERE len(token) >= 2)
+SELECT pair, SUM(n) AS count FROM p GROUP BY pair
+ORDER BY count DESC, pair LIMIT 50
+"""
+
+
 def q_lm_quality_score(spark, sf_dir):
     """CCNet-style LM quality proxy: per-document mean token log-prob
     under the corpus's own add-0.5-smoothed unigram LM (low = noise,
@@ -2792,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_divergence': q_token_divergence,
         'similarity_ivfpq': q_similarity_ivfpq,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
+        'bpe_pair_stats': q_bpe_pair_stats,
     }
 
 
@@ -2884,6 +2908,7 @@ def oracle_sql() -> dict[str, str]:
         'lm_quality_score': _LM_QUALITY_SQL,
         'token_divergence': _TOKEN_DIVERGENCE_SQL,
         'dedup_cluster_sizes': _DEDUP_CLUSTER_SIZES_SQL,
+        'bpe_pair_stats': _BPE_PAIR_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via

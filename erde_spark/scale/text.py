@@ -278,6 +278,34 @@ def token_divergence(df: DataFrame, group_col: str, slice_a, slice_b,
             .limit(top_k))
 
 
+def bpe_pair_stats(df: DataFrame, id_col: str = 'doc_id',
+                   text_col: str = 'text', top_k: int = 50) -> DataFrame:
+    """First-iteration BPE merge statistics: corpus-wide frequency of
+    every adjacent CHARACTER pair inside words (initial BPE symbols =
+    characters, Sennrich et al. 2016) — the aggregation a distributed
+    tokenizer-training loop runs each merge round. Returns the
+    ``top_k`` (pair, count) merge candidates, count desc / pair asc.
+
+    Scale shape: one word-count aggregation first (map-side combined),
+    then pairs explode off the DISTINCT-token table weighted by token
+    frequency — the pair stream is O(vocab x word-length), not
+    O(corpus tokens x word-length); final top-k is TakeOrdered. All
+    JVM expressions (sequence/substring), no Python.
+    """
+    t = df.select(F.explode(tokens(text_col)).alias('token'))
+    counts = t.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+    pairs = counts.select(
+        'n',
+        F.explode(F.when(
+            F.length('token') >= 2,
+            F.transform(F.sequence(F.lit(1), F.length('token') - 1),
+                        lambda i: F.col('token').substr(i, F.lit(2))))
+          .otherwise(F.array().cast('array<string>'))).alias('pair'))
+    return (pairs.groupBy('pair').agg(F.sum('n').alias('count'))
+            .orderBy(F.col('count').desc(), 'pair')
+            .limit(top_k))
+
+
 def pack_offsets(df: DataFrame, id_col: str = 'doc_id',
                  text_col: str = 'text', max_tokens: int = 2048,
                  shard_col: str | None = None,

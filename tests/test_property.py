@@ -307,3 +307,28 @@ def test_svy21_false_origin_and_geographic_aliases():
     assert a == b
     # and identity between compatible geographic systems
     assert O.transform_geom(('Point', (1.0, 2.0)), 4326, 4269)[1] == (1.0, 2.0)
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([(9, 9), (16, 8), (17, 23)]),
+       st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error(seed, shape, color):
+    """Any uint8 image (smooth base + noise) round-trips through the
+    baseline JPEG codec with bounded error at quality 90."""
+    import numpy as np
+
+    from erde_spark.scale.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(seed)
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 60 + 1.5 * xx + 1.1 * yy
+    if color:
+        img = np.clip(base[..., None] + rng.randn(h, w, 3) * 4,
+                      0, 255).astype(np.uint8)
+    else:
+        img = np.clip(base + rng.randn(h, w) * 4, 0, 255).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=90, subsample=color))
+    assert back.shape == img.shape
+    err = np.abs(back.astype(float) - img.astype(float))
+    # noise-heavy blocks quantize harder; bound rmse, not max
+    assert float(np.sqrt((err ** 2).mean())) < 8.0

@@ -921,3 +921,13 @@ def test_ivfpq_adc_only_mode(spark, embs):
         assert [rk for rk, _ in ranks] == [1, 2, 3, 4, 5]
         scores = [s for _, s in ranks]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_pair_stats_unit(spark):
+    """Merge-candidate counts weight pairs by word frequency; 1-char
+    tokens contribute nothing."""
+    from erde_spark.scale.text import bpe_pair_stats
+    df = spark.createDataFrame([(1, 'aab aab bc a'), (2, 'aab')],
+                               ['doc_id', 'text'])
+    got = {r['pair']: r['count'] for r in bpe_pair_stats(df).collect()}
+    assert got == {'aa': 3, 'ab': 3, 'bc': 1}
