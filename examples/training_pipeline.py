@@ -10,7 +10,9 @@ the scale-extension operators composed the way a 100 TB corpus run would:
 4. decontamination  — drop docs sharing word 4-grams with the eval
                       slice (eval n-grams broadcast; corpus never
                       shuffled by n-gram)
-5. repetition gate  — Gopher duplicate-bigram fraction ceiling
+5. repetition gate  — Gopher duplicate-bigram fraction ceiling, then an
+                      LM-quality floor (corpus unigram-LM log-prob,
+                      CCNet-style — bottom 5% dropped)
 6. corpus mixing    — rebalance to target language proportions
                       (deterministic hash-rank quotas)
 7. tokenize + stats — BPE-ish token counts for the survivors
@@ -60,6 +62,16 @@ def curate(spark, sf_dir: str):
 
     # 5. repetition ceiling (boilerplate / looping generations)
     docs = docs.filter(dup_ngram_fraction(F.col('text'), 2) < 0.5)
+
+    # 5b. LM-quality floor: drop the lowest-scoring tail under the
+    #     corpus's own unigram LM (CCNet-style proxy — catches noise
+    #     the heuristic gates miss). Threshold = bottom ~5% by score.
+    from erde_spark.scale.text import unigram_logprob
+    lp = unigram_logprob(docs)
+    cutoff = lp.approxQuantile('avg_logprob', [0.05], 0.01)[0]
+    docs = docs.join(lp.filter(F.col('avg_logprob') >= cutoff)
+                     .select(F.col('id').alias('doc_id')),
+                     'doc_id', 'left_semi')
 
     # 6. rebalance to a target language mix (binding group kept whole)
     from erde_spark.scale.sampling import target_mix
