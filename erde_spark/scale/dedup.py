@@ -254,17 +254,40 @@ def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str,
                                      lambda t: F.xxhash64(t))).alias('toks'))
 
 
+def _use_sig_prefilter(tok: DataFrame, num_perm: int) -> bool:
+    """Whether the signature pre-filter pays for itself, decided from the
+    MEAN token-set size (one bounded agg on the doc-level token table —
+    the same planning-probe discipline as ``_should_broadcast``).
+
+    Measured at sf0.1 (5.3M candidates, ~100 distinct tokens/doc): the
+    pre-filter's ``zip_with`` over 96-element signatures is evaluated
+    interpreted and cost 7.7s while the exact ``array_intersect`` pass it
+    tries to avoid cost 0.76s — a 10x pessimization on short sets. It
+    only wins when token sets are long enough (e.g. char-shingle units,
+    thousands of elements) that per-pair set intersection dominates the
+    fixed signature compare; the 8x-num_perm threshold is the measured
+    crossover's order of magnitude."""
+    mean_sz = tok.agg(F.avg(F.size('toks'))).first()[0] or 0.0
+    return mean_sz >= 8 * num_perm
+
+
 def _verify_jaccard(cand: DataFrame, sig: DataFrame, tok: DataFrame,
-                    threshold: float, num_perm: int, small) -> DataFrame:
+                    threshold: float, num_perm: int, small,
+                    prefilter: bool | None = None) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
-    Two stages: a signature pre-filter (estimated Jaccard = fraction of
-    matching minhashes, cut 4 sigma below threshold so true pairs survive
-    with ~1-1e-4 probability while clearly-sub-threshold candidates skip
-    the set intersection), then exact Jaccard on hashed token sets.
+    Exact Jaccard on hashed token sets, optionally preceded by a
+    signature pre-filter (estimated Jaccard = fraction of matching
+    minhashes, cut 4 sigma below threshold so true pairs survive with
+    ~1-1e-4 probability). ``prefilter=None`` decides from the mean
+    token-set size (see :func:`_use_sig_prefilter` — on short sets the
+    pre-filter costs 10x what it saves); callers that verify repeatedly
+    against the same ``tok`` table decide once and pass it in.
     """
+    if prefilter is None:
+        prefilter = _use_sig_prefilter(tok, num_perm)
     est_cut = threshold - 4.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
-    if est_cut > 0:
+    if prefilter and est_cut > 0:
         sa = sig.select(F.col('id').alias('id_a'), F.col('sig').alias('sig_a'))
         sb = sig.select(F.col('id').alias('id_b'), F.col('sig').alias('sig_b'))
         matches = F.size(F.filter(
@@ -301,12 +324,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
 
     Plan: signatures (narrow shuffle-free projection) -> explode to
     ``bands`` bucket keys -> self-join per bucket -> distinct candidate
-    pairs -> signature pre-filter (estimated Jaccard = matching-minhash
-    fraction, cut 4 sigma below threshold, so true pairs survive with
-    ~1-1e-4 probability while clearly-sub-threshold candidates skip the
-    expensive set intersection) -> exact Jaccard on 64-bit token hashes
-    (xxhash64 per distinct token: integer ``array_intersect`` is several
-    times cheaper than string, identical up to ~1e-10/pair collisions).
+    pairs -> exact Jaccard on 64-bit token hashes (xxhash64 per distinct
+    token: integer ``array_intersect`` is several times cheaper than
+    string, identical up to ~1e-10/pair collisions). A signature
+    pre-filter (estimated Jaccard cut 4 sigma below threshold) is
+    inserted only when the mean token-set size makes set intersection
+    the dominant per-pair cost — on short sets the interpreted
+    ``zip_with`` compare measured 10x the intersection it avoids
+    (see :func:`_use_sig_prefilter`).
 
     Pair-level cost is unavoidable; DOC-level tables (signatures, token
     sets) are only ever joined onto pairs. Both are eagerly materialized
@@ -329,6 +354,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
     tok = _hashed_token_sets(df, id_col, text_col, shingles) \
         .localCheckpoint(eager=True)
     sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
+    pf = _use_sig_prefilter(tok, num_perm)
 
     buckets = _lsh_buckets(sig, bands, rows)
     a, b = buckets.alias('a'), buckets.alias('b')
@@ -341,7 +367,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'te
                              (F.col('a.id') < F.col('b.id')))
              .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
              .distinct())
-    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
+    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small, pf)
 
 
 def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
@@ -373,9 +399,10 @@ def minhash_spanning_edges(df: DataFrame, id_col: str = 'doc_id', text_col: str 
     tok = _hashed_token_sets(df, id_col, text_col, shingles) \
         .localCheckpoint(eager=True)
     sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
+    pf = _use_sig_prefilter(tok, num_perm)
     buckets = _lsh_buckets(sig, bands, rows)
     cand = _bucket_star_edges(buckets)
-    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small)
+    return _verify_jaccard(cand, sig, tok, threshold, num_perm, small, pf)
 
 
 def _bucket_star_edges(buckets: DataFrame, member_col: str = 'id') -> DataFrame:
@@ -652,9 +679,10 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         tok = _hashed_token_sets(df, id_col, text_col, shingles) \
             .localCheckpoint(eager=True)
         sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
+        pf = _use_sig_prefilter(tok, num_perm)
         buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
-                                threshold, num_perm, small)
+                                threshold, num_perm, small, pf)
         comp = connected_components(edges, df.select(id_col)) \
             .localCheckpoint(eager=True)
         touched = None  # round 1 checks all rep pairs; later rounds prune
@@ -707,7 +735,8 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                                 touched.withColumnRenamed('t', 'id_b'),
                                 'id_b', 'left_semi'))
                             .distinct())
-            merges = _verify_jaccard(rep_cand, sig, tok, threshold, num_perm, small) \
+            merges = _verify_jaccard(rep_cand, sig, tok, threshold,
+                                     num_perm, small, pf) \
                 .select('id_a', 'id_b')
             # probe-collect directly: in the common (bounded) path the
             # merge edges are consumed on the driver and the frame is
