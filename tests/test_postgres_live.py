@@ -185,3 +185,27 @@ def test_scram_sha256_auth(spark, pg_url):
     df = read_df(f'postgresql://scramuser:tops3cret@{host}:{port}'
                  '/postgres/t_scram', spark)
     assert sorted(r['id'] for r in df.collect()) == [41, 42]
+
+
+def test_wire_copy_error_drains_connection(pg_url):
+    """A failing COPY (wrong column count) raises PgError and leaves the
+    connection usable for further queries (protocol fully drained)."""
+    from erde_spark.io import PostgresDriver
+    from erde_spark.io.pg_wire import PgError
+    d = PostgresDriver.path_re.match(f'{pg_url}/t_err').groupdict()
+    conn = PostgresDriver._wire_conn(d)
+    try:
+        conn.query('DROP TABLE IF EXISTS t_err')
+        conn.query('CREATE TABLE t_err (a int, b int)')
+        with pytest.raises(PgError):
+            conn.copy_in('COPY t_err (a, b) FROM STDIN',
+                         [b'1\t2\t3\n'])  # 3 cells into 2 columns
+        # connection still alive and transactional state clean
+        _, rows = conn.query('SELECT 1 + 1')
+        assert rows == [['2']]
+        with pytest.raises(PgError):
+            conn.query('SELECT * FROM does_not_exist')
+        _, rows = conn.query("SELECT 'ok'")
+        assert rows == [['ok']]
+    finally:
+        conn.close()

@@ -332,3 +332,32 @@ def test_jpeg_roundtrip_bounded_error(seed, shape, color):
     err = np.abs(back.astype(float) - img.astype(float))
     # noise-heavy blocks quantize harder; bound rmse, not max
     assert float(np.sqrt((err ** 2).mean())) < 8.0
+
+
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(min_size=0, max_size=40),
+    st.integers(-2**40, 2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.binary(max_size=20)), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_pg_copy_text_codec_roundtrip(row):
+    """COPY text-format escape -> line -> unescape preserves every value
+    (tabs, newlines, backslashes, \\N nulls) for string payloads; typed
+    values render to their postgres text forms."""
+    from erde_spark.io.pg_wire import copy_escape, copy_unescape, iter_copy_rows
+    line = ('\t'.join(copy_escape(v) for v in row) + '\n').encode()
+    cells = list(iter_copy_rows([line]))[0]
+    assert len(cells) == len(row)
+    for v, c in zip(row, cells):
+        if v is None:
+            assert c is None
+        elif isinstance(v, str):
+            assert c == v
+        elif isinstance(v, bool):
+            assert c == ('t' if v else 'f')
+        elif isinstance(v, bytes):
+            assert c == '\\x' + v.hex()
+        else:
+            assert c == str(v)
