@@ -2643,7 +2643,7 @@ LIMIT 20
 
 def q_streaming_neardup_backfill(spark, sf_dir):
     """Bounded BACKFILL through the streaming near-dup pipeline: the
-    documents table split into 4 deterministic micro-batch files, each
+    documents table split into 2 deterministic micro-batch files, each
     batch deduped against itself and the persistent LSH signature store
     (bucket equi-join — never batch x whole-store), survivors appended.
     Returns the kept documents; rows-only (streaming + LSH recall, no

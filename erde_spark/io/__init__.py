@@ -533,8 +533,21 @@ class PostgresDriver(_Driver):
             for name, t in cols)
         conn = self._wire_conn(d)
         try:
+            # full Spark save-mode semantics, matching the JDBC transport
             if mode == 'overwrite':
                 conn.query(f'DROP TABLE IF EXISTS {d["table"]}')
+            elif mode in ('error', 'errorifexists', 'ignore'):
+                exists = bool(conn.query(
+                    'SELECT 1 FROM information_schema.tables '
+                    f"WHERE table_name = '{d['table']}'")[1])
+                if exists:
+                    if mode == 'ignore':
+                        return
+                    raise ValueError(
+                        f'table {d["table"]!r} already exists '
+                        "(save mode 'error')")
+            elif mode != 'append':
+                raise ValueError(f'unknown save mode {mode!r}')
             conn.query(f'CREATE TABLE IF NOT EXISTS {d["table"]} ({ddl})')
         finally:
             conn.close()

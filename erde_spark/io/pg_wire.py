@@ -168,27 +168,29 @@ class PgConnection:
             # 'H' CopyOutResponse / 'c' CopyDone / 'C': ignore
 
     def copy_in(self, sql: str, chunks):
-        """``COPY ... FROM STDIN`` — streams ``chunks`` of bytes."""
+        """``COPY ... FROM STDIN`` — streams ``chunks`` of bytes. The
+        connection is always drained to ReadyForQuery (success, server
+        error, or client-side CopyFail), so it stays reusable."""
         self._send(b'Q', sql.encode() + b'\0')
-        started = False
         while True:
             mtype, payload = self._recv()
             if mtype == b'G':
-                started = True
                 break
             if mtype == b'E':
                 # drain to ready-for-query, then raise
                 msg = self._error_text(payload)
-                while self._recv()[0] != b'Z':
-                    pass
+                self._drain_to_ready()
                 raise PgError(msg)
-        assert started
+            if mtype == b'Z':
+                raise PgError(
+                    f'statement did not initiate COPY IN: {sql!r}')
         try:
             for chunk in chunks:
                 if chunk:
                     self._send(b'd', bytes(chunk))
         except Exception:
             self._send(b'f', b'client error\0')  # CopyFail
+            self._drain_to_ready()  # consume the server's E + Z
             raise
         self._send(b'c')
         err = None
@@ -200,6 +202,10 @@ class PgConnection:
                 if err:
                     raise PgError(err)
                 return
+
+    def _drain_to_ready(self):
+        while self._recv()[0] != b'Z':
+            pass
 
     def close(self):
         try:

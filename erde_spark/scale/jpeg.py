@@ -122,6 +122,9 @@ class _BitReader:
         self.buf, self.nbits = 0, 0
 
     def _fill(self):
+        if self.pos + 1 >= len(self.data):
+            raise ValueError('truncated JPEG stream (entropy data ends '
+                             'before the scan completes)')
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -238,6 +241,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError('SOS before SOF')
             ns = seg[0]
+            if ns != len(frame['comps']):
+                raise NotImplementedError(
+                    'non-interleaved multi-scan baseline JPEG (scan covers '
+                    f'{ns} of {len(frame["comps"])} components) is not '
+                    'supported — only single-scan interleaved streams')
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -319,6 +327,9 @@ def _decode_block(rd, dc_table, ac_table, preds, ci, dq):
             k += 16
             continue
         k += r
+        if k > 63:
+            raise ValueError('corrupt JPEG entropy stream (AC run-length '
+                             'past the 8x8 block)')
         coef[ZIGZAG[k]] = _extend(rd.read(s), s) * dq[k]
         k += 1
     block = coef.reshape(8, 8)
@@ -398,8 +409,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    qly = _scale_qt(_QT_LUMA, quality)
-    qlc = _scale_qt(_QT_CHROMA, quality)
+    # quantization tables travel (and divide) in ZIGZAG order — T.81
+    # B.2.4.1 requires DQT bytes in zigzag scan order, and _encode_block
+    # quantizes the zigzag-reordered coefficient vector
+    qly = _scale_qt(_QT_LUMA, quality)[ZIGZAG]
+    qlc = _scale_qt(_QT_CHROMA, quality)[ZIGZAG]
     if gray:
         planes = [arr.astype(np.float64)]
         samp = [(1, 1)]

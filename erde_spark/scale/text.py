@@ -278,8 +278,8 @@ def token_divergence(df: DataFrame, group_col: str, slice_a, slice_b,
             .limit(top_k))
 
 
-def bpe_pair_stats(df: DataFrame, id_col: str = 'doc_id',
-                   text_col: str = 'text', top_k: int = 50) -> DataFrame:
+def bpe_pair_stats(df: DataFrame, text_col: str = 'text',
+                   top_k: int = 50) -> DataFrame:
     """First-iteration BPE merge statistics: corpus-wide frequency of
     every adjacent CHARACTER pair inside words (initial BPE symbols =
     characters, Sennrich et al. 2016) — the aggregation a distributed

@@ -67,7 +67,8 @@ def curate(spark, sf_dir: str):
     #     corpus's own unigram LM (CCNet-style proxy — catches noise
     #     the heuristic gates miss). Threshold = bottom ~5% by score.
     from erde_spark.scale.text import unigram_logprob
-    lp = unigram_logprob(docs)
+    # materialize: both the quantile action and the join below read it
+    lp = unigram_logprob(docs).localCheckpoint(eager=True)
     cutoff = lp.approxQuantile('avg_logprob', [0.05], 0.01)[0]
     docs = docs.join(lp.filter(F.col('avg_logprob') >= cutoff)
                      .select(F.col('id').alias('doc_id')),

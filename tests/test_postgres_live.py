@@ -209,3 +209,17 @@ def test_wire_copy_error_drains_connection(pg_url):
         assert rows == [['ok']]
     finally:
         conn.close()
+
+
+def test_wire_save_mode_semantics(spark, pg_url):
+    """Full Spark save-mode contract on the wire transport: 'error'
+    raises on an existing table, 'ignore' is a silent no-op, unknown
+    modes raise."""
+    df = spark.createDataFrame([(1,)], 'id long')
+    write_df(df, f'{pg_url}/t_sm')
+    with pytest.raises(ValueError, match='already exists'):
+        write_df(df, f'{pg_url}/t_sm', mode='error')
+    write_df(df, f'{pg_url}/t_sm', mode='ignore')  # no-op
+    assert read_df(f'{pg_url}/t_sm', spark).count() == 1
+    with pytest.raises(ValueError, match='unknown save mode'):
+        write_df(df, f'{pg_url}/t_sm', mode='bogus')

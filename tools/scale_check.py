@@ -41,7 +41,8 @@ def shuffle_write_bytes(spark) -> int:
 def build_sf1(spark):
     """10 mutually-dissimilar copies of the sf0.1 documents + customer."""
     from pyspark.sql import functions as F
-    if os.path.isdir(os.path.join(SF1_DIR, 'documents.parquet')):
+    if all(os.path.isdir(os.path.join(SF1_DIR, f'{t}.parquet'))
+           for t in ('documents', 'customer', 'nation')):
         return
     docs = spark.read.parquet(f'{SF01}/documents.parquet')
     n = docs.agg(F.max('doc_id')).first()[0] + 1
