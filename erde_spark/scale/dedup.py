@@ -705,13 +705,17 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 # unchanged rep's bucket set is itself unchanged. Restrict
                 # to buckets holding a touched rep BEFORE the quadratic
                 # pair step, then to pairs involving a touched rep.
-                if touched_vals is not None:
-                    # touched labels are a driver-bounded list (the merge
-                    # collect cap): an isin filter beats two semi-joins
+                if touched_vals is not None and len(touched_vals) <= 5000:
+                    # small driver-known list: a literal isin stays in
+                    # codegen and beats any join
                     hot = (rep_buckets.filter(F.col('rid').isin(touched_vals))
                            .select('band', 'bh').distinct())
                 else:
+                    # larger sets: broadcast-hash semi join (explicit hint
+                    # when the set is driver-bounded by the collect cap)
                     tb = touched.withColumnRenamed('t', 'rid')
+                    if touched_vals is not None:
+                        tb = F.broadcast(tb)
                     hot = (rep_buckets.join(tb, 'rid', 'left_semi')
                            .select('band', 'bh').distinct())
                 rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
@@ -720,21 +724,29 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             # re-analyzes the join+distinct per branch per round
             rep_buckets = rep_buckets.localCheckpoint(eager=True)
             rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
-            if touched is not None and touched_vals is not None:
-                rep_cand = rep_cand.filter(
-                    F.col('id_a').isin(touched_vals) |
-                    F.col('id_b').isin(touched_vals))
-            elif touched is not None:
-                # distributed touched set (degenerate huge-merge rounds):
-                # the pair DAG is referenced twice — materialize it first
-                rep_cand = rep_cand.localCheckpoint(eager=True)
-                rep_cand = (rep_cand
-                            .join(touched.withColumnRenamed('t', 'id_a'),
-                                  'id_a', 'left_semi')
-                            .unionByName(rep_cand.join(
-                                touched.withColumnRenamed('t', 'id_b'),
-                                'id_b', 'left_semi'))
-                            .distinct())
+            if touched is not None:
+                if touched_vals is not None and len(touched_vals) <= 5000:
+                    rep_cand = rep_cand.filter(
+                        F.col('id_a').isin(touched_vals) |
+                        F.col('id_b').isin(touched_vals))
+                else:
+                    # one linear pass: flag both endpoints via two hash
+                    # left joins and filter the OR — no union, no pair
+                    # distinct, no double-reference of the pair DAG
+                    # (previously two semi-joins + distinct, the source
+                    # of the superlinear shuffle term in SCALE.md)
+                    bhint = (F.broadcast if touched_vals is not None
+                             else (lambda x: x))
+                    ta = touched.select(F.col('t').alias('id_a'),
+                                        F.lit(True).alias('_ta'))
+                    tb2 = touched.select(F.col('t').alias('id_b'),
+                                         F.lit(True).alias('_tb'))
+                    rep_cand = (rep_cand
+                                .join(bhint(ta), 'id_a', 'left')
+                                .join(bhint(tb2), 'id_b', 'left')
+                                .filter(F.col('_ta').isNotNull() |
+                                        F.col('_tb').isNotNull())
+                                .drop('_ta', '_tb'))
             merges = _verify_jaccard(rep_cand, sig, tok, threshold,
                                      num_perm, small, pf) \
                 .select('id_a', 'id_b')
@@ -765,10 +777,11 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 touched = comp.sparkSession.createDataFrame(
                     [(v,) for v in t_vals],
                     T.StructType([T.StructField('t', ctype)]))
-                # isin over a literal list is only a win while the
-                # expression stays small; past that, Catalyst analysis
-                # on the IN-list dwarfs the semi-join it replaces
-                touched_vals = t_vals if len(t_vals) <= 5000 else None
+                # driver-known: the use sites pick isin (small lists,
+                # stays in codegen) or an explicit broadcast join
+                # (larger — a huge IN-list would dwarf the join in
+                # Catalyst analysis time)
+                touched_vals = t_vals
                 comp = (comp.join(F.broadcast(map_df), 'component', 'left')
                         .select('id', F.coalesce('__super', 'component')
                                 .alias('component'))
