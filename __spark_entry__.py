@@ -2562,6 +2562,19 @@ def q_similarity_ivfpq(spark, sf_dir):
                     'rank'))
 
 
+def q_winnow_passages(spark, sf_dir):
+    """Passage-level duplication report: document pairs sharing COPIED
+    SPANS (maximal runs of winnowing fingerprints advancing consistently
+    in both docs) with span counts and longest-span length — catches a
+    copied paragraph inside otherwise-unrelated documents, which
+    whole-doc Jaccard misses (rows-only: the winnowing rolling hash is
+    not ANSI-SQL-expressible; the span extraction itself is pinned by
+    construction in tests/test_scale.py)."""
+    from erde_spark.scale.text import shared_passage_spans
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return shared_passage_spans(d, min_span_fps=3)
+
+
 def q_bpe_pair_stats(spark, sf_dir):
     """First BPE merge iteration: corpus-wide adjacent character-pair
     frequencies inside words (Sennrich et al. 2016) — the aggregation a
@@ -2816,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'similarity_ivfpq': q_similarity_ivfpq,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
+        'winnow_passages': q_winnow_passages,
     }
 
 

@@ -427,6 +427,105 @@ def winnow_pairs(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             .filter(F.col('shared') >= min_shared))
 
 
+def winnow_positions(df: DataFrame, id_col: str = 'doc_id',
+                     text_col: str = 'text', k: int = 9,
+                     window: int = 16) -> DataFrame:
+    """(id, pos, fp) — winnowing fingerprints WITH their character
+    positions (same kernel as :func:`winnow_fingerprints`, but keeping
+    where each kept hash starts). Positions are what turn fingerprint
+    overlap into PASSAGE evidence: consecutive shared fingerprints at
+    consistent offsets in two documents localize the copied span."""
+    B = np.uint64(1000003)
+    out_t = T.ArrayType(T.StructType([T.StructField('pos', T.IntegerType()),
+                                      T.StructField('fp', T.LongType())]))
+
+    @F.pandas_udf(out_t)
+    def _winnow_pos(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            norm = ' '.join(t.lower().split())
+            raw = np.frombuffer(norm.encode('utf-8'),
+                                dtype=np.uint8).astype(np.uint64)
+            if len(raw) < k:
+                out.append([])
+                continue
+            n_h = len(raw) - k + 1
+            h = np.zeros(n_h, dtype=np.uint64)
+            p = np.uint64(1)
+            with np.errstate(over='ignore'):
+                for o in range(k - 1, -1, -1):
+                    h += raw[o:o + n_h] * p
+                    p = p * B
+            if len(h) <= window:
+                pos = np.array([int(h.argmin())])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                rev_arg = np.argmin(win[:, ::-1], axis=1)
+                pos = np.unique(np.arange(len(win)) + (window - 1 - rev_arg))
+            out.append([(int(i), int(np.int64(h[i]))) for i in pos])
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col).alias('id'),
+                      F.explode(_winnow_pos(F.col(text_col))).alias('m'))
+            .select('id', F.col('m.pos').alias('pos'),
+                    F.col('m.fp').alias('fp')))
+
+
+def shared_passage_spans(df: DataFrame, id_col: str = 'doc_id',
+                         text_col: str = 'text', k: int = 9,
+                         window: int = 16, max_doc_freq: int = 64,
+                         max_gap: int = 128,
+                         min_span_fps: int = 2) -> DataFrame:
+    """Passage-level duplication report: for every document pair sharing
+    winnowed content, the number of distinct COPIED SPANS, the total
+    shared fingerprints, and the longest span's approximate character
+    length — the local-overlap analogue of whole-doc near-dup (detects a
+    copied paragraph inside otherwise-unrelated documents, the shape
+    whole-document Jaccard misses).
+
+    A span is a maximal run of shared fingerprints whose positions
+    advance consistently in BOTH documents (gaps <= ``max_gap`` chars and
+    offset drift <= ``max_gap``); runs shorter than ``min_span_fps``
+    fingerprints are discarded as isolated hash collisions.
+
+    Scale shape: positions explode once; fingerprints seen in more than
+    ``max_doc_freq`` documents are dropped BEFORE the self-join (they
+    are boilerplate — the same df-cap discipline as ``jaccard_pairs``),
+    so per-hash fan-out is bounded; run detection is one window per
+    (pair) partition, never a driver loop.
+    """
+    pos = winnow_positions(df, id_col, text_col, k, window)
+    rare = (pos.groupBy('fp')
+            .agg(F.countDistinct('id').alias('_df'))
+            .filter(F.col('_df') <= max_doc_freq)
+            .select('fp'))
+    pos = pos.join(rare, 'fp')
+    a = pos.select(F.col('id').alias('id_a'), F.col('pos').alias('pos_a'),
+                   'fp')
+    b = pos.select(F.col('id').alias('id_b'), F.col('pos').alias('pos_b'),
+                   'fp')
+    m = (a.join(b, 'fp').filter(F.col('id_a') < F.col('id_b')))
+    w = Window.partitionBy('id_a', 'id_b').orderBy('pos_a', 'pos_b')
+    gap_a = F.col('pos_a') - F.lag('pos_a').over(w)
+    gap_b = F.col('pos_b') - F.lag('pos_b').over(w)
+    new_span = (gap_a.isNull() | (gap_a > max_gap) | (gap_b < 0)
+                | (F.abs(gap_b - gap_a) > max_gap)).cast('int')
+    spans = (m.withColumn('_ns', new_span)
+             .withColumn('span_id', F.sum('_ns').over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy('id_a', 'id_b', 'span_id')
+             .agg(F.count(F.lit(1)).alias('n_fps'),
+                  (F.max('pos_a') - F.min('pos_a') + k).alias('span_chars'))
+             .filter(F.col('n_fps') >= min_span_fps))
+    return (spans.groupBy('id_a', 'id_b')
+            .agg(F.count(F.lit(1)).alias('n_spans'),
+                 F.sum('n_fps').alias('shared_fps'),
+                 F.max('span_chars').alias('longest_span_chars')))
+
+
 def analyze(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Attach the full text-analysis column set in one projection."""
     c = F.col(text_col)

@@ -931,3 +931,50 @@ def test_bpe_pair_stats_unit(spark):
                                ['doc_id', 'text'])
     got = {r['pair']: r['count'] for r in bpe_pair_stats(df).collect()}
     assert got == {'aa': 3, 'ab': 3, 'bc': 1}
+
+
+def test_shared_passage_spans(spark):
+    """Passage-level dedup: a 116-char passage embedded in two otherwise
+    unrelated documents is found as ONE span of ~that length; a shared
+    60-char prefix is found at winnowing granularity; disjoint documents
+    produce no pairs."""
+    from erde_spark.scale.text import shared_passage_spans
+    shared = ('the quick brown fox jumps over the lazy dog while carrying '
+              'a remarkably heavy basket of fresh strawberries to market')
+    docs = [
+        (1, 'completely unrelated opening text here. ' + shared
+            + ' and a different ending altogether for document one.'),
+        (2, 'another document begins differently indeed. ' + shared
+            + ' then concludes with its own words entirely here.'),
+        (3, 'this third document shares nothing with the others at all; '
+            'it discusses distributed query engines, shuffles and '
+            'partitions at length without overlap.'),
+        (4, 'fourth doc: ' + shared[:60]
+            + ' but then diverges completely midway through the text.'),
+    ]
+    df = spark.createDataFrame(docs, ['doc_id', 'text'])
+    got = {(r['id_a'], r['id_b']): r
+           for r in shared_passage_spans(df, min_span_fps=2).collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    full = got[(1, 2)]
+    assert full['n_spans'] == 1
+    # winnowing localizes the span to within one window+k of truth
+    assert abs(full['longest_span_chars'] - len(shared)) <= 9 + 16
+    partial = got[(1, 4)]
+    assert partial['longest_span_chars'] < full['longest_span_chars']
+    assert (3, 1) not in got and (1, 3) not in got
+
+
+def test_winnow_positions_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k+window-1
+    yields at least one shared (fp) between the two documents, and
+    positions point INTO the match."""
+    from erde_spark.scale.text import winnow_positions
+    core = 'x' * 0 + 'abcdefghijklmnopqrstuvwxyz0123456789abcdefghij'
+    df = spark.createDataFrame(
+        [(1, 'prefix one ' + core), (2, core + ' suffix two')],
+        ['doc_id', 'text'])
+    pos = winnow_positions(df).collect()
+    fps1 = {r['fp'] for r in pos if r['id'] == 1}
+    fps2 = {r['fp'] for r in pos if r['id'] == 2}
+    assert fps1 & fps2
