@@ -537,9 +537,13 @@ class PostgresDriver(_Driver):
             if mode == 'overwrite':
                 conn.query(f'DROP TABLE IF EXISTS {d["table"]}')
             elif mode in ('error', 'errorifexists', 'ignore'):
-                exists = bool(conn.query(
-                    'SELECT 1 FROM information_schema.tables '
-                    f"WHERE table_name = '{d['table']}'")[1])
+                # to_regclass resolves through the session search_path —
+                # the same namespace CREATE TABLE below would target
+                # (an information_schema name match would also hit
+                # same-named tables in unrelated schemas)
+                exists = conn.query(
+                    f"SELECT to_regclass('{d['table']}') IS NOT NULL"
+                )[1][0][0] == 't'
                 if exists:
                     if mode == 'ignore':
                         return

@@ -122,11 +122,14 @@ class _BitReader:
         self.buf, self.nbits = 0, 0
 
     def _fill(self):
-        if self.pos + 1 >= len(self.data):
+        if self.pos >= len(self.data):
             raise ValueError('truncated JPEG stream (entropy data ends '
                              'before the scan completes)')
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError('truncated JPEG stream (0xFF at end of '
+                                 'data with no marker byte)')
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2

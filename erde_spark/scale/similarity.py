@@ -191,6 +191,19 @@ def ivf_index(df: DataFrame, n_lists: int = 16, id_col: str = 'vec_id',
     return cent, nv.withColumn('list_id', _assign(F.col('nvec')))
 
 
+def _probe_udf(cent: np.ndarray, n_probes: int):
+    """pandas UDF: a query vector -> its ``n_probes`` nearest coarse
+    centroids (shared by the IVF and IVF-PQ probe sides)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='object')
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probes]
+        return pd.Series([row.astype('int32').tolist() for row in order])
+    return _probes
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, n_probes: int = 3, seed: int = 42,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
@@ -202,17 +215,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                               sample_size, seed)
     cb = indexed.select(F.col('id').alias('vec_id'),
                         F.col('nvec').alias('cvec'), 'list_id')
-
-    probe_t = T.ArrayType(T.IntegerType())
-
-    @F.pandas_udf(probe_t)
-    def _probes(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype='object')
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probes]
-        return pd.Series([row.astype('int32').tolist() for row in order])
-
+    _probes = _probe_udf(cent, n_probes)
     qb = (normalized(queries, id_col, vec_col)
           .select(F.col('id').alias('query_id'), F.col('nvec').alias('qvec'))
           .withColumn('list_id', F.explode(_probes(F.col('qvec')))))
@@ -271,6 +274,10 @@ def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
         raise ValueError('ks must be <= 256 (one byte per subspace code)')
     cent, indexed = ivf_index(df, n_lists, id_col, vec_col,
                               sample_size, seed)
+    # materialize: the PQ sample collect, the code scan and (in
+    # ivfpq_topk) the refine join all read this 3-stage Python-UDF
+    # pipeline — uncheckpointed it would re-run per consumer
+    indexed = indexed.localCheckpoint(eager=True)
     sample = np.stack([np.asarray(r['nvec'], dtype=np.float64)
                        for r in indexed.select('nvec')
                        .limit(sample_size).collect()])
@@ -310,19 +317,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     only the k*refine survivors per query load real vectors."""
     cent, books, indexed = pq_index(corpus, n_lists, m, ks, id_col,
                                     vec_col, sample_size, seed)
+    # one _encode pass: both the code scan and the refine join read this
+    indexed = indexed.localCheckpoint(eager=True)
     cb = indexed.select(F.col('id').alias('vec_id'), 'list_id', 'code')
     sub = books.shape[2]
-
-    probe_t = T.ArrayType(T.IntegerType())
-
-    @F.pandas_udf(probe_t)
-    def _probes(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype='object')
-        mtx = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        order = np.argsort(-(mtx @ cent.T), axis=1)[:, :n_probes]
-        return pd.Series([row.astype('int32').tolist() for row in order])
-
+    _probes = _probe_udf(cent, n_probes)
     nq = normalized(queries, id_col, vec_col)
     qb = (nq.select(F.col('id').alias('query_id'), F.col('nvec').alias('qvec'))
           .withColumn('list_id', F.explode(_probes(F.col('qvec')))))

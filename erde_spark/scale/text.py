@@ -350,57 +350,64 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r'\s+', ' '))
 
 
+_WINNOW_B = np.uint64(1000003)  # odd multiplier, full-period mod 2^64
+
+
+def _winnow_kernel(t: str | None, k: int, window: int):
+    """The ONE winnowing kernel (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm), shared by :func:`winnow_fingerprints` and
+    :func:`winnow_positions` so fingerprint compatibility between them
+    can never drift: polynomial rolling hash of every k-char gram of the
+    whitespace-normalized lowercase text, then each sliding window of
+    ``window`` gram hashes keeps its rightmost minimum. Returns
+    (positions ndarray, gram-hash ndarray) — positions are the kept
+    indices, fingerprints are ``h[positions]``."""
+    if t is None:
+        return None, None
+    norm = ' '.join(t.lower().split())
+    raw = np.frombuffer(norm.encode('utf-8'), dtype=np.uint8).astype(np.uint64)
+    if len(raw) < k:
+        return None, None
+    # polynomial hash of all k-grams at once: h[i] = sum over the
+    # gram of raw[i+o] * B^(k-1-o) — k vectorized multiply-adds,
+    # no per-position Python loop
+    n_h = len(raw) - k + 1
+    h = np.zeros(n_h, dtype=np.uint64)
+    p = np.uint64(1)
+    # uint64 wraparound IS the hash's modulus (2^64); numpy's
+    # overflow warning is expected, not a bug
+    with np.errstate(over='ignore'):
+        for o in range(k - 1, -1, -1):
+            h += raw[o:o + n_h] * p
+            p = p * _WINNOW_B
+    if len(h) <= window:
+        pos = np.array([int(h.argmin())])
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, window)
+        rev_arg = np.argmin(win[:, ::-1], axis=1)   # first in reversed =
+        pos = np.unique(np.arange(len(win)) + (window - 1 - rev_arg))
+    return pos, h
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str = 'doc_id',
                         text_col: str = 'text', k: int = 9,
                         window: int = 16) -> DataFrame:
-    """(id, fingerprints: array<long>) — winnowing document fingerprints
-    (Schleimer/Wilkerson/Aiken, SIGMOD'03: the MOSS algorithm).
-
-    Per document: polynomial rolling hash over every k-char gram of the
-    whitespace-normalized lowercase text, then each sliding window of
-    ``window`` gram hashes keeps its rightmost minimum; the distinct kept
-    hashes are the fingerprint set. Guarantees: any match of length
-    >= k + window - 1 between two documents shares at least one
-    fingerprint, so local (partial-overlap) duplication is detectable
-    where whole-doc hashing fails.
+    """(id, fingerprints: array<long>) — winnowing document fingerprints:
+    the distinct kept hashes of :func:`_winnow_kernel`. Guarantees: any
+    match of length >= k + window - 1 between two documents shares at
+    least one fingerprint, so local (partial-overlap) duplication is
+    detectable where whole-doc hashing fails.
 
     Vectorized numpy per Arrow batch (sliding_window_view, uint64
     wraparound arithmetic); one narrow projection, no shuffle.
     """
-    B = np.uint64(1000003)               # odd multiplier, full-period mod 2^64
-
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _winnow(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            norm = ' '.join(t.lower().split())
-            raw = np.frombuffer(norm.encode('utf-8'), dtype=np.uint8).astype(np.uint64)
-            if len(raw) < k:
-                out.append([])
-                continue
-            # polynomial hash of all k-grams at once: h[i] = sum over the
-            # gram of raw[i+o] * B^(k-1-o) — k vectorized multiply-adds,
-            # no per-position Python loop
-            n_h = len(raw) - k + 1
-            h = np.zeros(n_h, dtype=np.uint64)
-            p = np.uint64(1)
-            # uint64 wraparound IS the hash's modulus (2^64); numpy's
-            # overflow warning is expected, not a bug
-            with np.errstate(over='ignore'):
-                for o in range(k - 1, -1, -1):
-                    h += raw[o:o + n_h] * p
-                    p = p * B
-            if len(h) <= window:
-                keep = np.array([h.min()], dtype=np.uint64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(h, window)
-                rev_arg = np.argmin(win[:, ::-1], axis=1)   # first in reversed =
-                pos = np.arange(len(win)) + (window - 1 - rev_arg)  # rightmost min
-                keep = h[np.unique(pos)]
-            out.append(np.unique(keep).astype(np.int64).tolist())
+            pos, h = _winnow_kernel(t, k, window)
+            out.append([] if pos is None else
+                       np.unique(h[pos]).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias('id'),
@@ -434,8 +441,9 @@ def winnow_positions(df: DataFrame, id_col: str = 'doc_id',
     positions (same kernel as :func:`winnow_fingerprints`, but keeping
     where each kept hash starts). Positions are what turn fingerprint
     overlap into PASSAGE evidence: consecutive shared fingerprints at
-    consistent offsets in two documents localize the copied span."""
-    B = np.uint64(1000003)
+    consistent offsets in two documents localize the copied span. Same
+    kernel as :func:`winnow_fingerprints` — literally
+    (:func:`_winnow_kernel`), so the two can never drift."""
     out_t = T.ArrayType(T.StructType([T.StructField('pos', T.IntegerType()),
                                       T.StructField('fp', T.LongType())]))
 
@@ -443,29 +451,9 @@ def winnow_positions(df: DataFrame, id_col: str = 'doc_id',
     def _winnow_pos(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            norm = ' '.join(t.lower().split())
-            raw = np.frombuffer(norm.encode('utf-8'),
-                                dtype=np.uint8).astype(np.uint64)
-            if len(raw) < k:
-                out.append([])
-                continue
-            n_h = len(raw) - k + 1
-            h = np.zeros(n_h, dtype=np.uint64)
-            p = np.uint64(1)
-            with np.errstate(over='ignore'):
-                for o in range(k - 1, -1, -1):
-                    h += raw[o:o + n_h] * p
-                    p = p * B
-            if len(h) <= window:
-                pos = np.array([int(h.argmin())])
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(h, window)
-                rev_arg = np.argmin(win[:, ::-1], axis=1)
-                pos = np.unique(np.arange(len(win)) + (window - 1 - rev_arg))
-            out.append([(int(i), int(np.int64(h[i]))) for i in pos])
+            pos, h = _winnow_kernel(t, k, window)
+            out.append([] if pos is None else
+                       [(int(i), int(np.int64(h[i]))) for i in pos])
         return pd.Series(out)
 
     return (df.select(F.col(id_col).alias('id'),
@@ -487,15 +475,23 @@ def shared_passage_spans(df: DataFrame, id_col: str = 'doc_id',
     whole-document Jaccard misses).
 
     A span is a maximal run of shared fingerprints whose positions
-    advance consistently in BOTH documents (gaps <= ``max_gap`` chars and
-    offset drift <= ``max_gap``); runs shorter than ``min_span_fps``
-    fingerprints are discarded as isolated hash collisions.
+    advance consistently in BOTH documents: matches are grouped by the
+    OFFSET BUCKET ``floor((pos_b - pos_a) / max_gap)`` — a copied
+    passage keeps a near-constant offset, so its matches land in one
+    (occasionally two adjacent) buckets, while stray repeats of the
+    same fingerprint elsewhere in either document land in other buckets
+    and can neither fragment nor inflate the true run — then split at
+    ``pos_a`` gaps above ``max_gap``. Runs shorter than ``min_span_fps``
+    fingerprints are discarded as isolated hash collisions; a span
+    straddling a bucket boundary may count as two (the report is
+    winnowing-granular, not exact).
 
     Scale shape: positions explode once; fingerprints seen in more than
     ``max_doc_freq`` documents are dropped BEFORE the self-join (they
     are boilerplate — the same df-cap discipline as ``jaccard_pairs``),
-    so per-hash fan-out is bounded; run detection is one window per
-    (pair) partition, never a driver loop.
+    so per-hash fan-out is bounded; multi-position repeats collapse to
+    one row per (pair, bucket, pos_a) before run detection, which is
+    one window per (pair, bucket) partition — never a driver loop.
     """
     pos = winnow_positions(df, id_col, text_col, k, window)
     rare = (pos.groupBy('fp')
@@ -507,16 +503,18 @@ def shared_passage_spans(df: DataFrame, id_col: str = 'doc_id',
                    'fp')
     b = pos.select(F.col('id').alias('id_b'), F.col('pos').alias('pos_b'),
                    'fp')
-    m = (a.join(b, 'fp').filter(F.col('id_a') < F.col('id_b')))
-    w = Window.partitionBy('id_a', 'id_b').orderBy('pos_a', 'pos_b')
+    m = (a.join(b, 'fp').filter(F.col('id_a') < F.col('id_b'))
+         .withColumn('obk', F.floor((F.col('pos_b') - F.col('pos_a'))
+                                    / max_gap))
+         .groupBy('id_a', 'id_b', 'obk', 'pos_a')
+         .agg(F.min('pos_b').alias('pos_b')))
+    w = Window.partitionBy('id_a', 'id_b', 'obk').orderBy('pos_a')
     gap_a = F.col('pos_a') - F.lag('pos_a').over(w)
-    gap_b = F.col('pos_b') - F.lag('pos_b').over(w)
-    new_span = (gap_a.isNull() | (gap_a > max_gap) | (gap_b < 0)
-                | (F.abs(gap_b - gap_a) > max_gap)).cast('int')
+    new_span = (gap_a.isNull() | (gap_a > max_gap)).cast('int')
     spans = (m.withColumn('_ns', new_span)
              .withColumn('span_id', F.sum('_ns').over(
                  w.rowsBetween(Window.unboundedPreceding, 0)))
-             .groupBy('id_a', 'id_b', 'span_id')
+             .groupBy('id_a', 'id_b', 'obk', 'span_id')
              .agg(F.count(F.lit(1)).alias('n_fps'),
                   (F.max('pos_a') - F.min('pos_a') + k).alias('span_chars'))
              .filter(F.col('n_fps') >= min_span_fps))

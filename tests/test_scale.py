@@ -978,3 +978,28 @@ def test_winnow_positions_guarantee(spark):
     fps1 = {r['fp'] for r in pos if r['id'] == 1}
     fps2 = {r['fp'] for r in pos if r['id'] == 2}
     assert fps1 & fps2
+
+
+def test_passage_spans_survive_repeated_fragments(spark):
+    """A fingerprint of the shared passage that ALSO occurs far away in
+    one document must not fragment the true span (offset-bucketed run
+    detection): the pair still reports the full-length span at
+    min_span_fps=3."""
+    from erde_spark.scale.text import shared_passage_spans
+    shared = ('the quick brown fox jumps over the lazy dog while carrying '
+              'a remarkably heavy basket of fresh strawberries to market')
+    repeat = shared[20:55]  # >= k+window-1 chars: guaranteed shared fp
+    docs = [
+        (1, 'doc one starts with its own words here. ' + shared
+            + ' and then ends on an unrelated closing note.'),
+        (2, 'doc two other opening. ' + shared
+            + ' some filler text in the middle of the document goes here '
+              'for a while and keeps going. ' + repeat
+            + ' and more trailing words to finish off doc two.'),
+    ]
+    df = spark.createDataFrame(docs, ['doc_id', 'text'])
+    got = {(r['id_a'], r['id_b']): r
+           for r in shared_passage_spans(df, min_span_fps=3).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r['longest_span_chars'] >= len(shared) - (9 + 16), r
