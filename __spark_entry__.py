@@ -2721,8 +2721,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the local DuckDB replica) moved into the first-50 window;
     6 twice-green entries (tpch_q1/q6, subset_dsl, lookup_customer,
     crossjoin_dims, column_stats — green in BOTH r01 and r02) moved to
-    the tail. After this round every one of the 84 oracled queries has
-    a driver-green row in some round's CORRECTNESS file."""
+    the tail; the four NEW oracled queries of this round
+    (lm_quality_score, token_divergence, dedup_cluster_sizes,
+    bpe_pair_stats) also sit in the window, displacing four more
+    twice-green entries (asof_last_click, resample_locf,
+    window_top3_orders, percentile_prices). After this round every
+    one of the 88 oracled queries has a driver-green row in some
+    round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'tpch_q12_late_lines': q_tpch_q12,
@@ -2732,14 +2737,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_filter': q_text_quality_filter,
         'sample_stratified': q_sample_stratified,
         'sample_split': q_sample_split,
-        'window_top3_orders': q_window_top3,
+        'lm_quality_score': q_lm_quality_score,
+        'token_divergence': q_token_divergence,
+        'dedup_cluster_sizes': q_dedup_cluster_sizes,
+        'bpe_pair_stats': q_bpe_pair_stats,
         'set_ops': q_set_ops,
-        'asof_last_click': q_asof_last_click,
-        'resample_locf': q_resample_locf,
         'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
         'pivot_priority_revenue': q_pivot_priority_revenue,
-        'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
@@ -2782,6 +2787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
+        'window_top3_orders': q_window_top3,
+        'asof_last_click': q_asof_last_click,
+        'resample_locf': q_resample_locf,
+        'percentile_prices': q_percentile_prices,
         'date_funcs': q_date_funcs,
         'array_funcs': q_array_funcs,
         'tpch_q3_topk': q_tpch_q3,
@@ -2824,11 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'routing_isochrone': q_routing_isochrone,
         'events_stateful': q_events_stateful,
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
-        'lm_quality_score': q_lm_quality_score,
-        'token_divergence': q_token_divergence,
         'similarity_ivfpq': q_similarity_ivfpq,
-        'dedup_cluster_sizes': q_dedup_cluster_sizes,
-        'bpe_pair_stats': q_bpe_pair_stats,
         'winnow_passages': q_winnow_passages,
     }
 
