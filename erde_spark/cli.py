@@ -8,7 +8,9 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`).
+(`/root/reference/erde/__init__.py:340-377`) — plus 4 curation
+EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
+pack (the training-data pipeline from the shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
@@ -286,9 +288,64 @@ def osm(*filenames, layers: str = 'points,lines,multipolygons', tags: str = None
         columns=columns.split(';') if columns else None)
 
 
+# -- curation extensions (beyond the reference's 9 geo subcommands) ------
+
+@autocli
+def dedup(input_data: DataFrame, strategy: str = 'cluster',
+          threshold: float = 0.9, id_column: str = 'doc_id',
+          text_column: str = 'text') -> DataFrame:
+    """Deduplicate documents: 'exact' (normalized-text fingerprint),
+    'cluster' (one survivor per MinHash-LSH near-dup component) or
+    'pairs' (the verified near-dup pair list itself)."""
+    from erde_spark.scale.dedup import (dedup_clusters, exact_dedup,
+                                        minhash_lsh_pairs)
+    if strategy == 'exact':
+        keep = exact_dedup(input_data, id_column, text_column)
+        return input_data.join(keep.select(id_column), id_column, 'left_semi')
+    if strategy == 'cluster':
+        return dedup_clusters(input_data, id_column, text_column, threshold)
+    if strategy == 'pairs':
+        return minhash_lsh_pairs(input_data, id_column, text_column, threshold)
+    raise AutocliError(f'unknown dedup strategy {strategy!r} '
+                       "(use 'exact', 'cluster' or 'pairs')")
+
+
+@autocli
+def quality(input_data: DataFrame, text_column: str = 'text',
+            keep_flags: bool = False) -> DataFrame:
+    """Keep rows passing the Gopher-style quality gates."""
+    from erde_spark.scale.text import quality_filter
+    return quality_filter(input_data, text_column, keep_flags)
+
+
+@autocli
+def mix(input_data: DataFrame, weights: str, group_column: str = 'lang',
+        id_column: str = 'doc_id') -> DataFrame:
+    """Rebalance to target group proportions; weights like
+    'en=0.4,de=0.2,fr=0.2' (deterministic hash-rank quotas)."""
+    from erde_spark.scale.sampling import target_mix
+    parsed = {}
+    for part in weights.split(','):
+        g, _, v = part.partition('=')
+        parsed[g.strip()] = float(v)
+    return target_mix(input_data, group_column, id_column, parsed)
+
+
+@autocli
+def pack(input_data: DataFrame, max_tokens: int = 2048,
+         shard_column: str = None, id_column: str = 'doc_id',
+         text_column: str = 'text') -> DataFrame:
+    """Concat-then-chunk sequence-packing offsets per shard."""
+    from erde_spark.scale.text import pack_offsets
+    return pack_offsets(input_data, id_column, text_column, max_tokens,
+                        shard_column)
+
+
 COMMANDS = {
     'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
     'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
+    # extensions: the curation pipeline from the shell
+    'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
 }
 
 

@@ -134,3 +134,33 @@ def test_stream_output_cleanup_on_failure(spark, src, tmp_path):
     with pytest.raises(ValueError, match='boom'):
         crash.cli([src, out])
     assert not os.path.exists(out)
+
+
+def test_curation_subcommands_end_to_end(spark, tmp_path):
+    """The curation extension subcommands (dedup/quality/mix/pack) run
+    from the entrypoint against parquet in/out."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'the quick brown fox jumps over the lazy dog number %d '
+                'with several additional words appended to pass gates '
+                'and some more text for quality thresholds here' % (i % 4),
+             'en' if i % 2 else 'de') for i in range(12)]
+    spark.createDataFrame(rows, 'doc_id long, text string, lang string') \
+        .write.mode('overwrite').parquet(src)
+
+    out = str(tmp_path / 'dedup.parquet')
+    entrypoint(['dedup', src, out, '--strategy', 'exact'])
+    assert spark.read.parquet(out).count() == 4  # 4 distinct texts
+
+    out2 = str(tmp_path / 'mix.parquet')
+    entrypoint(['mix', src, 'en=0.5,de=0.5', out2])
+    back = spark.read.parquet(out2)
+    assert back.count() == 12  # already balanced: binding group whole
+
+    out3 = str(tmp_path / 'pack.parquet')
+    entrypoint(['pack', src, out3, '--shard-column', 'lang'])
+    assert {'start_offset', 'first_seq'} <= set(spark.read.parquet(out3).columns)
+
+    out4 = str(tmp_path / 'q.parquet')
+    entrypoint(['quality', src, out4])
+    assert spark.read.parquet(out4).count() <= 12
