@@ -2562,6 +2562,31 @@ def q_similarity_ivfpq(spark, sf_dir):
                     'rank'))
 
 
+def q_profile_orders(spark, sf_dir):
+    """Data-profile report over the orders table: one aggregation pass
+    yields per-column type, row/null/distinct counts and min/max (cast
+    to string for a uniform schema) — the first-look utility of any
+    pipeline onboarding an unfamiliar table."""
+    from erde_spark.operators.stats import profile
+    t = _t(spark, sf_dir, 'orders')['orders']
+    cols = ['o_orderkey', 'o_custkey', 'o_orderstatus', 'o_orderdate',
+            'o_orderpriority']
+    return profile(t, cols)
+
+
+_PROFILE_SQL = ' UNION ALL '.join(
+    f"""SELECT '{c}' AS column_name, '{t}' AS data_type,
+        COUNT(*) AS n_rows,
+        COUNT(*) - COUNT({c}) AS null_count,
+        COUNT(DISTINCT {c}) AS n_distinct,
+        CAST(MIN({c}) AS VARCHAR) AS min_value,
+        CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+    for c, t in [('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+                 ('o_orderstatus', 'string'), ('o_orderdate', 'timestamp_ntz'),
+                 ('o_orderpriority', 'string')])
+
+
 def q_winnow_passages(spark, sf_dir):
     """Passage-level duplication report: document pairs sharing COPIED
     SPANS (maximal runs of winnowing fingerprints advancing consistently
@@ -2835,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
         'similarity_ivfpq': q_similarity_ivfpq,
         'winnow_passages': q_winnow_passages,
+        'profile_orders': q_profile_orders,
     }
 
 
@@ -2928,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         'token_divergence': _TOKEN_DIVERGENCE_SQL,
         'dedup_cluster_sizes': _DEDUP_CLUSTER_SIZES_SQL,
         'bpe_pair_stats': _BPE_PAIR_SQL,
+        'profile_orders': _PROFILE_SQL,
         # no oracle (approximate / external-service / not SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, dedup_clusters (probabilistic
         # LSH recall; their shared component machinery IS value-gated via

@@ -46,3 +46,38 @@ def stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in cols)
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) as (column_name, min, mean, max, variance, count)")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            approx_distinct: bool = False) -> DataFrame:
+    """Data-profile report: one row per column with (column_name,
+    data_type, n_rows, null_count, n_distinct, min_value, max_value) —
+    the first look a pipeline takes at an unfamiliar table. min/max are
+    cast to string so every column type fits one schema.
+
+    ONE aggregation pass over the scan (parquet reads only the profiled
+    columns). ``approx_distinct=False`` uses exact distinct counts —
+    value-checkable against a SQL oracle but each exact distinct adds an
+    expand step; ``approx_distinct=True`` switches to HLL
+    ``approx_count_distinct`` (single pass, constant memory), the right
+    setting at 100 TB.
+    """
+    cols = columns or df.columns
+    nd = (F.approx_count_distinct if approx_distinct
+          else F.countDistinct)
+    aggs = [F.count(F.lit(1)).alias('__n')]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f'{c}__nulls'),
+            nd(c).cast('long').alias(f'{c}__nd'),
+            F.min(c).cast('string').alias(f'{c}__min'),
+            F.max(c).cast('string').alias(f'{c}__max'),
+        ]
+    wide = df.agg(*aggs)
+    types = dict(df.dtypes)
+    stack_args = ', '.join(
+        f"'{c}', '{types[c]}', `__n`, `{c}__nulls`, `{c}__nd`, "
+        f"`{c}__min`, `{c}__max`" for c in cols)
+    return wide.selectExpr(
+        f'stack({len(cols)}, {stack_args}) as (column_name, data_type, '
+        'n_rows, null_count, n_distinct, min_value, max_value)')
