@@ -2748,11 +2748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crossjoin_dims, column_stats — green in BOTH r01 and r02) moved to
     the tail; the four NEW oracled queries of this round
     (lm_quality_score, token_divergence, dedup_cluster_sizes,
-    bpe_pair_stats) also sit in the window, displacing four more
-    twice-green entries (asof_last_click, resample_locf,
-    window_top3_orders, percentile_prices). After this round every
-    one of the 88 oracled queries has a driver-green row in some
-    round's CORRECTNESS file."""
+    bpe_pair_stats, profile_orders) also sit in the window, displacing
+    five more twice-green entries (asof_last_click, resample_locf,
+    window_top3_orders, percentile_prices, string_funcs). After this
+    round every one of the 89 oracled queries has a driver-green row
+    in some round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'tpch_q12_late_lines': q_tpch_q12,
@@ -2770,7 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
         'pivot_priority_revenue': q_pivot_priority_revenue,
-        'string_funcs': q_string_funcs,
+        'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
         'full_outer_priority': q_full_outer_priority,
@@ -2816,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
         'percentile_prices': q_percentile_prices,
+        'string_funcs': q_string_funcs,
         'date_funcs': q_date_funcs,
         'array_funcs': q_array_funcs,
         'tpch_q3_topk': q_tpch_q3,
@@ -2860,7 +2861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
         'similarity_ivfpq': q_similarity_ivfpq,
         'winnow_passages': q_winnow_passages,
-        'profile_orders': q_profile_orders,
     }
 
 

@@ -327,7 +327,12 @@ def mix(input_data: DataFrame, weights: str, group_column: str = 'lang',
     parsed = {}
     for part in weights.split(','):
         g, _, v = part.partition('=')
-        parsed[g.strip()] = float(v)
+        try:
+            parsed[g.strip()] = float(v)
+        except ValueError:
+            raise AutocliError(
+                f'bad weights fragment {part!r}: expected comma-separated '
+                "group=number pairs, e.g. 'en=0.4,de=0.2,fr=0.2'")
     return target_mix(input_data, group_column, id_column, parsed)
 
 

@@ -65,14 +65,21 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     cols = columns or df.columns
     nd = (F.approx_count_distinct if approx_distinct
           else F.countDistinct)
+    field_types = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias('__n')]
     for c in cols:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f'{c}__nulls'),
-            nd(c).cast('long').alias(f'{c}__nd'),
-            F.min(c).cast('string').alias(f'{c}__min'),
-            F.max(c).cast('string').alias(f'{c}__max'),
-        ]
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                    .alias(f'{c}__nulls'))
+        if isinstance(field_types.get(c), T.MapType):
+            # maps are unorderable/unhashable in Spark: no min/max or
+            # distinct — profile the rest of the table instead of failing
+            aggs += [F.lit(None).cast('long').alias(f'{c}__nd'),
+                     F.lit(None).cast('string').alias(f'{c}__min'),
+                     F.lit(None).cast('string').alias(f'{c}__max')]
+        else:
+            aggs += [nd(c).cast('long').alias(f'{c}__nd'),
+                     F.min(c).cast('string').alias(f'{c}__min'),
+                     F.max(c).cast('string').alias(f'{c}__max')]
     wide = df.agg(*aggs)
     types = dict(df.dtypes)
     stack_args = ', '.join(

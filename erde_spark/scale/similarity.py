@@ -274,10 +274,11 @@ def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
         raise ValueError('ks must be <= 256 (one byte per subspace code)')
     cent, indexed = ivf_index(df, n_lists, id_col, vec_col,
                               sample_size, seed)
-    # materialize: the PQ sample collect, the code scan and (in
-    # ivfpq_topk) the refine join all read this 3-stage Python-UDF
-    # pipeline — uncheckpointed it would re-run per consumer
-    indexed = indexed.localCheckpoint(eager=True)
+    # the training sample is a bounded limit-collect (limit pushdown
+    # computes the UDF pipeline only for the sampled rows), so the ONE
+    # checkpoint below — of the fully encoded frame — is the only
+    # materialization; everything downstream (code scan, refine join)
+    # reads it
     sample = np.stack([np.asarray(r['nvec'], dtype=np.float64)
                        for r in indexed.select('nvec')
                        .limit(sample_size).collect()])
@@ -296,7 +297,8 @@ def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series([c.tobytes() for c in codes])
 
-    return cent, books, indexed.withColumn('code', _encode(F.col('nvec')))
+    return cent, books, (indexed.withColumn('code', _encode(F.col('nvec')))
+                         .localCheckpoint(eager=True))
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -317,8 +319,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     only the k*refine survivors per query load real vectors."""
     cent, books, indexed = pq_index(corpus, n_lists, m, ks, id_col,
                                     vec_col, sample_size, seed)
-    # one _encode pass: both the code scan and the refine join read this
-    indexed = indexed.localCheckpoint(eager=True)
+    # pq_index returns the encoded frame already materialized (one
+    # checkpoint total): the code scan and the refine join both read it
     cb = indexed.select(F.col('id').alias('vec_id'), 'list_id', 'code')
     sub = books.shape[2]
     _probes = _probe_udf(cent, n_probes)

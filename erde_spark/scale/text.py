@@ -506,8 +506,8 @@ def shared_passage_spans(df: DataFrame, id_col: str = 'doc_id',
     m = (a.join(b, 'fp').filter(F.col('id_a') < F.col('id_b'))
          .withColumn('obk', F.floor((F.col('pos_b') - F.col('pos_a'))
                                     / max_gap))
-         .groupBy('id_a', 'id_b', 'obk', 'pos_a')
-         .agg(F.min('pos_b').alias('pos_b')))
+         .select('id_a', 'id_b', 'obk', 'pos_a')
+         .distinct())
     w = Window.partitionBy('id_a', 'id_b', 'obk').orderBy('pos_a')
     gap_a = F.col('pos_a') - F.lag('pos_a').over(w)
     new_span = (gap_a.isNull() | (gap_a > max_gap)).cast('int')

@@ -15,3 +15,18 @@ def test_profile_exact_and_approx(spark):
     ap = {r['column_name']: r for r in
           profile(df, approx_distinct=True).collect()}
     assert ap['k']['n_distinct'] == 3
+
+
+def test_profile_skips_unorderable_map_columns(spark):
+    """Map columns are unorderable/unhashable: profile() reports their
+    type and null count and leaves distinct/min/max NULL instead of
+    failing the whole report."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.operators.stats import profile
+    df = spark.createDataFrame([(1,), (2,)], 'k long').withColumn(
+        'm', F.create_map(F.lit('a'), F.col('k')))
+    got = {r['column_name']: r for r in profile(df).collect()}
+    assert got['m']['null_count'] == 0
+    assert got['m']['n_distinct'] is None and got['m']['min_value'] is None
+    assert got['k']['n_distinct'] == 2
