@@ -2337,7 +2337,8 @@ _DEDUP_CLUSTER_SIZES_SQL = _CLUSTER_CC_SQL.replace(
     'SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id', """,
 comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
 sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
-SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster_size) AS n_docs
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size
 """)
 
@@ -2618,7 +2619,7 @@ p AS (SELECT unnest(list_transform(range(1, len(token)),
                                    i -> substr(token, i::INT, 2))) AS pair,
              n
       FROM c WHERE len(token) >= 2)
-SELECT pair, SUM(n) AS count FROM p GROUP BY pair
+SELECT pair, CAST(SUM(n) AS BIGINT) AS count FROM p GROUP BY pair
 ORDER BY count DESC, pair LIMIT 50
 """
 
