@@ -2688,6 +2688,7 @@ def q_streaming_neardup_backfill(spark, sf_dir):
     Returns the kept documents; rows-only (streaming + LSH recall, no
     SQL oracle)."""
     import os
+    import shutil
     import tempfile
 
     from erde_spark.scale.dedup import streaming_neardup_dedup
@@ -2705,8 +2706,13 @@ def q_streaming_neardup_backfill(spark, sf_dir):
         checkpoint_dir=os.path.join(base, 'ckpt'),
         state_dir=os.path.join(base, 'state'),
         threshold=0.9, max_files_per_trigger=1)
-    return (spark.read.parquet(os.path.join(base, 'out'))
-            .select('doc_id', 'lang'))
+    # materialize the result off the temp files so the whole working
+    # tree (input copy, checkpoint, state, output) can be removed now
+    # instead of leaking a corpus copy into /tmp per invocation
+    out = (spark.read.parquet(os.path.join(base, 'out'))
+           .select('doc_id', 'lang').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_multimodal_features(spark, sf_dir):

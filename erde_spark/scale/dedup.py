@@ -575,8 +575,15 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     """
     if collect_cap is None:
         collect_cap = _MERGE_COLLECT_CAP
+    base = pairs.select('id_a', 'id_b')
     if collect_cap:
-        probe = pairs.select('id_a', 'id_b').limit(collect_cap + 1).collect()
+        # Materialize the edge projection ONCE before probing: the probe
+        # evaluates the full upstream pipeline (often an LSH-verify chain
+        # with shuffles, so limit() can't short-circuit it), and without
+        # the checkpoint an over-cap edge set would re-evaluate that
+        # pipeline twice more through the union below.
+        base = base.localCheckpoint(eager=True)
+        probe = base.limit(collect_cap + 1).collect()
         if len(probe) <= collect_cap:
             edge_list = [(r['id_a'], r['id_b']) for r in probe]
             remap = _union_find_min(edge_list)
@@ -590,9 +597,8 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                        .join(labels.select('id'), 'id', 'left_anti')
                        .select('id', F.col('id').alias('component')))
             return labels.unionByName(singles)
-    edges = (pairs.select('id_a', 'id_b')
-             .union(pairs.select(F.col('id_b').alias('id_a'),
-                                 F.col('id_a').alias('id_b'))))
+    edges = base.union(base.select(F.col('id_b').alias('id_a'),
+                                   F.col('id_a').alias('id_b')))
     edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col('id_a').alias('id')).distinct()
               .select('id', F.col('id').alias('component'))
@@ -637,6 +643,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
 def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
                    threshold: float = 0.8, pair_strategy: str = 'spanning',
                    merge_rounds: int = 2, shingles: int | None = None,
+                   _state_out: dict | None = None,
                    **lsh_kw) -> DataFrame:
     """One representative per near-duplicate cluster: MinHash-LSH edges ->
     connected components -> keep the minimum id of each component.
@@ -681,6 +688,13 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
         pf = _use_sig_prefilter(tok, num_perm)
         buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
+        if _state_out is not None:
+            # hand the already-materialized per-document state to callers
+            # that need it downstream (the streaming signature-store
+            # writer) so they don't re-run the tokenize/minhash/bucket
+            # pass over the kept subset
+            _state_out.update(tok=tok, sig=sig, buckets=buckets,
+                              bands=bands, rows=rows)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
                                 threshold, num_perm, small, pf)
         comp = connected_components(edges, df.select(id_col)) \
@@ -877,14 +891,20 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        state: dict = {}
         kept = dedup_clusters(batch_df, id_col, text_col, threshold,
                               pair_strategy='spanning', num_perm=num_perm,
-                              bands=bands, seed=seed,
-                              shingles=shingles).drop('cluster_size')
-        tok = _hashed_token_sets(kept, id_col, text_col, shingles) \
-            .localCheckpoint(eager=True)
-        sig = _sig_from_hashes(tok, num_perm, seed)
-        bk = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
+                              bands=bands, seed=seed, shingles=shingles,
+                              _state_out=state).drop('cluster_size')
+        # reuse the tokenize/minhash/bucket state dedup_clusters already
+        # materialized for the whole batch: restricting it to the kept
+        # ids is two semi-joins on checkpointed frames instead of a
+        # second full hashing pass over the survivors
+        kept_ids = kept.select(F.col(id_col).alias('id'))
+        tok = (state['tok'].join(kept_ids, 'id', 'left_semi')
+               .localCheckpoint(eager=True))
+        bk = (state['buckets'].join(kept_ids, 'id', 'left_semi')
+              .localCheckpoint(eager=True))
         if os.path.isdir(os.path.join(state_dir, 'buckets')):
             sb = sess.read.parquet(os.path.join(state_dir, 'buckets')).drop('batch')
             st = sess.read.parquet(os.path.join(state_dir, 'toks')).drop('batch')

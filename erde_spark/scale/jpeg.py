@@ -192,6 +192,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # runs of 0xFF before a marker are legal fill bytes (T.81 B.1.1.2)
+        while i < len(data) - 1 and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         i += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -199,6 +202,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         ln = int.from_bytes(data[i:i + 2], 'big')
+        if ln < 2:  # corrupt segment length — resync byte-wise
+            continue
         seg = data[i + 2:i + ln]
         if marker == 0xDB:  # DQT
             p = 0
