@@ -1,12 +1,13 @@
 """Minimal pure-stdlib media codecs: PNG images and WAV audio.
 
-PNG: 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced (zlib +
-struct — no image libraries). The decoder implements the full scanline
-filter set (None / Sub / Up / Average / Paeth; public PNG spec, RFC 2083
-§6) with CRC verification, so `decode_media` is a real decoder for the
-web's dominant lossless format. The encoder exists for tests and
-fixtures; its ``filter_type`` knob lets tests exercise every unfilter
-path.
+PNG: 8-bit greyscale / grey+alpha / RGB / RGBA plus palette (color
+type 3, PLTE/tRNS, bit depths 1/2/4/8) and Adam7 interlacing, in pure
+zlib + struct — no image libraries. The decoder implements the full
+scanline filter set (None / Sub / Up / Average / Paeth; public PNG
+spec, RFC 2083 §6) with CRC verification, so `decode_media` is a real
+decoder for the web's dominant lossless format. The encoders exist for
+tests and fixtures; the ``filter_type`` knob lets tests exercise every
+unfilter path, ``interlace`` emits real Adam7 pass structure.
 
 WAV: PCM 8/16/32-bit int and 32/64-bit float via the stdlib ``wave`` +
 struct modules — samples come back as an (n_frames, n_channels) ndarray.
@@ -31,13 +32,70 @@ def is_png(data: bytes) -> bool:
     return bytes(data[:8]) == _SIG
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _pass_pixels(raw: bytes, p: int, pw: int, ph: int, depth: int,
+                 ch: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub)image of ``ph`` scanlines starting at stream
+    offset ``p``; returns ((ph, pw, ch) uint8 pixel VALUES — palette
+    indices for color type 3 — and the new offset). Sub-byte depths
+    filter on whole bytes (bpp=1) per the spec, then unpack MSB-first."""
+    bits = depth * ch
+    rb = (pw * bits + 7) // 8          # scanline bytes
+    bpp = max(1, bits // 8)            # filter unit in bytes
+    out = np.empty((ph, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.uint8)
+    for y in range(ph):
+        if p + 1 + rb > len(raw):
+            raise ValueError('PNG data truncated')
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, rb, p + 1).copy()
+        p += 1 + rb
+        if f == 0:
+            pass
+        elif f == 1:                      # Sub: left-neighbour prefix sum
+            for x in range(bpp, rb):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif f == 2:                      # Up
+            row += prev
+        elif f == 3:                      # Average
+            for x in range(rb):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                      # Paeth
+            for x in range(rb):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f'PNG filter type {f} invalid')
+        out[y] = row
+        prev = row
+    if depth == 8:
+        return out[:, :pw * ch].reshape(ph, pw, ch), p
+    # depth 1/2/4 (color types 0 and 3 only): unpack MSB-first groups
+    b = np.unpackbits(out, axis=1)[:, :pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (b * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None], p
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 ndarray, shape (h, w) for greyscale or
-    (h, w, channels) otherwise."""
+    """PNG bytes -> uint8 ndarray: (h, w) greyscale, (h, w, channels)
+    otherwise. Palette images (color type 3) come back as RGB — RGBA
+    when a tRNS chunk supplies per-entry alpha. Adam7-interlaced images
+    are de-interlaced."""
     data = bytes(data)
     if not is_png(data):
         raise ValueError('not a PNG: bad signature')
-    pos, idat, header = 8, [], None
+    pos, idat, header, plte, trns = 8, [], None, None, None
     while pos + 12 <= len(data):
         (length,) = struct.unpack('>I', data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
@@ -48,6 +106,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if ctype == b'IHDR':
             header = struct.unpack('>IIBBBBB', chunk)
+        elif ctype == b'PLTE':
+            plte = chunk
+        elif ctype == b'tRNS':
+            trns = chunk
         elif ctype == b'IDAT':
             idat.append(chunk)
         elif ctype == b'IEND':
@@ -55,72 +117,63 @@ def decode_png(data: bytes) -> np.ndarray:
     if header is None:
         raise ValueError('PNG missing IHDR')
     w, h, depth, color, comp, filt, interlace = header
-    if depth != 8:
-        raise NotImplementedError(f'PNG bit depth {depth} (only 8 supported)')
-    if color not in _CHANNELS:
-        raise NotImplementedError(f'PNG color type {color} (palette unsupported)')
-    if interlace != 0:
-        raise NotImplementedError('interlaced (Adam7) PNG unsupported')
+    if color not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(f'PNG color type {color}')
+    if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
+        raise NotImplementedError(
+            f'PNG bit depth {depth} for color type {color} '
+            '(8, or 1/2/4 for greyscale/palette)')
+    if interlace not in (0, 1):
+        raise ValueError(f'invalid PNG interlace method {interlace}')
     if comp != 0 or filt != 0:
         raise ValueError('invalid PNG compression/filter method')
+    if color == 3 and plte is None:
+        raise ValueError('palette PNG missing PLTE chunk')
 
-    ch = _CHANNELS[color]
-    stride = w * ch
+    ch = 1 if color == 3 else _CHANNELS[color]
     raw = zlib.decompress(b''.join(idat))
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        px, p = _pass_pixels(raw, 0, w, h, depth, ch)
+    else:                                 # Adam7: 7 independent passes
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        p = 0
+        for sx, sy, dx, dy in _ADAM7:
+            pw = (w - sx + dx - 1) // dx
+            ph = (h - sy + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _pass_pixels(raw, p, pw, ph, depth, ch)
+            px[sy::dy, sx::dx] = sub
+    if p != len(raw):
         raise ValueError('PNG data length mismatch')
 
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
-    for y in range(h):
-        f = raw[p]
-        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
-        p += 1 + stride
-        if f == 0:
-            pass
-        elif f == 1:                      # Sub: left-neighbour prefix sum
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
-        elif f == 2:                      # Up
-            row += prev
-        elif f == 3:                      # Average
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:                      # Paeth
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f'PNG filter type {f} invalid')
-        out[y] = row
-        prev = row
-    arr = out.reshape(h, w, ch)
-    return arr[:, :, 0] if ch == 1 else arr
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3:
+            raise ValueError('PLTE length not a multiple of 3')
+        pal = pal.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError('palette index out of range')
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if color == 0 and depth < 8:          # scale to full 8-bit range
+        return (px[:, :, 0] * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return px[:, :, 0] if ch == 1 else px
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 ndarray -> PNG bytes. ``filter_type`` applies one filter to
-    every scanline (0=None default; 1-4 exist so tests can cover each
-    decoder unfilter path)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    ch = arr.shape[2]
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * ch)
-    n = w * ch
+def _filter_lines(flat: np.ndarray, ch: int, filter_type: int) -> list[bytes]:
+    """Filter one (sub)image's scanlines (rows of a (h, w*ch) byte
+    matrix) with a single filter type; prev resets at the first row, as
+    each Adam7 pass is filtered independently."""
+    n = flat.shape[1]
     lines = []
     prev = np.zeros(n, dtype=np.uint8)
-    for y in range(h):
-        row = flat[y]
+    for row in flat:
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -147,14 +200,73 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f'filter_type {filter_type} invalid')
         lines.append(bytes([filter_type]) + filt.tobytes())
         prev = row
+    return lines
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (struct.pack('>I', len(payload)) + ctype + payload
-                + struct.pack('>I', zlib.crc32(ctype + payload) & 0xFFFFFFFF))
 
-    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b''.join(lines))
-    return _SIG + chunk(b'IHDR', ihdr) + chunk(b'IDAT', idat) + chunk(b'IEND', b'')
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (struct.pack('>I', len(payload)) + ctype + payload
+            + struct.pack('>I', zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+
+def _scanline_payload(img: np.ndarray, ch: int, filter_type: int,
+                      interlace: int) -> bytes:
+    """(h, w, ch) byte image -> filtered scanline stream, sequential or
+    Adam7 pass-ordered."""
+    if interlace == 0:
+        flat = img.reshape(img.shape[0], -1)
+        return b''.join(_filter_lines(flat, ch, filter_type))
+    pieces = []
+    for sx, sy, dx, dy in _ADAM7:
+        sub = img[sy::dy, sx::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        pieces += _filter_lines(np.ascontiguousarray(sub)
+                                .reshape(sub.shape[0], -1), ch, filter_type)
+    return b''.join(pieces)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               interlace: int = 0) -> bytes:
+    """uint8 ndarray -> PNG bytes. ``filter_type`` applies one filter to
+    every scanline (0=None default; 1-4 exist so tests can cover each
+    decoder unfilter path); ``interlace=1`` writes real Adam7 pass
+    structure."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    ch = arr.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    h, w = arr.shape[:2]
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, interlace)
+    idat = zlib.compress(_scanline_payload(arr, ch, filter_type, interlace))
+    return (_SIG + _png_chunk(b'IHDR', ihdr) + _png_chunk(b'IDAT', idat)
+            + _png_chunk(b'IEND', b''))
+
+
+def encode_png_palette(arr: np.ndarray, filter_type: int = 0,
+                       interlace: int = 0,
+                       alpha: np.ndarray | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB with <=256 distinct colors -> color-type-3
+    (palette) PNG bytes; ``alpha`` is an optional (h, w) uint8 plane
+    written as a tRNS chunk (per-palette-entry alpha). Fixture encoder
+    for the palette decode path."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    key = arr.reshape(-1, 3)
+    if alpha is not None:
+        key = np.concatenate(
+            [key, np.asarray(alpha, np.uint8).reshape(-1, 1)], axis=1)
+    pal, inv = np.unique(key, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f'{len(pal)} distinct colors exceed one palette')
+    idx = inv.astype(np.uint8).reshape(h, w, 1)
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, 3, 0, 0, interlace)
+    out = (_SIG + _png_chunk(b'IHDR', ihdr)
+           + _png_chunk(b'PLTE', pal[:, :3].tobytes()))
+    if alpha is not None:
+        out += _png_chunk(b'tRNS', pal[:, 3].tobytes())
+    idat = zlib.compress(_scanline_payload(idx, 1, filter_type, interlace))
+    return out + _png_chunk(b'IDAT', idat) + _png_chunk(b'IEND', b'')
 
 
 # ---------------------------------------------------------------- WAV

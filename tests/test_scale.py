@@ -303,6 +303,85 @@ def test_png_rejects_garbage():
         decode_png(b'not a png at all')
 
 
+def test_png_adam7_roundtrip():
+    """Adam7 interlaced images de-interlace to the exact pixels for
+    every filter type and channel count, including images smaller than
+    one 8x8 pass period (passes with zero rows/cols are skipped)."""
+    from erde_spark.scale.png import decode_png, encode_png
+    rng = np.random.RandomState(23)
+    for shape in ((13, 17, 3), (9, 5), (8, 8, 4), (3, 2, 3), (1, 1)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for ftype in range(5):
+            got = decode_png(encode_png(arr, filter_type=ftype, interlace=1))
+            assert got.shape == arr.shape and (got == arr).all(), (shape, ftype)
+
+
+def test_png_palette_roundtrip():
+    """Color-type-3 (palette) decode: RGB recovered exactly through the
+    PLTE indirection, sequential and Adam7, and a tRNS chunk yields the
+    RGBA plane."""
+    from erde_spark.scale.png import decode_png, encode_png_palette
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 6, size=(11, 7), dtype=np.uint8)
+    rgb = np.stack([idx * 40, idx * 30, 255 - idx * 42], axis=2).astype(np.uint8)
+    for ftype in (0, 1, 2, 3, 4):
+        for il in (0, 1):
+            got = decode_png(encode_png_palette(rgb, ftype, il))
+            assert got.shape == rgb.shape and (got == rgb).all(), (ftype, il)
+    alpha = (idx * 51).astype(np.uint8)
+    got = decode_png(encode_png_palette(rgb, 1, 1, alpha=alpha))
+    assert got.shape == (11, 7, 4)
+    assert (got[:, :, :3] == rgb).all() and (got[:, :, 3] == alpha).all()
+
+
+def test_png_palette_subbyte_depths():
+    """Palette PNGs commonly pack indices at 1/2/4 bits per pixel; a
+    hand-built depth-4 and depth-1 stream (filter 0) decodes to the
+    palette colors — MSB-first packing per the spec."""
+    import struct
+    import zlib
+
+    from erde_spark.scale.png import _png_chunk, _SIG, decode_png
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    # depth 4, 3x2 image: indices per row (0,1,2) / (3,0,1)
+    ihdr = struct.pack('>IIBBBBB', 3, 2, 4, 3, 0, 0, 0)
+    scan = bytes([0, 0x01, 0x20]) + bytes([0, 0x30, 0x10])
+    data = (_SIG + _png_chunk(b'IHDR', ihdr) + _png_chunk(b'PLTE', pal)
+            + _png_chunk(b'IDAT', zlib.compress(scan))
+            + _png_chunk(b'IEND', b''))
+    got = decode_png(data)
+    exp = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    [[7, 8, 9], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    assert (got == exp).all()
+    # depth 1, 10x1: bits 1011000011 -> two bytes 0xB0, 0xC0
+    ihdr = struct.pack('>IIBBBBB', 10, 1, 1, 3, 0, 0, 0)
+    scan = bytes([0, 0b10110000, 0b11000000])
+    data = (_SIG + _png_chunk(b'IHDR', ihdr)
+            + _png_chunk(b'PLTE', pal[:6])
+            + _png_chunk(b'IDAT', zlib.compress(scan))
+            + _png_chunk(b'IEND', b''))
+    got = decode_png(data)
+    exp_idx = [1, 0, 1, 1, 0, 0, 0, 0, 1, 1]
+    exp = np.array([[(0, 255, 0) if i else (255, 0, 0)
+                     for i in exp_idx]], dtype=np.uint8)
+    assert (got == exp).all()
+
+
+def test_png_grey_subbyte_scales():
+    """Depth-2 greyscale scales its 0..3 values onto 0..255 (x85)."""
+    import struct
+    import zlib
+
+    from erde_spark.scale.png import _png_chunk, _SIG, decode_png
+    ihdr = struct.pack('>IIBBBBB', 4, 1, 2, 0, 0, 0, 0)
+    scan = bytes([0, 0b00011011])       # pixels 0,1,2,3
+    data = (_SIG + _png_chunk(b'IHDR', ihdr)
+            + _png_chunk(b'IDAT', zlib.compress(scan))
+            + _png_chunk(b'IEND', b''))
+    assert (decode_png(data) == np.array([[0, 85, 170, 255]],
+                                         dtype=np.uint8)).all()
+
+
 def test_wav_roundtrip_and_float():
     from erde_spark.scale.png import decode_wav, encode_wav
     rng = np.random.RandomState(5)
