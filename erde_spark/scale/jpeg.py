@@ -1,19 +1,32 @@
-"""Baseline JPEG (JFIF) codec in numpy — no codec libraries.
+"""Baseline + progressive JPEG (JFIF) codec in numpy — no codec libraries.
 
-Implements the baseline-sequential DCT process of the public ITU-T T.81
-spec (ISO/IEC 10918-1): segment parsing, Huffman entropy coding, zigzag,
+Implements the DCT processes of the public ITU-T T.81 spec (ISO/IEC
+10918-1): segment parsing, Huffman entropy coding, zigzag,
 dequantization, 8x8 type-III DCT, chroma upsampling and the JFIF
 YCbCr<->RGB conversion. Standard quantization and Huffman tables are the
 spec's own Annex K examples. Restart markers (DRI/RSTn) are honored.
 
-Scope mirrors the reference's PIL-based media reads as far as this
-container allows (no PIL/ffmpeg): progressive (SOF2), arithmetic-coded
-(SOF9+) and hierarchical processes raise a clear ``NotImplementedError``
-— baseline sequential is the overwhelmingly dominant web-crawl profile.
+Two decode paths:
 
-The encoder exists so tests and pipelines can synthesize REAL JPEG bytes
-(grayscale or color, optional 4:2:0 subsampling) without external
-fixtures; decode(encode(img)) round-trips within quantization error.
+* baseline-sequential single interleaved scan (SOF0/1) — the common
+  web profile, decoded block-at-a-time with immediate IDCT;
+* a coefficient-domain multi-scan driver for PROGRESSIVE (SOF2)
+  streams — spectral selection AND successive approximation per T.81
+  Annex G (DC first/refine, AC first with EOB runs, AC refinement with
+  correction bits) — which also decodes non-interleaved multi-scan
+  sequential streams. Progressive is a double-digit share of web-crawl
+  JPEGs, so a curation pipeline must read it.
+
+Arithmetic-coded (SOF9+), lossless (SOF3) and hierarchical processes
+raise a clear ``NotImplementedError``.
+
+The encoders exist so tests and pipelines can synthesize REAL JPEG
+bytes — baseline (grayscale or color, optional 4:2:0 subsampling,
+DRI/RSTn) and progressive with the libjpeg-shaped scan script
+(interleaved DC, per-component spectral bands, successive-approximation
+refinement passes) — without external fixtures. A fully-refined
+progressive stream reconstructs the SAME quantized coefficients as the
+baseline encoding, so decode(progressive) == decode(baseline) exactly.
 """
 
 from __future__ import annotations
@@ -178,14 +191,18 @@ def _extend(v: int, t: int) -> int:
 # -- decoder -------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline-sequential JFIF -> uint8 array, (H, W) grayscale or
-    (H, W, 3) RGB. Raises ``NotImplementedError`` for progressive /
-    arithmetic / hierarchical processes and 12-bit precision."""
+    """JFIF -> uint8 array, (H, W) grayscale or (H, W, 3) RGB.
+    Baseline-sequential (SOF0/1, single interleaved scan) decodes
+    block-at-a-time; progressive (SOF2) and non-interleaved multi-scan
+    sequential streams accumulate coefficients across scans and IDCT at
+    EOI. Raises ``NotImplementedError`` for arithmetic / lossless /
+    hierarchical processes and 12-bit precision."""
     if not is_jpeg(data):
         raise ValueError('not a JPEG stream (missing SOI)')
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    coefs = None
     restart = 0
     i = 2
     while i < len(data) - 1:
@@ -226,7 +243,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f'{prec}-bit JPEG precision')
@@ -236,12 +253,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 15, 'tq': tq})
-            frame = {'h': h, 'w': w, 'comps': comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {'h': h, 'w': w, 'comps': comps,
+                     'progressive': marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                'only baseline-sequential JPEG decodes (SOF0/SOF1); '
-                f'SOF marker 0x{marker:02X} is a progressive/arithmetic/'
+                'only DCT Huffman JPEG decodes (SOF0/SOF1/SOF2); SOF '
+                f'marker 0x{marker:02X} is a lossless/arithmetic/'
                 'hierarchical process')
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], 'big')
@@ -249,18 +267,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError('SOS before SOF')
             ns = seg[0]
-            if ns != len(frame['comps']):
-                raise NotImplementedError(
-                    'non-interleaved multi-scan baseline JPEG (scan covers '
-                    f'{ns} of {len(frame["comps"])} components) is not '
-                    'supported — only single-scan interleaved streams')
-            scan = []
+            scomps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame['comps'] if x['id'] == cid)
-                scan.append((comp, tabs >> 4, tabs & 15))
-            return _decode_scan(data, i + ln, frame, scan, qt, huff, restart)
+                ci, comp = next((j, x) for j, x in enumerate(frame['comps'])
+                                if x['id'] == cid)
+                scomps.append((ci, comp, tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            if (not frame['progressive'] and coefs is None
+                    and ns == len(frame['comps']) and ss == 0 and se == 63):
+                # single interleaved sequential scan: decode + IDCT in
+                # one pass (the dominant web profile, kept fast)
+                scan = [(comp, dc, ac) for _, comp, dc, ac in scomps]
+                return _decode_scan(data, i + ln, frame, scan, qt, huff,
+                                    restart)
+            if coefs is None:
+                coefs = _init_coefs(frame)
+            i = _decode_scan_coef(data, i + ln, frame, coefs, scomps,
+                                  ss, se, ah, al, huff, restart)
+            continue
         i += ln
+    if coefs is not None:
+        return _reconstruct(frame, coefs, qt)
     raise ValueError('no SOS scan found')
 
 
@@ -344,6 +374,212 @@ def _decode_block(rd, dc_table, ac_table, preds, ci, dq):
     return _DCT_C.T @ block @ _DCT_C + 128.0
 
 
+# -- progressive / multi-scan coefficient-domain path --------------------
+
+def _frame_grid(frame):
+    """(hmax, vmax, mcux, mcuy) for the frame's interleaved MCU grid."""
+    comps = frame['comps']
+    hmax = max(c['h'] for c in comps)
+    vmax = max(c['v'] for c in comps)
+    return (hmax, vmax,
+            -(-frame['w'] // (8 * hmax)), -(-frame['h'] // (8 * vmax)))
+
+
+def _comp_grid(frame, comp):
+    """(bw, bh): a component's own block grid for NON-interleaved scans
+    (T.81 A.2.2 — ceil of the scaled sample dimensions, not MCU-padded)."""
+    hmax, vmax, _, _ = _frame_grid(frame)
+    cw = -(-frame['w'] * comp['h'] // hmax)
+    chh = -(-frame['h'] * comp['v'] // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _init_coefs(frame):
+    """Per-component zigzag-order coefficient stores on the MCU-padded
+    grid (non-interleaved scans fill the top-left sub-grid; padded
+    blocks stay zero and are cropped after IDCT)."""
+    _, _, mcux, mcuy = _frame_grid(frame)
+    return [np.zeros((mcuy * c['v'], mcux * c['h'], 64), np.int64)
+            for c in frame['comps']]
+
+
+def _decode_scan_coef(data, pos, frame, coefs, scomps, ss, se, ah, al,
+                      huff, restart):
+    """Decode ONE entropy-coded scan into the coefficient store (T.81
+    Annex G progressive semantics; full-band sequential scans also land
+    here when non-interleaved). Returns the position of the next marker."""
+    _, _, mcux, mcuy = _frame_grid(frame)
+    interleaved = len(scomps) > 1
+    if interleaved:
+        n_mcu = mcux * mcuy
+    else:
+        ci0, comp0, _, _ = scomps[0]
+        bw, bh = _comp_grid(frame, comp0)
+        n_mcu = bw * bh
+    rd = _BitReader(data, pos)
+    preds = [0] * len(frame['comps'])
+    eobrun = 0
+    mcu = 0
+    while mcu < n_mcu:
+        if restart and mcu and mcu % restart == 0:
+            rd.align()
+            if (rd.pos + 1 < len(data) and data[rd.pos] == 0xFF
+                    and 0xD0 <= data[rd.pos + 1] <= 0xD7):
+                rd.pos += 2
+            preds = [0] * len(frame['comps'])
+            eobrun = 0
+        try:
+            if interleaved:
+                byi, bxi = divmod(mcu, mcux)
+                for ci, comp, dc_t, ac_t in scomps:
+                    for v in range(comp['v']):
+                        for hh in range(comp['h']):
+                            blk = coefs[ci][byi * comp['v'] + v,
+                                            bxi * comp['h'] + hh]
+                            eobrun = _scan_block(
+                                rd, blk, ss, se, ah, al,
+                                huff.get((0, dc_t)), huff.get((1, ac_t)),
+                                preds, ci, eobrun)
+            else:
+                byi, bxi = divmod(mcu, bw)
+                _, _, dc_t, ac_t = scomps[0]
+                blk = coefs[ci0][byi, bxi]
+                eobrun = _scan_block(rd, blk, ss, se, ah, al,
+                                     huff.get((0, dc_t)),
+                                     huff.get((1, ac_t)),
+                                     preds, ci0, eobrun)
+        except _MarkerHit as m:
+            if 0xD0 <= m.marker <= 0xD7:
+                # RST reached mid-read (padding consumed as code bits):
+                # resync, reset predictors + EOB run, redo this MCU
+                rd.pos += 2
+                rd.align()
+                preds = [0] * len(frame['comps'])
+                eobrun = 0
+                continue
+            raise ValueError(f'unexpected marker 0x{m.marker:02X} mid-scan')
+        mcu += 1
+    rd.align()
+    return rd.pos
+
+
+def _scan_block(rd, blk, ss, se, ah, al, dc_tab, ac_tab, preds, ci, eobrun):
+    """One block's share of one scan; returns the updated EOB run."""
+    if ss == 0 and se == 0:                       # DC-only (progressive)
+        if ah == 0:                               # first pass
+            t = rd.decode(dc_tab)
+            preds[ci] += _extend(rd.read(t), t)
+            blk[0] = preds[ci] << al
+        elif rd.read(1):                          # refinement: one bit
+            blk[0] |= 1 << al
+        return eobrun
+    if ss == 0:                                   # full-band sequential
+        t = rd.decode(dc_tab)
+        preds[ci] += _extend(rd.read(t), t)
+        blk[0] = preds[ci]
+        return _ac_first(rd, blk, 1, se, 0, ac_tab, eobrun)
+    if ah == 0:
+        return _ac_first(rd, blk, ss, se, al, ac_tab, eobrun)
+    return _ac_refine(rd, blk, ss, se, al, ac_tab, eobrun)
+
+
+def _ac_first(rd, blk, ss, se, al, ac_tab, eobrun):
+    """AC spectral-selection first pass (T.81 G.1.2.2): run/size symbols
+    with EOB-run extension; values land shifted by the point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:                           # EOBn: run of 2^r + ext
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.read(r)
+                break
+            k += 16                               # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError('corrupt JPEG entropy stream (AC run past '
+                             'the scan band)')
+        blk[k] = _extend(rd.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd, blk, ss, se, al, ac_tab, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±2^Al; every already-nonzero
+    coefficient crossed on the way reads one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:                       # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read(r)
+                    break
+                # ZRL: skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError('corrupt refinement scan (s != 1)')
+                newval = p1 if rd.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:                            # refine rest of band
+            if blk[k] != 0 and rd.read(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    einsum over all blocks), upsample, crop, color-convert."""
+    h, w = frame['h'], frame['w']
+    hmax, vmax, _, _ = _frame_grid(frame)
+    out = []
+    for ci, c in enumerate(frame['comps']):
+        dq = qt[c['tq']]                          # zigzag order, like DQT
+        cz = coefs[ci].astype(np.float64) * dq
+        nat = np.zeros_like(cz)
+        nat[:, :, ZIGZAG] = cz                    # zigzag -> natural order
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum('ka,yxkl,lb->yxab', _DCT_C, blocks,
+                            _DCT_C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c['v'], axis=0),
+                          hmax // c['h'], axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 # -- encoder -------------------------------------------------------------
 
 class _BitWriter:
@@ -408,20 +644,13 @@ def _encode_block(wr, block, dq, dc_codes, ac_codes, pred):
     return int(q[0])
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF bytes.
-    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling);
-    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs."""
+def _prep_planes(arr: np.ndarray, subsample: bool):
+    """(gray, h, w, padded_planes, samp, qsel, mx, my): shared front half
+    of both encoders — RGB->YCbCr, optional 4:2:0 chroma subsampling,
+    edge-padding every plane to whole MCUs."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    # quantization tables travel (and divide) in ZIGZAG order — T.81
-    # B.2.4.1 requires DQT bytes in zigzag scan order, and _encode_block
-    # quantizes the zigzag-reordered coefficient vector
-    qly = _scale_qt(_QT_LUMA, quality)[ZIGZAG]
-    qlc = _scale_qt(_QT_CHROMA, quality)[ZIGZAG]
     if gray:
         planes = [arr.astype(np.float64)]
         samp = [(1, 1)]
@@ -452,6 +681,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         th, tw = my * sv * 8, mx * sh * 8
         padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
                              mode='edge'))
+    return gray, h, w, padded, samp, qsel, mx, my
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF bytes.
+    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling);
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs."""
+    # quantization tables travel (and divide) in ZIGZAG order — T.81
+    # B.2.4.1 requires DQT bytes in zigzag scan order, and _encode_block
+    # quantizes the zigzag-reordered coefficient vector
+    qly = _scale_qt(_QT_LUMA, quality)[ZIGZAG]
+    qlc = _scale_qt(_QT_CHROMA, quality)[ZIGZAG]
+    gray, h, w, padded, samp, qsel, mx, my = _prep_planes(arr, subsample)
+    planes = padded
 
     out = bytearray(b'\xff\xd8')  # SOI
     out += b'\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00'
@@ -505,5 +750,197 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                         preds[ci])
     wr.flush()
     out += wr.out
+    out += b'\xff\xd9'  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (fixture / pipeline synthesis) -------------------
+
+def _point_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — DC uses a plain arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_dc_scan(wr, scomps, qblocks, samp, ah, al, dc_codes, mx, my):
+    """DC scan: interleaved MCU order (first pass emits diffs of the
+    point-transformed DC; refinement emits one bit per block)."""
+    preds = {ci: 0 for ci in scomps}
+    for mcu in range(mx * my):
+        byi, bxi = divmod(mcu, mx)
+        for ci in scomps:
+            sh, sv = samp[ci]
+            for v in range(sv):
+                for hh in range(sh):
+                    q0 = int(qblocks[ci][byi * sv + v, bxi * sh + hh, 0])
+                    if ah:                      # refinement: bit Al
+                        wr.write((q0 >> al) & 1, 1)
+                        continue
+                    t0 = q0 >> al               # arithmetic shift (DC)
+                    diff = t0 - preds[ci]
+                    preds[ci] = t0
+                    t = _category(diff)
+                    code, ln = dc_codes[ci][t]
+                    wr.write(code, ln)
+                    if t:
+                        wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_ac_first_block(wr, q, ss, se, al, ac_codes):
+    """AC spectral-selection first pass for one block, per-block EOB."""
+    ts = [_point_ac(int(q[k]), al) for k in range(ss, se + 1)]
+    nz = [j for j, t in enumerate(ts) if t]
+    if not nz:
+        code, ln = ac_codes[0x00]
+        wr.write(code, ln)
+        return
+    last = nz[-1]
+    run = 0
+    for j in range(last + 1):
+        t = ts[j]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]           # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s = _category(t)
+        code, ln = ac_codes[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        code, ln = ac_codes[0x00]               # EOB covers the tail
+        wr.write(code, ln)
+
+
+def _enc_ac_refine_block(wr, q, ss, se, al, ac_codes):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / figure G.7 semantics): newly nonzero coefficients (|t|=1
+    at this precision) get run/1 symbols + sign; already-nonzero ones
+    contribute buffered correction bits that flush right after the next
+    emitted symbol; per-block EOB carries the trailing bits."""
+    ts = [_point_ac(int(q[k]), al) for k in range(ss, se + 1)]
+    new = [j for j, t in enumerate(ts) if abs(t) == 1]
+    kex = new[-1] if new else -1                # last NEWLY nonzero pos
+    run = 0
+    pending: list[int] = []
+    for j, t in enumerate(ts):
+        a = abs(t)
+        if a == 0:
+            run += 1
+            continue
+        if j <= kex:
+            # ZRLs can't be deferred past a history coefficient: the
+            # decoder reads that coefficient's correction bit while
+            # crossing the ZRL span, so the bits must flush here
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wr.write(code, ln)
+                for bit in pending:
+                    wr.write(bit, 1)
+                pending = []
+                run -= 16
+        if a > 1:                               # history: correction bit
+            pending.append(a & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]
+        wr.write(code, ln)
+        wr.write(1 if t > 0 else 0, 1)
+        for bit in pending:
+            wr.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, ln = ac_codes[0x00]               # EOB + trailing bits
+        wr.write(code, ln)
+        for bit in pending:
+            wr.write(bit, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> PROGRESSIVE (SOF2)
+    JFIF bytes with the libjpeg-shaped scan script: interleaved DC
+    first pass + refinement, per-component spectral-selection AC bands,
+    and successive-approximation AC refinement passes down to Al=0.
+    Fully refined, so the decoded image equals the baseline encoding's
+    decode exactly (same quantized coefficients)."""
+    qly = _scale_qt(_QT_LUMA, quality)[ZIGZAG]
+    qlc = _scale_qt(_QT_CHROMA, quality)[ZIGZAG]
+    gray, h, w, padded, samp, qsel, mx, my = _prep_planes(arr, subsample)
+
+    # quantized zigzag coefficients for every block of every component
+    qblocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        dq = qly if qsel[ci] == 0 else qlc
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0)
+        coef = np.einsum('ak,yxkl,bl->yxab', _DCT_C, blocks, _DCT_C)
+        z = coef.reshape(bh, bw, 64)[:, :, ZIGZAG]
+        qblocks.append(np.round(z / dq).astype(np.int64))
+
+    out = bytearray(b'\xff\xd8')  # SOI
+    out += b'\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00'
+
+    def seg(marker, payload):
+        out.extend(b'\xff' + bytes([marker])
+                   + (len(payload) + 2).to_bytes(2, 'big') + payload)
+
+    seg(0xDB, bytes([0]) + bytes(qly.tolist()))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(qlc.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, 'big') + w.to_bytes(2, 'big') \
+        + bytes([len(padded)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    seg(0xC2, sof)                              # SOF2: progressive
+    tables = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc, (bits, vals) in tables:
+        seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    dc_codes = {ci: _build_codes(*(_HT_DC_LUMA if ci == 0 else _HT_DC_CHROMA))
+                for ci in range(len(padded))}
+    ac_codes = {ci: _build_codes(*(_HT_AC_LUMA if ci == 0 else _HT_AC_CHROMA))
+                for ci in range(len(padded))}
+
+    if gray:
+        script = [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    else:
+        script = [([0, 1, 2], 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+                  ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                  ([0, 1, 2], 0, 0, 1, 0),
+                  ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+
+    for scomps, ss, se, ah, al in script:
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            # DC tables matter only when Ss=0, AC tables only when Ss>0
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4)
+                          | (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        wr = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(wr, scomps, qblocks, samp, ah, al, dc_codes, mx, my)
+        else:
+            ci = scomps[0]
+            sh, sv = samp[ci]
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            cw = -(-w * sh // hmax)         # comp sample dims (A.1.1)
+            chh = -(-h * sv // vmax)
+            bw, bh = -(-cw // 8), -(-chh // 8)  # non-interleaved grid
+            enc = _enc_ac_refine_block if ah else _enc_ac_first_block
+            for by in range(bh):
+                for bx in range(bw):
+                    enc(wr, qblocks[ci][by, bx], ss, se, al, ac_codes[ci])
+        wr.flush()
+        out += wr.out
     out += b'\xff\xd9'  # EOI
     return bytes(out)

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-``decode_media`` decodes PNG, BMP (24-bit) and WAV for real via the
-pure-stdlib codecs in :mod:`erde_spark.scale.png` (zlib is stdlib; PNG
-full filter set, CRC checked). Remaining formats (JPEG/WebP/video) need
-codec libraries the container doesn't ship and raise
-``NotImplementedError`` — swapping in PIL/torchaudio later only extends
-``decode_media``. The Spark-side
+``decode_media`` decodes PNG (incl. palette + Adam7), JPEG (baseline
+AND progressive), BMP (24-bit) and WAV for real via the pure-numpy
+codecs in :mod:`erde_spark.scale.png` / :mod:`erde_spark.scale.jpeg`
+(full filter set, CRC checked, T.81 Annex G progressive scans).
+Remaining formats (WebP/video/arithmetic JPEG) need codec libraries the
+container doesn't ship and raise ``NotImplementedError`` — swapping in
+PIL/torchaudio later only extends ``decode_media``. The Spark-side
 plumbing — schema, batch shape, ``mapInPandas`` iterator contract,
 partition sizing — is format-agnostic and tested with both real PNGs and
 a deterministic fake decoder.
@@ -51,10 +52,11 @@ ASSET_SCHEMA = T.StructType([
 def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     """Decode a media blob to a pixel/sample array.
 
-    PNG/BMP images, baseline JPEG and WAV audio decode for real
-    (pure numpy/stdlib codecs — :mod:`erde_spark.scale.png`,
-    :mod:`erde_spark.scale.jpeg`); every other format still needs a
-    codec library the container doesn't ship and raises."""
+    PNG (palette/Adam7 included), BMP, baseline + progressive JPEG and
+    WAV audio decode for real (pure numpy/stdlib codecs —
+    :mod:`erde_spark.scale.png`, :mod:`erde_spark.scale.jpeg`); every
+    other format still needs a codec library the container doesn't ship
+    and raises."""
     from erde_spark.scale.jpeg import decode_jpeg, is_jpeg
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
                                       is_bmp, is_png, is_wav)
@@ -68,9 +70,10 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     if (fmt or '').lower() in ('audio/wav', 'audio/x-wav', 'wav') or is_wav(blob):
         return decode_wav(bytes(blob))
     raise NotImplementedError(
-        f'media format {fmt!r}: only PNG, BMP, baseline JPEG and WAV '
-        'decode without codec libraries (PIL/ffmpeg not in this '
-        'container); use fake=True for plumbing tests')
+        f'media format {fmt!r}: only PNG, BMP, JPEG (baseline + '
+        'progressive) and WAV decode without codec libraries '
+        '(PIL/ffmpeg not in this container); use fake=True for '
+        'plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -466,34 +466,135 @@ def test_jpeg_codec_roundtrip():
         assert rmse < 4.0, (sub, ri, rmse)
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_exact_vs_baseline():
+    """Progressive (SOF2) decode: a fully-refined progressive stream
+    carries the same quantized coefficients as the baseline encoding,
+    so decode(progressive) must EQUAL decode(baseline) bit-for-bit —
+    covering DC first/refine, spectral-selection AC bands, EOB runs,
+    ZRL, and successive-approximation refinement with correction bits."""
+    from erde_spark.scale.jpeg import (decode_jpeg, encode_jpeg,
+                                      encode_jpeg_progressive)
+    rng = np.random.RandomState(2)
+    noise = rng.randint(0, 256, (33, 29, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:40, 0:48]
+    grad = ((yy * 2 + xx) % 256).astype(np.uint8)
+    rgbg = np.stack([grad[:, :29], 255 - grad[:, :29],
+                     (xx[:, :29] * 5 % 256).astype(np.uint8)], axis=2)
+    sparse = np.zeros((40, 40), np.uint8)
+    sparse[::7, ::5] = 255                      # ZRL-heavy spectrum
+    cases = [(noise, False), (noise, True), (grad, False),
+             (rgbg[:33], True), (sparse, False),
+             (noise[:8, :8], False), (noise[:17, :9], False)]
+    for img, sub in cases:
+        if img.ndim == 2 and sub:
+            continue
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q,
+                                                       subsample=sub))
+            assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_jpeg_noninterleaved_multiscan_baseline():
+    """Baseline streams may carry each component in its own full-band
+    scan (non-interleaved): the coefficient-domain path must decode
+    them identically to the single interleaved scan."""
+    import struct
+
+    from erde_spark.scale import jpeg as J
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (24, 19, 3), dtype=np.uint8)
+    qly = J._scale_qt(J._QT_LUMA, 85)[J.ZIGZAG]
+    qlc = J._scale_qt(J._QT_CHROMA, 85)[J.ZIGZAG]
+    gray, h, w, padded, samp, qsel, mx, my = J._prep_planes(img, False)
+    qblocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        dq = qly if qsel[ci] == 0 else qlc
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum('ak,yxkl,bl->yxab', J._DCT_C, blocks, J._DCT_C)
+        z = coef.reshape(bh, bw, 64)[:, :, J.ZIGZAG]
+        qblocks.append(np.round(z / dq).astype(np.int64))
+    out = bytearray(b'\xff\xd8')
+    out += b'\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00'
+
+    def seg(marker, payload):
+        out.extend(b'\xff' + bytes([marker])
+                   + (len(payload) + 2).to_bytes(2, 'big') + payload)
+
+    seg(0xDB, bytes([0]) + bytes(qly.tolist()))
+    seg(0xDB, bytes([1]) + bytes(qlc.tolist()))
+    sof = bytes([8]) + struct.pack('>HH', h, w) + bytes([3])
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])
+    seg(0xC0, sof)                               # SOF0: baseline
+    for tc, tbl in [(0x00, J._HT_DC_LUMA), (0x10, J._HT_AC_LUMA),
+                    (0x01, J._HT_DC_CHROMA), (0x11, J._HT_AC_CHROMA)]:
+        seg(0xC4, bytes([tc]) + bytes(tbl[0]) + bytes(tbl[1]))
+    for ci in range(3):                          # one full-band scan each
+        tab = 0x00 if ci == 0 else 0x11
+        seg(0xDA, bytes([1, ci + 1, tab, 0, 63, 0]))
+        codes_dc = J._build_codes(*(J._HT_DC_LUMA if ci == 0
+                                    else J._HT_DC_CHROMA))
+        codes_ac = J._build_codes(*(J._HT_AC_LUMA if ci == 0
+                                    else J._HT_AC_CHROMA))
+        wr = J._BitWriter()
+        pred = 0
+        bh, bw = qblocks[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bw):
+                q = qblocks[ci][by, bx]
+                diff = int(q[0]) - pred
+                pred = int(q[0])
+                t = J._category(diff)
+                code, ln = codes_dc[t]
+                wr.write(code, ln)
+                if t:
+                    wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                J._enc_ac_first_block(wr, q, 1, 63, 0, codes_ac)
+        wr.flush()
+        out += wr.out
+    out += b'\xff\xd9'
+    got = J.decode_jpeg(bytes(out))
+    ref = J.decode_jpeg(J.encode_jpeg(img, 85))
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_lossless_still_raises():
     import struct
 
     from erde_spark.scale.jpeg import decode_jpeg
-    sof2 = (b'\xff\xd8\xff\xc2' + struct.pack('>H', 11)
+    sof3 = (b'\xff\xd8\xff\xc3' + struct.pack('>H', 11)
             + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match='progressive'):
-        decode_jpeg(sof2)
+    with pytest.raises(NotImplementedError, match='lossless'):
+        decode_jpeg(sof3)
 
 
 def test_extract_features_mixed_png_jpeg(spark):
-    """decode_media over a MIXED PNG+JPEG asset table through the
-    mapInPandas pipeline: PNG means are exact; JPEG means within the
-    lossy-compression tolerance."""
-    from erde_spark.scale.jpeg import encode_jpeg
+    """decode_media over a MIXED asset table (plain PNG, palette PNG,
+    baseline JPEG, progressive JPEG) through the mapInPandas pipeline:
+    PNG means are exact; JPEG means within the lossy tolerance."""
+    from erde_spark.scale.jpeg import encode_jpeg, encode_jpeg_progressive
     from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
-    from erde_spark.scale.png import encode_png
+    from erde_spark.scale.png import encode_png, encode_png_palette
     rng = np.random.RandomState(11)
     rows, expected, lossy = [], {}, set()
-    for aid in range(6):
+    for aid in range(8):
         h, w = 16 + aid, 13 + aid
         yy, xx = np.mgrid[0:h, 0:w]
         arr = np.clip(60 + 2 * xx[..., None] + yy[..., None]
                       + rng.randn(h, w, 3) * 2, 0, 255).astype(np.uint8)
         if aid % 2:
-            blob, fmt = encode_jpeg(arr, quality=90,
-                                    subsample=bool(aid % 4 == 3)), 'image/jpeg'
+            enc = encode_jpeg_progressive if aid >= 4 else encode_jpeg
+            blob, fmt = enc(arr, quality=90,
+                            subsample=bool(aid % 4 == 3)), 'image/jpeg'
             lossy.add(aid)
+        elif aid == 6:
+            # <=256 distinct colors -> exercise the palette path
+            pal_arr = (arr // 32 * 32)
+            pal_arr = pal_arr[:, :, :1].repeat(3, axis=2)
+            arr = pal_arr
+            blob, fmt = encode_png_palette(arr, interlace=1), 'image/png'
         else:
             blob, fmt = encode_png(arr), 'image/png'
         rows.append((aid, bytearray(blob), (fmt, w, h, None)))
