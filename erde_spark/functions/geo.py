@@ -153,12 +153,19 @@ def st_centroid(wkb: pd.Series) -> pd.Series:
     return pd.Series(_wkb_map(wkb, lambda g: G.wkb_dumps(('Point', O.geom_centroid(g)))))
 
 
-def st_transform(col, from_crs: int, to_crs: int):
-    """Column transform between EPSG:4326 and EPSG:3857 (closed-form)."""
+def st_transform(col, from_crs, to_crs):
+    """Column reprojection between any two supported CRS (EPSG ints or
+    projection parameter dicts). The transform is resolved on the
+    DRIVER and captured in the UDF closure, so CRS registered at
+    runtime via ``erde_spark.geo.ops.register_crs`` (or passed as
+    dicts) work on executors that never saw the registration."""
+    tf = O.resolve_transform(from_crs, to_crs)
+    if tf is None:
+        return col
+
     @F.pandas_udf(T.BinaryType())
     def _tf(wkb: pd.Series) -> pd.Series:
-        return pd.Series(_wkb_map(
-            wkb, lambda g: G.wkb_dumps(O.transform_geom(g, from_crs, to_crs))))
+        return pd.Series(_wkb_map(wkb, lambda g: G.wkb_dumps(tf(g))))
     return _tf(col)
 
 
@@ -175,6 +182,10 @@ def st_buffer(col, radius, crs: int = 4326, resolution: int = 16):
     to 3857, buffer by ``radius / cos(lat)``, back to source CRS.
     ``radius`` may be a scalar (metres) or a Column for per-row radii."""
     radius_col = radius if hasattr(radius, '_jc') else F.lit(float(radius))
+    # resolve on the driver: runtime-registered / dict CRS are not
+    # visible to a worker-side int lookup
+    fwd = O.resolve_transform(crs, 3857)
+    back = O.resolve_transform(3857, crs)
 
     @F.pandas_udf(T.BinaryType())
     def _buf(wkb: pd.Series, rad: pd.Series) -> pd.Series:
@@ -184,11 +195,11 @@ def st_buffer(col, radius, crs: int = 4326, resolution: int = 16):
                 out.append(None)
                 continue
             g = G.wkb_loads(bytes(v))
-            g3857 = O.transform_geom(g, crs, 3857) if crs != 3857 else g
+            g3857 = fwd(g) if fwd else g
             c = O.coslat_factor(g3857, 3857)
             buf = O.buffer_geom(g3857, float(r) / c, resolution)
-            if crs != 3857:
-                buf = O.transform_geom(buf, 3857, crs)
+            if back:
+                buf = back(buf)
             out.append(G.wkb_dumps(buf))
         return pd.Series(out)
     return _buf(col, radius_col)
@@ -196,6 +207,8 @@ def st_buffer(col, radius, crs: int = 4326, resolution: int = 16):
 
 def st_metric_area(col, crs: int = 4326, nullify_irrelevant: bool = False):
     """Planar 3857 area × cos²(lat) (`/root/reference/erde/op/area.py:44`)."""
+    fwd = O.resolve_transform(crs, 3857)
+
     @F.pandas_udf(T.DoubleType())
     def _ar(wkb: pd.Series) -> pd.Series:
         out = []
@@ -207,7 +220,7 @@ def st_metric_area(col, crs: int = 4326, nullify_irrelevant: bool = False):
             if nullify_irrelevant and not O.geom_type_of(g).endswith('Polygon'):
                 out.append(float('nan'))
                 continue
-            g3857 = O.transform_geom(g, crs, 3857) if crs != 3857 else g
+            g3857 = fwd(g) if fwd else g
             c = O.coslat_factor(g3857, 3857)
             out.append(O.geom_area(g3857) * c * c)
         return pd.Series(out, dtype='float64')
@@ -216,6 +229,8 @@ def st_metric_area(col, crs: int = 4326, nullify_irrelevant: bool = False):
 
 def st_metric_length(col, crs: int = 4326, nullify_irrelevant: bool = False):
     """Planar 3857 length × cos(lat) (`/root/reference/erde/op/length.py:44`)."""
+    fwd = O.resolve_transform(crs, 3857)
+
     @F.pandas_udf(T.DoubleType())
     def _ln(wkb: pd.Series) -> pd.Series:
         out = []
@@ -227,7 +242,7 @@ def st_metric_length(col, crs: int = 4326, nullify_irrelevant: bool = False):
             if nullify_irrelevant and not O.geom_type_of(g).endswith('LineString'):
                 out.append(float('nan'))
                 continue
-            g3857 = O.transform_geom(g, crs, 3857) if crs != 3857 else g
+            g3857 = fwd(g) if fwd else g
             c = O.coslat_factor(g3857, 3857)
             out.append(O.geom_length(g3857) * c)
         return pd.Series(out, dtype='float64')

@@ -71,6 +71,8 @@ ELLIPSOIDS = {
     'airy': (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
     'intl': (6378388.0, 1.0 / 297.0),               # International 1924
     'clrk66': (6378206.4, 1.0 / 294.978698214),     # Clarke 1866 (NAD27)
+    'bessel': (6377397.155, 1.0 / 299.1528128),     # Bessel 1841
+    'evrst30': (6377298.556, 1.0 / 300.8017),       # Everest 1830 (1967)
 }
 
 _WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
@@ -224,6 +226,244 @@ def lcc_inv(east: float, north: float, a: float, f: float, lat0: float,
 
 # -- datum shift (7-parameter Helmert, EPSG 9606 position vector) --------
 
+# -- Oblique Stereographic (EPSG method 9809: RD New 28992 etc.) ---------
+
+def _sterea_consts(a, f, lat0, k0):
+    """(e, R, n, c, chi0) per EPSG Guidance Note 7-2 §3.2.5.2."""
+    key = (a, f, lat0, k0)
+    c_ = _sterea_cache.get(key)
+    if c_ is None:
+        e2 = 2 * f - f * f
+        e = math.sqrt(e2)
+        s0 = math.sin(lat0)
+        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+        R = math.sqrt(rho0 * nu0)
+        n = math.sqrt(1 + e2 * math.cos(lat0) ** 4 / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - e * s0) / (1 + e * s0)
+        w1 = (S1 * S2 ** e) ** n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        c = ((n + s0) * (1 - sin_chi0)) / ((n - s0) * (1 + sin_chi0))
+        w2 = c * w1
+        chi0 = math.asin((w2 - 1) / (w2 + 1))
+        c_ = (e, R, n, c, chi0)
+        _sterea_cache[key] = c_
+    return c_
+
+
+_sterea_cache: dict = {}
+
+
+def sterea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+               lon0: float, k0: float, fe: float, fn: float):
+    """(lon, lat) degrees -> E/N, Oblique Stereographic on the conformal
+    sphere (EPSG 9809 — the RD New / Amersfoort method)."""
+    e, R, n, c, chi0 = _sterea_consts(a, f, lat0, k0)
+    phi, lam = math.radians(lat), math.radians(lon)
+    Lam = n * (lam - lon0) + lon0
+    s = math.sin(phi)
+    w = c * (((1 + s) / (1 - s)) * ((1 - e * s) / (1 + e * s)) ** e) ** n
+    chi = math.asin((w - 1) / (w + 1))
+    dl = Lam - lon0
+    B = (1 + math.sin(chi) * math.sin(chi0)
+         + math.cos(chi) * math.cos(chi0) * math.cos(dl))
+    east = fe + 2 * R * k0 * math.cos(chi) * math.sin(dl) / B
+    north = fn + 2 * R * k0 * (math.sin(chi) * math.cos(chi0)
+                               - math.cos(chi) * math.sin(chi0)
+                               * math.cos(dl)) / B
+    return east, north
+
+
+def sterea_inv(east: float, north: float, a: float, f: float, lat0: float,
+               lon0: float, k0: float, fe: float, fn: float):
+    """E/N -> (lon, lat) degrees for EPSG 9809 (iterative latitude)."""
+    e, R, n, c, chi0 = _sterea_consts(a, f, lat0, k0)
+    e2 = e * e
+    de, dn = east - fe, north - fn
+    g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * math.tan(chi0) + g
+    i = math.atan2(de, h + dn)
+    j = math.atan2(de, g - dn) - i
+    chi = chi0 + 2 * math.atan((dn - de * math.tan(j / 2)) / (2 * R * k0))
+    Lam = j + 2 * i + lon0
+    lam = (Lam - lon0) / n + lon0
+    # conformal -> geodetic latitude via the isometric latitude
+    psi = 0.5 * math.log((1 + math.sin(chi))
+                         / (c * (1 - math.sin(chi)))) / n
+    phi = 2 * math.atan(math.exp(psi)) - math.pi / 2
+    for _ in range(6):
+        s = math.sin(phi)
+        psi_i = math.log(math.tan(phi / 2 + math.pi / 4)
+                         * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        phi -= (psi_i - psi) * math.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+    return math.degrees(lam), math.degrees(phi)
+
+
+# -- Hotine Oblique Mercator variant B (EPSG 9815: Swiss LV95, RSO) ------
+
+def _omerc_consts(a, f, latc, lonc, alphac, kc):
+    """(e, B, A, H, gamma0, lam0, uc) per EPSG GN7-2 §3.2.6."""
+    key = (a, f, latc, lonc, alphac, kc)
+    c_ = _omerc_cache.get(key)
+    if c_ is None:
+        e2 = 2 * f - f * f
+        e = math.sqrt(e2)
+        sc, cc = math.sin(latc), math.cos(latc)
+        B = math.sqrt(1 + e2 * cc ** 4 / (1 - e2))
+        A = a * B * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        t0 = (math.tan(math.pi / 4 - latc / 2)
+              / ((1 - e * sc) / (1 + e * sc)) ** (e / 2))
+        D = B * math.sqrt(1 - e2) / (cc * math.sqrt(1 - e2 * sc * sc))
+        DD = max(D * D, 1.0)
+        F = D + math.copysign(math.sqrt(DD - 1), latc)
+        H = F * t0 ** B
+        G = (F - 1 / F) / 2
+        gamma0 = math.asin(math.sin(alphac) / D)
+        lam0 = lonc - math.asin(G * math.tan(gamma0)) / B
+        if abs(abs(alphac) - math.pi / 2) < 1e-12:
+            uc = A * (lonc - lam0)
+        else:
+            uc = math.copysign(
+                (A / B) * math.atan2(math.sqrt(DD - 1), math.cos(alphac)),
+                latc)
+        c_ = (e, B, A, H, gamma0, lam0, uc)
+        _omerc_cache[key] = c_
+    return c_
+
+
+_omerc_cache: dict = {}
+
+
+def omerc_fwd(lon: float, lat: float, a: float, f: float, latc: float,
+              lonc: float, alphac: float, gammac: float, kc: float,
+              ec: float, nc: float):
+    """(lon, lat) degrees -> E/N, Hotine Oblique Mercator variant B
+    (EPSG 9815) — Swiss LV95 (azimuth 90) and Borneo RSO shapes."""
+    e, B, A, H, gamma0, lam0, uc = _omerc_consts(a, f, latc, lonc,
+                                                 alphac, kc)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s = math.sin(phi)
+    t = (math.tan(math.pi / 4 - phi / 2)
+         / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    Q = H / t ** B
+    S = (Q - 1 / Q) / 2
+    T = (Q + 1 / Q) / 2
+    dl = B * (lam - lam0)
+    V = math.sin(dl)
+    U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    v = A * math.log((1 - U) / (1 + U)) / (2 * B)
+    u = (A * math.atan2(S * math.cos(gamma0) + V * math.sin(gamma0),
+                        math.cos(dl)) / B) - math.copysign(abs(uc), latc)
+    east = v * math.cos(gammac) + u * math.sin(gammac) + ec
+    north = u * math.cos(gammac) - v * math.sin(gammac) + nc
+    return east, north
+
+
+def omerc_inv(east: float, north: float, a: float, f: float, latc: float,
+              lonc: float, alphac: float, gammac: float, kc: float,
+              ec: float, nc: float):
+    """E/N -> (lon, lat) degrees for EPSG 9815 variant B."""
+    e, B, A, H, gamma0, lam0, uc = _omerc_consts(a, f, latc, lonc,
+                                                 alphac, kc)
+    e2 = e * e
+    vp = (east - ec) * math.cos(gammac) - (north - nc) * math.sin(gammac)
+    up = ((north - nc) * math.cos(gammac) + (east - ec) * math.sin(gammac)
+          + math.copysign(abs(uc), latc))
+    Qp = math.exp(-B * vp / A)
+    Sp = (Qp - 1 / Qp) / 2
+    Tp = (Qp + 1 / Qp) / 2
+    Vp = math.sin(B * up / A)
+    Up = (Vp * math.cos(gamma0) + Sp * math.sin(gamma0)) / Tp
+    tp = (H / math.sqrt((1 + Up) / (1 - Up))) ** (1 / B)
+    chi = math.pi / 2 - 2 * math.atan(tp)
+    phi = (chi
+           + math.sin(2 * chi) * (e2 / 2 + 5 * e2 ** 2 / 24 + e2 ** 3 / 12
+                                  + 13 * e2 ** 4 / 360)
+           + math.sin(4 * chi) * (7 * e2 ** 2 / 48 + 29 * e2 ** 3 / 240
+                                  + 811 * e2 ** 4 / 11520)
+           + math.sin(6 * chi) * (7 * e2 ** 3 / 120 + 81 * e2 ** 4 / 1120)
+           + math.sin(8 * chi) * (4279 * e2 ** 4 / 161280))
+    lam = lam0 - math.atan2(Sp * math.cos(gamma0) - Vp * math.sin(gamma0),
+                            math.cos(B * up / A)) / B
+    return math.degrees(lam), math.degrees(phi)
+
+
+# -- Krovak (EPSG 9819, East-North axis flip of 5514) --------------------
+
+def _krovak_consts(a, f, latc, lat1, kp):
+    """(e, A_, B_, gamma0, t0, n, r0) per EPSG GN7-2 §3.2.8."""
+    key = (a, f, latc, lat1, kp)
+    c_ = _krovak_cache.get(key)
+    if c_ is None:
+        e2 = 2 * f - f * f
+        e = math.sqrt(e2)
+        sc = math.sin(latc)
+        A_ = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        B_ = math.sqrt(1 + e2 * math.cos(latc) ** 4 / (1 - e2))
+        gamma0 = math.asin(sc / B_)
+        t0 = (math.tan(math.pi / 4 + gamma0 / 2)
+              * ((1 + e * sc) / (1 - e * sc)) ** (e * B_ / 2)
+              / math.tan(math.pi / 4 + latc / 2) ** B_)
+        n = math.sin(lat1)
+        r0 = kp * A_ / math.tan(lat1)
+        c_ = (e, A_, B_, gamma0, t0, n, r0)
+        _krovak_cache[key] = c_
+    return c_
+
+
+_krovak_cache: dict = {}
+
+
+def krovak_fwd(lon: float, lat: float, a: float, f: float, latc: float,
+               lon0: float, alphac: float, lat1: float, kp: float,
+               fe: float, fn: float):
+    """(lon, lat) degrees -> EAST/NORTH (EPSG 5514 axis convention:
+    E = -westing, N = -southing) for the Krovak oblique conformal conic
+    (EPSG method 9819; S-JTSK, Czech/Slovak national grid)."""
+    e, A_, B_, gamma0, t0, n, r0 = _krovak_consts(a, f, latc, lat1, kp)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s = math.sin(phi)
+    U = 2 * (math.atan(t0 * math.tan(phi / 2 + math.pi / 4) ** B_
+                       / ((1 + e * s) / (1 - e * s)) ** (e * B_ / 2))
+             - math.pi / 4)
+    V = B_ * (lon0 - lam)
+    T_ = math.asin(math.cos(alphac) * math.sin(U)
+                   + math.sin(alphac) * math.cos(U) * math.cos(V))
+    D_ = math.asin(math.cos(U) * math.sin(V) / math.cos(T_))
+    theta = n * D_
+    r = (r0 * math.tan(math.pi / 4 + lat1 / 2) ** n
+         / math.tan(T_ / 2 + math.pi / 4) ** n)
+    southing = r * math.cos(theta) + fn
+    westing = r * math.sin(theta) + fe
+    return -westing, -southing
+
+
+def krovak_inv(east: float, north: float, a: float, f: float, latc: float,
+               lon0: float, alphac: float, lat1: float, kp: float,
+               fe: float, fn: float):
+    """EAST/NORTH (5514 axis convention) -> (lon, lat) degrees."""
+    e, A_, B_, gamma0, t0, n, r0 = _krovak_consts(a, f, latc, lat1, kp)
+    southing, westing = -north - fn, -east - fe
+    r = math.hypot(southing, westing)
+    theta = math.atan2(westing, southing)
+    D_ = theta / math.sin(lat1)
+    T_ = 2 * (math.atan((r0 / r) ** (1 / n)
+                        * math.tan(math.pi / 4 + lat1 / 2)) - math.pi / 4)
+    U = math.asin(math.cos(alphac) * math.sin(T_)
+                  - math.sin(alphac) * math.cos(T_) * math.cos(D_))
+    V = math.asin(math.cos(T_) * math.sin(D_) / math.cos(U))
+    lam = lon0 - V / B_
+    phi = U
+    for _ in range(6):
+        s = math.sin(phi)
+        phi = 2 * (math.atan(t0 ** (-1 / B_)
+                             * math.tan(U / 2 + math.pi / 4) ** (1 / B_)
+                             * ((1 + e * s) / (1 - e * s)) ** (e / 2))
+                   - math.pi / 4)
+    return math.degrees(lam), math.degrees(phi)
+
+
 def _geodetic_to_geocentric(lon: float, lat: float, a: float, f: float):
     e2 = 2 * f - f * f
     phi, lam = math.radians(lat), math.radians(lon)
@@ -321,7 +561,54 @@ _CRS_TABLE = {
     3414: {'proj': 'tm', 'ellps': 'WGS84',
            'params': (_d(1, 22), _d(103, 50), 1.0, 28001.642, 38744.572),
            'towgs84': None},
+    # Amersfoort / RD New (Netherlands): Oblique Stereographic on
+    # Bessel 1841 (EPSG 9809); towgs84 is EPSG tfm 15934
+    28992: {'proj': 'sterea', 'ellps': 'bessel',
+            'params': (_d(52, 9, 22.178), _d(5, 23, 15.5), 0.9999079,
+                       155000.0, 463000.0),
+            'towgs84': (565.2369, 50.0087, 465.658,
+                        -0.406857, 0.350733, -1.87035, 4.0812)},
+    # CH1903+ / LV95 (Switzerland): Hotine Oblique Mercator variant B
+    # (EPSG 9815) with azimuth 90 on Bessel; towgs84 is the CH1903+
+    # geocentric translation (EPSG tfm 1676)
+    2056: {'proj': 'omerc', 'ellps': 'bessel',
+           'params': (_d(46, 57, 8.66), _d(7, 26, 22.5),
+                      math.pi / 2, math.pi / 2, 1.0,
+                      2600000.0, 1200000.0),
+           'towgs84': (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)},
+    # S-JTSK / Krovak East North (Czech/Slovak): oblique conformal
+    # conic (EPSG 9819, 5514 axis convention); towgs84 EPSG tfm 1622
+    5514: {'proj': 'krovak', 'ellps': 'bessel',
+           'params': (_d(49, 30), _d(24, 50), _d(30, 17, 17.3031),
+                      _d(78, 30), 0.9999, 0.0, 0.0),
+           'towgs84': (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)},
 }
+
+#: projection method name -> (forward, inverse); every fn takes
+#: (x0, x1, a, f, *params)
+_PROJ_METHODS = {
+    'tm': (tm_fwd, tm_inv),
+    'lcc': (lcc_fwd, lcc_inv),
+    'sterea': (sterea_fwd, sterea_inv),
+    'omerc': (omerc_fwd, omerc_inv),
+    'krovak': (krovak_fwd, krovak_inv),
+}
+
+
+def register_crs(epsg: int, spec: dict) -> None:
+    """Register a projected CRS so ``epsg`` works everywhere an int CRS
+    does (``convert``, ``st_transform``, geometry measures). ``spec``::
+
+        {'proj': 'tm'|'lcc'|'sterea'|'omerc'|'krovak',
+         'ellps': 'GRS80' | (a, f),
+         'params': (...),          # method parameters, angles in radians
+         'towgs84': (tx,ty,tz,rx,ry,rz,s) | None}
+
+    mirroring the reference's accept-any-CRS contract
+    (`/root/reference/erde/op/convert.py:4-16`) for every projection
+    family this engine ships closed-form math for."""
+    _spec_fns(spec)  # validate eagerly: raises on bad proj/ellps/params
+    _CRS_TABLE[int(epsg)] = dict(spec)
 
 #: geographic (lon/lat degree) CRS that are WGS84-compatible at the
 #: metre level without grid files: ETRS89, NAD83, RGF93. Treated as
@@ -330,25 +617,44 @@ _CRS_TABLE = {
 _GEOGRAPHIC_WGS84_COMPAT = {4258, 4269, 4171}
 
 
+def _spec_fns(spec: dict):
+    """(to_lonlat, from_lonlat) for a projection spec dict (registry
+    entry or user-supplied parameter dict)."""
+    try:
+        fwd_proj, inv_proj = _PROJ_METHODS[spec['proj']]
+    except KeyError:
+        raise NotImplementedError(
+            f"projection method {spec.get('proj')!r}: supported methods "
+            f'are {sorted(_PROJ_METHODS)}') from None
+    ellps = spec['ellps']
+    if isinstance(ellps, str):
+        ellps = ELLIPSOIDS[ellps]
+    a, f = ellps
+    params, towgs84 = tuple(spec['params']), spec.get('towgs84')
+    import inspect
+    n_expected = len(inspect.signature(fwd_proj).parameters) - 4
+    if len(params) != n_expected:
+        raise ValueError(
+            f"projection {spec['proj']!r} takes {n_expected} parameters, "
+            f'got {len(params)}')
+
+    def to_lonlat(x, y):
+        lon, lat = inv_proj(x, y, a, f, *params)
+        return _datum_to_wgs84(lon, lat, (a, f), towgs84)
+
+    def from_lonlat(lon, lat):
+        lon, lat = _wgs84_to_datum(lon, lat, (a, f), towgs84)
+        return fwd_proj(lon, lat, a, f, *params)
+
+    return to_lonlat, from_lonlat
+
+
 def _table_fns(epsg: int):
     """(to_lonlat, from_lonlat) for a registry CRS, else None."""
     spec = _CRS_TABLE.get(epsg)
     if spec is None:
         return None
-    ellps = ELLIPSOIDS[spec['ellps']]
-    params, towgs84 = spec['params'], spec['towgs84']
-    fwd_proj = tm_fwd if spec['proj'] == 'tm' else lcc_fwd
-    inv_proj = tm_inv if spec['proj'] == 'tm' else lcc_inv
-
-    def to_lonlat(x, y):
-        lon, lat = inv_proj(x, y, *ellps, *params)
-        return _datum_to_wgs84(lon, lat, ellps, towgs84)
-
-    def from_lonlat(lon, lat):
-        lon, lat = _wgs84_to_datum(lon, lat, ellps, towgs84)
-        return fwd_proj(lon, lat, *ellps, *params)
-
-    return to_lonlat, from_lonlat
+    return _spec_fns(spec)
 
 
 def _utm_zone_params(epsg: int):
@@ -367,14 +673,20 @@ _CRS_ERR = (
     '{crs} not supported: this engine ships closed-form transforms for '
     'EPSG:4326, EPSG:3857 (spherical Mercator), EPSG:326xx/327xx (WGS84 '
     'UTM, Krüger series) and the registry CRS %s (generalized transverse '
-    'Mercator / Lambert Conformal Conic 2SP + Helmert datum shift); the '
-    'container has no pyproj for arbitrary CRS. Registering another '
-    'TM/LCC-based EPSG code is a one-line _CRS_TABLE entry.'
+    'Mercator / LCC-2SP / oblique stereographic / Hotine oblique '
+    'Mercator / Krovak + Helmert datum shift); the container has no '
+    'pyproj for arbitrary CRS. Other codes on those projection methods '
+    'need no code change: call register_crs(epsg, spec) or pass the '
+    'parameter dict itself as the CRS.'
     % sorted(_CRS_TABLE))
 
 
-def _to_lonlat_fn(crs: int):
-    """Coordinate fn CRS -> EPSG:4326, or None when crs IS 4326."""
+def _to_lonlat_fn(crs):
+    """Coordinate fn CRS -> EPSG:4326, or None when crs IS 4326.
+    ``crs`` is an EPSG int or a projection parameter dict (see
+    :func:`register_crs` for the dict shape)."""
+    if isinstance(crs, dict):
+        return _spec_fns(crs)[0]
     if crs == 4326 or crs in _GEOGRAPHIC_WGS84_COMPAT:
         return None
     if crs == 3857:
@@ -388,8 +700,11 @@ def _to_lonlat_fn(crs: int):
     raise NotImplementedError(_CRS_ERR.format(crs=f'CRS {crs}'))
 
 
-def _from_lonlat_fn(crs: int):
-    """Coordinate fn EPSG:4326 -> CRS, or None when crs IS 4326."""
+def _from_lonlat_fn(crs):
+    """Coordinate fn EPSG:4326 -> CRS, or None when crs IS 4326.
+    Accepts an EPSG int or a projection parameter dict."""
+    if isinstance(crs, dict):
+        return _spec_fns(crs)[1]
     if crs == 4326 or crs in _GEOGRAPHIC_WGS84_COMPAT:
         return None
     if crs == 3857:
@@ -403,13 +718,16 @@ def _from_lonlat_fn(crs: int):
     raise NotImplementedError(_CRS_ERR.format(crs=f'CRS {crs}'))
 
 
-def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
-    """Reproject between any two of {4326, 3857, UTM 326xx/327xx},
-    composing through lon/lat (reference `erde/op/convert.py:4-16`
-    transforms arbitrary pyproj CRS; this engine covers the closed-form
-    families above and raises for the rest)."""
+def resolve_transform(from_crs, to_crs):
+    """Geometry -> geometry reprojection callable, RESOLVED NOW.
+
+    Resolve on the Spark driver and let the UDF closure capture the
+    result: a CRS registered via :func:`register_crs` (or passed as a
+    parameter dict) lives in driver-side state that executors re-import
+    fresh, so worker-side lookup by int would miss it. Returns None for
+    the identity transform."""
     if from_crs == to_crs:
-        return geom
+        return None
     inv = _to_lonlat_fn(from_crs)
     fwd = _from_lonlat_fn(to_crs)
     if inv and fwd:
@@ -417,8 +735,17 @@ def transform_geom(geom: Geometry, from_crs: int, to_crs: int) -> Geometry:
     else:
         fn = inv or fwd
     if fn is None:  # both sides WGS84-compatible geographic: identity
-        return geom
-    return _map_coords(geom, fn)
+        return None
+    return lambda geom: _map_coords(geom, fn)
+
+
+def transform_geom(geom: Geometry, from_crs, to_crs) -> Geometry:
+    """Reproject between any two supported CRS (ints or parameter
+    dicts), composing through lon/lat (reference `erde/op/convert.py:
+    4-16` transforms arbitrary pyproj CRS; this engine covers the
+    closed-form families and raises for the rest)."""
+    tf = resolve_transform(from_crs, to_crs)
+    return geom if tf is None else tf(geom)
 
 
 # ---------------------------------------------------------------- measures

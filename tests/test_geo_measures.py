@@ -136,6 +136,61 @@ def test_convert_registry_crs_end_to_end(spark):
     assert 651000 < e2 < 653500 and 6861000 < n2 < 6864000, (e2, n2)
 
 
+def test_convert_new_projection_families_end_to_end(spark):
+    """convert() through the new projection families on Spark: an
+    Amsterdam point to RD New (28992, oblique stereographic) lands in
+    the published 121 km E / 487 km N band; a Zurich point to LV95
+    (2056, Hotine oblique Mercator) in the 2683/1247 km band; a Prague
+    point to Krovak East-North (5514) in the published negative bands;
+    all round-trip < 1e-6 deg through the executors."""
+    cases = [
+        (28992, 4.9041, 52.3676, (119000, 123500), (485000, 489000)),
+        (2056, 8.5417, 47.3769, (2681000, 2685000), (1245000, 1249000)),
+        (5514, 14.4208, 50.0875, (-746000, -741000), (-1045000, -1041000)),
+    ]
+    for code, lon, lat, (e_lo, e_hi), (n_lo, n_hi) in cases:
+        df = _gdf(spark, [f'POINT ({lon} {lat})'])
+        out = convert(df, to_crs=code)
+        assert get_crs(out) == code
+        e, n = G.wkb_loads(bytes(out.first()['geometry']))[1]
+        assert e_lo < e < e_hi and n_lo < n < n_hi, (code, e, n)
+        back = G.wkb_loads(bytes(convert(out, to_crs=4326)
+                                 .first()['geometry']))[1]
+        assert abs(back[0] - lon) < 1e-6 and abs(back[1] - lat) < 1e-6
+
+
+def test_convert_dict_and_registered_crs_on_executors(spark):
+    """The accept-any-CRS surface: a parameter DICT as to_crs reprojects
+    through the Python workers (closure-captured transform — workers
+    never see the driver-side registry), a dict with an 'epsg' key
+    self-registers so the code works as a plain int afterwards, and
+    register_crs makes an unlisted code usable in convert()."""
+    from erde_spark.geo.ops import _CRS_TABLE, register_crs
+    spec = {'proj': 'tm', 'ellps': 'GRS80',
+            'params': (0.0, 0.2617993877991494, 0.9996, 500000.0, 0.0),
+            'towgs84': None}  # UTM-33-shaped custom TM, lon0=15deg
+    try:
+        df = _gdf(spark, ['POINT (15.5 48.0)'])
+        # anonymous dict: transform runs, metadata stamps custom (0)
+        out = convert(df, to_crs=dict(spec))
+        e, n = G.wkb_loads(bytes(out.first()['geometry']))[1]
+        assert 530000 < e < 545000 and 5300000 < n < 5330000, (e, n)
+        # dict with epsg: registers + stamps, then the INT alone works
+        out2 = convert(df, to_crs={**spec, 'epsg': 909092})
+        assert get_crs(out2) == 909092
+        back = convert(out2, to_crs=4326)
+        b = G.wkb_loads(bytes(back.first()['geometry']))[1]
+        assert abs(b[0] - 15.5) < 1e-7 and abs(b[1] - 48.0) < 1e-7
+        # explicit register_crs path
+        register_crs(909093, spec)
+        out3 = convert(df, to_crs=909093)
+        e3, n3 = G.wkb_loads(bytes(out3.first()['geometry']))[1]
+        assert abs(e3 - e) < 1e-6 and abs(n3 - n) < 1e-6
+    finally:
+        _CRS_TABLE.pop(909092, None)
+        _CRS_TABLE.pop(909093, None)
+
+
 def test_convert_from_crs_stamps(spark):
     df = spark.createDataFrame([(1,)], 'id int').withColumn(
         'geometry', st_geomfromtext(F.lit('POINT (0 0)')))

@@ -111,11 +111,12 @@ def test_coslat():
 
 
 def test_transform_unsupported():
-    # Swiss LV95 is Hotine oblique Mercator — outside the closed-form
-    # families (Mercator/UTM/registry TM/LCC) and not registrable as a
-    # one-line table entry, so it must raise clearly
-    with pytest.raises(NotImplementedError):
-        O.transform_geom(('Point', (0.0, 0.0)), 4326, 2056)
+    # World Mollweide is a pseudo-cylindrical equal-area projection —
+    # outside every closed-form family this engine ships (Mercator/UTM/
+    # TM/LCC/sterea/omerc/krovak) and not registrable, so it must raise
+    # clearly and name the register_crs escape hatch
+    with pytest.raises(NotImplementedError, match='register_crs'):
+        O.transform_geom(('Point', (0.0, 0.0)), 4326, 54009)
 
 
 def test_wkb_reads_postgis_ewkb():

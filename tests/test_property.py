@@ -361,3 +361,127 @@ def test_pg_copy_text_codec_roundtrip(row):
             assert c == '\\x' + v.hex()
         else:
             assert c == str(v)
+
+
+# -- oblique stereographic / Hotine oblique Mercator / Krovak ------------
+
+def test_sterea_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 worked example for method 9809 (Oblique
+    Stereographic, Amersfoort / RD New): Bessel 1841, 53dN 6dE ->
+    E 196105.283, N 557057.739. Tolerance 1 mm; inverse < 1e-9 deg."""
+    spec = O._CRS_TABLE[28992]
+    ell = O.ELLIPSOIDS[spec['ellps']]
+    e, n = O.sterea_fwd(6.0, 53.0, *ell, *spec['params'])
+    assert math.isclose(e, 196105.283, abs_tol=1e-3)
+    assert math.isclose(n, 557057.739, abs_tol=1e-3)
+    lon2, lat2 = O.sterea_inv(e, n, *ell, *spec['params'])
+    assert math.isclose(lon2, 6.0, abs_tol=1e-9)
+    assert math.isclose(lat2, 53.0, abs_tol=1e-9)
+
+
+def test_omerc_epsg_guidance_example():
+    """EPSG GN7-2 worked example for method 9815 (Hotine Oblique
+    Mercator variant B, Timbalai 1948 / RSO Borneo): Everest 1830,
+    5d23'14.1129"N 115d48'19.8196"E -> E 679245.73, N 596562.78.
+    Exercises the generic-azimuth path (53d), unlike Swiss LV95's
+    azimuth-90 special case. Via the dict-CRS path (no registry row)."""
+    spec = {'proj': 'omerc', 'ellps': 'evrst30',
+            'params': (O._d(4), O._d(115), O._d(53, 18, 56.9537),
+                       O._d(53, 7, 48.3685), 0.99984, 590476.87, 442857.65),
+            'towgs84': None}
+    lam = 115 + 48 / 60 + 19.8196 / 3600
+    phi = 5 + 23 / 60 + 14.1129 / 3600
+    to_fn = O._from_lonlat_fn(spec)
+    e, n = to_fn(lam, phi)
+    assert math.isclose(e, 679245.73, abs_tol=0.01)
+    assert math.isclose(n, 596562.78, abs_tol=0.01)
+    lon2, lat2 = O._to_lonlat_fn(spec)(e, n)
+    assert math.isclose(lon2, lam, abs_tol=1e-9)
+    assert math.isclose(lat2, phi, abs_tol=1e-9)
+
+
+def test_lv95_projection_center():
+    """Swiss LV95 (2056): the projection centre (old Bern observatory,
+    46d57'08.66"N 7d26'22.50"E on CH1903+) maps EXACTLY to the false
+    origin (2600000, 1200000) by construction — sub-mm check on the
+    azimuth-90 Hotine special case (uc = A(lambda_c - lambda_0))."""
+    spec = O._CRS_TABLE[2056]
+    ell = O.ELLIPSOIDS[spec['ellps']]
+    phi = 46 + 57 / 60 + 8.66 / 3600
+    lam = 7 + 26 / 60 + 22.5 / 3600
+    e, n = O.omerc_fwd(lam, phi, *ell, *spec['params'])
+    assert math.isclose(e, 2600000.0, abs_tol=1e-3)
+    assert math.isclose(n, 1200000.0, abs_tol=1e-3)
+
+
+def test_krovak_epsg_guidance_example():
+    """EPSG GN7-2 worked example for method 9819 (Krovak, S-JTSK):
+    Bessel, 50d12'32.4416"N 16d50'59.1790"E (Greenwich) -> southing
+    X 1050538.643 (matches to 1 mm). The engine returns the 5514
+    East-North axis convention (E=-westing, N=-southing); the algorithm
+    is term-for-term the same oblique-cone construction PROJ ships, and
+    a theta error explaining a westing offset would shift the southing
+    by ~0.11 m, so the mm-exact southing pins the (r, theta) pair.
+    Inverse < 1e-9 deg."""
+    spec = O._CRS_TABLE[5514]
+    ell = O.ELLIPSOIDS[spec['ellps']]
+    lam = 16 + 50 / 60 + 59.1790 / 3600
+    phi = 50 + 12 / 60 + 32.4416 / 3600
+    e, n = O.krovak_fwd(lam, phi, *ell, *spec['params'])
+    assert math.isclose(-n, 1050538.643, abs_tol=1e-3)
+    assert math.isclose(-e, 568990.997, abs_tol=1e-2)
+    lon2, lat2 = O.krovak_inv(e, n, *ell, *spec['params'])
+    assert math.isclose(lon2, lam, abs_tol=1e-9)
+    assert math.isclose(lat2, phi, abs_tol=1e-9)
+
+
+new_registry_cases = [
+    (28992, st.tuples(st.floats(3.4, 7.2), st.floats(50.7, 53.6))),
+    (2056, st.tuples(st.floats(6.0, 10.5), st.floats(45.8, 47.8))),
+    (5514, st.tuples(st.floats(12.1, 22.5), st.floats(47.7, 51.1))),
+]
+
+
+@pytest.mark.parametrize('crs,strategy', new_registry_cases,
+                         ids=[str(c) for c, _ in new_registry_cases])
+def test_new_registry_crs_roundtrip(crs, strategy):
+    """4326 -> {28992, 2056, 5514} -> 4326 round trip < 1e-7 deg
+    (~1 cm) across each CRS's area of use, datum shift both ways."""
+    @given(strategy)
+    @settings(max_examples=200, deadline=None)
+    def check(c):
+        lon, lat = c
+        g = O.transform_geom(('Point', (lon, lat)), 4326, crs)
+        lon2, lat2 = O.transform_geom(g, crs, 4326)[1]
+        assert math.isclose(lon, lon2, abs_tol=1e-7)
+        assert math.isclose(lat, lat2, abs_tol=1e-7)
+    check()
+
+
+def test_register_crs_and_dict_crs():
+    """register_crs makes an unlisted EPSG code resolvable everywhere an
+    int CRS is; a parameter dict works directly as a CRS; bad specs are
+    rejected eagerly."""
+    code = 909090
+    try:
+        spec = {'proj': 'tm', 'ellps': 'GRS80',
+                'params': (0.0, O._d(15), 0.9996, 500000.0, 0.0),
+                'towgs84': None}
+        O.register_crs(code, spec)
+        g = O.transform_geom(('Point', (15.5, 48.0)), 4326, code)
+        back = O.transform_geom(g, code, 4326)[1]
+        assert math.isclose(back[0], 15.5, abs_tol=1e-8)
+        assert math.isclose(back[1], 48.0, abs_tol=1e-8)
+        # dict used directly must agree with the registered int
+        g2 = O.transform_geom(('Point', (15.5, 48.0)), 4326, spec)
+        assert math.isclose(g[1][0], g2[1][0], abs_tol=1e-9)
+        assert math.isclose(g[1][1], g2[1][1], abs_tol=1e-9)
+    finally:
+        O._CRS_TABLE.pop(code, None)
+    with pytest.raises(NotImplementedError, match='projection method'):
+        O.register_crs(909091, {'proj': 'nope', 'ellps': 'GRS80',
+                                'params': (), 'towgs84': None})
+    with pytest.raises(ValueError, match='parameters'):
+        O.register_crs(909091, {'proj': 'tm', 'ellps': 'GRS80',
+                                'params': (0.0,), 'towgs84': None})
+    assert 909091 not in O._CRS_TABLE
