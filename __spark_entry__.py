@@ -1606,6 +1606,45 @@ FROM customer
 """
 
 
+def q_geo_transform_families(spark, sf_dir):
+    """CRS round trips through the three oblique projection families
+    (oblique stereographic RD New 28992, Hotine oblique Mercator LV95
+    2056, Krovak 5514, each with its Helmert datum leg): forward then
+    inverse must reproduce the source lon/lat, reported as micro-degree
+    error counts that the oracle pins to EXACTLY ZERO — an exact-value
+    end-to-end check without closed-form SQL for the projections. The
+    source coordinates ride along as plain columns (identical double
+    arithmetic on both engines)."""
+    from erde_spark.functions.geo import st_centroid_xy, st_point, st_transform
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    cols = [k.alias('c_custkey')]
+    for name, code, (lon0, lon_s), (lat0, lat_s) in [
+            ('nl', 28992, (4.5, 50.0), (51.0, 50.0)),
+            ('ch', 2056, (6.5, 40.0), (46.0, 40.0)),
+            ('cz', 5514, (13.0, 20.0), (48.8, 20.0))]:
+        lon = lon0 + (k % 100) / lon_s
+        lat = lat0 + ((k * 7) % 80) / lat_s
+        rt = st_centroid_xy(st_transform(
+            st_transform(st_point(lon, lat), 4326, code), code, 4326))
+        cols += [F.round(lon, 6).alias(f'{name}_lon'),
+                 F.round((F.abs(rt['x'] - lon) + F.abs(rt['y'] - lat))
+                         * 1e6, 0).cast('bigint').alias(f'{name}_err')]
+    return cust.select(*cols)
+
+
+_GEO_TRANSFORM_FAMILIES_SQL = """
+SELECT c_custkey,
+  ROUND(4.5 + (c_custkey % 100)/50.0, 6) AS nl_lon,
+  CAST(0 AS BIGINT) AS nl_err,
+  ROUND(6.5 + (c_custkey % 100)/40.0, 6) AS ch_lon,
+  CAST(0 AS BIGINT) AS ch_err,
+  ROUND(13.0 + (c_custkey % 100)/20.0, 6) AS cz_lon,
+  CAST(0 AS BIGINT) AS cz_err
+FROM customer
+"""
+
+
 def q_sjfull_geoms(spark, sf_dir):
     """sjfull: spatial join keeping BOTH geometries; verify via both
     sides' coordinates (x/y of each kept geometry)."""
@@ -2757,9 +2796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (lm_quality_score, token_divergence, dedup_cluster_sizes,
     bpe_pair_stats, profile_orders) also sit in the window, displacing
     five more twice-green entries (asof_last_click, resample_locf,
-    window_top3_orders, percentile_prices, string_funcs). After this
-    round every one of the 89 oracled queries has a driver-green row
-    in some round's CORRECTNESS file."""
+    window_top3_orders, percentile_prices, string_funcs).
+
+    Round-4 rotation: the new oracled query geo_transform_families
+    (round-trip check of the sterea/omerc/krovak projection families)
+    enters the window; oov_rate (driver-green r03) moves to the tail.
+    Invariant maintained: every oracled query has a driver-green row in
+    some round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'tpch_q12_late_lines': q_tpch_q12,
@@ -2790,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
         'geo_transform': q_geo_transform,
+        'geo_transform_families': q_geo_transform_families,
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'geo_buffer_dissolve': q_geo_buffer_dissolve,
         'sjoin_points_rects': q_sjoin_points_rects,
@@ -2811,8 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
-        'oov_rate': q_oov_rate,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'oov_rate': q_oov_rate,
         'tpch_q1_pricing': q_tpch_q1,
         'tpch_q6_revenue': q_tpch_q6,
         'subset_dsl': q_subset_dsl,
@@ -2926,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_line_length': _GEO_LENGTH_SQL,
         'geo_buffer_area': _GEO_BUFFER_SQL,
         'geo_transform': _GEO_TRANSFORM_SQL,
+        'geo_transform_families': _GEO_TRANSFORM_FAMILIES_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,
