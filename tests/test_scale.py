@@ -1183,3 +1183,25 @@ def test_passage_spans_survive_repeated_fragments(spark):
     assert (1, 2) in got
     r = got[(1, 2)]
     assert r['longest_span_chars'] >= len(shared) - (9 + 16), r
+
+
+def test_sign_lsh_param_autoscaling():
+    """Banded sign-LSH parameter selection: band width grows ~log2(n)
+    (candidate volume stays linear — a fixed width measured 80x shuffle
+    for 10x rows), band count satisfies the recall identity
+    1-(1-p^r)^b >= target at the threshold (up to the 64-band cap), and
+    explicit values pass through untouched."""
+    import math
+
+    from erde_spark.scale.dedup import _sign_lsh_params
+    b1, r1 = _sign_lsh_params(2_000, 0.9, 0.9)
+    b2, r2 = _sign_lsh_params(200_000, 0.9, 0.9)
+    b3, r3 = _sign_lsh_params(20_000_000, 0.9, 0.9)
+    assert r1 < r2 < r3                      # width scales with n
+    assert r2 - r1 >= 6 and r3 - r2 >= 6     # ~log2 steps for 100x
+    p = 1 - math.acos(0.9) / math.pi
+    for b, r in ((b1, r1), (b2, r2)):        # below the cap: recall met
+        assert 1 - (1 - p ** r) ** b >= 0.9 - 1e-9, (b, r)
+    assert all(b <= 64 for b in (b1, b2, b3))
+    assert _sign_lsh_params(10**9, 0.99, 0.9)[0] <= 64  # cap holds
+    assert _sign_lsh_params(5, 0.9, 0.9, bands=7, rows=11) == (7, 11)

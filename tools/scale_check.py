@@ -39,10 +39,15 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def build_sf1(spark):
-    """10 mutually-dissimilar copies of the sf0.1 documents + customer."""
+    """10 mutually-dissimilar copies of the sf0.1 documents + customer
+    + embeddings. Embedding copies go through a per-copy random ROTATION
+    (seeded QR): rotations preserve every intra-copy cosine exactly, so
+    the near-dup ground truth is exactly 10x sf0.1's, while cross-copy
+    cosines are random (~N(0, 1/sqrt(dim)) — far below threshold). The
+    right fixture for verifying linear scaling of the embedding tier."""
     from pyspark.sql import functions as F
     if all(os.path.isdir(os.path.join(SF1_DIR, f'{t}.parquet'))
-           for t in ('documents', 'customer', 'nation')):
+           for t in ('documents', 'customer', 'nation', 'embeddings')):
         return
     docs = spark.read.parquet(f'{SF01}/documents.parquet')
     n = docs.agg(F.max('doc_id')).first()[0] + 1
@@ -67,6 +72,52 @@ def build_sf1(spark):
     for t in ('nation',):
         spark.read.parquet(f'{SF01}/{t}.parquet').write.mode(
             'overwrite').parquet(f'{SF1_DIR}/{t}.parquet')
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    emb = spark.read.parquet(f'{SF01}/embeddings.parquet')
+    dim = len(emb.first()['embedding'])
+    ne = emb.agg(F.max('vec_id')).first()[0] + 1
+    rng = np.random.RandomState(1234)
+
+    def _vec_udf(fn):
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def _u(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype='object')
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            return pd.Series(list(fn(m).astype(np.float32)))
+        return _u
+
+    # the raw synthetic embeddings carry ~no pairs above 0.9, so the
+    # fixture PLANTS near-dups (5% of vectors + small noise, cosine
+    # ~0.999) into the base; sf1 then sees exactly 10x the base's pairs
+    noise = rng.normal(size=(ne, dim)) * 0.02
+
+    def _perturb(m):
+        nz = noise[:len(m)]
+        out = m / np.linalg.norm(m, axis=1, keepdims=True) + nz
+        return out
+
+    dup_src = emb.filter(F.col('vec_id') % 20 == 0)
+    planted = dup_src.select((F.col('vec_id') + ne).alias('vec_id'),
+                             _vec_udf(_perturb)(F.col('embedding'))
+                             .alias('embedding'), 'label')
+    base = emb.unionByName(planted)
+    base.write.mode('overwrite').parquet(f'{SF1_DIR}/embeddings01.parquet')
+    base = spark.read.parquet(f'{SF1_DIR}/embeddings01.parquet')
+    nb = 2 * ne
+    copies_e = []
+    for i in range(10):
+        q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+        copies_e.append(base.select(
+            (F.col('vec_id') + i * nb).alias('vec_id'),
+            _vec_udf(lambda m, q=q: m @ q.T)(F.col('embedding'))
+            .alias('embedding'), 'label'))
+    oute = copies_e[0]
+    for c in copies_e[1:]:
+        oute = oute.unionByName(c)
+    oute.write.mode('overwrite').parquet(f'{SF1_DIR}/embeddings.parquet')
 
 
 def op_dedup_clusters(spark, sf):
@@ -102,11 +153,51 @@ def op_contamination(spark, sf):
     return contamination_hits(corpus, ev, n=4)
 
 
+def _emb(spark, sf):
+    """The embedding fixture: planted-dup base for the small side (the
+    raw sf0.1 table has ~no pairs over 0.9), rotated 10x for sf1."""
+    path = (f'{SF1_DIR}/embeddings01.parquet' if sf == SF01
+            else f'{sf}/embeddings.parquet')
+    return spark.read.parquet(path)
+
+
+def op_embedding_clusters(spark, sf):
+    from erde_spark.scale.dedup import embedding_dedup_clusters
+    return embedding_dedup_clusters(_emb(spark, sf), threshold=0.9) \
+        .select('vec_id', 'cluster_size')
+
+
+def op_embedding_lsh_pairs(spark, sf):
+    from erde_spark.scale.dedup import embedding_lsh_pairs
+    return embedding_lsh_pairs(_emb(spark, sf), threshold=0.8)
+
+
+def op_similarity_ivfpq(spark, sf):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.similarity import ivfpq_topk
+    e = _emb(spark, sf)
+    q = e.filter(F.col('vec_id') % 100 == 0)  # query count scales with corpus
+    # n_lists left to the sqrt(n) default: a fixed list count makes
+    # per-probe scans grow linearly with the corpus (measured 29x time
+    # for 10x rows at n_lists=16)
+    return ivfpq_topk(e, q, k=5, n_probes=6, m=16, ks=64, refine=8)
+
+
+def op_streaming_backfill(spark, sf):
+    import __spark_entry__ as e
+    return e.q_streaming_neardup_backfill(spark, sf)
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
     'sjoin_points_rects': op_sjoin,
     'contamination_check': op_contamination,
+    'dedup_embedding_clusters': op_embedding_clusters,
+    'embedding_lsh_pairs': op_embedding_lsh_pairs,
+    'similarity_ivfpq': op_similarity_ivfpq,
+    'streaming_neardup_backfill': op_streaming_backfill,
 }
 
 
@@ -132,8 +223,8 @@ def main():
             spark.catalog.clearCache()
         (t1, s1, r1), (t10, s10, r10) = row['sf0.1'], row['sf1']
         results.append(row)
-        print(f"| {name} | {t1:.1f}s / {s1/1e6:.0f}MB / {r1} rows "
-              f"| {t10:.1f}s / {s10/1e6:.0f}MB / {r10} rows "
+        print(f"| {name} | {t1:.1f}s / {s1/1e6:.2f}MB / {r1} rows "
+              f"| {t10:.1f}s / {s10/1e6:.2f}MB / {r10} rows "
               f"| {t10/t1:.1f}x / {s10/max(s1,1):.1f}x / {r10/max(r1,1):.1f}x |",
               flush=True)
 
