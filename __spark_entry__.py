@@ -2664,6 +2664,95 @@ ORDER BY count DESC, pair LIMIT 50
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/cards/phones/IPs — the standard
+    pre-training scrub stage): synthetic PII derived from doc_id is
+    injected into each document, scrubbed by the pure-JVM regex
+    pipeline, and per-type counts + an md5 of the scrubbed text are
+    value-checked against DuckDB running the identical RE2-compatible
+    patterns."""
+    from erde_spark.scale.text import pii_scrub
+    d = _t(spark, sf_dir, 'documents')['documents']
+    k = F.col('doc_id')
+    injected = F.concat(
+        F.col('text'),
+        F.lit(' reach user'), k.cast('string'), F.lit('@ex.org from 10.2.'),
+        (k % 250).cast('string'), F.lit('.7'),
+        F.when(k % 5 == 0,
+               F.lit(' card 4111 1111 1111 1111 tel +1 555-123-4567'))
+        .otherwise(F.lit('')))
+    out = pii_scrub(d.select('doc_id', injected.alias('text')))
+    return out.select(
+        'doc_id',
+        F.col('n_email').cast('bigint').alias('n_email'),
+        F.col('n_credit_card').cast('bigint').alias('n_credit_card'),
+        F.col('n_phone').cast('bigint').alias('n_phone'),
+        F.col('n_ipv4').cast('bigint').alias('n_ipv4'),
+        F.md5('text_scrubbed').alias('scrub_md5'))
+
+
+def _pii_sql():
+    from erde_spark.scale.text import PII_PATTERNS
+    em, cc = PII_PATTERNS['email'], PII_PATTERNS['credit_card']
+    ph, ip = PII_PATTERNS['phone'], PII_PATTERNS['ipv4']
+    scrub = 'itext'
+    for pat in (em, cc, ph, ip):
+        scrub = f"regexp_replace({scrub}, '{pat}', '[PII]', 'g')"
+    return f"""
+WITH t AS (SELECT doc_id,
+  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@ex.org from 10.2.'
+       || CAST(doc_id % 250 AS VARCHAR) || '.7'
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' card 4111 1111 1111 1111 tel +1 555-123-4567'
+               ELSE '' END AS itext
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(itext, '{em}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(itext, '{cc}')) AS BIGINT) AS n_credit_card,
+  CAST(len(regexp_extract_all(itext, '{ph}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(itext, '{ip}')) AS BIGINT) AS n_ipv4,
+  md5({scrub}) AS scrub_md5
+FROM t
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain corpus statistics (allow/deny lists,
+    per-source mixing weights): synthetic URLs derived from doc_id are
+    injected, extracted with a shared RE2/Java-identical pattern, and
+    aggregated per domain."""
+    from erde_spark.scale.text import domain_stats
+    d = _t(spark, sf_dir, 'documents')['documents']
+    k = F.col('doc_id')
+    injected = F.concat(
+        F.col('text'),
+        F.lit(' see https://site'), (k % 20).cast('string'),
+        F.lit('.example.com/p/'), k.cast('string'),
+        F.when(k % 3 == 0, F.lit(' and http://cdn.example.net/x'))
+        .otherwise(F.lit('')))
+    out = domain_stats(d.select('doc_id', injected.alias('text')))
+    return out.select('domain',
+                      F.col('n_urls').cast('bigint').alias('n_urls'),
+                      F.col('n_docs').cast('bigint').alias('n_docs'))
+
+
+def _domain_stats_sql():
+    from erde_spark.scale.text import URL_PATTERN
+    return f"""
+WITH t AS (SELECT doc_id,
+  text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.example.net/x'
+               ELSE '' END AS itext
+  FROM documents),
+u AS (SELECT doc_id, unnest(regexp_extract_all(itext, '{URL_PATTERN}', 1))
+             AS domain FROM t)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain
+"""
+
+
 def q_lm_quality_score(spark, sf_dir):
     """CCNet-style LM quality proxy: per-document mean token log-prob
     under the corpus's own add-0.5-smoothed unigram LM (low = noise,
@@ -2799,9 +2888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     five more twice-green entries (asof_last_click, resample_locf,
     window_top3_orders, percentile_prices, string_funcs).
 
-    Round-4 rotation: the new oracled query geo_transform_families
-    (round-trip check of the sterea/omerc/krovak projection families)
-    enters the window; oov_rate (driver-green r03) moves to the tail.
+    Round-4 rotation: the new oracled queries geo_transform_families
+    (round-trip check of the sterea/omerc/krovak projection families),
+    pii_scrub and domain_stats enter the window; oov_rate, corpus_mix
+    and pack_sequences (all driver-green r03) move to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -2813,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_filter': q_text_quality_filter,
         'sample_stratified': q_sample_stratified,
         'sample_split': q_sample_split,
+        'pii_scrub': q_pii_scrub,
+        'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
@@ -2854,9 +2946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'similarity_topk': q_similarity_topk,
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
+        # -- tail: variants green in earlier rounds, + rows-only ops -----
         'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
-        # -- tail: variants green in earlier rounds, + rows-only ops -----
         'oov_rate': q_oov_rate,
         'tpch_q1_pricing': q_tpch_q1,
         'tpch_q6_revenue': q_tpch_q6,
@@ -3005,6 +3097,8 @@ def oracle_sql() -> dict[str, str]:
         'sample_split': _SAMPLE_SPLIT_SQL,
         'lm_quality_score': _LM_QUALITY_SQL,
         'token_divergence': _TOKEN_DIVERGENCE_SQL,
+        'pii_scrub': _pii_sql(),
+        'domain_stats': _domain_stats_sql(),
         'dedup_cluster_sizes': _DEDUP_CLUSTER_SIZES_SQL,
         'bpe_pair_stats': _BPE_PAIR_SQL,
         'profile_orders': _PROFILE_SQL,

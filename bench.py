@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     'oov_rate',
     'lm_quality_score',
     'token_divergence',
+    'pii_scrub',
+    'domain_stats',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',

@@ -346,11 +346,26 @@ def pack(input_data: DataFrame, max_tokens: int = 2048,
                         shard_column)
 
 
+@autocli
+def scrub(input_data: DataFrame, text_column: str = 'text',
+          types: str = 'email,credit_card,phone,ipv4',
+          redaction: str = '[PII]') -> DataFrame:
+    """Redact PII (emails/cards/phones/IPs) and count spans per type."""
+    from erde_spark.scale.text import PII_PATTERNS, pii_scrub
+    wanted = tuple(t.strip() for t in types.split(',') if t.strip())
+    bad = [t for t in wanted if t not in PII_PATTERNS]
+    if bad:
+        raise AutocliError(f'unknown PII types {bad}: '
+                           f'choose from {sorted(PII_PATTERNS)}')
+    return pii_scrub(input_data, text_column, wanted, redaction)
+
+
 COMMANDS = {
     'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
     'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
     # extensions: the curation pipeline from the shell
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
+    'scrub': scrub,
 }
 
 

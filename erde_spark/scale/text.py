@@ -574,3 +574,61 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
     if keep_flags:
         return kept.select('*', F.col('__q.*')).drop('__q')
     return kept.drop('__q')
+
+
+# ---------------------------------------------------------------- PII / URLs
+
+#: PII patterns restricted to syntax with IDENTICAL semantics in Java
+#: regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+#: Ordering matters for redaction: credit cards before phones, so a
+#: 16-digit grouped number is not half-eaten by the phone pattern.
+PII_PATTERNS = {
+    'email': r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+    'credit_card': r'\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b',
+    'phone': r'\+?\d{1,3}[- .]?\(?\d{3}\)?[- .]\d{3}[- .]\d{4}',
+    'ipv4': r'\b(?:\d{1,3}\.){3}\d{1,3}\b',
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = 'text',
+              types: tuple = ('email', 'credit_card', 'phone', 'ipv4'),
+              redaction: str = '[PII]') -> DataFrame:
+    """Redact PII spans and count them per type — the standard
+    pre-training scrub stage (emails, phone numbers, IPs, card
+    numbers). Adds ``n_<type>`` count columns (counted on the ORIGINAL
+    text) and ``text_scrubbed``.
+
+    Pure JVM regexp expressions: at 100 TB this is one narrow
+    whole-stage-codegen pass over the text column — no Python workers,
+    no shuffle, filter/count pushdown-friendly."""
+    out = df
+    scrubbed = F.col(text_col)
+    for t in types:
+        pat = PII_PATTERNS[t]
+        out = out.withColumn(f'n_{t}',
+                             F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, redaction)
+    return out.withColumn('text_scrubbed', scrubbed)
+
+
+#: capture group 1 = the registrable host (RE2/Java-identical)
+URL_PATTERN = r'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)'
+
+
+def domain_stats(df: DataFrame, text_col: str = 'text',
+                 id_col: str = 'doc_id') -> DataFrame:
+    """(domain, n_urls, n_docs) — URL extraction + per-domain corpus
+    statistics, the web-curation primitive behind domain allow/deny
+    lists and per-source mixing weights.
+
+    Extraction is a JVM ``regexp_extract_all`` + ``explode``; the
+    aggregation is one map-side-combined shuffle on domain — the same
+    linear shape as every other corpus-stats op here."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col),
+                                       F.lit(URL_PATTERN), 1))
+        .alias('domain'))
+    return (urls.groupBy('domain')
+            .agg(F.count(F.lit(1)).alias('n_urls'),
+                 F.countDistinct(id_col).alias('n_docs')))

@@ -1205,3 +1205,42 @@ def test_sign_lsh_param_autoscaling():
     assert all(b <= 64 for b in (b1, b2, b3))
     assert _sign_lsh_params(10**9, 0.99, 0.9)[0] <= 64  # cap holds
     assert _sign_lsh_params(5, 0.9, 0.9, bands=7, rows=11) == (7, 11)
+
+
+def test_pii_scrub(spark):
+    """PII scrubbing: each type is counted on the original text and
+    redacted in the output; clean text passes through untouched."""
+    from erde_spark.scale.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, 'mail a.b+c@ex-1.org and 10.0.255.3 card '
+             '4111 1111 1111 1111 tel +44 555-123-4567 end'),
+         (2, 'nothing sensitive here 123'),
+         (3, 'two mails x@y.io z@w.co')],
+        ['doc_id', 'text'])
+    rows = {r['doc_id']: r for r in pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1['n_email'], r1['n_credit_card'], r1['n_phone'],
+            r1['n_ipv4']) == (1, 1, 1, 1)
+    assert 'a.b+c@ex-1.org' not in r1['text_scrubbed']
+    assert '4111' not in r1['text_scrubbed']
+    assert '10.0.255.3' not in r1['text_scrubbed']
+    assert r1['text_scrubbed'].startswith('mail [PII] and [PII]')
+    r2 = rows[2]
+    assert r2['text_scrubbed'] == 'nothing sensitive here 123'
+    assert (r2['n_email'], r2['n_credit_card'], r2['n_phone'],
+            r2['n_ipv4']) == (0, 0, 0, 0)
+    assert rows[3]['n_email'] == 2
+
+
+def test_domain_stats(spark):
+    """URL/domain extraction: hosts aggregate per domain with url and
+    doc counts; paths/schemes are stripped; non-URLs ignored."""
+    from erde_spark.scale.text import domain_stats
+    df = spark.createDataFrame(
+        [(1, 'see https://a.example.com/x and http://a.example.com/y'),
+         (2, 'also https://b.org/z plus notaurl://c.com'),
+         (3, 'ref https://a.example.com')],
+        ['doc_id', 'text'])
+    got = {r['domain']: (r['n_urls'], r['n_docs'])
+           for r in domain_stats(df).collect()}
+    assert got == {'a.example.com': (3, 2), 'b.org': (1, 1)}
