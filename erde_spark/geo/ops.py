@@ -561,6 +561,21 @@ _CRS_TABLE = {
     3414: {'proj': 'tm', 'ellps': 'WGS84',
            'params': (_d(1, 22), _d(103, 50), 1.0, 28001.642, 38744.572),
            'towgs84': None},
+    # Belge 1972 / Belgian Lambert 72: LCC-2SP with pole false origin
+    # on International 1924; towgs84 is EPSG tfm 15929
+    31370: {'proj': 'lcc', 'ellps': 'intl',
+            'params': (_d(90), _d(4, 21, 24.983), _d(51, 10, 0.00204),
+                       _d(49, 50, 0.00204), 150000.013, 5400088.438),
+            'towgs84': (-106.8686, 52.2978, -103.7239,
+                        0.3366, -0.457, 1.8422, -1.2747)},
+    # ETRS89 / TM35FIN (Finland): single national TM zone
+    3067: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(27), 0.9996, 500000.0, 0.0),
+           'towgs84': None},
+    # NZGD2000 / New Zealand Transverse Mercator
+    2193: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(173), 0.9996, 1600000.0, 10000000.0),
+           'towgs84': None},
     # Amersfoort / RD New (Netherlands): Oblique Stereographic on
     # Bessel 1841 (EPSG 9809); towgs84 is EPSG tfm 15934
     28992: {'proj': 'sterea', 'ellps': 'bessel',

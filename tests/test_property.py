@@ -439,6 +439,9 @@ new_registry_cases = [
     (28992, st.tuples(st.floats(3.4, 7.2), st.floats(50.7, 53.6))),
     (2056, st.tuples(st.floats(6.0, 10.5), st.floats(45.8, 47.8))),
     (5514, st.tuples(st.floats(12.1, 22.5), st.floats(47.7, 51.1))),
+    (31370, st.tuples(st.floats(2.5, 6.4), st.floats(49.5, 51.5))),
+    (3067, st.tuples(st.floats(19.0, 31.6), st.floats(59.7, 70.1))),
+    (2193, st.tuples(st.floats(166.3, 178.6), st.floats(-47.3, -34.0))),
 ]
 
 
