@@ -1,8 +1,9 @@
 """Minimal pure-stdlib media codecs: PNG images and WAV audio.
 
-PNG: 8-bit greyscale / grey+alpha / RGB / RGBA plus palette (color
-type 3, PLTE/tRNS, bit depths 1/2/4/8) and Adam7 interlacing, in pure
-zlib + struct — no image libraries. The decoder implements the full
+PNG: 8- and 16-bit greyscale / grey+alpha / RGB / RGBA plus palette
+(color type 3, PLTE/tRNS, bit depths 1/2/4/8) and Adam7 interlacing, in
+pure zlib + struct — no image libraries. 16-bit images decode to
+uint16 arrays. The decoder implements the full
 scanline filter set (None / Sub / Up / Average / Paeth; public PNG
 spec, RFC 2083 §6) with CRC verification, so `decode_media` is a real
 decoder for the web's dominant lossless format. The encoders exist for
@@ -80,6 +81,9 @@ def _pass_pixels(raw: bytes, p: int, pw: int, ph: int, depth: int,
         prev = row
     if depth == 8:
         return out[:, :pw * ch].reshape(ph, pw, ch), p
+    if depth == 16:                        # big-endian sample pairs
+        u = out[:, :pw * ch * 2].reshape(ph, pw * ch, 2).astype(np.uint16)
+        return ((u[..., 0] << 8) | u[..., 1]).reshape(ph, pw, ch), p
     # depth 1/2/4 (color types 0 and 3 only): unpack MSB-first groups
     b = np.unpackbits(out, axis=1)[:, :pw * depth].reshape(ph, pw, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -119,10 +123,11 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = header
     if color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(f'PNG color type {color}')
-    if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
+    if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)) \
+            and not (depth == 16 and color in (0, 2, 4, 6)):
         raise NotImplementedError(
             f'PNG bit depth {depth} for color type {color} '
-            '(8, or 1/2/4 for greyscale/palette)')
+            '(8/16, or 1/2/4 for greyscale/palette)')
     if interlace not in (0, 1):
         raise ValueError(f'invalid PNG interlace method {interlace}')
     if comp != 0 or filt != 0:
@@ -135,7 +140,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace == 0:
         px, p = _pass_pixels(raw, 0, w, h, depth, ch)
     else:                                 # Adam7: 7 independent passes
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, ch),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
         p = 0
         for sx, sy, dx, dy in _ADAM7:
             pw = (w - sx + dx - 1) // dx
@@ -227,18 +233,30 @@ def _scanline_payload(img: np.ndarray, ch: int, filter_type: int,
 
 def encode_png(arr: np.ndarray, filter_type: int = 0,
                interlace: int = 0) -> bytes:
-    """uint8 ndarray -> PNG bytes. ``filter_type`` applies one filter to
-    every scanline (0=None default; 1-4 exist so tests can cover each
-    decoder unfilter path); ``interlace=1`` writes real Adam7 pass
-    structure."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    """uint8 (depth 8) or uint16 (depth 16, big-endian samples) ndarray
+    -> PNG bytes. ``filter_type`` applies one filter to every scanline
+    (0=None default; 1-4 exist so tests can cover each decoder unfilter
+    path); ``interlace=1`` writes real Adam7 pass structure."""
+    arr = np.asarray(arr)
+    wide = arr.dtype == np.uint16
+    arr = arr.astype(np.uint16 if wide else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     ch = arr.shape[2]
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     h, w = arr.shape[:2]
-    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, interlace)
-    idat = zlib.compress(_scanline_payload(arr, ch, filter_type, interlace))
+    if wide:
+        # bytes-per-pixel image: filtering operates on BYTES with the
+        # pixel width (2*ch) as the Sub/Average/Paeth offset (PNG spec)
+        bimg = (np.ascontiguousarray(arr.astype('>u2'))
+                .view(np.uint8).reshape(h, w, ch * 2))
+        bpp = ch * 2
+    else:
+        bimg, bpp = arr, ch
+    ihdr = struct.pack('>IIBBBBB', w, h, 16 if wide else 8, color, 0, 0,
+                       interlace)
+    idat = zlib.compress(_scanline_payload(bimg, bpp, filter_type,
+                                           interlace))
     return (_SIG + _png_chunk(b'IHDR', ihdr) + _png_chunk(b'IDAT', idat)
             + _png_chunk(b'IEND', b''))
 

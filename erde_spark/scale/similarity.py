@@ -143,7 +143,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
 
     Scale shape: corpus bucketed once (cacheable); per query only a few
     buckets are scanned — an equi-join on bucket id instead of a full scan.
-    Recall grows with n_probes; this is the IVF-style tradeoff.
+    Recall grows with n_probes; this is the IVF-style tradeoff. At fixed
+    ``n_bits`` per-bucket occupancy — and so per-query candidate count —
+    grows linearly with the corpus; for large corpora prefer
+    :func:`ivf_topk`/:func:`ivfpq_topk`, whose sqrt(n)-scaled list count
+    keeps probe cost sublinear (measured in SCALE.md).
     """
     cb = lsh_buckets(corpus, id_col, vec_col, dim, n_bits, seed) \
         .select(F.col('id').alias('vec_id'), F.col('nvec').alias('cvec'), 'bucket')

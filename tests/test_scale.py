@@ -1244,3 +1244,18 @@ def test_domain_stats(spark):
     got = {r['domain']: (r['n_urls'], r['n_docs'])
            for r in domain_stats(df).collect()}
     assert got == {'a.example.com': (3, 2), 'b.org': (1, 1)}
+
+
+def test_png_16bit_roundtrip():
+    """Depth-16 PNG (big-endian sample pairs, byte-level filtering with
+    pixel-width offsets): exact uint16 round trip for every channel
+    count x filter x interlace combination."""
+    from erde_spark.scale.png import decode_png, encode_png
+    rng = np.random.RandomState(6)
+    for shape in ((9, 7), (8, 5, 3), (6, 6, 4), (11, 3, 2)):
+        a = rng.randint(0, 65536, shape, dtype=np.uint16)
+        for ft in range(5):
+            for il in (0, 1):
+                got = decode_png(encode_png(a, ft, il))
+                assert got.dtype == np.uint16, (shape, ft, il)
+                assert got.shape == a.shape and (got == a).all(), (shape, ft, il)
