@@ -2844,6 +2844,42 @@ def q_streaming_neardup_backfill(spark, sf_dir):
     return out
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio DSP features (RMS / zero-cross rate / spectral centroid)
+    over REAL WAV blobs synthesized deterministically per document
+    (sine tone, frequency derived from doc_id). Rows-only — DuckDB
+    cannot decode WAV (feature math pinned on sine fixtures in
+    tests/test_scale.py)."""
+    import pandas as pd
+
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, audio_features
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _synth(batches):
+        import numpy as np
+
+        from erde_spark.scale.png import encode_wav
+        sr = 8000
+        t = np.arange(sr // 5) / sr          # 0.2 s per asset
+        for pdf in batches:
+            rows = []
+            for did in pdf['doc_id']:
+                freq = 200.0 + (int(did) % 20) * 100.0
+                x = (0.4 * np.sin(2 * np.pi * freq * t)
+                     * 32767).astype(np.int16)
+                blob = encode_wav(x[:, None], framerate=sr)
+                rows.append((int(did), bytearray(blob),
+                             ('audio/wav', None, None, len(blob))))
+            yield pd.DataFrame(rows, columns=['asset_id', 'media', 'meta'])
+
+    assets = d.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    return (audio_features(assets, sample_rate=8000)
+            .select('asset_id', 'n_frames',
+                    F.round('rms', 4).alias('rms'),
+                    F.round('zero_cross_rate', 4).alias('zcr'),
+                    F.round('spectral_centroid_hz', 1).alias('centroid_hz')))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> mapInPandas feature
     extraction with the deterministic fake decoder (no SQL oracle; driver
@@ -2990,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_json': q_events_json,
         'grouping_sets_orders': q_grouping_sets,
         'text_winnow_pairs': q_text_winnow,
+        'audio_features': q_audio_features,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_lsh': q_dedup_embedding_lsh,

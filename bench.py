@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     'similarity_lsh',
     'similarity_ivfpq',
     'multimodal_features',
+    'audio_features',
 ]
 
 

@@ -108,13 +108,27 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def extract_features(assets: DataFrame, fake: bool = False,
-                     n_features: int = 8) -> DataFrame:
+                     n_features: int = 8,
+                     on_error: str = 'raise') -> DataFrame:
     """Decode + featurize every asset via ``mapInPandas``.
 
     Iterator-of-batches contract: constant memory per task regardless of
     partition size. With ``fake=True`` uses the deterministic stand-in
-    decoder; otherwise calls :func:`decode_media` (stubbed).
+    decoder; otherwise calls :func:`decode_media`.
+
+    ``on_error`` is the 100 TB reality knob — a web-crawl media column
+    ALWAYS contains truncated/corrupt blobs, and one bad asset must not
+    fail a whole task (and with it the stage, 4 retries later the job):
+
+    * ``'raise'``  (default) — propagate, for curated inputs;
+    * ``'skip'``   — drop undecodable assets from the output;
+    * ``'null'``   — keep the row with null features, so the caller can
+      count/inspect failures (an anti-join against the input gives the
+      same set under ``'skip'``).
     """
+    if on_error not in ('raise', 'skip', 'null'):
+        raise ValueError(f"on_error={on_error!r}: use 'raise'/'skip'/'null'")
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, stds, feats = [], [], [], []
@@ -122,10 +136,21 @@ def extract_features(assets: DataFrame, fake: bool = False,
             # and is ~10x slower per asset
             for aid, blob, meta in zip(pdf['asset_id'], pdf['media'], pdf['meta']):
                 blob = bytes(blob)
-                if fake:
-                    arr = _fake_decode(blob, int(meta['width']), int(meta['height']))
-                else:
-                    arr = decode_media(blob, meta['format'])
+                try:
+                    if fake:
+                        arr = _fake_decode(blob, int(meta['width']),
+                                           int(meta['height']))
+                    else:
+                        arr = decode_media(blob, meta['format'])
+                except Exception:
+                    if on_error == 'raise':
+                        raise
+                    if on_error == 'null':
+                        ids.append(int(aid))
+                        means.append(None)
+                        stds.append(None)
+                        feats.append(None)
+                    continue
                 flat = arr.astype(np.float64).ravel()
                 ids.append(int(aid))
                 means.append(float(flat.mean()))
@@ -144,20 +169,31 @@ RESIZE_SCHEMA = ('asset_id long, out_w int, out_h int, '
 
 
 def resize_media(assets: DataFrame, out_w: int, out_h: int,
-                 fake: bool = False) -> DataFrame:
+                 fake: bool = False, on_error: str = 'raise') -> DataFrame:
     """Decode + nearest-neighbor resize via ``mapInPandas`` (same
     iterator-of-batches constant-memory contract as feature extraction).
     The resampling arithmetic is real numpy index math; only the decode
-    step is stubbed (``fake=True`` uses the deterministic stand-in)."""
+    step is stubbed (``fake=True`` uses the deterministic stand-in).
+    ``on_error='skip'`` drops undecodable assets instead of failing the
+    task (see :func:`extract_features`)."""
+    if on_error not in ('raise', 'skip'):
+        raise ValueError(f"on_error={on_error!r}: use 'raise'/'skip'")
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, pixels = [], []
             for aid, blob, meta in zip(pdf['asset_id'], pdf['media'], pdf['meta']):
                 blob = bytes(blob)
-                if fake:
-                    arr = _fake_decode(blob, int(meta['width']), int(meta['height']))
-                else:
-                    arr = decode_media(blob, meta['format'])
+                try:
+                    if fake:
+                        arr = _fake_decode(blob, int(meta['width']),
+                                           int(meta['height']))
+                    else:
+                        arr = decode_media(blob, meta['format'])
+                except Exception:
+                    if on_error == 'raise':
+                        raise
+                    continue
                 h, w = arr.shape[:2]
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
@@ -180,3 +216,56 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
         'asset_id',
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias('frame_idx'),
         'meta')
+
+
+AUDIO_FEATURE_SCHEMA = ('asset_id long, n_frames long, n_channels int, '
+                        'rms double, zero_cross_rate double, '
+                        'spectral_centroid_hz double')
+
+
+def audio_features(assets: DataFrame, sample_rate: int = 16000,
+                   on_error: str = 'raise') -> DataFrame:
+    """Decode WAV blobs and compute real DSP features per asset: RMS
+    level, zero-crossing rate (per frame) and spectral centroid (Hz,
+    magnitude-weighted mean rfft frequency of the mono mix) — the audio
+    analogue of :func:`extract_features`, same ``mapInPandas``
+    iterator-of-batches shape and ``on_error`` contract. Integer PCM is
+    normalized to [-1, 1] before analysis."""
+    if on_error not in ('raise', 'skip'):
+        raise ValueError(f"on_error={on_error!r}: use 'raise'/'skip'")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for aid, blob, meta in zip(pdf['asset_id'], pdf['media'],
+                                       pdf['meta']):
+                try:
+                    arr = decode_media(bytes(blob), meta['format'])
+                except Exception:
+                    if on_error == 'raise':
+                        raise
+                    continue
+                x = arr.astype(np.float64)
+                if np.issubdtype(arr.dtype, np.integer):
+                    info = np.iinfo(arr.dtype)
+                    if info.min == 0:           # unsigned 8-bit PCM
+                        x = (x - (info.max + 1) / 2) / ((info.max + 1) / 2)
+                    else:
+                        x = x / (info.max + 1)
+                mono = x.mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt((x * x).mean()))
+                zcr = (float(np.mean(np.signbit(mono[1:])
+                                     != np.signbit(mono[:-1])))
+                       if n > 1 else 0.0)
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                tot = mag.sum()
+                cent = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                rows.append((int(aid), n, x.shape[1], rms, zcr, cent))
+            yield pd.DataFrame(rows, columns=[
+                'asset_id', 'n_frames', 'n_channels', 'rms',
+                'zero_cross_rate', 'spectral_centroid_hz'])
+
+    return assets.mapInPandas(_run, schema=AUDIO_FEATURE_SCHEMA)

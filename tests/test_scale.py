@@ -1259,3 +1259,50 @@ def test_png_16bit_roundtrip():
                 got = decode_png(encode_png(a, ft, il))
                 assert got.dtype == np.uint16, (shape, ft, il)
                 assert got.shape == a.shape and (got == a).all(), (shape, ft, il)
+
+
+def test_audio_features_sine(spark):
+    """Audio DSP features on synthesized sines: a 440 Hz tone at 16 kHz
+    has spectral centroid ~440 Hz, zero-crossing rate ~2*440/16000, and
+    RMS ~amp/sqrt(2); a 2 kHz tone shifts the centroid accordingly."""
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, audio_features
+    from erde_spark.scale.png import encode_wav
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    rows = []
+    for aid, freq in ((1, 440.0), (2, 2000.0)):
+        x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        blob = encode_wav(x[:, None], framerate=sr)
+        rows.append((aid, bytearray(blob), ('audio/wav', None, None,
+                                            len(blob))))
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r['asset_id']: r for r in
+           audio_features(df, sample_rate=sr).collect()}
+    for aid, freq in ((1, 440.0), (2, 2000.0)):
+        r = got[aid]
+        assert r['n_frames'] == sr and r['n_channels'] == 1
+        assert abs(r['spectral_centroid_hz'] - freq) < freq * 0.05, r
+        assert abs(r['zero_cross_rate'] - 2 * freq / sr) < 0.01, r
+        assert abs(r['rms'] - 0.5 / np.sqrt(2)) < 0.01, r
+
+
+def test_extract_features_on_error(spark):
+    """A corrupt blob in a batch must not fail the task when
+    on_error='skip'/'null'; 'raise' (default) propagates."""
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    from erde_spark.scale.png import encode_png
+    good = encode_png(np.full((4, 4), 7, dtype=np.uint8))
+    rows = [(1, bytearray(good), ('image/png', 4, 4, None)),
+            (2, bytearray(b'\x89PNG\r\n\x1a\nBROKEN'), ('image/png', 4, 4, None)),
+            (3, bytearray(good), ('image/png', 4, 4, None))]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(1)
+    skip = extract_features(df, on_error='skip').collect()
+    assert sorted(r['asset_id'] for r in skip) == [1, 3]
+    assert all(abs(r['feat_mean'] - 7.0) < 1e-9 for r in skip)
+    nulls = {r['asset_id']: r['feat_mean']
+             for r in extract_features(df, on_error='null').collect()}
+    assert nulls[2] is None and nulls[1] == 7.0
+    with pytest.raises(Exception):
+        extract_features(df).collect()
+    with pytest.raises(ValueError, match='on_error'):
+        extract_features(df, on_error='bogus')
