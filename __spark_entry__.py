@@ -2891,6 +2891,78 @@ def q_multimodal_features(spark, sf_dir):
                 F.round('feat_std', 4).alias('feat_std'))
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Image near-duplicate dedup over REAL PNG blobs, value-oracled by
+    construction (the ``geo_transform_families`` style of oracle): each
+    document gets a 32x32 image whose visual class is ``doc_id % 40`` —
+    a class-seeded sinusoid base, plus a tiny class-seeded noise delta
+    when ``doc_id % 3 == 0`` (a near-duplicate, not an exact one). The
+    pipeline PNG-encodes every image, decodes + pHashes via
+    ``mapInPandas``, finds Hamming<=8 pairs with the Manku multi-block
+    band join, runs connected components, and reports the cluster-size
+    histogram. Distinct classes sit ~32 bits apart (random low-freq
+    content) while intra-class perturbations stay well inside 8 bits,
+    so clusters == classes and the histogram is predictable from
+    ``doc_id`` arithmetic alone — the DuckDB oracle computes it straight
+    from ``doc_id % 40``. A green row therefore certifies the PNG codec,
+    the pHash kernel, the banded Hamming join, and CC in one check."""
+    from erde_spark.scale.imagehash import image_dedup_clusters, image_hashes
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+        from erde_spark.scale.png import encode_png
+        cache = {}
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                c = did % 40
+                key = (c, did % 3 == 0)
+                if key not in cache:
+                    rng = np.random.RandomState(1000 + c)
+                    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+                    img = (90
+                           + 60 * np.sin(2 * np.pi * (rng.uniform(.5, 3.) * x / 32
+                                                      + rng.uniform(.5, 3.) * y / 32)))
+                    # rectangle patches give each class distinctive
+                    # low-freq content: measured intra-class pHash
+                    # distance <= 6, cross-class >= 12 over all 40
+                    # classes (threshold 8 sits mid-gap; deterministic)
+                    for _ in range(4):
+                        y0, x0 = rng.randint(0, 24, 2)
+                        hh, ww = rng.randint(6, 16, 2)
+                        img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
+                    if key[1]:
+                        nrng = np.random.RandomState(5000 + c)
+                        img = img + nrng.randint(-4, 5, img.shape)
+                    cache[key] = encode_png(np.clip(img, 0, 255).astype(np.uint8))
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'image/png', 'width': 32,
+                              'height': 32, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs, 'meta': metas})
+
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
+    comp = image_dedup_clusters(image_hashes(assets), max_hamming=8)
+    sizes = (comp.groupBy('hash_component')
+             .agg(F.count(F.lit(1)).alias('cluster_size')))
+    return (sizes.groupBy('cluster_size')
+            .agg(F.count(F.lit(1)).alias('n_clusters'))
+            .orderBy('cluster_size'))
+
+
+_IMAGE_PHASH_SQL = """
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT doc_id % 40 AS c, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY doc_id % 40)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2926,8 +2998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 rotation: the new oracled queries geo_transform_families
     (round-trip check of the sterea/omerc/krovak projection families),
-    pii_scrub and domain_stats enter the window; oov_rate, corpus_mix
-    and pack_sequences (all driver-green r03) move to the tail.
+    pii_scrub, domain_stats and image_phash_dedup (construction-oracled
+    PNG->pHash->Hamming-band->CC pipeline) enter the window; oov_rate,
+    corpus_mix, pack_sequences and range_band_join (all driver-green
+    r03, range_band_join green r01-r03) move to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -2945,8 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
+        'image_phash_dedup': q_image_phash_dedup,
         'set_ops': q_set_ops,
-        'range_band_join': q_range_band_join,
         'rollup_pricing': q_rollup_pricing,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'profile_orders': q_profile_orders,
@@ -2983,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'range_band_join': q_range_band_join,
         'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
         'oov_rate': q_oov_rate,
@@ -3101,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_buffer_area': _GEO_BUFFER_SQL,
         'geo_transform': _GEO_TRANSFORM_SQL,
         'geo_transform_families': _GEO_TRANSFORM_FAMILIES_SQL,
+        'image_phash_dedup': _IMAGE_PHASH_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,
