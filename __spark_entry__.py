@@ -2963,6 +2963,74 @@ ORDER BY cluster_size
 """
 
 
+#: HTML wrapper fragments shared VERBATIM by the Spark query and the
+#: DuckDB oracle builder — interleaved with doc_id, lang, text, doc_id.
+#: Deliberately hostile: script body with a bare '<' and an entity,
+#: style payload, a comment, mixed-case attributes, nested list markup.
+_HTML_FRAGS = (
+    '<html><head><title>Doc ',
+    '</title><style>p { color: #333; }</style></head><body>'
+    '<script type="text/javascript">if (1 < 2) { var x = "&amp;"; }'
+    '</script><!-- crawl artifact --><h1>',
+    '</h1><p>',
+    '</p><ul><li><a href="https://example.com/',
+    '">one</a></li><li><A HREF="https://example.org/page?x=1&amp;y=2">two'
+    '</A></li></ul></body></html>',
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML-to-text extraction, oracle-checked to the byte: every
+    document is wrapped in a hostile HTML shell (script with a bare
+    '<' and an entity, style payload, comments, mixed-case href), then
+    the whole-stage-codegen regex chain in
+    :mod:`erde_spark.scale.html` strips it back to visible text. The
+    DuckDB oracle replays the IDENTICAL pattern sequence (RE2 and Java
+    agree on the restricted dialect the module commits to), so the
+    md5 of the extracted text certifies the full chain char-for-char —
+    tag stripping, entity decoding, whitespace normalization, title
+    and link extraction."""
+    from erde_spark.scale.html import html_extract
+    d = _t(spark, sf_dir, 'documents')['documents']
+    f = _HTML_FRAGS
+    html = F.concat(
+        F.lit(f[0]), F.col('doc_id').cast('string'), F.lit(f[1]),
+        F.col('lang'), F.lit(f[2]), F.col('text'), F.lit(f[3]),
+        F.col('doc_id').cast('string'), F.lit(f[4]))
+    out = html_extract(d.select('doc_id', html.alias('html')), 'html')
+    return out.select(
+        'doc_id', 'title',
+        F.col('n_links').cast('long').alias('n_links'),
+        F.md5('text').alias('text_md5'),
+        F.length('text').cast('long').alias('text_len'),
+        'text_ratio')
+
+
+def _html_sql() -> str:
+    from erde_spark.scale.html import (HREF_PATTERN, TITLE_PATTERN,
+                                       duckdb_text_sql)
+    f = _HTML_FRAGS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = (f"{lit(f[0])} || CAST(doc_id AS VARCHAR) || {lit(f[1])} || lang"
+            f" || {lit(f[2])} || text || {lit(f[3])}"
+            f" || CAST(doc_id AS VARCHAR) || {lit(f[4])}")
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+t AS (SELECT doc_id, html, {duckdb_text_sql('html')} AS text FROM h)
+SELECT doc_id,
+       trim(regexp_extract(html, {lit(TITLE_PATTERN)}, 1)) AS title,
+       CAST(len(regexp_extract_all(html, {lit(HREF_PATTERN)}, 1)) AS BIGINT)
+         AS n_links,
+       md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS text_len,
+       ROUND(length(text) / greatest(length(html), 1), 4) AS text_ratio
+FROM t
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3020,8 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
         'image_phash_dedup': q_image_phash_dedup,
+        'html_extract': q_html_extract,
         'set_ops': q_set_ops,
-        'rollup_pricing': q_rollup_pricing,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
@@ -3057,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'rollup_pricing': q_rollup_pricing,
         'range_band_join': q_range_band_join,
         'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
@@ -3177,6 +3246,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_transform': _GEO_TRANSFORM_SQL,
         'geo_transform_families': _GEO_TRANSFORM_FAMILIES_SQL,
         'image_phash_dedup': _IMAGE_PHASH_SQL,
+        'html_extract': _html_sql(),
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,
