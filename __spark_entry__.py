@@ -3031,6 +3031,53 @@ FROM t
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the log-ratio of add-0.5-smoothed hashed-unigram+bigram models of
+    the English slice (target) vs the whole corpus (raw). md5-prefix
+    buckets make the hash identical across engines, so the DuckDB oracle
+    reproduces the weights to 4 decimals — certifying feature
+    construction, bucket counting, smoothing, and the broadcast
+    ratio-join in one row."""
+    from erde_spark.scale.dsir import dsir_logweights
+    d = _t(spark, sf_dir, 'documents')['documents']
+    w = dsir_logweights(d, d.filter(F.col('lang') == 'en'))
+    return w.select('id', 'n_feats',
+                    F.round('log_weight', 4).alias('log_weight'))
+
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id, substr(md5(f), 1, 4) AS bucket
+  FROM (SELECT doc_id,
+          unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE [] END)) AS f
+        FROM tok)),
+tfeat AS (SELECT f.* FROM feat f JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en'),
+rawc AS (SELECT bucket, COUNT(*) AS n FROM feat GROUP BY bucket),
+tgtc AS (SELECT bucket, COUNT(*) AS n FROM tfeat GROUP BY bucket),
+rt AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM rawc),
+tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM tgtc),
+ratio AS (SELECT r.bucket,
+       ln((COALESCE(t.n, 0) + 0.5) / (tt.tot + 0.5 * 65536))
+     - ln((r.n + 0.5) / (rt.tot + 0.5 * 65536)) AS lr
+   FROM rawc r LEFT JOIN tgtc t USING (bucket), rt, tt),
+pd AS (SELECT f.doc_id, COUNT(*) AS nf, SUM(ratio.lr) AS w
+       FROM feat f JOIN ratio USING (bucket) GROUP BY f.doc_id)
+SELECT d.doc_id AS id, CAST(COALESCE(pd.nf, 0) AS BIGINT) AS n_feats,
+       ROUND(COALESCE(pd.w, 0.0), 4) AS log_weight
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3089,8 +3136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_pair_stats': q_bpe_pair_stats,
         'image_phash_dedup': q_image_phash_dedup,
         'html_extract': q_html_extract,
+        'dsir_weights': q_dsir_weights,
         'set_ops': q_set_ops,
-        'pivot_priority_revenue': q_pivot_priority_revenue,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
@@ -3125,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
         'range_band_join': q_range_band_join,
         'corpus_mix': q_corpus_mix,
@@ -3247,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         'geo_transform_families': _GEO_TRANSFORM_FAMILIES_SQL,
         'image_phash_dedup': _IMAGE_PHASH_SQL,
         'html_extract': _html_sql(),
+        'dsir_weights': _DSIR_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

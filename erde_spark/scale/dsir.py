@@ -1,0 +1,138 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169).
+
+Select raw-corpus documents that look like a small high-quality target
+corpus: score every raw document by the log importance ratio of two
+bag-of-hashed-n-gram models,
+
+    log w(doc) = sum over doc features f of
+                 [ log p_target(bucket(f)) - log p_raw(bucket(f)) ]
+
+with word unigram+bigram features hashed into a fixed bucket table and
+add-``alpha`` smoothing on both sides. High weight = "target-like";
+resampling by these weights (Gumbel top-k) reshapes 100 TB of crawl
+toward the target distribution with one cheap pass.
+
+Scale shape: features explode once per corpus; both bucket-count
+aggregations are map-side-combined groupBys bounded by the bucket count
+(65 536 rows), so the ratio table always broadcasts. The per-document
+sum is one join of the exploded feature stream against that broadcast
+table plus one map-side-combined groupBy on doc id — linear in corpus
+size, no all-pairs, no Python workers anywhere.
+
+The default bucket function is the first 4 hex chars of ``md5(feature)``
+(65 536 buckets): md5 is computed identically by Spark and DuckDB, which
+keeps the operator oracle-checkable end-to-end. ``hash='xxhash64'``
+switches to the cheaper JVM hash for production runs where cross-engine
+parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erde_spark.scale.text import tokens
+
+#: 16^4 md5-prefix buckets (DSIR paper uses 10k; a power of 16 keeps the
+#: md5-prefix bucket id a plain substring on both engines)
+N_BUCKETS = 65536
+
+
+def _word_ngrams(text_col, ns: tuple[int, ...] = (1, 2)):
+    """Array of word n-gram strings (space-joined) for the given orders.
+    Unigrams+bigrams is the DSIR paper's feature set."""
+    toks = tokens(text_col)
+    parts = []
+    for n in ns:
+        if n == 1:
+            parts.append(toks)
+            continue
+        # slide a window of n tokens; empty when the doc is shorter
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(
+                ' ', *[F.element_at(toks, i + j) for j in range(n)]))
+        parts.append(F.when(F.size(toks) >= n, grams)
+                     .otherwise(F.array().cast('array<string>')))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def ngram_buckets(df: DataFrame, id_col: str = 'doc_id',
+                  text_col: str = 'text', ns: tuple[int, ...] = (1, 2),
+                  hash: str = 'md5') -> DataFrame:
+    """(id, bucket) — one row per feature OCCURRENCE (not per distinct
+    feature: DSIR counts occurrences on both sides)."""
+    feats = F.explode(_word_ngrams(text_col, ns)).alias('f')
+    base = df.select(F.col(id_col).alias('id'), feats)
+    if hash == 'md5':
+        b = F.substring(F.md5('f'), 1, 4)
+    elif hash == 'xxhash64':
+        b = F.pmod(F.xxhash64('f'), F.lit(N_BUCKETS)).cast('string')
+    else:
+        raise ValueError(f"hash={hash!r}: use 'md5' or 'xxhash64'")
+    return base.select('id', b.alias('bucket'))
+
+
+def _bucket_counts(feat: DataFrame) -> DataFrame:
+    return feat.groupBy('bucket').agg(F.count(F.lit(1)).alias('n'))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    id_col: str = 'doc_id', text_col: str = 'text',
+                    ns: tuple[int, ...] = (1, 2), alpha: float = 0.5,
+                    hash: str = 'md5') -> DataFrame:
+    """(id, n_feats, log_weight) for every raw document — the DSIR
+    importance log-ratio under add-``alpha``-smoothed hashed-n-gram
+    models of ``target`` vs ``raw``. Documents with no features score 0.
+
+    The two corpus totals are semantic constants (same bounded-collect
+    discipline as ``unigram_logprob``); the ratio table is bounded by
+    ``N_BUCKETS`` and broadcast into the per-document join.
+    """
+    feat = ngram_buckets(raw, id_col, text_col, ns, hash)
+    tfeat = ngram_buckets(target, id_col, text_col, ns, hash)
+    rawc = _bucket_counts(feat)
+    tgtc = _bucket_counts(tfeat)
+    rtot = int(rawc.agg(F.sum('n')).first()[0] or 0)
+    ttot = int(tgtc.agg(F.sum('n')).first()[0] or 0)
+    rden = float(rtot + alpha * N_BUCKETS)
+    tden = float(ttot + alpha * N_BUCKETS)
+    ratio = (rawc.join(tgtc.withColumnRenamed('n', 'tn'), 'bucket', 'left')
+             .select('bucket',
+                     (F.log((F.coalesce('tn', F.lit(0)) + F.lit(alpha)) / F.lit(tden))
+                      - F.log((F.col('n') + F.lit(alpha)) / F.lit(rden)))
+                     .alias('lr')))
+    per_doc = (feat.join(F.broadcast(ratio), 'bucket')
+               .groupBy('id')
+               .agg(F.count(F.lit(1)).alias('n_feats'),
+                    F.sum('lr').alias('w')))
+    return (raw.select(F.col(id_col).alias('id'))
+            .join(per_doc, 'id', 'left')
+            .select('id',
+                    F.coalesce('n_feats', F.lit(0)).cast('long').alias('n_feats'),
+                    F.coalesce('w', F.lit(0.0)).alias('log_weight')))
+
+
+def dsir_topk(raw: DataFrame, target: DataFrame, k: int,
+              id_col: str = 'doc_id', text_col: str = 'text',
+              gumbel: bool = True, **kw) -> DataFrame:
+    """The ``k`` selected documents. With ``gumbel=True`` (the paper's
+    sampling-without-replacement estimator) each document's key is
+    ``log_weight + Gumbel(0,1)`` noise seeded deterministically from its
+    id via md5 — reproducible across runs and engines; ``gumbel=False``
+    is plain hard top-k by weight."""
+    w = dsir_logweights(raw, target, id_col, text_col, **kw)
+    key = F.col('log_weight')
+    if gumbel:
+        # uniform in (0,1] from the first 12 md5 hex chars of the id
+        u = ((F.conv(F.substring(F.md5(F.col('id').cast('string')), 1, 12),
+                     16, 10).cast('double') + F.lit(1.0))
+             / F.lit(float(16 ** 12)))
+        key = key - F.log(-F.log(u))
+    return (w.withColumn('sel_key', key)
+            .orderBy(F.desc('sel_key'), F.asc('id'))
+            .limit(k))
