@@ -3078,6 +3078,62 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+def q_video_metadata(spark, sf_dir):
+    """Video-curation metadata pass over REAL ISO-BMFF containers,
+    value-oracled by construction: each document gets a genuine MP4
+    (ftyp/moov/trak/stbl/mdat, built by the stub encoder) whose frame
+    count, fps and resolution are ``doc_id`` arithmetic. The pipeline
+    parses every container (box walk, mvhd/tkhd/stsd/stts/stsz/stco),
+    plans every-5th-frame byte ranges, and reports per-asset metadata +
+    sampled-frame count — all predictable in SQL, so a green row
+    certifies the encoder/parser/range-planner agreement end-to-end."""
+    from erde_spark.scale.mp4 import frame_sample_ranges, mp4_metadata
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _mk(batches):
+        import pandas as pd
+        from erde_spark.scale.mp4 import encode_mp4_stub
+        cache = {}
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                key = (12 + did % 20, 64 + (did % 3) * 16)
+                if key not in cache:
+                    cache[key] = encode_mp4_stub(
+                        n_frames=key[0], fps=12, width=key[1], height=48,
+                        frame_bytes=24)
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'video/mp4', 'width': key[1],
+                              'height': 48, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs, 'meta': metas})
+
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA).localCheckpoint()
+    meta = mp4_metadata(assets)
+    sampled = (frame_sample_ranges(assets, every_n=5)
+               .groupBy('asset_id')
+               .agg(F.count(F.lit(1)).alias('n_sampled'),
+                    F.sum('byte_size').alias('sampled_bytes')))
+    return (meta.join(sampled, 'asset_id')
+            .select('asset_id', 'brand', 'video_codec', 'width', 'n_frames',
+                    F.round('duration_sec', 4).alias('duration_sec'),
+                    F.col('n_sampled').cast('long').alias('n_sampled'),
+                    F.col('sampled_bytes').cast('long').alias('sampled_bytes')))
+
+
+_VIDEO_META_SQL = """
+SELECT doc_id AS asset_id, 'isom' AS brand, 'avc1' AS video_codec,
+       CAST(64 + (doc_id % 3) * 16 AS INT) AS width,
+       CAST(12 + doc_id % 20 AS BIGINT) AS n_frames,
+       ROUND((12 + doc_id % 20) / 12.0, 4) AS duration_sec,
+       CAST(CEIL((12 + doc_id % 20) / 5.0) AS BIGINT) AS n_sampled,
+       CAST(CEIL((12 + doc_id % 20) / 5.0) * 24 AS BIGINT) AS sampled_bytes
+FROM documents
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3113,10 +3169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 rotation: the new oracled queries geo_transform_families
     (round-trip check of the sterea/omerc/krovak projection families),
-    pii_scrub, domain_stats and image_phash_dedup (construction-oracled
-    PNG->pHash->Hamming-band->CC pipeline) enter the window; oov_rate,
-    corpus_mix, pack_sequences and range_band_join (all driver-green
-    r03, range_band_join green r01-r03) move to the tail.
+    pii_scrub, domain_stats, image_phash_dedup (construction-oracled
+    PNG->pHash->Hamming-band->CC pipeline), html_extract (byte-exact
+    cross-engine boilerplate stripping), dsir_weights (importance
+    resampling) and video_metadata (construction-oracled ISO-BMFF
+    parse + frame-range planning) enter the window; oov_rate,
+    corpus_mix, pack_sequences, range_band_join, rollup_pricing,
+    pivot_priority_revenue and full_outer_priority (every one
+    driver-green in r03, most in r01-r03) move to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3137,11 +3197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_phash_dedup': q_image_phash_dedup,
         'html_extract': q_html_extract,
         'dsir_weights': q_dsir_weights,
+        'video_metadata': q_video_metadata,
         'set_ops': q_set_ops,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
-        'full_outer_priority': q_full_outer_priority,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
@@ -3172,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
         'range_band_join': q_range_band_join,
@@ -3296,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         'image_phash_dedup': _IMAGE_PHASH_SQL,
         'html_extract': _html_sql(),
         'dsir_weights': _DSIR_SQL,
+        'video_metadata': _VIDEO_META_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

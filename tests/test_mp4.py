@@ -1,0 +1,92 @@
+"""ISO-BMFF (MP4) container parsing: box walk, field extraction,
+frame-range planning, corrupt-blob tolerance, Spark surfaces."""
+
+import pytest
+
+from erde_spark.scale.mp4 import (decode_sample, encode_mp4_stub,
+                                  frame_sample_ranges, is_mp4, mp4_metadata,
+                                  parse_mp4, sample_ranges)
+
+
+def test_parse_roundtrip_fields():
+    blob = encode_mp4_stub(n_frames=24, fps=12, width=320, height=240,
+                           frame_bytes=100)
+    m = parse_mp4(blob)
+    assert m['brand'] == 'isom'
+    assert m['duration_sec'] == pytest.approx(2.0)
+    t = m['tracks'][0]
+    assert t['handler'] == 'vide' and t['codec'] == 'avc1'
+    assert (t['width'], t['height']) == (320.0, 240.0)
+    assert t['n_samples'] == 24 and t['fps'] == pytest.approx(12.0)
+
+
+def test_sample_ranges_hit_real_bytes():
+    blob = encode_mp4_stub(n_frames=8, frame_bytes=16)
+    rng = sample_ranges(parse_mp4(blob)['tracks'][0])
+    assert len(rng) == 8
+    for i, (off, sz) in enumerate(rng):
+        assert blob[off:off + sz] == bytes([(i * 7 + j) % 256
+                                            for j in range(sz)])
+
+
+def test_co64_path():
+    blob = encode_mp4_stub(n_frames=5, use64=True)
+    rng = sample_ranges(parse_mp4(blob)['tracks'][0])
+    assert len(rng) == 5
+    off, sz = rng[0]
+    assert blob[off:off + sz] == bytes([j % 256 for j in range(sz)])
+
+
+def test_reject_and_truncation():
+    assert not is_mp4(b'PK\x03\x04....')
+    with pytest.raises(ValueError):
+        parse_mp4(b'RIFFxxxxWAVE' + b'\x00' * 20)
+    blob = encode_mp4_stub()
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:30])  # ftyp only, no moov
+    # truncation INSIDE moov: box walk stops cleanly -> no mvhd -> ValueError
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:len(blob) // 4])
+
+
+def test_decode_sample_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_sample(b'', 0, 10)
+
+
+def test_mp4_metadata_spark(spark):
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    rows = []
+    for aid in range(4):
+        blob = encode_mp4_stub(n_frames=10 + aid, fps=10,
+                               width=64 + aid * 16, height=48)
+        rows.append((aid, bytearray(blob), ('video/mp4', None, None, len(blob))))
+    rows.append((99, bytearray(b'garbage'), ('video/mp4', None, None, 7)))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    with pytest.raises(Exception):
+        mp4_metadata(assets, on_error='raise').collect()
+    got = {r['asset_id']: r for r in
+           mp4_metadata(assets, on_error='skip').collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for aid in got:
+        r = got[aid]
+        assert r['n_frames'] == 10 + aid
+        assert r['width'] == 64 + aid * 16 and r['height'] == 48
+        assert r['duration_sec'] == pytest.approx((10 + aid) / 10)
+        assert r['video_codec'] == 'avc1' and r['brand'] == 'isom'
+
+
+def test_frame_sample_ranges_spark(spark):
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    blob = encode_mp4_stub(n_frames=23, frame_bytes=40)
+    assets = spark.createDataFrame(
+        [(7, bytearray(blob), ('video/mp4', None, None, len(blob)))],
+        ASSET_SCHEMA)
+    plan = frame_sample_ranges(assets, every_n=5).collect()
+    assert [r['frame_idx'] for r in sorted(plan, key=lambda r: r['frame_idx'])] \
+        == [0, 5, 10, 15, 20]
+    for r in plan:
+        off, sz = r['byte_offset'], r['byte_size']
+        i = r['frame_idx']
+        assert blob[off:off + sz] == bytes([(i * 7 + j) % 256
+                                            for j in range(sz)])
