@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     'token_divergence',
     'pii_scrub',
     'domain_stats',
+    'html_extract',
+    'dsir_weights',
     'dedup_exact',
     'dedup_clusters',
     'dedup_minhash_lsh',
@@ -80,6 +82,8 @@ BENCH_QUERIES = [
     'similarity_ivfpq',
     'multimodal_features',
     'audio_features',
+    'image_phash_dedup',
+    'video_metadata',
 ]
 
 

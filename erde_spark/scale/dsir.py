@@ -39,26 +39,36 @@ from erde_spark.scale.text import tokens
 N_BUCKETS = 65536
 
 
-def _word_ngrams(text_col, ns: tuple[int, ...] = (1, 2)):
-    """Array of word n-gram strings (space-joined) for the given orders.
-    Unigrams+bigrams is the DSIR paper's feature set."""
-    toks = tokens(text_col)
+def _ngrams_of(toks, ns: tuple[int, ...] = (1, 2)):
+    """Array of word n-gram strings (space-joined) from an ALREADY
+    MATERIALIZED token-array column. Sliding windows are built with
+    ``zip_with`` over shifted ``slice``s — linear per document. The
+    caller must put the tokenization behind its own projection: inlining
+    ``tokens(text)`` here would re-run the split per slice and turn the
+    pass quadratic in document length (measured 30x on real docs)."""
     parts = []
     for n in ns:
         if n == 1:
             parts.append(toks)
             continue
-        # slide a window of n tokens; empty when the doc is shorter
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        grams = F.transform(
-            idx, lambda i: F.concat_ws(
-                ' ', *[F.element_at(toks, i + j) for j in range(n)]))
-        parts.append(F.when(F.size(toks) >= n, grams)
-                     .otherwise(F.array().cast('array<string>')))
+        win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = toks
+        for j in range(1, n):
+            grams = F.zip_with(F.slice(grams, 1, win),
+                               F.slice(toks, 1 + j, win),
+                               lambda a, b: F.concat_ws(' ', a, b))
+        parts.append(grams)
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)
     return out
+
+
+def _word_ngrams(text_col, ns: tuple[int, ...] = (1, 2)):
+    """Expression form for small inputs/tests; production paths go
+    through :func:`ngram_buckets`, which materializes the token array
+    first (see :func:`_ngrams_of`)."""
+    return _ngrams_of(tokens(text_col), ns)
 
 
 def ngram_buckets(df: DataFrame, id_col: str = 'doc_id',
@@ -66,8 +76,10 @@ def ngram_buckets(df: DataFrame, id_col: str = 'doc_id',
                   hash: str = 'md5') -> DataFrame:
     """(id, bucket) — one row per feature OCCURRENCE (not per distinct
     feature: DSIR counts occurrences on both sides)."""
-    feats = F.explode(_word_ngrams(text_col, ns)).alias('f')
-    base = df.select(F.col(id_col).alias('id'), feats)
+    toked = df.select(F.col(id_col).alias('id'),
+                      tokens(text_col).alias('_toks'))
+    base = toked.select('id', F.explode(_ngrams_of(F.col('_toks'), ns))
+                        .alias('f'))
     if hash == 'md5':
         b = F.substring(F.md5('f'), 1, 4)
     elif hash == 'xxhash64':
@@ -95,8 +107,11 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     """
     feat = ngram_buckets(raw, id_col, text_col, ns, hash)
     tfeat = ngram_buckets(target, id_col, text_col, ns, hash)
-    rawc = _bucket_counts(feat)
-    tgtc = _bucket_counts(tfeat)
+    # bucket counts are bounded by N_BUCKETS — materialize them once so
+    # the scalar totals and the ratio join don't each re-explode the
+    # full feature stream (measured 2.4x on the whole op at sf0.1)
+    rawc = _bucket_counts(feat).localCheckpoint(eager=True)
+    tgtc = _bucket_counts(tfeat).localCheckpoint(eager=True)
     rtot = int(rawc.agg(F.sum('n')).first()[0] or 0)
     ttot = int(tgtc.agg(F.sum('n')).first()[0] or 0)
     rden = float(rtot + alpha * N_BUCKETS)
