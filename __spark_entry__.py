@@ -3134,6 +3134,18 @@ FROM documents
 """
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Full BPE tokenizer training (30 merges) on the corpus's
+    distinct-word table — the iterative trainer behind bpe_pair_stats
+    (which is its round-1 aggregation). No SQL oracle: the merge loop is
+    inherently iterative; both training paths are pinned against an
+    independent straight-from-the-paper reference in tests/test_bpe.py
+    (driver rows-only check)."""
+    from erde_spark.scale.bpe import bpe_train, merges_df
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return merges_df(spark, bpe_train(d, n_merges=30))
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3280,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'grouping_sets_orders': q_grouping_sets,
         'text_winnow_pairs': q_text_winnow,
         'audio_features': q_audio_features,
+        'bpe_train_merges': q_bpe_train_merges,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_lsh': q_dedup_embedding_lsh,
