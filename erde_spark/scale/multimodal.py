@@ -57,9 +57,12 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     :mod:`erde_spark.scale.png`, :mod:`erde_spark.scale.jpeg`); every
     other format still needs a codec library the container doesn't ship
     and raises."""
+    from erde_spark.scale.gif import decode_gif, is_gif
     from erde_spark.scale.jpeg import decode_jpeg, is_jpeg
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
                                       is_bmp, is_png, is_wav)
+    if (fmt or '').lower() in ('image/gif', 'gif') or is_gif(blob):
+        return decode_gif(bytes(blob))
     if (fmt or '').lower() in ('image/png', 'png') or is_png(blob):
         return decode_png(bytes(blob))
     if (fmt or '').lower() in ('image/jpeg', 'image/jpg', 'jpeg',
