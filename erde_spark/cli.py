@@ -360,12 +360,51 @@ def scrub(input_data: DataFrame, text_column: str = 'text',
     return pii_scrub(input_data, text_column, wanted, redaction)
 
 
+@autocli
+def extract(input_data: DataFrame, html_column: str = 'html',
+            text_only: bool = False) -> DataFrame:
+    """Strip HTML to visible text (plus title/links/text_ratio report;
+    --text-only keeps just the id columns and extracted text)."""
+    from erde_spark.scale.html import html_extract
+    out = html_extract(input_data, html_column)
+    if text_only:
+        carry = [c for c in input_data.columns if c != html_column]
+        return out.select(*carry, 'text')
+    return out
+
+
+@autocli
+def select(input_data: DataFrame, target_data: DataFrame, k: int,
+           id_column: str = 'doc_id', text_column: str = 'text',
+           gumbel: bool = True) -> DataFrame:
+    """DSIR data selection: the k raw documents most like the target
+    corpus under hashed-n-gram importance weights."""
+    from erde_spark.scale.dsir import dsir_topk
+    return dsir_topk(input_data, target_data, k, id_column, text_column,
+                     gumbel=gumbel)
+
+
+@autocli
+def tokenize(input_data: DataFrame, n_merges: int = 100,
+             text_column: str = 'text', emit: str = 'merges',
+             id_column: str = 'doc_id') -> DataFrame:
+    """Train a BPE tokenizer on the corpus ('merges' emits the learned
+    merge table; 'tokens' additionally encodes every document)."""
+    from erde_spark.scale.bpe import bpe_encode, bpe_train, merges_df
+    merges = bpe_train(input_data, n_merges, text_column)
+    if emit == 'merges':
+        return merges_df(input_data.sparkSession, merges)
+    if emit == 'tokens':
+        return bpe_encode(input_data, merges, id_column, text_column)
+    raise AutocliError(f"unknown emit {emit!r} (use 'merges' or 'tokens')")
+
+
 COMMANDS = {
     'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
     'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
     # extensions: the curation pipeline from the shell
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
-    'scrub': scrub,
+    'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
 }
 
 

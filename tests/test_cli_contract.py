@@ -164,3 +164,54 @@ def test_curation_subcommands_end_to_end(spark, tmp_path):
     out4 = str(tmp_path / 'q.parquet')
     entrypoint(['quality', src, out4])
     assert spark.read.parquet(out4).count() <= 12
+
+
+def test_extract_select_tokenize_subcommands(spark, tmp_path):
+    """Round-4 curation extensions: HTML extraction, DSIR selection and
+    BPE training from the entrypoint."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'pages.parquet')
+    rows = [(i, '<html><head><title>Page %d</title></head><body>'
+                '<script>var x = 1;</script><p>the quick brown fox '
+                'document %d</p><a href="https://e.com/%d">l</a>'
+                '</body></html>' % (i, i % 3, i)) for i in range(9)]
+    spark.createDataFrame(rows, 'doc_id long, html string') \
+        .write.mode('overwrite').parquet(src)
+
+    out = str(tmp_path / 'ex.parquet')
+    entrypoint(['extract', src, out])
+    back = spark.read.parquet(out)
+    assert back.count() == 9
+    r = back.filter('doc_id = 4').first()
+    assert r['title'] == 'Page 4' and r['n_links'] == 1
+    assert 'var x' not in r['text'] and 'quick brown fox' in r['text']
+
+    out1b = str(tmp_path / 'ex_text.parquet')
+    entrypoint(['extract', src, out1b, '--text-only'])
+    assert set(spark.read.parquet(out1b).columns) == {'doc_id', 'text'}
+
+    docs = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'alpha beta gamma delta %d' % i) for i in range(6)]
+    rows += [(i, 'zebra quagga okapi weird %d' % i) for i in range(6, 12)]
+    spark.createDataFrame(rows, 'doc_id long, text string') \
+        .write.mode('overwrite').parquet(docs)
+    target = str(tmp_path / 'target.parquet')
+    spark.createDataFrame([(100, 'alpha beta gamma delta ' * 10)],
+                          'doc_id long, text string') \
+        .write.mode('overwrite').parquet(target)
+
+    out2 = str(tmp_path / 'sel.parquet')
+    # bool-with-True-default convention: passing the flag turns it OFF
+    entrypoint(['select', docs, target, '4', out2, '--gumbel'])
+    picked = {r['id'] for r in spark.read.parquet(out2).collect()}
+    assert picked <= set(range(6)) and len(picked) == 4
+
+    out3 = str(tmp_path / 'merges.parquet')
+    entrypoint(['tokenize', docs, out3, '--n-merges', '8'])
+    m = spark.read.parquet(out3)
+    assert m.count() == 8
+    assert {'rank', 'left', 'right', 'merged', 'count'} <= set(m.columns)
+
+    out4 = str(tmp_path / 'tokens.parquet')
+    entrypoint(['tokenize', docs, out4, '--n-merges', '8', '--emit', 'tokens'])
+    assert spark.read.parquet(out4).count() == 12
