@@ -3146,6 +3146,41 @@ def q_bpe_train_merges(spark, sf_dir):
     return merges_df(spark, bpe_train(d, n_merges=30))
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Exact passage-level duplication report (Lee et al. 2022 shape):
+    per document, how many of its non-overlapping 20-token passages
+    appear anywhere else in the corpus. Catches boilerplate shared
+    between otherwise-distinct pages that document-level dedup never
+    sees. Fully DuckDB-oracled (window construction replays as list
+    slicing)."""
+    from erde_spark.scale.dedup import passage_dedup_report
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return passage_dedup_report(d)
+
+
+_PASSAGE_DEDUP_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS toks
+  FROM documents),
+win AS (
+  SELECT doc_id,
+         array_to_string(toks[w * 20 + 1 : (w + 1) * 20], ' ') AS passage
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS w
+        FROM tok WHERE len(toks) > 0)),
+c AS (SELECT passage, COUNT(*) AS n_occ FROM win GROUP BY passage),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+              CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_passages
+       FROM win JOIN c USING (passage) GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       COALESCE(pd.n_passages, 0) AS n_passages,
+       COALESCE(pd.n_dup_passages, 0) AS n_dup_passages
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3210,11 +3245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_extract': q_html_extract,
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
+        'passage_dedup': q_passage_dedup,
         'set_ops': q_set_ops,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
-        'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
@@ -3244,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'anti_join_no_urgent': q_anti_join,
         'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
@@ -3371,6 +3407,7 @@ def oracle_sql() -> dict[str, str]:
         'html_extract': _html_sql(),
         'dsir_weights': _DSIR_SQL,
         'video_metadata': _VIDEO_META_SQL,
+        'passage_dedup': _PASSAGE_DEDUP_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

@@ -1084,3 +1084,76 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
             .withColumn('cosine', cosine_udf(F.col('va'), F.col('vb')))
             .filter(F.col('cosine') >= threshold)
             .select('id_a', 'id_b', 'cosine'))
+
+
+# ------------------------------------------------- exact passage dedup
+
+def passage_windows(df: DataFrame, id_col: str = 'doc_id',
+                    text_col: str = 'text', window: int = 20) -> DataFrame:
+    """(id, widx, passage) — non-overlapping ``window``-token passages
+    per document (the unit of exact substring dedup, Lee et al. 2022
+    arXiv:2107.06499: training-data duplication is dominated by repeated
+    PASSAGES inside otherwise-distinct pages, which document-level dedup
+    never sees). The final partial window is kept; tokenization sits
+    behind its own projection (see the dsir n-gram note). All JVM
+    expressions — sequence/slice/concat_ws — no Python workers."""
+    toked = df.select(F.col(id_col).alias('id'), tokens(text_col).alias('_toks'))
+    nwin = F.ceil(F.size('_toks') / F.lit(window)).cast('int')
+    wins = F.when(
+        F.size('_toks') > 0,
+        F.transform(F.sequence(F.lit(0), nwin - 1),
+                    lambda w: F.struct(
+                        w.cast('long').alias('widx'),
+                        F.concat_ws(' ', F.slice('_toks', w * window + 1,
+                                                 window)).alias('passage')))) \
+        .otherwise(F.array().cast('array<struct<widx:long,passage:string>>'))
+    return (toked.select('id', F.explode(wins).alias('p'))
+            .select('id', F.col('p.widx').alias('widx'),
+                    F.col('p.passage').alias('passage')))
+
+
+def passage_dedup_report(df: DataFrame, id_col: str = 'doc_id',
+                         text_col: str = 'text',
+                         window: int = 20) -> DataFrame:
+    """(id, n_passages, n_dup_passages) — how much of each document is
+    corpus-duplicated text at passage granularity. One window explosion,
+    one map-side-combined passage count, one join back: linear, and the
+    passage-count table is bounded by distinct passages."""
+    wins = passage_windows(df, id_col, text_col, window)
+    counts = wins.groupBy('passage').agg(F.count(F.lit(1)).alias('n_occ'))
+    per_doc = (wins.join(counts, 'passage')
+               .groupBy('id')
+               .agg(F.count(F.lit(1)).alias('n_passages'),
+                    F.sum(F.when(F.col('n_occ') > 1, 1).otherwise(0))
+                    .alias('n_dup_passages')))
+    return (df.select(F.col(id_col).alias('id'))
+            .join(per_doc, 'id', 'left')
+            .select('id',
+                    F.coalesce('n_passages', F.lit(0)).cast('long')
+                    .alias('n_passages'),
+                    F.coalesce('n_dup_passages', F.lit(0)).cast('long')
+                    .alias('n_dup_passages')))
+
+
+def drop_duplicate_passages(df: DataFrame, id_col: str = 'doc_id',
+                            text_col: str = 'text',
+                            window: int = 20) -> DataFrame:
+    """(id, text) with every passage that appears elsewhere in the
+    corpus removed EXCEPT its first occurrence (smallest (id, widx) —
+    deterministic across partitionings). Documents whose every passage
+    is a later duplicate come back with empty text, preserving row
+    count for downstream joins."""
+    wins = passage_windows(df, id_col, text_col, window)
+    keeper = wins.groupBy('passage').agg(
+        F.min(F.struct('id', 'widx')).alias('k'))
+    kept = (wins.join(keeper, 'passage')
+            .filter((F.col('id') == F.col('k.id')) &
+                    (F.col('widx') == F.col('k.widx')))
+            .select('id', 'widx', 'passage'))
+    rebuilt = (kept.groupBy('id')
+               .agg(F.concat_ws(' ', F.transform(
+                   F.array_sort(F.collect_list(F.struct('widx', 'passage'))),
+                   lambda s: s['passage'])).alias('text')))
+    return (df.select(F.col(id_col).alias('id'))
+            .join(rebuilt, 'id', 'left')
+            .select('id', F.coalesce('text', F.lit('')).alias('text')))

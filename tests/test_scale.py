@@ -1306,3 +1306,44 @@ def test_extract_features_on_error(spark):
         extract_features(df).collect()
     with pytest.raises(ValueError, match='on_error'):
         extract_features(df, on_error='bogus')
+
+
+# --------------------------------------------------- exact passage dedup
+
+def test_passage_windows_shape(spark):
+    from erde_spark.scale.dedup import passage_windows
+    df = spark.createDataFrame(
+        [(1, ' '.join(f'w{i}' for i in range(45))), (2, 'a b c'), (3, '')],
+        'doc_id long, text string')
+    wins = passage_windows(df, window=20).collect()
+    by_doc = {}
+    for r in wins:
+        by_doc.setdefault(r['id'], []).append((r['widx'], r['passage']))
+    assert len(by_doc[1]) == 3  # 20 + 20 + 5
+    assert by_doc[1][0][1].startswith('w0 w1') and by_doc[1][2][1] == 'w40 w41 w42 w43 w44'
+    assert by_doc[2] == [(0, 'a b c')]
+    assert 3 not in by_doc
+
+
+def test_passage_dedup_report_and_drop(spark):
+    from erde_spark.scale.dedup import (drop_duplicate_passages,
+                                        passage_dedup_report)
+    boiler = ' '.join(f'b{i}' for i in range(20))
+    uniq = lambda d: ' '.join(f'u{d}x{i}' for i in range(20))
+    df = spark.createDataFrame(
+        [(1, boiler + ' ' + uniq(1)), (2, boiler + ' ' + uniq(2)),
+         (3, uniq(3)), (4, '')],
+        'doc_id long, text string')
+    rep = {r['id']: r for r in passage_dedup_report(df, window=20).collect()}
+    assert rep[1]['n_passages'] == 2 and rep[1]['n_dup_passages'] == 1
+    assert rep[2]['n_dup_passages'] == 1
+    assert rep[3]['n_passages'] == 1 and rep[3]['n_dup_passages'] == 0
+    assert rep[4]['n_passages'] == 0
+
+    out = {r['id']: r['text'] for r in
+           drop_duplicate_passages(df, window=20).collect()}
+    assert len(out) == 4
+    assert out[1] == boiler + ' ' + uniq(1)   # first occurrence kept
+    assert out[2] == uniq(2)                  # later duplicate removed
+    assert out[3] == uniq(3)
+    assert out[4] == ''
