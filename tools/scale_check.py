@@ -189,6 +189,50 @@ def op_streaming_backfill(spark, sf):
     return e.q_streaming_neardup_backfill(spark, sf)
 
 
+def op_dsir_weights(spark, sf):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.dsir import dsir_logweights
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return dsir_logweights(d, d.filter(F.col('lang') == 'en'))
+
+
+def op_passage_dedup(spark, sf):
+    from erde_spark.scale.dedup import passage_dedup_report
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return passage_dedup_report(d)
+
+
+def op_html_extract(spark, sf):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.html import html_extract
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    wrapped = d.select('doc_id', F.concat(
+        F.lit('<html><head><title>t</title><style>p{}</style></head><body>'
+              '<script>var x = 1;</script><p>'),
+        F.col('text'),
+        F.lit('</p><a href="https://e.com/x">l</a></body></html>'))
+        .alias('html'))
+    return html_extract(wrapped, 'html').select('doc_id', 'n_links',
+                                                'text_ratio')
+
+
+def op_phash_hamming_join(spark, sf):
+    """Isolates the Manku banded Hamming join's scaling: random 64-bit
+    hashes (worst case — no real clusters, pure bucket-collision cost)
+    at corpus-proportional counts, k=4 (the recommended crawl-scale
+    threshold; the candidate volume grows ~n^2/2^keybits, so the
+    measured exponent is the honest number to watch)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.imagehash import hamming_neardup_pairs
+    n = 50_000 if sf == SF01 else 500_000
+    h = spark.range(n).select(F.col('id').alias('asset_id'),
+                              F.xxhash64('id').alias('phash'))
+    return hamming_neardup_pairs(h, max_hamming=4)
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -198,6 +242,10 @@ OPS = {
     'embedding_lsh_pairs': op_embedding_lsh_pairs,
     'similarity_ivfpq': op_similarity_ivfpq,
     'streaming_neardup_backfill': op_streaming_backfill,
+    'dsir_weights': op_dsir_weights,
+    'passage_dedup': op_passage_dedup,
+    'html_extract': op_html_extract,
+    'phash_hamming_join': op_phash_hamming_join,
 }
 
 
