@@ -3181,6 +3181,54 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+def q_dedup_against_snapshot(spark, sf_dir):
+    """Snapshot-over-snapshot dedup (exact tier): treat every 5th
+    document as last month's corpus and keep only current docs whose
+    normalized fingerprint it doesn't already contain. The incremental
+    ingest primitive; near tier is rows-only (LSH recall) and
+    pytest-pinned."""
+    from erde_spark.scale.dedup import dedup_against
+    d = _t(spark, sf_dir, 'documents')['documents']
+    ref = d.filter(F.col('doc_id') % 5 == 0)
+    cur = d.filter(F.col('doc_id') % 5 != 0)
+    return dedup_against(cur, ref).select('doc_id', 'lang')
+
+
+_DEDUP_AGAINST_SQL = """
+WITH fp AS (SELECT doc_id, lang,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents),
+ref AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 = 0)
+SELECT doc_id, lang FROM fp
+WHERE doc_id % 5 != 0 AND f NOT IN (SELECT f FROM ref)
+"""
+
+
+def q_split_no_leakage(spark, sf_dir):
+    """Duplicate-aware train/val/test split: the split key is the
+    content fingerprint, so byte-identical documents can never straddle
+    train and eval. Assignment = md5-prefix range over the fingerprint
+    (the sample_hash machinery keyed on content instead of id) — fully
+    deterministic, so the oracle reproduces every row's split."""
+    from erde_spark.scale.sampling import split_no_leakage
+    d = _t(spark, sf_dir, 'documents')['documents']
+    return (split_no_leakage(d, {'train': 0.8, 'val': 0.1, 'test': 0.1})
+            .select('doc_id', 'split'))
+
+
+_SPLIT_NO_LEAKAGE_SQL = """
+WITH k AS (SELECT doc_id,
+             substr(md5(md5(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                           'g'))), 1, 4) AS key
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN key < 'cccc' THEN 'train'
+            WHEN key < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3246,14 +3294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
         'passage_dedup': q_passage_dedup,
+        'dedup_against_snapshot': q_dedup_against_snapshot,
+        'split_no_leakage': q_split_no_leakage,
         'set_ops': q_set_ops,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
-        'events_hourly': q_events_hourly,
-        'events_sessionize': q_events_sessionize,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
@@ -3280,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'anti_join_no_urgent': q_anti_join,
+        'events_hourly': q_events_hourly,
+        'events_sessionize': q_events_sessionize,
         'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
@@ -3408,6 +3458,8 @@ def oracle_sql() -> dict[str, str]:
         'dsir_weights': _DSIR_SQL,
         'video_metadata': _VIDEO_META_SQL,
         'passage_dedup': _PASSAGE_DEDUP_SQL,
+        'dedup_against_snapshot': _DEDUP_AGAINST_SQL,
+        'split_no_leakage': _SPLIT_NO_LEAKAGE_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

@@ -1157,3 +1157,58 @@ def drop_duplicate_passages(df: DataFrame, id_col: str = 'doc_id',
     return (df.select(F.col(id_col).alias('id'))
             .join(rebuilt, 'id', 'left')
             .select('id', F.coalesce('text', F.lit('')).alias('text')))
+
+
+# ---------------------------------------------- dedup against a reference
+
+def dedup_against(df: DataFrame, ref: DataFrame, id_col: str = 'doc_id',
+                  text_col: str = 'text', mode: str = 'exact',
+                  threshold: float = 0.9, num_perm: int = 96,
+                  bands: int | None = None, seed: int = 42,
+                  shingles: int | None = None) -> DataFrame:
+    """Rows of ``df`` NOT duplicated in a reference corpus — the
+    snapshot-over-snapshot dedup every recurring crawl ingest runs (keep
+    only what last month's corpus doesn't already contain; CCNet-style
+    incremental curation, the batch twin of the streaming LSH store).
+
+    ``mode='exact'``: anti-join on the normalized-text fingerprint; the
+    reference contributes one DISTINCT md5 per document, so the join key
+    table is as small as exact dedup state can be.
+
+    ``mode='near'``: MinHash-LSH with the same seeded parameters on both
+    sides, bucket equi-join (band, bh) ONLY — never corpus x reference —
+    then exact-Jaccard verification; a df row is dropped if any verified
+    reference match reaches ``threshold``. Id spaces of the two tables
+    never mix (the candidate join carries each side under its own
+    column), so overlapping doc_id ranges are fine.
+    """
+    if mode == 'exact':
+        refs = (ref.select(fingerprint(F.col(text_col)).alias('_fp'))
+                .distinct())
+        return (df.withColumn('_fp', fingerprint(F.col(text_col)))
+                .join(refs, '_fp', 'left_anti')
+                .drop('_fp'))
+    if mode != 'near':
+        raise ValueError(f"mode={mode!r}: use 'exact' or 'near'")
+    if bands is None:
+        bands = _threshold_bands(num_perm, threshold)
+    rows = num_perm // bands
+    tok_n = _hashed_token_sets(df, id_col, text_col, shingles) \
+        .localCheckpoint(eager=True)
+    tok_r = _hashed_token_sets(ref, id_col, text_col, shingles) \
+        .localCheckpoint(eager=True)
+    b_n = _lsh_buckets(_sig_from_hashes(tok_n, num_perm, seed), bands, rows)
+    b_r = _lsh_buckets(_sig_from_hashes(tok_r, num_perm, seed), bands, rows)
+    cand = (b_n.select(F.col('id').alias('id_a'), 'band', 'bh')
+            .join(b_r.select(F.col('id').alias('id_b'), 'band', 'bh'),
+                  ['band', 'bh'])
+            .select('id_a', 'id_b').distinct())
+    ta = tok_n.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
+    tb = tok_r.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
+    hits = (cand.join(ta, 'id_a').join(tb, 'id_b')
+            .withColumn('inter', F.size(F.array_intersect('toks_a', 'toks_b')))
+            .withColumn('jaccard', F.col('inter') /
+                        (F.size('toks_a') + F.size('toks_b') - F.col('inter')))
+            .filter(F.col('jaccard') >= threshold)
+            .select(F.col('id_a').alias(id_col)).distinct())
+    return df.join(hits, id_col, 'left_anti')

@@ -147,3 +147,31 @@ def top_n_sample(df: DataFrame, id_col: str, n: int,
     to TakeOrderedAndProject (partial top-n per partition), never a full
     sort."""
     return df.orderBy(sample_key(id_col, salt), F.col(id_col)).limit(n)
+
+
+def split_no_leakage(df: DataFrame, splits: dict[str, float],
+                     text_col: str = 'text', salt: str = '',
+                     near_dup: bool = False, id_col: str = 'doc_id',
+                     threshold: float = 0.9) -> DataFrame:
+    """Train/val/test split WITHOUT duplicate leakage: the split key is
+    the document's CONTENT, not its row id, so byte-identical documents
+    always land in the same split (id-keyed splitting silently leaks
+    training duplicates into eval — the benchmark-inflation failure mode
+    decontamination exists to catch). With ``near_dup=True`` the key is
+    the MinHash-LSH cluster component instead, keeping whole near-dup
+    FAMILIES together (probabilistic up to LSH recall, so that variant
+    is rows-only in the correctness gate; the exact variant is
+    deterministic and fully oracled).
+    """
+    from erde_spark.scale.text import fingerprint
+    if near_dup:
+        from erde_spark.scale.dedup import (connected_components,
+                                            minhash_spanning_edges)
+        edges = minhash_spanning_edges(df, id_col, text_col, threshold)
+        comp = connected_components(edges, df.select(id_col)) \
+            .withColumnRenamed('id', id_col)
+        keyed = df.join(comp, id_col).withColumn(
+            '_lk', F.col('component').cast('string')).drop('component')
+    else:
+        keyed = df.withColumn('_lk', fingerprint(F.col(text_col)))
+    return hash_split(keyed, '_lk', splits, salt).drop('_lk')

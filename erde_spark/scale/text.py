@@ -632,3 +632,29 @@ def domain_stats(df: DataFrame, text_col: str = 'text',
     return (urls.groupBy('domain')
             .agg(F.count(F.lit(1)).alias('n_urls'),
                  F.countDistinct(id_col).alias('n_docs')))
+
+
+def normalize_text(col: Column | str, collapse_spaces: bool = True) -> Column:
+    """Unicode text normalization for crawl ingest: NFC composition
+    (Arrow-batched ``unicodedata`` — Spark has no JVM normalizer), CRLF
+    -> LF, control characters stripped (tab/newline kept), Unicode
+    space separators (\\p{Zs}) mapped to ASCII space, and optional
+    space-run collapse. The regex stages are whole-stage-codegen and
+    use the Java/RE2 common dialect (explicit ranges, no class
+    intersection), matching DuckDB's nfc_normalize + regexp_replace for
+    cross-engine parity (pinned in tests/test_scale.py)."""
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize('NFC', x)
+                     if x is not None else None)
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = _nfc(c)
+    c = F.regexp_replace(c, '\r\n?', '\n')
+    c = F.regexp_replace(c, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '')
+    c = F.regexp_replace(c, r'\p{Zs}', ' ')
+    if collapse_spaces:
+        c = F.regexp_replace(c, '  +', ' ')
+    return c

@@ -1347,3 +1347,108 @@ def test_passage_dedup_report_and_drop(spark):
     assert out[2] == uniq(2)                  # later duplicate removed
     assert out[3] == uniq(3)
     assert out[4] == ''
+
+
+# ------------------------------------------- reference dedup / safe split
+
+def test_dedup_against_exact(spark):
+    from erde_spark.scale.dedup import dedup_against
+    ref = spark.createDataFrame(
+        [(100, 'shared document one'), (101, 'shared  Document ONE '),
+         (102, 'ref only text')], 'doc_id long, text string')
+    df = spark.createDataFrame(
+        [(1, 'shared document one'), (2, 'fresh content here'),
+         (3, 'SHARED DOCUMENT one')], 'doc_id long, text string')
+    kept = {r['doc_id'] for r in dedup_against(df, ref).collect()}
+    assert kept == {2}  # 1 and 3 normalize to a ref fingerprint
+
+
+def test_dedup_against_near(spark):
+    from erde_spark.scale.dedup import dedup_against
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron pi rho sigma tau upsilon')
+    ref = spark.createDataFrame([(7, base)], 'doc_id long, text string')
+    df = spark.createDataFrame(
+        [(7, base + ' extraword'),               # near-dup of ref (id collides)
+         (8, 'completely different words entirely unrelated content '
+             'nothing shared with the reference corpus at all here')],
+        'doc_id long, text string')
+    kept = {r['doc_id'] for r in
+            dedup_against(df, ref, mode='near', threshold=0.8).collect()}
+    assert kept == {8}
+
+
+def test_split_no_leakage_exact(spark):
+    from erde_spark.scale.sampling import split_no_leakage
+    rows = [(i, f'unique doc {i}') for i in range(40)]
+    rows += [(100 + i, 'duplicated text body') for i in range(10)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = split_no_leakage(df, {'train': 0.5, 'val': 0.25, 'test': 0.25})
+    got = {r['doc_id']: r['split'] for r in out.collect()}
+    assert len(got) == 50 and set(got.values()) <= {'train', 'val', 'test'}
+    dup_splits = {got[100 + i] for i in range(10)}
+    assert len(dup_splits) == 1  # all byte-dups in ONE split
+    # deterministic
+    again = {r['doc_id']: r['split'] for r in split_no_leakage(
+        df, {'train': 0.5, 'val': 0.25, 'test': 0.25}).collect()}
+    assert again == got
+
+
+def test_split_no_leakage_near_dup(spark):
+    from erde_spark.scale.sampling import split_no_leakage
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron pi rho sigma tau upsilon')
+    rows = [(i, base + f' tail{i % 2}') for i in range(6)]   # one near-dup family
+    rows += [(10 + i, f'solo document number {i} with distinct words '
+              + ' '.join(f's{i}w{j}' for j in range(15))) for i in range(8)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = split_no_leakage(df, {'train': 0.6, 'val': 0.4}, near_dup=True,
+                           threshold=0.8)
+    got = {r['doc_id']: r['split'] for r in out.collect()}
+    assert len({got[i] for i in range(6)}) == 1  # family stays together
+
+
+def test_normalize_text_unicode(spark):
+    import unicodedata
+    from erde_spark.scale.text import normalize_text
+    cases = [
+        'café au lait',                    # combining acute -> NFC e-acute
+        'tabs\tstay\nnewlines stay',
+        'bad\x00control\x07chars\x1bgone',
+        'crlf\r\nand bare\rcr',
+        'wide　space and nbsp',
+        'multi   spaces',
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               'id long, text string')
+    got = {r['id']: r['t'] for r in
+           df.select('id', normalize_text('text').alias('t')).collect()}
+    assert got[0] == unicodedata.normalize('NFC', cases[0])
+    assert '́' not in got[0] and 'café' in got[0]
+    assert got[1] == 'tabs\tstay\nnewlines stay'
+    assert got[2] == 'badcontrolcharsgone'
+    assert got[3] == 'crlf\nand bare\ncr'
+    assert got[4] == 'wide space and nbsp'
+    assert got[5] == 'multi spaces'
+
+
+def test_normalize_text_duckdb_parity(spark):
+    """The normalize chain minus NFC replays in DuckDB; NFC itself is
+    pinned against DuckDB's nfc_normalize."""
+    import duckdb
+    from erde_spark.scale.text import normalize_text
+    cases = ['café', 'a b c', 'x\r\ny\rz', 'p   q\x07']
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               'id long, text string')
+    got = {r['id']: r['t'] for r in
+           df.select('id', normalize_text('text').alias('t')).collect()}
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        duck = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(nfc_normalize(?::VARCHAR),"
+            " '\\r\\n?', chr(10), 'g'),"
+            " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+            " '\\p{Zs}', ' ', 'g'),"
+            " '  +', ' ', 'g')", [c]).fetchone()[0]
+        assert got[i] == duck, (i, c)
