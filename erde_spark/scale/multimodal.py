@@ -62,10 +62,13 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
                                       is_bmp, is_png, is_wav)
     from erde_spark.scale.tiff import decode_tiff, is_tiff
+    from erde_spark.scale.webp import decode_webp, is_webp
     if (fmt or '').lower() in ('image/gif', 'gif') or is_gif(blob):
         return decode_gif(bytes(blob))
     if (fmt or '').lower() in ('image/tiff', 'tiff', 'tif') or is_tiff(blob):
         return decode_tiff(bytes(blob))
+    if (fmt or '').lower() in ('image/webp', 'webp') or is_webp(blob):
+        return decode_webp(bytes(blob))
     if (fmt or '').lower() in ('image/png', 'png') or is_png(blob):
         return decode_png(bytes(blob))
     if (fmt or '').lower() in ('image/jpeg', 'image/jpg', 'jpeg',
