@@ -10,11 +10,12 @@ pixel packing). Covers every lossless .webp a crawl can serve; LOSSY
 WebP (VP8 chunk) is a different codec (bool coder + DCT) and raises
 ``NotImplementedError`` clearly.
 
-The encoder exists to make real fixtures: literal-only (no LZ77) with
-normal Huffman codes, optional subtract-green, and an optional color
-cache — enough spec surface that decode tests cross width growth,
-code-length runs, and transform inversion on the same paths real
-files use.
+The encoder exists to make real fixtures and deliberately reaches
+every decoder path: normal and single-symbol Huffman codes, the color
+cache, LZ77 distance-1 runs, forward predictor/color/subtract-green
+transforms (random per-tile modes), palette packing at every sub-byte
+width, and a two-group meta-Huffman split — each round-tripped
+bit-exactly in tests/test_webp.py.
 """
 
 from __future__ import annotations
