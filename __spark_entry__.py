@@ -3229,6 +3229,77 @@ FROM k
 """
 
 
+def q_media_decode_mixed(spark, sf_dir):
+    """End-to-end decode across ALL five real image codecs: each
+    document gets a blob in the format picked by ``doc_id % 5`` (PNG,
+    baseline JPEG, GIF, TIFF-LZW, VP8L WebP — every one encoded by the
+    repo's own fixture encoders from a class-seeded image), decoded for
+    real through ``extract_features``'s mapInPandas path. Output is the
+    per-format (n_assets, n_decoded) table; the oracle predicts it from
+    doc_id arithmetic — a red row means some format failed to decode,
+    so this is the codec-regression canary in the gate."""
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    fmts = ['png', 'jpeg', 'gif', 'tiff', 'webp']
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+        from erde_spark.scale.gif import encode_gif
+        from erde_spark.scale.jpeg import encode_jpeg
+        from erde_spark.scale.png import encode_png
+        from erde_spark.scale.tiff import encode_tiff
+        from erde_spark.scale.webp import encode_webp
+        enc = {'png': lambda a: encode_png(a),
+               'jpeg': lambda a: encode_jpeg(a, quality=85),
+               'gif': lambda a: encode_gif(a[:, :, 0]),
+               'tiff': lambda a: encode_tiff(a, compression=5),
+               'webp': lambda a: encode_webp(a, subtract_green=True)}
+        cache = {}
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                fmt = fmts[did % 5]
+                key = (fmt, did % 8)
+                if key not in cache:
+                    rng = np.random.RandomState(100 + did % 8)
+                    y, x = np.mgrid[0:24, 0:24].astype(np.float64)
+                    img = np.clip(110 + 70 * np.sin(
+                        2 * np.pi * (rng.uniform(.5, 2.) * x / 24
+                                     + rng.uniform(.5, 2.) * y / 24)),
+                        0, 255).astype(np.uint8)
+                    cache[key] = enc[fmt](np.stack([img] * 3, axis=2))
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'image/' + fmt, 'width': 24,
+                              'height': 24, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs,
+                                'meta': metas})
+
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
+    feats = extract_features(assets, on_error='null')
+    fmt_of = F.element_at(F.array(*[F.lit(f) for f in fmts]),
+                          (F.col('asset_id') % 5 + 1).cast('int'))
+    return (feats.select(fmt_of.alias('fmt'),
+                         F.col('feat_mean').isNotNull().alias('ok'))
+            .groupBy('fmt')
+            .agg(F.count(F.lit(1)).alias('n_assets'),
+                 F.sum(F.when(F.col('ok'), 1).otherwise(0)).cast('long')
+                 .alias('n_decoded'))
+            .orderBy('fmt'))
+
+
+_MEDIA_DECODE_SQL = """
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(COUNT(*) AS BIGINT) AS n_decoded
+FROM (SELECT ['png', 'jpeg', 'gif', 'tiff', 'webp'][doc_id % 5 + 1] AS fmt
+      FROM documents)
+GROUP BY fmt
+ORDER BY fmt
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3296,11 +3367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'passage_dedup': q_passage_dedup,
         'dedup_against_snapshot': q_dedup_against_snapshot,
         'split_no_leakage': q_split_no_leakage,
+        'media_decode_mixed': q_media_decode_mixed,
         'set_ops': q_set_ops,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
-        'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -3328,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'anti_join_no_urgent': q_anti_join,
+        'scalar_subquery_acctbal': q_scalar_subquery,
         'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
         'full_outer_priority': q_full_outer_priority,
@@ -3460,6 +3532,7 @@ def oracle_sql() -> dict[str, str]:
         'passage_dedup': _PASSAGE_DEDUP_SQL,
         'dedup_against_snapshot': _DEDUP_AGAINST_SQL,
         'split_no_leakage': _SPLIT_NO_LEAKAGE_SQL,
+        'media_decode_mixed': _MEDIA_DECODE_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     'audio_features',
     'image_phash_dedup',
     'video_metadata',
+    'media_decode_mixed',
 ]
 
 
