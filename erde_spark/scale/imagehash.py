@@ -135,19 +135,35 @@ def image_hashes(assets: DataFrame, on_error: str = 'raise') -> DataFrame:
     from erde_spark.scale.multimodal import decode_media
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         for pdf in batches:
             ids, ph, dh = [], [], []
+            # hash pairs keyed by blob digest: exact-dup blobs (reposts)
+            # decode once per Arrow batch; outputs are two ints
+            seen: dict[bytes, tuple | str] = {}
             for aid, blob, meta in zip(pdf['asset_id'], pdf['media'],
                                        pdf['meta']):
+                blob = bytes(blob)
+                key = hashlib.md5(blob).digest()
+                cached = seen.get(key)
+                if cached == 'skip':
+                    continue
+                if cached is not None:
+                    ids.append(int(aid))
+                    ph.append(cached[0])
+                    dh.append(cached[1])
+                    continue
                 try:
-                    arr = decode_media(bytes(blob), meta['format'])
+                    arr = decode_media(blob, meta['format'])
                 except Exception:
                     if on_error == 'raise':
                         raise
+                    seen[key] = 'skip'
                     continue
                 ids.append(int(aid))
                 ph.append(phash_array(arr))
                 dh.append(dhash_array(arr))
+                seen[key] = (ph[-1], dh[-1])
             yield pd.DataFrame({'asset_id': ids, 'phash': ph, 'dhash': dh})
 
     return assets.mapInPandas(_run, schema=IMAGE_HASH_SCHEMA)

@@ -141,10 +141,26 @@ def extract_features(assets: DataFrame, fake: bool = False,
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, stds, feats = [], [], [], []
+            # features keyed by blob digest: crawl media is exact-dup
+            # heavy (reposts, mirrors), decode is deterministic, and the
+            # cached value is a handful of floats — cleared per Arrow
+            # batch so memory stays bounded
+            seen: dict[bytes, tuple] = {}
             # zip columns directly — iterrows() constructs a Series per row
             # and is ~10x slower per asset
             for aid, blob, meta in zip(pdf['asset_id'], pdf['media'], pdf['meta']):
                 blob = bytes(blob)
+                key = hashlib.md5(blob).digest()
+                cached = seen.get(key)
+                if cached == 'skip':
+                    continue
+                if cached is not None:
+                    m, s, f = cached
+                    ids.append(int(aid))
+                    means.append(m)
+                    stds.append(s)
+                    feats.append(f)
+                    continue
                 try:
                     if fake:
                         arr = _fake_decode(blob, int(meta['width']),
@@ -159,6 +175,9 @@ def extract_features(assets: DataFrame, fake: bool = False,
                         means.append(None)
                         stds.append(None)
                         feats.append(None)
+                        seen[key] = (None, None, None)
+                    else:
+                        seen[key] = 'skip'
                     continue
                 flat = arr.astype(np.float64).ravel()
                 ids.append(int(aid))
@@ -167,6 +186,7 @@ def extract_features(assets: DataFrame, fake: bool = False,
                 # fixed-length pooled feature: mean of n_features equal slices
                 chunks = np.array_split(flat, n_features)
                 feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+                seen[key] = (means[-1], stds[-1], feats[-1])
             yield pd.DataFrame({'asset_id': ids, 'feat_mean': means,
                                 'feat_std': stds, 'features': feats})
 
