@@ -464,6 +464,123 @@ def krovak_inv(east: float, north: float, a: float, f: float, latc: float,
     return math.degrees(lam), math.degrees(phi)
 
 
+# -- equal-area family helpers (EPSG methods 9822 / 9820) ----------------
+
+def _authalic_q(phi: float, e: float) -> float:
+    """EPSG's q: the authalic-latitude integrand, q = (1-e^2)[sin phi /
+    (1 - e^2 sin^2 phi) - (1/2e) ln((1 - e sin phi)/(1 + e sin phi))]."""
+    s = math.sin(phi)
+    return (1 - e * e) * (s / (1 - e * e * s * s)
+                          - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+
+def _authalic_to_geodetic(beta: float, e: float) -> float:
+    """Series inverse of the authalic latitude (EPSG GN7-2, both 9820
+    and 9822 use it)."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (beta
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta)
+            + (761 * e6 / 45360) * math.sin(6 * beta))
+
+
+def _aea_m(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1 - e * e * s * s)
+
+
+# -- Albers Equal Area (EPSG method 9822: CONUS 5070 etc.) ---------------
+
+def aea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+            lon0: float, lat1: float, lat2: float, fe: float, fn: float):
+    """(lon, lat) degrees -> E/N for Albers Equal Area (EPSG 9822)."""
+    e = math.sqrt(f * (2 - f))
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    m1, m2 = _aea_m(lat1, e), _aea_m(lat2, e)
+    q0, q1, q2 = (_authalic_q(p, e) for p in (lat0, lat1, lat2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    rho = a * math.sqrt(C - n * _authalic_q(phi, e)) / n
+    theta = n * (lam - lon0)
+    return fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta)
+
+
+def aea_inv(east: float, north: float, a: float, f: float, lat0: float,
+            lon0: float, lat1: float, lat2: float, fe: float, fn: float):
+    """E/N -> (lon, lat) degrees for EPSG 9822."""
+    e = math.sqrt(f * (2 - f))
+    m1, m2 = _aea_m(lat1, e), _aea_m(lat2, e)
+    q0, q1, q2 = (_authalic_q(p, e) for p in (lat0, lat1, lat2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    x = east - fe
+    y = rho0 - (north - fn)
+    rho = math.hypot(x, y)
+    if n < 0:
+        rho, x, y = -rho, -x, -y
+    theta = math.atan2(x, y)
+    q = (C - rho * rho * n * n / (a * a)) / n
+    qp = _authalic_q(math.pi / 2, e)
+    beta = math.asin(max(-1.0, min(1.0, q / qp)))
+    phi = _authalic_to_geodetic(beta, e)
+    return math.degrees(lon0 + theta / n), math.degrees(phi)
+
+
+# -- Lambert Azimuthal Equal Area (EPSG method 9820: LAEA 3035) ----------
+
+def _laea_consts(a: float, f: float, lat0: float):
+    e = math.sqrt(f * (2 - f))
+    qp = _authalic_q(math.pi / 2, e)
+    q0 = _authalic_q(lat0, e)
+    beta0 = math.asin(max(-1.0, min(1.0, q0 / qp)))
+    rq = a * math.sqrt(qp / 2)
+    d = a * _aea_m(lat0, e) / (rq * math.cos(beta0))
+    return e, qp, beta0, rq, d
+
+
+def laea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+             lon0: float, fe: float, fn: float):
+    """(lon, lat) degrees -> E/N for Lambert Azimuthal Equal Area
+    (EPSG 9820, oblique aspect — the ETRS89-LAEA 3035 method)."""
+    e, qp, beta0, rq, d = _laea_consts(a, f, lat0)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    q = _authalic_q(phi, e)
+    beta = math.asin(max(-1.0, min(1.0, q / qp)))
+    dl = lam - lon0
+    b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta)
+                            + math.cos(beta0) * math.cos(beta) * math.cos(dl)))
+    east = fe + b * d * math.cos(beta) * math.sin(dl)
+    north = fn + (b / d) * (math.cos(beta0) * math.sin(beta)
+                            - math.sin(beta0) * math.cos(beta) * math.cos(dl))
+    return east, north
+
+
+def laea_inv(east: float, north: float, a: float, f: float, lat0: float,
+             lon0: float, fe: float, fn: float):
+    """E/N -> (lon, lat) degrees for EPSG 9820."""
+    e, qp, beta0, rq, d = _laea_consts(a, f, lat0)
+    x = east - fe
+    y = north - fn
+    rho = math.hypot(x / d, d * y)
+    if rho == 0:
+        return math.degrees(lon0), math.degrees(_authalic_to_geodetic(beta0, e))
+    c = 2 * math.asin(max(-1.0, min(1.0, rho / (2 * rq))))
+    beta = math.asin(max(-1.0, min(1.0,
+        math.cos(c) * math.sin(beta0)
+        + (d * y * math.sin(c) * math.cos(beta0)) / rho)))
+    lam = lon0 + math.atan2(
+        x * math.sin(c),
+        d * rho * math.cos(beta0) * math.cos(c)
+        - d * d * y * math.sin(beta0) * math.sin(c))
+    return math.degrees(lam), math.degrees(_authalic_to_geodetic(beta, e))
+
+
 def _geodetic_to_geocentric(lon: float, lat: float, a: float, f: float):
     e2 = 2 * f - f * f
     phi, lam = math.radians(lat), math.radians(lon)
@@ -597,6 +714,14 @@ _CRS_TABLE = {
            'params': (_d(49, 30), _d(24, 50), _d(30, 17, 17.3031),
                       _d(78, 30), 0.9999, 0.0, 0.0),
            'towgs84': (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)},
+    # NAD83 / Conus Albers (EPSG 9822): the US-wide equal-area grid
+    5070: {'proj': 'aea', 'ellps': 'GRS80',
+           'params': (_d(23), _d(-96), _d(29, 30), _d(45, 30), 0.0, 0.0),
+           'towgs84': None},
+    # ETRS89-extended / LAEA Europe (EPSG 9820): the EU statistical grid
+    3035: {'proj': 'laea', 'ellps': 'GRS80',
+           'params': (_d(52), _d(10), 4321000.0, 3210000.0),
+           'towgs84': None},
 }
 
 #: projection method name -> (forward, inverse); every fn takes
@@ -607,6 +732,8 @@ _PROJ_METHODS = {
     'sterea': (sterea_fwd, sterea_inv),
     'omerc': (omerc_fwd, omerc_inv),
     'krovak': (krovak_fwd, krovak_inv),
+    'aea': (aea_fwd, aea_inv),
+    'laea': (laea_fwd, laea_inv),
 }
 
 

@@ -488,3 +488,79 @@ def test_register_crs_and_dict_crs():
         O.register_crs(909091, {'proj': 'tm', 'ellps': 'GRS80',
                                 'params': (0.0,), 'towgs84': None})
     assert 909091 not in O._CRS_TABLE
+
+
+# -- equal-area family (Albers 9822 / LAEA 9820) -------------------------
+
+def test_laea_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 worked example for method 9820 (Lambert
+    Azimuthal Equal Area, ETRS89-LAEA Europe / EPSG 3035): GRS80,
+    50dN 5dE -> E 3962799.45, N 2999718.85. Tolerance 1 cm; inverse
+    < 1e-8 deg."""
+    spec = O._CRS_TABLE[3035]
+    ell = O.ELLIPSOIDS[spec['ellps']]
+    e, n = O.laea_fwd(5.0, 50.0, *ell, *spec['params'])
+    assert math.isclose(e, 3962799.45, abs_tol=1e-2)
+    assert math.isclose(n, 2999718.85, abs_tol=1e-2)
+    lon2, lat2 = O.laea_inv(e, n, *ell, *spec['params'])
+    assert math.isclose(lon2, 5.0, abs_tol=1e-8)
+    assert math.isclose(lat2, 50.0, abs_tol=1e-8)
+
+
+def _area_scale(fwd, lon, lat, a, f, params):
+    """Finite-difference |det J| over the ellipsoid area element — the
+    defining invariant of an equal-area projection is that this is
+    EXACTLY 1 everywhere, which pins the math without memorized test
+    points."""
+    h = 1e-6
+    x0, y0 = fwd(lon, lat, a, f, *params)
+    xe, ye = fwd(lon + h, lat, a, f, *params)
+    xn, yn = fwd(lon, lat + h, a, f, *params)
+    jac = abs((xe - x0) * (yn - y0) - (ye - y0) * (xn - x0)) / (h * h)
+    e2 = f * (2 - f)
+    phi = math.radians(lat)
+    m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    nr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    return jac / (m * nr * math.cos(phi) * (math.pi / 180) ** 2)
+
+
+def test_albers_conus_equal_area_property():
+    spec = O._CRS_TABLE[5070]
+    a, f = O.ELLIPSOIDS[spec['ellps']]
+    # origin of the CONUS grid maps to (0, 0)
+    e0, n0 = O.aea_fwd(-96.0, 23.0, a, f, *spec['params'])
+    assert abs(e0) < 1e-6 and abs(n0) < 1e-6
+    for lon, lat in [(-120, 40), (-80, 30), (-100, 48), (-67, 45)]:
+        assert math.isclose(_area_scale(O.aea_fwd, lon, lat, a, f,
+                                        spec['params']), 1.0, abs_tol=1e-6)
+        e, n = O.aea_fwd(lon, lat, a, f, *spec['params'])
+        lon2, lat2 = O.aea_inv(e, n, a, f, *spec['params'])
+        assert math.isclose(lon2, lon, abs_tol=1e-8)
+        assert math.isclose(lat2, lat, abs_tol=1e-8)
+
+
+def test_laea_equal_area_property():
+    spec = O._CRS_TABLE[3035]
+    a, f = O.ELLIPSOIDS[spec['ellps']]
+    for lon, lat in [(5, 50), (25, 60), (-8, 38), (30, 70)]:
+        assert math.isclose(_area_scale(O.laea_fwd, lon, lat, a, f,
+                                        spec['params']), 1.0, abs_tol=1e-6)
+        e, n = O.laea_fwd(lon, lat, a, f, *spec['params'])
+        lon2, lat2 = O.laea_inv(e, n, a, f, *spec['params'])
+        assert math.isclose(lon2, lon, abs_tol=1e-8)
+        assert math.isclose(lat2, lat, abs_tol=1e-8)
+
+
+def test_equal_area_crs_resolve():
+    """5070 and 3035 resolve through the CRS-dispatch surface (the
+    operator path itself is covered by geo_transform_families)."""
+    to_ll = O._to_lonlat_fn(3035)
+    from_ll = O._from_lonlat_fn(3035)
+    e, n = from_ll(5.0, 50.0)
+    assert math.isclose(e, 3962799.45, abs_tol=1e-2)
+    lon, lat = to_ll(e, n)
+    assert math.isclose(lon, 5.0, abs_tol=1e-8)
+    to_ll70 = O._to_lonlat_fn(5070)
+    from_ll70 = O._from_lonlat_fn(5070)
+    ee, nn = from_ll70(-96.0, 23.0)
+    assert abs(ee) < 1e-6 and abs(nn) < 1e-6
