@@ -3300,6 +3300,37 @@ ORDER BY fmt
 """
 
 
+def q_domain_filter(spark, sf_dir):
+    """URL blocklist gate: every document gets a synthetic source URL
+    whose host rotates over 7 names by doc_id arithmetic; the deny list
+    drops two of them (with subdomain matching — 'tracker.ads.example'
+    falls to the listed 'ads.example'). Oracle predicts the surviving
+    (doc_id, domain) set exactly."""
+    from erde_spark.scale.text import filter_by_domain, url_domain
+    hosts = ['good', 'spam', 'ads', 'news', 'shop', 'blog', 'mail']
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    host = F.element_at(F.array(*[F.lit(h) for h in hosts]),
+                        (F.col('doc_id') % 7 + 1).cast('int'))
+    sub = F.when(F.col('doc_id') % 3 == 0, F.lit('tracker.')).otherwise(F.lit(''))
+    df = d.select('doc_id', F.concat(F.lit('https://'), sub, host,
+                                     F.lit('.example/p/'),
+                                     F.col('doc_id').cast('string'))
+                  .alias('url'))
+    out = filter_by_domain(df, deny=['spam.example', 'ads.example'])
+    return out.select('doc_id', url_domain('url').alias('domain'))
+
+
+_DOMAIN_FILTER_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'tracker.' ELSE '' END)
+         || ['good', 'spam', 'ads', 'news', 'shop', 'blog',
+             'mail'][doc_id % 7 + 1] || '.example' AS domain
+FROM documents
+WHERE ['good', 'spam', 'ads', 'news', 'shop', 'blog',
+       'mail'][doc_id % 7 + 1] NOT IN ('spam', 'ads')
+"""
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3368,11 +3399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_against_snapshot': q_dedup_against_snapshot,
         'split_no_leakage': q_split_no_leakage,
         'media_decode_mixed': q_media_decode_mixed,
+        'domain_filter': q_domain_filter,
         'set_ops': q_set_ops,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
-        'sketch_cardinality': q_sketch_cardinality,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
@@ -3400,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
+        'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
         'full_outer_priority': q_full_outer_priority,
@@ -3533,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_against_snapshot': _DEDUP_AGAINST_SQL,
         'split_no_leakage': _SPLIT_NO_LEAKAGE_SQL,
         'media_decode_mixed': _MEDIA_DECODE_SQL,
+        'domain_filter': _DOMAIN_FILTER_SQL,
         'sjoin_points_rects': _SJOIN_SQL,
         'snearest_rect': _SNEAREST_SQL,
         'sjfull_geoms': _SJFULL_SQL,

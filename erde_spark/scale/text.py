@@ -658,3 +658,64 @@ def normalize_text(col: Column | str, collapse_spaces: bool = True) -> Column:
     if collapse_spaces:
         c = F.regexp_replace(c, '  +', ' ')
     return c
+
+
+def url_domain(col: Column | str) -> Column:
+    """Lower-cased host part of a URL column ('' when not a URL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, r'^https?://([A-Za-z0-9.-]+)', 1))
+
+
+def _domain_suffixes(dom: Column) -> Column:
+    """All registrable suffixes of a host: a.b.example -> [a.b.example,
+    b.example, example] — the unit a subdomain-matching blocklist join
+    keys on."""
+    parts = F.split(dom, r'\.')
+    n = F.size(parts)
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.array_join(F.slice(parts, i, n), '.'))
+
+
+def filter_by_domain(df: DataFrame, url_col: str = 'url',
+                     deny=(), allow=None,
+                     match_subdomains: bool = True) -> DataFrame:
+    """URL allow/deny filtering — the crawl-hygiene gate in front of
+    every curation run. ``deny`` / ``allow`` are either small Python
+    collections (compiled into one whole-stage-codegen boolean
+    expression) or DataFrames with a ``domain`` column (suffix-explode
+    + join — the scale path for million-entry blocklists: the list is
+    joined, never collected, and the corpus contributes one row per
+    host LABEL, not per list entry). With ``match_subdomains`` a listed
+    ``example.com`` also matches ``ads.example.com``.
+    """
+    dom = url_domain(url_col)
+
+    def _expr_match(domains) -> Column:
+        m = F.lit(False)
+        for d in domains:
+            d = d.lower()
+            hit = dom == d
+            if match_subdomains:
+                hit = hit | dom.endswith('.' + d)
+            m = m | hit
+        return m
+
+    def _hits(frame: DataFrame, domains_df: DataFrame) -> DataFrame:
+        """Rows of ``frame`` whose host matches some listed domain."""
+        key = _domain_suffixes(dom) if match_subdomains else F.array(dom)
+        keyed = frame.withColumn('_sfx', F.explode(key))
+        dl = (domains_df.select(F.lower(F.col('domain')).alias('_sfx'))
+              .distinct())
+        return (keyed.join(dl, '_sfx', 'left_semi')
+                .select(*frame.columns).dropDuplicates(frame.columns))
+
+    out = df
+    if isinstance(deny, DataFrame):
+        out = out.join(_hits(out, deny), out.columns, 'left_anti')
+    elif deny:
+        out = out.filter(~_expr_match(deny))
+    if isinstance(allow, DataFrame):
+        out = _hits(out, allow)
+    elif allow is not None:
+        out = out.filter(_expr_match(allow))
+    return out

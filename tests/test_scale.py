@@ -1452,3 +1452,37 @@ def test_normalize_text_duckdb_parity(spark):
             " '\\p{Zs}', ' ', 'g'),"
             " '  +', ' ', 'g')", [c]).fetchone()[0]
         assert got[i] == duck, (i, c)
+
+
+# ------------------------------------------------------ domain filtering
+
+def test_filter_by_domain_lists_and_frames(spark):
+    from erde_spark.scale.text import filter_by_domain
+    rows = [(1, 'https://good.example/a'), (2, 'https://Spam.example/b'),
+            (3, 'https://ads.spam.example/c'), (4, 'https://other.org/d'),
+            (5, 'not a url')]
+    df = spark.createDataFrame(rows, 'doc_id long, url string')
+
+    kept = {r['doc_id'] for r in
+            filter_by_domain(df, deny=['spam.example']).collect()}
+    assert kept == {1, 4, 5}  # subdomain + case-insensitive match dropped
+
+    kept = {r['doc_id'] for r in
+            filter_by_domain(df, deny=['spam.example'],
+                             match_subdomains=False).collect()}
+    assert kept == {1, 3, 4, 5}
+
+    kept = {r['doc_id'] for r in
+            filter_by_domain(df, allow=['example']).collect()}
+    assert kept == {1, 2, 3}  # TLD-suffix allow
+
+    deny_df = spark.createDataFrame([('spam.example',), ('other.org',)],
+                                    'domain string')
+    kept = {r['doc_id'] for r in
+            filter_by_domain(df, deny=deny_df).collect()}
+    assert kept == {1, 5}
+
+    allow_df = spark.createDataFrame([('good.example',)], 'domain string')
+    kept = {r['doc_id'] for r in
+            filter_by_domain(df, deny=deny_df, allow=allow_df).collect()}
+    assert kept == {1}

@@ -1,0 +1,72 @@
+"""WARC (ISO 28500) reading: record framing, gzip-member segments,
+record-type pruning, HTTP envelope stripping, truncation tolerance,
+and the Spark mapInPandas source."""
+
+import gzip
+import io
+
+from erde_spark.io.warc import (encode_warc, http_payload_body,
+                                parse_warc_records, read_warc)
+
+
+def _recs():
+    html = (b'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n'
+            b'<html><body>hello crawl</body></html>')
+    return [
+        {'type': 'warcinfo', 'payload': b'software: test'},
+        {'type': 'request', 'target-uri': 'https://a.example/x',
+         'payload': b'GET /x HTTP/1.1\r\n\r\n'},
+        {'type': 'response', 'target-uri': 'https://a.example/x',
+         'content-type': 'application/http', 'payload': html},
+        {'type': 'conversion', 'target-uri': 'https://a.example/x',
+         'content-type': 'text/plain', 'payload': b'hello crawl'},
+    ]
+
+
+def test_parse_raw_records():
+    blob = encode_warc(_recs(), compress=False)
+    got = list(parse_warc_records(io.BytesIO(blob)))
+    assert [r['type'] for r in got] == ['warcinfo', 'request', 'response',
+                                       'conversion']
+    assert got[2]['target-uri'] == 'https://a.example/x'
+    assert got[3]['payload'] == b'hello crawl'
+
+
+def test_gzip_members_and_truncation():
+    blob = encode_warc(_recs())
+    f = gzip.GzipFile(fileobj=io.BytesIO(blob))
+    assert len(list(parse_warc_records(f))) == 4
+    # truncated mid-record: earlier records still parse, no raise
+    raw = encode_warc(_recs(), compress=False)
+    cut = raw[:len(raw) - 30]
+    got = list(parse_warc_records(io.BytesIO(cut)))
+    assert 2 <= len(got) <= 3
+
+
+def test_http_payload_body():
+    r = _recs()[2]['payload']
+    assert http_payload_body(r) == b'<html><body>hello crawl</body></html>'
+    assert http_payload_body(b'plain text') == b'plain text'
+
+
+def test_read_warc_spark(spark, tmp_path):
+    seg1 = tmp_path / 'seg-00001.warc.gz'
+    seg1.write_bytes(encode_warc(_recs()))
+    seg2 = tmp_path / 'seg-00002.warc.gz'
+    seg2.write_bytes(encode_warc([
+        {'type': 'conversion', 'target-uri': f'https://b.example/{i}',
+         'content-type': 'text/plain',
+         'payload': b'doc %d body' % i} for i in range(10)]))
+
+    df = read_warc(str(tmp_path), spark)
+    rows = df.collect()
+    # request/warcinfo pruned at parse time
+    assert {r['record_type'] for r in rows} == {'response', 'conversion'}
+    assert len(rows) == 12
+    byuri = {r['target_uri']: r for r in rows if r['record_type'] == 'conversion'}
+    assert bytes(byuri['https://b.example/3']['payload']) == b'doc 3 body'
+    assert byuri['https://b.example/3']['n_bytes'] == len(b'doc 3 body')
+
+    # all record types when pruning is off
+    all_df = read_warc(str(seg1), spark, record_types=())
+    assert all_df.count() == 4
