@@ -304,6 +304,24 @@ class JsonDriver(_Driver):
         df.write.mode(mode).json(path, **kw)
 
 
+class WarcDriver(_Driver):
+    """WARC/WET crawl segments (see io/warc.py): one task per segment,
+    streaming record parse, response+conversion records by default.
+    Read-only — curation pipelines consume crawls, they don't write
+    them; write via parquet after extraction."""
+    name = 'warc'
+    path_re = re.compile(r'^.*\.(warc|wet)(\.gz)?$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.warc import read_warc
+        return read_warc(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        raise NotImplementedError(
+            'WARC is a crawl interchange format; write curated output '
+            'to parquet/csv instead')
+
+
 class GpkgDriver(_Driver):
     """Real GeoPackage source/sink on stdlib sqlite3 (see io/gpkg.py):
     distributed rowid-sliced scan, rtree bbox pushdown, single-file
@@ -661,7 +679,7 @@ class PostgresDriver(_Driver):
 DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
-    GeoJsonDriver(), XlsDriver(), JsonDriver(),
+    GeoJsonDriver(), XlsDriver(), JsonDriver(), WarcDriver(),
 ]
 
 

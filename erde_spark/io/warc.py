@@ -153,3 +153,28 @@ def encode_warc(records: list[dict], compress: bool = True) -> bytes:
         body = b'\r\n'.join(head) + b'\r\n\r\n' + payload + b'\r\n\r\n'
         out += gzip.compress(body) if compress else body
     return bytes(out)
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Shape WARC records into the ``documents``-table contract
+    (doc_id, text, lang, source, n_chars): payload -> UTF-8 text with
+    the HTTP envelope stripped (errors replaced, so one mojibake page
+    can't fail a task), doc_id = xxhash64 of the record id, lang from
+    the marker-stopword ID. The bridge from ``read_warc`` to every
+    curation operator in :mod:`erde_spark.scale`."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import lang_id
+
+    @F.pandas_udf(T.StringType())
+    def _to_text(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: http_payload_body(bytes(b)).decode('utf-8', 'replace')
+            if b is not None else '')
+
+    return (records
+            .select(F.xxhash64('record_id').alias('doc_id'),
+                    _to_text('payload').alias('text'),
+                    F.col('target_uri').alias('source'))
+            .withColumn('lang', lang_id(F.col('text')))
+            .withColumn('n_chars', F.length('text')))

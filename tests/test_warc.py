@@ -70,3 +70,27 @@ def test_read_warc_spark(spark, tmp_path):
     # all record types when pruning is off
     all_df = read_warc(str(seg1), spark, record_types=())
     assert all_df.count() == 4
+
+
+def test_read_df_dispatch_and_documents_bridge(spark, tmp_path):
+    import erde_spark as es
+    from erde_spark.io.warc import warc_to_documents
+    seg = tmp_path / 'crawl.warc.gz'
+    seg.write_bytes(encode_warc([
+        {'type': 'response', 'target-uri': 'https://a.example/1',
+         'payload': (b'HTTP/1.1 200 OK\r\n\r\nthe quick brown fox and '
+                     b'the lazy dog')},
+        {'type': 'conversion', 'target-uri': 'https://a.example/2',
+         'payload': 'der hund und die katze ist hier'.encode()},
+    ]))
+    recs = es.read_df(str(seg), spark)
+    assert recs.count() == 2
+    docs = warc_to_documents(recs)
+    rows = {r['source']: r for r in docs.collect()}
+    assert rows['https://a.example/1']['text'].startswith('the quick')
+    assert rows['https://a.example/1']['lang'] == 'en'
+    assert rows['https://a.example/2']['lang'] == 'de'
+    assert all(r['doc_id'] is not None for r in rows.values())
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        es.write_df(docs, str(tmp_path / 'out.warc'))
