@@ -178,3 +178,58 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                     F.col('target_uri').alias('source'))
             .withColumn('lang', lang_id(F.col('text')))
             .withColumn('n_chars', F.length('text')))
+
+
+def streaming_warc_ingest(spark: SparkSession, in_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          record_types: tuple = ('response', 'conversion'),
+                          trigger_once: bool = True,
+                          max_files_per_trigger: int | None = None):
+    """Continuous crawl ingest: watch ``in_dir`` for new WARC segments
+    (the file-stream source tracks arrivals exactly-once via the
+    checkpoint), parse each through the same record machinery as
+    ``read_warc``, shape to the documents contract, and append parquet
+    to ``out_dir`` per micro-batch.
+
+    This is the front door of a standing curation pipeline: new Common
+    Crawl segments land in a bucket, this query turns them into
+    documents rows, and the downstream ``streaming_neardup_dedup``
+    store-join keeps the corpus deduplicated incrementally. Returns the
+    started ``StreamingQuery``."""
+    # streaming file sources need an explicit schema; this is
+    # binaryFile's fixed one
+    bin_schema = ('path string, modificationTime timestamp, '
+                  'length long, content binary')
+    stream = (spark.readStream.format('binaryFile').schema(bin_schema)
+              .option('pathGlobFilter', '*.warc*'))
+    if max_files_per_trigger:
+        stream = stream.option('maxFilesPerTrigger', int(max_files_per_trigger))
+    files = stream.load(in_dir).select('path', 'content')
+    wanted = {t.lower() for t in record_types} if record_types else None
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA]
+        for pdf in batches:
+            for fpath, blob in zip(pdf['path'], pdf['content']):
+                rows = []
+                for rec in parse_warc_records(_open_warc(bytes(blob), fpath)):
+                    rtype = rec.get('type', '').lower()
+                    if wanted and rtype not in wanted:
+                        continue
+                    payload = rec['payload']
+                    rows.append((fpath, rtype, rec.get('target-uri'),
+                                 rec.get('record-id'), rec.get('date'),
+                                 rec.get('content-type'), payload,
+                                 len(payload)))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    docs = warc_to_documents(files.mapInPandas(_parse, schema=WARC_SCHEMA))
+    writer = (docs.writeStream
+              .option('checkpointLocation', checkpoint_dir)
+              .outputMode('append')
+              .format('parquet')
+              .option('path', out_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

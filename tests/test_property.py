@@ -564,3 +564,37 @@ def test_equal_area_crs_resolve():
     from_ll70 = O._from_lonlat_fn(5070)
     ee, nn = from_ll70(-96.0, 23.0)
     assert abs(ee) < 1e-6 and abs(nn) < 1e-6
+
+
+# -- codec properties (GIF LZW / TIFF LZW / VP8L) ------------------------
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=40, deadline=None)
+def test_tiff_lzw_roundtrip_property(data):
+    from erde_spark.scale.tiff import _tiff_lzw_decode, _tiff_lzw_encode
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=2000))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(indices):
+    from erde_spark.scale.gif import _lzw_decode, _lzw_encode
+    enc = _lzw_encode(8, indices)
+    assert _lzw_decode(8, enc, len(indices)) == indices
+
+
+@given(st.integers(2, 40), st.integers(2, 40), st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_vp8l_roundtrip_property(w, h, seed):
+    import numpy as np
+    from erde_spark.scale.webp import decode_webp, encode_webp
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    kw = {}
+    if seed % 3 == 0:
+        kw['subtract_green'] = True
+    if seed % 4 == 0:
+        kw['cache_bits'] = 1 + seed % 8
+    if seed % 5 == 0:
+        kw['rle'] = True
+    assert (decode_webp(encode_webp(arr, **kw)) == arr).all()

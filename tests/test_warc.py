@@ -94,3 +94,32 @@ def test_read_df_dispatch_and_documents_bridge(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         es.write_df(docs, str(tmp_path / 'out.warc'))
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """New segments arriving in a watched directory stream into
+    documents-shaped parquet exactly once."""
+    from erde_spark.io.warc import streaming_warc_ingest
+    in_dir = tmp_path / 'incoming'
+    in_dir.mkdir()
+    (in_dir / 'seg-1.warc.gz').write_bytes(encode_warc([
+        {'type': 'conversion', 'target-uri': f'https://s1.example/{i}',
+         'payload': b'the crawl body number %d' % i} for i in range(5)]))
+    out = str(tmp_path / 'docs.parquet')
+    ckpt = str(tmp_path / 'ckpt')
+
+    q = streaming_warc_ingest(spark, str(in_dir), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert set(got.columns) >= {'doc_id', 'text', 'lang', 'source', 'n_chars'}
+
+    # second segment arrives; only the new rows append
+    (in_dir / 'seg-2.warc.gz').write_bytes(encode_warc([
+        {'type': 'conversion', 'target-uri': 'https://s2.example/0',
+         'payload': b'another segment arrives later'}]))
+    q2 = streaming_warc_ingest(spark, str(in_dir), out, ckpt)
+    q2.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert back.filter("source = 'https://s2.example/0'").count() == 1
