@@ -2825,10 +2825,14 @@ def q_streaming_neardup_backfill(spark, sf_dir):
     base = tempfile.mkdtemp(prefix='erde_neardup_backfill_')
     in_dir = os.path.join(base, 'in')
     # 2 input files = 2 micro-batches under maxFilesPerTrigger=1 — the
-    # second batch exercises the store equi-join path; hash split keeps
-    # file membership deterministic across runs
-    (d.repartition(2, F.abs(F.hash('doc_id')) % 2)
-     .write.mode('overwrite').parquet(in_dir))
+    # second batch exercises the store equi-join path. Each half is
+    # written as its own single-file append: repartition(2, expr) hashes
+    # the expression value AGAIN, and hash(0)/hash(1) land in the same
+    # partition — the old split produced one empty file and one full
+    # one, so the store join silently never ran
+    for k in (0, 1):
+        (d.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
+         .write.mode('append').parquet(in_dir))
     streaming_neardup_dedup(
         spark, in_dir, d.schema,
         out_dir=os.path.join(base, 'out'),
