@@ -5,12 +5,15 @@ conversions.
 
 Scale shape: WARC files are written in ~1 GB segments precisely so that
 one segment is one unit of work. ``read_warc`` lists files as rows
-(``binaryFile`` source — Spark never splits inside a member stream,
-matching the format's own parallelism grain), then each task parses its
-segment RECORD BY RECORD through a streaming gzip reader and yields
-Arrow batches as it goes — peak memory is one record, not one file.
-The record parser is pure stdlib (ISO 28500 §4: version line, named
-headers, Content-Length payload, CRLF CRLF framing).
+(``binaryFile`` source, pruned to ``path`` only — the blob column is
+never materialized, which also sidesteps binaryFile's ~2 GB per-file
+content limit), then each task OPENS its segment from the filesystem
+(local ``open`` or ``pyarrow.fs`` for s3://, hdfs://, ...) and parses
+it RECORD BY RECORD through a streaming gzip reader, yielding Arrow
+batches as it goes — peak memory is one decompressed record plus gzip
+window buffers, not one file. The record parser is pure stdlib
+(ISO 28500 §4: version line, named headers, Content-Length payload,
+CRLF CRLF framing).
 """
 
 from __future__ import annotations
@@ -63,11 +66,56 @@ def parse_warc_records(stream) -> Iterator[dict]:
         yield headers
 
 
-def _open_warc(blob: bytes, path: str):
-    if path.endswith('.gz') or blob[:2] == b'\x1f\x8b':
-        # concatenated gzip members: stdlib GzipFile reads them all
-        return gzip.GzipFile(fileobj=io.BytesIO(blob))
-    return io.BytesIO(blob)
+class _ReadAdapter(io.RawIOBase):
+    """RawIOBase facade over any ``.read(n)`` handle (pyarrow
+    ``NativeFile`` included) so ``io.BufferedReader`` can supply the
+    ``readline``/``peek`` interface the record parser needs."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        data = self._f.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+    def close(self):
+        try:
+            self._f.close()
+        finally:
+            super().close()
+
+
+def _open_segment(path: str):
+    """Open a segment URI inside the task as a buffered STREAM — the
+    file is read incrementally, never materialized. Local paths (and
+    ``file:`` URIs, the form Spark's file listing emits) go through
+    plain ``open``; any other scheme through ``pyarrow.fs``."""
+    from urllib.parse import unquote, urlparse
+    p = urlparse(path)
+    if p.scheme in ('', 'file'):
+        return open(unquote(p.path) if p.scheme else path, 'rb')
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    return io.BufferedReader(_ReadAdapter(filesystem.open_input_stream(rel)))
+
+
+def _open_warc_stream(path: str):
+    """Streaming handle of RAW WARC bytes for a segment path, gunzipping
+    on the fly for ``.warc.gz`` (concatenated members: stdlib GzipFile
+    reads them all) — decompressed bytes are consumed record by record,
+    never held whole."""
+    raw = _open_segment(path)
+    magic = raw.peek(2)[:2]
+    if path.endswith('.gz') or magic == b'\x1f\x8b':
+        gz = gzip.GzipFile(fileobj=raw)
+        gz.myfileobj = raw  # cascade close() to the file handle
+        return gz
+    return raw
 
 
 WARC_SCHEMA = T.StructType([
@@ -82,6 +130,37 @@ WARC_SCHEMA = T.StructType([
 ])
 
 
+def _segment_parser(record_types, batch_rows: int):
+    """mapInPandas function over a ``path``-only listing: open each
+    segment from the filesystem inside the task and stream records out
+    in bounded Arrow batches. Shared by the batch and streaming
+    readers."""
+    wanted = {t.lower() for t in record_types} if record_types else None
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA]
+        for pdf in batches:
+            for fpath in pdf['path']:
+                rows = []
+                with _open_warc_stream(fpath) as stream:
+                    for rec in parse_warc_records(stream):
+                        rtype = rec.get('type', '').lower()
+                        if wanted and rtype not in wanted:
+                            continue
+                        payload = rec['payload']
+                        rows.append((fpath, rtype, rec.get('target-uri'),
+                                     rec.get('record-id'), rec.get('date'),
+                                     rec.get('content-type'), payload,
+                                     len(payload)))
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return _parse
+
+
 def read_warc(path: str, spark: SparkSession,
               record_types: tuple = ('response', 'conversion'),
               batch_rows: int = 256) -> DataFrame:
@@ -89,33 +168,12 @@ def read_warc(path: str, spark: SparkSession,
     glob of ``.warc`` / ``.warc.gz`` segments). ``record_types`` prunes
     at parse time — ('response', 'conversion') keeps crawl payloads and
     WET text and drops request/metadata chatter before it ever crosses
-    Arrow."""
-    wanted = {t.lower() for t in record_types} if record_types else None
-    files = spark.read.format('binaryFile').load(path) \
-        .select('path', 'content')
-
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA]
-        for pdf in batches:
-            for fpath, blob in zip(pdf['path'], pdf['content']):
-                rows = []
-                stream = _open_warc(bytes(blob), fpath)
-                for rec in parse_warc_records(stream):
-                    rtype = rec.get('type', '').lower()
-                    if wanted and rtype not in wanted:
-                        continue
-                    payload = rec['payload']
-                    rows.append((fpath, rtype, rec.get('target-uri'),
-                                 rec.get('record-id'), rec.get('date'),
-                                 rec.get('content-type'), payload,
-                                 len(payload)))
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(_parse, schema=WARC_SCHEMA)
+    Arrow. Only the listing's ``path`` column reaches the tasks; each
+    segment is opened and streamed inside its task (see module
+    docstring)."""
+    files = spark.read.format('binaryFile').load(path).select('path')
+    return files.mapInPandas(_segment_parser(record_types, batch_rows),
+                             schema=WARC_SCHEMA)
 
 
 def http_payload_body(payload: bytes) -> bytes:
@@ -133,17 +191,25 @@ def http_payload_body(payload: bytes) -> bytes:
 # --------------------------------------------------------------- fixture
 
 
-def encode_warc(records: list[dict], compress: bool = True) -> bytes:
+def encode_warc(records: list[dict], compress: bool = True,
+                segment: str = '') -> bytes:
     """Write spec-shaped WARC bytes for fixtures: each record dict needs
     ``type``/``payload`` and may carry ``target-uri``/``content-type``.
     ``compress=True`` emits one gzip member per record (the Common Crawl
-    layout)."""
+    layout). Record IDs are deterministic but GLOBALLY unique —
+    sha1(segment | index | payload) — so multi-segment fixtures never
+    collide on ``doc_id = xxhash64(record_id)`` downstream; pass a
+    distinct ``segment`` salt per encoded file when payloads may
+    repeat across segments."""
+    import hashlib
     out = bytearray()
     for i, rec in enumerate(records):
         payload = rec['payload']
+        rid = hashlib.sha1(
+            segment.encode() + b'|%d|' % i + payload).hexdigest()
         head = [b'WARC/1.0',
                 b'WARC-Type: ' + rec['type'].encode(),
-                b'WARC-Record-ID: <urn:uuid:%08d>' % i,
+                b'WARC-Record-ID: <urn:sha1:' + rid.encode() + b'>',
                 b'WARC-Date: 2024-01-01T00:00:00Z']
         if rec.get('target-uri'):
             head.append(b'WARC-Target-URI: ' + rec['target-uri'].encode())
@@ -204,27 +270,10 @@ def streaming_warc_ingest(spark: SparkSession, in_dir: str, out_dir: str,
               .option('pathGlobFilter', '*.warc*'))
     if max_files_per_trigger:
         stream = stream.option('maxFilesPerTrigger', int(max_files_per_trigger))
-    files = stream.load(in_dir).select('path', 'content')
-    wanted = {t.lower() for t in record_types} if record_types else None
-
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA]
-        for pdf in batches:
-            for fpath, blob in zip(pdf['path'], pdf['content']):
-                rows = []
-                for rec in parse_warc_records(_open_warc(bytes(blob), fpath)):
-                    rtype = rec.get('type', '').lower()
-                    if wanted and rtype not in wanted:
-                        continue
-                    payload = rec['payload']
-                    rows.append((fpath, rtype, rec.get('target-uri'),
-                                 rec.get('record-id'), rec.get('date'),
-                                 rec.get('content-type'), payload,
-                                 len(payload)))
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    docs = warc_to_documents(files.mapInPandas(_parse, schema=WARC_SCHEMA))
+    files = stream.load(in_dir).select('path')
+    recs = files.mapInPandas(_segment_parser(record_types, 256),
+                             schema=WARC_SCHEMA)
+    docs = warc_to_documents(recs)
     writer = (docs.writeStream
               .option('checkpointLocation', checkpoint_dir)
               .outputMode('append')

@@ -1050,7 +1050,9 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
     """
     from erde_spark.scale.similarity import (_hyperplanes, cosine_udf,
                                              normalized)
-    if n_docs is None:
+    if n_docs is None and (bands is None or rows is None):
+        # count only when auto-scaling actually needs the size —
+        # explicit (bands, rows) skips a full corpus pass
         n_docs = df.count()
     bands, rows = _sign_lsh_params(n_docs, threshold, target_recall,
                                    bands, rows)

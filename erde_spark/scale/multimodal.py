@@ -52,11 +52,11 @@ ASSET_SCHEMA = T.StructType([
 def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     """Decode a media blob to a pixel/sample array.
 
-    PNG (palette/Adam7 included), BMP, baseline + progressive JPEG and
-    WAV audio decode for real (pure numpy/stdlib codecs —
-    :mod:`erde_spark.scale.png`, :mod:`erde_spark.scale.jpeg`); every
-    other format still needs a codec library the container doesn't ship
-    and raises."""
+    PNG (palette/Adam7 included), BMP, baseline + progressive JPEG,
+    GIF, TIFF, WebP (lossless VP8L) and WAV audio decode for real (pure
+    numpy/stdlib codecs — :mod:`erde_spark.scale.png`, ``jpeg``,
+    ``gif``, ``tiff``, ``webp``); every other format still needs a
+    codec library the container doesn't ship and raises."""
     from erde_spark.scale.gif import decode_gif, is_gif
     from erde_spark.scale.jpeg import decode_jpeg, is_jpeg
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
@@ -79,10 +79,10 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     if (fmt or '').lower() in ('audio/wav', 'audio/x-wav', 'wav') or is_wav(blob):
         return decode_wav(bytes(blob))
     raise NotImplementedError(
-        f'media format {fmt!r}: only PNG, BMP, JPEG (baseline + '
-        'progressive) and WAV decode without codec libraries '
-        '(PIL/ffmpeg not in this container); use fake=True for '
-        'plumbing tests')
+        f'media format {fmt!r}: PNG, BMP, JPEG (baseline + '
+        'progressive), GIF, TIFF, WebP (lossless VP8L) and WAV decode '
+        'without codec libraries (PIL/ffmpeg not in this container); '
+        'use fake=True for plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -700,22 +700,28 @@ def filter_by_domain(df: DataFrame, url_col: str = 'url',
             m = m | hit
         return m
 
-    def _hits(frame: DataFrame, domains_df: DataFrame) -> DataFrame:
-        """Rows of ``frame`` whose host matches some listed domain."""
+    def _hit_ids(frame: DataFrame, domains_df: DataFrame) -> DataFrame:
+        """Surrogate keys of ``frame`` rows whose host matches a listed
+        domain. Joining back on the key (not on every frame column)
+        keeps the filter null-safe — an equi-join on all columns would
+        let any row with a NULL attribute slip past the blocklist,
+        since NULL never equals itself — and never collapses genuine
+        duplicate rows."""
         key = _domain_suffixes(dom) if match_subdomains else F.array(dom)
-        keyed = frame.withColumn('_sfx', F.explode(key))
+        keyed = frame.select('_rid', F.explode(key).alias('_sfx'))
         dl = (domains_df.select(F.lower(F.col('domain')).alias('_sfx'))
               .distinct())
-        return (keyed.join(dl, '_sfx', 'left_semi')
-                .select(*frame.columns).dropDuplicates(frame.columns))
+        return keyed.join(dl, '_sfx', 'left_semi').select('_rid')
 
-    out = df
+    needs_rid = isinstance(deny, DataFrame) or isinstance(allow, DataFrame)
+    out = (df.withColumn('_rid', F.monotonically_increasing_id())
+           if needs_rid else df)
     if isinstance(deny, DataFrame):
-        out = out.join(_hits(out, deny), out.columns, 'left_anti')
+        out = out.join(_hit_ids(out, deny), '_rid', 'left_anti')
     elif deny:
         out = out.filter(~_expr_match(deny))
     if isinstance(allow, DataFrame):
-        out = _hits(out, allow)
+        out = out.join(_hit_ids(out, allow), '_rid', 'left_semi')
     elif allow is not None:
         out = out.filter(_expr_match(allow))
-    return out
+    return out.drop('_rid') if needs_rid else out

@@ -1486,3 +1486,29 @@ def test_filter_by_domain_lists_and_frames(spark):
     kept = {r['doc_id'] for r in
             filter_by_domain(df, deny=deny_df, allow=allow_df).collect()}
     assert kept == {1}
+
+
+def test_filter_by_domain_null_safe_and_duplicate_safe(spark):
+    """A deny-listed row with a NULL attribute must still be dropped
+    (an all-columns anti-join would let it survive, since NULL never
+    equals itself), and genuine duplicate rows must not be collapsed
+    by the allow path."""
+    from erde_spark.scale.text import filter_by_domain
+    rows = [(1, 'https://good.example/a', 'kept'),
+            (2, 'https://spam.example/b', None),   # null col, blocklisted
+            (2, 'https://spam.example/b', None),
+            (3, 'https://good.example/c', None),   # null col, clean
+            (4, 'https://good.example/a', 'dup'),  # genuine duplicates
+            (4, 'https://good.example/a', 'dup')]
+    df = spark.createDataFrame(rows, 'doc_id long, url string, title string')
+    deny_df = spark.createDataFrame([('spam.example',)], 'domain string')
+
+    out = filter_by_domain(df, deny=deny_df).collect()
+    assert {r['doc_id'] for r in out} == {1, 3, 4}
+    assert len([r for r in out if r['doc_id'] == 4]) == 2
+
+    allow_df = spark.createDataFrame([('good.example',)], 'domain string')
+    out = filter_by_domain(df, allow=allow_df).collect()
+    assert {r['doc_id'] for r in out} == {1, 3, 4}
+    assert len([r for r in out if r['doc_id'] == 4]) == 2
+    assert sorted(df.columns) == sorted(out[0].asDict().keys())

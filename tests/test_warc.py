@@ -51,12 +51,13 @@ def test_http_payload_body():
 
 def test_read_warc_spark(spark, tmp_path):
     seg1 = tmp_path / 'seg-00001.warc.gz'
-    seg1.write_bytes(encode_warc(_recs()))
+    seg1.write_bytes(encode_warc(_recs(), segment='seg-00001'))
     seg2 = tmp_path / 'seg-00002.warc.gz'
     seg2.write_bytes(encode_warc([
         {'type': 'conversion', 'target-uri': f'https://b.example/{i}',
          'content-type': 'text/plain',
-         'payload': b'doc %d body' % i} for i in range(10)]))
+         'payload': b'doc %d body' % i} for i in range(10)],
+        segment='seg-00002'))
 
     df = read_warc(str(tmp_path), spark)
     rows = df.collect()
@@ -70,6 +71,50 @@ def test_read_warc_spark(spark, tmp_path):
     # all record types when pruning is off
     all_df = read_warc(str(seg1), spark, record_types=())
     assert all_df.count() == 4
+
+    # record IDs are globally unique across segments (doc_id derives
+    # from them — cross-segment collisions would merge distinct docs)
+    ids = [r['record_id'] for r in rows]
+    assert len(set(ids)) == len(ids)
+
+
+def test_read_warc_scan_prunes_content(spark, tmp_path):
+    """The blob column never reaches the tasks: the binaryFile scan
+    reads only ``path`` — segments are opened and streamed inside the
+    task, so peak memory is one record, not one file."""
+    seg = tmp_path / 'seg.warc.gz'
+    seg.write_bytes(encode_warc(_recs()))
+    df = read_warc(str(seg), spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'ReadSchema: struct<path:string>' in plan
+
+
+def test_warc_stream_is_bounded_memory(tmp_path):
+    """A segment far larger than any single record parses with peak
+    Python allocation on the order of ONE record — the exact task-side
+    code path (_open_warc_stream -> parse_warc_records)."""
+    import tracemalloc
+
+    from erde_spark.io.warc import _open_warc_stream
+    one_mb = (b'x' * 1024) * 1024
+    n = 48  # 48 MiB uncompressed
+    seg = tmp_path / 'big.warc.gz'
+    seg.write_bytes(encode_warc(
+        [{'type': 'conversion', 'target-uri': f'https://big.example/{i}',
+          'payload': one_mb} for i in range(n)], segment='big'))
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    count = 0
+    with _open_warc_stream(str(seg)) as stream:
+        for rec in parse_warc_records(stream):
+            assert len(rec['payload']) == len(one_mb)
+            count += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n
+    # a handful of records' worth of buffers, nowhere near the file
+    assert peak < 8 * len(one_mb), f'peak {peak} bytes'
 
 
 def test_read_df_dispatch_and_documents_bridge(spark, tmp_path):
@@ -104,7 +149,8 @@ def test_streaming_warc_ingest(spark, tmp_path):
     in_dir.mkdir()
     (in_dir / 'seg-1.warc.gz').write_bytes(encode_warc([
         {'type': 'conversion', 'target-uri': f'https://s1.example/{i}',
-         'payload': b'the crawl body number %d' % i} for i in range(5)]))
+         'payload': b'the crawl body number %d' % i} for i in range(5)],
+        segment='seg-1'))
     out = str(tmp_path / 'docs.parquet')
     ckpt = str(tmp_path / 'ckpt')
 
@@ -117,7 +163,7 @@ def test_streaming_warc_ingest(spark, tmp_path):
     # second segment arrives; only the new rows append
     (in_dir / 'seg-2.warc.gz').write_bytes(encode_warc([
         {'type': 'conversion', 'target-uri': 'https://s2.example/0',
-         'payload': b'another segment arrives later'}]))
+         'payload': b'another segment arrives later'}], segment='seg-2'))
     q2 = streaming_warc_ingest(spark, str(in_dir), out, ckpt)
     q2.awaitTermination(120)
     back = spark.read.parquet(out)
