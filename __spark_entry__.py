@@ -3344,6 +3344,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_sagg_rect_demand(spark, SF_DEFAULT)
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC crawl ingest, value-oracled by construction: every document
+    is wrapped in a spec-shaped WARC ``conversion`` record
+    (``target-uri = https://fixture.example/<doc_id>``), records are
+    packed into 8 gzip segment files by ``doc_id % 8`` (distributed —
+    each group's encoder runs in its own task; single-host fixture
+    construction, the READ path is the operator under test), and
+    ``read_warc`` streams them back through the path-only binaryFile
+    listing + in-task gzip record parser, bridged to the documents
+    contract by ``warc_to_documents``. The check aggregates per
+    segment: record count, total chars, and an md5 over the
+    source-ordered concatenated texts — byte-exact round-trip of every
+    payload and URI, computable by DuckDB straight from ``documents``.
+    Covers reference crawl-ingest parity (ISO 28500); see
+    erde_spark/io/warc.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.io.warc import encode_warc, read_warc, warc_to_documents
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        'erde_warc_gate_' + os.path.basename(sf_dir.rstrip('/')))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_segment(key, pdf):
+        import pandas as pd
+        g = int(key[0])
+        pdf = pdf.sort_values('doc_id')
+        recs = [{'type': 'conversion',
+                 'target-uri': f'https://fixture.example/{int(did)}',
+                 'content-type': 'text/plain',
+                 'payload': str(txt).encode('utf-8')}
+                for did, txt in zip(pdf['doc_id'], pdf['text'])]
+        path = os.path.join(out_dir, f'seg-{g:05d}.warc.gz')
+        with open(path, 'wb') as f:
+            f.write(encode_warc(recs, segment=f'seg-{g:05d}'))
+        return pd.DataFrame({'path': [path]})
+
+    (d.groupBy(F.pmod('doc_id', F.lit(8)).alias('g'))
+     .applyInPandas(_write_segment, 'path string')).collect()
+
+    docs = warc_to_documents(read_warc(out_dir, spark))
+    seg_no = F.pmod(F.regexp_extract('source', r'/(\d+)$', 1).cast('long'),
+                    F.lit(8))
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct('source', 'text'))),
+        lambda s: s['text'])
+    return (docs.groupBy(seg_no.alias('segment_no'))
+            .agg(F.count(F.lit(1)).alias('n_records'),
+                 F.sum('n_chars').alias('sum_chars'),
+                 F.md5(F.concat_ws('|', ordered_texts)).alias('content_md5'))
+            .orderBy('segment_no'))
+
+
+_WARC_INGEST_SQL = """
+SELECT doc_id % 8 AS segment_no,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       md5(string_agg(text, '|' ORDER BY source)) AS content_md5
+FROM (SELECT doc_id, text,
+             'https://fixture.example/' || CAST(doc_id AS VARCHAR) AS source
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY doc_id % 8
+ORDER BY segment_no
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality classifier end-to-end (rows-only: the L-BFGS
+    optimizer is iterative, not SQL-expressible; separation/AUC/
+    determinism are pytest-pinned in tests/test_classifier.py).
+    CCNet shape: label the real documents positive and a deterministic
+    hex-token-salad derivative of each document negative, train on a
+    seeded-hash-ordered ~600/class sample, then score the FULL corpus
+    with the broadcast-model map-only pass. Returns (id, quality_label,
+    quality_prob rounded) per document — the trained filter's keep/drop
+    verdicts."""
+    from erde_spark.scale.classifier import train_quality_classifier
+    docs = (_t(spark, sf_dir, 'documents')['documents']
+            .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    gibberish = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('-', F.col('doc_id').cast('string'),
+                              i.cast('string'))), 1, 8)))
+    pos = docs.withColumn('label', F.lit(1))
+    neg = docs.select('doc_id', gibberish.alias('text'),
+                      F.lit(0).alias('label'))
+    # seeded-hash top-K draw per class (not a bare limit: that takes
+    # whole leading partitions)
+    labeled = (pos.orderBy(F.xxhash64('doc_id', F.lit(41))).limit(600)
+               .unionByName(
+                   neg.orderBy(F.xxhash64('doc_id', F.lit(42))).limit(600)))
+    clf = train_quality_classifier(labeled, max_iter=20)
+    scored = clf.score(docs)
+    return scored.select(
+        'id',
+        (F.col('quality_prob') >= 0.5).cast('int').alias('quality_label'),
+        F.round('quality_prob', 3).alias('quality_prob'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 entries, so positions 1-50 hold exactly one-or-more oracled
@@ -3378,11 +3483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_mix, pack_sequences, range_band_join, rollup_pricing,
     pivot_priority_revenue and full_outer_priority (every one
     driver-green in r03, most in r01-r03) move to the tail.
+
+    Round-5 rotation: the new construction-oracled warc_ingest
+    (segment round-trip: encode -> streamed read_warc -> documents
+    bridge, per-segment md5 check) enters the window, displacing
+    tpch_q12_late_lines (driver-green r01-r04); the new rows-only
+    quality_classifier sits at the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
-        'tpch_q12_late_lines': q_tpch_q12,
+        'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
         'dedup_containment': q_dedup_containment,
         'corpus_health': q_corpus_health,
@@ -3433,6 +3544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'tpch_q12_late_lines': q_tpch_q12,
+        'quality_classifier': q_quality_classifier,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
@@ -3507,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        'warc_ingest': _WARC_INGEST_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

@@ -2,10 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is timed best-of-$SPARK_GRAFT_BENCH_RUNS (default 2): host
+Each query is timed best-of-$SPARK_GRAFT_BENCH_RUNS (default 3): host
 timing noise on this box is 10-20x on cold single runs, so best-of-N warm
 is the only measurement that tracks plan changes rather than scheduler
-luck.
+luck. The per-query [min, max] band is recorded in "spread" so the
+output itself shows the noise envelope.
 
 `streaming_neardup_backfill` is a PIPELINE entry, not a single query:
 it runs two full spanning-dedup passes (one per micro-batch), the
@@ -85,6 +86,8 @@ BENCH_QUERIES = [
     'image_phash_dedup',
     'video_metadata',
     'media_decode_mixed',
+    'warc_ingest',
+    'quality_classifier',
 ]
 
 
@@ -105,18 +108,22 @@ def main():
         return x + 1
     spark.range(0, 1024, 1, 32).select(_warm('id')).count()
 
-    n_runs = max(1, int(os.environ.get('SPARK_GRAFT_BENCH_RUNS', '2')))
+    n_runs = max(1, int(os.environ.get('SPARK_GRAFT_BENCH_RUNS', '3')))
     timings = {}
+    spreads = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        best = None
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        # min/max band so the recorded file itself shows host noise —
+        # single warm numbers on this box flip-flop 10-40% run to run
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += best
         # drop leftover localCheckpoint blocks and cached plans so one
         # query's storage doesn't degrade the next (measured: the dedup
@@ -131,6 +138,7 @@ def main():
         'value': round(total, 3),
         'unit': 'sec',
         'queries': timings,
+        'spread': spreads,
         'sf': float(sf),
         'runs_per_query': n_runs,
     }))
