@@ -51,10 +51,20 @@ def _estimate_cell_size(left_b: DataFrame, right_b: DataFrame) -> float:
     sampled data extent. ONE sampled aggregation job (both sides unioned)
     — no full scan, no second job."""
     def _sample(df, p):
-        return df.select((F.col(f'{p}maxx') - F.col(f'{p}minx')).alias('w'),
-                         (F.col(f'{p}maxy') - F.col(f'{p}miny')).alias('h'),
-                         F.col(f'{p}minx').alias('x'),
-                         F.col(f'{p}miny').alias('y')).limit(4000)
+        # seeded-hash top-K, not a bare limit(): limit takes whole
+        # leading partitions, so on partition-correlated corpora (sorted
+        # by region) cell size would derive from one geographic stratum.
+        # TakeOrderedAndProject = per-partition top-K + merge, one job.
+        cols = [F.col(f'{p}{c}') for c in ('minx', 'miny', 'maxx', 'maxy')]
+        # monotonically_increasing_id breaks hash ties between rows with
+        # identical bboxes (common: duplicated admin polygons) so the
+        # draw stays uniform rather than collapsing to one tie group
+        return (df.select((cols[2] - cols[0]).alias('w'),
+                          (cols[3] - cols[1]).alias('h'),
+                          cols[0].alias('x'), cols[1].alias('y'),
+                          F.xxhash64(*cols, F.monotonically_increasing_id(),
+                                     F.lit(17)).alias('_h'))
+                .orderBy('_h').limit(4000).drop('_h'))
     row = (_sample(left_b, '__l_').unionByName(_sample(right_b, '__r_'))
            .agg(F.avg(F.when(F.col('w') > 0, F.col('w'))).alias('w'),
                 F.avg(F.when(F.col('h') > 0, F.col('h'))).alias('h'),

@@ -252,3 +252,24 @@ def test_snearest_k_neighbors(spark):
     assert got == [('s1', 1.0), ('s2', 2.0)]
     # k larger than the match count returns what exists
     assert snearest(pts, sites, max_distance=10.0, k=5).count() == 3
+
+
+def test_estimate_cell_size_unbiased_on_sorted_input(spark):
+    """Cell sizing must draw uniformly, not take whole leading
+    partitions: on a corpus partition-correlated by geometry size (tiny
+    boxes first, 1-degree boxes later) a bare limit() sample would see
+    only the tiny stratum and mis-grid the join by ~500x."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.operators.sjoin import _estimate_cell_size
+    df = spark.range(0, 8000, 1, 2)  # ids 0-3999 land in partition 0
+    w = F.when(F.col('id') < 4000, F.lit(0.001)).otherwise(F.lit(1.0))
+    lb = df.select(F.lit(0.0).alias('__l_minx'), F.lit(0.0).alias('__l_miny'),
+                   w.alias('__l_maxx'), w.alias('__l_maxy'))
+    rb = spark.range(0, 10).select(
+        F.lit(0.0).alias('__r_minx'), F.lit(0.0).alias('__r_miny'),
+        F.lit(0.0).alias('__r_maxx'), F.lit(0.0).alias('__r_maxy'))
+    cell = _estimate_cell_size(lb, rb)
+    # uniform draw: mean extent ~0.5 -> cell ~1.0; stratum-biased would
+    # be ~0.002
+    assert 0.6 < cell < 1.6, cell
