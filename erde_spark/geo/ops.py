@@ -73,6 +73,9 @@ ELLIPSOIDS = {
     'clrk66': (6378206.4, 1.0 / 294.978698214),     # Clarke 1866 (NAD27)
     'bessel': (6377397.155, 1.0 / 299.1528128),     # Bessel 1841
     'evrst30': (6377298.556, 1.0 / 300.8017),       # Everest 1830 (1967)
+    'krass': (6378245.0, 1.0 / 298.3),              # Krassowsky 1940
+    'GRS67': (6378160.0, 1.0 / 298.247167427),      # GRS 1967 modified
+    'airy-mod': (6377340.189, 1.0 / 299.3249646),   # Airy Modified (TM75)
 }
 
 _WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
@@ -106,6 +109,11 @@ def _tm_xi_eta(phi: float, dlam: float, consts):
     """Conformal (xi', eta') then full (xi, eta) Gauss-Krüger coords."""
     A, alpha, _, _, sq2n = consts
     s = math.sin(phi)
+    if abs(s) >= 1.0:
+        # pole: conformal latitude is exactly +-pi/2 and every series
+        # term sin(2j*xi) vanishes — needed for lat0=+-90 natural
+        # origins (Gauss-Krueger fajas measure northings from the pole)
+        return math.copysign(math.pi / 2, phi), 0.0
     t = math.sinh(math.atanh(s) - sq2n * math.atanh(sq2n * s))
     xi = math.atan2(t, math.cos(dlam))
     eta = math.asinh(math.sin(dlam) / math.hypot(t, math.cos(dlam)))
@@ -722,7 +730,84 @@ _CRS_TABLE = {
     3035: {'proj': 'laea', 'ellps': 'GRS80',
            'params': (_d(52), _d(10), 4321000.0, 3210000.0),
            'towgs84': None},
+    # CH1903 / LV03 (Swiss legacy): same omerc projection center as
+    # LV95 with the classic 600k/200k false origin; CH1903 tfm 1766
+    21781: {'proj': 'omerc', 'ellps': 'bessel',
+            'params': (_d(46, 57, 8.66), _d(7, 26, 22.5),
+                       math.pi / 2, math.pi / 2, 1.0, 600000.0, 200000.0),
+            'towgs84': (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)},
+    # HD72 / EOV (Hungary): Hotine Oblique Mercator variant B,
+    # azimuth 90 on GRS67; towgs84 is EPSG tfm 1448
+    23700: {'proj': 'omerc', 'ellps': 'GRS67',
+            'params': (_d(47, 8, 39.8174), _d(19, 2, 54.8584),
+                       math.pi / 2, math.pi / 2, 0.99993,
+                       650000.0, 200000.0),
+            'towgs84': (52.17, -71.82, -14.9, 0.0, 0.0, 0.0, 0.0)},
+    # GDA94 / Australian Albers: the continental equal-area grid
+    3577: {'proj': 'aea', 'ellps': 'GRS80',
+           'params': (0.0, _d(132), _d(-18), _d(-36), 0.0, 0.0),
+           'towgs84': None},
+    # GDA94 / Geoscience Australia Lambert
+    3112: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (0.0, _d(134), _d(-18), _d(-36), 0.0, 0.0),
+           'towgs84': None},
+    # IRENET95 / Irish Transverse Mercator
+    2157: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (_d(53.5), _d(-8), 0.99982, 600000.0, 750000.0),
+           'towgs84': None},
+    # TM75 / Irish Grid: TM on Airy Modified; towgs84 EPSG tfm 1954
+    29903: {'proj': 'tm', 'ellps': 'airy-mod',
+            'params': (_d(53.5), _d(-8), 1.000035, 200000.0, 250000.0),
+            'towgs84': (482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)},
 }
+
+
+def _load_common_epsg() -> None:
+    """Bulk-register the high-traffic ZONED grids — the parameter sets
+    are formulaic (published EPSG zone arithmetic), so the data is
+    generated, not typed. Datums: GRS80-family (ETRS89/NAD83/GDA/
+    SIRGAS) ride the documented zero-shift WGS84 approximation; legacy
+    datums carry their standard published Helmert shifts (NAD27 tfm
+    1173-style mean, ED50 tfm 1133, Pulkovo 1942 tfm 1267). Zone
+    arithmetic is pinned against the closed-form WGS84 UTM kernel in
+    tests/test_convert.py."""
+
+    def utm(lon0_deg, ellps, fn=0.0, k=0.9996, fe=500000.0,
+            towgs84=None, lat0=0.0):
+        return {'proj': 'tm', 'ellps': ellps,
+                'params': (lat0, _d(lon0_deg), k, fe, fn),
+                'towgs84': towgs84}
+
+    nad27 = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
+    ed50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+    pulkovo = (23.92, -141.27, -80.9, 0.0, 0.35, 0.82, -0.12)
+    for z in range(28, 39):       # ETRS89 / UTM 28N-38N
+        _CRS_TABLE[25800 + z] = utm(z * 6 - 183, 'GRS80')
+    for z in range(1, 24):        # NAD83 / UTM 1N-23N
+        _CRS_TABLE[26900 + z] = utm(z * 6 - 183, 'GRS80')
+    for z in range(3, 23):        # NAD27 / UTM 3N-22N
+        _CRS_TABLE[26700 + z] = utm(z * 6 - 183, 'clrk66',
+                                    towgs84=nad27)
+    for z in range(28, 39):       # ED50 / UTM 28N-38N
+        _CRS_TABLE[23000 + z] = utm(z * 6 - 183, 'intl', towgs84=ed50)
+    for z in range(48, 59):       # GDA94 / MGA zone 48-58 (south)
+        _CRS_TABLE[28300 + z] = utm(z * 6 - 183, 'GRS80', fn=10000000.0)
+    for z in range(46, 60):       # GDA2020 / MGA zone 46-59 (south)
+        _CRS_TABLE[7800 + z] = utm(z * 6 - 183, 'GRS80', fn=10000000.0)
+    for z in range(11, 23):       # SIRGAS 2000 / UTM 11N-22N
+        _CRS_TABLE[31954 + z] = utm(z * 6 - 183, 'GRS80')
+    for z in range(17, 26):       # SIRGAS 2000 / UTM 17S-25S
+        _CRS_TABLE[31960 + z] = utm(z * 6 - 183, 'GRS80', fn=10000000.0)
+    for z in range(4, 33):        # Pulkovo 1942 / 6-deg Gauss-Krueger
+        _CRS_TABLE[28400 + z] = utm(z * 6 - 3, 'krass', k=1.0,
+                                    fe=z * 1e6 + 500000.0,
+                                    towgs84=pulkovo)
+    for z in range(1, 8):         # POSGAR 2007 / Argentina faja 1-7
+        _CRS_TABLE[5342 + z] = utm(-75 + 3 * z, 'GRS80', k=1.0,
+                                   fe=z * 1e6 + 500000.0, lat0=_d(-90))
+
+
+_load_common_epsg()
 
 #: projection method name -> (forward, inverse); every fn takes
 #: (x0, x1, a, f, *params)
@@ -814,13 +899,16 @@ def _utm_zone_params(epsg: int):
 _CRS_ERR = (
     '{crs} not supported: this engine ships closed-form transforms for '
     'EPSG:4326, EPSG:3857 (spherical Mercator), EPSG:326xx/327xx (WGS84 '
-    'UTM, Krüger series) and the registry CRS %s (generalized transverse '
-    'Mercator / LCC-2SP / oblique stereographic / Hotine oblique '
-    'Mercator / Krovak + Helmert datum shift); the container has no '
+    'UTM, Krüger series) and a %d-code registry (generalized transverse '
+    'Mercator incl. the ETRS89/NAD83/NAD27/ED50 UTM, GDA MGA, SIRGAS '
+    'UTM, Pulkovo Gauss-Krüger and POSGAR zoned grids / LCC-2SP / '
+    'oblique stereographic / Hotine oblique Mercator / Krovak / Albers '
+    '/ LAEA + Helmert datum shift — list: '
+    'sorted(erde_spark.geo.ops._CRS_TABLE)); the container has no '
     'pyproj for arbitrary CRS. Other codes on those projection methods '
     'need no code change: call register_crs(epsg, spec) or pass the '
     'parameter dict itself as the CRS.'
-    % sorted(_CRS_TABLE))
+    % len(_CRS_TABLE))
 
 
 def _to_lonlat_fn(crs):

@@ -3,11 +3,13 @@
 ``from_crs`` stamps the CRS (no coordinate change); ``to_crs`` reprojects.
 Supported CRS: EPSG:4326, EPSG:3857 (closed-form spherical Mercator),
 EPSG:326xx/327xx (WGS84 UTM, Krüger flattening series — sub-mm in zone)
-and the ``erde_spark.geo.ops._CRS_TABLE`` registry — generalized
-transverse Mercator, Lambert Conformal Conic 2SP, oblique stereographic
-(Amersfoort 28992), Hotine oblique Mercator (Swiss LV95 2056) and
-Krovak (S-JTSK 5514), all with 7-parameter Helmert datum shift; pairs
-compose through lon/lat. Unlisted EPSG codes on those projection
+and the ``erde_spark.geo.ops._CRS_TABLE`` registry (~170 codes) —
+generalized transverse Mercator (incl. the bulk-loaded zoned grids:
+ETRS89/NAD83/NAD27/ED50 UTM, GDA MGA, SIRGAS UTM, Pulkovo
+Gauss-Krüger, POSGAR fajas), Lambert Conformal Conic 2SP, oblique
+stereographic (Amersfoort 28992), Hotine oblique Mercator (Swiss
+LV95/LV03, Hungarian EOV), Krovak (S-JTSK 5514), Albers and LAEA, all
+with 7-parameter Helmert datum shift; pairs compose through lon/lat. Unlisted EPSG codes on those projection
 methods need NO code change: pass a projection parameter dict as the
 CRS (optionally carrying an ``'epsg'`` key, which also registers it for
 the session), or call ``erde_spark.geo.ops.register_crs`` up front —

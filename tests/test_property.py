@@ -442,6 +442,12 @@ new_registry_cases = [
     (31370, st.tuples(st.floats(2.5, 6.4), st.floats(49.5, 51.5))),
     (3067, st.tuples(st.floats(19.0, 31.6), st.floats(59.7, 70.1))),
     (2193, st.tuples(st.floats(166.3, 178.6), st.floats(-47.3, -34.0))),
+    (21781, st.tuples(st.floats(6.0, 10.5), st.floats(45.8, 47.8))),
+    (23700, st.tuples(st.floats(16.1, 22.9), st.floats(45.7, 48.6))),
+    (3577, st.tuples(st.floats(115.0, 153.0), st.floats(-43.0, -10.0))),
+    (3112, st.tuples(st.floats(115.0, 153.0), st.floats(-43.0, -10.0))),
+    (2157, st.tuples(st.floats(-10.5, -5.3), st.floats(51.4, 55.4))),
+    (29903, st.tuples(st.floats(-10.5, -5.3), st.floats(51.4, 55.4))),
 ]
 
 
@@ -598,3 +604,59 @@ def test_vp8l_roundtrip_property(w, h, seed):
     if seed % 5 == 0:
         kw['rle'] = True
     assert (decode_webp(encode_webp(arr, **kw)) == arr).all()
+
+
+def test_bulk_epsg_zoned_grids_roundtrip():
+    """Every bulk-registered zoned TM grid (ETRS89/NAD83/NAD27/ED50 UTM,
+    GDA MGA, SIRGAS UTM, Pulkovo Gauss-Krueger, POSGAR fajas) round-trips
+    4326 -> code -> 4326 below ~1 cm at points spread over its zone,
+    datum shift both ways."""
+    checked = 0
+    for code, spec in sorted(O._CRS_TABLE.items()):
+        if spec['proj'] != 'tm':
+            continue
+        lat0, lon0, _, _, fn = spec['params']
+        lon_c = math.degrees(lon0)
+        southern = fn >= 10000000.0 or lat0 < 0
+        lats = [-38.0, -15.0] if southern else [22.0, 58.0]
+        if lat0 > 0:  # mid-latitude natural origin: stay near it
+            lats = [math.degrees(lat0) - 2.0, math.degrees(lat0) + 2.0]
+        for dlon in (-2.0, 1.5):
+            for lat in lats:
+                lon = lon_c + dlon
+                g = O.transform_geom(('Point', (lon, lat)), 4326, code)
+                lon2, lat2 = O.transform_geom(g, code, 4326)[1]
+                dlon_err = abs((lon - lon2 + 180.0) % 360.0 - 180.0)
+                assert dlon_err < 1e-7, code  # antimeridian-wrap aware
+                assert math.isclose(lat, lat2, abs_tol=1e-7), code
+        checked += 1
+    assert checked >= 110  # the registry really is bulk-loaded
+
+
+def test_bulk_epsg_zone_arithmetic_vs_closed_form_utm():
+    """Pin the generated zone parameters against the independent
+    closed-form WGS84 UTM kernel: GRS80-datum zones must agree with
+    EPSG:326xx/327xx to sub-mm (identical projection, ellipsoids differ
+    only in f at the 1e-11 level)."""
+    for code, utm_code, lon, lat in [
+        (25832, 32632, 9.5, 50.0),    # ETRS89 / UTM 32N
+        (26917, 32617, -81.0, 35.0),  # NAD83 / UTM 17N
+        (28355, 32755, 145.0, -37.0),  # GDA94 / MGA 55
+        (7855, 32755, 145.0, -37.0),  # GDA2020 / MGA 55
+        (31972, 32618, -75.0, 5.0),   # SIRGAS 2000 / UTM 18N
+        (31982, 32722, -51.0, -25.0),  # SIRGAS 2000 / UTM 22S
+    ]:
+        xa, ya = O.transform_geom(('Point', (lon, lat)), 4326, code)[1]
+        xb, yb = O.transform_geom(('Point', (lon, lat)), 4326, utm_code)[1]
+        assert math.hypot(xa - xb, ya - yb) < 1e-3, code
+
+
+def test_pulkovo_faja_false_easting_pattern():
+    """Gauss-Krueger zone numbering rides in the false easting
+    (zone * 1e6 + 500000) and POSGAR fajas measure northings from the
+    SOUTH POLE (lat0 = -90): structural invariants of the generated
+    parameter rows."""
+    x, _ = O.transform_geom(('Point', (39.0, 55.0)), 4326, 28407)[1]
+    assert 7_000_000 < x < 8_000_000  # zone 7 band
+    _, n = O.transform_geom(('Point', (-66.0, -90.0)), 4326, 5345)[1]
+    assert abs(n) < 1.0  # the pole itself sits at northing ~0
