@@ -53,10 +53,11 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
     """Decode a media blob to a pixel/sample array.
 
     PNG (palette/Adam7 included), BMP, baseline + progressive JPEG,
-    GIF, TIFF, WebP (lossless VP8L) and WAV audio decode for real (pure
-    numpy/stdlib codecs — :mod:`erde_spark.scale.png`, ``jpeg``,
-    ``gif``, ``tiff``, ``webp``); every other format still needs a
-    codec library the container doesn't ship and raises."""
+    GIF, TIFF, WebP (lossless VP8L pure-Python; lossy VP8 via the
+    system libwebp) and WAV audio decode for real
+    (:mod:`erde_spark.scale.png`, ``jpeg``, ``gif``, ``tiff``,
+    ``webp``, ``webp_native``); every other format still needs a codec
+    library the container doesn't ship and raises."""
     from erde_spark.scale.gif import decode_gif, is_gif
     from erde_spark.scale.jpeg import decode_jpeg, is_jpeg
     from erde_spark.scale.png import (decode_bmp, decode_png, decode_wav,
@@ -80,9 +81,9 @@ def decode_media(blob: bytes, fmt: str) -> 'np.ndarray':
         return decode_wav(bytes(blob))
     raise NotImplementedError(
         f'media format {fmt!r}: PNG, BMP, JPEG (baseline + '
-        'progressive), GIF, TIFF, WebP (lossless VP8L) and WAV decode '
-        'without codec libraries (PIL/ffmpeg not in this container); '
-        'use fake=True for plumbing tests')
+        'progressive), GIF, TIFF, WebP (VP8L pure-Python, lossy VP8 '
+        'via system libwebp) and WAV decode here (PIL/ffmpeg not in '
+        'this container); use fake=True for plumbing tests')
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -7,8 +7,9 @@ spatial partitioning, the color cache, LZ77 backward references with
 the 2D short-distance map, and all four inverse transforms
 (predictor, color, subtract-green, color-indexing incl. sub-byte
 pixel packing). Covers every lossless .webp a crawl can serve; LOSSY
-WebP (VP8 chunk) is a different codec (bool coder + DCT) and raises
-``NotImplementedError`` clearly.
+WebP (VP8 chunk) is a different codec (bool coder + DCT) and routes to
+the system libwebp via :mod:`erde_spark.scale.webp_native`, raising
+``NotImplementedError`` only when that library cannot be dlopen'd.
 
 The encoder exists to make real fixtures and deliberately reaches
 every decoder path: normal and single-symbol Huffman codes, the color
@@ -154,37 +155,26 @@ def _read_code(br: _BitReader, alphabet_size: int) -> _Huffman:
 
 
 def _write_code_lengths(bw: _BitWriter, lengths):
-    """Normal-code header: encode ``lengths`` with a flat 5-bit-per-
-    symbol code-length code (all 19 CLC symbols get length 5 except the
-    unused ones get... simplest valid choice: give every symbol that we
-    emit the same CLC length, making the CLC itself canonical)."""
-    used = sorted(set(lengths) | {0})
-    # code-length code with uniform lengths over used symbols
-    clc_len = max(1, (len(used) - 1).bit_length())
-    cl_lengths = [0] * 19
-    for s in used:
-        cl_lengths[s] = clc_len
-    if len(used) == 1:
-        cl_lengths[used[0]] = 1
+    """Normal-code header. The 19-symbol code-length code must be a
+    COMPLETE Huffman code — strict decoders (libwebp) reject
+    under-subscribed tables, and the old uniform-length shortcut was
+    incomplete whenever the used-symbol count was not a power of two
+    (caught by cross-validating against the system libwebp)."""
+    freqs = [0] * 19
+    for l in lengths:
+        freqs[l] += 1
+    cl_lengths = _length_limited_lengths(freqs, max_len=7)
     bw.write(0, 1)                      # not simple
     bw.write(19 - 4, 4)                 # emit all 19 CLC slots
     for i in range(19):
         bw.write(cl_lengths[_CLC_ORDER[i]], 3)
-    clc = {}
-    code = 0
-    prev_len = 0
-    nz = [(l, s) for s, l in enumerate(cl_lengths) if l > 0]
-    for length, sym in sorted(nz):
-        code <<= (length - prev_len)
-        clc[sym] = (code, length)
-        code += 1
-        prev_len = length
+    clc = _canonical_codes(cl_lengths)
     bw.write(0, 1)                      # no max_symbol trick
-    single = len(nz) == 1
+    single = sum(1 for l in cl_lengths if l) == 1
     for l in lengths:
-        c, n = clc[l]
         if single:
-            continue  # zero-bit code
+            continue  # single-leaf CLC: zero-bit code
+        c, n = clc[l]
         # canonical codes are MSB-first on the wire
         for i in range(n - 1, -1, -1):
             bw.write((c >> i) & 1, 1)
@@ -225,13 +215,26 @@ def _length_limited_lengths(freqs, max_len: int = 15):
     out = [0] * len(freqs)
     for s, d in depth.items():
         out[s] = min(d, max_len)
-    # clamping can break Kraft; repair by extending shortest codes
+    # clamping can break Kraft; repair to EXACT completeness — strict
+    # decoders (libwebp) reject both over- and under-subscribed codes
     def kraft():
         return sum(2.0 ** -l for l in out if l)
     while kraft() > 1.0:
         # lengthen the currently-shortest nonzero code
         s = min((x for x in range(len(out)) if out[x]), key=lambda x: out[x])
         out[s] += 1
+    while kraft() < 1.0 - 1e-12:
+        # absorb the slack greedily: shortening a symbol from l to l-1
+        # adds 2^-l; take the largest addition that fits
+        deficit = 1.0 - kraft()
+        for l in range(2, max_len + 1):  # never shorten 1 -> 0 (drop)
+            if 2.0 ** -l <= deficit + 1e-12:
+                cands = [x for x in range(len(out)) if out[x] == l]
+                if cands:
+                    out[cands[-1]] -= 1
+                    break
+        else:
+            break  # no representable repair; leave as-is
     return out
 
 
@@ -248,20 +251,34 @@ def _lz77_extra(br: _BitReader, prefix: int) -> int:
     return offset + br.read(extra) + 1
 
 
-# short-distance map: the 120 nearest (dx, dy) neighbors ordered by
-# squared distance, then larger dy first, then smaller |dx|, positive
-# before negative — reproduces the spec table's verified prefix
-# ((0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),(1,2),(-1,2),(2,1),(-2,1),...);
-# dy=0 has only dx>0 (backward refs can't point forward in the row)
-_DIST_MAP = []
-for yy in range(9):
-    for xx in range(-8, 9):
-        if (yy, xx) == (0, 0) or (yy == 0 and xx < 0):
-            continue
-        _DIST_MAP.append((xx, yy))
-_DIST_MAP.sort(key=lambda p: (p[1] * p[1] + p[0] * p[0], -p[1],
-                              abs(p[0]), p[0] < 0))
-_DIST_MAP = _DIST_MAP[:120]
+# short-distance map: the spec's normative 120-entry (dx, dy) table.
+# A distance-sorted generation reproduces only the first 96 entries —
+# the tail breaks the sort pattern (dy caps at 7, dx reaches +8 with no
+# negative mirror), so the table is spelled out verbatim. Verified
+# entry-by-entry against the system libwebp by decoding hand-built
+# one-copy streams for every code 1..120 (tests/test_webp.py).
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
 
 
 def _plane_code_to_dist(w: int, code: int) -> int:
@@ -482,9 +499,17 @@ def decode_webp(data: bytes) -> np.ndarray:
             payload = body
             break
         if fourcc == b'VP8 ':
+            # lossy VP8: bind the system libwebp (see webp_native) —
+            # the bool-coder/DCT codec's normative probability tables
+            # are not re-typed here
+            from erde_spark.scale.webp_native import (available,
+                                                      decode_webp_native)
+            if available():
+                return decode_webp_native(data)
             raise NotImplementedError(
-                'lossy WebP (VP8) needs the bool-coder/DCT codec; only '
-                'lossless (VP8L) decodes here')
+                'lossy WebP (VP8) decodes via the system libwebp, which '
+                'this process cannot dlopen; only lossless (VP8L) '
+                'decodes pure-Python')
         if fourcc == b'VP8X':
             pos += 8 + size + (size & 1)
             continue
