@@ -3421,6 +3421,79 @@ ORDER BY segment_no
 """
 
 
+def q_video_frame_dedup(spark, sf_dir):
+    """Video near-dup dedup end-to-end, value-oracled by construction
+    (the ``image_phash_dedup`` shape lifted to video): each document
+    gets a 2-frame Motion-JPEG MP4 whose visual class is
+    ``doc_id % 25`` (class-seeded sinusoid+patches frames; a small
+    seeded noise delta when ``doc_id % 3 == 0`` makes a near-duplicate
+    rendition). The pipeline MJPEG-encodes, parses the ISO-BMFF sample
+    table, decodes frame 0 by its REAL byte range through the repo JPEG
+    codec, pHashes it, finds Hamming<=8 pairs with the Manku band join,
+    runs connected components, and reports the cluster-size histogram —
+    predictable by DuckDB from ``doc_id % 25`` alone. A green row
+    certifies the MP4 muxer/parser, ranged sample decode, JPEG codec,
+    pHash kernel, banded Hamming join and CC in one check."""
+    from erde_spark.scale.imagehash import image_dedup_clusters
+    from erde_spark.scale.mp4 import encode_mp4_mjpeg, video_frame_hashes
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+        cache = {}
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                c = did % 25
+                key = (c, did % 3 == 0)
+                if key not in cache:
+                    rng = np.random.RandomState(2000 + c)
+                    fx, fy = rng.uniform(0.5, 2.5, 2)
+                    frames = []
+                    for i in range(2):
+                        y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+                        img = 110 + 70 * np.sin(
+                            2 * np.pi * (fx * x / 32 + fy * y / 32) + i)
+                        for _ in range(4):
+                            y0, x0 = rng.randint(0, 24, 2)
+                            hh, ww = rng.randint(6, 16, 2)
+                            img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
+                        if key[1]:
+                            nrng = np.random.RandomState(6000 + c + i)
+                            img = img + nrng.randint(-3, 4, img.shape)
+                        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+                    cache[key] = encode_mp4_mjpeg(frames, fps=8, quality=92)
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'video/mp4', 'width': 32,
+                              'height': 32, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs,
+                                'meta': metas})
+
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
+    h0 = (video_frame_hashes(assets, every_n=2)
+          .where(F.col('frame_idx') == 0)
+          .select('asset_id', 'phash'))
+    comp = image_dedup_clusters(h0, max_hamming=8)
+    sizes = (comp.groupBy('hash_component')
+             .agg(F.count(F.lit(1)).alias('cluster_size')))
+    return (sizes.groupBy('cluster_size')
+            .agg(F.count(F.lit(1)).alias('n_clusters'))
+            .orderBy('cluster_size'))
+
+
+_VIDEO_FRAME_DEDUP_SQL = """
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT doc_id % 25 AS c, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY doc_id % 25)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier end-to-end (rows-only: the L-BFGS
     optimizer is iterative, not SQL-expressible; separation/AUC/
@@ -3492,8 +3565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 rotation: the new construction-oracled warc_ingest
     (segment round-trip: encode -> streamed read_warc -> documents
-    bridge, per-segment md5 check) enters the window, displacing
-    tpch_q12_late_lines (driver-green r01-r04); the new rows-only
+    bridge, per-segment md5 check) and video_frame_dedup (MJPEG mux ->
+    ranged sample decode -> pHash -> Hamming band join -> CC) enter the
+    window, displacing tpch_q12_late_lines (driver-green r01-r04) and
+    set_ops (driver-green r02-r04); the new rows-only
     quality_classifier sits at the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
@@ -3521,7 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'split_no_leakage': q_split_no_leakage,
         'media_decode_mixed': q_media_decode_mixed,
         'domain_filter': q_domain_filter,
-        'set_ops': q_set_ops,
+        'video_frame_dedup': q_video_frame_dedup,
         'profile_orders': q_profile_orders,
         'bm25_search': q_bm25_search,
         'sample_hash': q_sample_hash,
@@ -3550,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'set_ops': q_set_ops,
         'tpch_q12_late_lines': q_tpch_q12,
         'quality_classifier': q_quality_classifier,
         'anti_join_no_urgent': q_anti_join,
@@ -3627,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         'warc_ingest': _WARC_INGEST_SQL,
+        'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     'media_decode_mixed',
     'warc_ingest',
     'quality_classifier',
+    'video_frame_dedup',
 ]
 
 

@@ -90,3 +90,78 @@ def test_frame_sample_ranges_spark(spark):
         i = r['frame_idx']
         assert blob[off:off + sz] == bytes([(i * 7 + j) % 256
                                             for j in range(sz)])
+
+
+# ------------------------------------------------- MJPEG frame decode
+
+def _frames(seed, n=6, noise=None, h=32, w=32):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    fx, fy = rng.uniform(0.5, 2.5, 2)
+    out = []
+    for i in range(n):
+        y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+        img = 120 + 80 * np.sin(2 * np.pi * (fx * x / w + fy * y / h)
+                                + i * 0.3)
+        for _ in range(3):
+            y0, x0 = rng.randint(0, h - 8, 2)
+            img[y0:y0 + 8, x0:x0 + 8] += rng.uniform(-60, 60)
+        if noise is not None:
+            nrng = np.random.RandomState(noise + i)
+            img = img + nrng.randint(-3, 4, img.shape)
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
+
+
+def test_mjpeg_samples_decode_for_real():
+    import numpy as np
+
+    from erde_spark.scale.jpeg import decode_jpeg
+    from erde_spark.scale.mp4 import (encode_mp4_mjpeg, parse_mp4,
+                                      sample_ranges)
+    frames = _frames(1, n=4)
+    blob = encode_mp4_mjpeg(frames, fps=8)
+    meta = parse_mp4(blob)
+    vid = next(t for t in meta['tracks'] if t['handler'] == 'vide')
+    assert vid['codec'] == 'jpeg' and vid['n_samples'] == 4
+    ranges = sample_ranges(vid)
+    assert len(ranges) == 4
+    for i, (off, sz) in enumerate(ranges):
+        arr = decode_sample(blob, off, sz)
+        # byte range really isolates one complete JPEG
+        assert (arr == decode_jpeg(blob[off:off + sz])).all()
+        assert arr.shape[:2] == (32, 32)
+        # lossy but close
+        err = arr.astype(float) - np.dstack([frames[i]] * arr.shape[2]) \
+            if arr.ndim == 3 else arr.astype(float) - frames[i]
+        assert abs(err).mean() < 8.0
+
+
+def test_video_neardup_via_frame_phash(spark):
+    """End-to-end video near-dup: MJPEG fixtures -> frame decode ->
+    pHash -> Hamming band join. Video B is a noised copy of A (visual
+    near-dup), C is distinct content: A-B frames must match, C must
+    match nothing."""
+    from erde_spark.scale.imagehash import hamming_neardup_pairs
+    from erde_spark.scale.mp4 import encode_mp4_mjpeg, video_frame_hashes
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    vids = {1: encode_mp4_mjpeg(_frames(7)),
+            2: encode_mp4_mjpeg(_frames(7, noise=99)),
+            3: encode_mp4_mjpeg(_frames(8))}
+    assets = spark.createDataFrame(
+        [(aid, bytearray(b), ('video/mp4', 32, 32, len(b)))
+         for aid, b in vids.items()], ASSET_SCHEMA)
+    hashes = video_frame_hashes(assets)
+    rows = hashes.collect()
+    assert len(rows) == 18  # 3 videos x 6 frames
+    # per-frame key so cross-video same-position frames are joinable
+    frame_keys = hashes.selectExpr('asset_id * 100 + frame_idx AS asset_id',
+                                   'phash')
+    pairs = hamming_neardup_pairs(frame_keys, hash_col='phash',
+                                  max_hamming=8).collect()
+    cross = {(min(r['id_a'], r['id_b']) // 100,
+              max(r['id_a'], r['id_b']) // 100)
+             for r in pairs
+             if r['id_a'] // 100 != r['id_b'] // 100}
+    assert (1, 2) in cross  # the noised copy is found
+    assert not any(3 in p for p in cross)  # distinct content is not
