@@ -29,6 +29,7 @@ Decode errors follow the multimodal ``on_error`` contract ('raise' /
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from itertools import combinations
 
@@ -183,10 +184,31 @@ def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def _auto_blocks(n_docs: int, k: int) -> int:
+    """Smallest block count whose bucket key carries ~log2(n)+2 bits —
+    the same pin-the-collisions-linear rule as the banded sign-LSH
+    rebuild. With ``b`` blocks the key is a ``(b-k)``-combination,
+    ``(b-k) * 64/b`` bits wide: random-pair bucket collisions cost
+    ~C(b,b-k) * n^2/2^keybits candidate rows while the explode costs
+    n * C(b,b-k) keyed rows, so widening pays exactly when n outgrows
+    2^keybits — the +2 margin switches just before that point and no
+    earlier (measured: at n=500k, b=7 is 3.4x SLOWER than b=6 because
+    the 35-vs-15 replica cost dominates while collisions are still
+    cheap; at n=5M b=6 still wins 47s vs 122s, so the margin is -2:
+    widen only past ~4x the key space). Capped at k+8 — the documented
+    residual worst case beyond ~2^40 docs."""
+    bits_needed = math.log2(max(n_docs, 2)) - 2
+    for b in range(k + 2, k + 9):
+        if (b - k) * 64.0 / b >= bits_needed:
+            return b
+    return k + 8
+
+
 def hamming_neardup_pairs(hashes: DataFrame, id_col: str = 'asset_id',
                           hash_col: str = 'phash',
                           max_hamming: int = 4,
-                          n_blocks: int | None = None) -> DataFrame:
+                          n_blocks: int | None = None,
+                          n_docs: int | None = None) -> DataFrame:
     """(id_a, id_b, hamming) for all pairs within ``max_hamming`` of the
     64-bit ``hash_col`` — exact recall, no all-pairs product.
 
@@ -197,12 +219,16 @@ def hamming_neardup_pairs(hashes: DataFrame, id_col: str = 'asset_id',
     and its block values); a self equi-join on the key + ``id_a < id_b``
     + JVM ``bit_count(xor) <= k`` verify gives the answer.
 
-    Default ``b = k + 2`` keeps keys two blocks wide (~``128/(k+2)``
-    bits of key entropy) at C(k+2, 2) = (k+1)(k+2)/2 replicas per row —
-    e.g. k=4 -> 15 replicas with ~21-bit keys. For k <= 3 the single
-    -block split (b = k + 1, b replicas, ~16-bit keys) is cheaper and
-    chosen automatically. Raising ``n_blocks`` trades key width for
-    fewer bucket collisions; recall stays exact for any b > k.
+    Block count: the default ``b = k + 2`` (C(k+2,2) replicas, ~21-bit
+    keys at k=4) is right up to ~1M distinct hashes; beyond that,
+    random-pair bucket collisions grow n^2/2^keybits (measured 26x
+    shuffle for 10x rows at n=500k..5M), so pass ``n_docs`` and ``b``
+    auto-scales to keep the key ~8 bits ahead of log2(n) (see
+    ``_auto_blocks``). The sizing is deliberately not an implicit
+    ``count()`` — the input is often an expensive decode pipeline, and
+    re-evaluating it costs more than the collisions it saves below the
+    threshold. Recall stays EXACT for any b > k; only replica count and
+    key width move. ``n_blocks`` pins b outright.
     """
     if not 0 <= max_hamming <= 16:
         raise ValueError('max_hamming must be in [0, 16]')
@@ -213,7 +239,12 @@ def hamming_neardup_pairs(hashes: DataFrame, id_col: str = 'asset_id',
                           (F.col('a.id') < F.col('b.id')))
                 .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'),
                         F.lit(0).alias('hamming')))
-    b = n_blocks if n_blocks else max_hamming + 2
+    if n_blocks:
+        b = n_blocks
+    elif n_docs:
+        b = _auto_blocks(n_docs, max_hamming)
+    else:
+        b = max_hamming + 2
     if b <= max_hamming:
         raise ValueError(f'n_blocks={b} must exceed max_hamming={max_hamming}')
     keep = b - max_hamming
@@ -233,7 +264,22 @@ def hamming_neardup_pairs(hashes: DataFrame, id_col: str = 'asset_id',
                      *[_block(hcol, blk).alias(f'k{j}')
                        for j, blk in enumerate(c)])
             for ci, c in enumerate(combos)])).alias('key'))
-    a, bb = keyed.alias('a'), keyed.alias('b')
+    # The exploded side's Catalyst size estimate is unreliable (range ->
+    # explode reads as tiny), which planned a BROADCAST of the whole
+    # keyed corpus — measured failing at 11 GiB for 5M rows. A corpus
+    # self-join must shuffle on the bucket key. When the size is known,
+    # partition so per-partition hash builds stay ~2M keyed rows and use
+    # the (2.7x faster at 5M) shuffled hash join; otherwise sort-merge,
+    # which spills gracefully at any size.
+    if n_docs:
+        nparts = max(
+            int(keyed.sparkSession.conf.get('spark.sql.shuffle.partitions',
+                                            '200')),
+            (n_docs * len(combos)) // 2_000_000 + 1)
+        keyed = keyed.repartition(nparts, 'key')
+        a, bb = keyed.alias('a'), keyed.hint('shuffle_hash').alias('b')
+    else:
+        a, bb = keyed.alias('a'), keyed.hint('merge').alias('b')
     cand = (a.join(bb, (F.col('a.key') == F.col('b.key')) &
                        (F.col('a.id') < F.col('b.id')))
             .select(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'),
@@ -261,7 +307,8 @@ def image_exact_dedup(hashes: DataFrame, id_col: str = 'asset_id',
 
 def image_dedup_clusters(hashes: DataFrame, id_col: str = 'asset_id',
                          hash_col: str = 'phash', max_hamming: int = 6,
-                         n_blocks: int | None = None) -> DataFrame:
+                         n_blocks: int | None = None,
+                         n_docs: int | None = None) -> DataFrame:
     """(asset_id, component) near-duplicate image clusters: Hamming
     candidate join + connected components. Collapsing to distinct hashes
     FIRST keeps the pair join proportional to distinct visual content,
@@ -269,7 +316,8 @@ def image_dedup_clusters(hashes: DataFrame, id_col: str = 'asset_id',
     from erde_spark.scale.dedup import connected_components
     distinct_h = hashes.select(F.col(hash_col).alias('h')).distinct()
     pairs = hamming_neardup_pairs(distinct_h, id_col='h', hash_col='h',
-                                  max_hamming=max_hamming, n_blocks=n_blocks)
+                                  max_hamming=max_hamming, n_blocks=n_blocks,
+                                  n_docs=n_docs)
     comp = connected_components(pairs, distinct_h.select('h'))
     return (hashes.select(id_col, F.col(hash_col).alias('h'))
             .join(comp.withColumnRenamed('id', 'h'), 'h')

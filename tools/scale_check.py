@@ -230,7 +230,34 @@ def op_phash_hamming_join(spark, sf):
     n = 50_000 if sf == SF01 else 500_000
     h = spark.range(n).select(F.col('id').alias('asset_id'),
                               F.xxhash64('id').alias('phash'))
-    return hamming_neardup_pairs(h, max_hamming=4)
+    return hamming_neardup_pairs(h, max_hamming=4, n_docs=n)
+
+
+def op_image_dedup_planted(spark, sf):
+    """The full image-dedup tail (Manku band join + connected
+    components) on a PLANTED-duplicate hash population — the imagehash
+    analogue of the rotated-embedding fixture: 20% of assets sit in
+    visual classes of 5 (each member one random bit-flip off the class
+    base hash, so intra-class Hamming <= 2 while cross-class is ~32),
+    80% are random singletons. Ground truth clusters scale exactly
+    linearly, so super-linear time/shuffle here is algorithmic, not
+    data-density, cost. (The decode+hash stage is a linear mapInPandas
+    pass measured by the media bench entries; this isolates the join
+    graph.)"""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.imagehash import image_dedup_clusters
+    n = 50_000 if sf == SF01 else 500_000
+    n_pl = n // 5
+    base = F.xxhash64((F.col('id') / 5).cast('long'), F.lit(1))
+    flip = F.expr('shiftleft(1L, cast(pmod(xxhash64(id, 7), 64) as int))')
+    pl = spark.range(n_pl).select(
+        F.col('id').alias('asset_id'),
+        base.bitwiseXOR(flip).alias('phash'))
+    sg = spark.range(n_pl, n).select(
+        F.col('id').alias('asset_id'),
+        F.xxhash64('id', F.lit(2)).alias('phash'))
+    return image_dedup_clusters(pl.unionByName(sg), max_hamming=4, n_docs=n)
 
 
 OPS = {
@@ -246,6 +273,7 @@ OPS = {
     'passage_dedup': op_passage_dedup,
     'html_extract': op_html_extract,
     'phash_hamming_join': op_phash_hamming_join,
+    'image_dedup_planted': op_image_dedup_planted,
 }
 
 
@@ -256,8 +284,11 @@ def main():
     build_sf1(spark)
     # warm JVM + python workers
     spark.read.parquet(f'{SF01}/documents.parquet').count()
+    only = {a for a in sys.argv[1:] if not a.startswith('-')}
     results = []
     for name, fn in OPS.items():
+        if only and name not in only:
+            continue
         row = {'op': name}
         for label, sf in (('sf0.1', SF01), ('sf1', SF1_DIR)):
             sw0 = shuffle_write_bytes(spark)
