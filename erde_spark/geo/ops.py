@@ -81,28 +81,57 @@ ELLIPSOIDS = {
 _WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
 
 
+def _memo(fn):
+    """Per-function constants cache: every projection family derives a
+    small tuple of ellipsoid/zone constants from its (hashable)
+    parameters once and reuses it across millions of coordinate calls."""
+    cache: dict = {}
+
+    def wrap(*args):
+        c = cache.get(args)
+        if c is None:
+            c = cache[args] = fn(*args)
+        return c
+    return wrap
+
+
+def _ecc(f: float) -> float:
+    """First eccentricity e from flattening f."""
+    return math.sqrt(f * (2.0 - f))
+
+
+def _epsg_m(phi: float, e: float) -> float:
+    """EPSG's m = cos(phi) / sqrt(1 - e^2 sin^2 phi) — shared by the
+    conic families (GN7-2 uses the same symbol in 9802 and 9822)."""
+    s = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1 - e * e * s * s)
+
+
+def _conf_t(phi: float, e: float) -> float:
+    """EPSG's t = tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))
+    ^(e/2) — the conformal-latitude kernel shared by LCC (9802) and
+    Hotine oblique Mercator (9815)."""
+    es = e * math.sin(phi)
+    return (math.tan(math.pi / 4 - phi / 2)
+            / ((1 - es) / (1 + es)) ** (e / 2))
+
+
+@_memo
 def _tm_consts(a: float, f: float):
     """Cached Krüger series constants for one ellipsoid: (rectifying
     radius A, alpha, beta, delta, 2*sqrt(n)/(1+n))."""
-    c = _tm_consts_cache.get((a, f))
-    if c is None:
-        n = f / (2.0 - f)
-        A = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
-        alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
-                 13 * n ** 2 / 48 - 3 * n ** 3 / 5,
-                 61 * n ** 3 / 240)
-        beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
-                n ** 2 / 48 + n ** 3 / 15,
-                17 * n ** 3 / 480)
-        delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
-                 7 * n ** 2 / 3 - 8 * n ** 3 / 5,
-                 56 * n ** 3 / 15)
-        c = (A, alpha, beta, delta, 2.0 * math.sqrt(n) / (1.0 + n))
-        _tm_consts_cache[(a, f)] = c
-    return c
-
-
-_tm_consts_cache: dict = {}
+    n = f / (2.0 - f)
+    A = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+    alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+             13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+             61 * n ** 3 / 240)
+    beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+            n ** 2 / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480)
+    delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+             7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+             56 * n ** 3 / 15)
+    return (A, alpha, beta, delta, 2.0 * math.sqrt(n) / (1.0 + n))
 
 
 def _tm_xi_eta(phi: float, dlam: float, consts):
@@ -174,33 +203,16 @@ def utm_inv(e: float, n: float, lon0: float, n0: float):
 # Closed-form ellipsoidal formulas from the public EPSG Guidance Note 7-2
 # / Snyder "Map Projections: A Working Manual" (USGS PP 1395, 1987).
 
-def _lcc_m(phi: float, e: float) -> float:
-    return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
-
-
-def _lcc_t(phi: float, e: float) -> float:
-    es = e * math.sin(phi)
-    return (math.tan(math.pi / 4 - phi / 2)
-            / ((1 - es) / (1 + es)) ** (e / 2))
-
-
+@_memo
 def _lcc_consts(a: float, f: float, lat0: float, phi1: float, phi2: float):
-    key = (a, f, lat0, phi1, phi2)
-    c = _lcc_consts_cache.get(key)
-    if c is None:
-        e = math.sqrt(2 * f - f * f)
-        m1, m2 = _lcc_m(phi1, e), _lcc_m(phi2, e)
-        t0, t1, t2 = (_lcc_t(p, e) for p in (lat0, phi1, phi2))
-        n = ((math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-             if phi1 != phi2 else math.sin(phi1))
-        big_f = m1 / (n * t1 ** n)
-        r0 = a * big_f * t0 ** n
-        c = (e, n, big_f, r0)
-        _lcc_consts_cache[key] = c
-    return c
-
-
-_lcc_consts_cache: dict = {}
+    e = _ecc(f)
+    m1, m2 = _epsg_m(phi1, e), _epsg_m(phi2, e)
+    t0, t1, t2 = (_conf_t(p, e) for p in (lat0, phi1, phi2))
+    n = ((math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+         if phi1 != phi2 else math.sin(phi1))
+    big_f = m1 / (n * t1 ** n)
+    r0 = a * big_f * t0 ** n
+    return (e, n, big_f, r0)
 
 
 def lcc_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
@@ -210,7 +222,7 @@ def lcc_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
     standard parallels (all radians)."""
     e, n, big_f, r0 = _lcc_consts(a, f, lat0, phi1, phi2)
     phi = math.radians(lat)
-    r = a * big_f * _lcc_t(phi, e) ** n
+    r = a * big_f * _conf_t(phi, e) ** n
     theta = n * (math.radians(lon) - lon0)
     return fe + r * math.sin(theta), fn + r0 - r * math.cos(theta)
 
@@ -236,31 +248,24 @@ def lcc_inv(east: float, north: float, a: float, f: float, lat0: float,
 
 # -- Oblique Stereographic (EPSG method 9809: RD New 28992 etc.) ---------
 
+@_memo
 def _sterea_consts(a, f, lat0, k0):
     """(e, R, n, c, chi0) per EPSG Guidance Note 7-2 §3.2.5.2."""
-    key = (a, f, lat0, k0)
-    c_ = _sterea_cache.get(key)
-    if c_ is None:
-        e2 = 2 * f - f * f
-        e = math.sqrt(e2)
-        s0 = math.sin(lat0)
-        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
-        nu0 = a / math.sqrt(1 - e2 * s0 * s0)
-        R = math.sqrt(rho0 * nu0)
-        n = math.sqrt(1 + e2 * math.cos(lat0) ** 4 / (1 - e2))
-        S1 = (1 + s0) / (1 - s0)
-        S2 = (1 - e * s0) / (1 + e * s0)
-        w1 = (S1 * S2 ** e) ** n
-        sin_chi0 = (w1 - 1) / (w1 + 1)
-        c = ((n + s0) * (1 - sin_chi0)) / ((n - s0) * (1 + sin_chi0))
-        w2 = c * w1
-        chi0 = math.asin((w2 - 1) / (w2 + 1))
-        c_ = (e, R, n, c, chi0)
-        _sterea_cache[key] = c_
-    return c_
-
-
-_sterea_cache: dict = {}
+    e = _ecc(f)
+    e2 = e * e
+    s0 = math.sin(lat0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(lat0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = ((n + s0) * (1 - sin_chi0)) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return (e, R, n, c, chi0)
 
 
 def sterea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
@@ -310,37 +315,29 @@ def sterea_inv(east: float, north: float, a: float, f: float, lat0: float,
 
 # -- Hotine Oblique Mercator variant B (EPSG 9815: Swiss LV95, RSO) ------
 
+@_memo
 def _omerc_consts(a, f, latc, lonc, alphac, kc):
     """(e, B, A, H, gamma0, lam0, uc) per EPSG GN7-2 §3.2.6."""
-    key = (a, f, latc, lonc, alphac, kc)
-    c_ = _omerc_cache.get(key)
-    if c_ is None:
-        e2 = 2 * f - f * f
-        e = math.sqrt(e2)
-        sc, cc = math.sin(latc), math.cos(latc)
-        B = math.sqrt(1 + e2 * cc ** 4 / (1 - e2))
-        A = a * B * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
-        t0 = (math.tan(math.pi / 4 - latc / 2)
-              / ((1 - e * sc) / (1 + e * sc)) ** (e / 2))
-        D = B * math.sqrt(1 - e2) / (cc * math.sqrt(1 - e2 * sc * sc))
-        DD = max(D * D, 1.0)
-        F = D + math.copysign(math.sqrt(DD - 1), latc)
-        H = F * t0 ** B
-        G = (F - 1 / F) / 2
-        gamma0 = math.asin(math.sin(alphac) / D)
-        lam0 = lonc - math.asin(G * math.tan(gamma0)) / B
-        if abs(abs(alphac) - math.pi / 2) < 1e-12:
-            uc = A * (lonc - lam0)
-        else:
-            uc = math.copysign(
-                (A / B) * math.atan2(math.sqrt(DD - 1), math.cos(alphac)),
-                latc)
-        c_ = (e, B, A, H, gamma0, lam0, uc)
-        _omerc_cache[key] = c_
-    return c_
-
-
-_omerc_cache: dict = {}
+    e = _ecc(f)
+    e2 = e * e
+    sc, cc = math.sin(latc), math.cos(latc)
+    B = math.sqrt(1 + e2 * cc ** 4 / (1 - e2))
+    A = a * B * kc * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    t0 = _conf_t(latc, e)
+    D = B * math.sqrt(1 - e2) / (cc * math.sqrt(1 - e2 * sc * sc))
+    DD = max(D * D, 1.0)
+    F = D + math.copysign(math.sqrt(DD - 1), latc)
+    H = F * t0 ** B
+    G = (F - 1 / F) / 2
+    gamma0 = math.asin(math.sin(alphac) / D)
+    lam0 = lonc - math.asin(G * math.tan(gamma0)) / B
+    if abs(abs(alphac) - math.pi / 2) < 1e-12:
+        uc = A * (lonc - lam0)
+    else:
+        uc = math.copysign(
+            (A / B) * math.atan2(math.sqrt(DD - 1), math.cos(alphac)),
+            latc)
+    return (e, B, A, H, gamma0, lam0, uc)
 
 
 def omerc_fwd(lon: float, lat: float, a: float, f: float, latc: float,
@@ -351,10 +348,7 @@ def omerc_fwd(lon: float, lat: float, a: float, f: float, latc: float,
     e, B, A, H, gamma0, lam0, uc = _omerc_consts(a, f, latc, lonc,
                                                  alphac, kc)
     phi, lam = math.radians(lat), math.radians(lon)
-    s = math.sin(phi)
-    t = (math.tan(math.pi / 4 - phi / 2)
-         / ((1 - e * s) / (1 + e * s)) ** (e / 2))
-    Q = H / t ** B
+    Q = H / _conf_t(phi, e) ** B
     S = (Q - 1 / Q) / 2
     T = (Q + 1 / Q) / 2
     dl = B * (lam - lam0)
@@ -399,28 +393,21 @@ def omerc_inv(east: float, north: float, a: float, f: float, latc: float,
 
 # -- Krovak (EPSG 9819, East-North axis flip of 5514) --------------------
 
+@_memo
 def _krovak_consts(a, f, latc, lat1, kp):
     """(e, A_, B_, gamma0, t0, n, r0) per EPSG GN7-2 §3.2.8."""
-    key = (a, f, latc, lat1, kp)
-    c_ = _krovak_cache.get(key)
-    if c_ is None:
-        e2 = 2 * f - f * f
-        e = math.sqrt(e2)
-        sc = math.sin(latc)
-        A_ = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
-        B_ = math.sqrt(1 + e2 * math.cos(latc) ** 4 / (1 - e2))
-        gamma0 = math.asin(sc / B_)
-        t0 = (math.tan(math.pi / 4 + gamma0 / 2)
-              * ((1 + e * sc) / (1 - e * sc)) ** (e * B_ / 2)
-              / math.tan(math.pi / 4 + latc / 2) ** B_)
-        n = math.sin(lat1)
-        r0 = kp * A_ / math.tan(lat1)
-        c_ = (e, A_, B_, gamma0, t0, n, r0)
-        _krovak_cache[key] = c_
-    return c_
-
-
-_krovak_cache: dict = {}
+    e = _ecc(f)
+    e2 = e * e
+    sc = math.sin(latc)
+    A_ = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    B_ = math.sqrt(1 + e2 * math.cos(latc) ** 4 / (1 - e2))
+    gamma0 = math.asin(sc / B_)
+    t0 = (math.tan(math.pi / 4 + gamma0 / 2)
+          * ((1 + e * sc) / (1 - e * sc)) ** (e * B_ / 2)
+          / math.tan(math.pi / 4 + latc / 2) ** B_)
+    n = math.sin(lat1)
+    r0 = kp * A_ / math.tan(lat1)
+    return (e, A_, B_, gamma0, t0, n, r0)
 
 
 def krovak_fwd(lon: float, lat: float, a: float, f: float, latc: float,
@@ -494,24 +481,27 @@ def _authalic_to_geodetic(beta: float, e: float) -> float:
             + (761 * e6 / 45360) * math.sin(6 * beta))
 
 
-def _aea_m(phi: float, e: float) -> float:
-    s = math.sin(phi)
-    return math.cos(phi) / math.sqrt(1 - e * e * s * s)
-
-
 # -- Albers Equal Area (EPSG method 9822: CONUS 5070 etc.) ---------------
 
-def aea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
-            lon0: float, lat1: float, lat2: float, fe: float, fn: float):
-    """(lon, lat) degrees -> E/N for Albers Equal Area (EPSG 9822)."""
-    e = math.sqrt(f * (2 - f))
-    phi = math.radians(lat)
-    lam = math.radians(lon)
-    m1, m2 = _aea_m(lat1, e), _aea_m(lat2, e)
+@_memo
+def _aea_consts(a, f, lat0, lat1, lat2):
+    """(e, n, C, rho0) per EPSG GN7-2 §3.2.9 — previously derived
+    inline (identically) in both the forward and the inverse."""
+    e = _ecc(f)
+    m1, m2 = _epsg_m(lat1, e), _epsg_m(lat2, e)
     q0, q1, q2 = (_authalic_q(p, e) for p in (lat0, lat1, lat2))
     n = (m1 * m1 - m2 * m2) / (q2 - q1)
     C = m1 * m1 + n * q1
     rho0 = a * math.sqrt(C - n * q0) / n
+    return (e, n, C, rho0)
+
+
+def aea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+            lon0: float, lat1: float, lat2: float, fe: float, fn: float):
+    """(lon, lat) degrees -> E/N for Albers Equal Area (EPSG 9822)."""
+    e, n, C, rho0 = _aea_consts(a, f, lat0, lat1, lat2)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
     rho = a * math.sqrt(C - n * _authalic_q(phi, e)) / n
     theta = n * (lam - lon0)
     return fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta)
@@ -520,12 +510,7 @@ def aea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
 def aea_inv(east: float, north: float, a: float, f: float, lat0: float,
             lon0: float, lat1: float, lat2: float, fe: float, fn: float):
     """E/N -> (lon, lat) degrees for EPSG 9822."""
-    e = math.sqrt(f * (2 - f))
-    m1, m2 = _aea_m(lat1, e), _aea_m(lat2, e)
-    q0, q1, q2 = (_authalic_q(p, e) for p in (lat0, lat1, lat2))
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
-    C = m1 * m1 + n * q1
-    rho0 = a * math.sqrt(C - n * q0) / n
+    e, n, C, rho0 = _aea_consts(a, f, lat0, lat1, lat2)
     x = east - fe
     y = rho0 - (north - fn)
     rho = math.hypot(x, y)
@@ -541,13 +526,14 @@ def aea_inv(east: float, north: float, a: float, f: float, lat0: float,
 
 # -- Lambert Azimuthal Equal Area (EPSG method 9820: LAEA 3035) ----------
 
+@_memo
 def _laea_consts(a: float, f: float, lat0: float):
-    e = math.sqrt(f * (2 - f))
+    e = _ecc(f)
     qp = _authalic_q(math.pi / 2, e)
     q0 = _authalic_q(lat0, e)
     beta0 = math.asin(max(-1.0, min(1.0, q0 / qp)))
     rq = a * math.sqrt(qp / 2)
-    d = a * _aea_m(lat0, e) / (rq * math.cos(beta0))
+    d = a * _epsg_m(lat0, e) / (rq * math.cos(beta0))
     return e, qp, beta0, rq, d
 
 
