@@ -70,10 +70,14 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             prev = entry
             # early change: the decoder's table lags the encoder's by
             # one entry (it can't build an entry until it sees the next
-            # code), so it bumps at size 2^w - 2 where the encoder bumps
-            # at 2^w - 1 ("next code to be added would be 511", TIFF 6.0
-            # p.61, both sides)
-            if len(table) + 2 >= (1 << width) and width < 12:
+            # code), so it bumps when ITS next free entry reaches
+            # 2^w - 1 (511/1023/2047) — one entry before the table
+            # fills, which is one code EARLIER in the stream than the
+            # GIF rule. Timing pinned empirically against libtiff
+            # (tests/test_codec_crossval.py): the previous 2^w - 2
+            # variant was self-consistent with the old encoder but
+            # rejected by libtiff with 'Using code not yet in table'.
+            if len(table) + 1 >= (1 << width) and width < 12:
                 width += 1
             if len(out) >= expected:
                 return bytes(out)
@@ -138,10 +142,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw += _packbits_decode(chunk, expected)
         elif comp == 5:
             raw += _tiff_lzw_decode(chunk, expected)
+        elif comp in (8, 32946):  # Deflate / legacy Adobe Deflate
+            import zlib
+            raw += zlib.decompress(chunk)[:expected]
         else:
             raise NotImplementedError(
                 f'TIFF compression {comp}: only 1 (none), 5 (LZW), '
-                '32773 (PackBits)')
+                '8/32946 (Deflate), 32773 (PackBits)')
     if len(raw) < h * row_bytes:
         raise ValueError('truncated TIFF strip data')
     arr = np.frombuffer(bytes(raw[:h * row_bytes]), np.uint8)
@@ -183,8 +190,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         emit(table[cur], width)
         table[cand] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1  # early change
+        # the encoder runs one entry AHEAD of the decoder, so its bump
+        # lands when the table actually fills (2^w) — the decoder's
+        # 2^w - 1 rule then changes width at the same stream position
+        # (libtiff-pinned; see the decoder comment)
+        if next_code == (1 << width) and width < 12:
+            width += 1
         if next_code >= 4093:
             emit(CLEAR, width)
             table = {bytes([i]): i for i in range(256)}
