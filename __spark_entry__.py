@@ -3494,6 +3494,88 @@ ORDER BY cluster_size
 """
 
 
+def q_mojibake_fix(spark, sf_dir):
+    """Encoding-repair round trip, value-oracled by construction: each
+    document's (ASCII) text gets a deterministic accented suffix, is
+    then CORRUPTED the way crawls corrupt it (UTF-8 bytes re-read as
+    Latin-1 — 'café' becomes 'cafÃ©'), and repaired with
+    ``fix_mojibake`` (conditional JVM decode/encode round trip). The
+    md5 of the repaired text must equal the md5 DuckDB computes on the
+    UNCORRUPTED text — byte-exact restoration; docs whose suffix class
+    is pure ASCII (doc_id % 4 == 3) assert the no-touch path."""
+    from erde_spark.scale.text import fix_mojibake
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    suffix = F.element_at(
+        F.array(F.lit(' café №42'), F.lit(' строка æøå'),
+                F.lit(' 中文 “quotes”'), F.lit(' plain ascii tail')),
+        (F.col('doc_id') % 4 + 1).cast('int'))
+    augmented = F.concat(F.col('text'), suffix)
+    corrupted = F.decode(F.encode(augmented, 'UTF-8'), 'ISO-8859-1')
+    return (d.select('doc_id',
+                     F.md5(fix_mojibake(corrupted)).alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_MOJIBAKE_SQL = """
+SELECT doc_id,
+       md5(text || CASE doc_id % 4
+             WHEN 0 THEN ' café №42'
+             WHEN 1 THEN ' строка æøå'
+             WHEN 2 THEN ' 中文 “quotes”'
+             ELSE ' plain ascii tail' END) AS text_md5
+FROM documents WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization as a dedup key, value-oracled by
+    construction: each document gets one of four URL SPELLINGS of a
+    doc_id-derived page (mixed-case scheme/host + tracking params +
+    fragment, explicit default port + trailing slash, plain, or an
+    https variant with a kept query). ``canonicalize_url`` must
+    collapse the spelling noise exactly so the per-canonical-URL doc
+    counts match DuckDB's arithmetic prediction."""
+    from erde_spark.scale.text import canonicalize_url
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    k = (F.col('doc_id') % 50).cast('string')
+    m = (F.col('doc_id') % 7).cast('string')
+    v = F.col('doc_id') % 4
+    raw = (F.when(v == 0, F.concat(F.lit('http://h'), k,
+                                   F.lit('.example.com/p/'), m))
+           .when(v == 1, F.concat(F.lit('HTTP://H'), k,
+                                  F.lit('.EXAMPLE.COM/p/'), m,
+                                  F.lit('?utm_source=feed&b=2&a=1#frag')))
+           .when(v == 2, F.concat(F.lit('http://h'), k,
+                                  F.lit('.example.com:80/p/'), m,
+                                  F.lit('/')))
+           .otherwise(F.concat(F.lit('https://h'), k,
+                               F.lit('.example.com/p/'), m,
+                               F.lit('?b=2&a=1'))))
+    return (d.select(canonicalize_url(raw).alias('canon_url'))
+            .groupBy('canon_url')
+            .agg(F.count(F.lit(1)).alias('n_docs'))
+            .orderBy('canon_url'))
+
+
+_URL_CANON_SQL = """
+SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT CASE doc_id % 4
+        WHEN 0 THEN 'http://h' || (doc_id % 50) || '.example.com/p/'
+                    || (doc_id % 7)
+        WHEN 1 THEN 'http://h' || (doc_id % 50) || '.example.com/p/'
+                    || (doc_id % 7) || '?a=1&b=2'
+        WHEN 2 THEN 'http://h' || (doc_id % 50) || '.example.com/p/'
+                    || (doc_id % 7)
+        ELSE 'https://h' || (doc_id % 50) || '.example.com/p/'
+             || (doc_id % 7) || '?a=1&b=2' END AS canon_url
+      FROM documents)
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier end-to-end (rows-only: the L-BFGS
     optimizer is iterative, not SQL-expressible; separation/AUC/
@@ -3567,9 +3649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (segment round-trip: encode -> streamed read_warc -> documents
     bridge, per-segment md5 check) and video_frame_dedup (MJPEG mux ->
     ranged sample decode -> pHash -> Hamming band join -> CC) enter the
-    window, displacing tpch_q12_late_lines (driver-green r01-r04) and
-    set_ops (driver-green r02-r04); the new rows-only
-    quality_classifier sits at the tail.
+    window, as do mojibake_fix (construction-oracled UTF-8-as-Latin-1
+    corruption repair, byte-exact md5 vs the uncorrupted text) and
+    url_canonical_dedup (URL-spelling collapse vs arithmetic oracle);
+    displaced to the tail: tpch_q12_late_lines (driver-green r01-r04),
+    set_ops, sample_hash and bm25_search (all driver-green r02-r04).
+    The new rows-only quality_classifier also sits at the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3597,9 +3682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_decode_mixed': q_media_decode_mixed,
         'domain_filter': q_domain_filter,
         'video_frame_dedup': q_video_frame_dedup,
+        'mojibake_fix': q_mojibake_fix,
+        'url_canonical_dedup': q_url_canonical_dedup,
         'profile_orders': q_profile_orders,
-        'bm25_search': q_bm25_search,
-        'sample_hash': q_sample_hash,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
@@ -3625,6 +3710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'sample_hash': q_sample_hash,
+        'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
         'tpch_q12_late_lines': q_tpch_q12,
         'quality_classifier': q_quality_classifier,
@@ -3704,6 +3791,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         'warc_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,
+        'mojibake_fix': _MOJIBAKE_SQL,
+        'url_canonical_dedup': _URL_CANON_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

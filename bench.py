@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     'warc_ingest',
     'quality_classifier',
     'video_frame_dedup',
+    'mojibake_fix',
+    'url_canonical_dedup',
 ]
 
 

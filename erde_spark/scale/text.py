@@ -725,3 +725,65 @@ def filter_by_domain(df: DataFrame, url_col: str = 'url',
     elif allow is not None:
         out = out.filter(_expr_match(allow))
     return out.drop('_rid') if needs_rid else out
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair the most common crawl encoding corruption — UTF-8 bytes
+    that were mis-read as Latin-1 ('â€™' for a right
+    quote, 'Ã©' for 'é') and re-emitted as UTF-8
+    ("double-encoded" text). The repair is the exact inverse
+    round-trip, entirely JVM-side:
+    ``decode(encode(text, ISO-8859-1), UTF-8)``.
+
+    Applied conditionally: only when the text carries a double-encoding
+    signature (a Latin-1-read UTF-8 lead byte followed by a
+    continuation-byte character) AND the repaired form is clean —
+    re-encoding genuine Latin-1-alphabet text would corrupt it, so no
+    signature means no touch. One whole-stage-codegen expression, no
+    Python workers; at 100 TB this rides the same scan as every other
+    text op."""
+    c = F.col(col) if isinstance(col, str) else col
+    # lead bytes C2-EF read as Latin-1 land in U+00C2-U+00EF;
+    # continuation bytes 80-BF land in U+0080-U+00BF
+    signature = c.rlike('[\\u00C2-\\u00EF][\\u0080-\\u00BF]')
+    repaired = F.decode(F.encode(c, 'ISO-8859-1'), 'UTF-8')
+    # a failed repair surfaces U+FFFD replacement chars: keep original
+    clean = ~repaired.contains('�')
+    return F.when(signature & clean, repaired).otherwise(c)
+
+
+def canonicalize_url(col: Column | str,
+                     drop_params: tuple = ('utm_source', 'utm_medium',
+                                           'utm_campaign', 'utm_term',
+                                           'utm_content', 'gclid',
+                                           'fbclid', 'ref')) -> Column:
+    """Canonical form of a URL for dedup keys: lower-cased scheme+host,
+    tracking query parameters removed, remaining query parameters
+    sorted, no fragment, no trailing slash on paths. Crawls see the
+    same document under dozens of URL spellings; keying exact dedup on
+    the canonical form collapses them. Pure codegen (split / filter /
+    array_sort / concat), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r'^([A-Za-z][A-Za-z0-9+.-]*)://',
+                                      1))
+    hostport = F.lower(
+        F.regexp_extract(c, r'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+    # strip only the scheme's DEFAULT port; explicit non-defaults stay
+    host = F.when(scheme == 'http',
+                  F.regexp_replace(hostport, ':80$', '')) \
+        .when(scheme == 'https', F.regexp_replace(hostport, ':443$', '')) \
+        .otherwise(hostport)
+    rest = F.regexp_replace(c, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+    rest = F.regexp_replace(rest, r'#.*$', '')           # fragment
+    path = F.regexp_extract(rest, r'^([^?]*)', 1)
+    path = F.when(path == '', F.lit('/')).otherwise(path)
+    path = F.regexp_replace(path, r'(.)/$', '$1')        # trailing slash
+    query = F.regexp_extract(rest, r'\?(.*)$', 1)
+    kept = F.filter(
+        F.split(query, '&'),
+        lambda p: (p != '') & ~F.split(p, '=')[0].isin(*drop_params))
+    qcanon = F.array_join(F.array_sort(kept), '&')
+    return F.concat(
+        scheme, F.lit('://'), host, path,
+        F.when(qcanon == '', F.lit('')).otherwise(
+            F.concat(F.lit('?'), qcanon)))

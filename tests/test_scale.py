@@ -1512,3 +1512,32 @@ def test_filter_by_domain_null_safe_and_duplicate_safe(spark):
     assert {r['doc_id'] for r in out} == {1, 3, 4}
     assert len([r for r in out if r['doc_id'] == 4]) == 2
     assert sorted(df.columns) == sorted(out[0].asDict().keys())
+
+
+def test_fix_mojibake_and_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import canonicalize_url, fix_mojibake
+    good = 'café ’quote’ 中文'
+    moji = good.encode('utf-8').decode('latin-1')
+    rows = [(1, moji), (2, 'plain ascii'),
+            (3, '¿qué? ¡hola!'),  # true Latin-1: no touch
+            (4, good)]                            # already clean
+    df = spark.createDataFrame(rows, 'i long, text string')
+    got = {r['i']: r['t'] for r in
+           df.select('i', fix_mojibake('text').alias('t')).collect()}
+    assert got[1] == good
+    assert got[2] == 'plain ascii' and got[3] == rows[2][1]
+    assert got[4] == good  # repair of clean text must be identity
+
+    urls = [(1, 'HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#f'),
+            (2, 'http://site.org'),
+            (3, 'http://site.org:8080/x'),   # non-default port kept
+            (4, 'http://site.org/path/?fbclid=abc')]
+    df2 = spark.createDataFrame(urls, 'i long, url string')
+    got = {r['i']: r['u'] for r in
+           df2.select('i', canonicalize_url('url').alias('u')).collect()}
+    assert got[1] == 'https://example.com/a/b?a=1&b=2'
+    assert got[2] == 'http://site.org/'
+    assert got[3] == 'http://site.org:8080/x'
+    assert got[4] == 'http://site.org/path'
