@@ -111,7 +111,8 @@ def _parse_trak(data: bytes, s: int, e: int) -> dict:
           'timescale': None, 'duration_sec': None, 'n_samples': 0,
           'width': None, 'height': None, 'fps': None,
           'channels': None, 'sample_rate': None,
-          'sample_sizes': None, 'chunk_offsets': None}
+          'sample_sizes': None, 'chunk_offsets': None,
+          'sample_to_chunk': None}
     for typ, bs, be in _boxes(data, s, e):
         if typ == b'tkhd':
             v, _, p = _full(data, bs)
@@ -182,6 +183,13 @@ def _parse_stbl(data: bytes, s: int, e: int, tr: dict) -> None:
                 tr['sample_sizes'] = [
                     int.from_bytes(data[p + 8 + 4 * i:p + 12 + 4 * i], 'big')
                     for i in range(cnt) if p + 12 + 4 * i <= be]
+        elif typ == b'stsc':
+            _, _, p = _full(data, bs)
+            cnt = int.from_bytes(data[p:p + 4], 'big')
+            tr['sample_to_chunk'] = [
+                (int.from_bytes(data[p + 4 + 12 * i:p + 8 + 12 * i], 'big'),
+                 int.from_bytes(data[p + 8 + 12 * i:p + 12 + 12 * i], 'big'))
+                for i in range(cnt) if p + 16 + 12 * i <= be]
         elif typ in (b'stco', b'co64'):
             _, _, p = _full(data, bs)
             cnt = int.from_bytes(data[p:p + 4], 'big')
@@ -192,18 +200,33 @@ def _parse_stbl(data: bytes, s: int, e: int, tr: dict) -> None:
 
 
 def sample_ranges(track: dict) -> list[tuple[int, int]]:
-    """(byte_offset, byte_size) per sample, assuming one-chunk layout
-    (what the stub encoder writes and what flat web MP4s commonly use);
-    multi-chunk layouts would additionally consult stsc."""
+    """(byte_offset, byte_size) per sample, honoring the full
+    stsc/stco/stsz chunk layout (ISO 14496-12 §8.7.4): each stsc run
+    (first_chunk, samples_per_chunk) applies from its first_chunk until
+    the next run's; samples are laid out back-to-back inside each
+    chunk starting at that chunk's stco offset. A missing stsc (or a
+    single chunk) degrades to the flat sequential layout."""
     sizes = track.get('sample_sizes') or []
     offs = track.get('chunk_offsets') or []
     if not sizes or not offs:
         return []
-    pos = offs[0]
+    runs = track.get('sample_to_chunk') or [(1, len(sizes))]
     out = []
-    for sz in sizes:
-        out.append((pos, sz))
-        pos += sz
+    si = 0
+    for ci in range(len(offs)):
+        spc = runs[0][1]
+        for first, n in runs:
+            if first <= ci + 1:
+                spc = n
+            else:
+                break
+        pos = offs[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                return out
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
     return out
 
 
@@ -282,11 +305,14 @@ def encode_mp4_stub(n_frames: int = 24, fps: int = 12, width: int = 64,
 
 
 def encode_mp4_mjpeg(frames, fps: int = 12, timescale: int = 600,
-                     quality: int = 90) -> bytes:
+                     quality: int = 90,
+                     samples_per_chunk: int | None = None) -> bytes:
     """Valid single-track Motion-JPEG MP4: every sample in ``mdat`` is a
     complete JPEG image ('jpeg' visual sample entry, per-sample stsz
-    table, one chunk). The decodable-video fixture for the
-    frame-sampling -> decode -> pHash pipeline."""
+    table). ``samples_per_chunk`` splits the mdat into multiple chunks
+    with a real stsc/stco layout (default: one chunk). The
+    decodable-video fixture for the frame-sampling -> decode -> pHash
+    pipeline."""
     import numpy as np
 
     from erde_spark.scale.jpeg import encode_jpeg
@@ -312,18 +338,34 @@ def encode_mp4_mjpeg(frames, fps: int = 12, timescale: int = 600,
     stsd = _fullbox(b'stsd', 0, 0, struct.pack('>I', 1) + entry)
     stts = _fullbox(b'stts', 0, 0, struct.pack(
         '>III', 1, n, timescale // fps))
-    stsc = _fullbox(b'stsc', 0, 0, struct.pack('>IIII', 1, 1, n, 1))
+    spc = samples_per_chunk or n
+    chunk_sizes = [min(spc, n - i) for i in range(0, n, spc)]
+    n_chunks = len(chunk_sizes)
+    stsc_runs = [(1, spc)]
+    if chunk_sizes[-1] != spc and n_chunks > 1:
+        stsc_runs.append((n_chunks, chunk_sizes[-1]))
+    stsc = _fullbox(b'stsc', 0, 0, struct.pack('>I', len(stsc_runs))
+                    + b''.join(struct.pack('>III', fc, c, 1)
+                               for fc, c in stsc_runs))
     stsz = _fullbox(b'stsz', 0, 0, struct.pack('>II', 0, n)
                     + b''.join(struct.pack('>I', len(b)) for b in blobs))
-    co_placeholder = _fullbox(b'stco', 0, 0, struct.pack('>I', 1)
-                              + b'\x00' * 4)
+    co_placeholder = _fullbox(b'stco', 0, 0, struct.pack('>I', n_chunks)
+                              + b'\x00' * (4 * n_chunks))
     stbl = _box(b'stbl', stsd + stts + stsc + stsz + co_placeholder)
     minf = _box(b'minf', stbl)
     mdia = _box(b'mdia', mdhd + hdlr + minf)
     trak = _box(b'trak', tkhd + mdia)
     moov = _box(b'moov', mvhd + trak)
     head_len = len(ftyp) + len(moov) + 8
-    co = _fullbox(b'stco', 0, 0, struct.pack('>II', 1, head_len))
+    chunk_offs = []
+    pos = head_len
+    bi = 0
+    for cs in chunk_sizes:
+        chunk_offs.append(pos)
+        pos += sum(len(b) for b in blobs[bi:bi + cs])
+        bi += cs
+    co = _fullbox(b'stco', 0, 0, struct.pack('>I', n_chunks)
+                  + b''.join(struct.pack('>I', o) for o in chunk_offs))
     moov = moov.replace(co_placeholder, co)
     return ftyp + moov + _box(b'mdat', b''.join(blobs))
 

@@ -165,3 +165,30 @@ def test_video_neardup_via_frame_phash(spark):
              if r['id_a'] // 100 != r['id_b'] // 100}
     assert (1, 2) in cross  # the noised copy is found
     assert not any(3 in p for p in cross)  # distinct content is not
+
+
+def test_multichunk_stsc_sample_ranges():
+    """Real web MP4s interleave multiple chunks: the stsc/stco walk
+    must place every sample at its true byte range. 6 frames in chunks
+    of 4+2 (two stsc runs) and chunks of 2+2+2 (one run) both decode
+    to the same pixels as the single-chunk layout."""
+    from erde_spark.scale.mp4 import (encode_mp4_mjpeg, parse_mp4,
+                                      sample_ranges)
+    frames = _frames(21, n=6)
+    flat = encode_mp4_mjpeg(frames, fps=8)
+
+    def decoded(blob):
+        meta = parse_mp4(blob)
+        vid = next(t for t in meta['tracks'] if t['handler'] == 'vide')
+        ranges = sample_ranges(vid)
+        assert len(ranges) == 6
+        return [decode_sample(blob, off, sz).tobytes()
+                for off, sz in ranges]
+
+    want = decoded(flat)
+    for spc in (4, 2, 1):
+        blob = encode_mp4_mjpeg(frames, fps=8, samples_per_chunk=spc)
+        meta = parse_mp4(blob)
+        vid = next(t for t in meta['tracks'] if t['handler'] == 'vide')
+        assert len(vid['chunk_offsets']) == -(-6 // spc)
+        assert decoded(blob) == want, spc
