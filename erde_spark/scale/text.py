@@ -746,10 +746,15 @@ def fix_mojibake(col: Column | str) -> Column:
     # lead bytes C2-EF read as Latin-1 land in U+00C2-U+00EF;
     # continuation bytes 80-BF land in U+0080-U+00BF
     signature = c.rlike('[\\u00C2-\\u00EF][\\u0080-\\u00BF]')
+    # true double-encoded text contains ONLY U+00FF-and-below (it
+    # came through a Latin-1 read); any higher code point means the
+    # text is already real Unicode and the Latin-1 encode would
+    # destroy it
+    latin1_only = ~c.rlike('[\\u0100-\\uFFFF]')
     repaired = F.decode(F.encode(c, 'ISO-8859-1'), 'UTF-8')
     # a failed repair surfaces U+FFFD replacement chars: keep original
     clean = ~repaired.contains('�')
-    return F.when(signature & clean, repaired).otherwise(c)
+    return F.when(signature & latin1_only & clean, repaired).otherwise(c)
 
 
 def canonicalize_url(col: Column | str,

@@ -1529,6 +1529,11 @@ def test_fix_mojibake_and_canonicalize_url(spark):
     assert got[1] == good
     assert got[2] == 'plain ascii' and got[3] == rows[2][1]
     assert got[4] == good  # repair of clean text must be identity
+    # mixed real-Unicode + mojibake-looking bytes: must NOT touch (a
+    # Latin-1 encode would destroy the CJK)
+    df3 = spark.createDataFrame([(1, 'Ã© plus 中文')], 'i long, text string')
+    assert df3.select(fix_mojibake('text').alias('t')).first()['t'] \
+        == 'Ã© plus 中文'
 
     urls = [(1, 'HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#f'),
             (2, 'http://site.org'),
