@@ -3234,19 +3234,21 @@ FROM k
 
 
 def q_media_decode_mixed(spark, sf_dir):
-    """End-to-end decode across ALL six real image codecs: each
-    document gets a blob in the format picked by ``doc_id % 6`` (PNG,
+    """End-to-end decode across ALL seven real image codecs: each
+    document gets a blob in the format picked by ``doc_id % 7`` (PNG,
     baseline JPEG, GIF, TIFF-LZW, VP8L WebP — every one encoded by the
     repo's own fixture encoders from a class-seeded image — plus LOSSY
-    VP8 WebP encoded and decoded via the system libwebp binding),
-    decoded for real through ``extract_features``'s mapInPandas path.
+    VP8 WebP via the system libwebp binding and ARITHMETIC-coded JPEG
+    via the compiled libjpeg shim), decoded for real through
+    ``extract_features``'s mapInPandas path.
     Output is the per-format (n_assets, n_decoded) table; the oracle
     predicts it from doc_id arithmetic — a red row means some format
     failed to decode, so this is the codec-regression canary in the
     gate."""
     from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
-    fmts = ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy']
+    fmts = ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy',
+            'jpeg_arith']
 
     def _mk(batches):
         import numpy as np
@@ -3256,19 +3258,21 @@ def q_media_decode_mixed(spark, sf_dir):
         from erde_spark.scale.png import encode_png
         from erde_spark.scale.tiff import encode_tiff
         from erde_spark.scale.webp import encode_webp
+        from erde_spark.scale.jpeg_native import encode_jpeg_arith
         from erde_spark.scale.webp_native import encode_webp_lossy
         enc = {'png': lambda a: encode_png(a),
                'jpeg': lambda a: encode_jpeg(a, quality=85),
                'gif': lambda a: encode_gif(a[:, :, 0]),
                'tiff': lambda a: encode_tiff(a, compression=5),
                'webp': lambda a: encode_webp(a, subtract_green=True),
-               'webp_lossy': lambda a: encode_webp_lossy(a, quality=90)}
+               'webp_lossy': lambda a: encode_webp_lossy(a, quality=90),
+               'jpeg_arith': lambda a: encode_jpeg_arith(a, quality=88)}
         cache = {}
         for pdf in batches:
             ids, blobs, metas = [], [], []
             for did in pdf['doc_id']:
                 did = int(did)
-                fmt = fmts[did % 6]
+                fmt = fmts[did % 7]
                 key = (fmt, did % 8)
                 if key not in cache:
                     rng = np.random.RandomState(100 + did % 8)
@@ -3280,8 +3284,10 @@ def q_media_decode_mixed(spark, sf_dir):
                     cache[key] = enc[fmt](np.stack([img] * 3, axis=2))
                 ids.append(did)
                 blobs.append(cache[key])
-                metas.append({'format': 'image/webp' if 'webp' in fmt
-                              else 'image/' + fmt, 'width': 24,
+                mime = ('image/webp' if 'webp' in fmt else
+                        'image/jpeg' if 'jpeg' in fmt else
+                        'image/' + fmt)
+                metas.append({'format': mime, 'width': 24,
                               'height': 24, 'n_bytes': len(cache[key])})
             yield pd.DataFrame({'asset_id': ids, 'media': blobs,
                                 'meta': metas})
@@ -3289,7 +3295,7 @@ def q_media_decode_mixed(spark, sf_dir):
     assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
     feats = extract_features(assets, on_error='null')
     fmt_of = F.element_at(F.array(*[F.lit(f) for f in fmts]),
-                          (F.col('asset_id') % 6 + 1).cast('int'))
+                          (F.col('asset_id') % 7 + 1).cast('int'))
     return (feats.select(fmt_of.alias('fmt'),
                          F.col('feat_mean').isNotNull().alias('ok'))
             .groupBy('fmt')
@@ -3302,8 +3308,8 @@ def q_media_decode_mixed(spark, sf_dir):
 _MEDIA_DECODE_SQL = """
 SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
        CAST(COUNT(*) AS BIGINT) AS n_decoded
-FROM (SELECT ['png', 'jpeg', 'gif', 'tiff', 'webp',
-              'webp_lossy'][doc_id % 6 + 1] AS fmt
+FROM (SELECT ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy',
+              'jpeg_arith'][doc_id % 7 + 1] AS fmt
       FROM documents)
 GROUP BY fmt
 ORDER BY fmt

@@ -255,12 +255,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 15, 'tq': tq})
             frame = {'h': h, 'w': w, 'comps': comps,
                      'progressive': marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA):
+            # arithmetic-coded DCT (sequential/progressive): the
+            # QM-coder tier routes to the system libjpeg (see
+            # jpeg_native — its normative probability table is bound,
+            # not re-typed)
+            from erde_spark.scale.jpeg_native import (available,
+                                                      decode_jpeg_native)
+            if available():
+                return decode_jpeg_native(data)
             raise NotImplementedError(
-                'only DCT Huffman JPEG decodes (SOF0/SOF1/SOF2); SOF '
-                f'marker 0x{marker:02X} is a lossless/arithmetic/'
-                'hierarchical process')
+                f'arithmetic-coded JPEG (SOF 0x{marker:02X}) decodes '
+                'via the system libjpeg shim, which this host cannot '
+                'build/load (needs gcc + jpeglib.h + libjpeg)')
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                'only DCT JPEG decodes (SOF0/SOF1/SOF2 pure-Python, '
+                f'SOF9/SOF10 via libjpeg); SOF marker 0x{marker:02X} '
+                'is a lossless/hierarchical process')
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[:2], 'big')
         elif marker == 0xDA:  # SOS -> entropy-coded scan follows
