@@ -399,12 +399,36 @@ def tokenize(input_data: DataFrame, n_merges: int = 100,
     raise AutocliError(f"unknown emit {emit!r} (use 'merges' or 'tokens')")
 
 
+@autocli
+def fixenc(input_data: DataFrame, text_column: str = 'text') -> DataFrame:
+    """Repair UTF-8-as-Latin-1 mojibake in a text column (conditional,
+    signature-gated; clean text is untouched)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import fix_mojibake
+    return input_data.withColumn(text_column,
+                                 fix_mojibake(F.col(text_column)))
+
+
+@autocli
+def urlcanon(input_data: DataFrame, url_column: str = 'url',
+             output_column: str = 'canon_url') -> DataFrame:
+    """Append the canonical dedup-key form of a URL column (case,
+    default ports, tracking params, fragments, trailing slashes)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import canonicalize_url
+    return input_data.withColumn(output_column,
+                                 canonicalize_url(F.col(url_column)))
+
+
 COMMANDS = {
     'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
     'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
     # extensions: the curation pipeline from the shell
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
+    'fixenc': fixenc, 'urlcanon': urlcanon,
 }
 
 

@@ -215,3 +215,28 @@ def test_extract_select_tokenize_subcommands(spark, tmp_path):
     out4 = str(tmp_path / 'tokens.parquet')
     entrypoint(['tokenize', docs, out4, '--n-merges', '8', '--emit', 'tokens'])
     assert spark.read.parquet(out4).count() == 12
+
+
+def test_fixenc_urlcanon_subcommands(spark, tmp_path):
+    """Round-5 curation extensions: mojibake repair and URL
+    canonicalization from the entrypoint."""
+    from erde_spark.cli import entrypoint
+    good = 'café ok'
+    moji = good.encode('utf-8').decode('latin-1')
+    src = str(tmp_path / 'docs.parquet')
+    spark.createDataFrame(
+        [(1, moji, 'HTTP://A.Example.com/x/?utm_source=z&q=1'),
+         (2, 'plain', 'http://a.example.com/x?q=1')],
+        'doc_id long, text string, url string') \
+        .write.mode('overwrite').parquet(src)
+
+    out = str(tmp_path / 'fixed.parquet')
+    entrypoint(['fixenc', src, out])
+    got = {r['doc_id']: r['text'] for r in spark.read.parquet(out).collect()}
+    assert got[1] == good and got[2] == 'plain'
+
+    out2 = str(tmp_path / 'canon.parquet')
+    entrypoint(['urlcanon', src, out2])
+    canon = {r['doc_id']: r['canon_url']
+             for r in spark.read.parquet(out2).collect()}
+    assert canon[1] == canon[2] == 'http://a.example.com/x?q=1'
