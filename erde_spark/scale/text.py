@@ -745,7 +745,9 @@ def fix_mojibake(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # lead bytes C2-EF read as Latin-1 land in U+00C2-U+00EF;
     # continuation bytes 80-BF land in U+0080-U+00BF
-    signature = c.rlike('[\\u00C2-\\u00EF][\\u0080-\\u00BF]')
+    # UTF-8 lead bytes read as Latin-1: C2-DF (2-byte), E0-EF (3-byte),
+    # F0-F4 (4-byte, emoji) -> U+00C2-U+00F4
+    signature = c.rlike('[\\u00C2-\\u00F4][\\u0080-\\u00BF]')
     # true double-encoded text contains ONLY U+00FF-and-below (it
     # came through a Latin-1 read); any higher code point means the
     # text is already real Unicode and the Latin-1 encode would

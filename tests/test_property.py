@@ -660,3 +660,73 @@ def test_pulkovo_faja_false_easting_pattern():
     assert 7_000_000 < x < 8_000_000  # zone 7 band
     _, n = O.transform_geom(('Point', (-66.0, -90.0)), 4326, 5345)[1]
     assert abs(n) < 1.0  # the pole itself sits at northing ~0
+
+
+# -- round-5 text ops: pure-expression kernels checked via Spark ---------
+
+def _one_spark():
+    from erde_spark.session import get_spark
+    return get_spark()
+
+
+def test_canonicalize_url_idempotent_and_stable():
+    """canon(canon(u)) == canon(u) over a structured URL matrix —
+    canonical forms must be fixed points (otherwise dedup keys drift
+    between passes)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import canonicalize_url
+    spark = _one_spark()
+    urls = []
+    for scheme, host, port, path, q, frag in itertools.product(
+            ['http', 'HTTP', 'https'],
+            ['a.example.com', 'A.Example.COM'],
+            ['', ':80', ':443', ':8080'],
+            ['', '/', '/x', '/x/', '/x/y/'],
+            ['', '?b=2&a=1', '?utm_source=s', '?utm_source=s&k=v'],
+            ['', '#frag']):
+        urls.append(f'{scheme}://{host}{port}{path}{q}{frag}')
+    df = spark.createDataFrame([(u,) for u in urls], 'url string')
+    once = df.select(canonicalize_url('url').alias('u'))
+    twice = once.select(canonicalize_url('u').alias('u2'),
+                        F.col('u'))
+    for r in twice.collect():
+        assert r['u2'] == r['u'], r
+    # case/port/tracking/fragment/slash noise collapses: the 2 hosts x
+    # 3+1 scheme-equivalent classes never exceed scheme x path x kept-q
+    n_canon = once.distinct().count()
+    assert n_canon < len(urls) / 6
+
+
+def test_fix_mojibake_identity_on_clean_text():
+    """Any text with no double-encoding signature (ASCII, real Unicode,
+    genuine Latin-1 punctuation) must pass through byte-identical."""
+    from erde_spark.scale.text import fix_mojibake
+    spark = _one_spark()
+    rows = [('hello world 123',), ('tab\tand\nnewline',),
+            ('real unicode: 中文 ’ é',),
+            ('latin-1 punct: ¿qué? ¡sí!',),
+            ('',)]
+    df = spark.createDataFrame(rows, 'text string')
+    got = [r['t'] for r in
+           df.select(fix_mojibake('text').alias('t')).collect()]
+    assert got == [r[0] for r in rows]
+
+
+def test_fix_mojibake_inverts_double_encoding_roundtrip():
+    """fix(corrupt(x)) == x for a matrix of multibyte scripts, where
+    corrupt = the UTF-8-read-as-Latin-1 crawl corruption."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.text import fix_mojibake
+    spark = _one_spark()
+    texts = ['café crème', '中文文本',
+             'строка',
+             'emoji \U0001f600 end', 'mixed ascii + üß']
+    rows = [(t, t.encode('utf-8').decode('latin-1')) for t in texts]
+    df = spark.createDataFrame(rows, 'want string, corrupted string')
+    out = df.select('want', fix_mojibake('corrupted').alias('got'))
+    for r in out.collect():
+        assert r['got'] == r['want'], r
