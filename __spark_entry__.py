@@ -3582,6 +3582,52 @@ ORDER BY canon_url
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance gate, value-oracled by construction: ten
+    synthetic hosts, half serving a robots.txt with
+    ``Disallow: /d<k>/`` + the longer ``Allow: /d<k>/keep`` (RFC 9309
+    longest-match, allow-wins-ties), half serving none; each document's
+    URL lands on host ``doc_id % 10`` with a path class ``doc_id % 3``
+    (disallowed / allowed-by-longer-rule / unmatched). The pipeline
+    parses the raw robots bodies with the JVM line-fold, filters the
+    corpus through the per-host rule join, and the survivors must equal
+    DuckDB's arithmetic prediction: kept iff the host has no robots or
+    the path class is not the disallowed one."""
+    from erde_spark.scale.robots import parse_robots, robots_filter
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    hosts = spark.range(5).select(
+        F.concat(F.lit('h'), F.col('id'), F.lit('.example'))
+        .alias('domain'),
+        F.concat(F.lit('# synthetic\nUser-agent: *\nDisallow: /d'),
+                 F.col('id'), F.lit('/\nAllow: /d'), F.col('id'),
+                 F.lit('/keep\n')).alias('robots_txt'))
+    m = F.col('doc_id') % 10
+    path = (F.when(F.col('doc_id') % 3 == 0,
+                   F.concat(F.lit('/d'), m, F.lit('/secret')))
+            .when(F.col('doc_id') % 3 == 1,
+                  F.concat(F.lit('/d'), m, F.lit('/keep/page')))
+            .otherwise(F.lit('/open')))
+    docs = d.select('doc_id',
+                    F.concat(F.lit('http://h'), m, F.lit('.example'),
+                             path).alias('url'))
+    rules = parse_robots(hosts)
+    return (robots_filter(docs, rules)
+            .select('doc_id', 'url').orderBy('doc_id'))
+
+
+_ROBOTS_SQL = """
+SELECT doc_id,
+       'http://h' || (doc_id % 10) || '.example' ||
+       CASE doc_id % 3
+         WHEN 0 THEN '/d' || (doc_id % 10) || '/secret'
+         WHEN 1 THEN '/d' || (doc_id % 10) || '/keep/page'
+         ELSE '/open' END AS url
+FROM documents
+WHERE (doc_id % 10) >= 5 OR (doc_id % 3) <> 0
+ORDER BY doc_id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier end-to-end (rows-only: the L-BFGS
     optimizer is iterative, not SQL-expressible; separation/AUC/
@@ -3658,9 +3704,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, as do mojibake_fix (construction-oracled UTF-8-as-Latin-1
     corruption repair, byte-exact md5 vs the uncorrupted text) and
     url_canonical_dedup (URL-spelling collapse vs arithmetic oracle);
-    displaced to the tail: tpch_q12_late_lines (driver-green r01-r04),
-    set_ops, sample_hash and bm25_search (all driver-green r02-r04).
-    The new rows-only quality_classifier also sits at the tail.
+    robots_filter (RFC 9309 parse + longest-match filter vs the
+    arithmetic oracle) also enters; displaced to the tail:
+    tpch_q12_late_lines (driver-green r01-r04), set_ops, sample_hash,
+    bm25_search (driver-green r02-r04) and profile_orders (driver-green
+    r03-r04). The new rows-only quality_classifier also sits at the
+    tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3690,7 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'video_frame_dedup': q_video_frame_dedup,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
-        'profile_orders': q_profile_orders,
+        'robots_filter': q_robots_filter,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
@@ -3716,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'profile_orders': q_profile_orders,
         'sample_hash': q_sample_hash,
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
@@ -3799,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,
         'mojibake_fix': _MOJIBAKE_SQL,
         'url_canonical_dedup': _URL_CANON_SQL,
+        'robots_filter': _ROBOTS_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

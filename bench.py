@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     'video_frame_dedup',
     'mojibake_fix',
     'url_canonical_dedup',
+    'robots_filter',
 ]
 
 
