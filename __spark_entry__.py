@@ -3582,6 +3582,55 @@ ORDER BY canon_url
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate-line removal, value-oracled: every
+    document is wrapped in a rotating cookie-banner header (one of 4
+    variants, each repeated across ~125 docs at sf0.01 — far over the
+    min_count) and a common footer, then
+    ``remove_boilerplate_lines`` must strip exactly the corpus-frequent
+    lines while keeping each document's own content lines in order —
+    DuckDB replays the same count/filter/rebuild logic over the same
+    constructed corpus and the md5s must agree byte-for-byte."""
+    from erde_spark.scale.text import remove_boilerplate_lines
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    banner = F.concat(F.lit('Accept cookies variant '),
+                      (F.col('doc_id') % 4).cast('string'))
+    wrapped = d.select(
+        'doc_id',
+        F.concat_ws('\n', banner, F.col('text'),
+                    F.lit('Common footer / all rights reserved'))
+        .alias('text'))
+    out = remove_boilerplate_lines(wrapped, min_count=20)
+    return (out.select('doc_id', F.md5('text').alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_BOILERPLATE_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         'Accept cookies variant ' || (doc_id % 4) || chr(10) || text ||
+         chr(10) || 'Common footer / all rights reserved' AS text
+  FROM documents WHERE text IS NOT NULL
+),
+exploded AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM wrapped
+),
+freq AS (
+  SELECT t FROM (SELECT DISTINCT doc_id, trim(ln) AS t FROM exploded
+                 WHERE length(trim(ln)) >= 5)
+  GROUP BY t HAVING COUNT(*) >= 20
+),
+fl AS (SELECT coalesce(list(t), []) AS l FROM freq)
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split(text, chr(10)),
+           x -> length(trim(x)) < 5 OR NOT list_contains(fl.l, trim(x))),
+           chr(10))) AS text_md5
+FROM wrapped, fl
+ORDER BY doc_id
+"""
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance gate, value-oracled by construction: ten
     synthetic hosts, half serving a robots.txt with
@@ -3705,10 +3754,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corruption repair, byte-exact md5 vs the uncorrupted text) and
     url_canonical_dedup (URL-spelling collapse vs arithmetic oracle);
     robots_filter (RFC 9309 parse + longest-match filter vs the
-    arithmetic oracle) also enters; displaced to the tail:
-    tpch_q12_late_lines (driver-green r01-r04), set_ops, sample_hash,
-    bm25_search (driver-green r02-r04) and profile_orders (driver-green
-    r03-r04). The new rows-only quality_classifier also sits at the
+    arithmetic oracle) and boilerplate_lines (CCNet corpus-frequent
+    line removal, md5-exact vs DuckDB replaying the same
+    count/filter/rebuild) also enter; displaced to the tail:
+    tpch_q12_late_lines and geo_rect_area (driver-green r01-r04),
+    set_ops, sample_hash, bm25_search (driver-green r02-r04) and
+    profile_orders (driver-green r03-r04). The new rows-only quality_classifier also sits at the
     tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
@@ -3740,7 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
         'robots_filter': q_robots_filter,
-        'geo_rect_area': q_geo_rect_area,
+        'boilerplate_lines': q_boilerplate_lines,
         'geo_line_length': q_geo_line_length,
         'geo_buffer_area': q_geo_buffer_area,
         'geo_transform': q_geo_transform,
@@ -3766,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'profile_orders': q_profile_orders,
+        'geo_rect_area': q_geo_rect_area,
         'sample_hash': q_sample_hash,
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
@@ -3850,6 +3902,7 @@ def oracle_sql() -> dict[str, str]:
         'mojibake_fix': _MOJIBAKE_SQL,
         'url_canonical_dedup': _URL_CANON_SQL,
         'robots_filter': _ROBOTS_SQL,
+        'boilerplate_lines': _BOILERPLATE_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

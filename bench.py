@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     'mojibake_fix',
     'url_canonical_dedup',
     'robots_filter',
+    'boilerplate_lines',
 ]
 
 

@@ -727,6 +727,49 @@ def filter_by_domain(df: DataFrame, url_col: str = 'url',
     return out.drop('_rid') if needs_rid else out
 
 
+def remove_boilerplate_lines(df: DataFrame, min_count: int = 3,
+                             min_line_chars: int = 5,
+                             id_col: str = 'doc_id',
+                             text_col: str = 'text') -> DataFrame:
+    """CCNet-style boilerplate removal: drop every line that repeats in
+    at least ``min_count`` documents corpus-wide (nav bars, cookie
+    banners, footers — the lines that dominate raw crawl text), keeping
+    each document's remaining lines in order. Lines shorter than
+    ``min_line_chars`` after trimming (blank separators, lone
+    punctuation) are never counted as boilerplate — removing them by
+    frequency would destroy paragraph structure.
+
+    Scale shape: one map-side-combined count over (trimmed-line hash,
+    distinct doc) pairs, then the FREQUENT set — small by definition:
+    boilerplate is the few lines repeated everywhere — broadcasts into
+    an anti-join against the exploded lines, so the corpus's line
+    stream crosses exactly one shuffle (the count) and the rebuild
+    groupBy. Returns (id, text) with ``text`` rebuilt via an in-order
+    array join."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), '\n'))
+        .alias('_pos', '_line'))
+    key = F.xxhash64(F.trim(F.col('_line')))
+    countable = (F.length(F.trim(F.col('_line'))) >= min_line_chars)
+    frequent = (lines.where(countable)
+                .select(key.alias('_k'), id_col)
+                .distinct()                      # count DOCUMENTS, not
+                .groupBy('_k')                   # repeats within one doc
+                .agg(F.count(F.lit(1)).alias('_n'))
+                .where(F.col('_n') >= min_count)
+                .select('_k'))
+    kept = lines.withColumn('_k', F.when(countable, key)) \
+        .join(F.broadcast(frequent), '_k', 'left_anti')
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct('_pos', '_line'))),
+                    lambda s: s['_line']),
+                '\n').alias(text_col)))
+
+
 def fix_mojibake(col: Column | str) -> Column:
     """Repair the most common crawl encoding corruption — UTF-8 bytes
     that were mis-read as Latin-1 ('â€™' for a right

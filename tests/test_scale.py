@@ -1546,3 +1546,22 @@ def test_fix_mojibake_and_canonicalize_url(spark):
     assert got[2] == 'http://site.org/'
     assert got[3] == 'http://site.org:8080/x'
     assert got[4] == 'http://site.org/path'
+
+
+def test_remove_boilerplate_lines(spark):
+    from erde_spark.scale.text import remove_boilerplate_lines
+    docs = [(i, 'Cookie banner text here\ncontent %d one\n\ntail %d'
+             % (i, i * 7)) for i in range(5)]
+    docs.append((9, 'unique doc\nno repeats'))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    out = {r['doc_id']: r['text'] for r in
+           remove_boilerplate_lines(df, min_count=3).collect()}
+    # frequent banner removed; order + blank separator preserved
+    assert out[0] == 'content 0 one\n\ntail 0'
+    assert out[9] == 'unique doc\nno repeats'
+    # within-one-doc repetition does NOT count toward the threshold
+    solo = spark.createDataFrame(
+        [(1, 'same line repeated\nsame line repeated\nsame line repeated')],
+        'doc_id long, text string')
+    got = remove_boilerplate_lines(solo, min_count=3).first()['text']
+    assert got == 'same line repeated\nsame line repeated\nsame line repeated'
