@@ -283,9 +283,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scomps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                ci, comp = next((j, x) for j, x in enumerate(frame['comps'])
-                                if x['id'] == cid)
-                scomps.append((ci, comp, tabs >> 4, tabs & 15))
+                hit = next(((j, x) for j, x in enumerate(frame['comps'])
+                            if x['id'] == cid), None)
+                if hit is None:  # corrupt SOS: unknown component id
+                    raise ValueError(
+                        f'SOS references component id {cid} absent from '
+                        'the SOF (corrupt stream)')
+                scomps.append((hit[0], hit[1], tabs >> 4, tabs & 15))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahl = seg[3 + 2 * ns]
             ah, al = ahl >> 4, ahl & 15

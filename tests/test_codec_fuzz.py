@@ -1,0 +1,94 @@
+"""Corrupt-blob robustness: every decoder must either decode or raise
+a clean error on TRUNCATED valid files and on bit-flipped bytes —
+never hang, loop, or escape with an unexpected exception type. This is
+the decode-tier contract a 100 TB crawl column depends on
+(decode_media maps these raises through on_error='skip'/'null')."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+OK_ERRORS = (ValueError, NotImplementedError, KeyError, IndexError,
+             struct_error := __import__('struct').error, EOFError,
+             zlib.error, OverflowError)
+
+
+def _smooth(h, w, seed=1):
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = [128 + 90 * np.sin(2 * np.pi * (fx * x / w + fy * y / h))
+             for fx, fy in rng.uniform(0.5, 2.5, (3, 2))]
+    return np.clip(np.dstack(chans), 0, 255).astype(np.uint8)
+
+
+def _codecs():
+    from erde_spark.scale.gif import decode_gif, encode_gif
+    from erde_spark.scale.jpeg import decode_jpeg, encode_jpeg
+    from erde_spark.scale.png import (decode_bmp, decode_png, encode_bmp,
+                                      encode_png)
+    from erde_spark.scale.tiff import decode_tiff, encode_tiff
+    from erde_spark.scale.webp import decode_webp, encode_webp
+    arr = _smooth(16, 20)
+    return [
+        ('png', encode_png(arr), decode_png),
+        ('jpeg', encode_jpeg(arr, quality=85), decode_jpeg),
+        ('gif', encode_gif(arr[:, :, 0]), decode_gif),
+        ('tiff', encode_tiff(arr, compression=5), decode_tiff),
+        ('bmp', encode_bmp(arr), decode_bmp),
+        ('webp', encode_webp(arr), decode_webp),
+    ]
+
+
+@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff', 'bmp',
+                                  'webp'])
+def test_truncation_decodes_or_raises_cleanly(name):
+    codecs = {n: (b, d) for n, b, d in _codecs()}
+    blob, dec = codecs[name]
+    # every ~17th prefix length + the near-full tail region
+    cuts = list(range(0, len(blob), max(1, len(blob) // 60)))
+    cuts += list(range(max(0, len(blob) - 8), len(blob)))
+    for cut in cuts:
+        try:
+            out = dec(blob[:cut])
+            assert out is not None
+        except OK_ERRORS:
+            pass  # clean rejection is the contract
+
+
+@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff', 'bmp',
+                                  'webp'])
+def test_bitflips_decode_or_raise_cleanly(name):
+    codecs = {n: (b, d) for n, b, d in _codecs()}
+    blob, dec = codecs[name]
+    rng = np.random.RandomState(hash(name) % (2 ** 31))
+    for _ in range(40):
+        pos = int(rng.randint(0, len(blob)))
+        bit = 1 << int(rng.randint(0, 8))
+        bad = bytearray(blob)
+        bad[pos] ^= bit
+        try:
+            dec(bytes(bad))
+        except OK_ERRORS:
+            pass
+
+
+def test_mp4_truncation_clean():
+    from erde_spark.scale.mp4 import encode_mp4_mjpeg, parse_mp4
+    blob = encode_mp4_mjpeg([_smooth(16, 16)[:, :, 0]] * 2, fps=4)
+    for cut in range(0, len(blob), max(1, len(blob) // 50)):
+        try:
+            parse_mp4(blob[:cut])
+        except OK_ERRORS:
+            pass
+
+
+def test_warc_truncation_clean():
+    from io import BytesIO
+
+    from erde_spark.io.warc import encode_warc, parse_warc_records
+    blob = encode_warc(
+        [{'type': 'conversion', 'payload': b'x' * 50}] * 3,
+        compress=False)
+    for cut in range(0, len(blob), 7):
+        list(parse_warc_records(BytesIO(blob[:cut])))  # never raises
