@@ -3677,6 +3677,82 @@ ORDER BY doc_id
 """
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Trainable classifier with a FULL value oracle: multinomial
+    Naive Bayes is closed-form (count -> smooth -> log-ratio), so
+    DuckDB replays the exact training computation — same labeled set
+    (real docs positive, deterministic md5-hex-salad negatives), same
+    tokenizer, same Laplace smoothing — and the per-document summed
+    log-likelihood ratios must agree to 3 decimals, the labels exactly.
+    Complements the rows-only L-BFGS ``quality_classifier`` entry: the
+    classifier family now has a driver-value-checked member."""
+    from erde_spark.scale.classifier import nb_score, nb_token_logratios
+    docs = (_t(spark, sf_dir, 'documents')['documents']
+            .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    gibberish = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('-', F.col('doc_id').cast('string'),
+                              i.cast('string'))), 1, 8)))
+    labeled = (docs.withColumn('label', F.lit(1))
+               .unionByName(docs.select(
+                   (F.col('doc_id') + 1000000).alias('doc_id'),
+                   gibberish.alias('text'), F.lit(0).alias('label'))))
+    model = nb_token_logratios(labeled)
+    scored = nb_score(docs, model)
+    return (scored.select('id',
+                          F.round('nb_score', 3).alias('nb_score_r'),
+                          'nb_label')
+            .orderBy('id'))
+
+
+_NB_SQL = """
+WITH labeled AS (
+  SELECT doc_id, text, 1 AS y FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string([substr(md5(doc_id || '-' || i), 1, 8)
+                          FOR i IN generate_series(1, 40)], ' '),
+         0
+  FROM documents WHERE text IS NOT NULL
+),
+toksf AS (
+  SELECT y, token
+  FROM (SELECT y, unnest(string_split_regex(lower(text),
+                                            '[^a-z0-9]+')) AS token
+        FROM labeled)
+  WHERE token <> ''
+),
+counts AS (
+  SELECT token,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+  FROM toksf GROUP BY token
+),
+tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts),
+model AS (
+  SELECT token,
+         ln((cp + 1.0) / (np + 1.0 * v))
+         - ln((cn + 1.0) / (nn + 1.0 * v)) AS llr
+  FROM counts, tot
+),
+doctoks AS (
+  SELECT doc_id AS id, token
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS token
+        FROM documents WHERE text IS NOT NULL)
+  WHERE token <> ''
+),
+scores AS (
+  SELECT id, COALESCE(SUM(m.llr), 0.0) AS s
+  FROM doctoks d LEFT JOIN model m USING (token)
+  GROUP BY id
+)
+SELECT id, round(s, 3) AS nb_score_r, CAST(s > 0 AS INT) AS nb_label
+FROM scores ORDER BY id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier end-to-end (rows-only: the L-BFGS
     optimizer is iterative, not SQL-expressible; separation/AUC/
@@ -3756,8 +3832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     robots_filter (RFC 9309 parse + longest-match filter vs the
     arithmetic oracle) and boilerplate_lines (CCNet corpus-frequent
     line removal, md5-exact vs DuckDB replaying the same
-    count/filter/rebuild) also enter; displaced to the tail:
-    tpch_q12_late_lines and geo_rect_area (driver-green r01-r04),
+    count/filter/rebuild) and nb_classifier (closed-form Naive Bayes
+    training replayed exactly by DuckDB — the classifier family's
+    value-checked member) also enter; displaced to the tail:
+    tpch_q12_late_lines, geo_rect_area and geo_line_length
+    (driver-green r01/02-r04),
     set_ops, sample_hash, bm25_search (driver-green r02-r04) and
     profile_orders (driver-green r03-r04). The new rows-only quality_classifier also sits at the
     tail.
@@ -3792,7 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_canonical_dedup': q_url_canonical_dedup,
         'robots_filter': q_robots_filter,
         'boilerplate_lines': q_boilerplate_lines,
-        'geo_line_length': q_geo_line_length,
+        'nb_classifier': q_nb_classifier,
         'geo_buffer_area': q_geo_buffer_area,
         'geo_transform': q_geo_transform,
         'geo_transform_families': q_geo_transform_families,
@@ -3818,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
+        'geo_line_length': q_geo_line_length,
         'sample_hash': q_sample_hash,
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
@@ -3903,6 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         'url_canonical_dedup': _URL_CANON_SQL,
         'robots_filter': _ROBOTS_SQL,
         'boilerplate_lines': _BOILERPLATE_SQL,
+        'nb_classifier': _NB_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

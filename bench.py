@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     'url_canonical_dedup',
     'robots_filter',
     'boilerplate_lines',
+    'nb_classifier',
 ]
 
 

@@ -129,3 +129,53 @@ def classifier_auc(clf: QualityClassifier, labeled: DataFrame,
     ev = BinaryClassificationEvaluator(rawPredictionCol='probability',
                                        metricName='areaUnderROC')
     return float(ev.evaluate(pred))
+
+
+# ------------------------------------------------- Naive Bayes variant
+
+
+def nb_token_logratios(labeled: DataFrame, text_col: str = 'text',
+                       label_col: str = 'label',
+                       alpha: float = 1.0) -> DataFrame:
+    """Multinomial Naive Bayes training as ONE aggregation: per token,
+    ``llr = ln((c_pos + alpha)/(N_pos + alpha*V)) - ln((c_neg + alpha)/
+    (N_neg + alpha*V))`` with Laplace smoothing over the joint
+    vocabulary V. Returns (token, llr).
+
+    Unlike the L-BFGS classifier this is CLOSED-FORM — count, divide,
+    log — so training is exactly reproducible by any SQL engine (the
+    gate oracle replays it in DuckDB) and costs one shuffle of the
+    token stream with map-side combine. The standard fastText-era
+    baseline for quality/langid-style filters."""
+    toks = labeled.select(F.col(label_col).cast('int').alias('_y'),
+                          F.explode(tokens(text_col)).alias('token'))
+    counts = (toks.groupBy('token')
+              .agg(F.sum(F.when(F.col('_y') == 1, 1).otherwise(0))
+                   .alias('_cp'),
+                   F.sum(F.when(F.col('_y') == 0, 1).otherwise(0))
+                   .alias('_cn')))
+    tot = counts.agg(F.sum('_cp').alias('np'), F.sum('_cn').alias('nn'),
+                     F.count(F.lit(1)).alias('v')).first()
+    np_, nn, v = float(tot['np']), float(tot['nn']), float(tot['v'])
+    lp = F.log((F.col('_cp') + alpha) / (np_ + alpha * v))
+    ln = F.log((F.col('_cn') + alpha) / (nn + alpha * v))
+    return counts.select('token', (lp - ln).alias('llr'))
+
+
+def nb_score(docs: DataFrame, logratios: DataFrame,
+             id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(id, nb_score, nb_label) per document: the summed log-likelihood
+    ratio of its tokens (out-of-vocabulary tokens contribute 0 — they
+    carry no class evidence under shared smoothing) and the sign
+    verdict. The model is a (token, llr) table that BROADCASTS (real
+    vocabularies are millions of rows at most), so scoring a 100 TB
+    corpus is one map-side join + map-side-combined sum — no corpus
+    shuffle by token."""
+    toks = docs.select(F.col(id_col).alias('id'),
+                       F.explode(tokens(text_col)).alias('token'))
+    joined = toks.join(F.broadcast(logratios), 'token', 'left')
+    return (joined.groupBy('id')
+            .agg(F.sum(F.coalesce(F.col('llr'), F.lit(0.0)))
+                 .alias('nb_score'))
+            .select('id', 'nb_score',
+                    (F.col('nb_score') > 0).cast('int').alias('nb_label')))

@@ -73,3 +73,27 @@ def test_filter_keeps_good(spark, clf):
 def test_scoring_plan_is_map_only(clf, labeled):
     from erde_spark.plans.inspect import count_shuffles
     assert count_shuffles(clf.score(labeled)) == 0
+
+
+def test_nb_classifier_separates_and_is_deterministic(spark):
+    from erde_spark.scale.classifier import nb_score, nb_token_logratios
+    pos = [(i, 'the quick brown fox jumps over the lazy dog %d' % i, 1)
+           for i in range(15)]
+    neg = [(100 + i, 'qz%d xv%d jk%d ww%d' % (i, i * 3, i * 7, i * 11), 0)
+           for i in range(15)]
+    df = spark.createDataFrame(pos + neg, 'doc_id long, text string, label int')
+    model = nb_token_logratios(df)
+    scored = {r['id']: r for r in
+              nb_score(df.select('doc_id', 'text'), model).collect()}
+    assert all(scored[i]['nb_label'] == 1 for i, _, _ in pos)
+    assert all(scored[i]['nb_label'] == 0 for i, _, _ in neg)
+    # closed-form: a second training run is bit-identical
+    again = {r['id']: r['nb_score'] for r in
+             nb_score(df.select('doc_id', 'text'),
+                      nb_token_logratios(df)).collect()}
+    assert all(again[i] == scored[i]['nb_score'] for i in again)
+    # OOV-only documents score exactly 0 (no class evidence)
+    oov = spark.createDataFrame([(999, 'unseen tokens entirely')],
+                                'doc_id long, text string')
+    r = nb_score(oov, model).first()
+    assert r['nb_score'] == 0.0 and r['nb_label'] == 0
