@@ -307,8 +307,10 @@ class JsonDriver(_Driver):
 class WarcDriver(_Driver):
     """WARC/WET crawl segments (see io/warc.py): one task per segment,
     streaming record parse, response+conversion records by default.
-    Read-only — curation pipelines consume crawls, they don't write
-    them; write via parquet after extraction."""
+    The sink exports a documents-shaped frame back to interchange
+    format (one conversion-record segment per partition, executor-side
+    streaming writes) — the round trip a curated-corpus handoff
+    needs."""
     name = 'warc'
     path_re = re.compile(r'^.*\.(warc|wet)(\.gz)?$')
 
@@ -317,9 +319,8 @@ class WarcDriver(_Driver):
         return read_warc(path, spark, **kw)
 
     def write(self, df, path, mode='overwrite', **kw):
-        raise NotImplementedError(
-            'WARC is a crawl interchange format; write curated output '
-            'to parquet/csv instead')
+        from erde_spark.io.warc import write_warc
+        write_warc(df, path, mode=mode, **kw)
 
 
 class GpkgDriver(_Driver):

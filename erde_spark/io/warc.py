@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -219,6 +221,73 @@ def encode_warc(records: list[dict], compress: bool = True,
         body = b'\r\n'.join(head) + b'\r\n\r\n' + payload + b'\r\n\r\n'
         out += gzip.compress(body) if compress else body
     return bytes(out)
+
+
+def write_warc(df: DataFrame, path: str, mode: str = 'overwrite',
+               text_col: str = 'text', uri_col: str = 'source',
+               compress: bool = True) -> None:
+    """Distributed WARC sink: export a documents-shaped frame back to
+    crawl interchange format — one ``conversion``-record segment file
+    per partition under ``path`` (the directory layout ``read_warc``
+    consumes), written executor-side with one gzip member per record
+    and single-record peak memory. Record IDs are globally unique
+    (sha1 over a per-segment uuid salt + index + payload). Local paths
+    and any ``pyarrow.fs`` scheme (s3://, hdfs://) are supported; like
+    Spark's own file sinks, a plain local path on a multi-host cluster
+    must be a shared filesystem."""
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    if p.scheme in ('', 'file'):
+        local = p.path if p.scheme else path
+        if mode == 'error' and os.path.exists(local):
+            raise FileExistsError(path)
+        if mode == 'overwrite':
+            shutil.rmtree(local, ignore_errors=True)
+        os.makedirs(local, exist_ok=True)
+    rows = df.select(F.coalesce(F.col(uri_col).cast('string'), F.lit(''))
+                     .alias('_uri'),
+                     F.coalesce(F.col(text_col).cast('string'), F.lit(''))
+                     .alias('_text'))
+
+    def _write_partition(it):
+        import hashlib
+        seg = uuid.uuid4().hex
+        name = f'segment-{seg}.warc' + ('.gz' if compress else '')
+        if p.scheme in ('', 'file'):
+            local = p.path if p.scheme else path
+            out = open(os.path.join(local, name), 'wb')
+        else:
+            from pyarrow import fs as pafs
+            filesystem, rel = pafs.FileSystem.from_uri(path)
+            out = filesystem.open_output_stream(f'{rel}/{name}')
+        n = 0
+        try:
+            for row in it:
+                payload = row['_text'].encode('utf-8')
+                rid = hashlib.sha1(
+                    seg.encode() + b'|%d|' % n + payload).hexdigest()
+                head = [b'WARC/1.0',
+                        b'WARC-Type: conversion',
+                        b'WARC-Record-ID: <urn:sha1:' + rid.encode() + b'>',
+                        b'WARC-Date: 2024-01-01T00:00:00Z']
+                if row['_uri']:
+                    head.append(b'WARC-Target-URI: '
+                                + row['_uri'].encode('utf-8'))
+                head.append(b'Content-Type: text/plain')
+                head.append(b'Content-Length: %d' % len(payload))
+                body = (b'\r\n'.join(head) + b'\r\n\r\n' + payload
+                        + b'\r\n\r\n')
+                out.write(gzip.compress(body) if compress else body)
+                n += 1
+        finally:
+            out.close()
+        if n == 0 and p.scheme in ('', 'file'):
+            os.unlink(os.path.join(p.path if p.scheme else path, name))
+
+    rows.rdd.foreachPartition(_write_partition)
 
 
 def warc_to_documents(records: DataFrame) -> DataFrame:

@@ -136,9 +136,34 @@ def test_read_df_dispatch_and_documents_bridge(spark, tmp_path):
     assert rows['https://a.example/1']['lang'] == 'en'
     assert rows['https://a.example/2']['lang'] == 'de'
     assert all(r['doc_id'] is not None for r in rows.values())
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Documents -> WARC sink -> read_warc -> documents: text and URIs
+    survive byte-exact; record IDs unique; empty partitions leave no
+    zero-record segments."""
+    import erde_spark as es
+    from erde_spark.io.warc import warc_to_documents
+    docs = spark.createDataFrame(
+        [(i, f'document body number {i} with ünïcode',
+          f'https://ex.example/{i}') for i in range(25)],
+        'doc_id long, text string, source string').repartition(6)
+    out = str(tmp_path / 'corpus.warc')
+    es.write_df(docs, out)
+    import os
+    segs = os.listdir(out)
+    assert segs and all(s.endswith('.warc.gz') for s in segs)
+    back = warc_to_documents(es.read_df(out, spark))
+    got = {r['source']: r['text'] for r in back.collect()}
+    want = {f'https://ex.example/{i}': f'document body number {i} '
+            'with ünïcode' for i in range(25)}
+    assert got == want
+    ids = [r['record_id'] for r in es.read_df(out, spark).collect()]
+    assert len(set(ids)) == len(ids) == 25
+    # mode='error' refuses to clobber
     import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        es.write_df(docs, str(tmp_path / 'out.warc'))
+    with _pt.raises(FileExistsError):
+        es.write_df(docs, out, mode='error')
 
 
 def test_streaming_warc_ingest(spark, tmp_path):
