@@ -3357,49 +3357,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_warc_ingest(spark, sf_dir):
-    """WARC crawl ingest, value-oracled by construction: every document
-    is wrapped in a spec-shaped WARC ``conversion`` record
-    (``target-uri = https://fixture.example/<doc_id>``), records are
-    packed into 8 gzip segment files by ``doc_id % 8`` (distributed —
-    each group's encoder runs in its own task; single-host fixture
-    construction, the READ path is the operator under test), and
-    ``read_warc`` streams them back through the path-only binaryFile
-    listing + in-task gzip record parser, bridged to the documents
-    contract by ``warc_to_documents``. The check aggregates per
-    segment: record count, total chars, and an md5 over the
-    source-ordered concatenated texts — byte-exact round-trip of every
-    payload and URI, computable by DuckDB straight from ``documents``.
-    Covers reference crawl-ingest parity (ISO 28500); see
-    erde_spark/io/warc.py."""
+    """WARC crawl round trip through the REAL product source AND sink,
+    value-oracled by construction: every document becomes a
+    ``conversion`` record (``target-uri = https://fixture.example/
+    <doc_id>``), ``write_warc`` exports the corpus as per-partition
+    gzip segments, and ``read_warc`` streams them back through the
+    path-only binaryFile listing + in-task record parser, bridged by
+    ``warc_to_documents``. The check aggregates by a URI-derived
+    partition key (so it is independent of physical segment layout):
+    record count, total chars, and an md5 over the source-ordered
+    concatenated texts — byte-exact payload+URI round trip, computable
+    by DuckDB straight from ``documents``. Covers reference
+    crawl-ingest parity (ISO 28500); see erde_spark/io/warc.py."""
     import os
-    import shutil
     import tempfile
 
-    from erde_spark.io.warc import encode_warc, read_warc, warc_to_documents
+    from erde_spark.io.warc import read_warc, warc_to_documents, write_warc
     d = (_t(spark, sf_dir, 'documents')['documents']
          .select('doc_id', 'text').where(F.col('text').isNotNull()))
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        'erde_warc_gate_' + os.path.basename(sf_dir.rstrip('/')))
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-
-    def _write_segment(key, pdf):
-        import pandas as pd
-        g = int(key[0])
-        pdf = pdf.sort_values('doc_id')
-        recs = [{'type': 'conversion',
-                 'target-uri': f'https://fixture.example/{int(did)}',
-                 'content-type': 'text/plain',
-                 'payload': str(txt).encode('utf-8')}
-                for did, txt in zip(pdf['doc_id'], pdf['text'])]
-        path = os.path.join(out_dir, f'seg-{g:05d}.warc.gz')
-        with open(path, 'wb') as f:
-            f.write(encode_warc(recs, segment=f'seg-{g:05d}'))
-        return pd.DataFrame({'path': [path]})
-
-    (d.groupBy(F.pmod('doc_id', F.lit(8)).alias('g'))
-     .applyInPandas(_write_segment, 'path string')).collect()
+        'erde_warc_gate_' + os.path.basename(sf_dir.rstrip('/')) + '.warc')
+    export = d.select(
+        'text',
+        F.concat(F.lit('https://fixture.example/'),
+                 F.col('doc_id').cast('string')).alias('source'))
+    write_warc(export.repartition(8), out_dir, mode='overwrite')
 
     docs = warc_to_documents(read_warc(out_dir, spark))
     seg_no = F.pmod(F.regexp_extract('source', r'/(\d+)$', 1).cast('long'),
