@@ -661,9 +661,13 @@ def normalize_text(col: Column | str, collapse_spaces: bool = True) -> Column:
 
 
 def url_domain(col: Column | str) -> Column:
-    """Lower-cased host part of a URL column ('' when not a URL)."""
+    """Lower-cased host part of a URL column ('' when not a URL).
+    Case-insensitive scheme; userinfo ('user:pass@host') and port are
+    skipped — both occur in real crawl URLs and would otherwise leak
+    into blocklist/stats keys."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_extract(c, r'^https?://([A-Za-z0-9.-]+)', 1))
+    return F.lower(F.regexp_extract(
+        c, r'(?i)^https?://(?:[^/?#@]*@)?([A-Za-z0-9.-]+)', 1))
 
 
 def _domain_suffixes(dom: Column) -> Column:
