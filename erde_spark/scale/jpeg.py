@@ -252,7 +252,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 15, 'tq': tq})
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2
+                    raise ValueError(
+                        f'corrupt SOF: sampling factors {hs}x{vs} for '
+                        f'component {cid} outside [1, 4]')
+                comps.append({'id': cid, 'h': hs, 'v': vs, 'tq': tq})
             frame = {'h': h, 'w': w, 'comps': comps,
                      'progressive': marker == 0xC2}
         elif marker in (0xC9, 0xCA):

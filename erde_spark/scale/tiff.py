@@ -130,6 +130,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not (w and h and strip_offs and strip_counts):
         raise ValueError('TIFF missing required tags (truncated?)')
     rows_per_strip = t.get(278, (h,))[0]
+    # a corrupt tag TYPE makes _read_ifd return raw bytes for a tag
+    # that must be numeric — reject instead of propagating junk
+    numeric = ([w, h, spp, comp, rows_per_strip]
+               + list(strip_offs) + list(strip_counts) + list(bps))
+    if not all(isinstance(v, int) and v >= 0 for v in numeric):
+        raise ValueError('corrupt TIFF: non-integer required tag value')
     row_bytes = w * spp
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(strip_offs, strip_counts)):
