@@ -260,6 +260,28 @@ def op_image_dedup_planted(spark, sf):
     return image_dedup_clusters(pl.unionByName(sg), max_hamming=4, n_docs=n)
 
 
+def op_warc_roundtrip(spark, sf):
+    """The crawl ingest boundary at scale: export the documents table
+    to WARC segments (distributed sink, one gzip member per record) and
+    stream them back through the path-only source + documents bridge.
+    Both directions are embarrassingly parallel — the honest number to
+    watch is wall time staying ~flat at 10x on underfilled cores and
+    rows exactly 10x."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from erde_spark.io.warc import read_warc, warc_to_documents, write_warc
+    d = spark.read.parquet(f'{sf}/documents.parquet').select(
+        'text', F.concat(F.lit('https://x.example/'),
+                         F.col('doc_id').cast('string')).alias('source'))
+    out = os.path.join(tempfile.gettempdir(),
+                       'warc_scale_' + os.path.basename(sf.rstrip('/')))
+    write_warc(d.repartition(32), out, mode='overwrite')
+    return warc_to_documents(read_warc(out, spark))
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -274,6 +296,7 @@ OPS = {
     'html_extract': op_html_extract,
     'phash_hamming_join': op_phash_hamming_join,
     'image_dedup_planted': op_image_dedup_planted,
+    'warc_roundtrip': op_warc_roundtrip,
 }
 
 
