@@ -240,3 +240,15 @@ def test_fixenc_urlcanon_subcommands(spark, tmp_path):
     canon = {r['doc_id']: r['canon_url']
              for r in spark.read.parquet(out2).collect()}
     assert canon[1] == canon[2] == 'http://a.example.com/x?q=1'
+
+
+def test_rotation_invariant_tool():
+    """tools/check_rotation.py enforces the gate-rotation ledger
+    mechanically: every oracled query is either driver-green in some
+    recorded round or inside the current first-50 window."""
+    import subprocess
+    import sys
+    r = subprocess.run([sys.executable, 'tools/check_rotation.py'],
+                       capture_output=True, text=True, cwd='.')
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert 'rotation invariant holds' in r.stdout
