@@ -837,7 +837,10 @@ def canonicalize_url(col: Column | str,
         F.split(query, '&'),
         lambda p: (p != '') & ~F.split(p, '=')[0].isin(*drop_params))
     qcanon = F.array_join(F.array_sort(kept), '&')
-    return F.concat(
+    canon = F.concat(
         scheme, F.lit('://'), host, path,
         F.when(qcanon == '', F.lit('')).otherwise(
             F.concat(F.lit('?'), qcanon)))
+    # non-URL input passes through unchanged — fabricating '://' keys
+    # for plain labels would collapse unrelated rows in dedup use
+    return F.when(scheme == '', c).otherwise(canon)

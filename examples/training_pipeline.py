@@ -1,6 +1,9 @@
 """End-to-end training-data curation pipeline over the documents table —
 the scale-extension operators composed the way a 100 TB corpus run would:
 
+0. crawl hygiene    — mojibake repair (conditional JVM round trip),
+                      boilerplate-line removal (corpus-frequent lines),
+                      robots.txt compliance + canonical-URL exact dedup
 1. quality gate     — JVM-side heuristics (length / punctuation /
                       stopword ratios), language-ID filter
 2. exact dedup      — one hash-groupBy, keep the smallest doc_id
@@ -38,6 +41,33 @@ def curate(spark, sf_dir: str):
     from erde_spark.scale.text import lang_id, quality_score
 
     docs = load_tables(spark, sf_dir, 'documents')['documents']
+
+    # 0. crawl hygiene: fix double-encoded text, strip corpus-frequent
+    #    boilerplate lines, honor robots.txt, and collapse URL-spelling
+    #    duplicates on the canonical form (all JVM-side)
+    from erde_spark.scale.robots import parse_robots, robots_filter
+    from erde_spark.scale.text import (canonicalize_url, fix_mojibake,
+                                       remove_boilerplate_lines)
+    docs = docs.withColumn('text', fix_mojibake(F.col('text')))
+    cleaned = remove_boilerplate_lines(docs, min_count=20)
+    docs = docs.drop('text').join(cleaned, 'doc_id')
+    if 'source' in docs.columns:
+        # hosts' robots.txt bodies would come from the crawl store;
+        # empty here, but this is the production call shape
+        robots = spark.createDataFrame(
+            [], 'domain string, robots_txt string')
+        docs = robots_filter(docs, parse_robots(robots),
+                             url_col='source')
+        # canonical-URL exact dedup: same page under many spellings.
+        # Non-URL sources (this demo corpus uses plain labels) fall
+        # back to a per-row key so they are never collapsed.
+        is_url = F.col('source').rlike('^[A-Za-z][A-Za-z0-9+.-]*://')
+        key = F.when(is_url, canonicalize_url(F.col('source'))).otherwise(
+            F.concat(F.lit('_row_'), F.col('doc_id').cast('string')))
+        docs = docs.withColumn('_curl', key)
+        first = docs.groupBy('_curl').agg(F.min('doc_id').alias('doc_id'))
+        docs = docs.join(first.select('doc_id'), 'doc_id', 'left_semi') \
+                   .drop('_curl')
 
     # 1. quality + language gate (all whole-stage-codegen expressions)
     docs = (docs.withColumn('quality', quality_score(F.col('text')))
