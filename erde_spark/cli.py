@@ -422,13 +422,37 @@ def urlcanon(input_data: DataFrame, url_column: str = 'url',
                                  canonicalize_url(F.col(url_column)))
 
 
+@autocli
+def boilerplate(input_data: DataFrame, min_count: int = 3,
+                id_column: str = 'doc_id',
+                text_column: str = 'text') -> DataFrame:
+    """Remove lines repeated in >= min-count documents corpus-wide
+    (CCNet-style nav/footer/banner stripping), order preserved."""
+    from erde_spark.scale.text import remove_boilerplate_lines
+    return remove_boilerplate_lines(input_data, min_count,
+                                    id_col=id_column,
+                                    text_col=text_column)
+
+
+@autocli
+def robots(input_data: DataFrame, robots_data: DataFrame,
+           url_column: str = 'url', agent: str = '*') -> DataFrame:
+    """Keep only documents whose URL the host's robots.txt allows
+    (RFC 9309 longest-match; robots-data needs domain + robots_txt
+    columns)."""
+    from erde_spark.scale.robots import parse_robots, robots_filter
+    rules = parse_robots(robots_data, agent=agent)
+    return robots_filter(input_data, rules, url_col=url_column)
+
+
 COMMANDS = {
     'area': area, 'buffer': buffer, 'convert': convert, 'isochrone': isochrone,
     'length': length, 'osm': osm, 'route': route, 'subset': subset, 'table': table,
     # extensions: the curation pipeline from the shell
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
-    'fixenc': fixenc, 'urlcanon': urlcanon,
+    'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
+    'robots': robots,
 }
 
 

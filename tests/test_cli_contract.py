@@ -252,3 +252,28 @@ def test_rotation_invariant_tool():
                        capture_output=True, text=True, cwd='.')
     assert r.returncode == 0, r.stdout + r.stderr
     assert 'rotation invariant holds' in r.stdout
+
+
+def test_boilerplate_robots_subcommands(spark, tmp_path):
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'Cookie banner line long\nunique body %d' % i,
+             'http://h.example/%s' % ('private/x' if i % 2 else 'open'))
+            for i in range(6)]
+    spark.createDataFrame(rows, 'doc_id long, text string, url string') \
+        .write.mode('overwrite').parquet(src)
+
+    out = str(tmp_path / 'clean.parquet')
+    entrypoint(['boilerplate', src, out, '--min-count', '3'])
+    got = {r['doc_id']: r['text'] for r in spark.read.parquet(out).collect()}
+    assert all(t.startswith('unique body') for t in got.values())
+
+    rob = str(tmp_path / 'robots.parquet')
+    spark.createDataFrame(
+        [('h.example', 'User-agent: *\nDisallow: /private/')],
+        'domain string, robots_txt string') \
+        .write.mode('overwrite').parquet(rob)
+    out2 = str(tmp_path / 'allowed.parquet')
+    entrypoint(['robots', src, rob, out2])
+    kept = sorted(r['doc_id'] for r in spark.read.parquet(out2).collect())
+    assert kept == [0, 2, 4]
