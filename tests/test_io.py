@@ -459,3 +459,39 @@ def test_postgres_srid_guess(spark):
     big = bare.withColumn('geometry',
                           st_point(F.col('id') * 100000.0, F.lit(0.0)))
     assert PostgresDriver._guess_srid(big) == 3857
+
+
+def test_write_balanced_parquet(spark, tmp_path):
+    """Shard count derives from measured on-disk bytes: the same data
+    at a 4x smaller target yields ~4x the files, and actual file sizes
+    sit near the target."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from erde_spark.io.balance import (estimate_parquet_bytes_per_row,
+                                       write_balanced_parquet)
+    df = spark.range(40_000).select(
+        F.col('id'),
+        F.sha2(F.col('id').cast('string'), 256).alias('payload'))
+    bpr = estimate_parquet_bytes_per_row(df)
+    assert 8 < bpr < 400  # sane: a long + a 64-hex string, compressed
+
+    out1 = str(tmp_path / 'big.parquet')
+    n1 = write_balanced_parquet(df, out1, target_mb=1)
+    out2 = str(tmp_path / 'small.parquet')
+    n2 = write_balanced_parquet(df, out2, target_mb=4)
+
+    def sizes(d):
+        return sorted(os.path.getsize(os.path.join(d, f))
+                      for f in os.listdir(d) if f.endswith('.parquet'))
+
+    s1, s2 = sizes(out1), sizes(out2)
+    assert len(s1) == n1 and len(s2) == n2
+    assert n2 <= max(1, n1 // 2)  # bigger target -> fewer files
+    # each shard lands within 3x of the target (estimation + codec
+    # variance), and shards are near-uniform
+    for sz in s1:
+        assert sz < 3 * (1 << 20)
+    if len(s1) > 1:
+        assert max(s1) < 2.5 * max(min(s1), 1)
