@@ -45,7 +45,11 @@ def parse_robots(robots: DataFrame, domain_col: str = 'domain',
     array functions; no Python workers touch the (potentially
     million-host) robots table."""
     d = F.lower(F.col(domain_col))
-    lines = F.split(F.col(text_col), '\r?\n')
+    # RFC 9309 §2.4 allows parsers to enforce a size limit (crawlers
+    # commonly cap at 500 KiB); the cap also bounds the line fold below
+    # — array_append copies the accumulator, so an unbounded hostile
+    # robots.txt would cost O(lines^2) per host
+    lines = F.slice(F.split(F.col(text_col), '\r?\n'), 1, 5000)
     # normalize: strip comments and whitespace, lowercase the directive
     norm = F.transform(
         lines,
