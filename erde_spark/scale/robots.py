@@ -10,10 +10,11 @@ Semantics (RFC 9309 §2.2.2): within the matched user-agent group, the
 most specific (LONGEST path prefix) matching rule wins; on a tie
 between an allow and a disallow of equal length, allow wins. No rule
 matching means allowed. Wildcard-free prefix rules only (the original
-robots.txt grammar — `*`/`$` pattern rules are dropped with a warning
-column rather than half-implemented; a dropped pattern rule fails OPEN
-for allow and CLOSED for nothing, i.e. the filter is conservative
-toward keeping only what plain-prefix rules permit).
+robots.txt grammar): `*`/`$` pattern rules are EXCLUDED from the rule
+set rather than half-implemented — a dropped Disallow pattern fails
+open (the document stays), a dropped Allow pattern fails closed only
+when a broader plain Disallow covers the path; callers needing strict
+pattern semantics should pre-expand patterns into prefixes.
 
 Scale shape: robots tables are per-HOST (millions of rows at crawl
 scale, tiny next to the corpus). Rules are exploded once into
