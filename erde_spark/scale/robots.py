@@ -9,12 +9,10 @@ signal.
 Semantics (RFC 9309 §2.2.2): within the matched user-agent group, the
 most specific (LONGEST path prefix) matching rule wins; on a tie
 between an allow and a disallow of equal length, allow wins. No rule
-matching means allowed. Wildcard-free prefix rules only (the original
-robots.txt grammar): `*`/`$` pattern rules are EXCLUDED from the rule
-set rather than half-implemented — a dropped Disallow pattern fails
-open (the document stays), a dropped Allow pattern fails closed only
-when a broader plain Disallow covers the path; callers needing strict
-pattern semantics should pre-expand patterns into prefixes.
+matching means allowed. Pattern rules are fully honored: ``*``
+matches any octet sequence and a trailing ``$`` anchors the end
+(RFC 9309 §2.2.3) — each rule carries a compiled-equivalent regex and
+specificity is the PATTERN length, per the spec.
 
 Scale shape: robots tables are per-HOST (millions of rows at crawl
 scale, tiny next to the corpus). Rules are exploded once into
@@ -31,7 +29,8 @@ from pyspark.sql import functions as F
 
 from erde_spark.scale.text import url_domain
 
-ROBOTS_RULE_SCHEMA = 'domain string, rule string, prefix string'
+ROBOTS_RULE_SCHEMA = ('domain string, rule string, prefix string, '
+                      'regex string')
 
 
 def parse_robots(robots: DataFrame, domain_col: str = 'domain',
@@ -107,8 +106,19 @@ def parse_robots(robots: DataFrame, domain_col: str = 'domain',
                    F.when(F.col('r').startswith('A:'), F.lit('allow'))
                    .otherwise(F.lit('disallow')).alias('rule'),
                    F.expr("substring(r, 3)").alias('prefix')))
-    # pattern rules ($ / mid-string *) are out of the prefix grammar
-    return out.where(~F.col('prefix').rlike('[*$]'))
+    # RFC 9309 §2.2.3 patterns -> an equivalent anchored regex: '*' is
+    # any octet sequence, trailing '$' anchors; everything else is
+    # escaped literally. Plain prefixes compile to '^<literal>'.
+    anchored = F.col('prefix').endswith('$')
+    body = F.when(anchored,
+                  F.expr('substring(prefix, 1, length(prefix)-1)')) \
+        .otherwise(F.col('prefix'))
+    esc = F.regexp_replace(body,
+                           r'([\\.\[\]\{\}\(\)\+\-\^\$\|\?])',
+                           r'\\$1')
+    regex = F.concat(F.lit('^'), F.regexp_replace(esc, r'\*', '.*'),
+                     F.when(anchored, F.lit('$')).otherwise(F.lit('')))
+    return out.withColumn('regex', regex)
 
 
 def url_path(col: Column | str) -> Column:
@@ -128,10 +138,11 @@ def robots_filter(docs: DataFrame, rules: DataFrame,
     One left join on domain with the host's rules pre-collected to an
     array (the rules table aggregates to one row per domain first, so
     the join never multiplies the corpus), then a JVM array fold picks
-    the winning rule per URL."""
+    the winning rule per URL — pattern rules match through their
+    compiled-equivalent regex, specificity is pattern length."""
     per_host = (rules
                 .groupBy(F.lower(F.col('domain')).alias('_dom'))
-                .agg(F.collect_list(F.struct('rule', 'prefix'))
+                .agg(F.collect_list(F.struct('rule', 'prefix', 'regex'))
                      .alias('_rules')))
     dom = url_domain(url_col)
     path = url_path(url_col)
@@ -141,7 +152,7 @@ def robots_filter(docs: DataFrame, rules: DataFrame,
     init = F.struct(F.lit(-1).alias('len'), F.lit(True).alias('allowed'))
 
     def step(acc, r):
-        hit = path.startswith(r['prefix'])
+        hit = F.regexp_like(path, r['regex'])
         plen = F.length(r['prefix'])
         is_allow = r['rule'] == 'allow'
         better = hit & (

@@ -13,13 +13,17 @@ def _robots(spark):
     ], 'domain string, robots_txt string')
 
 
-def test_parse_groups_and_pattern_drop(spark):
+def test_parse_groups_and_patterns(spark):
     from erde_spark.scale.robots import parse_robots
-    rules = {(r['domain'], r['rule'], r['prefix'])
-             for r in parse_robots(_robots(spark)).collect()}
+    rows = parse_robots(_robots(spark)).collect()
+    rules = {(r['domain'], r['rule'], r['prefix']) for r in rows}
     assert rules == {('a.example', 'disallow', '/private/'),
                      ('a.example', 'allow', '/private/ok'),
+                     ('c.example', 'disallow', '/x*$'),
                      ('c.example', 'disallow', '/plain/')}
+    rx = {r['prefix']: r['regex'] for r in rows}
+    assert rx['/x*$'] == '^/x.*$'
+    assert rx['/plain/'] == '^/plain/'
     tb = {(r['domain'], r['rule'], r['prefix'])
           for r in parse_robots(_robots(spark), agent='trainbot').collect()}
     # the specific group REPLACES * for a.example; others fall back
@@ -80,3 +84,28 @@ def test_no_python_in_robots_plan(spark):
     out = robots_filter(docs, parse_robots(_robots(spark)))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan and 'Arrow' not in plan
+
+
+def test_pattern_rules_match_per_rfc(spark):
+    """RFC 9309 §2.2.3: '*' spans any octets, trailing '$' anchors;
+    specificity is pattern length (a long Allow pattern overrides a
+    shorter Disallow)."""
+    from erde_spark.scale.robots import parse_robots, robots_filter
+    robots = spark.createDataFrame(
+        [('p.example', 'User-agent: *\n'
+                       'Disallow: /*.pdf$\n'
+                       'Disallow: /files/\n'
+                       'Allow: /files/public*\n'
+                       'Disallow: /a$')],
+        'domain string, robots_txt string')
+    docs = spark.createDataFrame([
+        (1, 'http://p.example/docs/report.pdf'),    # *.pdf$ -> drop
+        (2, 'http://p.example/docs/report.pdfx'),   # anchor miss -> keep
+        (3, 'http://p.example/files/secret'),       # /files/ -> drop
+        (4, 'http://p.example/files/public/x'),     # longer allow -> keep
+        (5, 'http://p.example/a'),                  # /a$ exact -> drop
+        (6, 'http://p.example/ab'),                 # anchored: keep
+    ], 'doc_id long, url string')
+    kept = sorted(r['doc_id'] for r in
+                  robots_filter(docs, parse_robots(robots)).collect())
+    assert kept == [2, 4, 6]
