@@ -3660,6 +3660,47 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (the RAG/embedding passage
+    splitter), value-oracled: DuckDB replays the same tokenizer and
+    window arithmetic with list slicing — chunk indices, md5s of the
+    joined chunk texts and token counts must agree exactly, including
+    the remainder-window and shorter-than-one-window edges."""
+    from erde_spark.scale.text import chunk_documents
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    out = chunk_documents(d, max_tokens=32, overlap=8)
+    return (out.select(F.col('id').alias('doc_id'), 'chunk_idx',
+                       F.md5('chunk_text').alias('chunk_md5'),
+                       'n_tokens')
+            .orderBy('doc_id', 'chunk_idx'))
+
+
+_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+meta AS (
+  SELECT doc_id, t,
+         GREATEST(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc
+  FROM toks
+),
+fan AS (
+  SELECT doc_id, t, unnest(generate_series(1, nc)) AS u FROM meta
+)
+SELECT doc_id, u - 1 AS chunk_idx,
+       md5(array_to_string(list_slice(t, (u-1)*24 + 1, (u-1)*24 + 32),
+                           ' ')) AS chunk_md5,
+       CAST(len(list_slice(t, (u-1)*24 + 1, (u-1)*24 + 32)) AS INT)
+         AS n_tokens
+FROM fan
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_nb_classifier(spark, sf_dir):
     """Trainable classifier with a FULL value oracle: multinomial
     Naive Bayes is closed-form (count -> smooth -> log-ratio), so
@@ -3815,11 +3856,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     robots_filter (RFC 9309 parse + longest-match filter vs the
     arithmetic oracle) and boilerplate_lines (CCNet corpus-frequent
     line removal, md5-exact vs DuckDB replaying the same
-    count/filter/rebuild) and nb_classifier (closed-form Naive Bayes
+    count/filter/rebuild), nb_classifier (closed-form Naive Bayes
     training replayed exactly by DuckDB — the classifier family's
-    value-checked member) also enter; displaced to the tail:
-    tpch_q12_late_lines, geo_rect_area and geo_line_length
-    (driver-green r01/02-r04),
+    value-checked member) and chunk_documents (overlapping
+    token-window passage splitter vs DuckDB list slicing) also enter;
+    displaced to the tail:
+    tpch_q12_late_lines, geo_rect_area, geo_line_length and
+    geo_buffer_area (driver-green r01/02-r04),
     set_ops, sample_hash, bm25_search (driver-green r02-r04) and
     profile_orders (driver-green r03-r04). The new rows-only quality_classifier also sits at the
     tail.
@@ -3855,7 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_filter': q_robots_filter,
         'boilerplate_lines': q_boilerplate_lines,
         'nb_classifier': q_nb_classifier,
-        'geo_buffer_area': q_geo_buffer_area,
+        'chunk_documents': q_chunk_documents,
         'geo_transform': q_geo_transform,
         'geo_transform_families': q_geo_transform_families,
         'geo_lonlat_detect': q_geo_lonlat_detect,
@@ -3881,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
+        'geo_buffer_area': q_geo_buffer_area,
         'sample_hash': q_sample_hash,
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
@@ -3967,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         'robots_filter': _ROBOTS_SQL,
         'boilerplate_lines': _BOILERPLATE_SQL,
         'nb_classifier': _NB_SQL,
+        'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
         'tpch_q5_region_revenue': _Q5_SQL,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     'robots_filter',
     'boilerplate_lines',
     'nb_classifier',
+    'chunk_documents',
 ]
 
 

@@ -774,6 +774,36 @@ def remove_boilerplate_lines(df: DataFrame, min_count: int = 3,
                 '\n').alias(text_col)))
 
 
+def chunk_documents(df: DataFrame, max_tokens: int = 128,
+                    overlap: int = 16, id_col: str = 'doc_id',
+                    text_col: str = 'text') -> DataFrame:
+    """Split documents into overlapping token-window passages — the
+    chunking step in front of embedding/RAG indexing and the unit
+    passage-level dedup consumes. Windows advance by
+    ``max_tokens - overlap``; the final window is the remainder (never
+    empty); documents shorter than ``max_tokens`` yield one chunk.
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+
+    Pure JVM: tokenization, window arithmetic and slicing are array
+    expressions; one ``posexplode`` fans out the windows, so the only
+    data growth is the ~``overlap/max_tokens`` duplication the overlap
+    itself asks for — no shuffle at all (chunking rides the scan)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError('need 0 <= overlap < max_tokens')
+    step = max_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast('int')
+    base = df.select(F.col(id_col).alias('id'), t.alias('_t'),
+                     F.posexplode(F.sequence(F.lit(1), n_chunks))
+                     .alias('chunk_idx', '_one'))
+    chunk = F.slice(F.col('_t'), F.col('chunk_idx') * step + 1, max_tokens)
+    return base.select('id', 'chunk_idx',
+                       F.array_join(chunk, ' ').alias('chunk_text'),
+                       F.size(chunk).alias('n_tokens'))
+
+
 def fix_mojibake(col: Column | str) -> Column:
     """Repair the most common crawl encoding corruption — UTF-8 bytes
     that were mis-read as Latin-1 ('â€™' for a right

@@ -1565,3 +1565,23 @@ def test_remove_boilerplate_lines(spark):
         'doc_id long, text string')
     got = remove_boilerplate_lines(solo, min_count=3).first()['text']
     assert got == 'same line repeated\nsame line repeated\nsame line repeated'
+
+
+def test_chunk_documents_windows(spark):
+    from erde_spark.scale.text import chunk_documents
+    text = ' '.join(f'w{i}' for i in range(300))
+    df = spark.createDataFrame([(1, text), (2, 'short doc only')],
+                               'doc_id long, text string')
+    out = chunk_documents(df, max_tokens=128, overlap=16)
+    rows = sorted((r['id'], r['chunk_idx'], r['n_tokens'])
+                  for r in out.collect())
+    # 300 tokens, step 112: windows at 0/112/224 -> 128,128,76; the
+    # 3-token doc yields one whole-doc chunk
+    assert rows == [(1, 0, 128), (1, 1, 128), (1, 2, 76), (2, 0, 3)]
+    texts = {(r['id'], r['chunk_idx']): r['chunk_text']
+             for r in out.collect()}
+    assert texts[(1, 1)].split()[0] == 'w112'  # overlap start
+    assert texts[(1, 1)].split()[-1] == 'w239'
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=16, overlap=16)
