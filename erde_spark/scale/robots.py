@@ -56,16 +56,23 @@ def parse_robots(robots: DataFrame, domain_col: str = 'domain',
         lambda ln: F.regexp_replace(F.trim(ln), '#.*$', ''))
 
     def _group_rules(agent_token: Column) -> Column:
-        """Array of 'A:prefix'/'D:prefix' strings for one agent group.
+        """struct(matched, rules): 'A:prefix'/'D:prefix' strings for one
+        agent group, plus whether ANY group named this agent at all.
         A group = the allow/disallow lines following a user-agent line
         whose token matches, up to the next user-agent line that starts
-        a different group (adjacent user-agent lines share one group)."""
-        # fold state: struct(active boolean, sawua boolean, rules array)
+        a different group (adjacent user-agent lines share one group).
+        ``matched`` is tracked separately from rule count so a matching
+        group whose rules are all empty-path (the 'Disallow:' = allow-all
+        whitelist idiom) still counts as present per RFC 9309 §2.2.1 —
+        fallback to '*' happens only when NO group names the agent."""
+        # fold state: struct(active, sawua, matched booleans, rules array)
         # active: the current group applies to agent_token
         # sawua: last line was a user-agent line (groups can list
         #        several user-agents before their rules)
+        # matched: some user-agent line matched agent_token anywhere
         init = F.struct(F.lit(False).alias('active'),
                         F.lit(False).alias('sawua'),
+                        F.lit(False).alias('matched'),
                         F.array().cast('array<string>').alias('rules'))
 
         def step(acc, ln):
@@ -91,15 +98,19 @@ def parse_robots(robots: DataFrame, domain_col: str = 'domain',
             return F.struct(
                 new_active.alias('active'),
                 is_ua.alias('sawua'),
+                (acc['matched'] | (is_ua & ua_hit)).alias('matched'),
                 F.when(add_rule,
                        F.array_append(acc['rules'], rule))
                 .otherwise(acc['rules']).alias('rules'))
 
-        return F.aggregate(norm, init, step)['rules']
+        res = F.aggregate(norm, init, step)
+        return F.struct(res['matched'].alias('matched'),
+                        res['rules'].alias('rules'))
 
     specific = _group_rules(F.lit(agent))
     star = _group_rules(F.lit('*'))
-    rules = F.when(F.size(specific) > 0, specific).otherwise(star)
+    rules = F.when(specific['matched'], specific['rules']) \
+        .otherwise(star['rules'])
     out = (robots
            .select(d.alias('domain'), F.explode(rules).alias('r'))
            .select('domain',

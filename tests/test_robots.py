@@ -61,6 +61,26 @@ def test_allow_wins_equal_length_tie(spark):
     assert robots_filter(docs, parse_robots(robots)).count() == 1
 
 
+def test_whitelist_group_blocks_star_fallback(spark):
+    """RFC 9309 §2.2.1: a group naming the specific agent replaces '*'
+    even when its only rule is the empty-Disallow allow-all idiom
+    ('User-agent: X\\nDisallow:'), which yields ZERO stored rules.
+    Fallback to '*' happens only when no group names the agent."""
+    from erde_spark.scale.robots import parse_robots, robots_filter
+    robots = spark.createDataFrame(
+        [('w.example', 'User-agent: *\nDisallow: /\n\n'
+                       'User-agent: trainbot\nDisallow:')],
+        'domain string, robots_txt string')
+    docs = spark.createDataFrame(
+        [(1, 'http://w.example/anything')], 'doc_id long, url string')
+    # trainbot is explicitly whitelisted: keep everything
+    tb = parse_robots(robots, agent='trainbot')
+    assert robots_filter(docs, tb).count() == 1
+    # any other agent hits the '*' disallow-all
+    other = parse_robots(robots, agent='otherbot')
+    assert robots_filter(docs, other).count() == 0
+
+
 def test_meta_noindex(spark):
     from erde_spark.scale.robots import meta_noindex
     rows = [(1, '<META NAME="ROBOTS" Content="NOINDEX, nofollow">', True),
