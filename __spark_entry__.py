@@ -3706,10 +3706,14 @@ def q_nb_classifier(spark, sf_dir):
     Naive Bayes is closed-form (count -> smooth -> log-ratio), so
     DuckDB replays the exact training computation — same labeled set
     (real docs positive, deterministic md5-hex-salad negatives), same
-    tokenizer, same Laplace smoothing — and the per-document summed
-    log-likelihood ratios must agree to 3 decimals, the labels exactly.
-    Complements the rows-only L-BFGS ``quality_classifier`` entry: the
-    classifier family now has a driver-value-checked member."""
+    tokenizer, same Laplace smoothing — and scoring runs in FIXED
+    POINT (per-token llr rounded to micro-units, summed as integers)
+    so the per-document scores agree EXACTLY: float summation is
+    order-sensitive and its error grows with document count, so a
+    rounded-float compare would flip nondeterministically at larger
+    scale factors. Complements the rows-only L-BFGS
+    ``quality_classifier`` entry: the classifier family has a
+    driver-value-checked member."""
     from erde_spark.scale.classifier import nb_score, nb_token_logratios
     docs = (_t(spark, sf_dir, 'documents')['documents']
             .select('doc_id', 'text').where(F.col('text').isNotNull()))
@@ -3723,9 +3727,9 @@ def q_nb_classifier(spark, sf_dir):
                    (F.col('doc_id') + 1000000).alias('doc_id'),
                    gibberish.alias('text'), F.lit(0).alias('label'))))
     model = nb_token_logratios(labeled)
-    scored = nb_score(docs, model)
+    scored = nb_score(docs, model, quantize_scale=1_000_000)
     return (scored.select('id',
-                          F.round('nb_score', 3).alias('nb_score_r'),
+                          F.col('nb_score').alias('nb_score_r'),
                           'nb_label')
             .orderBy('id'))
 
@@ -3760,6 +3764,9 @@ model AS (
          - ln((cn + 1.0) / (nn + 1.0 * v)) AS llr
   FROM counts, tot
 ),
+qmodel AS (
+  SELECT token, CAST(round(llr * 1000000) AS BIGINT) AS q FROM model
+),
 doctoks AS (
   SELECT doc_id AS id, token
   FROM (SELECT doc_id, unnest(string_split_regex(lower(text),
@@ -3768,11 +3775,11 @@ doctoks AS (
   WHERE token <> ''
 ),
 scores AS (
-  SELECT id, COALESCE(SUM(m.llr), 0.0) AS s
-  FROM doctoks d LEFT JOIN model m USING (token)
+  SELECT id, COALESCE(SUM(m.q), 0) AS sq
+  FROM doctoks d LEFT JOIN qmodel m USING (token)
   GROUP BY id
 )
-SELECT id, round(s, 3) AS nb_score_r, CAST(s > 0 AS INT) AS nb_label
+SELECT id, sq / 1000000 AS nb_score_r, CAST(sq > 0 AS INT) AS nb_label
 FROM scores ORDER BY id
 """
 

@@ -223,6 +223,23 @@ def encode_warc(records: list[dict], compress: bool = True,
     return bytes(out)
 
 
+def _prepare_remote_target(filesystem, rel: str, mode: str,
+                           path: str) -> None:
+    """Apply the write-mode contract on a ``pyarrow.fs`` target — the
+    same semantics the local branch gets: ``error`` refuses an existing
+    directory, ``overwrite`` clears it first (otherwise stale segments
+    from a prior write survive and ``read_warc`` returns ghost
+    records)."""
+    from pyarrow import fs as pafs
+    info = filesystem.get_file_info(rel)
+    if info.type != pafs.FileType.NotFound:
+        if mode == 'error':
+            raise FileExistsError(path)
+        if mode == 'overwrite':
+            filesystem.delete_dir_contents(rel, missing_dir_ok=True)
+    filesystem.create_dir(rel, recursive=True)
+
+
 def write_warc(df: DataFrame, path: str, mode: str = 'overwrite',
                text_col: str = 'text', uri_col: str = 'source',
                compress: bool = True) -> None:
@@ -247,6 +264,10 @@ def write_warc(df: DataFrame, path: str, mode: str = 'overwrite',
         if mode == 'overwrite':
             shutil.rmtree(local, ignore_errors=True)
         os.makedirs(local, exist_ok=True)
+    else:
+        from pyarrow import fs as pafs
+        filesystem, rel = pafs.FileSystem.from_uri(path)
+        _prepare_remote_target(filesystem, rel, mode, path)
     rows = df.select(F.coalesce(F.col(uri_col).cast('string'), F.lit(''))
                      .alias('_uri'),
                      F.coalesce(F.col(text_col).cast('string'), F.lit(''))
@@ -284,8 +305,17 @@ def write_warc(df: DataFrame, path: str, mode: str = 'overwrite',
                 n += 1
         finally:
             out.close()
-        if n == 0 and p.scheme in ('', 'file'):
-            os.unlink(os.path.join(p.path if p.scheme else path, name))
+        if n == 0:
+            # an empty partition leaves a zero-record segment: remove
+            # it on every scheme, not just local, so read_warc never
+            # lists dead files
+            if p.scheme in ('', 'file'):
+                os.unlink(os.path.join(p.path if p.scheme else path,
+                                       name))
+            else:
+                from pyarrow import fs as pafs
+                filesystem, rel = pafs.FileSystem.from_uri(path)
+                filesystem.delete_file(f'{rel}/{name}')
 
     rows.rdd.foreachPartition(_write_partition)
 

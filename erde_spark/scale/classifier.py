@@ -163,16 +163,40 @@ def nb_token_logratios(labeled: DataFrame, text_col: str = 'text',
 
 
 def nb_score(docs: DataFrame, logratios: DataFrame,
-             id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+             id_col: str = 'doc_id', text_col: str = 'text',
+             quantize_scale: int | None = None) -> DataFrame:
     """(id, nb_score, nb_label) per document: the summed log-likelihood
     ratio of its tokens (out-of-vocabulary tokens contribute 0 — they
     carry no class evidence under shared smoothing) and the sign
     verdict. The model is a (token, llr) table that BROADCASTS (real
     vocabularies are millions of rows at most), so scoring a 100 TB
     corpus is one map-side join + map-side-combined sum — no corpus
-    shuffle by token."""
+    shuffle by token.
+
+    ``quantize_scale`` (e.g. ``1_000_000``) switches to fixed-point
+    scoring: each token's llr is rounded to an integer multiple of
+    ``1/scale`` and the per-document sum runs in exact integer
+    arithmetic. Float summation is order-sensitive — two engines (or
+    two partitionings of the SAME engine) can disagree in the last
+    bits, and the error grows with document length — so exact
+    cross-engine reproducibility (the driver's value-hash gate, or
+    any audit that replays scoring elsewhere) needs the fixed-point
+    path; plain float scoring stays the default for filtering use."""
     toks = docs.select(F.col(id_col).alias('id'),
                        F.explode(tokens(text_col)).alias('token'))
+    if quantize_scale:
+        q = logratios.select(
+            'token',
+            F.round(F.col('llr') * quantize_scale).cast('long')
+            .alias('_q'))
+        joined = toks.join(F.broadcast(q), 'token', 'left')
+        return (joined.groupBy('id')
+                .agg(F.sum(F.coalesce(F.col('_q'), F.lit(0)))
+                     .alias('_sq'))
+                .select('id',
+                        (F.col('_sq') / F.lit(quantize_scale))
+                        .alias('nb_score'),
+                        (F.col('_sq') > 0).cast('int').alias('nb_label')))
     joined = toks.join(F.broadcast(logratios), 'token', 'left')
     return (joined.groupBy('id')
             .agg(F.sum(F.coalesce(F.col('llr'), F.lit(0.0)))

@@ -765,13 +765,23 @@ def remove_boilerplate_lines(df: DataFrame, min_count: int = 3,
                 .select('_k'))
     kept = lines.withColumn('_k', F.when(countable, key)) \
         .join(F.broadcast(frequent), '_k', 'left_anti')
-    return (kept.groupBy(id_col)
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct('_pos', '_line'))),
-                    lambda s: s['_line']),
-                '\n').alias(text_col)))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct('_pos', '_line'))),
+                       lambda s: s['_line']),
+                   '\n').alias(text_col)))
+    # a document whose every line is boilerplate has zero kept rows —
+    # it must survive as (id, '') rather than vanish (downstream inner
+    # joins would silently drop it), so re-attach against the full id
+    # set; the id projection rides the same scan, no extra shuffle
+    # beyond the join on the (already-shuffled-by-id) rebuild
+    return (df.select(id_col)
+            .join(rebuilt, id_col, 'left')
+            .select(id_col,
+                    F.coalesce(F.col(text_col), F.lit(''))
+                    .alias(text_col)))
 
 
 def chunk_documents(df: DataFrame, max_tokens: int = 128,
@@ -861,7 +871,10 @@ def canonicalize_url(col: Column | str,
     rest = F.regexp_replace(rest, r'#.*$', '')           # fragment
     path = F.regexp_extract(rest, r'^([^?]*)', 1)
     path = F.when(path == '', F.lit('/')).otherwise(path)
-    path = F.regexp_replace(path, r'(.)/$', '$1')        # trailing slash
+    # strip ALL trailing slashes in one pass ('/x//' -> '/x', not
+    # '/x/') so canon(canon(u)) == canon(u) — one-at-a-time stripping
+    # breaks the fixed point and lets dedup keys drift between passes
+    path = F.regexp_replace(path, r'(.)/+$', '$1')       # trailing slashes
     query = F.regexp_extract(rest, r'\?(.*)$', 1)
     kept = F.filter(
         F.split(query, '&'),

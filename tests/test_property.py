@@ -684,7 +684,7 @@ def test_canonicalize_url_idempotent_and_stable():
             ['http', 'HTTP', 'https'],
             ['a.example.com', 'A.Example.COM'],
             ['', ':80', ':443', ':8080'],
-            ['', '/', '/x', '/x/', '/x/y/'],
+            ['', '/', '/x', '/x/', '/x/y/', '/x//', '/x///'],
             ['', '?b=2&a=1', '?utm_source=s', '?utm_source=s&k=v'],
             ['', '#frag']):
         urls.append(f'{scheme}://{host}{port}{path}{q}{frag}')

@@ -1553,12 +1553,17 @@ def test_remove_boilerplate_lines(spark):
     docs = [(i, 'Cookie banner text here\ncontent %d one\n\ntail %d'
              % (i, i * 7)) for i in range(5)]
     docs.append((9, 'unique doc\nno repeats'))
+    docs.append((10, 'Cookie banner text here'))  # ALL boilerplate
     df = spark.createDataFrame(docs, 'doc_id long, text string')
     out = {r['doc_id']: r['text'] for r in
            remove_boilerplate_lines(df, min_count=3).collect()}
     # frequent banner removed; order + blank separator preserved
     assert out[0] == 'content 0 one\n\ntail 0'
     assert out[9] == 'unique doc\nno repeats'
+    # an all-boilerplate document survives as (id, '') — it must not
+    # vanish from the corpus (downstream joins would lose it silently)
+    assert out[10] == ''
+    assert len(out) == 7
     # within-one-doc repetition does NOT count toward the threshold
     solo = spark.createDataFrame(
         [(1, 'same line repeated\nsame line repeated\nsame line repeated')],

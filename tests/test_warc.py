@@ -166,6 +166,34 @@ def test_write_warc_roundtrip(spark, tmp_path):
         es.write_df(docs, out, mode='error')
 
 
+def test_write_warc_remote_mode_contract(tmp_path):
+    """The pyarrow.fs branch honors the same mode contract as local
+    paths: 'error' refuses an existing target, 'overwrite' clears
+    stale segments (ghost records otherwise), other modes write into
+    place. Exercised against LocalFileSystem — the same FileSystem API
+    every remote scheme goes through."""
+    import pytest as _pt
+    from pyarrow import fs as pafs
+
+    from erde_spark.io.warc import _prepare_remote_target
+    filesystem = pafs.LocalFileSystem()
+    rel = str(tmp_path / 'corpus.warc')
+    # fresh target: created
+    _prepare_remote_target(filesystem, rel, 'overwrite', rel)
+    (tmp_path / 'corpus.warc' / 'stale.warc.gz').write_bytes(b'old')
+    # error mode refuses the existing dir
+    with _pt.raises(FileExistsError):
+        _prepare_remote_target(filesystem, rel, 'error', rel)
+    # overwrite clears stale segments
+    _prepare_remote_target(filesystem, rel, 'overwrite', rel)
+    assert list((tmp_path / 'corpus.warc').iterdir()) == []
+    # append-style mode leaves contents alone
+    (tmp_path / 'corpus.warc' / 'keep.warc.gz').write_bytes(b'k')
+    _prepare_remote_target(filesystem, rel, 'append', rel)
+    assert [p.name for p in (tmp_path / 'corpus.warc').iterdir()] \
+        == ['keep.warc.gz']
+
+
 def test_streaming_warc_ingest(spark, tmp_path):
     """New segments arriving in a watched directory stream into
     documents-shaped parquet exactly once."""
