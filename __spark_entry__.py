@@ -3784,6 +3784,46 @@ FROM scores ORDER BY id
 """
 
 
+def q_langid_nb(spark, sf_dir):
+    """Real language identification (30 languages / 9 scripts),
+    construction-oracled: every document's text is replaced by a
+    held-out sentence whose true language is fixed by arithmetic
+    (language = sorted-langs[doc_id % 30], sentence variant =
+    (doc_id div 30) % 3 — the sentences are DISJOINT from the
+    training corpus), and ``identify_language`` — char 1-3-gram
+    multinomial NB trained on the checked-in 30-language seed corpus,
+    broadcast-model fixed-point scoring — must recover every planted
+    language exactly. DuckDB's oracle is the arithmetic itself, so a
+    single misclassification anywhere in the corpus turns the gate
+    red. The full training replay (DuckDB re-derives the quantized
+    model and re-scores) is pinned in tests/test_langid.py."""
+    from erde_spark.scale.langid import EVAL_SENTENCES, identify_language
+    langs = sorted(EVAL_SENTENCES)
+    flat = [s for lang in langs for s in EVAL_SENTENCES[lang]]
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    idx = ((F.col('doc_id') % 30) * 3
+           + F.expr('(doc_id div 30) % 3')).cast('int')
+    docs = d.select(
+        'doc_id',
+        F.element_at(F.array(*[F.lit(s) for s in flat]), idx + 1)
+        .alias('text'))
+    out = identify_language(docs, id_col='doc_id')
+    return (out.select(F.col('id').alias('doc_id'), 'lang')
+            .orderBy('doc_id'))
+
+
+# the oracle IS the construction: sorted(EVAL_SENTENCES) == this list
+_LANGID_SQL = """
+SELECT doc_id,
+       (['ar','bg','cs','da','de','el','en','es','fa','fi',
+         'fr','he','hi','hu','id','it','ja','ko','nb','nl',
+         'pl','pt','ro','ru','sv','th','tr','uk','vi','zh'])
+       [CAST(doc_id % 30 AS INT) + 1] AS lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier end-to-end (rows-only: the L-BFGS
     optimizer is iterative, not SQL-expressible; separation/AUC/
@@ -3873,6 +3913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     set_ops, sample_hash, bm25_search (driver-green r02-r04) and
     profile_orders (driver-green r03-r04). The new rows-only quality_classifier also sits at the
     tail.
+    Round-6 rotation: langid_nb (30-language char-n-gram NB language
+    identification, construction-oracled — every planted held-out
+    sentence must be classified correctly, truth fixed by doc_id
+    arithmetic) enters the window; dedup_jaccard (driver-green
+    r02-r05) moves to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3906,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'boilerplate_lines': q_boilerplate_lines,
         'nb_classifier': q_nb_classifier,
         'chunk_documents': q_chunk_documents,
+        'langid_nb': q_langid_nb,
         'geo_transform': q_geo_transform,
         'geo_transform_families': q_geo_transform_families,
         'geo_lonlat_detect': q_geo_lonlat_detect,
@@ -3920,7 +3966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
         'dedup_exact': q_dedup_exact,
-        'dedup_jaccard': q_dedup_jaccard,
         'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
         'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_embedding': q_dedup_embedding,
@@ -3928,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'dedup_jaccard': q_dedup_jaccard,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4018,6 +4064,7 @@ def oracle_sql() -> dict[str, str]:
         'robots_filter': _ROBOTS_SQL,
         'boilerplate_lines': _BOILERPLATE_SQL,
         'nb_classifier': _NB_SQL,
+        'langid_nb': _LANGID_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     'boilerplate_lines',
     'nb_classifier',
     'chunk_documents',
+    'langid_nb',
 ]
 
 

@@ -320,13 +320,18 @@ def write_warc(df: DataFrame, path: str, mode: str = 'overwrite',
     rows.rdd.foreachPartition(_write_partition)
 
 
-def warc_to_documents(records: DataFrame) -> DataFrame:
+def warc_to_documents(records: DataFrame,
+                      langid_model=None) -> DataFrame:
     """Shape WARC records into the ``documents``-table contract
     (doc_id, text, lang, source, n_chars): payload -> UTF-8 text with
     the HTTP envelope stripped (errors replaced, so one mojibake page
-    can't fail a task), doc_id = xxhash64 of the record id, lang from
-    the marker-stopword ID. The bridge from ``read_warc`` to every
-    curation operator in :mod:`erde_spark.scale`."""
+    can't fail a task), doc_id = xxhash64 of the record id. ``lang``
+    defaults to the cheap marker-stopword tag (zero extra plan cost);
+    pass a :class:`erde_spark.scale.langid.LangIdModel` (e.g.
+    ``default_langid_model(spark)``) to tag with the real 30-language
+    identifier instead — one extra broadcast join + aggregate. The
+    bridge from ``read_warc`` to every curation operator in
+    :mod:`erde_spark.scale`."""
     from pyspark.sql import functions as F
 
     from erde_spark.scale.text import lang_id
@@ -337,12 +342,18 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
             lambda b: http_payload_body(bytes(b)).decode('utf-8', 'replace')
             if b is not None else '')
 
-    return (records
+    docs = (records
             .select(F.xxhash64('record_id').alias('doc_id'),
                     _to_text('payload').alias('text'),
-                    F.col('target_uri').alias('source'))
-            .withColumn('lang', lang_id(F.col('text')))
-            .withColumn('n_chars', F.length('text')))
+                    F.col('target_uri').alias('source')))
+    if langid_model is not None:
+        from erde_spark.scale.langid import identify_language
+        tags = identify_language(docs, langid_model)
+        docs = (docs.join(tags.withColumnRenamed('id', 'doc_id')
+                          .select('doc_id', 'lang'), 'doc_id'))
+    else:
+        docs = docs.withColumn('lang', lang_id(F.col('text')))
+    return docs.withColumn('n_chars', F.length('text'))
 
 
 def streaming_warc_ingest(spark: SparkSession, in_dir: str, out_dir: str,

@@ -107,7 +107,11 @@ LANG_MARKERS = [
 
 
 def lang_id(col: Column | str) -> Column:
-    """Marker-stopword language ID ('en'/'de'/'fr'/'es'/'und')."""
+    """Marker-stopword language ID ('en'/'de'/'fr'/'es'/'und') — a
+    CHEAP column-expression tag for plans that can't afford a join.
+    For real language identification (30 languages / 9 scripts,
+    trainable, oracled) use
+    :func:`erde_spark.scale.langid.identify_language`."""
     t = tokens(col)
     scores = []
     for lang, markers in LANG_MARKERS:
