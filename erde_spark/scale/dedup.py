@@ -172,11 +172,14 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def _sig_from_hashes(tok: DataFrame, num_perm: int = 64,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, keep_toks: bool = False) -> DataFrame:
     """(id, sig) MinHash signatures from a hashed-token-set table
     (id, toks: array<long>) — the one table the whole dedup stack shares,
     so documents are tokenized and hashed exactly once (JVM ``xxhash64``)
-    and the Arrow crossing carries int64 lists, not token strings."""
+    and the Arrow crossing carries int64 lists, not token strings.
+    ``keep_toks=True`` carries the token column through so callers can
+    materialize (id, toks, sig) in ONE checkpoint job instead of two —
+    per-job overhead dominates small micro-batches."""
     av, bv = _perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -194,7 +197,8 @@ def _sig_from_hashes(tok: DataFrame, num_perm: int = 64,
             out.append(m.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return tok.select(F.col('id'), _sig('toks').alias('sig'))
+    keep = ['toks'] if keep_toks else []
+    return tok.select('id', *keep, _sig('toks').alias('sig'))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
@@ -579,12 +583,13 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         collect_cap = _MERGE_COLLECT_CAP
     base = pairs.select('id_a', 'id_b')
     if collect_cap:
-        # Materialize the edge projection ONCE before probing: the probe
-        # evaluates the full upstream pipeline (often an LSH-verify chain
-        # with shuffles, so limit() can't short-circuit it), and without
-        # the checkpoint an over-cap edge set would re-evaluate that
-        # pipeline twice more through the union below.
-        base = base.localCheckpoint(eager=True)
+        # Probe FIRST, checkpoint only on the over-cap path: the
+        # under-cap fast path consumes the edges on the driver and
+        # never re-reads the frame, so a prior checkpoint is a wasted
+        # job (per-job overhead dominates micro-batch-sized inputs).
+        # Over cap, the distributed iteration below references the
+        # pipeline three more times (union + labels), so THEN the
+        # one-time materialization pays for itself.
         probe = base.limit(collect_cap + 1).collect()
         if len(probe) <= collect_cap:
             edge_list = [(r['id_a'], r['id_b']) for r in probe]
@@ -599,6 +604,8 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                        .join(labels.select('id'), 'id', 'left_anti')
                        .select('id', F.col('id').alias('component')))
             return labels.unionByName(singles)
+        # over cap: materialize once before the double reference below
+        base = base.localCheckpoint(eager=True)
     edges = base.union(base.select(F.col('id_b').alias('id_a'),
                                    F.col('id_a').alias('id_b')))
     edges = edges.localCheckpoint(eager=True)
@@ -685,11 +692,19 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
         if broadcast_docs is None:
             broadcast_docs = _should_broadcast(df)
         small = F.broadcast if broadcast_docs else (lambda x: x)
-        tok = _hashed_token_sets(df, id_col, text_col, shingles) \
-            .localCheckpoint(eager=True)
-        sig = _sig_from_hashes(tok, num_perm, seed).localCheckpoint(eager=True)
+        # ONE materialization of (id, toks, sig): tokenize-hash-minhash
+        # is a single narrow pipeline, and per-job overhead dominates
+        # small batches (the streaming micro-batch path), so fusing the
+        # former tok/sig/buckets checkpoint trio into one job is a
+        # measured win; buckets stay a lazy explode over the
+        # checkpointed base (recompute is narrow and tiny vs a job)
+        base = _sig_from_hashes(
+            _hashed_token_sets(df, id_col, text_col, shingles),
+            num_perm, seed, keep_toks=True).localCheckpoint(eager=True)
+        tok = base.select('id', 'toks')
+        sig = base.select('id', 'sig')
         pf = _use_sig_prefilter(tok, num_perm)
-        buckets = _lsh_buckets(sig, bands, rows).localCheckpoint(eager=True)
+        buckets = _lsh_buckets(sig, bands, rows)
         if _state_out is not None:
             # hand the already-materialized per-document state to callers
             # that need it downstream (the streaming signature-store
@@ -902,11 +917,14 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
         # materialized for the whole batch: restricting it to the kept
         # ids is two semi-joins on checkpointed frames instead of a
         # second full hashing pass over the survivors
+        # lazy restrictions over the state frames dedup_clusters already
+        # materialized: each is evaluated at most twice (store join +
+        # final write), and a semi-join over checkpointed micro-batch
+        # state is cheaper than the extra eager-checkpoint job it would
+        # take to avoid the recompute
         kept_ids = kept.select(F.col(id_col).alias('id'))
-        tok = (state['tok'].join(kept_ids, 'id', 'left_semi')
-               .localCheckpoint(eager=True))
-        bk = (state['buckets'].join(kept_ids, 'id', 'left_semi')
-              .localCheckpoint(eager=True))
+        tok = state['tok'].join(kept_ids, 'id', 'left_semi')
+        bk = state['buckets'].join(kept_ids, 'id', 'left_semi')
         if os.path.isdir(os.path.join(state_dir, 'buckets')):
             sb = sess.read.parquet(os.path.join(state_dir, 'buckets')).drop('batch')
             st = sess.read.parquet(os.path.join(state_dir, 'toks')).drop('batch')
