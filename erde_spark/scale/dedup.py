@@ -991,13 +991,32 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = 'vec_id',
 
 def _sign_lsh_params(n_docs: int, threshold: float, target_recall: float,
                      bands: int | None = None,
-                     rows: int | None = None) -> tuple[int, int]:
+                     rows: int | None = None,
+                     strict_recall: bool = False) -> tuple[int, int]:
     """(bands, rows) for banded sign-LSH. ``rows`` ~ log2(n) pins the
     expected RANDOM-pair collisions per band at ~n/2 (candidate volume
     linear in n); ``bands`` then solves
     recall = 1 - (1 - p^rows)^bands >= target at the threshold,
-    with p = 1 - theta/pi the per-bit sign-collision probability,
-    capped at 64 bands."""
+    with p = 1 - theta/pi the per-bit sign-collision probability.
+
+    COST BOUND (the law tests/test_scale.py pins and SCALE.md measures):
+    holding at-threshold recall fixed while rows tracks log2(n) forces
+    bands ~ ln(1/(1-R)) / p^rows = c * n^rho with
+    rho = ln(1/p)/ln(2) — the classic hyperplane-LSH exponent — so
+    explode+shuffle grow as n^(1+rho): rho = 0.224 at threshold 0.9
+    (~16x per data decade, measured 15-21x in SCALE.md), 0.331 at 0.8.
+    This is information-theoretic for the hyperplane family, not an
+    implementation artifact.
+
+    The regime is BOUNDED: bands cap at 64 by default, and past the
+    cap (n ~ 8M at t=0.9; ~20k at t=0.8) growth returns to ~10x per
+    decade (pure linear) while the recall GUARANTEE moves off the
+    threshold — at-threshold recall decays (0.74 at 20M, 0.57 at 200M
+    for t=0.9) but strong near-dups, the dedup payload, stay found
+    (recall >= 0.96 at cosine 0.95, >= 0.999 at 0.97, at n = 2e8).
+    ``strict_recall=True`` lifts the cap instead, keeping the
+    at-threshold guarantee at the documented n^(1+rho) cost — the
+    caller chooses which side of the trade a 100 TB run pays."""
     if rows is None:
         rows = max(8, math.ceil(math.log2(max(n_docs, 2))))
     if bands is None:
@@ -1006,9 +1025,11 @@ def _sign_lsh_params(n_docs: int, threshold: float, target_recall: float,
         if pr >= 1.0:
             bands = 1
         else:
-            bands = min(64, max(4, math.ceil(
+            bands = max(4, math.ceil(
                 math.log(max(1.0 - target_recall, 1e-9))
-                / math.log(1.0 - pr))))
+                / math.log(1.0 - pr)))
+            if not strict_recall:
+                bands = min(64, bands)
     return bands, rows
 
 
@@ -1019,7 +1040,8 @@ def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
                              rows: int | None = None,
                              target_recall: float = 0.9,
                              seed: int = 42,
-                             n_docs: int | None = None) -> DataFrame:
+                             n_docs: int | None = None,
+                             strict_recall: bool = False) -> DataFrame:
     """One representative per embedding near-duplicate cluster: sign-LSH
     verified cosine pairs -> connected components -> keep the minimum id
     of each component, with cluster sizes. The embedding analogue of
@@ -1027,7 +1049,8 @@ def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
     e.g. SemDeDup-style curation): never all-pairs, banded candidates
     only, exact-cosine verified."""
     pairs = embedding_lsh_pairs(df, id_col, vec_col, threshold, dim,
-                                bands, rows, target_recall, seed, n_docs)
+                                bands, rows, target_recall, seed, n_docs,
+                                strict_recall)
     comp = connected_components(pairs, df.select(id_col))
     reps = comp.groupBy('component').agg(F.min('id').alias('keep_id'),
                                          F.count(F.lit(1)).alias('cluster_size'))
@@ -1040,7 +1063,8 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
                         dim: int = 64, bands: int | None = None,
                         rows: int | None = None,
                         target_recall: float = 0.9, seed: int = 42,
-                        n_docs: int | None = None) -> DataFrame:
+                        n_docs: int | None = None,
+                        strict_recall: bool = False) -> DataFrame:
     """Embedding near-dup pairs at scale: BANDED random-hyperplane
     sign-LSH (the ``minhash_lsh_pairs`` shape on hyperplane sign bits) —
     ``bands`` independent ``rows``-bit hashes per vector, candidates
@@ -1073,7 +1097,7 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
         # explicit (bands, rows) skips a full corpus pass
         n_docs = df.count()
     bands, rows = _sign_lsh_params(n_docs, threshold, target_recall,
-                                   bands, rows)
+                                   bands, rows, strict_recall)
     planes = _hyperplanes(dim, bands * rows, seed)
     weights = (1 << np.arange(rows)).astype(np.int64)
     n_bands, n_rows = bands, rows

@@ -1207,6 +1207,45 @@ def test_sign_lsh_param_autoscaling():
     assert _sign_lsh_params(5, 0.9, 0.9, bands=7, rows=11) == (7, 11)
 
 
+def test_sign_lsh_cost_law_and_bounded_regime():
+    """The documented shuffle-growth bound (SCALE.md): at fixed
+    at-threshold recall the explode term bands*n grows as n^(1+rho),
+    rho = ln(1/p)/ln 2 — the hyperplane-LSH exponent (0.224 at t=0.9,
+    ~16x per data decade; SCALE.md measured 15-21x). The regime is
+    BOUNDED: once bands hit the 64 cap the per-decade ratio returns to
+    ~10x (linear) while at-threshold recall floats down — strong
+    near-dups (the dedup payload) stay found. strict_recall=True lifts
+    the cap and keeps the guarantee at the n^(1+rho) cost."""
+    import math
+
+    from erde_spark.scale.dedup import _sign_lsh_params
+    p = 1 - math.acos(0.9) / math.pi
+
+    # pre-cap regime: per-decade explode ratio tracks 10^(1+rho) ~ 16x
+    decades = [2_000, 20_000, 200_000, 2_000_000]
+    cost = [b * n for n in decades
+            for b, _ in [_sign_lsh_params(n, 0.9, 0.9)]]
+    for c0, c1 in zip(cost, cost[1:]):
+        assert 13.0 <= c1 / c0 <= 20.0, (c0, c1)
+
+    # capped regime: ~10x per decade, linear
+    big = [20_000_000, 200_000_000, 2_000_000_000]
+    cost_big = [b * n for n in big
+                for b, _ in [_sign_lsh_params(n, 0.9, 0.9)]]
+    for c0, c1 in zip(cost_big, cost_big[1:]):
+        assert c1 / c0 <= 10.5, (c0, c1)
+
+    # ...with strong-dup recall intact at 200M vectors
+    b, r = _sign_lsh_params(200_000_000, 0.9, 0.9)
+    p95 = 1 - math.acos(0.95) / math.pi
+    assert 1 - (1 - p95 ** r) ** b >= 0.95
+
+    # strict mode: cap lifted, at-threshold recall guaranteed at any n
+    bs, rs = _sign_lsh_params(200_000_000, 0.9, 0.9, strict_recall=True)
+    assert bs > 64
+    assert 1 - (1 - p ** rs) ** bs >= 0.9 - 1e-9
+
+
 def test_pii_scrub(spark):
     """PII scrubbing: each type is counted on the original text and
     redacted in the output; clean text passes through untouched."""
