@@ -76,6 +76,8 @@ ELLIPSOIDS = {
     'krass': (6378245.0, 1.0 / 298.3),              # Krassowsky 1940
     'GRS67': (6378160.0, 1.0 / 298.247167427),      # GRS 1967 modified
     'airy-mod': (6377340.189, 1.0 / 299.3249646),   # Airy Modified (TM75)
+    # Clarke 1880 (IGN): a, b = 6378249.2, 6356515 -> f = (a-b)/a
+    'clrk80ign': (6378249.2, 21734.2 / 6378249.2),
 }
 
 _WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
@@ -225,6 +227,50 @@ def lcc_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
     r = a * big_f * _conf_t(phi, e) ** n
     theta = n * (math.radians(lon) - lon0)
     return fe + r * math.sin(theta), fn + r0 - r * math.cos(theta)
+
+
+@_memo
+def _lcc1_consts(a: float, f: float, lat0: float, k0: float):
+    """(e, n, F, r0) for LCC-1SP (EPSG 9801): the cone touches at lat0
+    with scale k0 — n = sin(lat0), F from the conformal radius there."""
+    e = _ecc(f)
+    n = math.sin(lat0)
+    t0 = _conf_t(lat0, e)
+    big_f = _epsg_m(lat0, e) / (n * t0 ** n)
+    r0 = a * big_f * t0 ** n * k0
+    return (e, n, big_f, r0)
+
+
+def lcc1_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+             lon0: float, k0: float, fe: float, fn: float):
+    """(lon, lat) degrees -> Lambert Conformal Conic (1SP, EPSG 9801)
+    E/N: natural-origin latitude ``lat0`` (radians), central meridian
+    ``lon0`` (radians), scale ``k0`` at the origin. The classic French
+    NTF zones, Maghreb Lamberts, and Jamaica grids use this method;
+    pinned against the published EPSG Guidance Note 7-2 worked example
+    in tests/test_convert.py."""
+    e, n, big_f, r0 = _lcc1_consts(a, f, lat0, k0)
+    phi = math.radians(lat)
+    r = a * big_f * _conf_t(phi, e) ** n * k0
+    theta = n * (math.radians(lon) - lon0)
+    return fe + r * math.sin(theta), fn + r0 - r * math.cos(theta)
+
+
+def lcc1_inv(east: float, north: float, a: float, f: float, lat0: float,
+             lon0: float, k0: float, fe: float, fn: float):
+    """Lambert Conformal Conic (1SP) E/N -> (lon, lat) degrees."""
+    e, n, big_f, r0 = _lcc1_consts(a, f, lat0, k0)
+    dx, dy = east - fe, r0 - (north - fn)
+    r = math.hypot(dx, dy)
+    if n < 0:
+        r, dx, dy = -r, -dx, -dy
+    theta = math.atan2(dx, dy)
+    t = (r / (a * big_f * k0)) ** (1.0 / n)
+    phi = math.pi / 2 - 2 * math.atan(t)
+    for _ in range(8):
+        es = e * math.sin(phi)
+        phi = math.pi / 2 - 2 * math.atan(t * ((1 - es) / (1 + es)) ** (e / 2))
+    return math.degrees(lon0 + theta / n), math.degrees(phi)
 
 
 def lcc_inv(east: float, north: float, a: float, f: float, lat0: float,
@@ -687,6 +733,55 @@ _CRS_TABLE = {
     2193: {'proj': 'tm', 'ellps': 'GRS80',
            'params': (0.0, _d(173), 0.9996, 1600000.0, 10000000.0),
            'towgs84': None},
+    # ETRS89 / LCC Europe (the pan-European conformal grid)
+    3034: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (_d(52), _d(10), _d(35), _d(65),
+                      4000000.0, 2800000.0),
+           'towgs84': None},
+    # NAD83 / Canada Atlas Lambert (+ the NAD83(CSRS) twin)
+    3978: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (_d(49), _d(-95), _d(49), _d(77), 0.0, 0.0),
+           'towgs84': None},
+    3979: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (_d(49), _d(-95), _d(49), _d(77), 0.0, 0.0),
+           'towgs84': None},
+    # SWEREF99 TM (Sweden national)
+    3006: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(15), 0.9996, 500000.0, 0.0),
+           'towgs84': None},
+    # LKS94 / Lithuania TM
+    3346: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(24), 0.9998, 500000.0, 0.0),
+           'towgs84': None},
+    # LKS92 / Latvia TM (negative false northing)
+    3059: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(24), 0.9996, 500000.0, -6000000.0),
+           'towgs84': None},
+    # Estonian Coordinate System of 1997 (L-EST97): LCC-2SP
+    3301: {'proj': 'lcc', 'ellps': 'GRS80',
+           'params': (_d(57, 31, 3.19415), _d(24), _d(59, 20), _d(58),
+                      500000.0, 6375000.0),
+           'towgs84': None},
+    # Slovenia 1996 / Slovene National Grid (D96/TM)
+    3794: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (0.0, _d(15), 0.9999, 500000.0, -5000000.0),
+           'towgs84': None},
+    # ETRS89 / Portugal TM06
+    3763: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (_d(39, 40, 5.73), _d(-8, -7, -59.19), 1.0, 0.0, 0.0),
+           'towgs84': None},
+    # Israel 1993 / Israeli TM Grid (EPSG tfm 1073 translation)
+    2039: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (_d(31, 44, 3.817), _d(35, 12, 16.261), 1.0000067,
+                      219529.584, 626907.39),
+           'towgs84': (-48.0, 55.0, 52.0, 0.0, 0.0, 0.0, 0.0)},
+    # JGD2000 / JGD2011 Japan Plane Rectangular CS zone IX (Kanto)
+    2451: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (_d(36), _d(139, 50), 0.9999, 0.0, 0.0),
+           'towgs84': None},
+    6677: {'proj': 'tm', 'ellps': 'GRS80',
+           'params': (_d(36), _d(139, 50), 0.9999, 0.0, 0.0),
+           'towgs84': None},
     # Amersfoort / RD New (Netherlands): Oblique Stereographic on
     # Bessel 1841 (EPSG 9809); towgs84 is EPSG tfm 15934
     28992: {'proj': 'sterea', 'ellps': 'bessel',
@@ -791,6 +886,50 @@ def _load_common_epsg() -> None:
     for z in range(1, 8):         # POSGAR 2007 / Argentina faja 1-7
         _CRS_TABLE[5342 + z] = utm(-75 + 3 * z, 'GRS80', k=1.0,
                                    fe=z * 1e6 + 500000.0, lat0=_d(-90))
+    for z in range(1, 24):        # NAD83(2011) / UTM 1N-23N
+        _CRS_TABLE[6329 + z] = utm(z * 6 - 183, 'GRS80')
+    dhdn = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+    for z in range(2, 6):         # DHDN / 3-deg Gauss-Krueger zone 2-5
+        _CRS_TABLE[31464 + z] = utm(z * 3, 'bessel', k=1.0,
+                                    fe=z * 1e6 + 500000.0, towgs84=dhdn)
+    for z in range(13, 24):       # CGCS2000 / Gauss-Krueger zone 13-23
+        _CRS_TABLE[4478 + z] = utm(z * 6 - 3, 'GRS80', k=1.0,
+                                   fe=z * 1e6 + 500000.0)
+    for z in range(13, 24):       # ... CM variants (no zone prefix)
+        _CRS_TABLE[4489 + z] = utm(z * 6 - 3, 'GRS80', k=1.0)
+    for p in range(42, 51):       # RGF93 / CC42-CC50 (conic conformal
+        # zone ladder: one-degree bands, documented zone arithmetic)
+        _CRS_TABLE[3900 + p] = {
+            'proj': 'lcc', 'ellps': 'GRS80',
+            'params': (_d(p), _d(3), _d(p) - _d(0, 45), _d(p) + _d(0, 45),
+                       1700000.0, (p - 41) * 1e6 + 200000.0),
+            'towgs84': None}
+    # NTF (Paris) / Lambert zones I-IV + the 'etendu' carto variants:
+    # LCC-1SP on Clarke 1880 (IGN); the Paris prime meridian
+    # (2deg20'14.025" east of Greenwich) is folded into lon0, the
+    # classic published per-zone k0/false origins; NTF->WGS84 is the
+    # standard (-168, -60, +320) translation
+    ntf = (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
+    paris = _d(2, 20, 14.025)
+    zones = [  # (lat0 deg, k0, fe, fn_zone, fn_etendu)
+        (49.5, 0.999877340, 600000.0, 200000.0, 1200000.0),
+        (46.8, 0.999877420, 600000.0, 200000.0, 2200000.0),
+        (44.1, 0.999877499, 600000.0, 200000.0, 3200000.0),
+        (42.165, 0.99994471, 234.358, 185861.369, 4185861.369),
+    ]
+    for i, (lat0, k0, fe, fn_z, fn_e) in enumerate(zones):
+        for code, fn in ((27561 + i, fn_z), (27571 + i, fn_e)):
+            _CRS_TABLE[code] = {
+                'proj': 'lcc1', 'ellps': 'clrk80ign',
+                'params': (_d(lat0), paris, k0, fe, fn),
+                'towgs84': ntf}
+    # Merchich / Nord + Sud Maroc (LCC-1SP, grads-defined origins)
+    for code, lat0_gr, k0 in ((26191, 37.0, 0.999625769),
+                              (26192, 33.0, 0.999615596)):
+        _CRS_TABLE[code] = {
+            'proj': 'lcc1', 'ellps': 'clrk80ign',
+            'params': (_d(lat0_gr * 0.9), _d(-5.4), k0, 500000.0, 300000.0),
+            'towgs84': (31.0, 146.0, 47.0, 0.0, 0.0, 0.0, 0.0)}
 
 
 _load_common_epsg()
@@ -800,6 +939,7 @@ _load_common_epsg()
 _PROJ_METHODS = {
     'tm': (tm_fwd, tm_inv),
     'lcc': (lcc_fwd, lcc_inv),
+    'lcc1': (lcc1_fwd, lcc1_inv),
     'sterea': (sterea_fwd, sterea_inv),
     'omerc': (omerc_fwd, omerc_inv),
     'krovak': (krovak_fwd, krovak_inv),

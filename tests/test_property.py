@@ -467,6 +467,98 @@ def test_new_registry_crs_roundtrip(crs, strategy):
     check()
 
 
+def test_lcc1_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 worked example for Lambert Conic
+    Conformal 1SP (method 9801), Jamaica 1969 / Jamaica National Grid:
+    76d56'37.26\"W 17d55'55.80\"N -> E 255966.58, N 142493.51."""
+    a, f = O.ELLIPSOIDS['clrk66']
+    lat0, lon0 = O._d(18), O._d(-77)
+    phi = 17 + 55 / 60 + 55.80 / 3600
+    lam = -(76 + 56 / 60 + 37.26 / 3600)
+    e, n = O.lcc1_fwd(lam, phi, a, f, lat0, lon0, 1.0, 250000.0, 150000.0)
+    assert math.isclose(e, 255966.58, abs_tol=5e-3)
+    assert math.isclose(n, 142493.51, abs_tol=5e-3)
+    lon2, lat2 = O.lcc1_inv(e, n, a, f, lat0, lon0, 1.0,
+                            250000.0, 150000.0)
+    assert math.isclose(lon2, lam, abs_tol=1e-9)
+    assert math.isclose(lat2, phi, abs_tol=1e-9)
+
+
+def test_ntf_lambert_natural_origins():
+    """The round-6 LCC-1SP registry rows reproduce their published
+    false origins exactly: a point on the Paris meridian at each
+    zone's origin latitude maps (datum shift disabled — the origins
+    are NTF-native) to exactly (FE, FN)."""
+    lon0 = math.degrees(O._d(2, 20, 14.025))
+    cases = [(27561, 49.5, 600000.0, 200000.0),
+             (27572, 46.8, 600000.0, 2200000.0),
+             (27574, 42.165, 234.358, 4185861.369),
+             (26191, 33.3, 500000.0, 300000.0)]
+    for code, lat0, fe, fn in cases:
+        spec = dict(O._CRS_TABLE[code])
+        spec['towgs84'] = None
+        origin_lon = -5.4 if code in (26191, 26192) else lon0
+        _, from_ll = O._spec_fns(spec)
+        e, n = from_ll(origin_lon, lat0)
+        assert math.isclose(e, fe, abs_tol=1e-6), code
+        assert math.isclose(n, fn, abs_tol=1e-6), code
+
+
+def test_nad83_2011_utm_matches_wgs84_kernel():
+    """NAD83(2011) UTM zones (zero-shift GRS80) agree with the
+    independent closed-form WGS84 UTM kernel to sub-mm — the same
+    cross-kernel pin the other GRS80 zone blocks carry."""
+    for lon, lat, epsg_grs, epsg_wgs in [(-122.3, 47.6, 6339, 32610),
+                                         (-74.0, 40.7, 6347, 32618)]:
+        xg, yg = O.transform_geom(('Point', (lon, lat)), 4326, epsg_grs)[1]
+        xw, yw = O.transform_geom(('Point', (lon, lat)), 4326, epsg_wgs)[1]
+        assert math.isclose(xg, xw, abs_tol=1e-3)
+        assert math.isclose(yg, yw, abs_tol=1e-3)
+
+
+round6_registry_cases = [
+    (27561, st.tuples(st.floats(-2.0, 6.0), st.floats(48.3, 51.1))),
+    (27562, st.tuples(st.floats(-2.0, 6.5), st.floats(45.5, 48.6))),
+    (27563, st.tuples(st.floats(-1.5, 7.5), st.floats(42.5, 45.5))),
+    (27564, st.tuples(st.floats(8.5, 9.6), st.floats(41.3, 43.1))),
+    (27572, st.tuples(st.floats(-4.8, 7.9), st.floats(42.3, 51.1))),
+    (26191, st.tuples(st.floats(-9.7, -1.0), st.floats(31.5, 35.7))),
+    (26192, st.tuples(st.floats(-10.5, -2.0), st.floats(28.0, 31.6))),
+    (31467, st.tuples(st.floats(7.5, 10.5), st.floats(47.2, 55.1))),
+    (3946, st.tuples(st.floats(-1.0, 7.0), st.floats(45.25, 46.75))),
+    (3034, st.tuples(st.floats(-10.0, 31.0), st.floats(35.0, 70.0))),
+    (3978, st.tuples(st.floats(-141.0, -52.0), st.floats(41.0, 83.0))),
+    (3006, st.tuples(st.floats(10.9, 24.2), st.floats(55.3, 69.1))),
+    (3346, st.tuples(st.floats(20.9, 26.9), st.floats(53.9, 56.5))),
+    (3059, st.tuples(st.floats(20.9, 28.3), st.floats(55.6, 58.1))),
+    (3301, st.tuples(st.floats(21.7, 28.2), st.floats(57.5, 59.7))),
+    (3794, st.tuples(st.floats(13.3, 16.6), st.floats(45.4, 46.9))),
+    (3763, st.tuples(st.floats(-9.6, -6.2), st.floats(36.9, 42.2))),
+    (2039, st.tuples(st.floats(34.2, 35.7), st.floats(29.4, 33.4))),
+    (6677, st.tuples(st.floats(138.4, 141.1), st.floats(34.8, 37.1))),
+    (6339, st.tuples(st.floats(-126.0, -120.0), st.floats(32.0, 49.0))),
+    (4491, st.tuples(st.floats(73.6, 78.0), st.floats(27.0, 45.9))),
+    (4502, st.tuples(st.floats(73.6, 78.0), st.floats(27.0, 45.9))),
+]
+
+
+@pytest.mark.parametrize('crs,strategy', round6_registry_cases,
+                         ids=[str(c) for c, _ in round6_registry_cases])
+def test_round6_registry_crs_roundtrip(crs, strategy):
+    """4326 -> round-6 registry CRS -> 4326 round trip < 1e-7 deg
+    (~1 cm) across each CRS's area of use, datum shift both ways
+    (NTF/Merchich/DHDN Helmert legs included)."""
+    @given(strategy)
+    @settings(max_examples=100, deadline=None)
+    def check(c):
+        lon, lat = c
+        g = O.transform_geom(('Point', (lon, lat)), 4326, crs)
+        lon2, lat2 = O.transform_geom(g, crs, 4326)[1]
+        assert math.isclose(lon, lon2, abs_tol=1e-7)
+        assert math.isclose(lat, lat2, abs_tol=1e-7)
+    check()
+
+
 def test_register_crs_and_dict_crs():
     """register_crs makes an unlisted EPSG code resolvable everywhere an
     int CRS is; a parameter dict works directly as a CRS; bad specs are
