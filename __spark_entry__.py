@@ -3825,15 +3825,19 @@ ORDER BY doc_id
 
 
 def q_quality_classifier(spark, sf_dir):
-    """Trainable quality classifier end-to-end (rows-only: the L-BFGS
-    optimizer is iterative, not SQL-expressible; separation/AUC/
-    determinism are pytest-pinned in tests/test_classifier.py).
-    CCNet shape: label the real documents positive and a deterministic
-    hex-token-salad derivative of each document negative, train on a
-    seeded-hash-ordered ~600/class sample, then score the FULL corpus
-    with the broadcast-model map-only pass. Returns (id, quality_label,
-    quality_prob rounded) per document — the trained filter's keep/drop
-    verdicts."""
+    """Trainable quality classifier end-to-end, VALUE-checked by
+    construction: the L-BFGS optimizer is iterative (not
+    SQL-replayable), so the oracle checks the classifier's CONTRACT
+    instead — every real document must outrank its deterministic
+    hex-token-salad twin. CCNet shape: label real documents positive
+    and the gibberish twins negative, train on a seeded-hash-ordered
+    ~600/class sample, score the FULL corpus plus all twins with the
+    broadcast-model map-only pass, and emit (doc_id, ranked_ok) where
+    ranked_ok = P(real doc) > P(its twin), compared entirely
+    Spark-side so the hashed values are pure booleans. The arithmetic
+    oracle demands ranked_ok = 1 for every document — one inversion
+    anywhere in the corpus turns the gate red. AUC/separation/
+    determinism remain pytest-pinned in tests/test_classifier.py."""
     from erde_spark.scale.classifier import train_quality_classifier
     docs = (_t(spark, sf_dir, 'documents')['documents']
             .select('doc_id', 'text').where(F.col('text').isNotNull()))
@@ -3851,11 +3855,29 @@ def q_quality_classifier(spark, sf_dir):
                .unionByName(
                    neg.orderBy(F.xxhash64('doc_id', F.lit(42))).limit(600)))
     clf = train_quality_classifier(labeled, max_iter=20)
-    scored = clf.score(docs)
-    return scored.select(
-        'id',
-        (F.col('quality_prob') >= 0.5).cast('int').alias('quality_label'),
-        F.round('quality_prob', 3).alias('quality_prob'))
+    both = docs.unionByName(
+        neg.select((F.col('doc_id') + 1000000).alias('doc_id'), 'text'))
+    scored = clf.score(both)
+    real = scored.where(F.col('id') < 1000000) \
+        .select(F.col('id').alias('doc_id'),
+                F.col('quality_prob').alias('_p_real'))
+    twin = scored.where(F.col('id') >= 1000000) \
+        .select((F.col('id') - 1000000).alias('doc_id'),
+                F.col('quality_prob').alias('_p_twin'))
+    return (real.join(twin, 'doc_id')
+            .select('doc_id',
+                    (F.col('_p_real') > F.col('_p_twin')).cast('int')
+                    .alias('ranked_ok'))
+            .orderBy('doc_id'))
+
+
+# the oracle IS the classifier's contract: every real document must
+# outrank its gibberish twin
+_QUALITY_CLASSIFIER_SQL = """
+SELECT doc_id, 1 AS ranked_ok
+FROM documents WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3916,8 +3938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 rotation: langid_nb (30-language char-n-gram NB language
     identification, construction-oracled — every planted held-out
     sentence must be classified correctly, truth fixed by doc_id
-    arithmetic) enters the window; dedup_jaccard (driver-green
-    r02-r05) moves to the tail.
+    arithmetic) and quality_classifier (now VALUE-checked: every real
+    document must outrank its gibberish twin, pure-boolean output vs
+    the arithmetic oracle — replacing its former rows-only tail entry)
+    enter the window; dedup_jaccard and repetition_ngrams (both
+    driver-green r02-r05) move to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3966,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
         'dedup_exact': q_dedup_exact,
+        'quality_classifier': q_quality_classifier,
         'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
         'cluster_components_jaccard': q_cluster_components_jaccard,
         'dedup_embedding': q_dedup_embedding,
@@ -3982,7 +4008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
         'tpch_q12_late_lines': q_tpch_q12,
-        'quality_classifier': q_quality_classifier,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
@@ -4065,6 +4090,7 @@ def oracle_sql() -> dict[str, str]:
         'boilerplate_lines': _BOILERPLATE_SQL,
         'nb_classifier': _NB_SQL,
         'langid_nb': _LANGID_SQL,
+        'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
         'tpch_q3_topk': _Q3_SQL,
