@@ -3410,6 +3410,54 @@ ORDER BY segment_no
 """
 
 
+def q_warc_stream_ingest(spark, sf_dir):
+    """The STREAMING crawl-ingest front door, value-oracled by the
+    same construction as ``warc_ingest``: the corpus is exported to
+    multi-segment WARC via the distributed sink, then ingested through
+    ``streaming_warc_ingest`` — the binaryFile file-stream source
+    (availableNow trigger, maxFilesPerTrigger=3 so several micro-
+    batches actually fire), the in-task streaming record parser, and
+    the documents bridge — appending parquet per batch. The check
+    aggregates by a URI-derived partition key: record count, char
+    totals, and an md5 over source-ordered texts must equal DuckDB's
+    straight-from-``documents`` computation, so a record lost or
+    duplicated across micro-batch boundaries turns the gate red."""
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.io.warc import streaming_warc_ingest, write_warc
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    base = tempfile.mkdtemp(prefix='erde_warc_stream_gate_')
+    in_dir = os.path.join(base, 'segments.warc')
+    export = d.select(
+        'text',
+        F.concat(F.lit('https://fixture.example/'),
+                 F.col('doc_id').cast('string')).alias('source'))
+    write_warc(export.repartition(8), in_dir, mode='overwrite')
+    q = streaming_warc_ingest(
+        spark, in_dir,
+        out_dir=os.path.join(base, 'out'),
+        checkpoint_dir=os.path.join(base, 'ckpt'),
+        max_files_per_trigger=3)
+    q.awaitTermination()
+    docs = spark.read.parquet(os.path.join(base, 'out'))
+    seg_no = F.pmod(F.regexp_extract('source', r'/(\d+)$', 1).cast('long'),
+                    F.lit(8))
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct('source', 'text'))),
+        lambda s: s['text'])
+    out = (docs.groupBy(seg_no.alias('segment_no'))
+           .agg(F.count(F.lit(1)).alias('n_records'),
+                F.sum('n_chars').alias('sum_chars'),
+                F.md5(F.concat_ws('|', ordered_texts)).alias('content_md5'))
+           .orderBy('segment_no')
+           .localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_video_frame_dedup(spark, sf_dir):
     """Video near-dup dedup end-to-end, value-oracled by construction
     (the ``image_phash_dedup`` shape lifted to video): each document
@@ -3941,8 +3989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     arithmetic) and quality_classifier (now VALUE-checked: every real
     document must outrank its gibberish twin, pure-boolean output vs
     the arithmetic oracle — replacing its former rows-only tail entry)
-    enter the window; dedup_jaccard and repetition_ngrams (both
-    driver-green r02-r05) move to the tail.
+    enter the window, as does warc_stream_ingest (the streaming
+    binaryFile->record-parser->documents front door, per-segment
+    md5-oracled across multiple availableNow micro-batches);
+    dedup_jaccard, repetition_ngrams and top_tokens (all driver-green
+    r02-r05) move to the tail.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -3988,7 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
         'text_analysis': q_text_analysis,
-        'top_tokens': q_top_tokens,
+        'warc_stream_ingest': q_warc_stream_ingest,
         'token_count_bpe': q_token_count_bpe,
         'dedup_exact': q_dedup_exact,
         'quality_classifier': q_quality_classifier,
@@ -4000,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'dedup_jaccard': q_dedup_jaccard,
+        'top_tokens': q_top_tokens,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4083,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         'warc_ingest': _WARC_INGEST_SQL,
+        'warc_stream_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,
         'mojibake_fix': _MOJIBAKE_SQL,
         'url_canonical_dedup': _URL_CANON_SQL,

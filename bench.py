@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     'nb_classifier',
     'chunk_documents',
     'langid_nb',
+    'warc_stream_ingest',
 ]
 
 
