@@ -112,7 +112,7 @@ def _parse_trak(data: bytes, s: int, e: int) -> dict:
           'width': None, 'height': None, 'fps': None,
           'channels': None, 'sample_rate': None,
           'sample_sizes': None, 'chunk_offsets': None,
-          'sample_to_chunk': None}
+          'sample_to_chunk': None, 'dec_config': None}
     for typ, bs, be in _boxes(data, s, e):
         if typ == b'tkhd':
             v, _, p = _full(data, bs)
@@ -163,6 +163,16 @@ def _parse_stbl(data: bytes, s: int, e: int, tr: dict) -> None:
                         data[entry + 16:entry + 18], 'big')
                     tr['sample_rate'] = _fixed1616(int.from_bytes(
                         data[entry + 24:entry + 28], 'big'))
+                if tr['handler'] == 'vide':
+                    # the avcC/hvcC decoder-configuration record child
+                    # boxes follow VisualSampleEntry's 78 fixed bytes
+                    # (ISO 14496-12 §12.1.3); decoders need it verbatim
+                    ent_size = int.from_bytes(data[p + 4:p + 8], 'big')
+                    ent_end = min(p + 4 + ent_size, be)
+                    for ct, cs, ce in _boxes(data, entry + 78, ent_end):
+                        if ct in (b'avcC', b'hvcC'):
+                            tr['dec_config'] = data[cs:ce]
+                            break
         elif typ == b'stts':
             _, _, p = _full(data, bs)
             n = int.from_bytes(data[p:p + 4], 'big')
@@ -230,19 +240,32 @@ def sample_ranges(track: dict) -> list[tuple[int, int]]:
     return out
 
 
-def decode_sample(data: bytes, offset: int, size: int):
+def decode_sample(data: bytes, offset: int, size: int,
+                  track: dict | None = None):
     """Decode one video sample by its byte range. Motion-JPEG samples
     (each sample is a complete JPEG image — the 'jpeg'/'mjpa' sample
     entries) decode for real through the repo's own JPEG codec;
-    H.264/H.265/AAC bitstreams still need codec libraries this
-    container doesn't ship and raise with the byte range in hand."""
+    H.264/HEVC samples decode to their luma plane through the
+    availability-gated system-libavcodec shim when ``track`` carries
+    the stsd codec + decoder config (this container ships no codec
+    library, so there the documented NotImplementedError path runs)."""
     blob = data[offset:offset + size]
     if blob[:2] == b'\xff\xd8':  # JPEG SOI: an MJPEG sample
         from erde_spark.scale.jpeg import decode_jpeg
         return decode_jpeg(blob)
+    codec = (track or {}).get('codec')
+    from erde_spark.scale.h264_native import _CODEC_IDS, \
+        decode_video_frame_luma
+    if codec in _CODEC_IDS:
+        # H.264/HEVC via the system libavcodec shim (availability-
+        # gated: raises NotImplementedError on hosts without it)
+        return decode_video_frame_luma(codec, (track or {}).get(
+            'dec_config'), blob)
     raise NotImplementedError(
-        f'bitstream decode (sample at {offset}+{size}) requires a codec '
-        'library (ffmpeg/pyav), not available in this container')
+        f'bitstream decode (sample at {offset}+{size}, codec '
+        f'{codec!r}) requires a codec library; H.264/HEVC route '
+        'through the libavcodec shim when the host provides it '
+        '(erde_spark.scale.h264_native), other codecs are unsupported')
 
 
 # --------------------------------------------------------------- fixtures
@@ -258,11 +281,15 @@ def _fullbox(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
 
 def encode_mp4_stub(n_frames: int = 24, fps: int = 12, width: int = 64,
                     height: int = 48, timescale: int = 600,
-                    frame_bytes: int = 32, use64: bool = False) -> bytes:
+                    frame_bytes: int = 32, use64: bool = False,
+                    dec_config: bytes | None = None) -> bytes:
     """Minimal valid single-video-track MP4 whose mdat holds ``n_frames``
     deterministic fake samples of ``frame_bytes`` each — enough real
     structure (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd/
-    stts/stsz/stco|co64/mdat) to exercise every parser path."""
+    stts/stsz/stco|co64/mdat) to exercise every parser path.
+    ``dec_config`` appends an ``avcC`` decoder-configuration child to
+    the avc1 sample entry (the ISO 14496-15 layout the H.264 decode
+    path consumes)."""
     dur = n_frames * timescale // fps
     ftyp = _box(b'ftyp', b'isom' + struct.pack('>I', 512) + b'isomavc1')
     mvhd = _fullbox(b'mvhd', 0, 0, struct.pack(
@@ -276,7 +303,8 @@ def encode_mp4_stub(n_frames: int = 24, fps: int = 12, width: int = 64,
                     + b'\x00' * 12 + b'fake\x00')
     avc1 = _box(b'avc1', b'\x00' * 6 + struct.pack('>H', 1)
                 + b'\x00' * 16 + struct.pack('>HH', width, height)
-                + b'\x00' * 50)
+                + b'\x00' * 50
+                + (_box(b'avcC', dec_config) if dec_config else b''))
     stsd = _fullbox(b'stsd', 0, 0, struct.pack('>I', 1) + avc1)
     stts = _fullbox(b'stts', 0, 0, struct.pack(
         '>III', 1, n_frames, timescale // fps))
@@ -504,7 +532,7 @@ def video_frame_hashes(assets: DataFrame, every_n: int = 1,
                                 sample_ranges(vid) if vid else []):
                             if i % every_n:
                                 continue
-                            arr = decode_sample(blob, off, sz)
+                            arr = decode_sample(blob, off, sz, vid)
                             hit.append((i, int(phash_array(arr))))
                     except Exception:
                         if on_error == 'raise':

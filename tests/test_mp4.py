@@ -54,6 +54,51 @@ def test_decode_sample_is_stubbed():
         decode_sample(b'', 0, 10)
 
 
+def test_avcc_extraction_and_gated_h264_path():
+    """The stsd parser surfaces the avcC decoder-configuration record
+    for avc1 entries, and the H.264 decode path is availability-gated:
+    on hosts without libavcodec (this container) it raises the
+    documented NotImplementedError naming the shim; unsupported codec
+    fourccs raise regardless."""
+    from erde_spark.scale import h264_native
+    from erde_spark.scale.mp4 import parse_mp4, sample_ranges
+    cfg = bytes([1, 0x64, 0x00, 0x1F, 0xFF, 0xE1, 0, 4, 0x67, 1, 2, 3,
+                 1, 0, 2, 0x68, 5])  # shaped like a real avcC record
+    blob = encode_mp4_stub(n_frames=4, dec_config=cfg)
+    vid = next(t for t in parse_mp4(blob)['tracks']
+               if t['handler'] == 'vide')
+    assert vid['codec'] == 'avc1'
+    assert vid['dec_config'] == cfg
+    off, sz = sample_ranges(vid)[0]
+    if h264_native.available():
+        pytest.skip('host has libavcodec; the fake NAL sample is not '
+                    'decodable, only the gate is under test here')
+    assert not h264_native.available()
+    with pytest.raises(NotImplementedError, match='libavcodec'):
+        decode_sample(blob, off, sz, vid)
+    with pytest.raises(NotImplementedError, match='libavcodec'):
+        h264_native.decode_video_frame_luma('hvc1', None, b'\x00\x00')
+    with pytest.raises(NotImplementedError, match='unsupported'):
+        h264_native.decode_video_frame_luma('vp09', None, b'\x00\x00')
+
+
+def test_video_frame_hashes_skips_gated_codec(spark):
+    """on_error='skip' lets a mixed corpus flow past codec-gated
+    assets; on_error='raise' surfaces the gate."""
+    import pandas as pd
+
+    from erde_spark.scale import h264_native
+    from erde_spark.scale.mp4 import video_frame_hashes
+    if h264_native.available():
+        pytest.skip('host has libavcodec')
+    blob = encode_mp4_stub(n_frames=4, dec_config=b'\x01\x64\x00\x1f')
+    df = spark.createDataFrame(
+        pd.DataFrame({'asset_id': [1], 'media': [blob]}))
+    assert video_frame_hashes(df, on_error='skip').count() == 0
+    with pytest.raises(Exception, match='libavcodec'):
+        video_frame_hashes(df, on_error='raise').count()
+
+
 def test_mp4_metadata_spark(spark):
     from erde_spark.scale.multimodal import ASSET_SCHEMA
     rows = []
