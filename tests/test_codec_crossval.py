@@ -119,6 +119,85 @@ def test_tiff_gd_to_ours():
     assert (got == arr).all()
 
 
+def _libtiff_rgba(blob: bytes, w: int, h: int):
+    """Decode a TIFF through libtiff DIRECTLY (TIFFOpen +
+    TIFFReadRGBAImageOriented) -> (h, w, 4) uint8. Used where gd's
+    memory-IO wrapper trips libtiff's uncompressed-bytecount
+    validation on files libtiff itself accepts (verified: the same
+    bytes open and decode cleanly through TIFFOpen)."""
+    import ctypes
+    import os
+    import tempfile
+
+    import numpy as np
+    lt = ctypes.CDLL('libtiff.so.6')
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    lt.TIFFReadRGBAImageOriented.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+    p = tempfile.mktemp(suffix='.tif')
+    try:
+        with open(p, 'wb') as f:
+            f.write(blob)
+        tif = lt.TIFFOpen(p.encode(), b'r')
+        assert tif, 'libtiff refused the file'
+        buf = (ctypes.c_uint32 * (w * h))()
+        ok = lt.TIFFReadRGBAImageOriented(tif, w, h, buf, 1, 0)
+        lt.TIFFClose(tif)
+        assert ok == 1, 'libtiff failed to decode'
+        return np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 4)
+    finally:
+        os.unlink(p)
+
+
+def test_tiff_tiled_ours_to_libtiff():
+    """TILED layouts (round 6): our tiled writer's files decode
+    bit-exact through libtiff — non-multiple image sizes exercise
+    padded edge tiles; LZW + predictor ride the tile path (via gd);
+    uncompressed tiles via direct libtiff."""
+    import numpy as np
+
+    from erde_spark.scale.tiff import encode_tiff
+    arr = _rgb(45, 61, 13)  # not a multiple of the tile edge
+    for pred in (False, True):
+        blob = encode_tiff(arr, compression=5, tiled=16, predictor=pred)
+        assert (gd.decode(blob, 'tiff') == arr).all(), pred
+    got = _libtiff_rgba(encode_tiff(arr, compression=1, tiled=16), 61, 45)
+    assert (got[:, :, :3] == arr).all()
+    # grayscale tiled too (libtiff expands to RGB)
+    g = np.arange(45 * 61, dtype=np.uint64).reshape(45, 61)
+    g = (g * 37 % 251).astype(np.uint8)
+    got = gd.decode(encode_tiff(g, compression=5, tiled=32), 'tiff')
+    assert (got == np.dstack([g] * 3)).all()
+
+
+def test_tiff_16bit_ours_to_libtiff():
+    """16-BIT samples (round 6): libtiff's RGBA reader scales 16->8 by
+    the high byte, so our 16-bit files (both byte orders, strip and
+    tiled) must decode through libtiff to exactly ours >> 8."""
+    import numpy as np
+
+    from erde_spark.scale.tiff import decode_tiff, encode_tiff
+    rng = np.random.RandomState(5)
+    arr16 = rng.randint(0, 65536, size=(30, 41, 3)).astype(np.uint16)
+    for be in (False, True):
+        for tiled in (None, 16):
+            blob = encode_tiff(arr16, big_endian=be, tiled=tiled)
+            ours = decode_tiff(blob)
+            assert ours.dtype == np.uint16
+            assert (ours == arr16).all()
+            theirs = _libtiff_rgba(blob, 41, 30)
+            # libtiff ROUNDS the 16->8 conversion (not a plain >>8),
+            # so agreement is within 1 LSB of the high byte — still a
+            # strong pin: any byte-order or tile-layout mistake would
+            # scatter values across the full range
+            diff = theirs[:, :, :3].astype(int) - (arr16 >> 8).astype(int)
+            assert np.abs(diff).max() <= 1, (be, tiled)
+
+
 # ------------------------------------------------------------------ BMP
 
 def test_bmp_ours_to_gd():
