@@ -3234,13 +3234,13 @@ FROM k
 
 
 def q_media_decode_mixed(spark, sf_dir):
-    """End-to-end decode across ALL seven real image codecs: each
-    document gets a blob in the format picked by ``doc_id % 7`` (PNG,
-    baseline JPEG, GIF, TIFF-LZW, VP8L WebP — every one encoded by the
-    repo's own fixture encoders from a class-seeded image — plus LOSSY
-    VP8 WebP via the system libwebp binding and ARITHMETIC-coded JPEG
-    via the compiled libjpeg shim), decoded for real through
-    ``extract_features``'s mapInPandas path.
+    """End-to-end decode across ALL the real image-codec tiers: each
+    document gets a blob in the format picked by ``doc_id % 9`` (PNG,
+    baseline JPEG, GIF, strip TIFF-LZW, TILED TIFF, 16-BIT TIFF, VP8L
+    WebP — every one encoded by the repo's own fixture encoders from a
+    class-seeded image — plus LOSSY VP8 WebP via the system libwebp
+    binding and ARITHMETIC-coded JPEG via the compiled libjpeg shim),
+    decoded for real through ``extract_features``'s mapInPandas path.
     Output is the per-format (n_assets, n_decoded) table; the oracle
     predicts it from doc_id arithmetic — a red row means some format
     failed to decode, so this is the codec-regression canary in the
@@ -3248,7 +3248,7 @@ def q_media_decode_mixed(spark, sf_dir):
     from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
     fmts = ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy',
-            'jpeg_arith']
+            'jpeg_arith', 'tiff_tiled', 'tiff16']
 
     def _mk(batches):
         import numpy as np
@@ -3266,13 +3266,17 @@ def q_media_decode_mixed(spark, sf_dir):
                'tiff': lambda a: encode_tiff(a, compression=5),
                'webp': lambda a: encode_webp(a, subtract_green=True),
                'webp_lossy': lambda a: encode_webp_lossy(a, quality=90),
-               'jpeg_arith': lambda a: encode_jpeg_arith(a, quality=88)}
+               'jpeg_arith': lambda a: encode_jpeg_arith(a, quality=88),
+               'tiff_tiled': lambda a: encode_tiff(
+                   a, compression=5, tiled=16, predictor=True),
+               'tiff16': lambda a: encode_tiff(
+                   (a.astype(np.uint16) << 8) | a, big_endian=True)}
         cache = {}
         for pdf in batches:
             ids, blobs, metas = [], [], []
             for did in pdf['doc_id']:
                 did = int(did)
-                fmt = fmts[did % 7]
+                fmt = fmts[did % 9]
                 key = (fmt, did % 8)
                 if key not in cache:
                     rng = np.random.RandomState(100 + did % 8)
@@ -3286,6 +3290,7 @@ def q_media_decode_mixed(spark, sf_dir):
                 blobs.append(cache[key])
                 mime = ('image/webp' if 'webp' in fmt else
                         'image/jpeg' if 'jpeg' in fmt else
+                        'image/tiff' if 'tiff' in fmt else
                         'image/' + fmt)
                 metas.append({'format': mime, 'width': 24,
                               'height': 24, 'n_bytes': len(cache[key])})
@@ -3295,7 +3300,7 @@ def q_media_decode_mixed(spark, sf_dir):
     assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
     feats = extract_features(assets, on_error='null')
     fmt_of = F.element_at(F.array(*[F.lit(f) for f in fmts]),
-                          (F.col('asset_id') % 7 + 1).cast('int'))
+                          (F.col('asset_id') % 9 + 1).cast('int'))
     return (feats.select(fmt_of.alias('fmt'),
                          F.col('feat_mean').isNotNull().alias('ok'))
             .groupBy('fmt')
@@ -3309,7 +3314,7 @@ _MEDIA_DECODE_SQL = """
 SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
        CAST(COUNT(*) AS BIGINT) AS n_decoded
 FROM (SELECT ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy',
-              'jpeg_arith'][doc_id % 7 + 1] AS fmt
+              'jpeg_arith', 'tiff_tiled', 'tiff16'][doc_id % 9 + 1] AS fmt
       FROM documents)
 GROUP BY fmt
 ORDER BY fmt

@@ -435,6 +435,21 @@ def boilerplate(input_data: DataFrame, min_count: int = 3,
 
 
 @autocli
+def langid(input_data: DataFrame, id_column: str = 'doc_id',
+           text_column: str = 'text',
+           prefix_chars: int = 200) -> DataFrame:
+    """Tag each document with its language (30 languages / 9 scripts,
+    char-n-gram NB, broadcast-model scoring): appends lang +
+    lang_score columns."""
+    from erde_spark.scale.langid import identify_language
+    tags = identify_language(input_data, id_col=id_column,
+                             text_col=text_column,
+                             prefix_chars=prefix_chars)
+    return input_data.join(
+        tags.withColumnRenamed('id', id_column), id_column, 'left')
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -452,7 +467,7 @@ COMMANDS = {
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
-    'robots': robots,
+    'robots': robots, 'langid': langid,
 }
 
 

@@ -277,3 +277,17 @@ def test_boilerplate_robots_subcommands(spark, tmp_path):
     entrypoint(['robots', src, rob, out2])
     kept = sorted(r['doc_id'] for r in spark.read.parquet(out2).collect())
     assert kept == [0, 2, 4]
+
+
+def test_langid_subcommand(spark, tmp_path):
+    from erde_spark.cli import entrypoint
+    from erde_spark.scale.langid import EVAL_SENTENCES
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(0, EVAL_SENTENCES['de'][0]), (1, EVAL_SENTENCES['ja'][0]),
+            (2, EVAL_SENTENCES['ar'][0]), (3, '')]
+    spark.createDataFrame(rows, 'doc_id long, text string') \
+        .write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'tagged.parquet')
+    entrypoint(['langid', src, out])
+    got = {r['doc_id']: r['lang'] for r in spark.read.parquet(out).collect()}
+    assert got == {0: 'de', 1: 'ja', 2: 'ar', 3: 'und'}

@@ -260,6 +260,15 @@ def op_image_dedup_planted(spark, sf):
     return image_dedup_clusters(pl.unionByName(sg), max_hamming=4, n_docs=n)
 
 
+def op_langid(spark, sf):
+    """Language ID scaling: broadcast model + one map-side-combined
+    groupBy; per-document work bounded by prefix_chars, so time and
+    shuffle should track ~10x for 10x documents."""
+    from erde_spark.scale.langid import identify_language
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return identify_language(d)
+
+
 def op_warc_roundtrip(spark, sf):
     """The crawl ingest boundary at scale: export the documents table
     to WARC segments (distributed sink, one gzip member per record) and
@@ -297,6 +306,7 @@ OPS = {
     'phash_hamming_join': op_phash_hamming_join,
     'image_dedup_planted': op_image_dedup_planted,
     'warc_roundtrip': op_warc_roundtrip,
+    'langid': op_langid,
 }
 
 
