@@ -3837,6 +3837,49 @@ FROM scores ORDER BY id
 """
 
 
+def q_c4_filter(spark, sf_dir):
+    """The C4 cleaning recipe, value-oracled by construction: every
+    document becomes a page of known lines — a body sentence built
+    from its text, a too-short line, two proper sentences, and a
+    doc_id%4-selected variant (a javascript line / 'lorem ipsum' /
+    a curly-bracket code line / a fourth clean sentence). The rules
+    must drop exactly the lorem-ipsum and brace pages, strip exactly
+    the short+javascript lines from the survivors, and keep the rest
+    byte-identically — DuckDB's oracle builds the expected surviving
+    text directly from the same arithmetic and md5s must agree."""
+    from erde_spark.scale.text import c4_filter
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    base = F.concat(F.lit('Document body '),
+                    F.substring('text', 1, 60), F.lit(' ends here.'))
+    variant = (F.when(F.col('doc_id') % 4 == 0,
+                      'This line uses javascript for menus today.')
+               .when(F.col('doc_id') % 4 == 1, 'lorem ipsum')
+               .when(F.col('doc_id') % 4 == 2, 'code { snippet }')
+               .otherwise('A fourth wholesome sentence appears here.'))
+    page = F.concat_ws(
+        '\n', base, F.lit('short line'),
+        F.lit('Second proper sentence right here folks.'),
+        F.lit('Third full sentence to clear the minimum.'), variant)
+    out = c4_filter(d.select('doc_id', page.alias('text')))
+    return (out.select('doc_id', F.md5('text').alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_C4_FILTER_SQL = """
+SELECT doc_id,
+       md5('Document body ' || substr(text, 1, 60) || ' ends here.'
+           || chr(10) || 'Second proper sentence right here folks.'
+           || chr(10) || 'Third full sentence to clear the minimum.'
+           || CASE WHEN doc_id % 4 = 3
+                   THEN chr(10) || 'A fourth wholesome sentence appears here.'
+                   ELSE '' END) AS text_md5
+FROM documents
+WHERE text IS NOT NULL AND doc_id % 4 IN (0, 3)
+ORDER BY doc_id
+"""
+
+
 def q_langid_nb(spark, sf_dir):
     """Real language identification (30 languages / 9 scripts),
     construction-oracled: every document's text is replaced by a
@@ -3998,7 +4041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     binaryFile->record-parser->documents front door, per-segment
     md5-oracled across multiple availableNow micro-batches);
     dedup_jaccard, repetition_ngrams and top_tokens (all driver-green
-    r02-r05) move to the tail.
+    r02-r05) move to the tail. c4_filter (the published C4 cleaning
+    recipe, md5-exact vs the arithmetic construction) also enters,
+    displacing text_analysis (driver-green r02-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4043,7 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sagg_rect_demand': q_sagg_rect_demand,
         'sfilter_outside': q_sfilter_outside,
         'slookup_nation': q_slookup_nation,
-        'text_analysis': q_text_analysis,
+        'c4_filter': q_c4_filter,
         'warc_stream_ingest': q_warc_stream_ingest,
         'token_count_bpe': q_token_count_bpe,
         'dedup_exact': q_dedup_exact,
@@ -4057,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
+        'text_analysis': q_text_analysis,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4148,6 +4194,7 @@ def oracle_sql() -> dict[str, str]:
         'boilerplate_lines': _BOILERPLATE_SQL,
         'nb_classifier': _NB_SQL,
         'langid_nb': _LANGID_SQL,
+        'c4_filter': _C4_FILTER_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     'chunk_documents',
     'langid_nb',
     'warc_stream_ingest',
+    'c4_filter',
 ]
 
 

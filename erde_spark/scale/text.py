@@ -11,6 +11,8 @@ table (doc_id, text, lang, source, n_chars) but any string column works.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -563,6 +565,49 @@ def gopher_quality_flags(col: Column | str, min_tokens: int = 50,
         ((mtl >= min_mean_len) & (mtl <= max_mean_len)).alias('mean_len_ok'),
         (punct_ratio(c) <= max_punct_ratio).alias('punct_ok'),
         (stop_hits >= min_stop_hits).alias('stopwords_ok'))
+
+
+def c4_filter(df: DataFrame, id_col: str = 'doc_id',
+              text_col: str = 'text', min_words_per_line: int = 5,
+              min_sentences: int = 3,
+              blocklist: tuple = ()) -> DataFrame:
+    """The classic C4 cleaning rules (Raffel et al. 2020 §2.2, the
+    most-reproduced page-level curation recipe) as one JVM pass:
+
+    - keep only LINES ending in a terminal punctuation mark
+      (``. ! ? "``) with at least ``min_words_per_line`` words and
+      no occurrence of the word 'javascript';
+    - drop PAGES containing 'lorem ipsum', a curly bracket (code), a
+      blocklisted word, or fewer than ``min_sentences`` sentences
+      after line filtering (sentences counted as terminal-punctuation
+      marks in the kept text — the standard reimplementation of the
+      paper's sentence heuristic).
+
+    Returns the surviving (id, text) with kept lines rejoined in
+    order. Pure whole-stage-codegen arrays — no shuffle, no Python:
+    at 100 TB this rides the scan like every other line filter (the
+    three-sentence-span dedup C4 pairs with this lives in
+    ``passage_dedup_report``/``dedup_exact`` as its own tier)."""
+    c = F.col(text_col)
+    lower = F.lower(c)
+    kept_lines = F.filter(
+        F.split(c, '\n'),
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), ' +')) >= min_words_per_line)
+        & ~F.lower(ln).contains('javascript'))
+    kept_text = F.array_join(kept_lines, '\n')
+    n_sentences = (
+        F.length(kept_text)
+        - F.length(F.regexp_replace(kept_text, '[.!?]', '')))
+    page_ok = (~lower.contains('lorem ipsum')
+               & ~c.contains('{')
+               & (n_sentences >= min_sentences))
+    for word in blocklist:
+        page_ok = page_ok & ~lower.rlike(
+            r'\b' + re.escape(word.lower()) + r'\b')
+    return (df.select(F.col(id_col), kept_text.alias(text_col),
+                      page_ok.alias('_ok'))
+            .where(F.col('_ok')).drop('_ok'))
 
 
 def quality_filter(df: DataFrame, text_col: str = 'text',

@@ -1611,6 +1611,39 @@ def test_remove_boilerplate_lines(spark):
     assert got == 'same line repeated\nsame line repeated\nsame line repeated'
 
 
+def test_c4_filter_rules(spark):
+    """Each published C4 rule fires independently: terminal-punct
+    line keep, 5-word minimum, javascript lines, lorem-ipsum pages,
+    curly-bracket pages, 3-sentence minimum, blocklist words."""
+    from erde_spark.scale.text import c4_filter
+    docs = [
+        (1, 'A good first sentence here. Another full sentence too!\n'
+            'short line\nAnd a third good sentence ends here.'),
+        (2, 'Uses javascript for the menu here today. '
+            'Fine sentence one two three. And another one right here.\n'
+            'This line has enough words and javascript inside it.\n'
+            'But only this one good line survives the filter here.'),
+        (3, 'This page mentions Lorem Ipsum placeholder text sadly. '
+            'One more sentence. And a third one here too.'),
+        (4, 'function f() { return 1; } is code with many words here. '
+            'More sentences. And even more here.'),
+        (5, 'Only two sentences on this page exist. That is not enough!'),
+        (6, 'A perfectly clean page with one sentence. Then another '
+            'sentence follows it. Finally a third one closes it out.'),
+        (7, 'This page contains a badword inside it somewhere. Plus a '
+            'second sentence. Plus a third sentence right here.'),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r['text']
+           for r in c4_filter(df, blocklist=('badword',)).collect()}
+    assert set(got) == {1, 6}
+    assert got[1] == ('A good first sentence here. Another full '
+                      'sentence too!\nAnd a third good sentence ends '
+                      'here.')
+    # doc 2: both javascript lines drop; the one surviving line holds
+    # a single sentence, so the page falls under min_sentences too
+
+
 def test_chunk_documents_windows(spark):
     from erde_spark.scale.text import chunk_documents
     text = ' '.join(f'w{i}' for i in range(300))
