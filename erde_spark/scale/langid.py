@@ -65,7 +65,12 @@ LANGID_CORPUS = {
            "i do not know where she put the books. it rained all day yes"
            "terday and the streets were wet. we often eat dinner togethe"
            "r at my grandmother's place. how much does this cost and can"
-           " i pay with card."),
+           " i pay with card. the government announced new measures to s"
+           "upport the economy. the minister said that prices would cont"
+           "inue to rise this year. the city council approved the plan f"
+           "or the new road. workers at the factory went on strike last "
+           "week. the president will meet the leaders of the neighboring"
+           " countries."),
     'de': ("der schnelle braune fuchs springt über den faulen hund. ich "
            "bin heute morgen zum markt gegangen und habe frisches brot g"
            "ekauft. sie sagte, dass das wetter morgen besser sein würde."
@@ -77,7 +82,13 @@ LANGID_CORPUS = {
            "g nach hause. ich weiß nicht, wo sie die bücher hingelegt ha"
            "t. gestern hat es den ganzen tag geregnet und die straßen wa"
            "ren nass. wir essen oft zusammen bei meiner großmutter zu ab"
-           "end. wie viel kostet das und kann ich mit karte zahlen."),
+           "end. wie viel kostet das und kann ich mit karte zahlen. die "
+           "regierung kündigte neue maßnahmen zur unterstützung der wirt"
+           "schaft an. der minister sagte, dass die preise in diesem jah"
+           "r weiter steigen würden. der stadtrat billigte den plan für "
+           "die neue straße. die arbeiter der fabrik traten letzte woche"
+           " in den streik. der präsident wird die führer der nachbarlän"
+           "der treffen."),
     'fr': ("le rapide renard brun saute par-dessus le chien paresseux. j"
            "e suis allé au marché ce matin et j'ai acheté du pain frais."
            " elle a dit que le temps serait meilleur demain. nous attend"
@@ -89,7 +100,13 @@ LANGID_CORPUS = {
            "aison le vendredi. je ne sais pas où elle a mis les livres. "
            "hier il a plu toute la journée et les rues étaient mouillées"
            ". nous mangeons souvent ensemble chez ma grand-mère. combien"
-           " ça coûte et est-ce que je peux payer par carte."),
+           " ça coûte et est-ce que je peux payer par carte. le gouverne"
+           "ment a annoncé de nouvelles mesures pour soutenir l'économie"
+           ". le ministre a déclaré que les prix continueraient d'augmen"
+           "ter cette année. le conseil municipal a approuvé le plan de "
+           "la nouvelle route. les ouvriers de l'usine se sont mis en gr"
+           "ève la semaine dernière. le président rencontrera les dirige"
+           "ants des pays voisins."),
     'es': ("el rápido zorro marrón salta sobre el perro perezoso. fui al"
            " mercado esta mañana y compré pan fresco. ella dijo que el t"
            "iempo sería mejor mañana. llevamos más de una hora esperando"
@@ -104,7 +121,12 @@ LANGID_CORPUS = {
            "muchos libros nuevos y siempre está abierta por la tarde. de"
            "spués de cenar vemos una película y hablamos de nuestras cos"
            "as. me gusta mucho leer por la noche cuando todo está tranqu"
-           "ilo."),
+           "ilo. el gobierno anunció nuevas medidas para apoyar la econo"
+           "mía. el ministro dijo que los precios seguirían subiendo est"
+           "e año. el ayuntamiento aprobó el plan para la nueva carreter"
+           "a. los trabajadores de la fábrica se declararon en huelga la"
+           " semana pasada. el presidente se reunirá con los líderes de "
+           "los países vecinos."),
     'pt': ("a rápida raposa marrom salta sobre o cão preguiçoso. fui ao "
            "mercado esta manhã e comprei pão fresco. ela disse que o tem"
            "po estaria melhor amanhã. estamos esperando o trem há mais d"
@@ -118,7 +140,12 @@ LANGID_CORPUS = {
            "usta isso e posso pagar com cartão. a biblioteca da cidade t"
            "em muitos livros novos e está sempre aberta à tarde. depois "
            "do jantar vemos um filme e falamos das nossas coisas. eu gos"
-           "to muito de ler à noite quando tudo está tranquilo."),
+           "to muito de ler à noite quando tudo está tranquilo. o govern"
+           "o anunciou novas medidas para apoiar a economia. o ministro "
+           "disse que os preços continuariam a subir este ano. a câmara "
+           "municipal aprovou o plano para a nova estrada. os trabalhado"
+           "res da fábrica entraram em greve na semana passada. o presid"
+           "ente vai se reunir com os líderes dos países vizinhos."),
     'it': ("la veloce volpe marrone salta sopra il cane pigro. sono anda"
            "to al mercato questa mattina e ho comprato del pane fresco. "
            "lei ha detto che il tempo sarebbe stato migliore domani. asp"
@@ -133,7 +160,12 @@ LANGID_CORPUS = {
            "la carta. la biblioteca della città ha molti libri nuovi ed "
            "è sempre aperta il pomeriggio. dopo cena guardiamo un film e"
            " parliamo delle nostre cose. mi piace molto leggere la sera "
-           "quando tutto è tranquillo."),
+           "quando tutto è tranquillo. il governo ha annunciato nuove mi"
+           "sure per sostenere l'economia. il ministro ha detto che i pr"
+           "ezzi continueranno a salire quest'anno. il consiglio comunal"
+           "e ha approvato il piano per la nuova strada. gli operai dell"
+           "a fabbrica hanno scioperato la settimana scorsa. il presiden"
+           "te incontrerà i leader dei paesi vicini."),
     'nl': ("de snelle bruine vos springt over de luie hond. ik ben vanoc"
            "htend naar de markt gegaan en heb vers brood gekocht. ze zei"
            " dat het weer morgen beter zou zijn. we wachten al meer dan "
@@ -144,7 +176,12 @@ LANGID_CORPUS = {
            " komt vrijdag naar huis. ik weet niet waar ze de boeken heef"
            "t gelegd. gisteren regende het de hele dag en de straten war"
            "en nat. we eten vaak samen bij mijn grootmoeder. hoeveel kos"
-           "t dit en kan ik met de kaart betalen."),
+           "t dit en kan ik met de kaart betalen. de regering kondigde n"
+           "ieuwe maatregelen aan om de economie te ondersteunen. de min"
+           "ister zei dat de prijzen dit jaar verder zouden stijgen. de "
+           "gemeenteraad keurde het plan voor de nieuwe weg goed. de arb"
+           "eiders van de fabriek gingen vorige week in staking. de pres"
+           "ident zal de leiders van de buurlanden ontmoeten."),
     'sv': ("den snabba bruna räven hoppar över den lata hunden. jag gick"
            " till marknaden i morse och köpte färskt bröd. hon sa att vä"
            "dret skulle bli bättre i morgon. vi har väntat på tåget i öv"
@@ -157,7 +194,11 @@ LANGID_CORPUS = {
            " min mormor. hur mycket kostar det och kan jag betala med ko"
            "rt. hon bestämde sig för att läsa en bok istället för att ti"
            "tta på tv. det var mycket kallt ute igår kväll och vägarna v"
-           "ar hala."),
+           "ar hala. regeringen tillkännagav nya åtgärder för att stödja"
+           " ekonomin. ministern sade att priserna skulle fortsätta att "
+           "stiga i år. kommunfullmäktige godkände planen för den nya vä"
+           "gen. arbetarna på fabriken gick ut i strejk förra veckan. pr"
+           "esidenten kommer att träffa ledarna för grannländerna."),
     'da': ("den hurtige brune ræv springer over den dovne hund. jeg gik "
            "på markedet i morges og købte frisk brød. hun sagde, at vejr"
            "et ville blive bedre i morgen. vi har ventet på toget i over"
@@ -173,7 +214,12 @@ LANGID_CORPUS = {
            " ikke noget at spise, så de gik ud for at købe noget. det bl"
            "iver måske regnvejr i eftermiddag. han besluttede at gå en l"
            "ang tur, selvom det var meget koldt udenfor. hun forsøgte at"
-           " finde noget at lave i weekenden."),
+           " finde noget at lave i weekenden. regeringen annoncerede nye"
+           " tiltag for at støtte økonomien. ministeren sagde, at priser"
+           "ne ville fortsætte med at stige i år. byrådet godkendte plan"
+           "en for den nye vej. arbejderne på fabrikken gik i strejke i "
+           "sidste uge. præsidenten vil mødes med lederne af nabolandene"
+           "."),
     'nb': ("den raske brune reven hopper over den late hunden. jeg gikk "
            "til markedet i morges og kjøpte ferskt brød. hun sa at været"
            " ville bli bedre i morgen. vi har ventet på toget i over en "
@@ -189,7 +235,11 @@ LANGID_CORPUS = {
            "så de gikk ut for å kjøpe noe. det blir kanskje regnvær i et"
            "termiddag. han bestemte seg for å gå en lang tur, selv om de"
            "t var veldig kaldt ute. hun forsøkte å finne noe å gjøre i h"
-           "elgen."),
+           "elgen. regjeringen kunngjorde nye tiltak for å støtte økonom"
+           "ien. ministeren sa at prisene ville fortsette å stige i år. "
+           "kommunestyret godkjente planen for den nye veien. arbeiderne"
+           " på fabrikken gikk ut i streik forrige uke. presidenten skal"
+           " møte lederne i nabolandene."),
     'fi': ("nopea ruskea kettu hyppää laiskan koiran yli. menin aamulla "
            "torille ja ostin tuoretta leipää. hän sanoi, että sää olisi "
            "huomenna parempi. olemme odottaneet junaa yli tunnin. tämä o"
@@ -199,7 +249,12 @@ LANGID_CORPUS = {
            "eni työskentelee kaupungissa ja tulee kotiin perjantaina. en"
            " tiedä minne hän laittoi kirjat. eilen satoi koko päivän ja "
            "kadut olivat märät. syömme usein illallista yhdessä isoäitin"
-           "i luona. paljonko tämä maksaa ja voinko maksaa kortilla."),
+           "i luona. paljonko tämä maksaa ja voinko maksaa kortilla. hal"
+           "litus ilmoitti uusista toimista talouden tukemiseksi. minist"
+           "eri sanoi, että hinnat jatkavat nousuaan tänä vuonna. kaupun"
+           "ginvaltuusto hyväksyi suunnitelman uudesta tiestä. tehtaan t"
+           "yöntekijät menivät lakkoon viime viikolla. presidentti tapaa"
+           " naapurimaiden johtajat."),
     'pl': ("szybki brązowy lis przeskakuje nad leniwym psem. poszedłem r"
            "ano na targ i kupiłem świeży chleb. powiedziała, że jutro po"
            "goda będzie lepsza. czekamy na pociąg już ponad godzinę. to "
@@ -209,7 +264,12 @@ LANGID_CORPUS = {
            "dużo pracy. mój brat pracuje w mieście i wraca do domu w pią"
            "tek. nie wiem, gdzie ona położyła książki. wczoraj cały dzie"
            "ń padało i ulice były mokre. często jemy razem kolację u moj"
-           "ej babci. ile to kosztuje i czy mogę zapłacić kartą."),
+           "ej babci. ile to kosztuje i czy mogę zapłacić kartą. rząd og"
+           "łosił nowe środki wsparcia gospodarki. minister powiedział, "
+           "że ceny będą nadal rosły w tym roku. rada miasta zatwierdził"
+           "a plan nowej drogi. robotnicy fabryki rozpoczęli strajk w ze"
+           "szłym tygodniu. prezydent spotka się z przywódcami sąsiednic"
+           "h krajów."),
     'cs': ("rychlá hnědá liška skáče přes líného psa. šel jsem ráno na t"
            "rh a koupil jsem čerstvý chléb. řekla, že zítra bude počasí "
            "lepší. na vlak čekáme už více než hodinu. tohle je ta nejdůl"
@@ -218,7 +278,11 @@ LANGID_CORPUS = {
            "oncem týdne je ještě hodně práce. můj bratr pracuje ve městě"
            " a vrací se domů v pátek. nevím, kam položila ty knihy. včer"
            "a celý den pršelo a ulice byly mokré. často spolu večeříme u"
-           " mé babičky. kolik to stojí a mohu platit kartou."),
+           " mé babičky. kolik to stojí a mohu platit kartou. vláda ozná"
+           "mila nová opatření na podporu ekonomiky. ministr řekl, že ce"
+           "ny letos dále porostou. městská rada schválila plán nové sil"
+           "nice. dělníci továrny minulý týden vstoupili do stávky. prez"
+           "ident se setká s vůdci sousedních zemí."),
     'hu': ("a gyors barna róka átugrik a lusta kutya felett. ma reggel e"
            "lmentem a piacra és friss kenyeret vettem. azt mondta, hogy "
            "holnap jobb lesz az idő. már több mint egy órája várjuk a vo"
@@ -228,7 +292,12 @@ LANGID_CORPUS = {
            "városban dolgozik és pénteken jön haza. nem tudom, hová tett"
            "e a könyveket. tegnap egész nap esett az eső és az utcák viz"
            "esek voltak. gyakran vacsorázunk együtt a nagymamámnál. menn"
-           "yibe kerül ez és fizethetek kártyával."),
+           "yibe kerül ez és fizethetek kártyával. a kormány új intézked"
+           "éseket jelentett be a gazdaság támogatására. a miniszter azt"
+           " mondta, hogy az árak idén tovább emelkednek. a városi tanác"
+           "s jóváhagyta az új út tervét. a gyár munkásai múlt héten szt"
+           "rájkba léptek. az elnök találkozik a szomszédos országok vez"
+           "etőivel."),
     'ro': ("vulpea maro rapidă sare peste câinele leneș. am mers azi dim"
            "ineață la piață și am cumpărat pâine proaspătă. ea a spus că"
            " vremea va fi mai bună mâine. așteptăm trenul de mai bine de"
@@ -241,7 +310,12 @@ LANGID_CORPUS = {
            "a împreună la bunica mea. cât costă asta și pot plăti cu car"
            "dul. biblioteca orașului are multe cărți noi și este deschis"
            "ă seara. după cină ne uităm la un film și vorbim despre lucr"
-           "urile noastre."),
+           "urile noastre. guvernul a anunțat noi măsuri pentru sprijini"
+           "rea economiei. ministrul a spus că prețurile vor continua să"
+           " crească anul acesta. consiliul local a aprobat planul pentr"
+           "u noul drum. muncitorii fabricii au intrat în grevă săptămân"
+           "a trecută. președintele se va întâlni cu liderii țărilor vec"
+           "ine."),
     'tr': ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar. bu sa"
            "bah pazara gittim ve taze ekmek aldım. yarın havanın daha iy"
            "i olacağını söyledi. bir saatten fazladır treni bekliyoruz. "
@@ -251,7 +325,11 @@ LANGID_CORPUS = {
            "ışıyor ve cuma günü eve geliyor. kitapları nereye koyduğunu "
            "bilmiyorum. dün bütün gün yağmur yağdı ve sokaklar ıslaktı. "
            "sık sık büyükannemde birlikte akşam yemeği yeriz. bu ne kada"
-           "r ve kartla ödeyebilir miyim."),
+           "r ve kartla ödeyebilir miyim. hükümet ekonomiyi desteklemek "
+           "için yeni önlemler açıkladı. bakan fiyatların bu yıl artmaya"
+           " devam edeceğini söyledi. belediye meclisi yeni yol planını "
+           "onayladı. fabrika işçileri geçen hafta greve gitti. cumhurba"
+           "şkanı komşu ülkelerin liderleriyle görüşecek."),
     'vi': ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng. sáng nay"
            " tôi đi chợ và mua bánh mì tươi. cô ấy nói rằng ngày mai thờ"
            "i tiết sẽ đẹp hơn. chúng tôi đã đợi tàu hơn một giờ rồi. đây"
@@ -262,7 +340,11 @@ LANGID_CORPUS = {
            "ng biết cô ấy để những cuốn sách ở đâu. hôm qua trời mưa cả "
            "ngày và đường phố ướt hết. chúng tôi thường ăn tối cùng nhau"
            " ở nhà bà tôi. cái này giá bao nhiêu và tôi có thể trả bằng "
-           "thẻ không."),
+           "thẻ không. chính phủ công bố các biện pháp mới để hỗ trợ nền"
+           " kinh tế. bộ trưởng cho biết giá cả sẽ tiếp tục tăng trong n"
+           "ăm nay. hội đồng thành phố đã phê duyệt kế hoạch cho con đườ"
+           "ng mới. công nhân nhà máy đã đình công vào tuần trước. tổng "
+           "thống sẽ gặp các nhà lãnh đạo của các nước láng giềng."),
     'id': ("rubah coklat yang cepat melompati anjing yang malas. tadi pa"
            "gi saya pergi ke pasar dan membeli roti segar. dia berkata b"
            "ahwa cuaca akan lebih baik besok. kami sudah menunggu kereta"
@@ -274,7 +356,12 @@ LANGID_CORPUS = {
            "takkan buku-buku itu. kemarin hujan sepanjang hari dan jalan"
            "-jalan menjadi basah. kami sering makan malam bersama di rum"
            "ah nenek saya. berapa harganya ini dan bisakah saya membayar"
-           " dengan kartu."),
+           " dengan kartu. pemerintah mengumumkan langkah-langkah baru u"
+           "ntuk mendukung perekonomian. menteri mengatakan bahwa harga "
+           "akan terus naik tahun ini. dewan kota menyetujui rencana unt"
+           "uk jalan baru. para pekerja pabrik melakukan mogok kerja min"
+           "ggu lalu. presiden akan bertemu dengan para pemimpin negara "
+           "tetangga."),
     'ru': ("быстрая коричневая лиса перепрыгивает через ленивую собаку. "
            "утром я пошёл на рынок и купил свежий хлеб. она сказала, что"
            " завтра погода будет лучше. мы ждём поезд уже больше часа. э"
@@ -284,7 +371,11 @@ LANGID_CORPUS = {
            "роде и приезжает домой в пятницу. я не знаю, куда она положи"
            "ла книги. вчера весь день шёл дождь, и улицы были мокрыми. м"
            "ы часто ужинаем вместе у моей бабушки. сколько это стоит и м"
-           "огу ли я заплатить картой."),
+           "огу ли я заплатить картой. правительство объявило о новых ме"
+           "рах поддержки экономики. министр сказал, что цены продолжат "
+           "расти в этом году. городской совет одобрил план новой дороги"
+           ". рабочие завода на прошлой неделе объявили забастовку. през"
+           "идент встретится с лидерами соседних стран."),
     'uk': ("швидка коричнева лисиця перестрибує через ледачого собаку. в"
            "ранці я пішов на ринок і купив свіжий хліб. вона сказала, що"
            " завтра погода буде кращою. ми чекаємо на потяг уже понад го"
@@ -294,7 +385,11 @@ LANGID_CORPUS = {
            "працює в місті і приїжджає додому в п'ятницю. я не знаю, куд"
            "и вона поклала книги. вчора цілий день ішов дощ, і вулиці бу"
            "ли мокрі. ми часто вечеряємо разом у моєї бабусі. скільки це"
-           " коштує і чи можу я заплатити карткою."),
+           " коштує і чи можу я заплатити карткою. уряд оголосив про нов"
+           "і заходи підтримки економіки. міністр сказав, що ціни продов"
+           "жать зростати цього року. міська рада схвалила план нової до"
+           "роги. робітники заводу минулого тижня оголосили страйк. през"
+           "идент зустрінеться з лідерами сусідніх країн."),
     'bg': ("бързата кафява лисица прескача мързеливото куче. сутринта от"
            "идох на пазара и купих пресен хляб. тя каза, че утре времето"
            " ще бъде по-хубаво. чакаме влака повече от час. това е най-в"
@@ -304,7 +399,11 @@ LANGID_CORPUS = {
            "и се прибира у дома в петък. не знам къде тя е сложила книги"
            "те. вчера валя цял ден и улиците бяха мокри. често вечеряме "
            "заедно у баба ми. колко струва това и мога ли да платя с кар"
-           "та."),
+           "та. правителството обяви нови мерки в подкрепа на икономикат"
+           "а. министърът каза, че цените ще продължат да растат тази го"
+           "дина. градският съвет одобри плана за новия път. работниците"
+           " от завода миналата седмица обявиха стачка. президентът ще с"
+           "е срещне с лидерите на съседните страни."),
     'el': ("η γρήγορη καφέ αλεπού πηδάει πάνω από τον τεμπέλη σκύλο. το "
            "πρωί πήγα στην αγορά και αγόρασα φρέσκο ψωμί. είπε ότι αύριο"
            " ο καιρός θα είναι καλύτερος. περιμένουμε το τρένο πάνω από "
@@ -315,7 +414,12 @@ LANGID_CORPUS = {
            "ν πόλη και γυρίζει σπίτι την παρασκευή. δεν ξέρω πού έβαλε ε"
            "κείνη τα βιβλία. χθες έβρεχε όλη μέρα και οι δρόμοι ήταν βρε"
            "γμένοι. συχνά τρώμε βραδινό μαζί στης γιαγιάς μου. πόσο κοστ"
-           "ίζει αυτό και μπορώ να πληρώσω με κάρτα."),
+           "ίζει αυτό και μπορώ να πληρώσω με κάρτα. η κυβέρνηση ανακοίν"
+           "ωσε νέα μέτρα για τη στήριξη της οικονομίας. ο υπουργός είπε"
+           " ότι οι τιμές θα συνεχίσουν να αυξάνονται φέτος. το δημοτικό"
+           " συμβούλιο ενέκρινε το σχέδιο για τον νέο δρόμο. οι εργάτες "
+           "του εργοστασίου απήργησαν την περασμένη εβδομάδα. ο πρόεδρος"
+           " θα συναντηθεί με τους ηγέτες των γειτονικών χωρών."),
     'ar': ("الثعلب البني السريع يقفز فوق الكلب الكسول. ذهبت إلى السوق هذ"
            "ا الصباح واشتريت خبزا طازجا. قالت إن الطقس سيكون أفضل غدا. ن"
            "نتظر القطار منذ أكثر من ساعة. هذا هو أهم شيء تحتاج إلى معرفت"
@@ -324,7 +428,10 @@ LANGID_CORPUS = {
            "أسبوع. يعمل أخي في المدينة ويعود إلى البيت يوم الجمعة. لا أع"
            "رف أين وضعت الكتب. أمس أمطرت طوال اليوم وكانت الشوارع مبللة."
            " كثيرا ما نتناول العشاء معا عند جدتي. كم يكلف هذا وهل يمكنني"
-           " الدفع بالبطاقة."),
+           " الدفع بالبطاقة. أعلنت الحكومة عن إجراءات جديدة لدعم الاقتصا"
+           "د. قال الوزير إن الأسعار ستواصل الارتفاع هذا العام. وافق مجل"
+           "س المدينة على خطة الطريق الجديد. أضرب عمال المصنع الأسبوع ال"
+           "ماضي. سيلتقي الرئيس بقادة الدول المجاورة."),
     'fa': ("روباه قهوه‌ای سریع از روی سگ تنبل می‌پرد. امروز صبح به بازار"
            " رفتم و نان تازه خریدم. او گفت که فردا هوا بهتر خواهد بود. ب"
            "یش از یک ساعت است که منتظر قطار هستیم. این مهم‌ترین چیزی است"
@@ -334,7 +441,11 @@ LANGID_CORPUS = {
            "می‌آید. نمی‌دانم او کتاب‌ها را کجا گذاشت. دیروز تمام روز بار"
            "ان بارید و خیابان‌ها خیس بودند. ما اغلب با هم در خانه مادربز"
            "رگم شام می‌خوریم. این چقدر قیمت دارد و آیا می‌توانم با کارت "
-           "پرداخت کنم."),
+           "پرداخت کنم. دولت اقدامات جدیدی برای حمایت از اقتصاد اعلام کر"
+           "د. وزیر گفت که قیمت‌ها امسال همچنان افزایش خواهند یافت. شورا"
+           "ی شهر طرح جاده جدید را تصویب کرد. کارگران کارخانه هفته گذشته"
+           " اعتصاب کردند. رئیس‌جمهور با رهبران کشورهای همسایه دیدار خوا"
+           "هد کرد."),
     'he': ("השועל החום המהיר קופץ מעל הכלב העצלן. הלכתי לשוק הבוקר וקנית"
            "י לחם טרי. היא אמרה שמחר מזג האוויר יהיה טוב יותר. אנחנו מחכ"
            "ים לרכבת כבר יותר משעה. זה הדבר הכי חשוב שאתה צריך לדעת. היל"
@@ -343,7 +454,10 @@ LANGID_CORPUS = {
            "הביתה ביום שישי. אני לא יודע איפה היא שמה את הספרים. אתמול י"
            "רד גשם כל היום והרחובות היו רטובים. אנחנו אוכלים לעתים קרובו"
            "ת ארוחת ערב יחד אצל סבתא שלי. כמה זה עולה והאם אפשר לשלם בכר"
-           "טיס."),
+           "טיס. הממשלה הודיעה על צעדים חדשים לתמיכה בכלכלה. השר אמר שהמ"
+           "חירים ימשיכו לעלות השנה. מועצת העיר אישרה את התוכנית לכביש ה"
+           "חדש. פועלי המפעל שבתו בשבוע שעבר. הנשיא ייפגש עם מנהיגי המדי"
+           "נות השכנות."),
     'hi': ("तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है। मैं आज सुबह"
            " बाज़ार गया और ताज़ी रोटी खरीदी। उसने कहा कि कल मौसम बेहतर ह"
            "ोगा। हम एक घंटे से ज़्यादा समय से ट्रेन का इंतज़ार कर रहे है"
@@ -354,22 +468,31 @@ LANGID_CORPUS = {
            "पता कि उसने किताबें कहाँ रखीं। कल पूरे दिन बारिश होती रही और"
            " सड़कें गीली थीं। हम अक्सर अपनी दादी के घर साथ में खाना खाते"
            " हैं। इसकी कीमत कितनी है और क्या मैं कार्ड से भुगतान कर सकता"
-           " हूँ।"),
+           " हूँ। सरकार ने अर्थव्यवस्था को सहारा देने के लिए नए उपायों क"
+           "ी घोषणा की। मंत्री ने कहा कि कीमतें इस साल बढ़ती रहेंगी। नगर"
+           " परिषद ने नई सड़क की योजना को मंजूरी दी। कारखाने के मजदूरों "
+           "ने पिछले हफ्ते हड़ताल की। राष्ट्रपति पड़ोसी देशों के नेताओं "
+           "से मिलेंगे।"),
     'zh': ("敏捷的棕色狐狸跳过懒惰的狗。今天早上我去市场买了新鲜的面包。她说明天天气会更好。我们等火车已经等了一个多小时。这是你需要"
            "知道的最重要的事情。孩子们在老房子旁边的花园里玩耍。商店星期天几点开门。这个星期结束之前还有很多工作要做。 我哥哥在城里"
            "工作,星期五回家。我不知道她把书放在哪里了。昨天下了一整天的雨,街道都湿了。我们经常在奶奶家一起吃晚饭。这个多少钱,我可"
-           "以用卡付款吗。"),
+           "以用卡付款吗。 政府宣布了支持经济的新措施。部长表示,价格今年将继续上涨。市议会批准了新道路的规划。工厂工人上周举行了罢"
+           "工。总统将会见邻国领导人。"),
     'ja': ("素早い茶色の狐は怠け者の犬を飛び越える。今朝、市場へ行って新しいパンを買いました。彼女は明日の天気はもっと良くなると言い"
            "ました。私たちは一時間以上も電車を待っています。これはあなたが知っておくべき最も大切なことです。子供たちは古い家のそばの"
            "庭で遊んでいます。店は日曜日に何時に開きますか。週末までにまだたくさんの仕事があります。 兄は町で働いていて、金曜日に家"
            "に帰ってきます。彼女が本をどこに置いたのか分かりません。昨日は一日中雨が降って、道路が濡れていました。私たちはよく祖母の"
-           "家で一緒に夕食を食べます。これはいくらですか、カードで払えますか。"),
+           "家で一緒に夕食を食べます。これはいくらですか、カードで払えますか。 政府は経済を支援するための新しい対策を発表しました。"
+           "大臣は物価が今年も上がり続けると述べました。市議会は新しい道路の計画を承認しました。工場の労働者は先週ストライキを行いま"
+           "した。大統領は隣国の指導者と会談する予定です。"),
     'ko': ("빠른 갈색 여우가 게으른 개를 뛰어넘는다. 오늘 아침에 시장에 가서 신선한 빵을 샀다. 그녀는 내일 날씨가 "
            "더 좋아질 거라고 말했다. 우리는 한 시간 넘게 기차를 기다리고 있다. 이것은 네가 알아야 할 가장 중요한 "
            "것이다. 아이들이 오래된 집 옆 정원에서 놀고 있다. 가게는 일요일에 몇 시에 문을 여는가. 주말 전에 아직"
            " 할 일이 많다. 우리 형은 도시에서 일하고 금요일에 집에 온다. 그녀가 책을 어디에 두었는지 모르겠다. 어"
            "제는 하루 종일 비가 와서 길이 젖었다. 우리는 자주 할머니 댁에서 함께 저녁을 먹는다. 이것은 얼마이고 카"
-           "드로 계산할 수 있나요."),
+           "드로 계산할 수 있나요. 정부는 경제를 지원하기 위한 새로운 조치를 발표했다. 장관은 물가가 올해도 계속 오"
+           "를 것이라고 말했다. 시의회는 새 도로 계획을 승인했다. 공장 노동자들은 지난주 파업에 들어갔다. 대통령은 "
+           "이웃 나라 지도자들을 만날 예정이다."),
     'th': ("สุนัขจิ้งจอกสีน้ำตาลตัวเร็วกระโดดข้ามสุนัขขี้เกียจ เช้านี้ฉั"
            "นไปตลาดและซื้อขนมปังสด เธอบอกว่าพรุ่งนี้อากาศจะดีขึ้น เรารอร"
            "ถไฟมานานกว่าหนึ่งชั่วโมงแล้ว นี่คือสิ่งสำคัญที่สุดที่คุณต้อง"
@@ -377,7 +500,11 @@ LANGID_CORPUS = {
            "ันอาทิตย์ ยังมีงานอีกมากก่อนสิ้นสัปดาห์ พี่ชายของฉันทำงานในเ"
            "มืองและกลับบ้านวันศุกร์ ฉันไม่รู้ว่าเธอวางหนังสือไว้ที่ไหน เ"
            "มื่อวานฝนตกทั้งวันและถนนก็เปียก เราทานอาหารเย็นด้วยกันที่บ้า"
-           "นคุณยายบ่อยๆ อันนี้ราคาเท่าไหร่และจ่ายด้วยบัตรได้ไหม"),
+           "นคุณยายบ่อยๆ อันนี้ราคาเท่าไหร่และจ่ายด้วยบัตรได้ไหม รัฐบาลป"
+           "ระกาศมาตรการใหม่เพื่อสนับสนุนเศรษฐกิจ รัฐมนตรีกล่าวว่าราคาจะ"
+           "ยังคงเพิ่มขึ้นในปีนี้ สภาเมืองอนุมัติแผนถนนสายใหม่ คนงานโรงง"
+           "านนัดหยุดงานเมื่อสัปดาห์ที่แล้ว ประธานาธิบดีจะพบกับผู้นำประเ"
+           "ทศเพื่อนบ้าน"),
 }
 
 #: Held-out evaluation sentences — same style, DISJOINT from the

@@ -32,6 +32,61 @@ def test_langid_heldout_accuracy(spark):
     assert len(set(got.values())) == 30
 
 
+def test_langid_out_of_register_accuracy(spark):
+    """Domain-shift check: single financial-news sentences whose
+    content vocabulary (central bank, interest rates) appears in
+    NEITHER the training corpus nor the held-out set — the signal has
+    to come from function words and script, which is what transfers
+    to a real crawl. Covers the hard pairs (da/nb/sv, es/pt/it,
+    ru/uk, cs/pl)."""
+    from erde_spark.scale.langid import identify_language
+    probes = [
+        ('en', 'The central bank kept interest rates unchanged at its '
+               'meeting on thursday.'),
+        ('de', 'Die zentralbank ließ die zinssätze bei ihrer sitzung '
+               'am donnerstag unverändert.'),
+        ('fr', "La banque centrale a maintenu ses taux d'intérêt "
+               'inchangés lors de sa réunion de jeudi.'),
+        ('es', 'El banco central mantuvo los tipos de interés sin '
+               'cambios en su reunión del jueves.'),
+        ('pt', 'O banco central manteve as taxas de juros inalteradas '
+               'em sua reunião de quinta-feira.'),
+        ('it', 'La banca centrale ha mantenuto i tassi di interesse '
+               'invariati nella riunione di giovedì.'),
+        ('nl', 'De centrale bank hield de rentetarieven ongewijzigd '
+               'tijdens haar vergadering van donderdag.'),
+        ('sv', 'Centralbanken höll räntorna oförändrade vid sitt möte '
+               'i torsdags.'),
+        ('da', 'Centralbanken holdt renterne uændrede på sit møde '
+               'torsdag.'),
+        ('nb', 'Sentralbanken holdt rentene uendret på sitt møte '
+               'torsdag.'),
+        ('pl', 'Bank centralny utrzymał stopy procentowe bez zmian na '
+               'czwartkowym posiedzeniu.'),
+        ('cs', 'Centrální banka ponechala úrokové sazby na čtvrtečním '
+               'zasedání beze změny.'),
+        ('ru', 'Центральный банк оставил процентные ставки без '
+               'изменений на заседании в четверг.'),
+        ('uk', 'Центральний банк залишив процентні ставки без змін на '
+               'засіданні в четвер.'),
+        ('tr', 'Merkez bankası perşembe günkü toplantısında faiz '
+               'oranlarını değiştirmedi.'),
+        ('ar', 'أبقى البنك المركزي على أسعار الفائدة دون تغيير في '
+               'اجتماعه يوم الخميس.'),
+        ('zh', '中央银行在周四的会议上维持利率不变。'),
+        ('ja', '中央銀行は木曜日の会合で金利を据え置きました。'),
+        ('ko', '중앙은행은 목요일 회의에서 금리를 동결했다.'),
+        ('hi', 'केंद्रीय बैंक ने गुरुवार की बैठक में ब्याज दरों को अपरिवर्तित रखा।'),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(probes)],
+        'doc_id long, text string')
+    got = {r['id']: r['lang'] for r in identify_language(df).collect()}
+    wrong = {i: (lang, got[i]) for i, (lang, _) in enumerate(probes)
+             if got[i] != lang}
+    assert not wrong, wrong
+
+
 def test_langid_und_and_score(spark):
     from erde_spark.scale.langid import identify_language
     docs = spark.createDataFrame(
