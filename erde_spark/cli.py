@@ -8,9 +8,11 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 4 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 13 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
-pack (the training-data pipeline from the shell).
+pack, scrub, extract, select, tokenize, fixenc, urlcanon,
+boilerplate, robots, langid (the training-data pipeline from the
+shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
