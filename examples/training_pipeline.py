@@ -5,7 +5,8 @@ the scale-extension operators composed the way a 100 TB corpus run would:
                       boilerplate-line removal (corpus-frequent lines),
                       robots.txt compliance + canonical-URL exact dedup
 1. quality gate     — JVM-side heuristics (length / punctuation /
-                      stopword ratios), language-ID filter
+                      stopword ratios) + REAL language identification
+                      (30-language char-n-gram NB, broadcast model)
 2. exact dedup      — one hash-groupBy, keep the smallest doc_id
 3. near-dedup       — MinHash + banded LSH candidate pairs, exact-Jaccard
                       verified, connected components, one survivor per
@@ -38,7 +39,7 @@ from erde_spark.session import get_spark, load_tables
 def curate(spark, sf_dir: str):
     from erde_spark.operators.zorder import cluster_by_zorder
     from erde_spark.scale.dedup import dedup_clusters, exact_dedup
-    from erde_spark.scale.text import lang_id, quality_score
+    from erde_spark.scale.text import quality_score
 
     docs = load_tables(spark, sf_dir, 'documents')['documents']
 
@@ -69,10 +70,18 @@ def curate(spark, sf_dir: str):
         docs = docs.join(first.select('doc_id'), 'doc_id', 'left_semi') \
                    .drop('_curl')
 
-    # 1. quality + language gate (all whole-stage-codegen expressions)
-    docs = (docs.withColumn('quality', quality_score(F.col('text')))
-                .withColumn('lang_guess', lang_id(F.col('text')))
-                .filter((F.col('quality') > 0.3) & (F.length('text') >= 40)))
+    # 1. quality + language gate: quality is a codegen expression;
+    #    language comes from the REAL identifier (30-language char-
+    #    n-gram NB, broadcast model) — the front gate every production
+    #    curation pipeline runs before anything else
+    from erde_spark.scale.langid import identify_language
+    tags = (identify_language(docs)
+            .select(F.col('id').alias('doc_id'),
+                    F.col('lang').alias('lang_guess'), 'lang_score'))
+    docs = (docs.join(tags, 'doc_id')
+                .withColumn('quality', quality_score(F.col('text')))
+                .filter((F.col('quality') > 0.3) & (F.length('text') >= 40)
+                        & (F.col('lang_guess') != 'und')))
 
     # 2. exact dedup: keep the lowest doc_id of each identical text
     keep = exact_dedup(docs, id_col='doc_id', text_col='text')
