@@ -35,12 +35,18 @@ def _codecs():
         ('jpeg', encode_jpeg(arr, quality=85), decode_jpeg),
         ('gif', encode_gif(arr[:, :, 0]), decode_gif),
         ('tiff', encode_tiff(arr, compression=5), decode_tiff),
+        ('tiff_tiled', encode_tiff(arr, compression=5, tiled=16,
+                                   predictor=True), decode_tiff),
+        ('tiff16', encode_tiff(
+            (arr.astype(np.uint16) << 8) | arr, big_endian=True,
+            tiled=16), decode_tiff),
         ('bmp', encode_bmp(arr), decode_bmp),
         ('webp', encode_webp(arr), decode_webp),
     ]
 
 
-@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff', 'bmp',
+@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff',
+                                  'tiff_tiled', 'tiff16', 'bmp',
                                   'webp'])
 def test_truncation_decodes_or_raises_cleanly(name):
     codecs = {n: (b, d) for n, b, d in _codecs()}
@@ -56,7 +62,8 @@ def test_truncation_decodes_or_raises_cleanly(name):
             pass  # clean rejection is the contract
 
 
-@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff', 'bmp',
+@pytest.mark.parametrize('name', ['png', 'jpeg', 'gif', 'tiff',
+                                  'tiff_tiled', 'tiff16', 'bmp',
                                   'webp'])
 def test_bitflips_decode_or_raise_cleanly(name):
     codecs = {n: (b, d) for n, b, d in _codecs()}
