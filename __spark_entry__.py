@@ -2848,6 +2848,84 @@ def q_streaming_neardup_backfill(spark, sf_dir):
     return out
 
 
+def q_streaming_dedup_check(spark, sf_dir):
+    """The streaming near-dup pipeline VALUE-checked by construction:
+    every document's text is a deterministic hex-salad keyed by a
+    group id, planted so that doc_id%6 in {0,1} forms CROSS-batch
+    exact-copy pairs (min id in micro-batch 0, copy in batch 1 — only
+    the persistent-store bucket join can catch these, so the gate
+    proves that path executes), %6 in {2,4} and {3,5} form
+    WITHIN-batch pairs in each micro-batch, and the rest are mutually
+    dissimilar (cross-group Jaccard ~0, and exact-copy pairs share
+    every LSH bucket, so the survivor set is deterministic regardless
+    of hash seeds: precision is exact-Jaccard verified, recall is 1
+    for identical texts). Survivors must be exactly doc_id%6 in
+    {0,2,3} with byte-identical text — pure doc_id arithmetic for
+    DuckDB. Complements the rows-only real-text backfill entry."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.scale.dedup import streaming_neardup_dedup
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    m6 = F.col('doc_id') % 6
+    group = (F.when(m6 < 2, F.col('doc_id') - m6)
+             .when((m6 == 2) | (m6 == 4),
+                   F.col('doc_id') - m6 + 2)
+             .when((m6 == 3) | (m6 == 5),
+                   F.col('doc_id') - m6 + 3)
+             .otherwise(F.col('doc_id')))
+    salad = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('-', group.cast('string'),
+                              i.cast('string'))), 1, 8)))
+    docs = d.select('doc_id', salad.alias('text'),
+                    F.lit('en').alias('lang'))
+    base = tempfile.mkdtemp(prefix='erde_stream_dedup_gate_')
+    in_dir = os.path.join(base, 'in')
+    os.makedirs(in_dir)
+    # batch 0 = even ids (each pair's min), batch 1 = odd ids; file
+    # names AND mtimes force the file-stream source's batch order
+    for k in (0, 1):
+        tmp = os.path.join(base, f'tmp{k}')
+        (docs.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
+         .write.mode('overwrite').parquet(tmp))
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'batch-{k}.parquet')
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    streaming_neardup_dedup(
+        spark, in_dir, docs.schema,
+        out_dir=os.path.join(base, 'out'),
+        checkpoint_dir=os.path.join(base, 'ckpt'),
+        state_dir=os.path.join(base, 'state'),
+        threshold=0.9, max_files_per_trigger=1)
+    out = (spark.read.parquet(os.path.join(base, 'out'))
+           .select('doc_id', F.md5('text').alias('text_md5'))
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+_STREAMING_DEDUP_CHECK_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 < 2 THEN doc_id - (doc_id % 6)
+              WHEN doc_id % 6 IN (2, 4) THEN doc_id - (doc_id % 6) + 2
+              ELSE doc_id - (doc_id % 6) + 3 END AS grp
+  FROM documents)
+SELECT doc_id,
+       md5(array_to_string([substr(md5(grp || '-' || i), 1, 8)
+                            FOR i IN generate_series(1, 30)], ' '))
+         AS text_md5
+FROM g
+WHERE doc_id % 6 IN (0, 2, 3)
+ORDER BY doc_id
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio DSP features (RMS / zero-cross rate / spectral centroid)
     over REAL WAV blobs synthesized deterministically per document
@@ -4042,8 +4120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     md5-oracled across multiple availableNow micro-batches);
     dedup_jaccard, repetition_ngrams and top_tokens (all driver-green
     r02-r05) move to the tail. c4_filter (the published C4 cleaning
-    recipe, md5-exact vs the arithmetic construction) also enters,
-    displacing text_analysis (driver-green r02-r05).
+    recipe, md5-exact vs the arithmetic construction) and
+    streaming_dedup_check (the streaming near-dup pipeline on planted
+    exact-copy pairs — cross-batch pairs prove the persistent-store
+    join executes; survivors are pure doc_id arithmetic) also enter,
+    displacing text_analysis and token_count_bpe (driver-green
+    r02-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4090,7 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'slookup_nation': q_slookup_nation,
         'c4_filter': q_c4_filter,
         'warc_stream_ingest': q_warc_stream_ingest,
-        'token_count_bpe': q_token_count_bpe,
+        'streaming_dedup_check': q_streaming_dedup_check,
         'dedup_exact': q_dedup_exact,
         'quality_classifier': q_quality_classifier,
         'dedup_jaccard_ngram': q_dedup_jaccard_ngram,
@@ -4103,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
+        'token_count_bpe': q_token_count_bpe,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4195,6 +4278,7 @@ def oracle_sql() -> dict[str, str]:
         'nb_classifier': _NB_SQL,
         'langid_nb': _LANGID_SQL,
         'c4_filter': _C4_FILTER_SQL,
+        'streaming_dedup_check': _STREAMING_DEDUP_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
