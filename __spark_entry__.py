@@ -2392,6 +2392,68 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
 
 
+def q_simhash_check(spark, sf_dir):
+    """SimHash pigeonhole join VALUE-checked by construction: planted
+    hex-salad texts where doc_id%4 in {0,1} forms exact-copy pairs
+    (identical text -> identical SimHash -> Hamming 0, found by EVERY
+    pigeonhole split deterministically) and the rest are mutually
+    dissimilar salads (64 effectively-random bit differences; the
+    chance any lands at Hamming<=3 is ~1e-15 per pair). The emitted
+    pair set must therefore be exactly the planted pairs at Hamming 0
+    — pure doc_id arithmetic for DuckDB. Complements the rows-only
+    real-text entry."""
+    from erde_spark.scale.dedup import simhash_pairs
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    m4 = F.col('doc_id') % 4
+    group = F.when(m4 < 2, F.col('doc_id') - m4).otherwise(F.col('doc_id'))
+    salad = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('~', group.cast('string'),
+                              i.cast('string'))), 1, 8)))
+    docs = d.select('doc_id', salad.alias('text'))
+    return (simhash_pairs(docs, max_hamming=3)
+            .select('id_a', 'id_b', 'hamming')
+            .orderBy('id_a'))
+
+
+_SIMHASH_CHECK_SQL = """
+SELECT doc_id AS id_a, doc_id + 1 AS id_b, 0 AS hamming
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+ORDER BY id_a
+"""
+
+
+def q_embedding_lsh_check(spark, sf_dir):
+    """Banded sign-LSH embedding pairs VALUE-checked by construction:
+    every vec_id%5==0 vector is duplicated under vec_id+1000000 — an
+    identical vector collides in EVERY band (recall 1 by construction,
+    no seed dependence) and verifies at cosine 1; the synthetic base
+    vectors are mutually near-orthogonal (random 64-dim cosines sit
+    ~10 sigma below the 0.8 threshold) and exact-cosine verification
+    makes precision exact, so the emitted pairs are exactly the
+    planted duplicates — pure vec_id arithmetic for DuckDB.
+    Complements the recall-pytest'd rows-only entry."""
+    from erde_spark.scale.dedup import embedding_lsh_pairs
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'] \
+        .select('vec_id', 'embedding')
+    copies = e.where(F.col('vec_id') % 5 == 0).select(
+        (F.col('vec_id') + 1000000).alias('vec_id'), 'embedding')
+    both = e.unionByName(copies)
+    return (embedding_lsh_pairs(both, threshold=0.8)
+            .select('id_a', 'id_b')
+            .orderBy('id_a'))
+
+
+_EMBEDDING_LSH_CHECK_SQL = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings
+WHERE vec_id % 5 = 0
+ORDER BY id_a
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs (no SQL oracle: md5-bit simhash
     isn't expressible in ANSI SQL; driver rows-only check)."""
@@ -4125,15 +4187,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-copy pairs — cross-batch pairs prove the persistent-store
     join executes; survivors are pure doc_id arithmetic) also enter,
     displacing text_analysis and token_count_bpe (driver-green
-    r02-r05).
+    r02-r05). simhash_check and embedding_lsh_check (planted
+    exact-copy constructions that make the probabilistic families
+    deterministic — identical inputs collide in every band/pigeonhole,
+    so recall is 1 by construction and exact verification pins
+    precision) enter too, displacing dedup_containment and
+    corpus_health (driver-green r03-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
-        'dedup_containment': q_dedup_containment,
-        'corpus_health': q_corpus_health,
+        'simhash_check': q_simhash_check,
+        'embedding_lsh_check': q_embedding_lsh_check,
         'text_quality_filter': q_text_quality_filter,
         'sample_stratified': q_sample_stratified,
         'sample_split': q_sample_split,
@@ -4186,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
         'token_count_bpe': q_token_count_bpe,
+        'dedup_containment': q_dedup_containment,
+        'corpus_health': q_corpus_health,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4279,6 +4348,8 @@ def oracle_sql() -> dict[str, str]:
         'langid_nb': _LANGID_SQL,
         'c4_filter': _C4_FILTER_SQL,
         'streaming_dedup_check': _STREAMING_DEDUP_CHECK_SQL,
+        'simhash_check': _SIMHASH_CHECK_SQL,
+        'embedding_lsh_check': _EMBEDDING_LSH_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
