@@ -2454,6 +2454,73 @@ ORDER BY id_a
 """
 
 
+def q_minhash_cluster_check(spark, sf_dir):
+    """The production spanning-LSH dedup path (tokenize -> MinHash ->
+    banded buckets -> star edges -> exact-Jaccard verify -> connected
+    components -> min-id representative + merge rounds) VALUE-checked
+    by construction: doc_id%4 in {0,1} forms exact-copy hex-salad
+    pairs (identical token sets share every band bucket — recall 1,
+    no seed dependence), the rest are mutually dissimilar salads
+    (cross Jaccard ~0; random bucket collisions die in exact
+    verification). Survivors and cluster sizes are therefore pure
+    arithmetic: rep doc_id%4==0 with size 2, %4 in {2,3} singletons.
+    Complements the rows-only real-text dedup_clusters entry and the
+    all-pairs-CC dedup_cluster_sizes gate (which exercises exact
+    Jaccard, not the LSH tier)."""
+    from erde_spark.scale.dedup import dedup_clusters
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    m4 = F.col('doc_id') % 4
+    group = F.when(m4 < 2, F.col('doc_id') - m4).otherwise(F.col('doc_id'))
+    salad = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('+', group.cast('string'),
+                              i.cast('string'))), 1, 8)))
+    docs = d.select('doc_id', salad.alias('text'))
+    return (dedup_clusters(docs, threshold=0.9)
+            .select('doc_id', 'cluster_size')
+            .orderBy('doc_id'))
+
+
+_MINHASH_CLUSTER_CHECK_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0
+                 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+            THEN 2 ELSE 1 END AS cluster_size
+FROM documents
+WHERE doc_id % 4 != 1
+   OR doc_id - 1 NOT IN (SELECT doc_id FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_embedding_cluster_check(spark, sf_dir):
+    """SemDeDup-style embedding dedup (sign-LSH pairs -> CC -> min-id
+    representative) VALUE-checked by the planted-copy construction:
+    every vec_id%5==0 vector duplicated under vec_id+1000000 —
+    identical vectors collide in every band and verify at cosine 1,
+    random base cosines sit ~10 sigma below threshold — so survivors
+    are exactly the original vec_ids, with cluster_size 2 for the
+    duplicated fifth and 1 elsewhere. Pure arithmetic for DuckDB."""
+    from erde_spark.scale.dedup import embedding_dedup_clusters
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'] \
+        .select('vec_id', 'embedding')
+    copies = e.where(F.col('vec_id') % 5 == 0).select(
+        (F.col('vec_id') + 1000000).alias('vec_id'), 'embedding')
+    both = e.unionByName(copies)
+    return (embedding_dedup_clusters(both, threshold=0.8)
+            .select('vec_id', 'cluster_size')
+            .orderBy('vec_id'))
+
+
+_EMBEDDING_CLUSTER_CHECK_SQL = """
+SELECT vec_id,
+       CASE WHEN vec_id % 5 = 0 THEN 2 ELSE 1 END AS cluster_size
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs (no SQL oracle: md5-bit simhash
     isn't expressible in ANSI SQL; driver rows-only check)."""
@@ -4187,12 +4254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-copy pairs — cross-batch pairs prove the persistent-store
     join executes; survivors are pure doc_id arithmetic) also enter,
     displacing text_analysis and token_count_bpe (driver-green
-    r02-r05). simhash_check and embedding_lsh_check (planted
-    exact-copy constructions that make the probabilistic families
+    r02-r05). Four planted-exact-copy construction gates
+    (simhash_check, embedding_lsh_check, minhash_cluster_check,
+    embedding_cluster_check) make the probabilistic dedup families
     deterministic — identical inputs collide in every band/pigeonhole,
     so recall is 1 by construction and exact verification pins
-    precision) enter too, displacing dedup_containment and
-    corpus_health (driver-green r03-r05).
+    precision — displacing dedup_containment, corpus_health,
+    sample_stratified and sample_split (all driver-green r03-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4202,8 +4270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash_check': q_simhash_check,
         'embedding_lsh_check': q_embedding_lsh_check,
         'text_quality_filter': q_text_quality_filter,
-        'sample_stratified': q_sample_stratified,
-        'sample_split': q_sample_split,
+        'minhash_cluster_check': q_minhash_cluster_check,
+        'embedding_cluster_check': q_embedding_cluster_check,
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
@@ -4255,6 +4323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_count_bpe': q_token_count_bpe,
         'dedup_containment': q_dedup_containment,
         'corpus_health': q_corpus_health,
+        'sample_stratified': q_sample_stratified,
+        'sample_split': q_sample_split,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4350,6 +4420,8 @@ def oracle_sql() -> dict[str, str]:
         'streaming_dedup_check': _STREAMING_DEDUP_CHECK_SQL,
         'simhash_check': _SIMHASH_CHECK_SQL,
         'embedding_lsh_check': _EMBEDDING_LSH_CHECK_SQL,
+        'minhash_cluster_check': _MINHASH_CLUSTER_CHECK_SQL,
+        'embedding_cluster_check': _EMBEDDING_CLUSTER_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
