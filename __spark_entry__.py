@@ -2521,6 +2521,38 @@ ORDER BY vec_id
 """
 
 
+def q_ann_rank1_check(spark, sf_dir):
+    """The approximate-nearest-neighbor tiers VALUE-checked by planted
+    queries: every vec_id%37==0 corpus vector is re-issued as a query
+    under +1000000 — an identical vector lands in its own LSH bucket /
+    IVF list deterministically (same hashes, same nearest centroid)
+    and re-ranks to rank 1 at exact cosine 1 (~10 sigma above any
+    random 64-dim cosine), so BOTH ``lsh_topk`` and ``ivfpq_topk``
+    must return the original vector at rank 1 for every planted query
+    — pure arithmetic for DuckDB. Complements the recall-pytest'd
+    rows-only entries for the same operators."""
+    from erde_spark.scale.similarity import ivfpq_topk, lsh_topk
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'] \
+        .select('vec_id', 'embedding')
+    q = e.where(F.col('vec_id') % 37 == 0).select(
+        (F.col('vec_id') + 1000000).alias('vec_id'), 'embedding')
+    lsh = (lsh_topk(e, q, k=1, n_bits=10, n_probes=4)
+           .where(F.col('rank') == 1)
+           .select(F.lit('lsh').alias('method'), 'query_id', 'vec_id'))
+    ivf = (ivfpq_topk(e, q, k=1, n_probes=4, m=16, ks=64, refine=8)
+           .where(F.col('rank') == 1)
+           .select(F.lit('ivfpq').alias('method'), 'query_id', 'vec_id'))
+    return lsh.unionByName(ivf).orderBy('method', 'query_id')
+
+
+_ANN_RANK1_CHECK_SQL = """
+SELECT m.method, vec_id + 1000000 AS query_id, vec_id
+FROM embeddings, (VALUES ('ivfpq'), ('lsh')) AS m(method)
+WHERE vec_id % 37 = 0
+ORDER BY m.method, query_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs (no SQL oracle: md5-bit simhash
     isn't expressible in ANSI SQL; driver rows-only check)."""
@@ -4261,6 +4293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so recall is 1 by construction and exact verification pins
     precision — displacing dedup_containment, corpus_health,
     sample_stratified and sample_split (all driver-green r03-r05).
+    ann_rank1_check (planted identical-vector queries must come back
+    at rank 1 from BOTH lsh_topk and ivfpq_topk) also enters,
+    displacing pii_scrub (driver-green r04-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4272,7 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_filter': q_text_quality_filter,
         'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_cluster_check': q_embedding_cluster_check,
-        'pii_scrub': q_pii_scrub,
+        'ann_rank1_check': q_ann_rank1_check,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
         'token_divergence': q_token_divergence,
@@ -4325,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_health': q_corpus_health,
         'sample_stratified': q_sample_stratified,
         'sample_split': q_sample_split,
+        'pii_scrub': q_pii_scrub,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4422,6 +4458,7 @@ def oracle_sql() -> dict[str, str]:
         'embedding_lsh_check': _EMBEDDING_LSH_CHECK_SQL,
         'minhash_cluster_check': _MINHASH_CLUSTER_CHECK_SQL,
         'embedding_cluster_check': _EMBEDDING_CLUSTER_CHECK_SQL,
+        'ann_rank1_check': _ANN_RANK1_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
