@@ -2521,6 +2521,50 @@ ORDER BY vec_id
 """
 
 
+def q_passage_span_check(spark, sf_dir):
+    """Copied-passage detection (winnowing fingerprints -> consistent-
+    offset span runs) VALUE-checked by construction: doc_id%4 in {0,1}
+    pairs share a planted ~500-char passage (a group-keyed hex salad)
+    embedded between per-document unique salads; all other content is
+    mutually dissimilar. A shared substring of length L >= k+window-1
+    shares every fingerprint winnowed inside it (dozens here), their
+    offsets advance consistently, and accidental 3+ consistent-offset
+    collisions between unrelated salads are ~impossible — so the
+    detected pair SET is exactly the planted pairs, pure doc_id
+    arithmetic for DuckDB. Complements the rows-only real-text
+    winnow_passages entry (span counts/lengths stay winnowing-granular
+    there by design)."""
+    from erde_spark.scale.text import shared_passage_spans
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    m4 = F.col('doc_id') % 4
+    group = F.when(m4 < 2, F.col('doc_id') - m4).otherwise(F.lit(-1))
+
+    def _salad(key, n):
+        return F.concat_ws(' ', F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws('^', key.cast('string'),
+                                  i.cast('string'))), 1, 8)))
+
+    text = F.concat_ws(
+        ' ',
+        _salad(F.col('doc_id') + 5000000, 30),        # unique prefix
+        F.when(group >= 0, _salad(group + 7000000, 60))
+        .otherwise(_salad(F.col('doc_id') + 6000000, 60)),
+        _salad(F.col('doc_id') + 8000000, 30))        # unique suffix
+    docs = d.select('doc_id', text.alias('text'))
+    out = shared_passage_spans(docs, min_span_fps=3)
+    return out.select('id_a', 'id_b').orderBy('id_a')
+
+
+_PASSAGE_SPAN_CHECK_SQL = """
+SELECT doc_id AS id_a, doc_id + 1 AS id_b
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+ORDER BY id_a
+"""
+
+
 def q_ann_rank1_check(spark, sf_dir):
     """The approximate-nearest-neighbor tiers VALUE-checked by planted
     queries: every vec_id%37==0 corpus vector is re-issued as a query
@@ -4294,8 +4338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     precision — displacing dedup_containment, corpus_health,
     sample_stratified and sample_split (all driver-green r03-r05).
     ann_rank1_check (planted identical-vector queries must come back
-    at rank 1 from BOTH lsh_topk and ivfpq_topk) also enters,
-    displacing pii_scrub (driver-green r04-r05).
+    at rank 1 from BOTH lsh_topk and ivfpq_topk) and
+    passage_span_check (planted copied passages inside otherwise-
+    unique documents must surface exactly the planted pairs) also
+    enter, displacing pii_scrub and domain_stats (driver-green
+    r04-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4308,7 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
-        'domain_stats': q_domain_stats,
+        'passage_span_check': q_passage_span_check,
         'lm_quality_score': q_lm_quality_score,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
@@ -4361,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sample_stratified': q_sample_stratified,
         'sample_split': q_sample_split,
         'pii_scrub': q_pii_scrub,
+        'domain_stats': q_domain_stats,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4459,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
         'minhash_cluster_check': _MINHASH_CLUSTER_CHECK_SQL,
         'embedding_cluster_check': _EMBEDDING_CLUSTER_CHECK_SQL,
         'ann_rank1_check': _ANN_RANK1_CHECK_SQL,
+        'passage_span_check': _PASSAGE_SPAN_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,
