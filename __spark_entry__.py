@@ -2598,8 +2598,10 @@ ORDER BY m.method, query_id
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash hamming<=3 candidate pairs (no SQL oracle: md5-bit simhash
-    isn't expressible in ANSI SQL; driver rows-only check)."""
+    """SimHash hamming<=3 candidate pairs on REAL text (no SQL oracle:
+    md5-bit simhash isn't expressible in ANSI SQL; driver rows-only
+    check — the deterministic value-checked companion is
+    ``simhash_check``)."""
     from erde_spark.scale.dedup import simhash_pairs
     d = _t(spark, sf_dir, 'documents')['documents']
     return simhash_pairs(d, max_hamming=3)
@@ -2840,7 +2842,8 @@ def q_winnow_passages(spark, sf_dir):
     copied paragraph inside otherwise-unrelated documents, which
     whole-doc Jaccard misses (rows-only: the winnowing rolling hash is
     not ANSI-SQL-expressible; the span extraction itself is pinned by
-    construction in tests/test_scale.py)."""
+    construction in tests/test_scale.py, and the deterministic
+    value-checked companion is ``passage_span_check``)."""
     from erde_spark.scale.text import shared_passage_spans
     d = _t(spark, sf_dir, 'documents')['documents']
     return shared_passage_spans(d, min_span_fps=3)
