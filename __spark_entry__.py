@@ -2521,6 +2521,43 @@ ORDER BY vec_id
 """
 
 
+def q_readability(spark, sf_dir):
+    """Flesch readability metrics over the corpus, value-oracled
+    UNROUNDED: counts are integers and the score is a fixed-order
+    per-row IEEE scalar expression, so DuckDB reproduces the doubles
+    bit-exactly (no accumulation, no engine-dependent rounding)."""
+    from erde_spark.scale.text import readability
+    d = (_t(spark, sf_dir, 'documents')['documents']
+         .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    r = readability('text')
+    return (d.select('doc_id', r['n_words'].alias('n_words'),
+                     r['n_sentences'].alias('n_sentences'),
+                     r['n_syllables'].alias('n_syllables'),
+                     r['flesch'].alias('flesch'))
+            .orderBy('doc_id'))
+
+
+_READABILITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS INT)
+           AS n_words,
+         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+              AS INT) AS n_sentences,
+         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS INT) AS n_syllables
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835
+       - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                  / CAST(n_sentences AS DOUBLE))
+       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                 / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+FROM m
+ORDER BY doc_id
+"""
+
+
 def q_passage_span_check(spark, sf_dir):
     """Copied-passage detection (winnowing fingerprints -> consistent-
     offset span runs) VALUE-checked by construction: doc_id%4 in {0,1}
@@ -4345,7 +4382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     passage_span_check (planted copied passages inside otherwise-
     unique documents must surface exactly the planted pairs) also
     enter, displacing pii_scrub and domain_stats (driver-green
-    r04-r05).
+    r04-r05); readability (Flesch metrics, value-hashed UNROUNDED —
+    fixed-order per-row IEEE scalar arithmetic is bit-reproducible)
+    enters too, displacing lm_quality_score (driver-green r03-r05).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4359,7 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'passage_span_check': q_passage_span_check,
-        'lm_quality_score': q_lm_quality_score,
+        'readability': q_readability,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
@@ -4412,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sample_split': q_sample_split,
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
+        'lm_quality_score': q_lm_quality_score,
         'profile_orders': q_profile_orders,
         'geo_rect_area': q_geo_rect_area,
         'geo_line_length': q_geo_line_length,
@@ -4511,6 +4551,7 @@ def oracle_sql() -> dict[str, str]:
         'embedding_cluster_check': _EMBEDDING_CLUSTER_CHECK_SQL,
         'ann_rank1_check': _ANN_RANK1_CHECK_SQL,
         'passage_span_check': _PASSAGE_SPAN_CHECK_SQL,
+        'readability': _READABILITY_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,

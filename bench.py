@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     'langid_nb',
     'warc_stream_ingest',
     'c4_filter',
+    'readability',
 ]
 
 

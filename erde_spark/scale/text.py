@@ -567,6 +567,32 @@ def gopher_quality_flags(col: Column | str, min_tokens: int = 50,
         (stop_hits >= min_stop_hits).alias('stopwords_ok'))
 
 
+def readability(col: Column | str) -> Column:
+    """Readability metrics as one codegen struct: word count (letter
+    runs), sentence count (terminal-punctuation runs, floored at 1 so
+    fragments score as one sentence), syllable estimate (vowel-group
+    runs — the standard automated approximation), and the Flesch
+    Reading Ease score 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words) (Flesch 1948; the curation use is
+    complexity bucketing / filtering alongside the Gopher gates).
+    Every term is per-row integer-count arithmetic followed by scalar
+    IEEE operations in a fixed order, so the score is exactly
+    reproducible by any engine — the driver gate value-hashes it
+    unrounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.regexp_count(c, F.lit('[A-Za-z]+'))
+    sentences = F.greatest(F.regexp_count(c, F.lit('[.!?]+')), F.lit(1))
+    syllables = F.regexp_count(F.lower(c), F.lit('[aeiouy]+'))
+    w = F.greatest(words, F.lit(1)).cast('double')
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (w / sentences.cast('double'))
+              - F.lit(84.6) * (syllables.cast('double') / w))
+    return F.struct(words.alias('n_words'),
+                    sentences.alias('n_sentences'),
+                    syllables.alias('n_syllables'),
+                    flesch.alias('flesch'))
+
+
 def c4_filter(df: DataFrame, id_col: str = 'doc_id',
               text_col: str = 'text', min_words_per_line: int = 5,
               min_sentences: int = 3,

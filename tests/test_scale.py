@@ -1611,6 +1611,25 @@ def test_remove_boilerplate_lines(spark):
     assert got == 'same line repeated\nsame line repeated\nsame line repeated'
 
 
+def test_readability_flesch(spark):
+    """Hand-computed Flesch example plus the fragment floor: 'The cat
+    sat on the mat.' = 6 words, 1 sentence, 6 vowel groups ->
+    206.835 - 1.015*6 - 84.6*1 = 116.145."""
+    from erde_spark.scale.text import readability
+    df = spark.createDataFrame(
+        [(1, 'The cat sat on the mat.'),
+         (2, 'no punctuation fragment'),
+         (3, '')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r['r'] for r in
+            df.select('doc_id', readability('text').alias('r')).collect()}
+    r1 = rows[1]
+    assert (r1['n_words'], r1['n_sentences'], r1['n_syllables']) == (6, 1, 6)
+    assert abs(r1['flesch'] - 116.145) < 1e-9
+    assert rows[2]['n_sentences'] == 1  # fragment floor
+    assert rows[3]['n_words'] == 0 and rows[3]['n_syllables'] == 0
+
+
 def test_c4_filter_rules(spark):
     """Each published C4 rule fires independently: terminal-punct
     line keep, 5-word minimum, javascript lines, lorem-ipsum pages,
