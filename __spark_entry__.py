@@ -4169,12 +4169,16 @@ def q_c4_filter(spark, sf_dir):
     must drop exactly the lorem-ipsum and brace pages, strip exactly
     the short+javascript lines from the survivors, and keep the rest
     byte-identically — DuckDB's oracle builds the expected surviving
-    text directly from the same arithmetic and md5s must agree."""
+    text directly from the same arithmetic and md5s must agree. The
+    per-document fragment is an md5-hex word (round-7 ADVICE): hex
+    can never contain '{', 'javascript', 'lorem ipsum', or a newline
+    and is never empty, so gate truth is content-independent of the
+    fixture text."""
     from erde_spark.scale.text import c4_filter
     d = (_t(spark, sf_dir, 'documents')['documents']
          .select('doc_id', 'text').where(F.col('text').isNotNull()))
     base = F.concat(F.lit('Document body '),
-                    F.substring('text', 1, 60), F.lit(' ends here.'))
+                    F.substring(F.md5('text'), 1, 8), F.lit(' ends here.'))
     variant = (F.when(F.col('doc_id') % 4 == 0,
                       'This line uses javascript for menus today.')
                .when(F.col('doc_id') % 4 == 1, 'lorem ipsum')
@@ -4191,7 +4195,7 @@ def q_c4_filter(spark, sf_dir):
 
 _C4_FILTER_SQL = """
 SELECT doc_id,
-       md5('Document body ' || substr(text, 1, 60) || ' ends here.'
+       md5('Document body ' || substr(md5(text), 1, 8) || ' ends here.'
            || chr(10) || 'Second proper sentence right here folks.'
            || chr(10) || 'Third full sentence to clear the minimum.'
            || CASE WHEN doc_id % 4 = 3

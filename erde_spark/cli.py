@@ -447,7 +447,9 @@ def langid(input_data: DataFrame, id_column: str = 'doc_id',
     tags = identify_language(input_data, id_col=id_column,
                              text_col=text_column,
                              prefix_chars=prefix_chars)
-    return input_data.join(
+    # overwrite any pre-existing lang/lang_score (the documents contract
+    # already carries `lang`) so the join never emits duplicate columns
+    return input_data.drop('lang', 'lang_score').join(
         tags.withColumnRenamed('id', id_column), id_column, 'left')
 
 

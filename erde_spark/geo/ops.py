@@ -886,8 +886,17 @@ def _load_common_epsg() -> None:
     for z in range(1, 8):         # POSGAR 2007 / Argentina faja 1-7
         _CRS_TABLE[5342 + z] = utm(-75 + 3 * z, 'GRS80', k=1.0,
                                    fe=z * 1e6 + 500000.0, lat0=_d(-90))
-    for z in range(1, 24):        # NAD83(2011) / UTM 1N-23N
+    for z in range(1, 20):        # NAD83(2011) / UTM 1N-19N (6330-48;
+        # 6349+ are OTHER CRSs — 6349 compound NAVD88, 6350 Conus Albers)
         _CRS_TABLE[6329 + z] = utm(z * 6 - 183, 'GRS80')
+    for z in (59, 60):            # NAD83(2011) / UTM 59N-60N (Alaska)
+        _CRS_TABLE[6269 + z] = utm(z * 6 - 183, 'GRS80')
+    # NAD83(2011) / Conus Albers — the code the old loop silently
+    # mis-registered as a UTM zone; same AEA parameters as 5070
+    _CRS_TABLE[6350] = {'proj': 'aea', 'ellps': 'GRS80',
+                        'params': (_d(23), _d(-96), _d(29, 30),
+                                   _d(45, 30), 0.0, 0.0),
+                        'towgs84': None}
     dhdn = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
     for z in range(2, 6):         # DHDN / 3-deg Gauss-Krueger zone 2-5
         _CRS_TABLE[31464 + z] = utm(z * 3, 'bessel', k=1.0,

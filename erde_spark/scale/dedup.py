@@ -549,7 +549,8 @@ def _union_find_min(edges: list[tuple]) -> dict:
 
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          max_iterations: int = 12,
-                         collect_cap: int | None = None) -> DataFrame:
+                         collect_cap: int | None = None,
+                         probe_first: bool = False) -> DataFrame:
     """(id, component) — connected components over an undirected edge list
     (columns ``id_a``/``id_b``): min-label propagation with pointer
     jumping, so rounds grow the reached radius exponentially
@@ -563,7 +564,10 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     candidates and only true near-dups survive verification), but at
     100 TB they still exceed any driver cap, so the distributed
     iteration below remains the scale path; the probe itself terminates
-    early and never materializes more than cap+1 rows.
+    early and never materializes more than cap+1 rows. By default the
+    edge pipeline is checkpointed BEFORE the probe so expensive
+    upstreams run exactly once; ``probe_first=True`` lets micro-batch
+    callers (the streaming path) skip that checkpoint job.
 
     Only nodes that appear in an edge enter the iteration — in a dedup
     corpus most documents are singletons, and carrying them through every
@@ -583,13 +587,18 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         collect_cap = _MERGE_COLLECT_CAP
     base = pairs.select('id_a', 'id_b')
     if collect_cap:
-        # Probe FIRST, checkpoint only on the over-cap path: the
-        # under-cap fast path consumes the edges on the driver and
-        # never re-reads the frame, so a prior checkpoint is a wasted
-        # job (per-job overhead dominates micro-batch-sized inputs).
-        # Over cap, the distributed iteration below references the
-        # pipeline three more times (union + labels), so THEN the
-        # one-time materialization pays for itself.
+        # Default: checkpoint FIRST, probe the materialized frame — the
+        # upstream pipeline (typically the LSH bucket/verify chain,
+        # whose shuffles limit() cannot short-circuit) is evaluated
+        # exactly once whether the input lands under or over the cap;
+        # the probe then reads cached blocks. ``probe_first=True`` is
+        # the opt-in for callers that KNOW their input is micro-batch-
+        # sized (the streaming path): it skips the checkpoint job on
+        # the under-cap fast path — one bounded probe job total — at
+        # the cost of a double evaluation if the batch overflows the
+        # cap after all (round-7 ADVICE).
+        if not probe_first:
+            base = base.localCheckpoint(eager=True)
         probe = base.limit(collect_cap + 1).collect()
         if len(probe) <= collect_cap:
             edge_list = [(r['id_a'], r['id_b']) for r in probe]
@@ -604,8 +613,11 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                        .join(labels.select('id'), 'id', 'left_anti')
                        .select('id', F.col('id').alias('component')))
             return labels.unionByName(singles)
-        # over cap: materialize once before the double reference below
-        base = base.localCheckpoint(eager=True)
+        # over cap on the probe-first path: materialize once before the
+        # double reference below (already checkpointed on the default
+        # path)
+        if probe_first:
+            base = base.localCheckpoint(eager=True)
     edges = base.union(base.select(F.col('id_b').alias('id_a'),
                                    F.col('id_a').alias('id_b')))
     edges = edges.localCheckpoint(eager=True)
@@ -653,6 +665,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                    threshold: float = 0.8, pair_strategy: str = 'spanning',
                    merge_rounds: int = 2, shingles: int | None = None,
                    _state_out: dict | None = None,
+                   cc_probe_first: bool = False,
                    **lsh_kw) -> DataFrame:
     """One representative per near-duplicate cluster: MinHash-LSH edges ->
     connected components -> keep the minimum id of each component.
@@ -676,11 +689,18 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
     near-duplicates at the threshold — the pairs-path invariant up to
     LSH recall and the oversized-bucket fallback (a true pair shares
     ~b·t^r buckets, so it escapes only if every one is oversized).
+
+    ``cc_probe_first=True`` is the micro-batch opt-in forwarded to
+    :func:`connected_components`: probe the edge count before
+    checkpointing (one job saved when the edges fit the driver cap, a
+    double evaluation if they don't — only the streaming path, whose
+    batches are bounded, should set it).
     """
     if pair_strategy == 'pairs':
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold,
                                   shingles=shingles, **lsh_kw)
-        comp = connected_components(pairs, df.select(id_col))
+        comp = connected_components(pairs, df.select(id_col),
+                                    probe_first=cc_probe_first)
     elif pair_strategy == 'spanning':
         num_perm = lsh_kw.get('num_perm', 96)
         bands = lsh_kw.get('bands') or _threshold_bands(num_perm, threshold)
@@ -714,7 +734,8 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                               bands=bands, rows=rows)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
                                 threshold, num_perm, small, pf)
-        comp = connected_components(edges, df.select(id_col)) \
+        comp = connected_components(edges, df.select(id_col),
+                                    probe_first=cc_probe_first) \
             .localCheckpoint(eager=True)
         touched = None  # round 1 checks all rep pairs; later rounds prune
         touched_vals = None  # driver-known touched labels (bounded list)
@@ -912,7 +933,10 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
         kept = dedup_clusters(batch_df, id_col, text_col, threshold,
                               pair_strategy='spanning', num_perm=num_perm,
                               bands=bands, seed=seed, shingles=shingles,
-                              _state_out=state).drop('cluster_size')
+                              _state_out=state,
+                              # micro-batch edges fit the driver cap:
+                              # probe-first saves the checkpoint job
+                              cc_probe_first=True).drop('cluster_size')
         # reuse the tokenize/minhash/bucket state dedup_clusters already
         # materialized for the whole batch: restricting it to the kept
         # ids is two semi-joins on checkpointed frames instead of a

@@ -291,3 +291,23 @@ def test_langid_subcommand(spark, tmp_path):
     entrypoint(['langid', src, out])
     got = {r['doc_id']: r['lang'] for r in spark.read.parquet(out).collect()}
     assert got == {0: 'de', 1: 'ja', 2: 'ar', 3: 'und'}
+
+
+def test_langid_subcommand_overwrites_existing_lang(spark, tmp_path):
+    """Regression (round-7 ADVICE): the documents contract already has
+    a `lang` column — tagging must overwrite it, not emit a duplicate
+    column that breaks the parquet write."""
+    from erde_spark.cli import entrypoint
+    from erde_spark.scale.langid import EVAL_SENTENCES
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(0, EVAL_SENTENCES['de'][0], 'xx', 'web'),
+            (1, EVAL_SENTENCES['fr'][0], 'yy', 'web')]
+    spark.createDataFrame(
+        rows, 'doc_id long, text string, lang string, source string') \
+        .write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'tagged.parquet')
+    entrypoint(['langid', src, out])
+    df = spark.read.parquet(out)
+    assert df.columns.count('lang') == 1
+    got = {r['doc_id']: (r['lang'], r['source']) for r in df.collect()}
+    assert got == {0: ('de', 'web'), 1: ('fr', 'web')}

@@ -507,13 +507,61 @@ def test_ntf_lambert_natural_origins():
 def test_nad83_2011_utm_matches_wgs84_kernel():
     """NAD83(2011) UTM zones (zero-shift GRS80) agree with the
     independent closed-form WGS84 UTM kernel to sub-mm — the same
-    cross-kernel pin the other GRS80 zone blocks carry."""
+    cross-kernel pin the other GRS80 zone blocks carry. Includes the
+    Alaska zones 59N/60N (6328/6329) registered explicitly."""
     for lon, lat, epsg_grs, epsg_wgs in [(-122.3, 47.6, 6339, 32610),
-                                         (-74.0, 40.7, 6347, 32618)]:
+                                         (-74.0, 40.7, 6347, 32618),
+                                         (171.4, 63.0, 6328, 32659),
+                                         (177.8, 60.2, 6329, 32660)]:
         xg, yg = O.transform_geom(('Point', (lon, lat)), 4326, epsg_grs)[1]
         xw, yw = O.transform_geom(('Point', (lon, lat)), 4326, epsg_wgs)[1]
         assert math.isclose(xg, xw, abs_tol=1e-3)
         assert math.isclose(yg, yw, abs_tol=1e-3)
+
+
+def test_utm_kernel_snyder_published_example():
+    """Published-coordinate pin for the UTM/TM kernel, independent of
+    any other kernel in this repo: Snyder, 'Map Projections — A Working
+    Manual' (USGS PP 1395), Transverse Mercator ellipsoid example —
+    Clarke 1866, zone 18 (lon0=-75, k0=0.9996), lat 40d30'N lon 73d30'W
+    -> x = 127,106.5 m (+500 km FE = 627,106.5), y = 4,484,124.4 m."""
+    spec = dict(O._CRS_TABLE[26718])
+    spec['towgs84'] = None  # pin the projection, not the datum shift
+    _, from_ll = O._spec_fns(spec)
+    e, n = from_ll(-73.5, 40.5)
+    assert math.isclose(e, 627106.5, abs_tol=0.1)
+    assert math.isclose(n, 4484124.4, abs_tol=0.1)
+
+
+def test_aea_kernel_snyder_published_example():
+    """Published-coordinate pin for the Albers kernel: Snyder PP 1395
+    ellipsoid example — Clarke 1866, standard parallels 29d30'/45d30',
+    origin (23, -96), point lat 35N lon 75W -> x = 1,885,472.7 m,
+    y = 1,535,925.0 m."""
+    spec = {'proj': 'aea', 'ellps': 'clrk66',
+            'params': (O._d(23), O._d(-96), O._d(29, 30), O._d(45, 30),
+                       0.0, 0.0),
+            'towgs84': None}
+    _, from_ll = O._spec_fns(spec)
+    x, y = from_ll(-75.0, 35.0)
+    assert math.isclose(x, 1885472.7, abs_tol=0.1)
+    assert math.isclose(y, 1535925.0, abs_tol=0.1)
+
+
+def test_nad83_2011_neighbors_not_utm():
+    """Regression (round-7 ADVICE): 6349 is 'NAD83(2011) + NAVD88
+    height' (compound) and 6351/6352 are unregistered — none may
+    silently resolve to a Transverse-Mercator zone; 6350 IS registered
+    and must be the Conus Albers CRS (agrees with 5070 zero-shift),
+    NOT a UTM zone."""
+    for code in (6349, 6351, 6352):
+        with pytest.raises(NotImplementedError):
+            O.transform_geom(('Point', (-75.0, 40.0)), 4326, code)
+    for lon, lat in [(-96.0, 23.0), (-75.0, 35.0), (-120.0, 44.0)]:
+        a = O.transform_geom(('Point', (lon, lat)), 4326, 6350)[1]
+        b = O.transform_geom(('Point', (lon, lat)), 4326, 5070)[1]
+        assert math.isclose(a[0], b[0], abs_tol=1e-6)
+        assert math.isclose(a[1], b[1], abs_tol=1e-6)
 
 
 round6_registry_cases = [

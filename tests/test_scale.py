@@ -792,6 +792,14 @@ def test_connected_components_matches_union_find(spark):
                for r in connected_components(pairs, ids,
                                              collect_cap=cap).collect()}
         assert got == exp, f'collect_cap={cap}'
+    # probe_first (streaming micro-batch opt-in, round-7 ADVICE) must be
+    # output-identical on both sides of the cap: under (driver path) and
+    # over (falls through to the distributed iteration)
+    for cap in (1000, 5):
+        got = {r['id']: r['component']
+               for r in connected_components(pairs, ids, collect_cap=cap,
+                                             probe_first=True).collect()}
+        assert got == exp, f'probe_first cap={cap}'
 
 
 def test_connected_components_fractional_ids(spark):
