@@ -5,8 +5,12 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is timed best-of-$SPARK_GRAFT_BENCH_RUNS (default 3): host
 timing noise on this box is 10-20x on cold single runs, so best-of-N warm
 is the only measurement that tracks plan changes rather than scheduler
-luck. The per-query [min, max] band is recorded in "spread" so the
-output itself shows the noise envelope.
+luck. The per-query [min, max] band is emitted to stderr (stdout stays
+one compact line the driver's 2000-char tail captures whole). Two
+CODE-INDEPENDENT calibration sentinels (single-core md5 churn; a fixed
+Spark range->shuffle->agg) run before AND after the suite and land in
+the JSON — this box drifts 1.5-2x on the ~1 h scale, and the sentinel
+ratio is what lets cross-round per-query deltas be normalized.
 
 `streaming_neardup_backfill` is a PIPELINE entry, not a single query:
 it runs two full spanning-dedup passes (one per micro-batch), the
@@ -29,6 +33,7 @@ headline; the pairs op is kept as the verification-grade surface.
 
 import json
 import os
+import sys
 import time
 
 import __spark_entry__ as entry
@@ -102,6 +107,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _sentinel_cpu():
+    """Pure-CPU calibration sentinel, independent of every code path in
+    this repo: a fixed md5 churn whose wall-time tracks the HOST's
+    per-core speed at bench time. Recorded in every BENCH artifact so
+    rounds can be normalized against each other — this box drifts
+    1.5-2x on the ~1 h scale (measured via counterbalanced ABBA in
+    rounds 5-6), which otherwise makes cross-round per-query deltas
+    uninterpretable."""
+    import hashlib
+    t0 = time.perf_counter()
+    h = b'calibration'
+    for _ in range(400_000):
+        h = hashlib.md5(h).digest()
+    return time.perf_counter() - t0
+
+
+def _sentinel_spark(spark):
+    """Spark-side calibration sentinel: a fixed range->shuffle->agg job
+    (no repo code) capturing JVM/scheduler/shuffle overhead at bench
+    time, complementing the single-core CPU sentinel."""
+    from pyspark.sql import functions as F
+    t0 = time.perf_counter()
+    (spark.range(0, 2_000_000, 1, 32)
+     .groupBy((F.col('id') % 1024).alias('k'))
+     .agg(F.sum('id').alias('s'))
+     .agg(F.sum('s')).collect())
+    return time.perf_counter() - t0
+
+
 def main():
     from erde_spark.session import get_spark
     spark = get_spark(app_name='erde_spark_bench')
@@ -120,6 +154,8 @@ def main():
     spark.range(0, 1024, 1, 32).select(_warm('id')).count()
 
     n_runs = max(1, int(os.environ.get('SPARK_GRAFT_BENCH_RUNS', '3')))
+    sent_cpu = [_sentinel_cpu()]
+    sent_spark = [_sentinel_spark(spark)]
     timings = {}
     spreads = {}
     total = 0.0
@@ -143,16 +179,31 @@ def main():
             rdd.unpersist()
         spark.catalog.clearCache()
 
+    # sentinels re-run AFTER the suite: the pair brackets the bench
+    # window, so monotonic host drift during the run is visible too
+    sent_cpu.append(_sentinel_cpu())
+    sent_spark.append(_sentinel_spark(spark))
+
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
-    print(json.dumps({
+    # full-fidelity record to STDERR (human/debug: 3-decimal times +
+    # min/max spread bands); stdout carries exactly ONE compact JSON
+    # line — the driver records the final 2000 characters of stdout, so
+    # the line must fit that window in full (asserted below) or the
+    # artifact loses rows (BENCH_r06 lost 23 of 79)
+    print(json.dumps({'spread': spreads, 'queries_3dp': timings}),
+          file=sys.stderr)
+    compact = json.dumps({
         'metric': 'headline_queries_total_sec',
-        'value': round(total, 3),
+        'value': round(total, 2),
         'unit': 'sec',
-        'queries': timings,
-        'spread': spreads,
+        'queries': {k: round(v, 2) for k, v in timings.items()},
         'sf': float(sf),
         'runs_per_query': n_runs,
-    }))
+        'sentinel': {'cpu': [round(t, 3) for t in sent_cpu],
+                     'spark': [round(t, 3) for t in sent_spark]},
+    }, separators=(',', ':'))
+    assert len(compact) < 1950, f'final bench line too long: {len(compact)}'
+    print(compact)
 
 
 if __name__ == '__main__':
