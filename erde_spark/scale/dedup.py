@@ -547,6 +547,99 @@ def _union_find_min(edges: list[tuple]) -> dict:
     return {x: find(x) for x in parent if find(x) != x}
 
 
+#: micro-batch driver path bound on collected (id, band, bh) rows —
+#: docs x bands; 500k rows ~= a 40k-doc batch at 12 bands (~20 MB on
+#: the driver). Over it, the distributed merge loop runs instead.
+_MICROBATCH_BUCKET_CAP = 500_000
+#: and on candidate rep pairs per merge round (mirrors the edge cap)
+_MICROBATCH_CAND_CAP = 250_000
+
+
+def _microbatch_spanning_clusters(df: DataFrame, id_col: str,
+                                  edges: DataFrame, buckets: DataFrame,
+                                  sig: DataFrame, tok: DataFrame,
+                                  threshold: float, num_perm: int,
+                                  small, pf: bool,
+                                  merge_rounds: int) -> DataFrame | None:
+    """Driver-orchestrated spanning-cluster dedup for DRIVER-BOUNDED
+    micro-batches, or ``None`` when any bound is exceeded (caller falls
+    back to the distributed path — identical semantics, more jobs).
+
+    The distributed merge loop costs ~2 eager actions per round plus a
+    CC probe and label checkpoint — ~6 Spark actions whose payloads are
+    a few thousand rows each; on micro-batches the per-action overhead
+    (Catalyst analysis + AQE stage jobs) dominates end-to-end latency.
+    Here everything EXCEPT exact-Jaccard verification moves to the
+    driver: collect the verified star edges (bounded by
+    ``_MERGE_COLLECT_CAP``) and the (id, band, bh) bucket table
+    (bounded by ``_MICROBATCH_BUCKET_CAP``), then per merge round build
+    the rep-pair candidates in memory — all pairs per bucket under the
+    same ``max_bucket=64`` cap with the same star-edge fallback as
+    :func:`_bucket_all_pairs`, the same touched-rep pruning — and spend
+    exactly ONE Spark action verifying them against the checkpointed
+    (sig, toks) base. Zero candidates in a round = zero Spark actions.
+    Output is row-identical to the distributed path (parity-tested in
+    tests/test_scale.py); only job count differs. At 100 TB the bounds
+    never hold and the distributed loop below remains the scale path.
+    """
+    edge_rows = edges.limit(_MERGE_COLLECT_CAP + 1).collect()
+    if len(edge_rows) > _MERGE_COLLECT_CAP:
+        return None
+    bucket_rows = buckets.limit(_MICROBATCH_BUCKET_CAP + 1).collect()
+    if len(bucket_rows) > _MICROBATCH_BUCKET_CAP:
+        return None
+    remap = _union_find_min([(r['id_a'], r['id_b']) for r in edge_rows])
+    comp_of = {}
+    for r in bucket_rows:  # every doc appears (sig always explodes)
+        i = r['id']
+        comp_of[i] = remap.get(i, i)
+    touched = None
+    for _ in range(merge_rounds):
+        bmap: dict = {}
+        for r in bucket_rows:
+            bmap.setdefault((r['band'], r['bh']), set()).add(comp_of[r['id']])
+        cand = set()
+        for reps in bmap.values():
+            if len(reps) < 2:
+                continue
+            if touched is not None and not (reps & touched):
+                continue
+            rs = sorted(reps)
+            if len(rs) <= 64:  # _bucket_all_pairs max_bucket
+                pairs = [(rs[i], rs[j]) for i in range(len(rs))
+                         for j in range(i + 1, len(rs))]
+            else:  # oversized hash-collision bucket: star edges
+                pairs = [(rs[0], x) for x in rs[1:]]
+            for p in pairs:
+                if touched is None or p[0] in touched or p[1] in touched:
+                    cand.add(p)
+            if len(cand) > _MICROBATCH_CAND_CAP:
+                return None  # degenerate: let the distributed loop pay
+        if not cand:
+            break
+        itype = sig.schema['id'].dataType
+        cand_df = sig.sparkSession.createDataFrame(
+            sorted(cand), T.StructType([T.StructField('id_a', itype),
+                                        T.StructField('id_b', itype)]))
+        merges = _verify_jaccard(cand_df, sig, tok, threshold, num_perm,
+                                 small, pf).select('id_a', 'id_b').collect()
+        if not merges:
+            break
+        m2 = _union_find_min([(r['id_a'], r['id_b']) for r in merges])
+        touched = set(m2) | set(m2.values())
+        for i, c in comp_of.items():
+            comp_of[i] = m2.get(c, c)
+    sizes: dict = {}
+    for c in comp_of.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    itype = sig.schema['id'].dataType
+    reps_df = sig.sparkSession.createDataFrame(
+        sorted(sizes.items()),
+        T.StructType([T.StructField(id_col, itype),
+                      T.StructField('cluster_size', T.LongType())]))
+    return df.join(F.broadcast(reps_df), id_col, 'inner')
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          max_iterations: int = 12,
                          collect_cap: int | None = None,
@@ -666,6 +759,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                    merge_rounds: int = 2, shingles: int | None = None,
                    _state_out: dict | None = None,
                    cc_probe_first: bool = False,
+                   prefilter: bool | None = None,
                    **lsh_kw) -> DataFrame:
     """One representative per near-duplicate cluster: MinHash-LSH edges ->
     connected components -> keep the minimum id of each component.
@@ -694,7 +788,19 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
     :func:`connected_components`: probe the edge count before
     checkpointing (one job saved when the edges fit the driver cap, a
     double evaluation if they don't — only the streaming path, whose
-    batches are bounded, should set it).
+    batches are bounded, should set it). (Making the merge loop's
+    label/bucket checkpoints lazy under the same flag was tried and
+    measured 15-35% SLOWER on sf0.1 micro-batches, counterbalanced
+    ABBA, round 7: the re-analysis + recompute of the multiply-
+    referenced comp/rep_buckets plans exceeds the per-job overhead the
+    skipped checkpoints save. They stay eager in every mode.)
+
+    ``prefilter=None`` probes the mean token-set size once per call to
+    decide whether the signature pre-filter pays for itself (see
+    :func:`_use_sig_prefilter`); callers that run many batches of the
+    same corpus (the streaming writer) pass the first batch's decision
+    back in to skip the per-batch probe job. The decision is also
+    surfaced via ``_state_out['prefilter']``.
     """
     if pair_strategy == 'pairs':
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold,
@@ -723,7 +829,8 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             num_perm, seed, keep_toks=True).localCheckpoint(eager=True)
         tok = base.select('id', 'toks')
         sig = base.select('id', 'sig')
-        pf = _use_sig_prefilter(tok, num_perm)
+        pf = prefilter if prefilter is not None \
+            else _use_sig_prefilter(tok, num_perm)
         buckets = _lsh_buckets(sig, bands, rows)
         if _state_out is not None:
             # hand the already-materialized per-document state to callers
@@ -731,9 +838,18 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             # writer) so they don't re-run the tokenize/minhash/bucket
             # pass over the kept subset
             _state_out.update(tok=tok, sig=sig, buckets=buckets,
-                              bands=bands, rows=rows)
+                              bands=bands, rows=rows, prefilter=pf)
         edges = _verify_jaccard(_bucket_star_edges(buckets), sig, tok,
                                 threshold, num_perm, small, pf)
+        if cc_probe_first:
+            # micro-batch opt-in: the whole CC + merge loop runs on the
+            # driver (one Spark action per merge round, for the Jaccard
+            # verify) when edges and buckets fit the driver bounds
+            out = _microbatch_spanning_clusters(
+                df, id_col, edges, buckets, sig, tok, threshold,
+                num_perm, small, pf, merge_rounds)
+            if out is not None:
+                return out
         comp = connected_components(edges, df.select(id_col),
                                     probe_first=cc_probe_first) \
             .localCheckpoint(eager=True)
@@ -773,7 +889,9 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                 rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
             # materialize: the bucket-size split inside _bucket_all_pairs
             # references this plan four times — uncheckpointed, Catalyst
-            # re-analyzes the join+distinct per branch per round
+            # re-analyzes the join+distinct per branch per round (lazy
+            # variants measured 15-35% SLOWER on micro-batches, ABBA
+            # round 7 — the recompute+re-analysis exceeds the job cost)
             rep_buckets = rep_buckets.localCheckpoint(eager=True)
             rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
             if touched is not None:
@@ -925,6 +1043,11 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
     rows = num_perm // bands
     import os
 
+    # the prefilter decision depends on the corpus token profile, not
+    # the batch: decide on the first micro-batch, reuse on the rest
+    # (one fewer probe job per subsequent batch)
+    pf_memo: dict = {}
+
     def _process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
@@ -936,7 +1059,10 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
                               _state_out=state,
                               # micro-batch edges fit the driver cap:
                               # probe-first saves the checkpoint job
-                              cc_probe_first=True).drop('cluster_size')
+                              cc_probe_first=True,
+                              prefilter=pf_memo.get('pf')
+                              ).drop('cluster_size')
+        pf_memo['pf'] = state['prefilter']
         # reuse the tokenize/minhash/bucket state dedup_clusters already
         # materialized for the whole batch: restricting it to the kept
         # ids is two semi-joins on checkpointed frames instead of a

@@ -856,6 +856,40 @@ def test_dedup_clusters_keeps_no_neardup_pair(spark):
                              for r in leftovers]
 
 
+def test_dedup_clusters_driver_path_parity(spark, monkeypatch):
+    """The micro-batch driver-orchestrated merge loop (cc_probe_first)
+    must be ROW-IDENTICAL to the distributed path — on sf0.01's
+    dup-dense corpus (multi-round merges fire) and on the synthetic
+    clique — and must fall back to the distributed path with identical
+    output when either driver bound is exceeded."""
+    import erde_spark.scale.dedup as D
+    for docs in (_clique_corpus(spark),
+                 spark.read.parquet('/root/testdata/sf0.01/documents.parquet')):
+        dist = sorted((r['doc_id'], r['cluster_size']) for r in
+                      D.dedup_clusters(docs, threshold=0.9,
+                                       pair_strategy='spanning').collect())
+        drv = sorted((r['doc_id'], r['cluster_size']) for r in
+                     D.dedup_clusters(docs, threshold=0.9,
+                                      pair_strategy='spanning',
+                                      cc_probe_first=True).collect())
+        assert drv == dist
+    # force each driver bound to 0: _microbatch_spanning_clusters must
+    # return None and the distributed fallback must produce the same rows
+    docs = _clique_corpus(spark)
+    exp = sorted((r['doc_id'], r['cluster_size']) for r in
+                 D.dedup_clusters(docs, threshold=0.9,
+                                  pair_strategy='spanning').collect())
+    for attr in ('_MERGE_COLLECT_CAP', '_MICROBATCH_BUCKET_CAP',
+                 '_MICROBATCH_CAND_CAP'):
+        monkeypatch.setattr(D, attr, 0 if attr != '_MERGE_COLLECT_CAP' else 1)
+        got = sorted((r['doc_id'], r['cluster_size']) for r in
+                     D.dedup_clusters(docs, threshold=0.9,
+                                      pair_strategy='spanning',
+                                      cc_probe_first=True).collect())
+        assert got == exp, attr
+        monkeypatch.undo()
+
+
 def test_dedup_clusters_rejects_bad_bands(spark):
     from erde_spark.scale.dedup import dedup_clusters
     docs = _clique_corpus(spark)
