@@ -3176,6 +3176,63 @@ def q_streaming_dedup_check(spark, sf_dir):
     return out
 
 
+def q_events_stateful_check(spark, sf_dir):
+    """applyInPandasWithState persistence VALUE-checked by construction
+    (the streaming_dedup_check pattern, round-7 verdict ask #5): every
+    document becomes an event (user_id = doc_id%40, integer-valued
+    value = doc_id%97 — exactly representable, order-independent sums),
+    split into 2 mtime-ordered micro-batch files so EVERY user has
+    events in BOTH batches. running_user_stats emits cumulative
+    (n_events, sum_value) per user per batch in update mode; the final
+    max-per-user equals the corpus-wide totals ONLY if batch 2 read
+    batch 1's persisted state (without persistence the max is the
+    larger single-batch count, strictly below the total for every
+    user). DuckDB's oracle is the plain GROUP BY arithmetic. Impl:
+    erde_spark/streaming/stateful.py (reference has no stateful
+    streaming — SURVEY.md §2.8 extension surface); complements the
+    rows-only real-data events_stateful entry."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.streaming.stateful import (run_stateful_batch,
+                                               running_user_stats)
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    events = d.select((F.col('doc_id') % 40).alias('user_id'),
+                      (F.col('doc_id') % 97).cast('double').alias('value'),
+                      'doc_id')
+    base = tempfile.mkdtemp(prefix='erde_stateful_gate_')
+    in_dir = os.path.join(base, 'in')
+    os.makedirs(in_dir)
+    for k in (0, 1):
+        tmp = os.path.join(base, f'tmp{k}')
+        (events.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
+         .write.mode('overwrite').parquet(tmp))
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'batch-{k}.parquet')
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    out = run_stateful_batch(spark, events, running_user_stats, base,
+                             src_dir=in_dir, max_files_per_trigger=1)
+    res = (out.groupBy('user_id')
+           .agg(F.max('n_events').alias('n_events'),
+                F.max('sum_value').alias('sum_value'))
+           .orderBy('user_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_EVENTS_STATEFUL_CHECK_SQL = """
+SELECT doc_id % 40 AS user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(doc_id % 97) AS DOUBLE) AS sum_value
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _STREAMING_DEDUP_CHECK_SQL = """
 WITH g AS (
   SELECT doc_id,
@@ -3232,12 +3289,124 @@ def q_audio_features(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> mapInPandas feature
     extraction with the deterministic fake decoder (no SQL oracle; driver
-    rows-only check)."""
+    rows-only check; q_multimodal_features_check is the value-checked
+    companion over real PNGs)."""
     from erde_spark.scale.multimodal import extract_features, synthesize_assets
     d = _t(spark, sf_dir, 'documents')['documents']
     return extract_features(synthesize_assets(d), fake=True) \
         .select('asset_id', F.round('feat_mean', 4).alias('feat_mean'),
                 F.round('feat_std', 4).alias('feat_std'))
+
+
+def q_audio_features_check(spark, sf_dir):
+    """Audio DSP features VALUE-checked against closed-form IEEE-exact
+    expectations (round-7 verdict ask #6): each document becomes a REAL
+    int16 WAV square wave of 160 samples, amplitude 16384 (normalizes
+    to EXACTLY +-0.5), half-period h = 1 + doc_id%4 samples. RMS is
+    then exactly 0.5 (sqrt of the exact double 0.25) and the
+    zero-crossing rate exactly floor(159/h)/159 — both reproducible
+    bit-for-bit by DuckDB arithmetic, UNROUNDED. A green row certifies
+    the WAV container round-trip (erde_spark/scale/png.py encode path,
+    multimodal.py decode), int16 [-1,1) normalization, mono mixdown,
+    framing, and the RMS/ZCR kernels. The sine-tone run with the
+    spectral centroid (no closed form) stays the rows-only
+    audio_features entry. Impl: erde_spark/scale/multimodal.py."""
+    import pandas as pd
+
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, audio_features
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _synth(batches):
+        import numpy as np
+
+        from erde_spark.scale.png import encode_wav
+        n = 160
+        i = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for did in pdf['doc_id']:
+                h = 1 + int(did) % 4
+                sign = 1 - 2 * ((i // h) % 2)
+                x = (16384 * sign).astype(np.int16)
+                blob = encode_wav(x[:, None], framerate=8000)
+                rows.append((int(did), bytearray(blob),
+                             ('audio/wav', None, None, len(blob))))
+            yield pd.DataFrame(rows, columns=['asset_id', 'media', 'meta'])
+
+    assets = d.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    return (audio_features(assets, sample_rate=8000)
+            .select('asset_id', 'n_frames', 'rms',
+                    F.col('zero_cross_rate').alias('zcr'))
+            .orderBy('asset_id'))
+
+
+_AUDIO_CHECK_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(160 AS BIGINT) AS n_frames,
+       CAST(0.5 AS DOUBLE) AS rms,
+       CAST(159 // (1 + doc_id % 4) AS DOUBLE) / 159 AS zcr
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_features_check(spark, sf_dir):
+    """Image feature extraction VALUE-checked end to end over REAL
+    PNGs with closed-form pixel statistics (round-7 verdict ask #6):
+    each document gets a 32x32 grayscale PNG whose top half is
+    v1 = 10 + doc_id%50 and bottom half v1 + 2*(1 + doc_id%30) — an
+    even split with an even delta, so the raveled mean (integer sum /
+    2^10) and std (sqrt of a perfect square) are IEEE-EXACT doubles,
+    as are the first/last of the 8 pooled slice means (each slice lies
+    wholly in one half). Hash-compared UNROUNDED against DuckDB's
+    direct arithmetic — a green row certifies the PNG encode+decode
+    round trip and the whole mapInPandas featurize path. Impl:
+    erde_spark/scale/multimodal.py, png.py."""
+    import pandas as pd
+
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _mk(batches):
+        import numpy as np
+
+        from erde_spark.scale.png import encode_png
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                v1 = 10 + int(did) % 50
+                v2 = v1 + 2 * (1 + int(did) % 30)
+                img = np.full((32, 32), v1, dtype=np.uint8)
+                img[16:, :] = v2
+                blob = encode_png(img)
+                ids.append(int(did))
+                blobs.append(bytearray(blob))
+                metas.append(('image/png', 32, 32, len(blob)))
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs,
+                                'meta': metas})
+
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
+    return (extract_features(assets)
+            .select('asset_id', 'feat_mean', 'feat_std',
+                    F.element_at('features', 1).alias('feat_first'),
+                    F.element_at('features', 8).alias('feat_last'))
+            .orderBy('asset_id'))
+
+
+_MULTIMODAL_CHECK_SQL = """
+WITH v AS (SELECT doc_id,
+                  CAST(10 + doc_id % 50 AS DOUBLE) AS v1,
+                  CAST(10 + doc_id % 50
+                       + 2 * (1 + doc_id % 30) AS DOUBLE) AS v2
+           FROM documents)
+SELECT doc_id AS asset_id,
+       (v1 + v2) / 2 AS feat_mean,
+       (v2 - v1) / 2 AS feat_std,
+       v1 AS feat_first,
+       v2 AS feat_last
+FROM v
+ORDER BY doc_id
+"""
 
 
 def q_image_phash_dedup(spark, sf_dir):
@@ -3493,6 +3662,44 @@ def q_bpe_train_merges(spark, sf_dir):
     from erde_spark.scale.bpe import bpe_train, merges_df
     d = _t(spark, sf_dir, 'documents')['documents']
     return merges_df(spark, bpe_train(d, n_merges=30))
+
+
+def q_bpe_merges_check(spark, sf_dir):
+    """BPE training VALUE-checked by a closed-form greedy replay
+    (round-7 verdict ask #6): every document's text becomes the same
+    engineered word multiset ('aaaa' x3, 'bbb' x2, 'ab', 'cd', 'ce'),
+    so with N documents the full greedy trace is arithmetic —
+    rank 0 (a,a) at 9N (adjacent-pair counting inside 'aaaa'),
+    rank 1 (b,b) at 4N, rank 2 (aa,aa) at 3N (non-overlapping merge
+    application), rank 3 (bb,b) at 2N, then the three-way tie at N
+    resolved lexicographically (a,b) < (c,d) < (c,e), and training
+    stops at 7 merges though 10 were requested (early stop on empty
+    pair stats). One wrong count, tie-break, merge application, or a
+    missing stop turns the gate red; DuckDB's oracle is the trace
+    itself with N = COUNT(*). The real-corpus run stays the rows-only
+    bpe_train_merges entry; both training paths are additionally
+    pinned against a straight-from-the-paper reference in
+    tests/test_bpe.py. Impl: erde_spark/scale/bpe.py."""
+    from erde_spark.scale.bpe import bpe_train, merges_df
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    docs = d.select(
+        'doc_id', F.lit('aaaa aaaa aaaa bbb bbb ab cd ce').alias('text'))
+    return merges_df(spark, bpe_train(docs, n_merges=10)).orderBy('rank')
+
+
+_BPE_MERGES_CHECK_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT * FROM (
+  SELECT 0 AS rank, 'a' AS "left", 'a' AS "right", 'aa' AS merged,
+         9 * c AS count FROM n
+  UNION ALL SELECT 1, 'b', 'b', 'bb', 4 * c FROM n
+  UNION ALL SELECT 2, 'aa', 'aa', 'aaaa', 3 * c FROM n
+  UNION ALL SELECT 3, 'bb', 'b', 'bbb', 2 * c FROM n
+  UNION ALL SELECT 4, 'a', 'b', 'ab', c FROM n
+  UNION ALL SELECT 5, 'c', 'd', 'cd', c FROM n
+  UNION ALL SELECT 6, 'c', 'e', 'ce', c FROM n
+) ORDER BY rank
+"""
 
 
 def q_passage_dedup(spark, sf_dir):
@@ -4411,6 +4618,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r04-r05); readability (Flesch metrics, value-hashed UNROUNDED —
     fixed-order per-row IEEE scalar arithmetic is bit-reproducible)
     enters too, displacing lm_quality_score (driver-green r03-r05).
+
+    Round-7 rotation: four new construction gates enter the window —
+    events_stateful_check (applyInPandasWithState persistence across
+    mtime-ordered micro-batches: final per-user maxima equal corpus
+    totals ONLY if batch 2 read batch 1's state), bpe_merges_check
+    (the full greedy BPE trace on an engineered word multiset:
+    adjacency counts, merge application, lexicographic tie-breaks and
+    early stop are all closed-form in N), audio_features_check (real
+    WAV square waves with IEEE-exact RMS/ZCR, unrounded) and
+    multimodal_features_check (real PNGs with closed-form pixel
+    statistics through the full encode->decode->featurize path,
+    unrounded) — displacing token_divergence, dedup_cluster_sizes,
+    bpe_pair_stats (all driver-green r03-r06) and html_extract
+    (driver-green r04-r06).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4425,11 +4646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_rank1_check': q_ann_rank1_check,
         'passage_span_check': q_passage_span_check,
         'readability': q_readability,
-        'token_divergence': q_token_divergence,
-        'dedup_cluster_sizes': q_dedup_cluster_sizes,
-        'bpe_pair_stats': q_bpe_pair_stats,
+        'events_stateful_check': q_events_stateful_check,
+        'bpe_merges_check': q_bpe_merges_check,
+        'audio_features_check': q_audio_features_check,
+        'multimodal_features_check': q_multimodal_features_check,
         'image_phash_dedup': q_image_phash_dedup,
-        'html_extract': q_html_extract,
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
         'passage_dedup': q_passage_dedup,
@@ -4467,6 +4688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'token_divergence': q_token_divergence,
+        'dedup_cluster_sizes': q_dedup_cluster_sizes,
+        'bpe_pair_stats': q_bpe_pair_stats,
+        'html_extract': q_html_extract,
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
@@ -4578,6 +4803,10 @@ def oracle_sql() -> dict[str, str]:
         'ann_rank1_check': _ANN_RANK1_CHECK_SQL,
         'passage_span_check': _PASSAGE_SPAN_CHECK_SQL,
         'readability': _READABILITY_SQL,
+        'events_stateful_check': _EVENTS_STATEFUL_CHECK_SQL,
+        'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
+        'audio_features_check': _AUDIO_CHECK_SQL,
+        'multimodal_features_check': _MULTIMODAL_CHECK_SQL,
         'quality_classifier': _QUALITY_CLASSIFIER_SQL,
         'chunk_documents': _CHUNK_SQL,
         'tpch_q1_pricing': _Q1_SQL,

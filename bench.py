@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     'warc_stream_ingest',
     'c4_filter',
     'readability',
+    'events_stateful_check',
+    'bpe_merges_check',
+    'audio_features_check',
+    'multimodal_features_check',
 ]
 
 

@@ -78,6 +78,8 @@ ELLIPSOIDS = {
     'airy-mod': (6377340.189, 1.0 / 299.3249646),   # Airy Modified (TM75)
     # Clarke 1880 (IGN): a, b = 6378249.2, 6356515 -> f = (a-b)/a
     'clrk80ign': (6378249.2, 21734.2 / 6378249.2),
+    'WGS72': (6378135.0, 1.0 / 298.26),             # WGS 72
+    'IAG75': (6378140.0, 1.0 / 298.257),            # IAG 1975 (Xian 80)
 }
 
 _WGS84_A, _WGS84_F = ELLIPSOIDS['WGS84']
@@ -940,6 +942,82 @@ def _load_common_epsg() -> None:
             'params': (_d(lat0_gr * 0.9), _d(-5.4), k0, 500000.0, 300000.0),
             'towgs84': (31.0, 146.0, 47.0, 0.0, 0.0, 0.0, 0.0)}
 
+    # ---- round-7 catalogue widening: the remaining PUBLIC zone-
+    # arithmetic blocks for methods already implemented. Where a legacy
+    # datum has no single published Helmert (official transformations
+    # are regional or grid-based: Beijing 1954, Xian 1980), the entry is
+    # projection-exact with towgs84=None — same treatment as the
+    # NAD83/ETRS89 plate-drift approximation documented above.
+    w72 = (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.22)  # DMA TR 8350.2
+    for z in range(1, 61):        # WGS 72 / UTM zones 1-60 N + S
+        _CRS_TABLE[32200 + z] = utm(z * 6 - 183, 'WGS72', towgs84=w72)
+        _CRS_TABLE[32300 + z] = utm(z * 6 - 183, 'WGS72', towgs84=w72,
+                                    fn=10000000.0)
+    for z in (1, 2):              # NAD27 / UTM 1N-2N (Aleutians)
+        _CRS_TABLE[26700 + z] = utm(z * 6 - 183, 'clrk66', towgs84=nad27)
+    for z in range(25, 46):       # CGCS2000 / 3-deg GK zone 25-45
+        _CRS_TABLE[4488 + z] = utm(z * 3, 'GRS80', k=1.0,
+                                   fe=z * 1e6 + 500000.0)
+    for i in range(21):           # ... CM 75E-135E variants (no prefix)
+        _CRS_TABLE[4534 + i] = utm(75 + 3 * i, 'GRS80', k=1.0)
+    for z in range(13, 24):       # Xian 1980 / 6-deg GK zone 13-23
+        _CRS_TABLE[2314 + z] = utm(z * 6 - 3, 'IAG75', k=1.0,
+                                   fe=z * 1e6 + 500000.0)
+    for i in range(11):           # ... CM 75E-135E variants
+        _CRS_TABLE[2338 + i] = utm(75 + 6 * i, 'IAG75', k=1.0)
+    for z in range(25, 46):       # Xian 1980 / 3-deg GK zone 25-45
+        _CRS_TABLE[2324 + z] = utm(z * 3, 'IAG75', k=1.0,
+                                   fe=z * 1e6 + 500000.0)
+    for i in range(21):           # ... CM 75E-135E variants
+        _CRS_TABLE[2370 + i] = utm(75 + 3 * i, 'IAG75', k=1.0)
+    for z in range(13, 24):       # Beijing 1954 / 6-deg GK zone 13-23
+        _CRS_TABLE[21400 + z] = utm(z * 6 - 3, 'krass', k=1.0,
+                                    fe=z * 1e6 + 500000.0)
+    for z in range(13, 24):       # ... CM variants (no zone prefix)
+        _CRS_TABLE[21460 + z] = utm(z * 6 - 3, 'krass', k=1.0)
+    sad69 = (-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)
+    for z in range(18, 23):       # SAD69 / UTM 18N-22N
+        _CRS_TABLE[29150 + z] = utm(z * 6 - 183, 'GRS67', towgs84=sad69)
+    for z in range(17, 26):       # SAD69 / UTM 17S-25S
+        _CRS_TABLE[29170 + z] = utm(z * 6 - 183, 'GRS67', towgs84=sad69,
+                                    fn=10000000.0)
+    corrego = (-206.0, 172.0, -6.0, 0.0, 0.0, 0.0, 0.0)
+    for z in range(21, 26):       # Corrego Alegre / UTM 21S-25S
+        _CRS_TABLE[22500 + z] = utm(z * 6 - 183, 'intl', towgs84=corrego,
+                                    fn=10000000.0)
+    psad56 = (-288.0, 175.0, -376.0, 0.0, 0.0, 0.0, 0.0)
+    for z in range(17, 22):       # PSAD56 / UTM 17N-21N
+        _CRS_TABLE[24800 + z] = utm(z * 6 - 183, 'intl', towgs84=psad56)
+    for z in range(17, 23):       # PSAD56 / UTM 17S-22S
+        _CRS_TABLE[24860 + z] = utm(z * 6 - 183, 'intl', towgs84=psad56,
+                                    fn=10000000.0)
+    # ITM — Irish Transverse Mercator (ETRS89, zero-shift)
+    _CRS_TABLE[2157] = {'proj': 'tm', 'ellps': 'GRS80',
+                        'params': (_d(53.5), _d(-8), 0.99982,
+                                   600000.0, 750000.0),
+                        'towgs84': None}
+    # TM65 / TM75 Irish Grid (Airy Modified; published OSi/OSNI Helmert)
+    tm75 = (482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)
+    for code in (29902, 29903):
+        _CRS_TABLE[code] = {'proj': 'tm', 'ellps': 'airy-mod',
+                            'params': (_d(53.5), _d(-8), 1.000035,
+                                       200000.0, 250000.0),
+                            'towgs84': tm75}
+    # ETRS89 / TM Baltic93
+    _CRS_TABLE[25884] = {'proj': 'tm', 'ellps': 'GRS80',
+                         'params': (0.0, _d(24), 0.9996, 500000.0, 0.0),
+                         'towgs84': None}
+    # CH1903+ / LV95: the LV03 oblique Mercator with the 2.6M/1.2M
+    # false origin and the CH1903+ Bern translation
+    lv03 = _CRS_TABLE.get(21781)
+    if lv03 is not None:
+        p = list(lv03['params'])
+        p[-2], p[-1] = 2600000.0, 1200000.0
+        _CRS_TABLE[2056] = {'proj': lv03['proj'], 'ellps': lv03['ellps'],
+                            'params': tuple(p),
+                            'towgs84': (674.374, 15.056, 405.346,
+                                        0.0, 0.0, 0.0, 0.0)}
+
 
 _load_common_epsg()
 
@@ -1034,15 +1112,24 @@ def _utm_zone_params(epsg: int):
 _CRS_ERR = (
     '{crs} not supported: this engine ships closed-form transforms for '
     'EPSG:4326, EPSG:3857 (spherical Mercator), EPSG:326xx/327xx (WGS84 '
-    'UTM, Krüger series) and a %d-code registry (generalized transverse '
-    'Mercator incl. the ETRS89/NAD83/NAD27/ED50 UTM, GDA MGA, SIRGAS '
-    'UTM, Pulkovo Gauss-Krüger and POSGAR zoned grids / LCC-2SP / '
-    'oblique stereographic / Hotine oblique Mercator / Krovak / Albers '
-    '/ LAEA + Helmert datum shift — list: '
-    'sorted(erde_spark.geo.ops._CRS_TABLE)); the container has no '
-    'pyproj for arbitrary CRS. Other codes on those projection methods '
-    'need no code change: call register_crs(epsg, spec) or pass the '
-    'parameter dict itself as the CRS.'
+    'UTM, Krüger series) and a %d-code registry '
+    '(sorted(erde_spark.geo.ops._CRS_TABLE) lists them); the container '
+    'has no pyproj for arbitrary CRS. If the code uses one of the '
+    'IMPLEMENTED projection methods, no code change is needed — '
+    'register it once with register_crs(epsg, spec) or pass the spec '
+    "dict itself as the CRS: {{'proj': <method>, 'ellps': name-or-"
+    "(a, f), 'params': <per-method tuple below, angles in RADIANS>, "
+    "'towgs84': (tx,ty,tz,rx,ry,rz,ds) or None}}. Methods and their "
+    'params (EPSG Guidance Note 7-2 parameter order): '
+    'tm (9807): (lat0, lon0, k0, FE, FN); '
+    'lcc (9802, 2SP): (lat0, lon0, sp1, sp2, FE, FN); '
+    'lcc1 (9801, 1SP): (lat0, lon0, k0, FE, FN); '
+    'sterea (9809): (lat0, lon0, k0, FE, FN); '
+    'omerc (9815): (latc, lonc, azimuth, gamma, k0, FE, FN); '
+    'krovak (9819): (latc, lon0, azimuth, sp, k0, FE, FN); '
+    'aea (9822): (lat0, lon0, sp1, sp2, FE, FN); '
+    'laea (9820): (lat0, lon0, FE, FN). '
+    'Only a projection METHOD outside this list needs new code.'
     % len(_CRS_TABLE))
 
 

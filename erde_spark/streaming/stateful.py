@@ -47,14 +47,25 @@ def running_user_stats(stream: DataFrame, key_col: str = 'user_id',
 
 
 def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
-                       ts_col: str = 'ts') -> DataFrame:
+                       ts_col: str = 'ts', src_dir: str | None = None,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
     """Drive a stateful streaming transform over a batch table: write the
     table as the file-stream source, run with availableNow into a memory
-    sink, return the final result as a DataFrame (test/backfill utility)."""
-    src_dir = f'{tmp_dir}/src'
+    sink, return the final result as a DataFrame (test/backfill utility).
+
+    Pass a pre-staged ``src_dir`` (file mtimes pin the source's batch
+    order) plus ``max_files_per_trigger`` to drive the transform through
+    MULTIPLE ordered micro-batches — the shape the cross-batch state-
+    persistence gate needs; ``source_df`` then only supplies the schema."""
     ckpt = f'{tmp_dir}/ckpt'
-    source_df.write.mode('overwrite').parquet(src_dir)
-    stream = spark.readStream.schema(source_df.schema).parquet(src_dir)
+    if src_dir is None:
+        src_dir = f'{tmp_dir}/src'
+        source_df.write.mode('overwrite').parquet(src_dir)
+    reader = spark.readStream.schema(source_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option('maxFilesPerTrigger',
+                               str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
     out = transform(stream)
     import re
     name = 'stateful_out_' + re.sub(r'\W', '_', tmp_dir).strip('_')
