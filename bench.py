@@ -170,18 +170,22 @@ def main():
             df = qs[name](spark, SF_DIR)
             df.count()
             runs.append(time.perf_counter() - t0)
+            # drop leftover localCheckpoint blocks and cached plans
+            # after EVERY run, not just every query: checkpoint-heavy
+            # pipelines (the streaming backfill) accumulate blocks
+            # across their own repeats and ran ~30-40% slower on runs
+            # 2-3 than with per-run cleanup (measured round 7; the
+            # round-2/3 between-queries cleanup had the same root
+            # cause). Cleanup happens OUTSIDE the timed window.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark.catalog.clearCache()
         best = min(runs)
         timings[name] = round(best, 3)
         # min/max band so the recorded file itself shows host noise —
         # single warm numbers on this box flip-flop 10-40% run to run
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += best
-        # drop leftover localCheckpoint blocks and cached plans so one
-        # query's storage doesn't degrade the next (measured: the dedup
-        # entries ran ~2.5x slower late in the bench than standalone)
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.catalog.clearCache()
 
     # sentinels re-run AFTER the suite: the pair brackets the bench
     # window, so monotonic host drift during the run is visible too
