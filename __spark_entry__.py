@@ -2961,6 +2961,72 @@ FROM t
 """
 
 
+def q_cap_per_domain(spark, sf_dir):
+    """Domain-frequency cap (the C4/RefinedWeb downsampling step —
+    a handful of boilerplate-heavy hosts otherwise dominate a crawl),
+    VALUE-oracled exactly: synthetic domains doc_id%7 give 7 over-cap
+    hosts; ``cap_per_key`` keeps at most 30 docs per domain chosen by
+    the portable md5 hash order, which DuckDB replays verbatim with
+    ROW_NUMBER over the same key. Skew-aware two-phase shape
+    (under-cap rows never enter the window) documented at
+    erde_spark/scale/sampling.py::cap_per_key."""
+    from erde_spark.scale.sampling import cap_per_key
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    docs = d.select('doc_id', F.concat(F.lit('d'), (F.col('doc_id') % 7)
+                                       .cast('string')).alias('domain'))
+    return (cap_per_key(docs, 'domain', cap=30, id_col='doc_id', salt='r7')
+            .orderBy('doc_id'))
+
+
+_CAP_PER_DOMAIN_SQL = """
+WITH d AS (SELECT doc_id, 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain
+           FROM documents),
+r AS (SELECT doc_id, domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'r7'), 1, 4),
+                        doc_id) AS rk
+      FROM d)
+SELECT doc_id, domain FROM r WHERE rk <= 30 ORDER BY doc_id
+"""
+
+
+def q_dedup_lines_within_doc(spark, sf_dir):
+    """Within-document repeated-line removal (templated pages repeat
+    their own nav blocks inside ONE document — invisible to the
+    corpus-wide boilerplate counter), construction-oracled: each
+    document is six lines A,B,A,C,X,B of doc_id-derived md5 words
+    with X = A when doc_id is even (else a distinct D), so the kept
+    first occurrences are exactly A,B,C (+D for odd ids) — DuckDB
+    builds the expected text directly from the arithmetic, md5-exact.
+    Pure whole-stage codegen (indexed array filter), no shuffle.
+    Impl: erde_spark/scale/text.py::dedup_lines_within_doc."""
+    from erde_spark.scale.text import dedup_lines_within_doc
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    frag = (lambda tag: F.substring(
+        F.md5(F.concat(F.col('doc_id').cast('string'), F.lit(tag))), 1, 8))
+    x = F.when(F.col('doc_id') % 2 == 0, frag('a')).otherwise(frag('d'))
+    text = F.concat_ws('\n', frag('a'), frag('b'), frag('a'), frag('c'),
+                       x, frag('b'))
+    out = dedup_lines_within_doc(d.select('doc_id', text.alias('text')))
+    return (out.select('doc_id', F.md5('text').alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_DEDUP_LINES_SQL = """
+SELECT doc_id,
+       md5(substr(md5(CAST(doc_id AS VARCHAR) || 'a'), 1, 8)
+           || chr(10) || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), 1, 8)
+           || chr(10) || substr(md5(CAST(doc_id AS VARCHAR) || 'c'), 1, 8)
+           || CASE WHEN doc_id % 2 = 1
+                   THEN chr(10) ||
+                        substr(md5(CAST(doc_id AS VARCHAR) || 'd'), 1, 8)
+                   ELSE '' END) AS text_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     """URL extraction + per-domain corpus statistics (allow/deny lists,
     per-source mixing weights): synthetic URLs derived from doc_id are
@@ -4631,7 +4697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     statistics through the full encode->decode->featurize path,
     unrounded) — displacing token_divergence, dedup_cluster_sizes,
     bpe_pair_stats (all driver-green r03-r06) and html_extract
-    (driver-green r04-r06).
+    (driver-green r04-r06). Two new curation operators also enter:
+    cap_per_domain (the C4/RefinedWeb domain-frequency cap as a
+    skew-aware two-phase operator, md5-hash-order kept set replayed
+    exactly by DuckDB ROW_NUMBER) and dedup_lines_within_doc
+    (within-document repeated-line removal, construction-oracled,
+    pure codegen) — displacing passage_dedup and
+    dedup_against_snapshot (both driver-green r04-r06).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4653,8 +4725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
-        'passage_dedup': q_passage_dedup,
-        'dedup_against_snapshot': q_dedup_against_snapshot,
+        'cap_per_domain': q_cap_per_domain,
+        'dedup_lines_within_doc': q_dedup_lines_within_doc,
         'split_no_leakage': q_split_no_leakage,
         'media_decode_mixed': q_media_decode_mixed,
         'domain_filter': q_domain_filter,
@@ -4688,6 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
+        'passage_dedup': q_passage_dedup,
+        'dedup_against_snapshot': q_dedup_against_snapshot,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
@@ -4804,6 +4878,8 @@ def oracle_sql() -> dict[str, str]:
         'passage_span_check': _PASSAGE_SPAN_CHECK_SQL,
         'readability': _READABILITY_SQL,
         'events_stateful_check': _EVENTS_STATEFUL_CHECK_SQL,
+        'cap_per_domain': _CAP_PER_DOMAIN_SQL,
+        'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,
         'multimodal_features_check': _MULTIMODAL_CHECK_SQL,

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     'bpe_merges_check',
     'audio_features_check',
     'multimodal_features_check',
+    'cap_per_domain',
+    'dedup_lines_within_doc',
 ]
 
 

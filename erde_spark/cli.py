@@ -454,6 +454,29 @@ def langid(input_data: DataFrame, id_column: str = 'doc_id',
 
 
 @autocli
+def capdomains(input_data: DataFrame, key_column: str = 'domain',
+               cap: int = 1000, id_column: str = 'doc_id',
+               salt: str = '') -> DataFrame:
+    """Keep at most cap documents per key (domain-frequency
+    downsampling, deterministic hash order; skew-aware — under-cap
+    keys pass through without entering the window)."""
+    from erde_spark.scale.sampling import cap_per_key
+    return cap_per_key(input_data, key_column, cap,
+                       id_col=id_column, salt=salt)
+
+
+@autocli
+def linededup(input_data: DataFrame, id_column: str = 'doc_id',
+              text_column: str = 'text', separator: str = '\n') -> DataFrame:
+    """Remove lines repeated WITHIN each document (first occurrence
+    kept, order preserved) — the within-doc counterpart of
+    boilerplate."""
+    from erde_spark.scale.text import dedup_lines_within_doc
+    return dedup_lines_within_doc(input_data, id_col=id_column,
+                                  text_col=text_column, sep=separator)
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -471,7 +494,8 @@ COMMANDS = {
     'dedup': dedup, 'quality': quality, 'mix': mix, 'pack': pack,
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
-    'robots': robots, 'langid': langid,
+    'robots': robots, 'langid': langid, 'capdomains': capdomains,
+    'linededup': linededup,
 }
 
 

@@ -141,6 +141,42 @@ def target_mix(df: DataFrame, group_col: str, id_col: str,
             .drop('_q', '_rk'))
 
 
+def cap_per_key(df: DataFrame, key_col: str, cap: int,
+                id_col: str = 'doc_id', salt: str = '') -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen deterministically by
+    hash order — the domain-frequency cap every crawl pipeline runs
+    (C4 §2.2 / RefinedWeb-style: a handful of boilerplate-heavy hosts
+    otherwise dominate the corpus). Deterministic and repartition-
+    proof: the kept set is a pure function of (id, salt), same
+    portability contract as the other samplers.
+
+    Scale shape — SKEW-AWARE two-phase, not one global window: a
+    window over every key would put each giant domain (the exact rows
+    this operator exists to trim) in ONE reducer task, and AQE cannot
+    split a window partition. Phase 1 counts per key (map-side
+    combined) and keeps only the over-cap keys — a tiny minority by
+    construction (the web's domain-frequency tail is long and light);
+    under-cap rows PASS THROUGH via a semi/anti join against that key
+    list (AQE broadcasts it at runtime when it is small, the normal
+    case; a degenerate cap that puts millions of keys over the line
+    degrades to a shuffle join, not a failure). Phase 2 ranks only the
+    over-cap slice with the window. The worst key still ranks in one
+    task, but over rows it alone contributes, not the corpus; at
+    100 TB the pass-through side is ~all of the data.
+    """
+    if cap < 1:
+        raise ValueError(f'cap must be >= 1, got {cap}')
+    over = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias('_n'))
+            .filter(F.col('_n') > cap).select(key_col))
+    hot = df.join(over, key_col, 'left_semi')
+    cold = df.join(over, key_col, 'left_anti')
+    w = (Window.partitionBy(key_col)
+         .orderBy(sample_key(id_col, salt), F.col(id_col)))
+    kept_hot = (hot.withColumn('_rk', F.row_number().over(w))
+                .filter(F.col('_rk') <= cap).drop('_rk'))
+    return cold.unionByName(kept_hot)
+
+
 def top_n_sample(df: DataFrame, id_col: str, n: int,
                  salt: str = '') -> DataFrame:
     """Exactly ``min(n, |df|)`` rows globally, by hash order — compiles

@@ -859,6 +859,30 @@ def remove_boilerplate_lines(df: DataFrame, min_count: int = 3,
                     .alias(text_col)))
 
 
+def dedup_lines_within_doc(df: DataFrame, id_col: str = 'doc_id',
+                           text_col: str = 'text',
+                           sep: str = '\n') -> DataFrame:
+    """Remove REPEATED lines/paragraphs WITHIN each document, keeping
+    the first occurrence in order — the within-doc counterpart of
+    :func:`remove_boilerplate_lines` (which removes lines repeated
+    ACROSS documents). Templated pages repeat their own nav/footer
+    blocks many times inside one document; corpus-wide counting never
+    sees those because the count is per-distinct-document-line.
+
+    Pure whole-stage-codegen (split -> indexed array filter keeping
+    positions where the FIRST occurrence index equals the current
+    index -> rejoin): no shuffle, no Python, scales as a map over any
+    corpus. Cost is O(lines^2) per document in the worst case
+    (array_position scans), fine at real document line counts; null
+    text passes through as null. ``sep`` is a LITERAL separator
+    (regex-escaped for the split, used verbatim for the rejoin) —
+    pass '\\n\\n' for paragraph granularity."""
+    import re
+    parts = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(parts, lambda x, i: F.array_position(parts, x) == i + 1)
+    return df.withColumn(text_col, F.array_join(kept, sep))
+
+
 def chunk_documents(df: DataFrame, max_tokens: int = 128,
                     overlap: int = 16, id_col: str = 'doc_id',
                     text_col: str = 'text') -> DataFrame:

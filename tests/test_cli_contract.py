@@ -279,6 +279,27 @@ def test_boilerplate_robots_subcommands(spark, tmp_path):
     assert kept == [0, 2, 4]
 
 
+def test_capdomains_and_linededup_subcommands(spark, tmp_path):
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'nav bar\nbody %d\nnav bar' % i, 'd%d' % (i % 2))
+            for i in range(40)]
+    spark.createDataFrame(rows, 'doc_id long, text string, domain string') \
+        .write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'capped.parquet')
+    entrypoint(['capdomains', src, out, '--cap', '5'])
+    got = spark.read.parquet(out).collect()
+    per = {}
+    for r in got:
+        per[r['domain']] = per.get(r['domain'], 0) + 1
+    assert per == {'d0': 5, 'd1': 5}
+    out2 = str(tmp_path / 'lines.parquet')
+    entrypoint(['linededup', src, out2])
+    texts = {r['doc_id']: r['text']
+             for r in spark.read.parquet(out2).collect()}
+    assert texts[3] == 'nav bar\nbody 3'
+
+
 def test_langid_subcommand(spark, tmp_path):
     from erde_spark.cli import entrypoint
     from erde_spark.scale.langid import EVAL_SENTENCES

@@ -1629,6 +1629,54 @@ def test_fix_mojibake_and_canonicalize_url(spark):
     assert got[4] == 'http://site.org/path'
 
 
+def test_dedup_lines_within_doc(spark):
+    """Within-doc repeated lines drop to their first occurrence, order
+    preserved; unique docs pass through byte-identical; empty and null
+    text survive; a custom separator works."""
+    from erde_spark.scale.text import dedup_lines_within_doc
+    df = spark.createDataFrame(
+        [(0, 'nav\nbody one\nnav\nbody two\nnav'),
+         (1, 'all\nunique\nlines'),
+         (2, ''), (3, None),
+         (4, 'x\nx\nx\nx')],
+        'doc_id long, text string')
+    out = {r['doc_id']: r['text']
+           for r in dedup_lines_within_doc(df).collect()}
+    assert out[0] == 'nav\nbody one\nbody two'
+    assert out[1] == 'all\nunique\nlines'
+    assert out[2] == ''
+    assert out[3] is None
+    assert out[4] == 'x'
+    # literal separator with regex metacharacters
+    df2 = spark.createDataFrame([(0, 'p1||p2||p1')], 'doc_id long, text string')
+    got = dedup_lines_within_doc(df2, sep='||').collect()[0]['text']
+    assert got == 'p1||p2'
+
+
+def test_cap_per_key_exact_and_deterministic(spark):
+    """cap_per_key keeps exactly min(cap, n) rows per key, the kept set
+    is a pure function of (id, salt) — stable across repartitionings —
+    and under-cap keys pass through untouched."""
+    from erde_spark.scale.sampling import cap_per_key
+    rows = [(i, f'd{i % 3}') for i in range(90)] + [(100, 'rare')]
+    df = spark.createDataFrame(rows, 'doc_id long, domain string')
+    out = cap_per_key(df, 'domain', cap=10).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r['domain'], set()).add(r['doc_id'])
+    assert {d: len(v) for d, v in by_dom.items()} == \
+        {'d0': 10, 'd1': 10, 'd2': 10, 'rare': 1}
+    again = cap_per_key(df.repartition(7), 'domain', cap=10).collect()
+    assert {(r['doc_id'], r['domain']) for r in again} == \
+        {(r['doc_id'], r['domain']) for r in out}
+    # different salt -> (almost surely) different kept set, same sizes
+    other = cap_per_key(df, 'domain', cap=10, salt='s2').collect()
+    assert len(other) == len(out)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='cap'):
+        cap_per_key(df, 'domain', cap=0)
+
+
 def test_remove_boilerplate_lines(spark):
     from erde_spark.scale.text import remove_boilerplate_lines
     docs = [(i, 'Cookie banner text here\ncontent %d one\n\ntail %d'
