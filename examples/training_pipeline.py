@@ -50,6 +50,11 @@ def curate(spark, sf_dir: str):
     from erde_spark.scale.text import (canonicalize_url, fix_mojibake,
                                        remove_boilerplate_lines)
     docs = docs.withColumn('text', fix_mojibake(F.col('text')))
+    # within-document repeated lines first (templated nav/footer blocks
+    # repeated INSIDE one page — invisible to the corpus-wide counter),
+    # then corpus-frequent boilerplate lines
+    from erde_spark.scale.text import dedup_lines_within_doc
+    docs = dedup_lines_within_doc(docs)
     cleaned = remove_boilerplate_lines(docs, min_count=20)
     docs = docs.drop('text').join(cleaned, 'doc_id')
     if 'source' in docs.columns:
@@ -69,6 +74,19 @@ def curate(spark, sf_dir: str):
         first = docs.groupBy('_curl').agg(F.min('doc_id').alias('doc_id'))
         docs = docs.join(first.select('doc_id'), 'doc_id', 'left_semi') \
                    .drop('_curl')
+        # domain-frequency cap: no host may dominate the corpus
+        # (skew-aware — under-cap hosts never enter the rank window).
+        # Materialize the hygiene stage first: cap_per_key references
+        # its input three times (count/pass-through/rank) and the
+        # hygiene plan above already self-joins several times — an
+        # uncheckpointed reference would double the analyzed subtree
+        # per use (in production this boundary is a parquet write)
+        from erde_spark.scale.sampling import cap_per_key
+        from erde_spark.scale.text import url_domain
+        docs = docs.localCheckpoint(eager=True)
+        docs = (cap_per_key(docs.withColumn('_dom',
+                                            url_domain(F.col('source'))),
+                            '_dom', cap=100_000).drop('_dom'))
 
     # 1. quality + language gate: quality is a codegen expression;
     #    language comes from the REAL identifier (30-language char-
@@ -83,13 +101,19 @@ def curate(spark, sf_dir: str):
                 .filter((F.col('quality') > 0.3) & (F.length('text') >= 40)
                         & (F.col('lang_guess') != 'und')))
 
+    # materialize the gate stage: langid/quality joined twice below and
+    # every later stage re-references docs — stage boundaries keep the
+    # analyzed plan linear in pipeline length instead of exponential
+    # (in production each boundary is a parquet write between jobs)
+    docs = docs.localCheckpoint(eager=True)
+
     # 2. exact dedup: keep the lowest doc_id of each identical text
     keep = exact_dedup(docs, id_col='doc_id', text_col='text')
     docs = docs.join(keep.select('doc_id'), 'doc_id', 'left_semi')
 
     # 3. near-dedup: dedup_clusters returns ONE representative row per
     #    MinHash-LSH connected component (singletons included)
-    docs = dedup_clusters(docs, threshold=0.85)
+    docs = dedup_clusters(docs, threshold=0.85).localCheckpoint(eager=True)
 
     # 4. decontamination against the held-out eval slice
     from erde_spark.scale.text import (contamination_hits,
