@@ -1645,6 +1645,48 @@ FROM customer
 """
 
 
+def q_geo_transform_polar(spark, sf_dir):
+    """Polar stereographic family (EPSG 9810 variant A / 9829 variant
+    B — new round 7): round trips through UPS North (32661), the NSIDC
+    Sea Ice South grid (3976) and the Australian Antarctic grid (3032),
+    micro-degree error pinned to EXACTLY ZERO by the oracle, source
+    coordinates riding along (the geo_transform_families pattern). The
+    forward kernels are pinned to the published GN 7-2 worked examples
+    for BOTH methods in tests/test_property.py. Impl:
+    erde_spark/geo/ops.py::pstereo_fwd/pstereo_sp_fwd."""
+    from erde_spark.functions.geo import st_centroid_xy, st_point, st_transform
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    cols = [k.alias('c_custkey')]
+    for name, code, (lon0, lon_s), (lat0, lat_s) in [
+            ('ups', 32661, (-180.0, 100.0 / 360.0), (72.0, 100.0 / 16.0)),
+            ('sis', 3976, (-180.0, 100.0 / 360.0), (-88.0, 100.0 / 25.0)),
+            ('aa', 3032, (40.0, 100.0 / 60.0), (-80.0, 100.0 / 12.0))]:
+        lon = lon0 + (k % 100) / lon_s
+        lat = lat0 + ((k * 7) % 80) / lat_s
+        rt = st_centroid_xy(st_transform(
+            st_transform(st_point(lon, lat), 4326, code), code, 4326))
+        dlon = F.abs(rt['x'] - lon)
+        # antimeridian-aware: lon -180 and +180 are the same meridian
+        dlon = F.least(dlon, F.abs(dlon - 360.0))
+        cols += [F.round(lat, 6).alias(f'{name}_lat'),
+                 F.round((dlon + F.abs(rt['y'] - lat))
+                         * 1e6, 0).cast('bigint').alias(f'{name}_err')]
+    return cust.select(*cols)
+
+
+_GEO_TRANSFORM_POLAR_SQL = """
+SELECT c_custkey,
+  ROUND(72.0 + ((c_custkey * 7) % 80) * 16.0 / 100.0, 6) AS ups_lat,
+  CAST(0 AS BIGINT) AS ups_err,
+  ROUND(-88.0 + ((c_custkey * 7) % 80) * 25.0 / 100.0, 6) AS sis_lat,
+  CAST(0 AS BIGINT) AS sis_err,
+  ROUND(-80.0 + ((c_custkey * 7) % 80) * 12.0 / 100.0, 6) AS aa_lat,
+  CAST(0 AS BIGINT) AS aa_err
+FROM customer
+"""
+
+
 def q_sjfull_geoms(spark, sf_dir):
     """sjfull: spatial join keeping BOTH geometries; verify via both
     sides' coordinates (x/y of each kept geometry)."""
@@ -4750,7 +4792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_lines_within_doc': q_dedup_lines_within_doc,
         'split_no_leakage': q_split_no_leakage,
         'media_decode_mixed': q_media_decode_mixed,
-        'domain_filter': q_domain_filter,
         'video_frame_dedup': q_video_frame_dedup,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -4761,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'langid_nb': q_langid_nb,
         'geo_transform': q_geo_transform,
         'geo_transform_families': q_geo_transform_families,
+        'geo_transform_polar': q_geo_transform_polar,
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'geo_buffer_dissolve': q_geo_buffer_dissolve,
         'sjoin_points_rects': q_sjoin_points_rects,
@@ -4783,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: variants green in earlier rounds, + rows-only ops -----
         'passage_dedup': q_passage_dedup,
         'dedup_against_snapshot': q_dedup_against_snapshot,
+        'domain_filter': q_domain_filter,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
@@ -4900,6 +4943,7 @@ def oracle_sql() -> dict[str, str]:
         'readability': _READABILITY_SQL,
         'events_stateful_check': _EVENTS_STATEFUL_CHECK_SQL,
         'cap_per_domain': _CAP_PER_DOMAIN_SQL,
+        'geo_transform_polar': _GEO_TRANSFORM_POLAR_SQL,
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,

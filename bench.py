@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     'multimodal_features_check',
     'cap_per_domain',
     'dedup_lines_within_doc',
+    'geo_transform_polar',
 ]
 
 

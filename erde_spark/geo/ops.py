@@ -623,6 +623,106 @@ def laea_inv(east: float, north: float, a: float, f: float, lat0: float,
     return math.degrees(lam), math.degrees(_authalic_to_geodetic(beta, e))
 
 
+# -- polar stereographic (EPSG 9810 variant A / 9829 variant B) ----------
+# GN 7-2 formulas; the pole is the SIGN of lat0/latF. Used by UPS
+# (32661/32761), the NSIDC sea-ice grids (3413/3976) and the
+# Antarctic/Arctic Polar Stereographic family (3031/3032/3995).
+
+@_memo
+def _pst_consts(a: float, f: float):
+    e = _ecc(f)
+    return e, math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+
+def _pst_t(phi: float, e: float, north: bool) -> float:
+    es = e * math.sin(phi)
+    if north:
+        return (math.tan(math.pi / 4 - phi / 2)
+                * ((1 + es) / (1 - es)) ** (e / 2))
+    return (math.tan(math.pi / 4 + phi / 2)
+            * ((1 - es) / (1 + es)) ** (e / 2))
+
+
+def pstereo_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
+                lon0: float, k0: float, fe: float, fn: float):
+    """(lon, lat) degrees -> E/N, Polar Stereographic variant A
+    (EPSG 9810): natural origin at the pole given by sign(lat0),
+    scale factor k0 at the pole."""
+    e, c = _pst_consts(a, f)
+    north = lat0 > 0
+    phi, lam = math.radians(lat), math.radians(lon)
+    t = _pst_t(phi, e, north)
+    rho = 2 * a * k0 * t / c
+    dl = lam - lon0
+    east = fe + rho * math.sin(dl)
+    north_c = fn - rho * math.cos(dl) if north else fn + rho * math.cos(dl)
+    return east, north_c
+
+
+def pstereo_inv(east: float, north_c: float, a: float, f: float,
+                lat0: float, lon0: float, k0: float, fe: float, fn: float):
+    e, c = _pst_consts(a, f)
+    north = lat0 > 0
+    de, dn = east - fe, north_c - fn
+    rho = math.hypot(de, dn)
+    tp = rho * c / (2 * a * k0)
+    if north:
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(8):
+            es = e * math.sin(phi)
+            phi = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - es) / (1 + es)) ** (e / 2))
+        lam = lon0 + (math.atan2(de, -dn) if rho > 0 else 0.0)
+    else:
+        phi = 2 * math.atan(tp) - math.pi / 2
+        for _ in range(8):
+            es = e * math.sin(phi)
+            phi = 2 * math.atan(
+                tp * ((1 + es) / (1 - es)) ** (e / 2)) - math.pi / 2
+        lam = lon0 + (math.atan2(de, dn) if rho > 0 else 0.0)
+    return math.degrees(lam), math.degrees(phi)
+
+
+def pstereo_sp_fwd(lon: float, lat: float, a: float, f: float,
+                   latf: float, lon0: float, fe: float, fn: float):
+    """Polar Stereographic variant B (EPSG 9829): defined by a standard
+    parallel latf instead of a pole scale factor — reduced to variant A
+    with the equivalent k0 = mF * c / (2 tF)."""
+    e, c = _pst_consts(a, f)
+    north = latf > 0
+    tf = _pst_t(latf, e, north)
+    mf = _epsg_m(latf, e)
+    k0 = mf * c / (2 * tf)
+    return pstereo_fwd(lon, lat, a, f,
+                       math.pi / 2 if north else -math.pi / 2,
+                       lon0, k0, fe, fn)
+
+
+def pstereo_sp_inv(east: float, north_c: float, a: float, f: float,
+                   latf: float, lon0: float, fe: float, fn: float):
+    e, c = _pst_consts(a, f)
+    north = latf > 0
+    tf = _pst_t(latf, e, north)
+    mf = _epsg_m(latf, e)
+    k0 = mf * c / (2 * tf)
+    return pstereo_inv(east, north_c, a, f,
+                       math.pi / 2 if north else -math.pi / 2,
+                       lon0, k0, fe, fn)
+
+
+def longlat_fwd(lon: float, lat: float, a: float, f: float):
+    """Geographic 'projection' (identity): a longlat spec is a
+    GEOGRAPHIC CRS endpoint — coordinates are lon/lat degrees on the
+    spec's datum, and only the Helmert legs in _spec_fns apply. This is
+    what lets convert() accept e.g. EPSG:4267 (NAD27 geographic) on
+    either side, matching the reference's any-CRS contract."""
+    return lon, lat
+
+
+def longlat_inv(x: float, y: float, a: float, f: float):
+    return x, y
+
+
 def _geodetic_to_geocentric(lon: float, lat: float, a: float, f: float):
     e2 = 2 * f - f * f
     phi, lam = math.radians(lat), math.radians(lon)
@@ -1017,6 +1117,40 @@ def _load_common_epsg() -> None:
                             'params': tuple(p),
                             'towgs84': (674.374, 15.056, 405.346,
                                         0.0, 0.0, 0.0, 0.0)}
+    # Polar stereographic family (methods 9810/9829): UPS, the NSIDC
+    # sea-ice grids, Arctic/Antarctic Polar Stereographic
+    for code in (32661, 5041):    # WGS84 / UPS North (9810)
+        _CRS_TABLE[code] = {'proj': 'pstereo', 'ellps': 'WGS84',
+                            'params': (_d(90), 0.0, 0.994,
+                                       2000000.0, 2000000.0),
+                            'towgs84': None}
+    for code in (32761, 5042):    # WGS84 / UPS South
+        _CRS_TABLE[code] = {'proj': 'pstereo', 'ellps': 'WGS84',
+                            'params': (_d(-90), 0.0, 0.994,
+                                       2000000.0, 2000000.0),
+                            'towgs84': None}
+    for code, latf, lon0, fe in (
+            (3413, 70.0, -45.0, 0.0),    # NSIDC Sea Ice Polar N (9829)
+            (3976, -70.0, 0.0, 0.0),     # NSIDC Sea Ice Polar S
+            (3031, -71.0, 0.0, 0.0),     # Antarctic Polar Stereographic
+            (3032, -71.0, 70.0, 6e6),    # Australian Antarctic
+            (3995, 71.0, 0.0, 0.0)):     # Arctic Polar Stereographic
+        _CRS_TABLE[code] = {'proj': 'pstereo_sp', 'ellps': 'WGS84',
+                            'params': (_d(latf), _d(lon0), fe, fe),
+                            'towgs84': None}
+    # Geographic CRS ENDPOINTS on shifted datums ('longlat' method:
+    # identity projection + the Helmert legs) — the reference accepts
+    # geographic CRS on either side of convert
+    for code, ellps, shift in (
+            (4267, 'clrk66', nad27),     # NAD27
+            (4230, 'intl', ed50),        # ED50
+            (4618, 'GRS67', sad69),      # SAD69
+            (4284, 'krass', pulkovo),    # Pulkovo 1942
+            (4322, 'WGS72', w72),        # WGS 72
+            (4277, 'airy', (446.448, -125.157, 542.060,
+                            0.1502, 0.2470, 0.8421, -20.4894))):  # OSGB36
+        _CRS_TABLE[code] = {'proj': 'longlat', 'ellps': ellps,
+                            'params': (), 'towgs84': shift}
 
 
 _load_common_epsg()
@@ -1032,6 +1166,9 @@ _PROJ_METHODS = {
     'krovak': (krovak_fwd, krovak_inv),
     'aea': (aea_fwd, aea_inv),
     'laea': (laea_fwd, laea_inv),
+    'pstereo': (pstereo_fwd, pstereo_inv),
+    'pstereo_sp': (pstereo_sp_fwd, pstereo_sp_inv),
+    'longlat': (longlat_fwd, longlat_inv),
 }
 
 
@@ -1051,10 +1188,14 @@ def register_crs(epsg: int, spec: dict) -> None:
     _CRS_TABLE[int(epsg)] = dict(spec)
 
 #: geographic (lon/lat degree) CRS that are WGS84-compatible at the
-#: metre level without grid files: ETRS89, NAD83, RGF93. Treated as
+#: metre level without grid files: ETRS89, NAD83, RGF93, GDA94/2020,
+#: JGD2000/2011, NAD83(2011), CGCS2000, SIRGAS2000. Treated as
 #: zero-shift aliases of 4326 — the same approximation the projected
-#: registry entries on those datums already make.
-_GEOGRAPHIC_WGS84_COMPAT = {4258, 4269, 4171}
+#: registry entries on those datums already make. (Geographic CRS on
+#: datums that DO need a shift — NAD27, ED50, SAD69, Pulkovo, WGS72,
+#: OSGB36 — are registry entries with the 'longlat' method instead.)
+_GEOGRAPHIC_WGS84_COMPAT = {4258, 4269, 4171, 4283, 7844, 4612, 6668,
+                            6318, 4490, 4674}
 
 
 def _spec_fns(spec: dict):

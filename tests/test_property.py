@@ -632,6 +632,53 @@ def test_round6_registry_crs_roundtrip(crs, strategy):
     check()
 
 
+def test_polar_stereographic_gn72_examples():
+    """EPSG Guidance Note 7-2 worked examples for BOTH polar
+    stereographic methods: 9810 variant A — WGS84 UPS North (k0 0.994,
+    FE=FN=2e6), 73N 44E -> E 3320416.75, N 632668.43; 9829 variant B —
+    Australian Antarctic (latF -71, lon0 70E, FE=FN=6e6), 75S 120E ->
+    E 7255380.79, N 7053389.56. Tolerance 1 cm; inverses < 1e-7 deg;
+    both poles, all five registered 9829 grids round-trip."""
+    e, n = O.transform_geom(('Point', (44.0, 73.0)), 4326, 32661)[1]
+    assert math.isclose(e, 3320416.75, abs_tol=0.01)
+    assert math.isclose(n, 632668.43, abs_tol=0.01)
+    e2, n2 = O.transform_geom(('Point', (120.0, -75.0)), 4326, 3032)[1]
+    assert math.isclose(e2, 7255380.79, abs_tol=0.01)
+    assert math.isclose(n2, 7053389.56, abs_tol=0.01)
+    for code, lon, lat in [(32661, 44.0, 73.0), (32761, -100.0, -80.0),
+                           (5041, 0.0, 84.0), (5042, 179.0, -89.5),
+                           (3413, -45.0, 75.0), (3976, 10.0, -72.0),
+                           (3031, 150.0, -85.0), (3032, 70.0, -71.0),
+                           (3995, 30.0, 88.0)]:
+        g = O.transform_geom(('Point', (lon, lat)), 4326, code)
+        l2, p2 = O.transform_geom(g, code, 4326)[1]
+        assert math.isclose(l2, lon, abs_tol=1e-7), code
+        assert math.isclose(p2, lat, abs_tol=1e-7), code
+
+
+def test_geographic_longlat_endpoints():
+    """Geographic CRS on shifted datums work on either side of a
+    transform ('longlat' method): (-73.5, 40.5) read AS NAD27
+    geographic and projected to NAD27 / UTM 18N reproduces Snyder's
+    published example EXACTLY (the Helmert legs cancel); the
+    WGS84->4267 leg moves the point by the expected tens of metres;
+    OSGB36 geographic round-trips through its 7-parameter shift."""
+    e, n = O.transform_geom(('Point', (-73.5, 40.5)), 4267, 26718)[1]
+    assert math.isclose(e, 627106.5, abs_tol=0.1)
+    assert math.isclose(n, 4484124.4, abs_tol=0.1)
+    lon, lat = O.transform_geom(('Point', (-73.5, 40.5)), 4326, 4267)[1]
+    d_m = math.hypot((lon + 73.5) * 85000, (lat - 40.5) * 111000)
+    assert 5.0 < d_m < 100.0  # NAD27 offset in the US northeast
+    g = O.transform_geom(('Point', (-2.0, 53.0)), 4326, 4277)
+    b = O.transform_geom(g, 4277, 4326)[1]
+    assert math.isclose(b[0], -2.0, abs_tol=1e-7)
+    assert math.isclose(b[1], 53.0, abs_tol=1e-7)
+    # modern zero-shift frames alias 4326
+    for code in (4283, 7844, 4612, 6668, 6318, 4490, 4674):
+        p = O.transform_geom(('Point', (15.0, 50.0)), 4326, code)[1]
+        assert p == (15.0, 50.0), code
+
+
 def test_registry_catalogue_floor_and_pins():
     """Round-7 catalogue floor: >= 500 registered codes (plus the 120
     special-cased WGS84 UTM zones = 620+ resolving). Published-
