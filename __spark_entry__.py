@@ -3069,6 +3069,65 @@ ORDER BY doc_id
 """
 
 
+def q_exactsubstr_cut(spark, sf_dir):
+    """ExactSubstr duplicate-span CUTTING (Lee et al. 2022,
+    arXiv:2107.06499 — the stronger dedup variant that removes every
+    occurrence of a corpus-duplicated span), construction-oracled:
+    each document is [unique prefix of 3+doc_id%3 md5 words] +
+    [12-word passage shared by the doc_id pair (group = doc_id-
+    doc_id%2)] + [unique suffix of 2+doc_id%2 words]. With
+    min_tokens=8 every 8-gram inside the shared passage is duplicated
+    across the pair (boundary grams carry doc-unique words and are
+    not), so the cut output is exactly prefix+suffix — except a doc
+    whose pair partner does not exist (odd corpus tail), which keeps
+    its passage. DuckDB rebuilds the expected text from the same
+    arithmetic; md5s must agree byte-for-byte. Impl:
+    erde_spark/scale/text.py::cut_duplicate_spans."""
+    from erde_spark.scale.text import cut_duplicate_spans
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    did = F.col('doc_id')
+    grp = (did - did % 2).cast('string')
+
+    def words(key, tag, cnt):
+        return F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.substring(
+                F.md5(F.concat_ws('-', key, F.lit(tag),
+                                  i.cast('string'))), 1, 8))
+    text = F.array_join(
+        F.concat(words(did.cast('string'), 'a', (did % 3 + 3).cast('int')),
+                 words(grp, 'p', F.lit(12)),
+                 words(did.cast('string'), 'z', (did % 2 + 2).cast('int'))),
+        ' ')
+    out = cut_duplicate_spans(d.select('doc_id', text.alias('text')),
+                              min_tokens=8)
+    return (out.select('doc_id', F.md5('text').alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_EXACTSUBSTR_CUT_SQL = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+parts AS (
+  SELECT doc_id,
+    array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-a-' || i), 1, 8)
+                     FOR i IN generate_series(1, 3 + doc_id % 3)], ' ')
+      AS pre,
+    array_to_string([substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR)
+                                || '-p-' || i), 1, 8)
+                     FOR i IN generate_series(1, 12)], ' ') AS pas,
+    array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-z-' || i), 1, 8)
+                     FOR i IN generate_series(1, 2 + doc_id % 2)], ' ')
+      AS suf
+  FROM documents)
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 2 = 0 AND doc_id + 1 > (SELECT m FROM mx)
+                THEN pre || ' ' || pas || ' ' || suf
+                ELSE pre || ' ' || suf END) AS text_md5
+FROM parts
+ORDER BY doc_id
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     """URL extraction + per-domain corpus statistics (allow/deny lists,
     per-source mixing weights): synthetic URLs derived from doc_id are
@@ -4790,7 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'video_metadata': q_video_metadata,
         'cap_per_domain': q_cap_per_domain,
         'dedup_lines_within_doc': q_dedup_lines_within_doc,
-        'split_no_leakage': q_split_no_leakage,
+        'exactsubstr_cut': q_exactsubstr_cut,
         'media_decode_mixed': q_media_decode_mixed,
         'video_frame_dedup': q_video_frame_dedup,
         'mojibake_fix': q_mojibake_fix,
@@ -4826,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'passage_dedup': q_passage_dedup,
         'dedup_against_snapshot': q_dedup_against_snapshot,
         'domain_filter': q_domain_filter,
+        'split_no_leakage': q_split_no_leakage,
         'token_divergence': q_token_divergence,
         'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'bpe_pair_stats': q_bpe_pair_stats,
@@ -4944,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         'events_stateful_check': _EVENTS_STATEFUL_CHECK_SQL,
         'cap_per_domain': _CAP_PER_DOMAIN_SQL,
         'geo_transform_polar': _GEO_TRANSFORM_POLAR_SQL,
+        'exactsubstr_cut': _EXACTSUBSTR_CUT_SQL,
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,

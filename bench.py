@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     'cap_per_domain',
     'dedup_lines_within_doc',
     'geo_transform_polar',
+    'exactsubstr_cut',
 ]
 
 

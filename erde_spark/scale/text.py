@@ -530,6 +530,70 @@ def shared_passage_spans(df: DataFrame, id_col: str = 'doc_id',
                  F.max('span_chars').alias('longest_span_chars')))
 
 
+def cut_duplicate_spans(df: DataFrame, id_col: str = 'doc_id',
+                        text_col: str = 'text',
+                        min_tokens: int = 50) -> DataFrame:
+    """EXACT duplicate-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr variant): CUT from every
+    document each token span of length >= ``min_tokens`` whose exact
+    text occurs more than once in the corpus, keeping the rest of the
+    document. Whole-document dedup keeps one copy of a duplicated
+    PASSAGE in every document that quotes it; this removes all of
+    them — the paper's stronger variant. Output text is the surviving
+    tokens joined with single spaces (whitespace-token granularity,
+    the stated normalization; the paper cuts byte ranges of a BPE
+    stream — same semantics at this engine's token granularity).
+
+    Pure DataFrame pipeline, token-count LINEAR at 100 TB (the paper
+    uses a suffix array for the same O(total tokens) bound on one
+    machine; shuffles replace suffix-array adjacency here):
+    every position's ``min_tokens``-gram is hashed JVM-side
+    (slice+concat+xxhash64 inside codegen, one row per token), grams
+    with corpus count > 1 are the duplicated seeds (map-side-combined
+    count + semi join — never all-pairs), each seed marks its L
+    covered token indices (bounded explode), and the per-document
+    covered set drives one indexed ``F.filter`` over the token array.
+    Documents with no duplicated span pass through with normalized
+    whitespace only. Within-document repeats count (the corpus-global
+    occurrence count is what crosses 1), exactly the paper's contract.
+    Collision note: two DIFFERENT grams colliding in xxhash64 could
+    cut an extra span — P ~ n_grams^2 / 2^64, negligible below ~10^9
+    grams per corpus; the winnowing family remains the approximate /
+    report-oriented surface (:func:`shared_passage_spans`)."""
+    if min_tokens < 2:
+        raise ValueError(f'min_tokens must be >= 2, got {min_tokens}')
+    toks = F.filter(F.split(F.col(text_col), r'\s+'), lambda x: x != '')
+    base = df.select(F.col(id_col).alias('id'), toks.alias('toks'))
+    n = F.size('toks')
+    grams = (base.select(
+        'id',
+        F.explode(F.when(n >= min_tokens,
+                         F.sequence(F.lit(0), n - min_tokens))
+                  .otherwise(F.array().cast('array<int>'))).alias('pos'),
+        F.col('toks'))
+        .select('id', 'pos',
+                F.xxhash64(F.concat_ws(
+                    ' ', F.slice('toks', F.col('pos') + 1, min_tokens)))
+                .alias('g')))
+    dup = (grams.groupBy('g').agg(F.count(F.lit(1)).alias('c'))
+           .filter(F.col('c') > 1).select('g'))
+    covered = (grams.join(dup, 'g', 'left_semi')
+               .select('id', F.explode(F.sequence(
+                   F.col('pos'), F.col('pos') + min_tokens - 1))
+                   .alias('i'))
+               .groupBy('id').agg(F.collect_set('i').alias('cov')))
+    kept = (base.join(covered, 'id', 'left')
+            .select('id',
+                    F.when(F.col('cov').isNull(), F.col('toks'))
+                    .otherwise(F.filter(
+                        'toks',
+                        lambda x, i: ~F.array_contains('cov', i)))
+                    .alias('toks')))
+    return kept.select(F.col('id').alias(id_col),
+                       F.array_join('toks', ' ').alias(text_col))
+
+
 def analyze(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Attach the full text-analysis column set in one projection."""
     c = F.col(text_col)

@@ -1677,6 +1677,37 @@ def test_cap_per_key_exact_and_deterministic(spark):
         cap_per_key(df, 'domain', cap=0)
 
 
+def test_cut_duplicate_spans(spark):
+    """ExactSubstr cutting (Lee et al. 2022): a passage shared by two
+    documents is cut from BOTH; a passage repeated twice INSIDE one
+    document is cut too (corpus-global count crosses 1); unique docs
+    and short docs pass through (whitespace-normalized); output is
+    stable across repartitionings."""
+    from erde_spark.scale.text import cut_duplicate_spans
+    shared = ' '.join(f's{i}' for i in range(12))
+    rows = [
+        (0, 'a0 b0 c0 ' + shared + ' z0 y0'),
+        (1, 'a1 b1 c1 d1 ' + shared + ' z1'),
+        (2, 'unique words only here nothing repeats at all in this one'),
+        (3, 'short doc'),
+        (4, 'head4 ' + shared + ' mid4 ' + shared + ' tail4'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r['text']
+           for r in cut_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[0] == 'a0 b0 c0 z0 y0'
+    assert out[1] == 'a1 b1 c1 d1 z1'
+    assert out[2] == rows[2][1]
+    assert out[3] == 'short doc'
+    assert out[4] == 'head4 mid4 tail4'
+    again = {r['doc_id']: r['text']
+             for r in cut_duplicate_spans(df.repartition(7),
+                                          min_tokens=8).collect()}
+    assert again == out
+    with pytest.raises(ValueError, match='min_tokens'):
+        cut_duplicate_spans(df, min_tokens=1)
+
+
 def test_remove_boilerplate_lines(spark):
     from erde_spark.scale.text import remove_boilerplate_lines
     docs = [(i, 'Cookie banner text here\ncontent %d one\n\ntail %d'
