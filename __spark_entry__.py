@@ -3106,7 +3106,8 @@ def q_exactsubstr_cut(spark, sf_dir):
 
 
 _EXACTSUBSTR_CUT_SQL = """
-WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+WITH grp AS (SELECT doc_id - doc_id % 2 AS g, COUNT(*) AS n
+             FROM documents GROUP BY 1),
 parts AS (
   SELECT doc_id,
     array_to_string([substr(md5(CAST(doc_id AS VARCHAR) || '-a-' || i), 1, 8)
@@ -3119,12 +3120,14 @@ parts AS (
                      FOR i IN generate_series(1, 2 + doc_id % 2)], ' ')
       AS suf
   FROM documents)
-SELECT doc_id,
-       md5(CASE WHEN doc_id % 2 = 0 AND doc_id + 1 > (SELECT m FROM mx)
-                THEN pre || ' ' || pas || ' ' || suf
+-- pair-aware generically: a doc keeps its passage exactly when its
+-- doc_id pair group has one member (no partner to duplicate against)
+-- — no assumption that doc_ids start even or are contiguous
+SELECT p.doc_id,
+       md5(CASE WHEN grp.n = 1 THEN pre || ' ' || pas || ' ' || suf
                 ELSE pre || ' ' || suf END) AS text_md5
-FROM parts
-ORDER BY doc_id
+FROM parts p JOIN grp ON p.doc_id - p.doc_id % 2 = grp.g
+ORDER BY p.doc_id
 """
 
 
@@ -3234,8 +3237,13 @@ def _neardup_staged_input(spark, sf_dir, d):
     its own single-file append: repartition(2, expr) hashes the
     expression value AGAIN, and hash(0)/hash(1) land in the same
     partition — that split produced one empty file and one full one,
-    so the store join silently never ran."""
+    so the store join silently never ran. File names AND mtimes are
+    pinned (the _stateful_staged_input pattern): two appends landing
+    in the same mtime tick would leave batch order to path order over
+    UUID-random part names, and the staged dir is cached per process,
+    so a flipped order would persist across every run."""
     import atexit
+    import glob
     import os
     import shutil
     import tempfile
@@ -3244,8 +3252,14 @@ def _neardup_staged_input(spark, sf_dir, d):
         return path
     in_dir = tempfile.mkdtemp(prefix='erde_neardup_in_')
     for k in (0, 1):
+        tmp = os.path.join(in_dir, f'tmp{k}')
         (d.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
-         .write.mode('append').parquet(in_dir))
+         .write.mode('overwrite').parquet(tmp))
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'batch-{k}.parquet')
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
     _NEARDUP_STAGED_INPUT[sf_dir] = in_dir
     atexit.register(shutil.rmtree, in_dir, ignore_errors=True)
     return in_dir

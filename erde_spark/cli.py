@@ -467,13 +467,16 @@ def capdomains(input_data: DataFrame, key_column: str = 'domain',
 
 @autocli
 def linededup(input_data: DataFrame, id_column: str = 'doc_id',
-              text_column: str = 'text', separator: str = '\n') -> DataFrame:
+              text_column: str = 'text', separator: str = '\n',
+              min_line_chars: int = 5) -> DataFrame:
     """Remove lines repeated WITHIN each document (first occurrence
-    kept, order preserved) — the within-doc counterpart of
+    kept, order preserved; lines shorter than min-line-chars after
+    trimming pass through) — the within-doc counterpart of
     boilerplate."""
     from erde_spark.scale.text import dedup_lines_within_doc
     return dedup_lines_within_doc(input_data, id_col=id_column,
-                                  text_col=text_column, sep=separator)
+                                  text_col=text_column, sep=separator,
+                                  min_line_chars=min_line_chars)
 
 
 @autocli

@@ -925,13 +925,21 @@ def remove_boilerplate_lines(df: DataFrame, min_count: int = 3,
 
 def dedup_lines_within_doc(df: DataFrame, id_col: str = 'doc_id',
                            text_col: str = 'text',
-                           sep: str = '\n') -> DataFrame:
+                           sep: str = '\n',
+                           min_line_chars: int = 5) -> DataFrame:
     """Remove REPEATED lines/paragraphs WITHIN each document, keeping
     the first occurrence in order — the within-doc counterpart of
     :func:`remove_boilerplate_lines` (which removes lines repeated
     ACROSS documents). Templated pages repeat their own nav/footer
     blocks many times inside one document; corpus-wide counting never
     sees those because the count is per-distinct-document-line.
+
+    Segments shorter than ``min_line_chars`` after trimming (blank
+    separators, lone punctuation) are kept UNCONDITIONALLY — the same
+    guard as :func:`remove_boilerplate_lines`: 'p1\\n\\np2\\n\\np3'
+    splits on '\\n' to [p1, '', p2, '', p3], and deduplicating the
+    empty separator would silently collapse every paragraph break
+    after the first.
 
     Pure whole-stage-codegen (split -> indexed array filter keeping
     positions where the FIRST occurrence index equals the current
@@ -943,7 +951,10 @@ def dedup_lines_within_doc(df: DataFrame, id_col: str = 'doc_id',
     pass '\\n\\n' for paragraph granularity."""
     import re
     parts = F.split(F.col(text_col), re.escape(sep))
-    kept = F.filter(parts, lambda x, i: F.array_position(parts, x) == i + 1)
+    kept = F.filter(
+        parts,
+        lambda x, i: (F.length(F.trim(x)) < min_line_chars)
+        | (F.array_position(parts, x) == i + 1))
     return df.withColumn(text_col, F.array_join(kept, sep))
 
 

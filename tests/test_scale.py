@@ -1632,25 +1632,52 @@ def test_fix_mojibake_and_canonicalize_url(spark):
 def test_dedup_lines_within_doc(spark):
     """Within-doc repeated lines drop to their first occurrence, order
     preserved; unique docs pass through byte-identical; empty and null
-    text survive; a custom separator works."""
+    text survive; a custom separator works; segments shorter than
+    min_line_chars (blank separators, lone punctuation) are exempt."""
     from erde_spark.scale.text import dedup_lines_within_doc
     df = spark.createDataFrame(
-        [(0, 'nav\nbody one\nnav\nbody two\nnav'),
-         (1, 'all\nunique\nlines'),
+        [(0, 'navbar\nbody one\nnavbar\nbody two\nnavbar'),
+         (1, 'all of\nunique\nlines!'),
          (2, ''), (3, None),
-         (4, 'x\nx\nx\nx')],
+         (4, 'xxxxx\nxxxxx\nxxxxx\nxxxxx')],
         'doc_id long, text string')
     out = {r['doc_id']: r['text']
            for r in dedup_lines_within_doc(df).collect()}
-    assert out[0] == 'nav\nbody one\nbody two'
-    assert out[1] == 'all\nunique\nlines'
+    assert out[0] == 'navbar\nbody one\nbody two'
+    assert out[1] == 'all of\nunique\nlines!'
     assert out[2] == ''
     assert out[3] is None
-    assert out[4] == 'x'
+    assert out[4] == 'xxxxx'
     # literal separator with regex metacharacters
-    df2 = spark.createDataFrame([(0, 'p1||p2||p1')], 'doc_id long, text string')
+    df2 = spark.createDataFrame([(0, 'part1||part2||part1')],
+                                'doc_id long, text string')
     got = dedup_lines_within_doc(df2, sep='||').collect()[0]['text']
-    assert got == 'p1||p2'
+    assert got == 'part1||part2'
+
+
+def test_dedup_lines_preserves_paragraph_breaks(spark):
+    """Blank separator lines between paragraphs are NOT deduplicated:
+    'p1\\n\\np2\\n\\np3' splits to [p1,'',p2,'',p3] and collapsing the
+    repeated '' would destroy every paragraph break after the first
+    (the remove_boilerplate_lines min_line_chars guard, mirrored).
+    Short non-blank separators ('---') are likewise exempt, and the
+    exemption threshold is tunable."""
+    from erde_spark.scale.text import dedup_lines_within_doc
+    df = spark.createDataFrame(
+        [(0, 'first paragraph\n\nsecond paragraph\n\nthird paragraph'),
+         (1, 'alpha section\n---\nbeta section\n---\ngamma section'),
+         (2, 'repeated body line\n\nrepeated body line\n\ntail text')],
+        'doc_id long, text string')
+    out = {r['doc_id']: r['text']
+           for r in dedup_lines_within_doc(df).collect()}
+    assert out[0] == 'first paragraph\n\nsecond paragraph\n\nthird paragraph'
+    assert out[1] == 'alpha section\n---\nbeta section\n---\ngamma section'
+    # long lines still dedup even with blanks interleaved
+    assert out[2] == 'repeated body line\n\n\ntail text'
+    # threshold 0 restores unconditional dedup (the old behavior)
+    got = {r['doc_id']: r['text']
+           for r in dedup_lines_within_doc(df, min_line_chars=0).collect()}
+    assert got[0] == 'first paragraph\n\nsecond paragraph\nthird paragraph'
 
 
 def test_cap_per_key_exact_and_deterministic(spark):
