@@ -583,13 +583,36 @@ def cut_duplicate_spans(df: DataFrame, id_col: str = 'doc_id',
                    F.col('pos'), F.col('pos') + min_tokens - 1))
                    .alias('i'))
                .groupBy('id').agg(F.collect_set('i').alias('cov')))
-    kept = (base.join(covered, 'id', 'left')
-            .select('id',
-                    F.when(F.col('cov').isNull(), F.col('toks'))
-                    .otherwise(F.filter(
-                        'toks',
-                        lambda x, i: ~F.array_contains('cov', i)))
-                    .alias('toks')))
+    # Complement-interval rebuild, O(n + |cov| log |cov|) per doc: sort
+    # the covered set once, walk the gaps between consecutive covered
+    # indices, and flatten one slice per gap. A per-token
+    # array_contains(cov, i) refilter is O(|cov|) per position —
+    # quadratic on a fully-duplicated long document (a 100k-token doc
+    # whose covered set is the whole doc would cost 10^10 comparisons
+    # in one row), exactly the adversarial tail a 100 TB crawl
+    # contains. The sorted array MUST be its own projected column:
+    # referenced inside a lambda, array_sort(cov) gets re-evaluated
+    # per transform element (no common-subexpression elimination
+    # across lambda bodies) — O(n^2 log n), worse than the bug.
+    staged = (base.join(covered, 'id', 'left')
+              .select('id', 'toks', F.array_sort('cov').alias('_cs')))
+    cs = F.col('_cs')
+    m = F.size(cs)
+    n_toks = F.size('toks')
+    gaps = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda k: F.struct(
+            F.when(k == F.lit(0), F.lit(0))
+            .otherwise(F.element_at(cs, k) + 1).alias('s'),
+            F.when(k == m, n_toks)
+            .otherwise(F.element_at(cs, k + 1)).alias('e')))
+    sliced = F.flatten(F.transform(
+        gaps,
+        lambda g: F.slice('toks', g['s'] + 1,
+                          F.greatest(g['e'] - g['s'], F.lit(0)))))
+    kept = staged.select(
+        'id',
+        F.when(cs.isNull(), F.col('toks')).otherwise(sliced).alias('toks'))
     return kept.select(F.col('id').alias(id_col),
                        F.array_join('toks', ' ').alias(text_col))
 

@@ -1735,6 +1735,33 @@ def test_cut_duplicate_spans(spark):
         cut_duplicate_spans(df, min_tokens=1)
 
 
+def test_cut_duplicate_spans_fully_covered_long_doc(spark):
+    """The adversarial tail: a pair of fully-duplicated 20k-token
+    documents (covered set = the whole doc). The complement-interval
+    rebuild costs O(n + |cov| log |cov|) per doc — with the old
+    per-token array_contains refilter this case is O(n^2)
+    (4*10^8 comparisons per row) and visibly hangs; here the whole
+    pipeline must finish within the suite's normal budget. Both copies
+    are cut to empty; an interleaved unique doc passes through."""
+    import time
+
+    from erde_spark.scale.text import cut_duplicate_spans
+    big = ' '.join(f'w{i % 977}x{i % 83}' for i in range(20_000))
+    df = spark.createDataFrame(
+        [(0, big), (1, big),
+         (2, 'these tokens are unique and must pass through intact')],
+        'doc_id long, text string')
+    t0 = time.monotonic()
+    out = {r['doc_id']: r['text']
+           for r in cut_duplicate_spans(df, min_tokens=50).collect()}
+    elapsed = time.monotonic() - t0
+    assert out[0] == '' and out[1] == ''
+    assert out[2] == 'these tokens are unique and must pass through intact'
+    # measured ~2 s; the quadratic refilter (and the lambda-inlined
+    # array_sort variant) both took ~99 s on this fixture
+    assert elapsed < 30, f'quadratic-refilter regression: {elapsed:.0f}s'
+
+
 def test_remove_boilerplate_lines(spark):
     from erde_spark.scale.text import remove_boilerplate_lines
     docs = [(i, 'Cookie banner text here\ncontent %d one\n\ntail %d'
