@@ -20,6 +20,7 @@ replacement: exotic cases (self-intersecting rings, shared-boundary-only
 from __future__ import annotations
 
 import math
+import os
 
 from erde_spark.geo.geom import Geometry
 
@@ -513,6 +514,8 @@ def _authalic_q(phi: float, e: float) -> float:
     """EPSG's q: the authalic-latitude integrand, q = (1-e^2)[sin phi /
     (1 - e^2 sin^2 phi) - (1/2e) ln((1 - e sin phi)/(1 + e sin phi))]."""
     s = math.sin(phi)
+    if e == 0.0:
+        return 2.0 * s  # sphere: the e->0 limit of the bracket is 2 sin phi
     return (1 - e * e) * (s / (1 - e * e * s * s)
                           - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
 
@@ -588,7 +591,18 @@ def _laea_consts(a: float, f: float, lat0: float):
 def laea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
              lon0: float, fe: float, fn: float):
     """(lon, lat) degrees -> E/N for Lambert Azimuthal Equal Area
-    (EPSG 9820, oblique aspect — the ETRS89-LAEA 3035 method)."""
+    (EPSG 9820; oblique aspect for 3035, polar aspect for the North
+    Pole LAEA grids 3571-3576 — Snyder PP 1395 eq. 24-23/24-25)."""
+    if abs(lat0) >= math.pi / 2 - 1e-12:
+        e = _ecc(f)
+        qp = _authalic_q(math.pi / 2, e)
+        q = _authalic_q(math.radians(lat), e)
+        dl = math.radians(lon) - lon0
+        north_pole = lat0 > 0
+        rho = a * math.sqrt(max(0.0, qp - q if north_pole else qp + q))
+        if north_pole:
+            return fe + rho * math.sin(dl), fn - rho * math.cos(dl)
+        return fe + rho * math.sin(dl), fn + rho * math.cos(dl)
     e, qp, beta0, rq, d = _laea_consts(a, f, lat0)
     phi = math.radians(lat)
     lam = math.radians(lon)
@@ -605,7 +619,18 @@ def laea_fwd(lon: float, lat: float, a: float, f: float, lat0: float,
 
 def laea_inv(east: float, north: float, a: float, f: float, lat0: float,
              lon0: float, fe: float, fn: float):
-    """E/N -> (lon, lat) degrees for EPSG 9820."""
+    """E/N -> (lon, lat) degrees for EPSG 9820 (polar aspect included)."""
+    if abs(lat0) >= math.pi / 2 - 1e-12:
+        e = _ecc(f)
+        qp = _authalic_q(math.pi / 2, e)
+        x, y = east - fe, north - fn
+        rho = math.hypot(x, y)
+        north_pole = lat0 > 0
+        q = qp - (rho / a) ** 2 if north_pole else (rho / a) ** 2 - qp
+        beta = math.asin(max(-1.0, min(1.0, q / qp)))
+        lam = lon0 + (math.atan2(x, -y) if north_pole else math.atan2(x, y))
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return math.degrees(lam), math.degrees(_authalic_to_geodetic(beta, e))
     e, qp, beta0, rq, d = _laea_consts(a, f, lat0)
     x = east - fe
     y = north - fn
@@ -708,6 +733,53 @@ def pstereo_sp_inv(east: float, north_c: float, a: float, f: float,
     return pstereo_inv(east, north_c, a, f,
                        math.pi / 2 if north else -math.pi / 2,
                        lon0, k0, fe, fn)
+
+
+def merc_fwd(lon: float, lat: float, a: float, f: float,
+             lon0: float, k0: float, fe: float, fn: float):
+    """Mercator variant A (EPSG method 9804): scale factor at the
+    equator. E = FE + a k0 (lam - lon0); N = FN - a k0 ln t with the
+    shared conformal kernel t (GN 7-2 §1.3.3; worked example
+    Makassar / NEIEZ pinned in tests)."""
+    e = _ecc(f)
+    lam = math.radians(lon)
+    dlam = (lam - lon0 + math.pi) % (2 * math.pi) - math.pi
+    return (fe + a * k0 * dlam,
+            fn - a * k0 * math.log(_conf_t(math.radians(lat), e)))
+
+
+def merc_inv(east: float, north: float, a: float, f: float,
+             lon0: float, k0: float, fe: float, fn: float):
+    e = _ecc(f)
+    t = math.exp((fn - north) / (a * k0))
+    phi = math.pi / 2 - 2 * math.atan(t)
+    for _ in range(8):
+        es = e * math.sin(phi)
+        phi = math.pi / 2 - 2 * math.atan(
+            t * ((1 - es) / (1 + es)) ** (e / 2))
+    lam = lon0 + (east - fe) / (a * k0)
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _merc_sp_k0(lat1: float, a: float, f: float) -> float:
+    """Variant B's equivalent equatorial scale: k0 = cos(lat1) /
+    sqrt(1 - e^2 sin^2 lat1) (GN 7-2 §1.3.3 variant B)."""
+    return _epsg_m(lat1, _ecc(f))
+
+
+def merc_sp_fwd(lon: float, lat: float, a: float, f: float,
+                lat1: float, lon0: float, fe: float, fn: float):
+    """Mercator variant B (EPSG method 9805): defined by a standard
+    parallel lat1 instead of an explicit k0 — reduced to variant A
+    (worked example Pulkovo 1942 / Caspian Sea Mercator pinned)."""
+    return merc_fwd(lon, lat, a, f, lon0,
+                    _merc_sp_k0(lat1, a, f), fe, fn)
+
+
+def merc_sp_inv(east: float, north: float, a: float, f: float,
+                lat1: float, lon0: float, fe: float, fn: float):
+    return merc_inv(east, north, a, f, lon0,
+                    _merc_sp_k0(lat1, a, f), fe, fn)
 
 
 def longlat_fwd(lon: float, lat: float, a: float, f: float):
@@ -1155,6 +1227,42 @@ def _load_common_epsg() -> None:
 
 _load_common_epsg()
 
+
+def _load_registry_csv() -> None:
+    """Load the generated catalogue tail (`epsg_registry.csv`, emitted
+    by tools/gen_epsg_registry.py — public zone-arithmetic families and
+    published national grids as checked-in DATA, the round-7 ask).
+    Built-in entries win: the hand-validated core above is
+    authoritative, CSV rows are additive; the overlap is cross-checked
+    by tests/test_property.py. Row format: code,proj,ellps,params,
+    towgs84,source — params ';'-joined floats with angles in radians
+    (the spec contract), ellps a name or inline 'a:f'."""
+    path = os.path.join(os.path.dirname(__file__), 'epsg_registry.csv')
+    if not os.path.exists(path):
+        return
+    with open(path, encoding='utf-8') as fh:
+        for line in fh:
+            line = line.strip()
+            if (not line or line.startswith('#')
+                    or line.startswith('code,')):
+                continue
+            code_s, proj, ellps, params, towgs84, _src = line.split(',', 5)
+            code = int(code_s)
+            if code in _CRS_TABLE:
+                continue
+            _CRS_TABLE[code] = {
+                'proj': proj,
+                'ellps': (tuple(float(v) for v in ellps.split(':'))
+                          if ':' in ellps else ellps),
+                'params': (tuple(float(v) for v in params.split(';'))
+                           if params else ()),
+                'towgs84': (tuple(float(v) for v in towgs84.split(';'))
+                            if towgs84 else None),
+            }
+
+
+_load_registry_csv()
+
 #: projection method name -> (forward, inverse); every fn takes
 #: (x0, x1, a, f, *params)
 _PROJ_METHODS = {
@@ -1168,6 +1276,8 @@ _PROJ_METHODS = {
     'laea': (laea_fwd, laea_inv),
     'pstereo': (pstereo_fwd, pstereo_inv),
     'pstereo_sp': (pstereo_sp_fwd, pstereo_sp_inv),
+    'merc': (merc_fwd, merc_inv),
+    'merc_sp': (merc_sp_fwd, merc_sp_inv),
     'longlat': (longlat_fwd, longlat_inv),
 }
 
