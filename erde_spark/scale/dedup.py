@@ -548,9 +548,15 @@ def _union_find_min(edges: list[tuple]) -> dict:
 
 
 #: micro-batch driver path bound on collected (id, band, bh) rows —
-#: docs x bands; 500k rows ~= a 40k-doc batch at 12 bands (~20 MB on
-#: the driver). Over it, the distributed merge loop runs instead.
-_MICROBATCH_BUCKET_CAP = 500_000
+#: docs x bands; 150k rows ~= a 12.5k-doc batch at 12 bands. Over it,
+#: the distributed merge loop runs instead. MEASURED at the edges
+#: (tools/measure_merge_bounds.py, round 8): the driver path wins
+#: below ~12k docs on both dup-dense and all-unique corpora (2.3-4.1 s
+#: vs 3.1-4.8 s distributed) but INVERTS well before the old 500k cap
+#: (at 42k docs / 500k bucket rows: 11.8 s driver vs 5.0 s distributed,
+#: 258 MB driver peak — the bucket collect dominates), so the cap sits
+#: at the measured crossover, not at the memory ceiling.
+_MICROBATCH_BUCKET_CAP = 150_000
 #: and on candidate rep pairs per merge round (mirrors the edge cap)
 _MICROBATCH_CAND_CAP = 250_000
 

@@ -1856,3 +1856,51 @@ def test_chunk_documents_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, max_tokens=16, overlap=16)
+
+
+def test_microbatch_merge_bounds_cap_edge_parity(spark, monkeypatch):
+    """Round-7 verdict ask #6: the driver merge-loop bounds at their
+    EDGES. With each cap set to exactly the corpus's own edge/bucket
+    count the driver path must ENGAGE; at count-1 it must FALL BACK —
+    and both sides must be row-identical to the distributed path. This
+    pins the boundary semantics (<= cap engages, > cap falls back),
+    not just the far-from-cap behavior the forced-0 test covers."""
+    import erde_spark.scale.dedup as D
+    docs = _clique_corpus(spark)
+    # measure the corpus's actual edge / bucket cardinalities by spying
+    counts = {}
+    orig = D._microbatch_spanning_clusters
+
+    def spy(df, id_col, edges, buckets, *a, **kw):
+        counts['edges'] = edges.count()
+        counts['buckets'] = buckets.count()
+        return orig(df, id_col, edges, buckets, *a, **kw)
+
+    monkeypatch.setattr(D, '_microbatch_spanning_clusters', spy)
+    exp = sorted((r['doc_id'], r['cluster_size']) for r in
+                 D.dedup_clusters(docs, threshold=0.9,
+                                  pair_strategy='spanning',
+                                  cc_probe_first=True).collect())
+    monkeypatch.undo()
+    assert counts['edges'] > 1 and counts['buckets'] > 1
+
+    engaged = {}
+
+    def probe(*a, **kw):
+        out = orig(*a, **kw)
+        engaged['driver_path'] = out is not None
+        return out
+
+    for attr, n in (('_MERGE_COLLECT_CAP', counts['edges']),
+                    ('_MICROBATCH_BUCKET_CAP', counts['buckets'])):
+        for cap, want_engaged in ((n, True), (n - 1, False)):
+            monkeypatch.setattr(D, attr, cap)
+            monkeypatch.setattr(D, '_microbatch_spanning_clusters', probe)
+            engaged.clear()
+            got = sorted((r['doc_id'], r['cluster_size']) for r in
+                         D.dedup_clusters(docs, threshold=0.9,
+                                          pair_strategy='spanning',
+                                          cc_probe_first=True).collect())
+            assert got == exp, (attr, cap)
+            assert engaged['driver_path'] is want_engaged, (attr, cap)
+            monkeypatch.undo()
