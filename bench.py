@@ -166,14 +166,28 @@ def main():
     sent_spark = [_sentinel_spark(spark)]
     timings = {}
     spreads = {}
+    job_counts = {}
     total = 0.0
+
+    def _n_jobs():
+        # highest job id the app status store has seen: ids are
+        # monotonic +1 per job, so a before/after delta = jobs this run
+        # spawned (jobsList(None) covers every job group, including
+        # streaming/foreachBatch) — and a max-id delta stays correct
+        # past the spark.ui.retainedJobs retention limit
+        jl = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
+        return jl.apply(0).jobId() if jl.size() else -1
+
     for name in BENCH_QUERIES:
         runs = []
+        jobs = []
         for _ in range(n_runs):
+            j0 = _n_jobs()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()
             runs.append(time.perf_counter() - t0)
+            jobs.append(_n_jobs() - j0)
             # drop leftover localCheckpoint blocks and cached plans
             # after EVERY run, not just every query: checkpoint-heavy
             # pipelines (the streaming backfill) accumulate blocks
@@ -189,6 +203,10 @@ def main():
         # min/max band so the recorded file itself shows host noise —
         # single warm numbers on this box flip-flop 10-40% run to run
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+        # per-run Spark job counts (round-7 verdict ask #7): a future
+        # "slower but same jobs" vs "slower with more jobs" question is
+        # answerable from the recorded stderr artifact without a rerun
+        job_counts[name] = jobs
         total += best
 
     # sentinels re-run AFTER the suite: the pair brackets the bench
@@ -202,7 +220,8 @@ def main():
     # line — the driver records the final 2000 characters of stdout, so
     # the line must fit that window in full (asserted below) or the
     # artifact loses rows (BENCH_r06 lost 23 of 79)
-    print(json.dumps({'spread': spreads, 'queries_3dp': timings}),
+    print(json.dumps({'spread': spreads, 'queries_3dp': timings,
+                      'jobs_per_run': job_counts}),
           file=sys.stderr)
     compact = json.dumps({
         'metric': 'headline_queries_total_sec',
