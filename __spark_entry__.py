@@ -4734,6 +4734,85 @@ ORDER BY doc_id
 """
 
 
+def q_bitext_mine_check(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
+    planted translations: the even-vec_id half of the embeddings table
+    is the 'source language'; the 'target' side carries the SAME vector
+    under vec_id+1 (an exact translation: cosine 1, ~10 sigma above any
+    random 64-dim cosine on this near-orthogonal corpus). Every planted
+    pair must mine at rank 1 with ratio margin >= 1.5 (measured floor
+    1.76 at sf0.01) and NOTHING else may mine — the kept set is pure
+    doc_id arithmetic for DuckDB. Impl:
+    erde_spark/scale/similarity.py::bitext_mine."""
+    from erde_spark.scale.similarity import bitext_mine
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'] \
+        .select('vec_id', 'embedding')
+    src = e.where(F.col('vec_id') % 2 == 0)
+    tgt = src.select((F.col('vec_id') + 1).alias('vec_id'), 'embedding')
+    out = bitext_mine(src, tgt, k=4, threshold=1.5)
+    return out.select('src_id', 'tgt_id').orderBy('src_id')
+
+
+_BITEXT_MINE_SQL = """
+SELECT vec_id AS src_id, vec_id + 1 AS tgt_id
+FROM embeddings WHERE vec_id % 2 = 0
+ORDER BY src_id
+"""
+
+
+def q_geo_transform_registry(spark, sf_dir):
+    """The generated EPSG catalogue tail (round-8: epsg_registry.csv,
+    emitted by tools/gen_epsg_registry.py) exercised end-to-end:
+    round trips through World Mercator 3395 (method 9804, GN 7-2
+    Makassar pin in pytest), JGD2000 Japan CS I 2443 (GSI origins),
+    North Pole LAEA Europe 3575 (9820 polar aspect) and the Pulkovo
+    1942 GK CM variant 28464, micro-degree error pinned to EXACTLY
+    ZERO by the oracle — plus the zone-arithmetic invariant DuckDB can
+    replay: the 6-deg GK zone-4 grid (built-in 28404) and its CM twin
+    (CSV 28464) differ by EXACTLY the 4,000,000 m zone false-easting
+    prefix at identical northing. Impl: erde_spark/geo/ops.py
+    (merc_fwd, laea polar aspect, _load_registry_csv)."""
+    from erde_spark.functions.geo import st_centroid_xy, st_point, st_transform
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    cols = [k.alias('c_custkey')]
+    for name, code, (lon0, lon_s), (lat0, lat_s) in [
+            ('wm', 3395, (-179.0, 100.0 / 358.0), (-60.0, 100.0 / 120.0)),
+            ('jp', 2443, (128.5, 100.0 / 2.0), (32.0, 100.0 / 2.8)),
+            ('np', 3575, (-179.0, 100.0 / 358.0), (55.0, 100.0 / 26.0)),
+            ('gk', 28464, (20.0, 100.0 / 2.0), (50.0, 100.0 / 8.0))]:
+        lon = lon0 + (k % 100) / lon_s
+        lat = lat0 + ((k * 7) % 80) / lat_s
+        rt = st_centroid_xy(st_transform(
+            st_transform(st_point(lon, lat), 4326, code), code, 4326))
+        dlon = F.abs(rt['x'] - lon)
+        dlon = F.least(dlon, F.abs(dlon - 360.0))
+        cols += [F.round(lat, 6).alias(f'{name}_lat'),
+                 F.round((dlon + F.abs(rt['y'] - lat))
+                         * 1e6, 0).cast('bigint').alias(f'{name}_err')]
+    p = st_point(F.lit(21.3), F.lit(55.0))
+    e_zone = st_centroid_xy(st_transform(p, 4326, 28404))['x']
+    e_cm = st_centroid_xy(st_transform(p, 4326, 28464))['x']
+    cols.append(F.round(e_zone - e_cm, 3).alias('fe_delta'))
+    return cust.select(*cols)
+
+
+_GEO_TRANSFORM_REGISTRY_SQL = """
+SELECT c_custkey,
+  ROUND(-60.0 + ((c_custkey * 7) % 80) * 120.0 / 100.0, 6) AS wm_lat,
+  CAST(0 AS BIGINT) AS wm_err,
+  ROUND(32.0 + ((c_custkey * 7) % 80) * 2.8 / 100.0, 6) AS jp_lat,
+  CAST(0 AS BIGINT) AS jp_err,
+  ROUND(55.0 + ((c_custkey * 7) % 80) * 26.0 / 100.0, 6) AS np_lat,
+  CAST(0 AS BIGINT) AS np_err,
+  ROUND(50.0 + ((c_custkey * 7) % 80) * 8.0 / 100.0, 6) AS gk_lat,
+  CAST(0 AS BIGINT) AS gk_err,
+  4000000.0 AS fe_delta
+FROM customer
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 entries, so positions 1-50 hold exactly one-or-more oracled
@@ -4840,27 +4919,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (within-document repeated-line removal, construction-oracled,
     pure codegen) — displacing passage_dedup and
     dedup_against_snapshot (both driver-green r04-r06).
+    Round-8 rotation (verdict ask #5 honored: no oracled query goes
+    more than 2 rounds without a fresh driver-green): the EIGHT r06-
+    displaced queries return to the window — html_extract,
+    token_divergence, passage_dedup, dedup_against_snapshot,
+    domain_filter, split_no_leakage, bpe_pair_stats and
+    dedup_cluster_sizes (all last driver-green r06) — plus two
+    round-8 newcomers: bitext_mine_check (Artetxe & Schwenk margin-
+    based bitext mining on planted exact translations: the kept pair
+    set is pure vec_id arithmetic) and geo_transform_registry (the
+    generated EPSG catalogue tail — World Mercator 9804, Japan CS I,
+    polar-aspect LAEA, GK CM variant — zero-error round trips plus the
+    4,000,000 m zone-vs-CM false-easting invariant DuckDB replays
+    exactly). Displaced to the tail: simhash_check, embedding_lsh_check,
+    minhash_cluster_check, embedding_cluster_check, ann_rank1_check,
+    passage_span_check, readability, image_phash_dedup, dsir_weights
+    and video_metadata (all driver-green r06 AND r07).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
         # -- first 50: one+ oracled query per §2 family ------------------
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
-        'simhash_check': q_simhash_check,
-        'embedding_lsh_check': q_embedding_lsh_check,
+        'bitext_mine_check': q_bitext_mine_check,
+        'geo_transform_registry': q_geo_transform_registry,
         'text_quality_filter': q_text_quality_filter,
-        'minhash_cluster_check': q_minhash_cluster_check,
-        'embedding_cluster_check': q_embedding_cluster_check,
-        'ann_rank1_check': q_ann_rank1_check,
-        'passage_span_check': q_passage_span_check,
-        'readability': q_readability,
+        'html_extract': q_html_extract,
+        'token_divergence': q_token_divergence,
+        'passage_dedup': q_passage_dedup,
+        'dedup_against_snapshot': q_dedup_against_snapshot,
+        'domain_filter': q_domain_filter,
         'events_stateful_check': q_events_stateful_check,
         'bpe_merges_check': q_bpe_merges_check,
         'audio_features_check': q_audio_features_check,
         'multimodal_features_check': q_multimodal_features_check,
-        'image_phash_dedup': q_image_phash_dedup,
-        'dsir_weights': q_dsir_weights,
-        'video_metadata': q_video_metadata,
+        'split_no_leakage': q_split_no_leakage,
+        'bpe_pair_stats': q_bpe_pair_stats,
+        'dedup_cluster_sizes': q_dedup_cluster_sizes,
         'cap_per_domain': q_cap_per_domain,
         'dedup_lines_within_doc': q_dedup_lines_within_doc,
         'exactsubstr_cut': q_exactsubstr_cut,
@@ -4896,14 +4991,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
         # -- tail: variants green in earlier rounds, + rows-only ops -----
-        'passage_dedup': q_passage_dedup,
-        'dedup_against_snapshot': q_dedup_against_snapshot,
-        'domain_filter': q_domain_filter,
-        'split_no_leakage': q_split_no_leakage,
-        'token_divergence': q_token_divergence,
-        'dedup_cluster_sizes': q_dedup_cluster_sizes,
-        'bpe_pair_stats': q_bpe_pair_stats,
-        'html_extract': q_html_extract,
+        'simhash_check': q_simhash_check,
+        'embedding_lsh_check': q_embedding_lsh_check,
+        'minhash_cluster_check': q_minhash_cluster_check,
+        'embedding_cluster_check': q_embedding_cluster_check,
+        'ann_rank1_check': q_ann_rank1_check,
+        'passage_span_check': q_passage_span_check,
+        'readability': q_readability,
+        'image_phash_dedup': q_image_phash_dedup,
+        'dsir_weights': q_dsir_weights,
+        'video_metadata': q_video_metadata,
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
@@ -5020,6 +5117,8 @@ def oracle_sql() -> dict[str, str]:
         'geo_transform_polar': _GEO_TRANSFORM_POLAR_SQL,
         'exactsubstr_cut': _EXACTSUBSTR_CUT_SQL,
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
+        'bitext_mine_check': _BITEXT_MINE_SQL,
+        'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,
         'multimodal_features_check': _MULTIMODAL_CHECK_SQL,

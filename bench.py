@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     'dedup_lines_within_doc',
     'geo_transform_polar',
     'exactsubstr_cut',
+    'bitext_mine_check',
+    'geo_transform_registry',
 ]
 
 

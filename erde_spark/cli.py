@@ -480,6 +480,20 @@ def linededup(input_data: DataFrame, id_column: str = 'doc_id',
 
 
 @autocli
+def bitext(input_data: DataFrame, target_data: DataFrame, k: int = 4,
+           threshold: float = 1.04, method: str = 'exact',
+           id_column: str = 'vec_id',
+           vector_column: str = 'embedding') -> DataFrame:
+    """Mine parallel (translation) pairs between two embedded corpora
+    by ratio margin (Artetxe & Schwenk 2019) — returns src-id/tgt-id/
+    cosine/margin for pairs at or above the margin threshold."""
+    from erde_spark.scale.similarity import bitext_mine
+    return bitext_mine(input_data, target_data, k=k, threshold=threshold,
+                       method=method, id_col=id_column,
+                       vec_col=vector_column)
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -498,7 +512,7 @@ COMMANDS = {
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
-    'linededup': linededup,
+    'linededup': linededup, 'bitext': bitext,
 }
 
 

@@ -421,3 +421,65 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (exact.withColumn('rank', F.row_number().over(w2))
             .filter(F.col('rank') <= k)
             .select('query_id', 'vec_id', 'cosine', 'rank'))
+
+
+# ------------------------------------------------------- bitext mining
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                threshold: float = 1.04, method: str = 'exact',
+                id_col: str = 'vec_id', vec_col: str = 'embedding',
+                **retriever_kw) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", ACL — the scoring behind the CCMatrix/WikiMatrix
+    bitext pipelines): candidate translation pairs (x in ``src``,
+    y in ``tgt``) are scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       (mean_kNN_cos(x -> tgt)/2 + mean_kNN_cos(y -> src)/2)
+
+    which normalizes raw cosine by how "hubby" each side's
+    neighborhood is — the fix for the hubness failure of plain
+    cosine thresholds the paper documents. The 'max' retrieval
+    strategy keeps, per source row, the best-margin candidate at or
+    above ``threshold`` (the paper's operating point is ~1.04-1.06).
+
+    Returns (src_id, tgt_id, cosine, margin) with margin the deciding
+    score, deterministic (ties break on tgt id ascending).
+
+    Scale shape: both directions' k-NN come from the pluggable
+    retriever — ``method='exact'`` (:func:`cosine_topk`, broadcast
+    queries, corpus never shuffled) for verification scale,
+    ``method='lsh'`` (:func:`lsh_topk`, bucket equi-join) for the
+    100 TB path where both sides are large; the margin arithmetic on
+    top is two map-side aggs + one broadcastable join of per-id
+    neighborhood means onto the candidate list — nothing quadratic,
+    no shuffle beyond the retriever's own."""
+    retrievers = {'exact': cosine_topk, 'lsh': lsh_topk}
+    if method not in retrievers:
+        raise ValueError(f"method must be one of {sorted(retrievers)}, "
+                         f"got {method!r}")
+    retrieve = retrievers[method]
+    # x -> tgt neighborhoods: candidates AND x's denominator; y -> src
+    # neighborhoods: y's denominator (and extra candidates, per paper)
+    xt = retrieve(tgt, src, k=k, id_col=id_col, vec_col=vec_col,
+                  exclude_self=False, **retriever_kw)
+    yx = retrieve(src, tgt, k=k, id_col=id_col, vec_col=vec_col,
+                  exclude_self=False, **retriever_kw)
+    x_mean = xt.groupBy('query_id').agg(F.avg('cosine').alias('x_knn'))
+    y_mean = yx.groupBy('query_id').agg(F.avg('cosine').alias('y_knn'))
+    cands = (xt.select(F.col('query_id').alias('src_id'),
+                       F.col('vec_id').alias('tgt_id'), 'cosine')
+             .unionByName(
+                 yx.select(F.col('vec_id').alias('src_id'),
+                           F.col('query_id').alias('tgt_id'), 'cosine'))
+             .groupBy('src_id', 'tgt_id').agg(F.max('cosine').alias('cosine')))
+    scored = (cands
+              .join(x_mean.withColumnRenamed('query_id', 'src_id'), 'src_id')
+              .join(y_mean.withColumnRenamed('query_id', 'tgt_id'), 'tgt_id')
+              .withColumn('margin', F.col('cosine')
+                          / (F.col('x_knn') / 2 + F.col('y_knn') / 2)))
+    w = Window.partitionBy('src_id').orderBy(F.desc('margin'), F.asc('tgt_id'))
+    return (scored.withColumn('_r', F.row_number().over(w))
+            .filter((F.col('_r') == 1) & (F.col('margin') >= threshold))
+            .select('src_id', 'tgt_id', 'cosine', 'margin'))

@@ -332,3 +332,30 @@ def test_langid_subcommand_overwrites_existing_lang(spark, tmp_path):
     assert df.columns.count('lang') == 1
     got = {r['doc_id']: (r['lang'], r['source']) for r in df.collect()}
     assert got == {0: ('de', 'web'), 1: ('fr', 'web')}
+
+
+def test_bitext_subcommand(spark, tmp_path):
+    """The bitext CLI mines planted exact translations between two
+    embedding parquets (second positional input, numeric options)."""
+    import numpy as np
+
+    from erde_spark.cli import entrypoint
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(12, 32))
+    src = str(tmp_path / 'src.parquet')
+    tgt = str(tmp_path / 'tgt.parquet')
+    spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(8)],
+        'vec_id long, embedding array<float>') \
+        .write.mode('overwrite').parquet(src)
+    spark.createDataFrame(
+        [(100 + i, vecs[i].tolist()) for i in range(8)]
+        + [(200 + j, rng.normal(size=32).tolist()) for j in range(4)],
+        'vec_id long, embedding array<float>') \
+        .write.mode('overwrite').parquet(tgt)
+    out = str(tmp_path / 'mined.parquet')
+    entrypoint(['bitext', src, tgt, out, '--k', '4',
+                '--threshold', '1.5'])
+    got = {(r['src_id'], r['tgt_id'])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(i, 100 + i) for i in range(8)}
