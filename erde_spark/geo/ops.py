@@ -782,6 +782,45 @@ def merc_sp_inv(east: float, north: float, a: float, f: float,
                     _merc_sp_k0(lat1, a, f), fe, fn)
 
 
+def eqc_fwd(lon: float, lat: float, a: float, f: float,
+            lat1: float, lon0: float, fe: float, fn: float):
+    """Equidistant Cylindrical (EPSG method 1028, ellipsoidal):
+    E = FE + nu1 cos(lat1) (lam - lon0), N = FN + M(phi) with M the
+    meridian arc — evaluated exactly as A * xi(phi) through the shared
+    Krüger rectifying-latitude machinery (at dlam=0 the TM xi IS the
+    rectifying latitude), so the arc agrees with the TM kernel to
+    float precision and is pinned by the published WGS84 quarter
+    meridian (10001965.729 m) in tests."""
+    e = _ecc(f)
+    s1 = math.sin(lat1)
+    nu1 = a / math.sqrt(1 - e * e * s1 * s1)
+    consts = _tm_consts(a, f)
+    lam = math.radians(lon)
+    dlam = (lam - lon0 + math.pi) % (2 * math.pi) - math.pi
+    xi = _tm_xi_eta(math.radians(lat), 0.0, consts)[0]
+    return fe + nu1 * math.cos(lat1) * dlam, fn + consts[0] * xi
+
+
+def eqc_inv(east: float, north: float, a: float, f: float,
+            lat1: float, lon0: float, fe: float, fn: float):
+    e = _ecc(f)
+    s1 = math.sin(lat1)
+    nu1 = a / math.sqrt(1 - e * e * s1 * s1)
+    consts = _tm_consts(a, f)
+    A, _, beta, delta, _ = consts
+    xi = (north - fn) / A
+    # rectifying -> conformal (beta series at eta=0) -> geodetic (delta
+    # series): the same two-step footpoint the TM inverse uses
+    chi = xi
+    for j, b in enumerate(beta, start=1):
+        chi -= b * math.sin(2 * j * xi)
+    phi = chi
+    for j, d in enumerate(delta, start=1):
+        phi += d * math.sin(2 * j * chi)
+    lam = lon0 + (east - fe) / (nu1 * math.cos(lat1))
+    return math.degrees(lam), math.degrees(phi)
+
+
 def longlat_fwd(lon: float, lat: float, a: float, f: float):
     """Geographic 'projection' (identity): a longlat spec is a
     GEOGRAPHIC CRS endpoint — coordinates are lon/lat degrees on the
@@ -1278,6 +1317,7 @@ _PROJ_METHODS = {
     'pstereo_sp': (pstereo_sp_fwd, pstereo_sp_inv),
     'merc': (merc_fwd, merc_inv),
     'merc_sp': (merc_sp_fwd, merc_sp_inv),
+    'eqc': (eqc_fwd, eqc_inv),
     'longlat': (longlat_fwd, longlat_inv),
 }
 
@@ -1379,7 +1419,13 @@ _CRS_ERR = (
     'omerc (9815): (latc, lonc, azimuth, gamma, k0, FE, FN); '
     'krovak (9819): (latc, lon0, azimuth, sp, k0, FE, FN); '
     'aea (9822): (lat0, lon0, sp1, sp2, FE, FN); '
-    'laea (9820): (lat0, lon0, FE, FN). '
+    'laea (9820, oblique/polar/spherical): (lat0, lon0, FE, FN); '
+    'pstereo (9810, variant A): (lat0, lon0, k0, FE, FN); '
+    'pstereo_sp (9829, variant B): (latF, lon0, FE, FN); '
+    'merc (9804, variant A): (lon0, k0, FE, FN); '
+    'merc_sp (9805, variant B): (lat1, lon0, FE, FN); '
+    'eqc (1028, equidistant cylindrical): (lat1, lon0, FE, FN); '
+    'longlat (geographic endpoint): (). '
     'Only a projection METHOD outside this list needs new code.'
     % len(_CRS_TABLE))
 

@@ -740,7 +740,9 @@ def test_unregistered_epsg_error_is_a_recipe():
     for frag in ('tm (9807): (lat0, lon0, k0, FE, FN)',
                  'lcc (9802, 2SP): (lat0, lon0, sp1, sp2, FE, FN)',
                  'omerc (9815)', 'krovak (9819)', 'aea (9822)',
-                 'laea (9820)', 'sterea (9809)', 'RADIANS',
+                 'laea (9820', 'sterea (9809)', 'pstereo (9810',
+                 'merc (9804', 'merc_sp (9805', 'eqc (1028',
+                 'longlat (geographic endpoint)', 'RADIANS',
                  "'towgs84'"):
         assert frag in msg, frag
 
@@ -1203,3 +1205,23 @@ def test_round8_registry_crs_roundtrip(crs, strategy):
         assert math.isclose(lon, lon2, abs_tol=1e-7)
         assert math.isclose(lat, lat2, abs_tol=1e-7)
     check()
+
+
+def test_equidistant_cylindrical_pins_and_roundtrip():
+    """EPSG method 1028 (World Equidistant Cylindrical 4087): the
+    meridian arc is pinned by the PUBLISHED WGS84 quarter meridian
+    (10001965.729 m) and the GN 7-2 worked example (55N 10E ->
+    E 1113194.91, N 6097230.31, 1 cm); round trips < 1e-7 deg across
+    the globe."""
+    a, f = O.ELLIPSOIDS['WGS84']
+    _, qm = O.eqc_fwd(0.0, 90.0, a, f, 0.0, 0.0, 0.0, 0.0)
+    assert math.isclose(qm, 10001965.729, abs_tol=0.001)
+    e, n = O.transform_geom(('Point', (10.0, 55.0)), 4326, 4087)[1]
+    assert math.isclose(e, 1113194.91, abs_tol=0.01)
+    assert math.isclose(n, 6097230.31, abs_tol=0.01)
+    for lon, lat in [(-179.0, -89.9), (0.0, 0.0), (120.0, 77.7),
+                     (-10.0, 33.3)]:
+        g = O.transform_geom(('Point', (lon, lat)), 4326, 4087)
+        lon2, lat2 = O.transform_geom(g, 4087, 4326)[1]
+        assert math.isclose(lon, lon2, abs_tol=1e-7)
+        assert math.isclose(lat, lat2, abs_tol=1e-7)

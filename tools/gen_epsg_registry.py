@@ -210,6 +210,12 @@ def curated_rows():
     add(2163, 'laea', '6370997:0', (_d(45), _d(-100), 0.0, 0.0), None,
         'EPSG 2163 US National Atlas Equal Area (authalic sphere)')
 
+    # --- Equidistant cylindrical (method 1028) — the lat/lon-degree
+    # "unprojected" raster grid; meridian arc pinned by the WGS84
+    # quarter meridian in tests
+    add(4087, 'eqc', 'WGS84', (0.0, 0.0, 0.0, 0.0), None,
+        'EPSG 4087 WGS 84 / World Equidistant Cylindrical (method 1028)')
+
     # --- Ellipsoidal Mercator (methods 9804/9805, GN 7-2 pinned)
     add(3395, 'merc', 'WGS84', (0.0, 1.0, 0.0, 0.0), None,
         'EPSG 3395 WGS 84 / World Mercator (method 9804)')
