@@ -425,6 +425,120 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 # ------------------------------------------------------- bitext mining
 
+#: exact-mode bound on the broadcast side (rows x dim floats; 100k x
+#: 64 = 25 MB per executor) — past it the windowed matrix path runs
+_BITEXT_BROADCAST_CAP = 100_000
+
+
+def _exact_topk_both(src: DataFrame, tgt: DataFrame, k: int,
+                     id_col: str, vec_col: str):
+    """Both directions' exact k-NN in ONE pass: the src matrix is
+    broadcast (bounded by ``_BITEXT_BROADCAST_CAP``), one mapInPandas
+    over tgt does a blocked NumPy matmul per Arrow batch — per tgt row
+    the top-k over src is final; per src column each batch emits its
+    local top-k, merged by one small window afterwards (candidates are
+    k x n_src x n_batches rows, nothing matrix-sized ever shuffles).
+    The naive alternative — scoring the n x m matrix and running two
+    row_number windows over it — measured 2x slower at the sf0.1 gate
+    (the two matrix-sized shuffles dominate). Over the cap, that
+    windowed path is the fallback; ``method='lsh'`` remains the
+    100 TB path. Returns (xt, yx) in the retriever contract
+    (query_id, vec_id, cosine, rank)."""
+    rows = src.select(F.col(id_col).cast('long').alias('id'), vec_col) \
+        .limit(_BITEXT_BROADCAST_CAP + 1).collect()
+    if len(rows) > _BITEXT_BROADCAST_CAP:
+        return _exact_topk_both_windowed(src, tgt, k, id_col, vec_col)
+    s_ids = np.array([r['id'] for r in rows], dtype=np.int64)
+    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast((s_ids, S))
+    out_schema = T.StructType([
+        T.StructField('side', T.StringType()),
+        T.StructField('query_id', T.LongType()),
+        T.StructField('vec_id', T.LongType()),
+        T.StructField('cosine', T.DoubleType())])
+    kk = k
+
+    def _kernel(batches):
+        s_ids_l, S_l = bc.value
+        n_src = len(s_ids_l)
+        top = min(kk, n_src)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t_ids = pdf['_id'].to_numpy(dtype=np.int64)
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf['_vec']])
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            C = M @ S_l.T  # (batch_tgt, n_src)
+            out = {'side': [], 'query_id': [], 'vec_id': [], 'cosine': []}
+            # per tgt row: exact top-k over ALL src (ties by src id asc)
+            order = np.lexsort((s_ids_l[None, :].repeat(len(t_ids), 0),
+                                -C), axis=1)[:, :top]
+            for i in range(len(t_ids)):
+                for j in order[i]:
+                    out['side'].append('yx')
+                    out['query_id'].append(int(t_ids[i]))
+                    out['vec_id'].append(int(s_ids_l[j]))
+                    out['cosine'].append(float(C[i, j]))
+            # per src column: this batch's local top-k over tgt
+            topc = min(kk, len(t_ids))
+            order_c = np.lexsort((t_ids[:, None].repeat(n_src, 1),
+                                  -C), axis=0)[:topc, :]
+            for j in range(n_src):
+                for i in order_c[:, j]:
+                    out['side'].append('xt')
+                    out['query_id'].append(int(s_ids_l[j]))
+                    out['vec_id'].append(int(t_ids[i]))
+                    out['cosine'].append(float(C[i, j]))
+            yield pd.DataFrame(out)
+
+    both = tgt.select(F.col(id_col).cast('long').alias('_id'),
+                      F.col(vec_col).alias('_vec')) \
+        .mapInPandas(_kernel, out_schema).localCheckpoint(eager=True)
+    w = Window.partitionBy('query_id').orderBy(F.desc('cosine'),
+                                               F.asc('vec_id'))
+    xt = (both.filter(F.col('side') == 'xt')
+          .withColumn('rank', F.row_number().over(w))
+          .filter(F.col('rank') <= k)
+          .select('query_id', 'vec_id', 'cosine', 'rank'))
+    yx = (both.filter(F.col('side') == 'yx')
+          .withColumn('rank', F.row_number().over(w))
+          .filter(F.col('rank') <= k)
+          .select('query_id', 'vec_id', 'cosine', 'rank'))
+    return xt, yx
+
+
+def _exact_topk_both_windowed(src: DataFrame, tgt: DataFrame, k: int,
+                              id_col: str, vec_col: str):
+    """Fallback past the broadcast cap: score the n x m matrix once
+    (codegen zip_with/aggregate on normalized vectors) and run both
+    directions' row_number windows over the checkpointed scores."""
+    s = normalized(src, id_col, vec_col) \
+        .select(F.col('id').alias('src_id'), F.col('nvec').alias('svec'))
+    t = normalized(tgt, id_col, vec_col) \
+        .select(F.col('id').alias('tgt_id'), F.col('nvec').alias('tvec'))
+    cos = F.aggregate(
+        F.zip_with('svec', 'tvec', lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    mat = (t.join(F.broadcast(s), F.lit(True))
+           .select('src_id', 'tgt_id', cos.alias('cosine'))
+           .localCheckpoint(eager=True))
+    wx = Window.partitionBy('src_id').orderBy(F.desc('cosine'),
+                                              F.asc('tgt_id'))
+    wy = Window.partitionBy('tgt_id').orderBy(F.desc('cosine'),
+                                              F.asc('src_id'))
+    xt = (mat.withColumn('rank', F.row_number().over(wx))
+          .filter(F.col('rank') <= k)
+          .select(F.col('src_id').alias('query_id'),
+                  F.col('tgt_id').alias('vec_id'), 'cosine', 'rank'))
+    yx = (mat.withColumn('rank', F.row_number().over(wy))
+          .filter(F.col('rank') <= k)
+          .select(F.col('tgt_id').alias('query_id'),
+                  F.col('src_id').alias('vec_id'), 'cosine', 'rank'))
+    return xt, yx
+
 def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 threshold: float = 1.04, method: str = 'exact',
                 id_col: str = 'vec_id', vec_col: str = 'embedding',
@@ -455,17 +569,21 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     top is two map-side aggs + one broadcastable join of per-id
     neighborhood means onto the candidate list — nothing quadratic,
     no shuffle beyond the retriever's own."""
-    retrievers = {'exact': cosine_topk, 'lsh': lsh_topk}
-    if method not in retrievers:
-        raise ValueError(f"method must be one of {sorted(retrievers)}, "
+    if method not in ('exact', 'lsh'):
+        raise ValueError("method must be one of ['exact', 'lsh'], "
                          f"got {method!r}")
-    retrieve = retrievers[method]
     # x -> tgt neighborhoods: candidates AND x's denominator; y -> src
     # neighborhoods: y's denominator (and extra candidates, per paper)
-    xt = retrieve(tgt, src, k=k, id_col=id_col, vec_col=vec_col,
-                  exclude_self=False, **retriever_kw)
-    yx = retrieve(src, tgt, k=k, id_col=id_col, vec_col=vec_col,
-                  exclude_self=False, **retriever_kw)
+    if method == 'exact':
+        if retriever_kw:
+            raise ValueError('retriever kwargs only apply to method='
+                             f"'lsh', got {sorted(retriever_kw)}")
+        xt, yx = _exact_topk_both(src, tgt, k, id_col, vec_col)
+    else:
+        xt = lsh_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col,
+                      exclude_self=False, **retriever_kw)
+        yx = lsh_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col,
+                      exclude_self=False, **retriever_kw)
     x_mean = xt.groupBy('query_id').agg(F.avg('cosine').alias('x_knn'))
     y_mean = yx.groupBy('query_id').agg(F.avg('cosine').alias('y_knn'))
     cands = (xt.select(F.col('query_id').alias('src_id'),

@@ -1953,3 +1953,29 @@ def test_bitext_mine_planted_pairs(spark):
         {(2 * i, 2 * i + 1) for i in range(8)}
     with pytest.raises(ValueError, match='method'):
         bitext_mine(src, tgt, method='nope')
+
+
+def test_bitext_exact_fallback_parity(spark, monkeypatch):
+    """Past the broadcast cap the exact retriever falls back to the
+    windowed matrix path — mined pairs must be identical (margins to
+    1e-9) to the blocked-matmul path on the same corpus."""
+    import numpy as np
+
+    import erde_spark.scale.similarity as S
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(10, 24))
+    src = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(10)],
+        'vec_id long, embedding array<float>')
+    tgt = spark.createDataFrame(
+        [(100 + i, vecs[i].tolist()) for i in range(6)]
+        + [(200 + j, rng.normal(size=24).tolist()) for j in range(4)],
+        'vec_id long, embedding array<float>')
+    fast = {(r['src_id'], r['tgt_id']): r['margin']
+            for r in S.bitext_mine(src, tgt, k=3, threshold=1.5).collect()}
+    monkeypatch.setattr(S, '_BITEXT_BROADCAST_CAP', 0)
+    slow = {(r['src_id'], r['tgt_id']): r['margin']
+            for r in S.bitext_mine(src, tgt, k=3, threshold=1.5).collect()}
+    assert set(fast) == set(slow) and len(fast) >= 6
+    for p, m in fast.items():
+        assert abs(m - slow[p]) < 1e-9, p
