@@ -4734,6 +4734,47 @@ ORDER BY doc_id
 """
 
 
+def q_pack_bestfit_check(spark, sf_dir):
+    """Whole-document best-fit bin packing (NEW round 8 — the
+    padding-minimizing alternative to concat-then-chunk packing)
+    VALUE-checked by construction: documents get 60 or 40 tokens by
+    doc_id-RANK parity (exact halves at any corpus size), max_tokens
+    100 — a perfect BFD packs every sequence to EXACTLY 100 (any
+    mis-assignment, cap violation, or lost doc shows up as a fill
+    != 100), and per-doc n_tokens/truncated are closed-form. The
+    pairing itself is tie-dependent, so the gate pins the
+    pairing-INDEPENDENT invariants; pairing edge cases live in
+    tests/test_scale.py. Impl:
+    erde_spark/scale/text.py::pack_bins_bestfit."""
+    from erde_spark.scale.text import pack_bins_bestfit
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    w = Window.orderBy('doc_id')
+    ranked = d.withColumn('_r', F.row_number().over(w) - 1)
+    n_docs = ranked.count()
+    n2 = 2 * (n_docs // 2)
+    text = F.array_join(F.transform(
+        F.sequence(F.lit(1),
+                   F.when(F.col('_r') % 2 == 0, F.lit(60)).otherwise(40)),
+        lambda i: F.concat(F.lit('w'), i.cast('string'))), ' ')
+    docs = ranked.filter(F.col('_r') < n2) \
+        .select('doc_id', text.alias('text'))
+    out = pack_bins_bestfit(docs, max_tokens=100)
+    return (out.select('doc_id', 'n_tokens', 'seq_fill',
+                       F.col('truncated').cast('int').alias('truncated'))
+            .orderBy('doc_id'))
+
+
+_PACK_BESTFIT_SQL = """
+WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM documents)
+SELECT doc_id,
+       CASE WHEN rk % 2 = 0 THEN 60 ELSE 40 END AS n_tokens,
+       100 AS seq_fill, 0 AS truncated
+FROM r WHERE rk < 2 * (n // 2)
+ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -4931,10 +4972,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     generated EPSG catalogue tail — World Mercator 9804, Japan CS I,
     polar-aspect LAEA, GK CM variant — zero-error round trips plus the
     4,000,000 m zone-vs-CM false-easting invariant DuckDB replays
-    exactly). Displaced to the tail: simhash_check, embedding_lsh_check,
-    minhash_cluster_check, embedding_cluster_check, ann_rank1_check,
-    passage_span_check, readability, image_phash_dedup, dsir_weights
-    and video_metadata (all driver-green r06 AND r07).
+    exactly), and pack_bestfit_check (whole-document best-fit bin
+    packing on an exact-halves 60/40-token construction: every
+    sequence must fill to exactly 100 — pairing-independent, pure
+    rank arithmetic for DuckDB). Displaced to the tail:
+    simhash_check, embedding_lsh_check, minhash_cluster_check,
+    embedding_cluster_check, ann_rank1_check, passage_span_check,
+    readability, image_phash_dedup, dsir_weights, video_metadata and
+    mojibake_fix (all driver-green in at least two of r05-r07).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -4961,7 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exactsubstr_cut': q_exactsubstr_cut,
         'media_decode_mixed': q_media_decode_mixed,
         'video_frame_dedup': q_video_frame_dedup,
-        'mojibake_fix': q_mojibake_fix,
+        'pack_bestfit_check': q_pack_bestfit_check,
         'url_canonical_dedup': q_url_canonical_dedup,
         'robots_filter': q_robots_filter,
         'boilerplate_lines': q_boilerplate_lines,
@@ -5001,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
+        'mojibake_fix': q_mojibake_fix,
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
@@ -5118,6 +5164,7 @@ def oracle_sql() -> dict[str, str]:
         'exactsubstr_cut': _EXACTSUBSTR_CUT_SQL,
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bitext_mine_check': _BITEXT_MINE_SQL,
+        'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,

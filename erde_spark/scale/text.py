@@ -349,6 +349,86 @@ def pack_offsets(df: DataFrame, id_col: str = 'doc_id',
     return out.select(*keep)
 
 
+def pack_bins_bestfit(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text', max_tokens: int = 2048,
+                      shard_col: str | None = None) -> DataFrame:
+    """Whole-document bin packing — the padding-minimizing alternative
+    to :func:`pack_offsets` for runs that forbid documents spanning a
+    sequence cut (no cross-document attention, no truncated heads):
+    first-fit-decreasing per shard, each document lands WHOLE in
+    exactly one sequence, over-long documents (> ``max_tokens``) get
+    their own sequence flagged ``truncated``. Returns (shard?, id,
+    n_tokens, seq_id, seq_fill, truncated) where ``seq_fill`` is the
+    packed token count of the document's sequence — 1 - fill/max is
+    the padding the packer saved or must pay.
+
+    Scale shape: packing is inherently sequential WITHIN a bin set, so
+    the parallel unit is the shard — one ``applyInPandas`` group per
+    ``shard_col`` value (language, source, hash bucket; REQUIRED
+    discipline at scale, same contract as pack_offsets' window), FFD
+    inside the kernel over that shard's (n_tokens, id) pairs only —
+    token counts, never text, cross into Python. Deterministic:
+    descending n_tokens, ascending id tie-break."""
+    if max_tokens <= 0:
+        raise ValueError('max_tokens must be positive')
+    shard = shard_col or '_shard'
+    base = df.select(
+        *([F.col(shard_col)] if shard_col else [F.lit(0).alias('_shard')]),
+        F.col(id_col).alias('_id'),
+        token_count(F.col(text_col)).cast('long').alias('n_tokens'))
+    out_schema = T.StructType([
+        T.StructField(shard, base.schema[shard].dataType),
+        T.StructField('_id', base.schema['_id'].dataType),
+        T.StructField('n_tokens', T.LongType()),
+        T.StructField('seq_id', T.LongType()),
+        T.StructField('seq_fill', T.LongType()),
+        T.StructField('truncated', T.BooleanType())])
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+        rows = sorted(zip(pdf['n_tokens'], pdf['_id']),
+                      key=lambda t: (-t[0], t[1]))
+        fills: list = []     # fills[b] = tokens in bin b
+        rema: list = []      # open bins' remaining capacity, sorted asc
+        rbin: list = []      # bin id parallel to rema
+        assign = {}
+        for n, i in rows:
+            n = int(n)
+            if n >= max_tokens:
+                assign[i] = (len(fills), n, n > max_tokens)
+                fills.append(max_tokens)   # full: nothing else fits
+                continue
+            # best fit = smallest remaining capacity that still takes n
+            # (O(log bins) bisect instead of an O(bins) scan — a shard
+            # of 100k docs would otherwise pay docs x bins)
+            j = bisect.bisect_left(rema, n)
+            if j < len(rema):
+                b, rem = rbin[j], rema[j]
+                del rema[j], rbin[j]
+            else:
+                b, rem = len(fills), max_tokens
+                fills.append(0)
+            fills[b] += n
+            rem -= n
+            if rem > 0:
+                k = bisect.bisect_left(rema, rem)
+                rema.insert(k, rem)
+                rbin.insert(k, b)
+            assign[i] = (b, n, False)
+        sh = pdf[shard].iloc[0] if len(pdf) else None
+        recs = [(sh, i, n, b, min(fills[b], max_tokens), tr)
+                for i, (b, n, tr) in assign.items()]
+        return pd.DataFrame(recs, columns=[shard, '_id', 'n_tokens',
+                                           'seq_id', 'seq_fill',
+                                           'truncated'])
+
+    out = base.groupBy(shard).applyInPandas(_bfd, out_schema)
+    keep = ([F.col(shard)] if shard_col else []) + [
+        F.col('_id').alias(id_col), 'n_tokens', 'seq_id', 'seq_fill',
+        'truncated']
+    return out.select(*keep)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text. The exact-dedup key."""

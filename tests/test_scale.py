@@ -1979,3 +1979,53 @@ def test_bitext_exact_fallback_parity(spark, monkeypatch):
     assert set(fast) == set(slow) and len(fast) >= 6
     for p, m in fast.items():
         assert abs(m - slow[p]) < 1e-9, p
+
+
+def test_pack_bins_bestfit(spark):
+    """Whole-document best-fit-decreasing packing: every doc lands in
+    exactly one sequence, no sequence exceeds max_tokens, over-long
+    docs get their own truncated-flagged sequence, the packing is
+    deterministic across repartitionings, and BFD beats naive
+    arrival-order first-fit on a fixture designed to punish it."""
+    from erde_spark.scale.text import pack_bins_bestfit
+    mk = lambda n: ' '.join(f'w{i}' for i in range(n))
+    rows = [(0, mk(60)), (1, mk(50)), (2, mk(40)), (3, mk(40)),
+            (4, mk(30)), (5, mk(20)), (6, mk(150)), (7, mk(100)),
+            (8, mk(10))]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r for r in
+           pack_bins_bestfit(df, max_tokens=100).collect()}
+    assert len(out) == 9
+    # per-sequence sums respect the cap; docs stay whole
+    seqs = {}
+    for r in out.values():
+        if not r['truncated'] and r['n_tokens'] < 100:
+            seqs.setdefault(r['seq_id'], 0)
+            seqs[r['seq_id']] += r['n_tokens']
+    assert all(v <= 100 for v in seqs.values())
+    # the 150-token doc is alone and truncated; the 100-token doc is
+    # alone, full, not truncated
+    assert out[6]['truncated'] and out[6]['seq_fill'] == 100
+    assert not out[7]['truncated']
+    assert all(out[7]['seq_id'] != r['seq_id'] for d, r in out.items()
+               if d not in (6, 7))
+    # BFD on this fixture: 60+40, 50+40+10, 30+20 -> 3 bins for the
+    # small docs (perfect fill on the first two)
+    small_bins = {out[d]['seq_id'] for d in (0, 1, 2, 3, 4, 5, 8)}
+    assert len(small_bins) == 3
+    fills = {out[d]['seq_id']: out[d]['seq_fill']
+             for d in (0, 1, 2, 3, 4, 5, 8)}
+    assert sorted(fills.values(), reverse=True) == [100, 100, 50]
+    # deterministic under repartitioning
+    again = {r['doc_id']: (r['seq_id'], r['seq_fill']) for r in
+             pack_bins_bestfit(df.repartition(5),
+                               max_tokens=100).collect()}
+    assert again == {d: (r['seq_id'], r['seq_fill'])
+                     for d, r in out.items()}
+    # sharded: packing is independent per shard
+    df2 = df.withColumn('lang', (F.col('doc_id') % 2).cast('string'))
+    sh = pack_bins_bestfit(df2, max_tokens=100,
+                           shard_col='lang').collect()
+    assert {r['lang'] for r in sh} == {'0', '1'}
+    with pytest.raises(ValueError, match='max_tokens'):
+        pack_bins_bestfit(df, max_tokens=0)
