@@ -4734,6 +4734,42 @@ ORDER BY doc_id
 """
 
 
+def q_wds_roundtrip(spark, sf_dir):
+    """WebDataset shard export/ingest (NEW round 8 — the tar-of-samples
+    training-loader format, OpenCLIP/LAION-style) VALUE-checked by a
+    full round trip: the documents table writes to tar shards
+    executor-side (.txt text member + .json lang member per sample,
+    deterministic USTAR headers) and reads back through binaryFile +
+    mapInPandas; md5(text) and lang must match the source rows exactly
+    — DuckDB computes them from the table directly. Impl:
+    erde_spark/io/wds.py."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.wds import read_webdataset, write_webdataset
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang')
+    base = tempfile.mkdtemp(prefix='erde_wds_')
+    write_webdataset(d.repartition(8), base,
+                     columns={'text': 'txt', 'lang': 'json'},
+                     shard_size=2000)
+    back = read_webdataset(spark, base,
+                           {'txt': ('text', 'str'),
+                            'json': ('lang', 'str')})
+    res = (back.select(F.col('key').cast('long').alias('doc_id'),
+                       F.md5(F.coalesce(F.col('text'), F.lit('')))
+                       .alias('text_md5'), 'lang')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_WDS_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_pack_bestfit_check(spark, sf_dir):
     """Whole-document best-fit bin packing (NEW round 8 — the
     padding-minimizing alternative to concat-then-chunk packing)
@@ -5007,7 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_decode_mixed': q_media_decode_mixed,
         'video_frame_dedup': q_video_frame_dedup,
         'pack_bestfit_check': q_pack_bestfit_check,
-        'url_canonical_dedup': q_url_canonical_dedup,
+        'wds_roundtrip': q_wds_roundtrip,
         'robots_filter': q_robots_filter,
         'boilerplate_lines': q_boilerplate_lines,
         'nb_classifier': q_nb_classifier,
@@ -5047,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
+        'url_canonical_dedup': q_url_canonical_dedup,
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
@@ -5165,6 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bitext_mine_check': _BITEXT_MINE_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
+        'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     'bitext_mine_check',
     'geo_transform_registry',
     'pack_bestfit_check',
+    'wds_roundtrip',
 ]
 
 

@@ -1,0 +1,177 @@
+"""WebDataset shard IO — the tar-of-samples format standard in
+large-scale training pipelines (Breuel's webdataset library; used by
+OpenCLIP / LAION-scale runs): each sample is a group of adjacent tar
+members sharing a basename key ('12345.txt', '12345.jpg',
+'12345.json'), shards are plain POSIX tars a training loader streams
+sequentially.
+
+Spark-first shape: the SINK writes one-or-more bounded shards per
+partition executor-side (stdlib ``tarfile``, deterministic USTAR
+headers, sample members adjacent — the format's contract), so a
+balanced repartition controls shard count and no driver collect ever
+happens; the SOURCE lists shards with Spark's ``binaryFile`` reader
+and parses each tar inside ``mapInPandas`` (shards are bounded by
+``shard_size`` at write time, far under binaryFile's ~2 GB per-file
+ceiling). Like Spark's own file sinks, a plain local path on a
+multi-host cluster must be a shared filesystem.
+
+No counterpart in the reference (training-data extension surface,
+SURVEY.md §7.0 layer 6).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: write-side extension inference by Spark type
+_EXT_FOR_TYPE = {T.StringType(): 'txt', T.BinaryType(): 'bin'}
+
+
+def _infer_columns(df: DataFrame, key_col: str) -> dict:
+    cols = {}
+    for f in df.schema.fields:
+        if f.name == key_col:
+            continue
+        cols[f.name] = _EXT_FOR_TYPE.get(f.dataType, 'json')
+    return cols
+
+
+def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
+                     columns: dict | None = None, mode: str = 'overwrite',
+                     shard_size: int = 10_000) -> None:
+    """Write a WebDataset shard directory: ``columns`` maps column ->
+    member extension (default inferred: string -> .txt, binary -> raw
+    .bin, anything else JSON-encoded -> .json). Null members are
+    skipped (sparse samples are legal WebDataset). Each partition
+    rolls a new ``shard-<taskid>-<n>.tar`` every ``shard_size``
+    samples; member headers are deterministic (mtime 0, root
+    ownership) so identical data produces identical shards."""
+    import shutil
+    if shard_size <= 0:
+        raise ValueError('shard_size must be positive')
+    cols = dict(columns) if columns else _infer_columns(df, key_col)
+    if not cols:
+        raise ValueError('no sample columns (only the key?)')
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    field_type = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in field_type:
+            raise ValueError(f'no column {c!r} in the frame')
+    names = list(cols)
+    rows = df.select(F.col(key_col).cast('string').alias('_key'), *names)
+
+    def _write_partition(it):
+        from pyspark import TaskContext
+        tid = TaskContext.get().partitionId()
+        tar = None
+        shard_idx = 0
+        n_in_shard = 0
+
+        def _open():
+            name = os.path.join(path, f'shard-{tid:05d}-{shard_idx:05d}.tar')
+            return tarfile.open(name, 'w', format=tarfile.USTAR_FORMAT)
+
+        def _add(t, name, payload):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ''
+            t.addfile(info, io.BytesIO(payload))
+
+        for row in it:
+            if tar is None:
+                tar = _open()
+            for c in names:
+                v = row[c]
+                if v is None:
+                    continue
+                ext = cols[c]
+                if isinstance(v, (bytes, bytearray)):
+                    payload = bytes(v)
+                elif isinstance(v, str):
+                    # strings write raw whatever the extension — a
+                    # string column tagged 'json' already IS json text
+                    payload = v.encode('utf-8')
+                else:
+                    payload = json.dumps(v, sort_keys=True,
+                                         ensure_ascii=False).encode('utf-8')
+                _add(tar, f"{row['_key']}.{ext}", payload)
+            n_in_shard += 1
+            if n_in_shard >= shard_size:
+                tar.close()
+                tar, n_in_shard = None, 0
+                shard_idx += 1
+        if tar is not None:
+            tar.close()
+
+    rows.rdd.foreachPartition(_write_partition)
+
+
+def read_webdataset(spark: SparkSession, path: str,
+                    columns: dict | None = None) -> DataFrame:
+    """Read a WebDataset shard directory back into (key, shard,
+    sample columns). ``columns`` maps member extension -> (column
+    name, kind) with kind one of 'str' | 'bytes' | 'json'; default
+    ``{'txt': ('text', 'str')}``. Missing members are null. Samples
+    are grouped by basename key across adjacent members (the format's
+    contract); key order within a shard is preserved into ``_pos`` so
+    sequential loaders can be replayed."""
+    cols = dict(columns) if columns else {'txt': ('text', 'str')}
+    fields = [T.StructField('key', T.StringType()),
+              T.StructField('shard', T.StringType()),
+              T.StructField('_pos', T.LongType())]
+    for ext, (name, kind) in cols.items():
+        fields.append(T.StructField(
+            name, T.BinaryType() if kind == 'bytes' else T.StringType()))
+    schema = T.StructType(fields)
+
+    def _parse(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in fields}
+            for shard_path, blob in zip(pdf['path'], pdf['content']):
+                samples: dict = {}
+                order: list = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        base = os.path.basename(m.name)
+                        key, _, ext = base.partition('.')
+                        if ext not in cols:
+                            continue
+                        if key not in samples:
+                            samples[key] = {}
+                            order.append(key)
+                        samples[key][ext] = tf.extractfile(m).read()
+                for pos, key in enumerate(order):
+                    out['key'].append(key)
+                    out['shard'].append(os.path.basename(shard_path))
+                    out['_pos'].append(pos)
+                    for ext, (name, kind) in cols.items():
+                        raw = samples[key].get(ext)
+                        if raw is None:
+                            out[name].append(None)
+                        elif kind == 'bytes':
+                            out[name].append(raw)
+                        elif kind == 'json':
+                            out[name].append(raw.decode('utf-8'))
+                        else:
+                            out[name].append(raw.decode('utf-8'))
+            yield pd.DataFrame(out)
+
+    files = (spark.read.format('binaryFile')
+             .load(os.path.join(path, '*.tar'))
+             .select('path', 'content'))
+    return files.mapInPandas(_parse, schema)
