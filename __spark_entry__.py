@@ -5008,14 +5008,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     generated EPSG catalogue tail — World Mercator 9804, Japan CS I,
     polar-aspect LAEA, GK CM variant — zero-error round trips plus the
     4,000,000 m zone-vs-CM false-easting invariant DuckDB replays
-    exactly), and pack_bestfit_check (whole-document best-fit bin
+    exactly), pack_bestfit_check (whole-document best-fit bin
     packing on an exact-halves 60/40-token construction: every
     sequence must fill to exactly 100 — pairing-independent, pure
-    rank arithmetic for DuckDB). Displaced to the tail:
+    rank arithmetic for DuckDB), and wds_roundtrip (WebDataset
+    tar-shard export/ingest round trip, md5-exact per document — the
+    training-loader interchange format). Displaced to the tail:
     simhash_check, embedding_lsh_check, minhash_cluster_check,
     embedding_cluster_check, ann_rank1_check, passage_span_check,
-    readability, image_phash_dedup, dsir_weights, video_metadata and
-    mojibake_fix (all driver-green in at least two of r05-r07).
+    readability, image_phash_dedup, dsir_weights, video_metadata,
+    mojibake_fix and url_canonical_dedup (all driver-green in at
+    least two of r05-r07).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
