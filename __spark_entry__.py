@@ -4734,6 +4734,44 @@ ORDER BY doc_id
 """
 
 
+def q_tfrecord_roundtrip(spark, sf_dir):
+    """TFRecord export/ingest (NEW round 8 — tf.train.Example protobuf
+    + CRC-32C framing, both hand-implemented from the published specs
+    and pinned to the RFC 3720 CRC vectors in pytest) VALUE-checked by
+    a full round trip: documents write executor-side (text bytes,
+    lang bytes, n_chars int64 features), read back through binaryFile
+    + mapInPandas WITH CRC verification on; md5(text), lang and
+    n_chars must match the source exactly — DuckDB computes them from
+    the table. Impl: erde_spark/io/tfrecord.py."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.tfrecord import read_tfrecord, write_tfrecord
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang', 'n_chars')
+    base = tempfile.mkdtemp(prefix='erde_tfr_')
+    write_tfrecord(d.repartition(8), base)
+    back = read_tfrecord(spark, base,
+                         {'doc_id': ('int64', 'scalar'),
+                          'text': ('bytes', 'scalar'),
+                          'lang': ('bytes', 'scalar'),
+                          'n_chars': ('int64', 'scalar')})
+    res = (back.select('doc_id',
+                       F.md5(F.coalesce(F.col('text').cast('string'),
+                                        F.lit(''))).alias('text_md5'),
+                       F.col('lang').cast('string').alias('lang'),
+                       'n_chars')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_TFRECORD_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang, n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_wds_roundtrip(spark, sf_dir):
     """WebDataset shard export/ingest (NEW round 8 — the tar-of-samples
     training-loader format, OpenCLIP/LAION-style) VALUE-checked by a
@@ -5008,7 +5046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     generated EPSG catalogue tail — World Mercator 9804, Japan CS I,
     polar-aspect LAEA, GK CM variant — zero-error round trips plus the
     4,000,000 m zone-vs-CM false-easting invariant DuckDB replays
-    exactly), pack_bestfit_check (whole-document best-fit bin
+    exactly), tfrecord_roundtrip (TFRecord export/ingest: Example
+    protobuf + CRC-32C framing hand-implemented from the published
+    specs, md5-exact round trip with CRC verification on),
+    pack_bestfit_check (whole-document best-fit bin
     packing on an exact-halves 60/40-token construction: every
     sequence must fill to exactly 100 — pairing-independent, pure
     rank arithmetic for DuckDB), and wds_roundtrip (WebDataset
@@ -5017,8 +5058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simhash_check, embedding_lsh_check, minhash_cluster_check,
     embedding_cluster_check, ann_rank1_check, passage_span_check,
     readability, image_phash_dedup, dsir_weights, video_metadata,
-    mojibake_fix and url_canonical_dedup (all driver-green in at
-    least two of r05-r07).
+    mojibake_fix, url_canonical_dedup and robots_filter (all
+    driver-green in at least two of r05-r07).
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file."""
     return {
@@ -5047,7 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'video_frame_dedup': q_video_frame_dedup,
         'pack_bestfit_check': q_pack_bestfit_check,
         'wds_roundtrip': q_wds_roundtrip,
-        'robots_filter': q_robots_filter,
+        'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'boilerplate_lines': q_boilerplate_lines,
         'nb_classifier': q_nb_classifier,
         'chunk_documents': q_chunk_documents,
@@ -5087,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
+        'robots_filter': q_robots_filter,
         'dedup_jaccard': q_dedup_jaccard,
         'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
@@ -5206,6 +5248,7 @@ def oracle_sql() -> dict[str, str]:
         'bitext_mine_check': _BITEXT_MINE_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
+        'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
         'audio_features_check': _AUDIO_CHECK_SQL,

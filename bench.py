@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     'geo_transform_registry',
     'pack_bestfit_check',
     'wds_roundtrip',
+    'tfrecord_roundtrip',
 ]
 
 

@@ -1,0 +1,356 @@
+"""TFRecord IO — the TensorFlow training interchange format (public
+spec: TFRecord framing = [length u64le][masked crc32c(length) u32le]
+[payload][masked crc32c(payload) u32le]; payload = a `tf.train.Example`
+protobuf). Both the protobuf Example encoding and CRC-32C (Castagnoli,
+reflected poly 0x82F63B78, final xor, TF's rotate+magic masking) are
+implemented here from the published specifications — no tensorflow /
+protobuf / crc32c packages in this container.
+
+Spark-first shape: the SINK writes one `.tfrecord` file per partition
+executor-side (repartition controls file count); the SOURCE lists
+files with ``binaryFile`` and parses frames inside ``mapInPandas``
+(CRC verification on by default — a corrupt frame raises with the
+offset). CRC is computed VECTORIZED ACROSS RECORDS: the per-byte table
+recurrence is sequential within one record, so the kernel walks byte
+POSITIONS and updates every record's running CRC as one numpy step per
+position — batch cost is O(max_record_len) vector ops instead of a
+per-byte Python loop per record.
+
+Feature kinds supported (the Example oneof): 'bytes' (BytesList —
+strings are UTF-8 encoded), 'int64' (Int64List, packed varints),
+'float' (FloatList, packed f32). Scalars and arrays both round-trip;
+null values write an empty list and read back as null.
+
+No counterpart in the reference (training-data extension surface,
+SURVEY.md §7.0 layer 6).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------- crc32c
+
+_CRC_TABLE = np.zeros(256, dtype=np.uint32)
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ (0x82F63B78 if _c & 1 else 0)
+    _CRC_TABLE[_i] = _c
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C of one buffer (table-driven, numpy-free fallback)."""
+    crc = 0xFFFFFFFF
+    tab = _CRC_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ int(tab[(crc ^ b) & 0xFF])
+    return crc ^ 0xFFFFFFFF
+
+
+def crc32c_many(bufs: list) -> np.ndarray:
+    """CRC-32C of MANY buffers at once: records are padded into a
+    (n, max_len) byte matrix and the table recurrence walks byte
+    positions — each step updates all still-active records as one
+    vectorized operation, so cost is O(max_len) numpy steps rather
+    than a Python loop per byte per record."""
+    n = len(bufs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    m = int(lens.max()) if n else 0
+    mat = np.zeros((n, m), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        if len(b):
+            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(m):
+        active = lens > j
+        if not active.any():
+            break
+        c = crc[active]
+        crc[active] = (c >> np.uint32(8)) ^ _CRC_TABLE[
+            (c ^ mat[active, j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _mask(crc):
+    """TF's masked CRC: rot-right-15 plus the published magic."""
+    crc = np.asarray(crc, dtype=np.uint64)
+    rot = ((crc >> np.uint64(15)) | (crc << np.uint64(17))) \
+        & np.uint64(0xFFFFFFFF)
+    return (rot + np.uint64(0xA282EAD8)) & np.uint64(0xFFFFFFFF)
+
+
+# --------------------------------------------------- protobuf encoding
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zig(n: int) -> int:
+    """int64 two's-complement as protobuf expects (no zigzag for
+    int64 fields — negative values encode as 10-byte varints)."""
+    return n & 0xFFFFFFFFFFFFFFFF
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _feature(kind: str, values) -> bytes:
+    """Encode one Feature message. values is a list (possibly empty)."""
+    if kind == 'bytes':
+        inner = b''.join(_ld(1, v) for v in values)
+        return _ld(1, inner)                    # BytesList bytes_list = 1
+    if kind == 'float':
+        packed = struct.pack(f'<{len(values)}f', *values) if values else b''
+        return _ld(2, _ld(1, packed) if values else b'')  # FloatList = 2
+    if kind == 'int64':
+        packed = b''.join(_varint(_zig(int(v))) for v in values)
+        return _ld(3, _ld(1, packed) if values else b'')  # Int64List = 3
+    raise ValueError(f'unknown feature kind {kind!r}')
+
+
+def encode_example(features: dict) -> bytes:
+    """tf.train.Example bytes from {name: (kind, values-list)}."""
+    feats = b''
+    for name in sorted(features):               # deterministic order
+        kind, values = features[name]
+        entry = _ld(1, name.encode('utf-8')) + _ld(2, _feature(kind, values))
+        feats += _ld(1, entry)                  # map entry: Features.feature
+    return _ld(1, feats)                        # Example.features = 1
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def varint(self) -> int:
+        r = s = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            r |= (b & 0x7F) << s
+            if not b & 0x80:
+                return r
+            s += 7
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+
+def _parse_fields(buf: bytes):
+    """Yield (field, wire, value) over one message's fields."""
+    r = _Reader(buf)
+    while r.pos < len(buf):
+        key = r.varint()
+        field, wire = key >> 3, key & 7
+        if wire == 2:
+            yield field, wire, r.take(r.varint())
+        elif wire == 0:
+            yield field, wire, r.varint()
+        elif wire == 5:
+            yield field, wire, r.take(4)
+        elif wire == 1:
+            yield field, wire, r.take(8)
+        else:
+            raise ValueError(f'unsupported wire type {wire}')
+
+
+def decode_example(buf: bytes) -> dict:
+    """{name: (kind, values-list)} from tf.train.Example bytes."""
+    out = {}
+    for f1, _, feats in _parse_fields(buf):
+        if f1 != 1:
+            continue
+        for fe, _, entry in _parse_fields(feats):
+            if fe != 1:
+                continue
+            name, feature = None, b''
+            for fk, _, v in _parse_fields(entry):
+                if fk == 1:
+                    name = v.decode('utf-8')
+                elif fk == 2:
+                    feature = v
+            kind, values = None, []
+            for fl, _, lst in _parse_fields(feature):
+                if fl == 1:                     # BytesList
+                    kind = 'bytes'
+                    values = [v for f, _, v in _parse_fields(lst) if f == 1]
+                elif fl == 2:                   # FloatList
+                    kind = 'float'
+                    for f, w, v in _parse_fields(lst):
+                        if f == 1 and w == 2:   # packed
+                            values += list(struct.unpack(
+                                f'<{len(v) // 4}f', v))
+                        elif f == 1:
+                            values.append(struct.unpack('<f', v)[0])
+                elif fl == 3:                   # Int64List
+                    kind = 'int64'
+                    for f, w, v in _parse_fields(lst):
+                        if f == 1 and w == 2:   # packed varints
+                            r = _Reader(v)
+                            while r.pos < len(v):
+                                u = r.varint()
+                                values.append(u - (1 << 64)
+                                              if u >= (1 << 63) else u)
+                        elif f == 1:
+                            values.append(v - (1 << 64)
+                                          if v >= (1 << 63) else v)
+            if name is not None:
+                out[name] = (kind, values)
+    return out
+
+
+# ------------------------------------------------------------- sink
+
+def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
+                   columns: dict | None = None,
+                   mode: str = 'overwrite') -> None:
+    """Write `.tfrecord` files (one per partition) of tf.train.Example
+    records. ``columns`` maps column -> kind ('bytes' | 'int64' |
+    'float'); default inferred from Spark types (string/binary ->
+    bytes, integral -> int64, fractional -> float). The key column is
+    always included as an int64 feature. Null values write an empty
+    list (reads back as null); array columns write multi-value lists."""
+    import shutil
+    inferred = {}
+    for f in df.schema.fields:
+        dt = f.dataType
+        et = dt.elementType if isinstance(dt, T.ArrayType) else dt
+        if isinstance(et, (T.StringType, T.BinaryType)):
+            inferred[f.name] = 'bytes'
+        elif isinstance(et, (T.FloatType, T.DoubleType)):
+            inferred[f.name] = 'float'
+        else:
+            inferred[f.name] = 'int64'
+    cols = dict(columns) if columns else {
+        k: v for k, v in inferred.items() if k != key_col}
+    for c in cols:
+        if c not in inferred:
+            raise ValueError(f'no column {c!r} in the frame')
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    names = list(cols)
+    rows = df.select(F.col(key_col).cast('long').alias('_key'), *names)
+
+    def _vals(v, kind):
+        if v is None:
+            return []
+        if isinstance(v, (list, tuple)):
+            items = v
+        else:
+            items = [v]
+        if kind == 'bytes':
+            return [x.encode('utf-8') if isinstance(x, str) else bytes(x)
+                    for x in items]
+        return list(items)
+
+    def _write_partition(it):
+        from pyspark import TaskContext
+        tid = TaskContext.get().partitionId()
+        payloads = []
+        for row in it:
+            feats = {key_col: ('int64', [int(row['_key'])])}
+            for c in names:
+                feats[c] = (cols[c], _vals(row[c], cols[c]))
+            payloads.append(encode_example(feats))
+        if not payloads:
+            return
+        data_crc = _mask(crc32c_many(payloads))
+        lens = [struct.pack('<Q', len(p)) for p in payloads]
+        len_crc = _mask(crc32c_many(lens))
+        name = os.path.join(path, f'part-{tid:05d}.tfrecord')
+        with open(name, 'wb') as out:
+            for i, p in enumerate(payloads):
+                out.write(lens[i])
+                out.write(struct.pack('<I', int(len_crc[i])))
+                out.write(p)
+                out.write(struct.pack('<I', int(data_crc[i])))
+
+    rows.rdd.foreachPartition(_write_partition)
+
+
+# ------------------------------------------------------------- source
+
+def read_tfrecord(spark: SparkSession, path: str,
+                  columns: dict | None = None,
+                  verify_crc: bool = True) -> DataFrame:
+    """Read a `.tfrecord` directory back. ``columns`` maps feature name
+    -> (kind, 'scalar' | 'array'); default
+    ``{'doc_id': ('int64', 'scalar')}``. Scalars take the first list
+    element (null when the list is empty); arrays keep the list.
+    ``verify_crc`` checks both masked CRCs per frame and raises with
+    the file/offset on corruption."""
+    cols = dict(columns) if columns else {'doc_id': ('int64', 'scalar')}
+    spark_t = {'bytes': T.BinaryType(), 'int64': T.LongType(),
+               'float': T.DoubleType()}
+    fields = [T.StructField('_file', T.StringType())]
+    for name, (kind, shape) in cols.items():
+        t = spark_t[kind]
+        fields.append(T.StructField(
+            name, T.ArrayType(t) if shape == 'array' else t))
+    schema = T.StructType(fields)
+
+    def _parse(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in fields}
+            for fpath, blob in zip(pdf['path'], pdf['content']):
+                buf = bytes(blob)
+                pos = 0
+                payloads = []
+                while pos < len(buf):
+                    (ln,) = struct.unpack_from('<Q', buf, pos)
+                    (lc,) = struct.unpack_from('<I', buf, pos + 8)
+                    data = buf[pos + 12:pos + 12 + ln]
+                    (dc,) = struct.unpack_from('<I', buf, pos + 12 + ln)
+                    if verify_crc:
+                        if int(_mask(crc32c(buf[pos:pos + 8]))) != lc:
+                            raise IOError(
+                                f'{fpath}: length CRC mismatch @ {pos}')
+                        if int(_mask(crc32c(data))) != dc:
+                            raise IOError(
+                                f'{fpath}: data CRC mismatch @ {pos}')
+                    payloads.append(data)
+                    pos += 16 + ln
+                for p in payloads:
+                    ex = decode_example(p)
+                    out['_file'].append(os.path.basename(fpath))
+                    for name, (kind, shape) in cols.items():
+                        got = ex.get(name)
+                        vals = got[1] if got else []
+                        if kind == 'bytes':
+                            vals = [bytes(v) for v in vals]
+                        elif kind == 'float':
+                            vals = [float(v) for v in vals]
+                        if shape == 'array':
+                            out[name].append(vals if got else None)
+                        else:
+                            out[name].append(vals[0] if vals else None)
+            yield pd.DataFrame(out)
+
+    files = (spark.read.format('binaryFile')
+             .load(os.path.join(path, '*.tfrecord'))
+             .select('path', 'content'))
+    return files.mapInPandas(_parse, schema)
