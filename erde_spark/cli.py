@@ -494,6 +494,27 @@ def bitext(input_data: DataFrame, target_data: DataFrame, k: int = 4,
 
 
 @autocli
+def wds(input_data: DataFrame, output_dir: str, key_column: str = 'doc_id',
+        shard_size: int = 10000):
+    """Export to WebDataset tar shards (the tar-of-samples
+    training-loader format): string columns become .txt members,
+    binary .bin, everything else .json, keyed by key-column."""
+    from erde_spark.io.wds import write_webdataset
+    write_webdataset(input_data, output_dir, key_col=key_column,
+                     shard_size=shard_size)
+
+
+@autocli
+def tfexport(input_data: DataFrame, output_dir: str,
+             key_column: str = 'doc_id'):
+    """Export to TFRecord files of tf.train.Example records (feature
+    kinds inferred: string/binary -> bytes, integral -> int64,
+    fractional -> float; CRC-32C framing per the published spec)."""
+    from erde_spark.io.tfrecord import write_tfrecord
+    write_tfrecord(input_data, output_dir, key_col=key_column)
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -512,7 +533,8 @@ COMMANDS = {
     'scrub': scrub, 'extract': extract, 'select': select, 'tokenize': tokenize,
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
-    'linededup': linededup, 'bitext': bitext,
+    'linededup': linededup, 'bitext': bitext, 'wds': wds,
+    'tfexport': tfexport,
 }
 
 

@@ -163,7 +163,14 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark(app_name='training_pipeline')
     result = curate(spark, sf_dir)
-    if out:
+    if out and out.endswith('.wds'):
+        # 10. hand the curated corpus straight to a training loader:
+        # WebDataset tar shards (or swap in write_tfrecord for TFRecord)
+        from erde_spark.io.wds import write_webdataset
+        write_webdataset(result.select('doc_id', 'text', 'lang'), out,
+                         shard_size=10_000)
+        print(f'wrote WebDataset shards to {out}')
+    elif out:
         result.write.mode('overwrite').parquet(out)
         print(f'wrote {spark.read.parquet(out).count()} curated docs to {out}')
     else:

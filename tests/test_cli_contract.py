@@ -359,3 +359,33 @@ def test_bitext_subcommand(spark, tmp_path):
     got = {(r['src_id'], r['tgt_id'])
            for r in spark.read.parquet(out).collect()}
     assert got == {(i, 100 + i) for i in range(8)}
+
+
+def test_wds_and_tfexport_subcommands(spark, tmp_path):
+    """The training-shard export subcommands write from the shell:
+    wds emits tar shards readable by read_webdataset; tfexport emits
+    CRC-framed TFRecords readable by read_tfrecord."""
+    import glob
+
+    from erde_spark.cli import entrypoint
+    from erde_spark.io.tfrecord import read_tfrecord
+    from erde_spark.io.wds import read_webdataset
+    src = str(tmp_path / 'docs.parquet')
+    spark.createDataFrame(
+        [(i, f'document body {i}', i * 10) for i in range(12)],
+        'doc_id long, text string, n_chars long') \
+        .write.mode('overwrite').parquet(src)
+    out1 = str(tmp_path / 'shards')
+    entrypoint(['wds', src, out1, '--shard-size', '5'])
+    assert glob.glob(out1 + '/*.tar')
+    back = {int(r['key']): r['text'] for r in
+            read_webdataset(spark, out1).collect()}
+    assert back[3] == 'document body 3' and len(back) == 12
+    out2 = str(tmp_path / 'tfr')
+    entrypoint(['tfexport', src, out2])
+    rows = {r['doc_id']: r for r in read_tfrecord(
+        spark, out2, {'doc_id': ('int64', 'scalar'),
+                      'text': ('bytes', 'scalar'),
+                      'n_chars': ('int64', 'scalar')}).collect()}
+    assert bytes(rows[7]['text']) == b'document body 7'
+    assert rows[7]['n_chars'] == 70 and len(rows) == 12
