@@ -586,3 +586,35 @@ def test_tfrecord_roundtrip_and_crc(spark, tmp_path):
         write_tfrecord(docs, out, mode='error')
     with _p.raises(ValueError, match='no column'):
         write_tfrecord(docs, str(tmp_path / 'x'), columns={'nope': 'bytes'})
+
+
+def test_arrow_shards_roundtrip(spark, tmp_path):
+    """Arrow IPC shard sink/source (HF-datasets on-disk format):
+    long/double/string/binary/bool/array columns round trip with
+    nulls; one file per non-empty partition; the reader takes its
+    schema from a shard footer; value equality is exact."""
+    import glob
+
+    from erde_spark.io.arrow_shards import (read_arrow_shards,
+                                            write_arrow_shards)
+    rows = [(i, f'téxt {i}' if i % 7 else None, float(i) / 3,
+             bytes([i % 250, 9]), i % 2 == 0, [1, i, -i]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, 'doc_id long, text string, score double, blob binary, '
+              'flag boolean, arr array<long>')
+    out = str(tmp_path / 'arrow')
+    write_arrow_shards(df.repartition(4), out)
+    assert 1 <= len(glob.glob(out + '/*.arrow')) <= 4
+    back = {r['doc_id']: r for r in read_arrow_shards(spark, out).collect()}
+    assert len(back) == 30
+    for i, text, score, blob, flag, arr in rows:
+        r = back[i]
+        assert r['text'] == text
+        assert abs(r['score'] - score) < 1e-12
+        assert bytes(r['blob']) == blob
+        assert r['flag'] == flag and list(r['arr']) == arr
+    import pytest as _p
+    with _p.raises(FileExistsError):
+        write_arrow_shards(df, out, mode='error')
+    with _p.raises(FileNotFoundError):
+        read_arrow_shards(spark, str(tmp_path / 'nope'))
