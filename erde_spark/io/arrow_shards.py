@@ -4,13 +4,15 @@ Feather v2): one ``.arrow`` file per partition, zero-copy mappable by
 any Arrow reader.
 
 Spark-first shape: the SINK streams each partition's Arrow batches
-straight into one IPC file executor-side (pyarrow does the encoding —
-unlike the WARC/WebDataset/TFRecord sinks nothing is hand-rolled here,
-the container ships pyarrow); the SOURCE reads the schema from ONE
-file footer on the driver, then parses every shard inside
-``mapInPandas`` via ``binaryFile`` (shards are partition-sized; keep
-partitions under binaryFile's ~2 GB per-file ceiling with a
-repartition before writing, same discipline as every file sink here).
+into IPC shard files executor-side, ROLLING a new shard per
+``shard_size`` rows / ``shard_bytes`` encoded bytes (pyarrow does the
+encoding — unlike the WARC/WebDataset/TFRecord sinks nothing is
+hand-rolled here, the container ships pyarrow) with attempt-scoped
+staging + atomic rename; the SOURCE reads the schema from ONE file
+footer on the driver, then parses every shard inside ``mapInPandas``
+via ``binaryFile`` (each shard is buffered whole on read, so the
+write-side rolling caps — not partition skew — bound read memory and
+keep shards far under binaryFile's ~2 GB per-file ceiling).
 
 No counterpart in the reference (training-data extension surface,
 SURVEY.md §7.0 layer 6).
@@ -79,15 +81,26 @@ def _spark_schema(pa_schema) -> T.StructType:
     return T.StructType(fields)
 
 
-def write_arrow_shards(df: DataFrame, path: str,
-                       mode: str = 'overwrite') -> None:
-    """Write one Arrow IPC file per partition under ``path``. Empty
-    partitions produce no file. Task retries overwrite the same
-    deterministic ``part-<id>.arrow`` name, so the sink is idempotent
-    per partition like Spark's own file committers."""
+def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
+                       shard_size: int = 500_000,
+                       shard_bytes: int = 256 << 20) -> None:
+    """Write Arrow IPC shards under ``path``. Empty partitions produce
+    no file. Each partition ROLLS a new ``part-<task>-<n>.arrow`` shard
+    every ``shard_size`` rows or once ``shard_bytes`` encoded bytes
+    have hit the current shard (checked at 10k-row batch boundaries
+    via the file offset, so the cap can overshoot by at most one
+    batch) — a skewed 10 GB partition becomes splittable ~256 MB
+    shards instead of one unsplittable file, and the read side (which
+    buffers one whole shard per ``binaryFile`` row) stays bounded by
+    the shard cap rather than by partition skew. Shards stage to
+    attempt-scoped temp names and rename atomically on completion, so
+    speculative or retried task attempts never interleave writes into
+    one shard (same discipline as Spark's own file committers)."""
     import shutil
     schema = _pa_schema(df.schema)
     names = [f.name for f in df.schema.fields]
+    if shard_size <= 0 or shard_bytes <= 0:
+        raise ValueError('shard_size and shard_bytes must be positive')
     if mode == 'error' and os.path.exists(path):
         raise FileExistsError(path)
     if mode == 'overwrite':
@@ -97,33 +110,55 @@ def write_arrow_shards(df: DataFrame, path: str,
     def _write_partition(it):
         import pyarrow as pa
         from pyspark import TaskContext
+
+        from erde_spark.io.task_files import commit_file, staging_path
         tid = TaskContext.get().partitionId()
         writer = None
         sink = None
+        tmp = final = None
         batch = []
-        fname = os.path.join(path, f'part-{tid:05d}.arrow')
+        shard_idx = 0
+        rows_in_shard = 0
 
         def _flush():
-            nonlocal writer, sink
+            nonlocal writer, sink, tmp, final
             if not batch:
                 return
             pdf = pd.DataFrame.from_records(batch, columns=names)
             tbl = pa.Table.from_pandas(pdf, schema=schema,
                                        preserve_index=False)
             if writer is None:
-                sink = pa.OSFile(fname, 'wb')
+                final = os.path.join(
+                    path, f'part-{tid:05d}-{shard_idx:05d}.arrow')
+                tmp = staging_path(final)
+                sink = pa.OSFile(tmp, 'wb')
                 writer = pa.ipc.new_file(sink, schema)
             writer.write_table(tbl)
             batch.clear()
 
-        for row in it:
-            batch.append(tuple(row[n] for n in names))
-            if len(batch) >= 10_000:
-                _flush()
-        _flush()
-        if writer is not None:
+        def _roll():
+            nonlocal writer, sink, shard_idx, rows_in_shard
+            if writer is None:
+                return
             writer.close()
             sink.close()
+            commit_file(tmp, final)
+            writer = sink = None
+            shard_idx += 1
+            rows_in_shard = 0
+
+        batch_rows = min(10_000, shard_size)
+        for row in it:
+            batch.append(tuple(row[n] for n in names))
+            rows_in_shard += 1
+            if len(batch) >= batch_rows:
+                _flush()
+                if (rows_in_shard >= shard_size
+                        or (sink is not None
+                            and sink.tell() >= shard_bytes)):
+                    _roll()
+        _flush()
+        _roll()
 
     df.rdd.foreachPartition(_write_partition)
 

@@ -6,11 +6,17 @@ reflected poly 0x82F63B78, final xor, TF's rotate+magic masking) are
 implemented here from the published specifications — no tensorflow /
 protobuf / crc32c packages in this container.
 
-Spark-first shape: the SINK writes one `.tfrecord` file per partition
-executor-side (repartition controls file count); the SOURCE lists
-files with ``binaryFile`` and parses frames inside ``mapInPandas``
-(CRC verification on by default — a corrupt frame raises with the
-offset). CRC is computed VECTORIZED ACROSS RECORDS: the per-byte table
+Spark-first shape: the SINK writes `.tfrecord` shards executor-side,
+ROLLING a new shard per ``shard_size`` records / ``shard_bytes`` bytes
+(repartition controls parallelism; rolling bounds shard size under
+partition skew — and therefore the read side's per-file buffer, since
+``binaryFile`` hands each shard over whole); shards stage to
+attempt-scoped temp names and rename atomically on completion. The
+SOURCE lists files with ``binaryFile`` and parses frames inside
+``mapInPandas`` (CRC verification on by default — a corrupt frame
+raises with the offset; verification runs through the same vectorized
+kernel as the write side, one ``crc32c_many`` call per CRC column per
+file). CRC is computed VECTORIZED ACROSS RECORDS: the per-byte table
 recurrence is sequential within one record, so the kernel walks byte
 POSITIONS and updates every record's running CRC as one numpy step per
 position — batch cost is O(max_record_len) vector ops instead of a
@@ -253,14 +259,29 @@ def decode_example(buf: bytes) -> dict:
 # ------------------------------------------------------------- sink
 
 def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
-                   columns: dict | None = None,
-                   mode: str = 'overwrite') -> None:
-    """Write `.tfrecord` files (one per partition) of tf.train.Example
-    records. ``columns`` maps column -> kind ('bytes' | 'int64' |
-    'float'); default inferred from Spark types (string/binary ->
-    bytes, integral -> int64, fractional -> float). The key column is
-    always included as an int64 feature. Null values write an empty
-    list (reads back as null); array columns write multi-value lists."""
+                   columns: dict | None = None, mode: str = 'overwrite',
+                   shard_size: int = 200_000,
+                   shard_bytes: int = 256 << 20) -> None:
+    """Write `.tfrecord` shard files of tf.train.Example records.
+    ``columns`` maps column -> kind ('bytes' | 'int64' | 'float');
+    default inferred from Spark types (string/binary -> bytes,
+    integral -> int64, fractional -> float). The key column is always
+    included as an int64 feature. Null values write an empty list
+    (reads back as null); array columns write multi-value lists.
+
+    Each partition ROLLS a new ``part-<task>-<n>.tfrecord`` shard every
+    ``shard_size`` records or ``shard_bytes`` encoded bytes, whichever
+    comes first — a skewed 10 GB partition becomes ~40 splittable
+    256 MB shards instead of one unsplittable file, and the read side
+    (which buffers one whole file per ``binaryFile`` row) stays
+    bounded by the shard cap rather than by partition skew. One
+    shard's records are buffered in memory before the flush (that is
+    what lets the CRC run vectorized across the whole shard), so
+    ``shard_bytes`` is also the sink's memory high-water mark per
+    task. Shards are staged to attempt-scoped temp names and
+    atomically renamed on completion, so speculative or retried task
+    attempts never interleave writes into one shard (same discipline
+    as Spark's own file committers)."""
     import shutil
     inferred = {}
     for f in df.schema.fields:
@@ -297,27 +318,48 @@ def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
                     for x in items]
         return list(items)
 
+    if shard_size <= 0 or shard_bytes <= 0:
+        raise ValueError('shard_size and shard_bytes must be positive')
+
     def _write_partition(it):
         from pyspark import TaskContext
+
+        from erde_spark.io.task_files import commit_file, staging_path
         tid = TaskContext.get().partitionId()
-        payloads = []
+        shard_idx = 0
+        payloads: list = []
+        nbytes = 0
+
+        def _flush():
+            nonlocal shard_idx, payloads, nbytes
+            if not payloads:
+                return
+            data_crc = _mask(crc32c_many(payloads))
+            lens = [struct.pack('<Q', len(p)) for p in payloads]
+            len_crc = _mask(crc32c_many(lens))
+            final = os.path.join(
+                path, f'part-{tid:05d}-{shard_idx:05d}.tfrecord')
+            tmp = staging_path(final)
+            with open(tmp, 'wb') as out:
+                for i, p in enumerate(payloads):
+                    out.write(lens[i])
+                    out.write(struct.pack('<I', int(len_crc[i])))
+                    out.write(p)
+                    out.write(struct.pack('<I', int(data_crc[i])))
+            commit_file(tmp, final)
+            shard_idx += 1
+            payloads, nbytes = [], 0
+
         for row in it:
             feats = {key_col: ('int64', [int(row['_key'])])}
             for c in names:
                 feats[c] = (cols[c], _vals(row[c], cols[c]))
-            payloads.append(encode_example(feats))
-        if not payloads:
-            return
-        data_crc = _mask(crc32c_many(payloads))
-        lens = [struct.pack('<Q', len(p)) for p in payloads]
-        len_crc = _mask(crc32c_many(lens))
-        name = os.path.join(path, f'part-{tid:05d}.tfrecord')
-        with open(name, 'wb') as out:
-            for i, p in enumerate(payloads):
-                out.write(lens[i])
-                out.write(struct.pack('<I', int(len_crc[i])))
-                out.write(p)
-                out.write(struct.pack('<I', int(data_crc[i])))
+            p = encode_example(feats)
+            payloads.append(p)
+            nbytes += len(p) + 16           # frame = 16 header/CRC bytes
+            if len(payloads) >= shard_size or nbytes >= shard_bytes:
+                _flush()
+        _flush()
 
     rows.rdd.foreachPartition(_write_partition)
 
@@ -350,20 +392,35 @@ def read_tfrecord(spark: SparkSession, path: str,
                 buf = bytes(blob)
                 pos = 0
                 payloads = []
+                offsets, len_bytes, stored_lc, stored_dc = [], [], [], []
                 while pos < len(buf):
                     (ln,) = struct.unpack_from('<Q', buf, pos)
                     (lc,) = struct.unpack_from('<I', buf, pos + 8)
                     data = buf[pos + 12:pos + 12 + ln]
                     (dc,) = struct.unpack_from('<I', buf, pos + 12 + ln)
                     if verify_crc:
-                        if int(_mask(crc32c(buf[pos:pos + 8]))) != lc:
-                            raise IOError(
-                                f'{fpath}: length CRC mismatch @ {pos}')
-                        if int(_mask(crc32c(data))) != dc:
-                            raise IOError(
-                                f'{fpath}: data CRC mismatch @ {pos}')
+                        offsets.append(pos)
+                        len_bytes.append(buf[pos:pos + 8])
+                        stored_lc.append(lc)
+                        stored_dc.append(dc)
                     payloads.append(data)
                     pos += 16 + ln
+                if verify_crc and payloads:
+                    # one vectorized crc32c_many call per CRC column per
+                    # file — the same kernel the write side uses, not a
+                    # per-byte Python loop per record
+                    got_lc = _mask(crc32c_many(len_bytes))
+                    got_dc = _mask(crc32c_many(payloads))
+                    bad_l = np.nonzero(
+                        got_lc != np.asarray(stored_lc, dtype=np.uint64))[0]
+                    bad_d = np.nonzero(
+                        got_dc != np.asarray(stored_dc, dtype=np.uint64))[0]
+                    if len(bad_l):
+                        raise IOError(f'{fpath}: length CRC mismatch @ '
+                                      f'{offsets[int(bad_l[0])]}')
+                    if len(bad_d):
+                        raise IOError(f'{fpath}: data CRC mismatch @ '
+                                      f'{offsets[int(bad_d[0])]}')
                 for p in payloads:
                     ex = decode_example(p)
                     out['_file'].append(os.path.basename(fpath))

@@ -49,10 +49,19 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
     """Write a WebDataset shard directory: ``columns`` maps column ->
     member extension (default inferred: string -> .txt, binary -> raw
     .bin, anything else JSON-encoded -> .json). Null members are
-    skipped (sparse samples are legal WebDataset). Each partition
-    rolls a new ``shard-<taskid>-<n>.tar`` every ``shard_size``
-    samples; member headers are deterministic (mtime 0, root
-    ownership) so identical data produces identical shards."""
+    skipped (sparse samples are legal WebDataset); a row whose sample
+    columns are ALL null still emits an empty ``<key>.nul`` sentinel
+    member so the sample round-trips as an all-null row instead of
+    silently vanishing. Keys must not contain ``.`` (the format splits
+    key from extension on the first dot on read — WebDataset's own
+    convention); a dotted key raises ``ValueError`` at write time
+    rather than misfiling samples on read. Each partition rolls a new
+    ``shard-<taskid>-<n>.tar`` every ``shard_size`` samples; member
+    headers are deterministic (mtime 0, root ownership) so identical
+    data produces identical shards. Shards are staged to attempt-scoped
+    temp names and atomically renamed on completion, so speculative or
+    retried task attempts can never interleave writes into one shard
+    (same discipline as Spark's own file committers)."""
     import shutil
     if shard_size <= 0:
         raise ValueError('shard_size must be positive')
@@ -73,14 +82,24 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
 
     def _write_partition(it):
         from pyspark import TaskContext
+
+        from erde_spark.io.task_files import commit_file, staging_path
         tid = TaskContext.get().partitionId()
         tar = None
+        tmp = final = None
         shard_idx = 0
         n_in_shard = 0
 
         def _open():
-            name = os.path.join(path, f'shard-{tid:05d}-{shard_idx:05d}.tar')
-            return tarfile.open(name, 'w', format=tarfile.USTAR_FORMAT)
+            nonlocal tmp, final
+            final = os.path.join(path,
+                                 f'shard-{tid:05d}-{shard_idx:05d}.tar')
+            tmp = staging_path(final)
+            return tarfile.open(tmp, 'w', format=tarfile.USTAR_FORMAT)
+
+        def _close(t):
+            t.close()
+            commit_file(tmp, final)
 
         def _add(t, name, payload):
             info = tarfile.TarInfo(name)
@@ -93,6 +112,14 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
         for row in it:
             if tar is None:
                 tar = _open()
+            key = row['_key']
+            if key is None or '.' in key:
+                raise ValueError(
+                    f'WebDataset key {key!r} is null or contains "." — '
+                    'readers split key from extension on the first dot, '
+                    'so dotted keys misfile on read; sanitize the key '
+                    'column first')
+            wrote_member = False
             for c in names:
                 v = row[c]
                 if v is None:
@@ -107,14 +134,18 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
                 else:
                     payload = json.dumps(v, sort_keys=True,
                                          ensure_ascii=False).encode('utf-8')
-                _add(tar, f"{row['_key']}.{ext}", payload)
+                _add(tar, f'{key}.{ext}', payload)
+                wrote_member = True
+            if not wrote_member:
+                # all-null sample: sentinel member keeps the key alive
+                _add(tar, f'{key}.nul', b'')
             n_in_shard += 1
             if n_in_shard >= shard_size:
-                tar.close()
+                _close(tar)
                 tar, n_in_shard = None, 0
                 shard_idx += 1
         if tar is not None:
-            tar.close()
+            _close(tar)
 
     rows.rdd.foreachPartition(_write_partition)
 
@@ -126,8 +157,11 @@ def read_webdataset(spark: SparkSession, path: str,
     name, kind) with kind one of 'str' | 'bytes' | 'json'; default
     ``{'txt': ('text', 'str')}``. Missing members are null. Samples
     are grouped by basename key across adjacent members (the format's
-    contract); key order within a shard is preserved into ``_pos`` so
-    sequential loaders can be replayed."""
+    contract); EVERY member registers its key — including the
+    ``<key>.nul`` all-null sentinel and extensions outside
+    ``columns`` — so a sample never silently vanishes; key order
+    within a shard is preserved into ``_pos`` so sequential loaders
+    can be replayed."""
     cols = dict(columns) if columns else {'txt': ('text', 'str')}
     fields = [T.StructField('key', T.StringType()),
               T.StructField('shard', T.StringType()),
@@ -149,12 +183,15 @@ def read_webdataset(spark: SparkSession, path: str,
                             continue
                         base = os.path.basename(m.name)
                         key, _, ext = base.partition('.')
-                        if ext not in cols:
-                            continue
                         if key not in samples:
+                            # every member registers its key (so the
+                            # all-null '<key>.nul' sentinel still
+                            # yields a row); only requested extensions
+                            # fill columns
                             samples[key] = {}
                             order.append(key)
-                        samples[key][ext] = tf.extractfile(m).read()
+                        if ext in cols:
+                            samples[key][ext] = tf.extractfile(m).read()
                 for pos, key in enumerate(order):
                     out['key'].append(key)
                     out['shard'].append(os.path.basename(shard_path))

@@ -355,7 +355,7 @@ def pack_bins_bestfit(df: DataFrame, id_col: str = 'doc_id',
     """Whole-document bin packing — the padding-minimizing alternative
     to :func:`pack_offsets` for runs that forbid documents spanning a
     sequence cut (no cross-document attention, no truncated heads):
-    first-fit-decreasing per shard, each document lands WHOLE in
+    best-fit-decreasing per shard, each document lands WHOLE in
     exactly one sequence, over-long documents (> ``max_tokens``) get
     their own sequence flagged ``truncated``. Returns (shard?, id,
     n_tokens, seq_id, seq_fill, truncated) where ``seq_fill`` is the
@@ -365,7 +365,7 @@ def pack_bins_bestfit(df: DataFrame, id_col: str = 'doc_id',
     Scale shape: packing is inherently sequential WITHIN a bin set, so
     the parallel unit is the shard — one ``applyInPandas`` group per
     ``shard_col`` value (language, source, hash bucket; REQUIRED
-    discipline at scale, same contract as pack_offsets' window), FFD
+    discipline at scale, same contract as pack_offsets' window), BFD
     inside the kernel over that shard's (n_tokens, id) pairs only —
     token counts, never text, cross into Python. Deterministic:
     descending n_tokens, ascending id tie-break."""

@@ -618,3 +618,113 @@ def test_arrow_shards_roundtrip(spark, tmp_path):
         write_arrow_shards(df, out, mode='error')
     with _p.raises(FileNotFoundError):
         read_arrow_shards(spark, str(tmp_path / 'nope'))
+
+
+def test_webdataset_allnull_sentinel_and_dotted_key(spark, tmp_path):
+    """Round-8 ADVICE fixes: (a) a sample whose columns are ALL null
+    emits a '<key>.nul' sentinel and round-trips as an all-null row
+    instead of vanishing; (b) a key containing '.' raises at WRITE
+    time (readers split on the first dot, so dotted keys misfile);
+    (c) sinks stage to attempt-scoped temp names — no '.inprogress'
+    residue after a successful write."""
+    import glob
+    import tarfile
+
+    import pytest as _p
+    from erde_spark.io.wds import read_webdataset, write_webdataset
+    rows = [(1, 'a', '{"n":1}'), (2, None, None), (3, 'c', '{"n":3}')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string, '
+                                       'meta string')
+    out = str(tmp_path / 'wds_nul')
+    write_webdataset(docs.coalesce(1), out,
+                     columns={'text': 'txt', 'meta': 'json'})
+    shard = sorted(glob.glob(out + '/*.tar'))[0]
+    with tarfile.open(shard) as tf:
+        names = [m.name for m in tf if m.isfile()]
+    assert '2.nul' in names  # the sentinel
+    assert not glob.glob(out + '/*.inprogress')
+    back = {int(r['key']): r for r in read_webdataset(
+        spark, out, {'txt': ('text', 'str'),
+                     'json': ('meta', 'json')}).collect()}
+    assert len(back) == 3  # the all-null sample did NOT vanish
+    assert back[2]['text'] is None and back[2]['meta'] is None
+    assert back[1]['text'] == 'a'
+    dotted = spark.createDataFrame([('a.b', 'x')], 'doc_id string, '
+                                                   'text string')
+    with _p.raises(Exception, match='contains'):
+        write_webdataset(dotted, str(tmp_path / 'dotted'),
+                         key_col='doc_id', columns={'text': 'txt'})
+
+
+def test_tfrecord_shard_rolling(spark, tmp_path):
+    """Shard-size hardening (round-8 verdict ask #3): one skewed
+    partition rolls multiple shards — shard count scales with rows at
+    fixed partitions, by record cap AND by byte cap — and the round
+    trip stays exact with CRC verification on."""
+    import glob
+
+    from erde_spark.io.tfrecord import read_tfrecord, write_tfrecord
+    docs = spark.createDataFrame([(i, 'x' * 100) for i in range(100)],
+                                 'doc_id long, text string')
+    one_part = docs.coalesce(1)
+    out25 = str(tmp_path / 'tfr25')
+    write_tfrecord(one_part, out25, shard_size=25)
+    assert len(glob.glob(out25 + '/*.tfrecord')) == 4
+    out50 = str(tmp_path / 'tfr50')
+    write_tfrecord(one_part, out50, shard_size=50)
+    assert len(glob.glob(out50 + '/*.tfrecord')) == 2
+    # byte cap: ~120 B/record, 1 KB cap -> ~12 shards
+    outb = str(tmp_path / 'tfrb')
+    write_tfrecord(one_part, outb, shard_bytes=1 << 10)
+    assert len(glob.glob(outb + '/*.tfrecord')) >= 8
+    assert not glob.glob(outb + '/*.inprogress')
+    cols = {'doc_id': ('int64', 'scalar'), 'text': ('bytes', 'scalar')}
+    got = {r['doc_id'] for r in read_tfrecord(spark, outb, cols).collect()}
+    assert got == set(range(100))
+    import pytest as _p
+    with _p.raises(ValueError, match='positive'):
+        write_tfrecord(docs, str(tmp_path / 'bad'), shard_size=0)
+
+
+def test_arrow_shard_rolling(spark, tmp_path):
+    """Arrow IPC sink rolls shards by row cap and byte cap within one
+    partition; every row survives the round trip exactly once."""
+    import glob
+
+    from erde_spark.io.arrow_shards import (read_arrow_shards,
+                                            write_arrow_shards)
+    docs = spark.createDataFrame([(i, 'y' * 200) for i in range(100)],
+                                 'doc_id long, text string')
+    one_part = docs.coalesce(1)
+    out = str(tmp_path / 'arr30')
+    write_arrow_shards(one_part, out, shard_size=30)
+    assert len(glob.glob(out + '/*.arrow')) == 4  # 30+30+30+10
+    outb = str(tmp_path / 'arrb')
+    write_arrow_shards(one_part, outb, shard_size=10)
+    assert len(glob.glob(outb + '/*.arrow')) == 10
+    assert not glob.glob(outb + '/*.inprogress')
+    got = sorted(r['doc_id'] for r in read_arrow_shards(spark,
+                                                        out).collect())
+    assert got == list(range(100))
+    import pytest as _p
+    with _p.raises(ValueError, match='positive'):
+        write_arrow_shards(docs, str(tmp_path / 'bad'), shard_bytes=0)
+
+
+def test_atomic_task_staging_helpers(tmp_path):
+    """staging_path is attempt-scoped and same-directory; commit_file
+    atomically renames onto the final name; abort_file is silent on a
+    missing temp (driver-side attempt id defaults to 0)."""
+    import os
+
+    from erde_spark.io.task_files import (abort_file, commit_file,
+                                          staging_path)
+    final = str(tmp_path / 'part-00000.bin')
+    tmp = staging_path(final)
+    assert tmp.startswith(final + '.') and tmp.endswith('.inprogress')
+    assert os.path.dirname(tmp) == os.path.dirname(final)
+    open(tmp, 'wb').write(b'payload')
+    commit_file(tmp, final)
+    assert open(final, 'rb').read() == b'payload'
+    assert not os.path.exists(tmp)
+    abort_file(tmp)  # no raise on already-gone
