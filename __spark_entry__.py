@@ -4876,6 +4876,37 @@ ORDER BY src_id
 """
 
 
+def q_bitext_lsh_check(spark, sf_dir):
+    """The bitext miner's DECLARED 100 TB retriever (NEW round 9 —
+    verdict ask #4): ``method='lsh'`` replaces the bounded-broadcast
+    exact k-NN with the hyperplane-LSH bucket equi-join
+    (erde_spark/scale/similarity.py::lsh_topk), so neither side is
+    ever broadcast whole. Same planted construction as
+    bitext_mine_check — the target side carries the SAME vector under
+    vec_id+1 — which makes LSH recall exactly 1.0 BY CONSTRUCTION, not
+    probabilistically: an identical normalized vector produces
+    identical sign bits under every hyperplane, so each twin shares
+    its partner's bucket in every probe regardless of seed, scores
+    cosine 1 (the maximum) and lands at retrieval rank 1. The kept
+    pair set is therefore pure vec_id arithmetic for DuckDB; threshold
+    1.0 is provably safe for the planted pairs (a twin-only
+    neighborhood gives margin c/(c/2+c/2) = exactly 1.0 in IEEE;
+    bucket collisions only dilute the kNN means and RAISE the planted
+    margin — measured max 4.19 at sf0.01, 7.13 at sf0.1, nothing
+    non-planted mined at either scale). Margins/cosines themselves are
+    collision- and fp-sensitive, so the gate pins the pair IDs only."""
+    from erde_spark.scale.similarity import bitext_mine
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'] \
+        .select('vec_id', 'embedding')
+    src = e.where(F.col('vec_id') % 2 == 0)
+    tgt = src.select((F.col('vec_id') + 1).alias('vec_id'), 'embedding')
+    out = bitext_mine(src, tgt, k=4, threshold=1.0, method='lsh')
+    return out.select('src_id', 'tgt_id').orderBy('src_id')
+
+
+_BITEXT_LSH_SQL = _BITEXT_MINE_SQL
+
+
 def q_geo_transform_registry(spark, sf_dir):
     """The generated EPSG catalogue tail (round-8: epsg_registry.csv,
     emitted by tools/gen_epsg_registry.py) exercised end-to-end:
@@ -5060,10 +5091,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     readability, image_phash_dedup, dsir_weights, video_metadata,
     mojibake_fix, url_canonical_dedup and robots_filter (all
     driver-green in at least two of r05-r07).
+    Round-9 rotation (verdict ask #1 — FRESHNESS): the window is now
+    packed STALEST-FIRST, mechanically enforced by
+    tools/check_rotation.py (no out-of-window oracled query may be
+    staler than any in-window one; freshness horizon K=4). The r09
+    window therefore leads with the 28 r1-era queries (the TPC-H /
+    window / set-op / events block — last driver-green r01), then the
+    11 r2-era (tpch_q1/q6, subset_dsl, lookup_customer, crossjoin_dims,
+    column_stats, window_top3_orders, asof_last_click, resample_locf,
+    percentile_prices, string_funcs), the round-9 newcomer
+    bitext_lsh_check (the bitext miner's declared 100 TB LSH retriever,
+    recall provably 1.0 on planted identical twins), and 10 of the 12
+    r3-era queries (pack_sequences and oov_rate defer to the r10
+    window, the two least-stale of the cohort). Everything last green
+    r04+ moves to the tail; the r10 window picks up from
+    pack_sequences/oov_rate through the r4/r5/r7 cohorts.
     Invariant maintained: every oracled query has a driver-green row in
-    some round's CORRECTNESS file."""
+    some round's CORRECTNESS file, and the window always refreshes the
+    stalest queries first."""
     return {
-        # -- first 50: one+ oracled query per §2 family ------------------
+        # -- first 50 (the r09 window): stalest-first rotation --
+        'date_funcs': q_date_funcs,
+        'array_funcs': q_array_funcs,
+        'tpch_q3_topk': q_tpch_q3,
+        'tpch_q5_region_revenue': q_tpch_q5,
+        'tpch_q4_semijoin': q_tpch_q4,
+        'tpch_q13_custdist': q_tpch_q13,
+        'tpch_q18_bigorders': q_tpch_q18,
+        'tpch_q19_disjunctive': q_tpch_q19,
+        'tpch_q10_returns': q_tpch_q10,
+        'tpch_q2_min_supplier': q_tpch_q2,
+        'tpch_q7_nation_volume': q_tpch_q7,
+        'tpch_q8_mktshare': q_tpch_q8,
+        'tpch_q9_profit': q_tpch_q9,
+        'tpch_q11_important_parts': q_tpch_q11,
+        'tpch_q14_promo': q_tpch_q14_promo,
+        'tpch_q15_top_supplier': q_tpch_q15,
+        'tpch_q16_supplier_cnt': q_tpch_q16,
+        'tpch_q17_small_qty': q_tpch_q17,
+        'tpch_q20_heavy_shippers': q_tpch_q20,
+        'tpch_q21_waiting': q_tpch_q21,
+        'tpch_q22_idle_customers': q_tpch_q22,
+        'cube_orders': q_cube_orders,
+        'distinct_segments': q_distinct_segments,
+        'supplier_by_nation': q_supplier_by_nation,
+        'window_running_revenue': q_window_running,
+        'events_sliding': q_events_sliding,
+        'events_json': q_events_json,
+        'grouping_sets_orders': q_grouping_sets,
+        'tpch_q1_pricing': q_tpch_q1,
+        'tpch_q6_revenue': q_tpch_q6,
+        'subset_dsl': q_subset_dsl,
+        'lookup_customer': q_lookup_customer,
+        'crossjoin_dims': q_crossjoin_dims,
+        'column_stats': q_column_stats,
+        'window_top3_orders': q_window_top3,
+        'asof_last_click': q_asof_last_click,
+        'resample_locf': q_resample_locf,
+        'percentile_prices': q_percentile_prices,
+        'string_funcs': q_string_funcs,
+        'bitext_lsh_check': q_bitext_lsh_check,
+        'anti_join_no_urgent': q_anti_join,
+        'scalar_subquery_acctbal': q_scalar_subquery,
+        'sketch_cardinality': q_sketch_cardinality,
+        'events_hourly': q_events_hourly,
+        'events_sessionize': q_events_sessionize,
+        'full_outer_priority': q_full_outer_priority,
+        'pivot_priority_revenue': q_pivot_priority_revenue,
+        'rollup_pricing': q_rollup_pricing,
+        'range_band_join': q_range_band_join,
+        'corpus_mix': q_corpus_mix,
+        # -- tail: driver-green in recent rounds, + rows-only ops --
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
         'bitext_mine_check': q_bitext_mine_check,
@@ -5115,7 +5213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'similarity_topk': q_similarity_topk,
         'contamination_check': q_contamination,
         'repetition_ngrams': q_repetition_ngrams,
-        # -- tail: variants green in earlier rounds, + rows-only ops -----
         'simhash_check': q_simhash_check,
         'embedding_lsh_check': q_embedding_lsh_check,
         'minhash_cluster_check': q_minhash_cluster_check,
@@ -5148,57 +5245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_search': q_bm25_search,
         'set_ops': q_set_ops,
         'tpch_q12_late_lines': q_tpch_q12,
-        'anti_join_no_urgent': q_anti_join,
-        'scalar_subquery_acctbal': q_scalar_subquery,
-        'sketch_cardinality': q_sketch_cardinality,
-        'events_hourly': q_events_hourly,
-        'events_sessionize': q_events_sessionize,
-        'full_outer_priority': q_full_outer_priority,
-        'pivot_priority_revenue': q_pivot_priority_revenue,
-        'rollup_pricing': q_rollup_pricing,
-        'range_band_join': q_range_band_join,
-        'corpus_mix': q_corpus_mix,
         'pack_sequences': q_pack_sequences,
         'oov_rate': q_oov_rate,
-        'tpch_q1_pricing': q_tpch_q1,
-        'tpch_q6_revenue': q_tpch_q6,
-        'subset_dsl': q_subset_dsl,
-        'lookup_customer': q_lookup_customer,
-        'crossjoin_dims': q_crossjoin_dims,
-        'column_stats': q_column_stats,
-        'window_top3_orders': q_window_top3,
-        'asof_last_click': q_asof_last_click,
-        'resample_locf': q_resample_locf,
-        'percentile_prices': q_percentile_prices,
-        'string_funcs': q_string_funcs,
-        'date_funcs': q_date_funcs,
-        'array_funcs': q_array_funcs,
-        'tpch_q3_topk': q_tpch_q3,
-        'tpch_q5_region_revenue': q_tpch_q5,
-        'tpch_q4_semijoin': q_tpch_q4,
-        'tpch_q13_custdist': q_tpch_q13,
-        'tpch_q18_bigorders': q_tpch_q18,
-        'tpch_q19_disjunctive': q_tpch_q19,
-        'tpch_q10_returns': q_tpch_q10,
-        'tpch_q2_min_supplier': q_tpch_q2,
-        'tpch_q7_nation_volume': q_tpch_q7,
-        'tpch_q8_mktshare': q_tpch_q8,
-        'tpch_q9_profit': q_tpch_q9,
-        'tpch_q11_important_parts': q_tpch_q11,
-        'tpch_q14_promo': q_tpch_q14_promo,
-        'tpch_q15_top_supplier': q_tpch_q15,
-        'tpch_q16_supplier_cnt': q_tpch_q16,
-        'tpch_q17_small_qty': q_tpch_q17,
-        'tpch_q20_heavy_shippers': q_tpch_q20,
-        'tpch_q21_waiting': q_tpch_q21,
-        'tpch_q22_idle_customers': q_tpch_q22,
-        'cube_orders': q_cube_orders,
-        'distinct_segments': q_distinct_segments,
-        'supplier_by_nation': q_supplier_by_nation,
-        'window_running_revenue': q_window_running,
-        'events_sliding': q_events_sliding,
-        'events_json': q_events_json,
-        'grouping_sets_orders': q_grouping_sets,
         'text_winnow_pairs': q_text_winnow,
         'audio_features': q_audio_features,
         'bpe_train_merges': q_bpe_train_merges,
@@ -5246,6 +5294,7 @@ def oracle_sql() -> dict[str, str]:
         'exactsubstr_cut': _EXACTSUBSTR_CUT_SQL,
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bitext_mine_check': _BITEXT_MINE_SQL,
+        'bitext_lsh_check': _BITEXT_LSH_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

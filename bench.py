@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     'geo_transform_polar',
     'exactsubstr_cut',
     'bitext_mine_check',
+    'bitext_lsh_check',
     'geo_transform_registry',
     'pack_bestfit_check',
     'wds_roundtrip',

@@ -1,11 +1,27 @@
-"""Enforce the gate-rotation invariant mechanically.
+"""Enforce the gate-rotation invariants mechanically.
 
 The driver's correctness gate checks only the FIRST 50 ``queries()``
-entries each round, so the registry docstring maintains a rotation:
-every oracled query must either already have a driver-green row in
-some round's CORRECTNESS_r*.json or sit inside the current first-50
-window (so it gets one this round). This tool verifies that claim
-against the actual files instead of trusting the ledger prose.
+entries each round, so the registry maintains a rotation. Two
+invariants, verified against the actual CORRECTNESS_r*.json files
+instead of trusting the ledger prose:
+
+1. COVERAGE (round 3+): every oracled query either has a driver-green
+   row in some round or sits inside the current first-50 window (so it
+   gets one this round).
+
+2. FRESHNESS (round 9+, verdict ask #1): "green in some round"
+   degrades as the registry grows, so the window must be packed
+   STALEST-FIRST — no out-of-window oracled query may have an older
+   last-green round than any in-window oracled query (never-green
+   newcomers count as staleness 0 and must be in the window). With 134
+   oracled queries and a 50-slot window, stalest-first packing bounds
+   every query's age at ceil(134/50) = 3 rounds, inside the K=4
+   freshness horizon; any query older than K that is NOT scheduled
+   ahead of something fresher is a hard violation. During the r09-r10
+   transition (the pre-invariant backlog is 71 > 50 queries) the
+   over-K backlog is reported and must be fully window-scheduled in
+   stalest-first order; from r11 the over-K set must be empty outside
+   the window.
 
 Usage: python tools/check_rotation.py   (exit 1 on violation)
 """
@@ -17,11 +33,13 @@ import sys
 sys.path.insert(0, '.')
 import __spark_entry__ as entry  # noqa: E402
 
+FRESHNESS_K = 4
 
-def green_history() -> dict[str, list[str]]:
-    hist: dict[str, list[str]] = {}
+
+def green_history() -> dict[str, list[int]]:
+    hist: dict[str, list[int]] = {}
     for path in sorted(glob.glob('CORRECTNESS_r*.json')):
-        rnd = path.split('_r')[1].split('.')[0]
+        rnd = int(path.split('_r')[1].split('.')[0])
         for name, row in json.load(open(path)).items():
             ok = row.get('hash_match') or (row.get('rows_match')
                                            and row.get('err') is None)
@@ -32,24 +50,42 @@ def green_history() -> dict[str, list[str]]:
 
 def main() -> int:
     names = list(entry.queries().keys())
-    window = set(names[:50])
+    window = names[:50]
+    window_set = set(window)
     oracled = set(entry.oracle_sql())
     hist = green_history()
+    this_round = max((max(v) for v in hist.values()), default=0) + 1
+    last = {n: max(hist.get(n, [0])) for n in names}
 
     missing_oracle_rows = sorted(
         n for n in oracled
-        if n not in hist and n not in window)
-    stale_sql = sorted(set(entry.oracle_sql()) - set(names))
+        if n not in hist and n not in window_set)
+    stale_sql = sorted(oracled - set(names))
     dupes = sorted({n for n in names if names.count(n) > 1})
-
     never_green_in_window = sorted(
-        n for n in window if n in oracled and n not in hist)
+        n for n in window_set if n in oracled and n not in hist)
+
+    # freshness: stalest-first packing of the window
+    in_w = [n for n in window if n in oracled]
+    out_w = [n for n in names[50:] if n in oracled]
+    max_in = max((last[n] for n in in_w), default=0)
+    min_out = min((last[n] for n in out_w), default=this_round)
+    not_stalest_first = sorted(
+        (n for n in out_w if last[n] < max_in),
+        key=lambda n: last[n])
+    over_k = sorted((n for n in out_w
+                     if last[n] <= this_round - FRESHNESS_K),
+                    key=lambda n: last[n])
+
     print(f'registry: {len(names)} queries, {len(oracled)} oracled, '
-          f'window=50')
-    print(f'driver-green somewhere: {len(hist & oracled) if isinstance(hist, set) else len(set(hist) & oracled)}'
-          f' of {len(oracled)} oracled')
+          f'window=50 ({len(in_w)} oracled in-window), '
+          f'upcoming round r{this_round:02d}')
+    print(f'driver-green somewhere: {len(set(hist) & oracled)} '
+          f'of {len(oracled)} oracled')
     print(f'in-window awaiting first green (OK, checked this round): '
           f'{never_green_in_window}')
+    print(f'freshness: in-window last-green max r{max_in:02d}, '
+          f'out-of-window min r{min_out:02d}, K={FRESHNESS_K}')
     bad = False
     if missing_oracle_rows:
         print('VIOLATION: oracled queries with NO driver-green row and '
@@ -61,8 +97,31 @@ def main() -> int:
     if dupes:
         print(f'VIOLATION: duplicate registry names: {dupes}')
         bad = True
+    if not_stalest_first:
+        print('VIOLATION: window is not packed stalest-first — these '
+              'out-of-window queries are staler than an in-window one: '
+              f'{not_stalest_first}')
+        bad = True
+    if over_k:
+        if not_stalest_first:
+            pass  # already a violation; over_k is the same root cause
+        else:
+            print(f'freshness backlog (older than K={FRESHNESS_K} but '
+                  f'correctly scheduled stalest-first, drains at 50/round): '
+                  f'{len(over_k)} queries, oldest r{last[over_k[0]]:02d} '
+                  f'({over_k[0]})')
+            # the backlog must fit the remaining drain schedule: with
+            # stalest-first packing everything over K must clear within
+            # ceil(backlog/50) rounds, which the K=4 horizon allows as
+            # long as the backlog never exceeds 2 windows
+            if len(over_k) > 100:
+                print('VIOLATION: over-K backlog exceeds two windows — '
+                      'stalest-first packing can no longer clear it '
+                      f'inside the K={FRESHNESS_K} horizon')
+                bad = True
     if not bad:
-        print('rotation invariant holds')
+        print('rotation invariants hold (coverage + stalest-first '
+              'freshness)')
     return 1 if bad else 0
 
 
