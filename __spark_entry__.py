@@ -4907,6 +4907,58 @@ def q_bitext_lsh_check(spark, sf_dir):
 _BITEXT_LSH_SQL = _BITEXT_MINE_SQL
 
 
+def q_perplexity_rank_check(spark, sf_dir):
+    """CCNet-style LM perplexity filtering (NEW round 9 — the missing
+    member of the published curation trio: perplexity + quality
+    classifier + dedup). A trigram stupid-backoff LM (Brants 2007)
+    trains on the real documents (one codegen gram explode + one
+    map-side-combined groupBy; erde_spark/scale/lm.py), then scores
+    the corpus AND a deterministic hex-salad twin per document whose
+    tokens are all OOV (each position backs off to alpha^2/N under the
+    trigram). VALUE-checked on two axes: n_tokens is exact arithmetic
+    DuckDB replays with the shared tokenizer expression, and real_wins
+    = ppl(real) < ppl(twin) must be 1 for EVERY document — perplexity
+    scores themselves are fp-order-sensitive across engines, so the
+    gate pins the decision, like quality_classifier. Backoff/OOV
+    arithmetic is IEEE-pinned bit-for-bit in tests/test_lm.py."""
+    from erde_spark.scale.lm import score_perplexity, train_ngram_lm
+    docs = (_t(spark, sf_dir, 'documents')['documents']
+            .select('doc_id', 'text').where(F.col('text').isNotNull()))
+    lm = train_ngram_lm(docs, n=3, min_count=2)
+    gib = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('-', F.col('doc_id').cast('string'),
+                              i.cast('string'))), 1, 8)))
+    twins = docs.select((F.col('doc_id') + 1000000).alias('doc_id'),
+                        gib.alias('text'))
+    scored = score_perplexity(docs.unionByName(twins), lm,
+                              broadcast_counts=True)
+    real = scored.where(F.col('doc_id') < 1000000) \
+        .select('doc_id', 'n_tokens', F.col('perplexity').alias('_pr'))
+    twin = scored.where(F.col('doc_id') >= 1000000) \
+        .select((F.col('doc_id') - 1000000).alias('doc_id'),
+                F.col('perplexity').alias('_pt'))
+    return (real.join(twin, 'doc_id')
+            .select('doc_id', 'n_tokens',
+                    (F.col('_pr') < F.col('_pt')).cast('int')
+                    .alias('real_wins'))
+            .orderBy('doc_id'))
+
+
+_PERPLEXITY_RANK_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS n_tokens,
+       1 AS real_wins
+FROM documents
+WHERE text IS NOT NULL
+  AND len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) > 0
+ORDER BY doc_id
+"""
+
+
 def q_geo_transform_registry(spark, sf_dir):
     """The generated EPSG catalogue tail (round-8: epsg_registry.csv,
     emitted by tools/gen_epsg_registry.py) exercised end-to-end:
@@ -5160,8 +5212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
         'range_band_join': q_range_band_join,
-        'corpus_mix': q_corpus_mix,
+        'perplexity_rank_check': q_perplexity_rank_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'corpus_mix': q_corpus_mix,
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
         'bitext_mine_check': q_bitext_mine_check,
@@ -5295,6 +5348,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_lines_within_doc': _DEDUP_LINES_SQL,
         'bitext_mine_check': _BITEXT_MINE_SQL,
         'bitext_lsh_check': _BITEXT_LSH_SQL,
+        'perplexity_rank_check': _PERPLEXITY_RANK_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     'exactsubstr_cut',
     'bitext_mine_check',
     'bitext_lsh_check',
+    'perplexity_rank_check',
     'geo_transform_registry',
     'pack_bestfit_check',
     'wds_roundtrip',

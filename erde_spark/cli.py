@@ -8,11 +8,11 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 13 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 19 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
 pack, scrub, extract, select, tokenize, fixenc, urlcanon,
-boilerplate, robots, langid (the training-data pipeline from the
-shell).
+boilerplate, robots, langid, capdomains, linededup, bitext, wds,
+tfexport, ppl (the training-data pipeline from the shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
@@ -515,6 +515,27 @@ def tfexport(input_data: DataFrame, output_dir: str,
 
 
 @autocli
+def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
+        min_count: int = 2, max_perplexity: float = 0.0,
+        id_column: str = 'doc_id', text_column: str = 'text') -> DataFrame:
+    """Score (or filter) documents by stupid-backoff n-gram LM
+    perplexity, CCNet-style: the LM trains on --train-path (default:
+    the input itself); with --max-perplexity > 0 the output is the
+    filtered input, otherwise the per-document score table."""
+    from erde_spark.scale.lm import (perplexity_filter, score_perplexity,
+                                     train_ngram_lm)
+    train = (read_df(train_path, input_data.sparkSession)
+             if train_path else input_data)
+    lm = train_ngram_lm(train, text_col=text_column, n=n,
+                        min_count=min_count)
+    if max_perplexity > 0:
+        return perplexity_filter(input_data, lm, max_perplexity,
+                                 id_col=id_column, text_col=text_column)
+    return score_perplexity(input_data, lm, id_col=id_column,
+                            text_col=text_column)
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -534,7 +555,7 @@ COMMANDS = {
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
-    'tfexport': tfexport,
+    'tfexport': tfexport, 'ppl': ppl,
 }
 
 

@@ -1,0 +1,199 @@
+"""N-gram language-model perplexity filtering — the CCNet recipe
+(Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data": score every document with a language
+model trained on trusted text, keep the low-perplexity head/middle).
+CCNet uses KenLM; no such package ships in this container, so the model
+here is a count-based n-gram LM with STUPID BACKOFF (Brants et al.
+2007, "Large Language Models in Machine Translation" — the smoothing
+scheme designed for exactly this distributed-counts setting: no
+discount normalization, so the score needs nothing beyond raw counts):
+
+    S(w | ctx_k)   = count(ctx_k w) / count(ctx_k)      if seen
+                   = alpha * S(w | ctx_{k-1})           otherwise
+    S(w)           = count(w) / N                        if seen
+                   = alpha / N                           otherwise (OOV)
+
+Perplexity = exp(-mean log S) over a document's tokens.
+
+Spark-first shape, both phases one-shuffle-per-step declarative plans:
+
+- TRAIN: tokenize (codegen ``split``/``filter``), pad with ``<s>``,
+  emit every k-gram (k = 1..n) ending at a real token position via
+  ``transform``/``flatten``/``explode``, then ONE map-side-combined
+  ``groupBy(gram).count()``. Pure-BOS context rows (``<s>``,
+  ``<s>\\x1f<s>``, ...) are added analytically (= document count) —
+  they are the only contexts that never end at a real position.
+  ``min_count`` prunes the tail for a bounded model (backoff absorbs
+  the misses); at 100 TB the counts table is itself a distributed
+  DataFrame — nothing is collected.
+- SCORE: per token position build the 2n-1 lookup keys (the k-grams
+  ending there and their contexts), explode, ONE equi-join against
+  the counts table (AQE broadcasts it when it fits; a billion-gram
+  model shuffle-joins on the gram key — either way no Python), group
+  the counts back per position and evaluate the fixed-depth backoff
+  chain in codegen, then aggregate per document.
+
+Tokenization is :func:`erde_spark.scale.text.tokens` (lowercase
+alphanumeric runs) so LM scores compose with every other text operator
+and the DuckDB oracle expression documented there.
+
+No counterpart in the reference (training-data extension surface,
+SURVEY.md §7.0 layer 6).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erde_spark.scale.text import tokens
+
+#: gram-part separator (never produced by the tokenizer, which only
+#: emits [a-z0-9] runs)
+SEP = '\x1f'
+#: begin-of-sequence padding token (outside the tokenizer alphabet)
+BOS = '<s>'
+
+
+class NgramLM(NamedTuple):
+    """A trained stupid-backoff n-gram LM: the distributed counts table
+    plus the closed-form scalars the score expression needs."""
+    counts: DataFrame        # (gram string, count long) for all orders
+    n: int                   # model order
+    n_tokens: int            # N: total real training tokens (unigram mass)
+    n_docs: int              # documents trained on (pure-BOS context count)
+    alpha: float             # stupid-backoff multiplier (paper: 0.4)
+
+
+def _padded(text_col, n: int):
+    """BOS-padded token array: (n-1) ``<s>`` then the real tokens."""
+    return F.concat(F.array_repeat(F.lit(BOS), n - 1), tokens(text_col))
+
+
+def _grams_ending_at_real(text_col, n: int):
+    """Array over real positions i (1-based) of all k-grams (k=1..n)
+    ending at i, as SEP-joined strings; flattened to one array."""
+    padded = _padded(text_col, n)
+    length = F.size(tokens(text_col))
+    return F.flatten(F.transform(
+        F.sequence(F.lit(1), length),
+        # padded index of real token i is i + n - 1; the k-gram ending
+        # there starts at padded index i + n - k
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda k: F.array_join(F.slice(padded, i + n - k, k), SEP))))
+
+
+def train_ngram_lm(docs: DataFrame, text_col: str = 'text', n: int = 3,
+                   min_count: int = 1, alpha: float = 0.4) -> NgramLM:
+    """Count all 1..n-grams (one codegen explode + one map-side-combined
+    groupBy), prune below ``min_count`` (order-1 grams are never pruned:
+    they carry the OOV-vs-seen distinction and the unigram mass), and
+    add the analytic pure-BOS context rows. Two scalar aggregates
+    (token total, doc count) are the only driver-side values."""
+    if n < 1:
+        raise ValueError('n must be >= 1')
+    if not 0 < alpha <= 1:
+        raise ValueError('alpha must be in (0, 1]')
+    base = docs.select(tokens(text_col).alias('_toks')) \
+        .where(F.size('_toks') > 0)
+    totals = base.agg(F.sum(F.size('_toks')).alias('nt'),
+                      F.count(F.lit(1)).alias('nd')).collect()[0]
+    n_tokens, n_docs = int(totals['nt'] or 0), int(totals['nd'])
+    if n_tokens == 0:
+        raise ValueError('no tokens to train on')
+    grams = docs.select(F.explode(
+        _grams_ending_at_real(text_col, n)).alias('gram'))
+    counts = grams.groupBy('gram').agg(F.count(F.lit(1)).alias('count'))
+    if min_count > 1:
+        # unigrams (no SEP) survive any pruning: N and OOV need them
+        counts = counts.where((F.col('count') >= min_count)
+                              | ~F.col('gram').contains(SEP))
+    if n > 1:
+        spark = docs.sparkSession
+        bos_rows = spark.createDataFrame(
+            [(SEP.join([BOS] * j), n_docs) for j in range(1, n)],
+            'gram string, count long')
+        counts = counts.unionByName(bos_rows)
+    return NgramLM(counts, n, n_tokens, n_docs, alpha)
+
+
+def _backoff_expr(lm: NgramLM, m):
+    """The fixed-depth stupid-backoff chain over a position's
+    role->count map ``m`` (roles 'g1'..'gn', 'c2'..'cn'); returns the
+    score column. Pure CASE/arithmetic — codegen, no UDF."""
+    # S_1: seen unigram -> c/N, OOV -> alpha/N
+    s = F.coalesce(m['g1'], F.lit(lm.alpha)) / F.lit(float(lm.n_tokens))
+    for k in range(2, lm.n + 1):
+        s = F.when(m[f'g{k}'].isNotNull(),
+                   m[f'g{k}'] / m[f'c{k}']).otherwise(F.lit(lm.alpha) * s)
+    return s
+
+
+def score_perplexity(docs: DataFrame, lm: NgramLM, id_col: str = 'doc_id',
+                     text_col: str = 'text',
+                     broadcast_counts: bool = False) -> DataFrame:
+    """Per-document stupid-backoff score: (id, n_tokens, avg_logprob,
+    perplexity). Documents with zero tokens are dropped (perplexity is
+    undefined on them — filter or coalesce upstream if they must
+    survive). Deterministic: the per-position backoff is fixed-depth
+    IEEE arithmetic and the per-document mean is an exact count-scaled
+    sum of independently-computed position scores.
+
+    ``broadcast_counts=True`` hints the counts table to every executor
+    (right call when ``min_count`` pruning bounded the model — the
+    common production shape); default leaves the join strategy to
+    Catalyst/AQE, which shuffle-joins on the gram key when the model
+    is itself corpus-sized."""
+    n = lm.n
+    padded = _padded(text_col, n)
+    length = F.size(tokens(text_col))
+    # per position: the n gram keys + n-1 context keys, role-tagged
+    roles = [(f'g{k}', 0, k) for k in range(1, n + 1)] \
+        + [(f'c{k}', 1, k - 1) for k in range(2, n + 1)]
+    # role (name, ends_at_prev, klen): key = klen-gram ending at i
+    # (ends_at_prev=0) or i-1 (ends_at_prev=1); padded index of real
+    # token i is i+n-1, so the gram starts at i+n-klen-ends_at_prev
+    keys = F.flatten(F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.array(*[
+            F.struct(i.alias('pos'), F.lit(name).alias('role'),
+                     F.array_join(
+                         F.slice(padded, i + n - klen - prev, klen),
+                         SEP).alias('gram'))
+            for name, prev, klen in roles])))
+    pos_keys = (docs.where(F.size(tokens(text_col)) > 0)
+                .select(F.col(id_col).alias('id'),
+                        F.explode(keys).alias('k'))
+                .select('id', 'k.pos', 'k.role', 'k.gram'))
+    counts = F.broadcast(lm.counts) if broadcast_counts else lm.counts
+    joined = pos_keys.join(counts, 'gram', 'left')
+    per_pos = joined.groupBy('id', 'pos').agg(
+        F.map_from_entries(F.collect_list(
+            F.struct('role', 'count'))).alias('m'))
+    m = F.col('m')
+    logp = F.log(_backoff_expr(lm, m))
+    return (per_pos.select('id', logp.alias('_lp'))
+            .groupBy('id')
+            .agg(F.count(F.lit(1)).alias('n_tokens'),
+                 F.avg('_lp').alias('avg_logprob'))
+            .select(F.col('id').alias(id_col), 'n_tokens', 'avg_logprob',
+                    F.exp(-F.col('avg_logprob')).alias('perplexity')))
+
+
+def perplexity_filter(docs: DataFrame, lm: NgramLM,
+                      max_perplexity: float, id_col: str = 'doc_id',
+                      text_col: str = 'text',
+                      broadcast_counts: bool = False) -> DataFrame:
+    """CCNet's keep rule, threshold form: keep documents whose LM
+    perplexity is at or below ``max_perplexity`` (CCNet buckets into
+    head/middle/tail by per-language quantiles — compute those with
+    ``approx_percentile`` over :func:`score_perplexity` output and
+    pass the cut; the filter itself is one semi join, no re-scan of
+    the text)."""
+    scored = score_perplexity(docs, lm, id_col, text_col,
+                              broadcast_counts=broadcast_counts)
+    keep = scored.where(F.col('perplexity') <= max_perplexity) \
+        .select(id_col)
+    return docs.join(keep, id_col, 'semi')

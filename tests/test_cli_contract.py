@@ -245,13 +245,16 @@ def test_fixenc_urlcanon_subcommands(spark, tmp_path):
 def test_rotation_invariant_tool():
     """tools/check_rotation.py enforces the gate-rotation ledger
     mechanically: every oracled query is either driver-green in some
-    recorded round or inside the current first-50 window."""
+    recorded round or inside the current first-50 window, AND (round 9)
+    the window is packed stalest-first within the K=4 freshness
+    horizon."""
     import subprocess
     import sys
     r = subprocess.run([sys.executable, 'tools/check_rotation.py'],
                        capture_output=True, text=True, cwd='.')
     assert r.returncode == 0, r.stdout + r.stderr
-    assert 'rotation invariant holds' in r.stdout
+    assert 'rotation invariants hold' in r.stdout
+    assert 'stalest-first' in r.stdout
 
 
 def test_boilerplate_robots_subcommands(spark, tmp_path):
@@ -389,3 +392,32 @@ def test_wds_and_tfexport_subcommands(spark, tmp_path):
                       'n_chars': ('int64', 'scalar')}).collect()}
     assert bytes(rows[7]['text']) == b'document body 7'
     assert rows[7]['n_chars'] == 70 and len(rows) == 12
+
+
+def test_ppl_subcommand(spark, tmp_path):
+    """The ppl CLI scores documents by n-gram LM perplexity (score
+    table by default; filtered input with --max-perplexity; LM
+    trainable on a separate --train-path corpus)."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'the cat sat on the mat again and again') for i in range(5)]
+    rows.append((9, 'zxqv wjkp qqrr ttyy uuii ooppx'))
+    spark.createDataFrame(rows, 'doc_id long, text string') \
+        .write.mode('overwrite').parquet(src)
+
+    scored = str(tmp_path / 'scored.parquet')
+    entrypoint(['ppl', src, scored, '--n', '2', '--min-count', '1'])
+    got = {r['doc_id']: r for r in spark.read.parquet(scored).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 9}
+    assert all(got[i]['perplexity'] < got[9]['perplexity']
+               for i in range(5))
+
+    train = str(tmp_path / 'train.parquet')
+    spark.createDataFrame(rows[:5], 'doc_id long, text string') \
+        .write.mode('overwrite').parquet(train)
+    cut = (got[0]['perplexity'] + got[9]['perplexity']) / 2
+    kept = str(tmp_path / 'kept.parquet')
+    entrypoint(['ppl', src, kept, '--n', '2', '--min-count', '1',
+                '--train-path', train, '--max-perplexity', str(cut)])
+    assert {r['doc_id'] for r in spark.read.parquet(kept).collect()} \
+        == {0, 1, 2, 3, 4}
