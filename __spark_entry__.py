@@ -4849,6 +4849,105 @@ ORDER BY doc_id
 """
 
 
+def q_megatron_roundtrip(spark, sf_dir):
+    """Megatron-LM/fairseq indexed-dataset export/ingest (NEW round 9 —
+    the .bin/.idx binarized-token format training stacks memory-map;
+    MMIDIDX layout hand-implemented from the published fairseq/Megatron
+    format, byte-level header/pointer checks in pytest) VALUE-checked
+    by a full round trip: each document writes a variable-length int32
+    token array whose first token IS the doc_id and whose tail is
+    sequence(1, doc_id%7+1); shards write executor-side with rolling +
+    atomic staging, read back via binaryFile(.idx) + pyarrow-fs
+    sibling .bin. doc_id, token count and token sum are closed-form
+    for DuckDB. Impl: erde_spark/io/megatron.py."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.megatron import read_megatron, write_megatron
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    toks = F.concat(
+        F.array(F.col('doc_id').cast('int')),
+        F.sequence(F.lit(1), (F.col('doc_id') % 7 + 1).cast('int')))
+    base = tempfile.mkdtemp(prefix='erde_meg_')
+    write_megatron(d.select('doc_id', toks.alias('tokens'))
+                   .repartition(8), base, dtype='int32', shard_size=500)
+    back = read_megatron(spark, base)
+    res = (back.select(
+        F.element_at('tokens', 1).alias('doc_id'),
+        F.size('tokens').cast('long').alias('n_tokens'),
+        F.aggregate('tokens', F.lit(0).cast('long'),
+                    lambda acc, x: acc + x).alias('tok_sum'))
+        .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_MEGATRON_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       1 + (doc_id % 7 + 1) AS n_tokens,
+       doc_id + ((doc_id % 7 + 1) * (doc_id % 7 + 2)) // 2 AS tok_sum
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ccnet_buckets_check(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3; NEW round 9) VALUE-checked on an arithmetic perplexity
+    column (doc_id*37 % 101 — dense ties, every residue class shared
+    across languages) so DuckDB replays the EXACT per-language
+    percent_rank split, cuts at 1/3 and 2/3 with id tie-breaks. The
+    composition with the real LM scorer (train -> score -> bucket) is
+    pinned in tests/test_lm.py; the scorer itself is value-gated by
+    perplexity_rank_check. Impl:
+    erde_spark/scale/lm.py::perplexity_buckets (method='rank'; the
+    'threshold' scale path is parity-tested in pytest)."""
+    from erde_spark.scale.lm import perplexity_buckets
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'lang')
+    scored = d.withColumn(
+        'perplexity', (F.col('doc_id') * 37 % 101).cast('double'))
+    out = perplexity_buckets(scored)
+    return out.select('doc_id', 'ppl_bucket').orderBy('doc_id')
+
+
+_CCNET_BUCKETS_SQL = """
+WITH s AS (SELECT doc_id, lang,
+                  CAST(doc_id * 37 % 101 AS DOUBLE) AS ppl
+           FROM documents),
+r AS (SELECT doc_id, PERCENT_RANK() OVER
+        (PARTITION BY lang ORDER BY ppl, doc_id) AS pr FROM s)
+SELECT doc_id,
+       CASE WHEN pr <= 1.0 / 3 THEN 'head'
+            WHEN pr <= 2.0 / 3 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r ORDER BY doc_id
+"""
+
+
+def q_global_shuffle_check(spark, sf_dir):
+    """Deterministic global training-order shuffle (NEW round 9): every
+    document gets a dense 0-based position equal to its rank under
+    md5(doc_id) — reproducible across runs/partitionings/engines, so
+    DuckDB's ROW_NUMBER over the same md5 must reproduce the ENTIRE
+    permutation value-for-value. The Spark side never global-sorts:
+    hash-prefix groups rank independently and compose through an
+    exclusive-prefix offset table (64 rows through the driver — a
+    bounded probe, size = buckets, never data). Impl:
+    erde_spark/scale/sampling.py::shuffle_deterministic."""
+    from erde_spark.scale.sampling import shuffle_deterministic
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    out = shuffle_deterministic(d, 'doc_id', buckets=64)
+    return out.select('doc_id', 'shuffle_pos').orderBy('doc_id')
+
+
+_GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       - 1 AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5151,13 +5250,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window / set-op / events block — last driver-green r01), then the
     11 r2-era (tpch_q1/q6, subset_dsl, lookup_customer, crossjoin_dims,
     column_stats, window_top3_orders, asof_last_click, resample_locf,
-    percentile_prices, string_funcs), the round-9 newcomer
+    percentile_prices, string_funcs), the round-9 newcomers
     bitext_lsh_check (the bitext miner's declared 100 TB LSH retriever,
-    recall provably 1.0 on planted identical twins), and 10 of the 12
-    r3-era queries (pack_sequences and oov_rate defer to the r10
-    window, the two least-stale of the cohort). Everything last green
-    r04+ moves to the tail; the r10 window picks up from
-    pack_sequences/oov_rate through the r4/r5/r7 cohorts.
+    recall provably 1.0 on planted identical twins),
+    perplexity_rank_check (CCNet LM scoring), megatron_roundtrip (the
+    .bin/.idx binarized-token interchange format, full round trip),
+    ccnet_buckets_check (head/middle/tail per-language percent_rank
+    split) and global_shuffle_check (deterministic md5 training-order
+    permutation, engine-portable), and 7 of the 12 r3-era queries
+    (pack_sequences, oov_rate, full_outer_priority,
+    pivot_priority_revenue and rollup_pricing defer to the r10 window,
+    the least-stale of the cohort — all still r03, so stalest-first
+    packing holds by tie). Everything last green r04+ moves to the
+    tail; the r10 window picks up the five deferred r3-era queries
+    then the r4/r5/r7 cohorts.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5208,12 +5314,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
+        'range_band_join': q_range_band_join,
+        'perplexity_rank_check': q_perplexity_rank_check,
+        'megatron_roundtrip': q_megatron_roundtrip,
+        'ccnet_buckets_check': q_ccnet_buckets_check,
+        'global_shuffle_check': q_global_shuffle_check,
+        # -- tail: driver-green in recent rounds, + rows-only ops --
         'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
-        'range_band_join': q_range_band_join,
-        'perplexity_rank_check': q_perplexity_rank_check,
-        # -- tail: driver-green in recent rounds, + rows-only ops --
         'corpus_mix': q_corpus_mix,
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
@@ -5349,6 +5458,9 @@ def oracle_sql() -> dict[str, str]:
         'bitext_mine_check': _BITEXT_MINE_SQL,
         'bitext_lsh_check': _BITEXT_LSH_SQL,
         'perplexity_rank_check': _PERPLEXITY_RANK_SQL,
+        'megatron_roundtrip': _MEGATRON_ROUNDTRIP_SQL,
+        'ccnet_buckets_check': _CCNET_BUCKETS_SQL,
+        'global_shuffle_check': _GLOBAL_SHUFFLE_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

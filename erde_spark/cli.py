@@ -515,6 +515,29 @@ def tfexport(input_data: DataFrame, output_dir: str,
 
 
 @autocli
+def megexport(input_data: DataFrame, output_dir: str,
+              tokens_column: str = 'tokens', dtype: str = 'int32'):
+    """Export a token-array column to Megatron-LM/fairseq indexed-
+    dataset shard pairs (.bin/.idx, the memory-mapped binarized-token
+    format; dtype one of uint8/int8/int16/int32/int64/uint16/float64,
+    bounds-checked)."""
+    from erde_spark.io.megatron import write_megatron
+    write_megatron(input_data, output_dir, tokens_col=tokens_column,
+                   dtype=dtype)
+
+
+@autocli
+def shuffle(input_data: DataFrame, id_column: str = 'doc_id',
+            salt: str = '', buckets: int = 1024) -> DataFrame:
+    """Assign a reproducible global training-order position
+    (shuffle_pos, dense 0-based md5 rank — same permutation on any
+    engine at any parallelism; vary --salt per epoch)."""
+    from erde_spark.scale.sampling import shuffle_deterministic
+    return shuffle_deterministic(input_data, id_column, salt=salt,
+                                 buckets=buckets)
+
+
+@autocli
 def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
         min_count: int = 2, max_perplexity: float = 0.0,
         id_column: str = 'doc_id', text_column: str = 'text') -> DataFrame:
@@ -555,7 +578,8 @@ COMMANDS = {
     'fixenc': fixenc, 'urlcanon': urlcanon, 'boilerplate': boilerplate,
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
-    'tfexport': tfexport, 'ppl': ppl,
+    'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
+    'shuffle': shuffle,
 }
 
 

@@ -1,0 +1,244 @@
+"""Megatron-LM / fairseq indexed-dataset (``.bin`` + ``.idx``) sink
+and source — the binarized-token interchange format most large-LM
+training stacks memory-map at train time.
+
+Format implemented from the published fairseq/Megatron-LM
+``indexed_dataset`` layout (the ``MMapIndexedDataset`` variant):
+
+``.idx``::
+
+    magic    9 bytes   b'MMIDIDX\\x00\\x00'
+    version  <Q        1
+    dtype    <B        code from _DTYPE_CODES below
+    n_seq    <Q        number of sequences
+    n_doc    <Q        len(doc_idx)  (leading 0 included, so docs+1)
+    sizes    <i4 * n_seq   token count per sequence
+    pointers <i8 * n_seq   byte offset of each sequence in .bin
+    doc_idx  <i8 * n_doc   cumulative sequence index per document
+
+``.bin``: the token arrays, concatenated, little-endian fixed dtype.
+
+The dtype code table is the published fairseq one (1 uint8, 2 int8,
+3 int16, 4 int32, 5 int64, 6 float64, 7 float64-alias, 8 uint16); the
+writer emits codes {1,2,3,4,5,6,8} and the reader accepts 7 as
+float64 for files produced by the original tools.
+
+Spark-side design (no counterpart in the reference — its sinks are
+single-process, ``/root/reference/erde/io/base.py``):
+
+* The sink writes one ``part-<task>-<n>`` shard PAIR per roll,
+  executor-side via ``foreachPartition`` — no driver collect. Shards
+  roll every ``shard_size`` sequences or ``shard_bytes`` of .bin
+  payload, whichever comes first, so a skewed 10 GB partition becomes
+  ~40 splittable 256 MB pairs instead of one unsplittable file, and
+  ``shard_bytes`` is the sink's per-task memory high-water mark (one
+  shard's arrays are buffered so the .bin writes in one pass and the
+  .idx knows its pointers). Both files stage to attempt-scoped temp
+  names and ``os.replace`` onto the final name (.bin first, .idx
+  last) so a speculative or retried attempt never interleaves bytes,
+  and a reader that lists ``*.idx`` never sees a committed index
+  whose .bin is still in flight.
+* The source scans ``*.idx`` through Spark's ``binaryFile`` (small:
+  16 B/sequence) and opens the sibling ``.bin`` through a
+  pyarrow FileSystem resolved from the file's own URI — local,
+  HDFS and object-store paths all work without shuffling shard
+  bytes through an equi-join. Memory per task is bounded by the
+  largest single shard (the write side's ``shard_bytes``), same
+  contract as the TFRecord source.
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b'MMIDIDX\x00\x00'
+_VERSION = 1
+
+_DTYPE_CODES = {'uint8': 1, 'int8': 2, 'int16': 3, 'int32': 4,
+                'int64': 5, 'float64': 6, 'uint16': 8}
+_CODE_DTYPES = {1: np.uint8, 2: np.int8, 3: np.int16, 4: np.int32,
+                5: np.int64, 6: np.float64, 7: np.float64, 8: np.uint16}
+
+
+def _write_shard(path_base: str, arrays: list, dtype: np.dtype) -> None:
+    """Write one committed .bin/.idx pair for ``arrays`` (list of 1-D
+    numpy arrays, one per sequence = one per document)."""
+    from erde_spark.io.task_files import commit_file, staging_path
+    sizes = np.asarray([len(a) for a in arrays], dtype=np.int32)
+    itemsize = np.dtype(dtype).itemsize
+    pointers = np.zeros(len(arrays), dtype=np.int64)
+    if len(arrays) > 1:
+        np.cumsum(sizes[:-1].astype(np.int64) * itemsize,
+                  out=pointers[1:])
+    doc_idx = np.arange(len(arrays) + 1, dtype=np.int64)
+
+    bin_final = path_base + '.bin'
+    idx_final = path_base + '.idx'
+    bin_tmp, idx_tmp = staging_path(bin_final), staging_path(idx_final)
+    with open(bin_tmp, 'wb') as out:
+        for a in arrays:
+            out.write(a.astype(dtype, copy=False).tobytes())
+    with open(idx_tmp, 'wb') as out:
+        out.write(_MAGIC)
+        out.write(struct.pack('<Q', _VERSION))
+        out.write(struct.pack('<B', _DTYPE_CODES[np.dtype(dtype).name]))
+        out.write(struct.pack('<Q', len(arrays)))
+        out.write(struct.pack('<Q', len(doc_idx)))
+        out.write(sizes.tobytes())
+        out.write(pointers.tobytes())
+        out.write(doc_idx.tobytes())
+    # .bin commits before .idx: a listed index always has a whole .bin
+    commit_file(bin_tmp, bin_final)
+    commit_file(idx_tmp, idx_final)
+
+
+def write_megatron(df: DataFrame, path: str, tokens_col: str = 'tokens',
+                   dtype: str = 'int32', mode: str = 'overwrite',
+                   shard_size: int = 200_000,
+                   shard_bytes: int = 256 << 20) -> None:
+    """Write the array column ``tokens_col`` as Megatron indexed-dataset
+    shard pairs under ``path`` (one document = one sequence). Null
+    arrays raise (the format has no null slot; filter or
+    ``coalesce`` to an empty array first — an EMPTY array is fine and
+    round-trips as size 0). Integer dtypes bounds-check before the
+    cast so an out-of-range token id raises instead of silently
+    wrapping."""
+    import shutil
+    if np.dtype(dtype).name not in _DTYPE_CODES:
+        raise ValueError(f'unsupported dtype {dtype!r}; '
+                         f'one of {sorted(_DTYPE_CODES)}')
+    np_dtype = np.dtype(dtype)
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    if shard_size <= 0 or shard_bytes <= 0:
+        raise ValueError('shard_size and shard_bytes must be positive')
+    rows = df.select(F.col(tokens_col).alias('_toks'))
+    lo, hi = None, None
+    if np_dtype.kind in 'iu':
+        info = np.iinfo(np_dtype)
+        lo, hi = info.min, info.max
+
+    def _write_partition(it):
+        from pyspark import TaskContext
+        tid = TaskContext.get().partitionId()
+        shard_idx = 0
+        arrays: list = []
+        nbytes = 0
+
+        def _flush():
+            nonlocal shard_idx, arrays, nbytes
+            if not arrays:
+                return
+            _write_shard(
+                os.path.join(path, f'part-{tid:05d}-{shard_idx:05d}'),
+                arrays, np_dtype)
+            shard_idx += 1
+            arrays, nbytes = [], 0
+
+        for row in it:
+            toks = row['_toks']
+            if toks is None:
+                raise ValueError(
+                    'null token array (coalesce to [] or filter first)')
+            a = np.asarray(toks, dtype=np.float64 if lo is None
+                           else np.int64)
+            if lo is not None and len(a) and \
+                    (a.min() < lo or a.max() > hi):
+                raise ValueError(
+                    f'token id out of range for {np_dtype.name}: '
+                    f'[{a.min()}, {a.max()}] vs [{lo}, {hi}]')
+            arrays.append(a)
+            nbytes += len(a) * np_dtype.itemsize
+            if len(arrays) >= shard_size or nbytes >= shard_bytes:
+                _flush()
+        _flush()
+
+    rows.rdd.foreachPartition(_write_partition)
+
+
+def parse_idx(buf: bytes):
+    """(dtype, sizes, pointers, doc_idx) from raw ``.idx`` bytes."""
+    if buf[:9] != _MAGIC:
+        raise IOError(f'bad magic {buf[:9]!r} (not an MMIDIDX index)')
+    (version,) = struct.unpack_from('<Q', buf, 9)
+    if version != _VERSION:
+        raise IOError(f'unsupported index version {version}')
+    code = buf[17]
+    if code not in _CODE_DTYPES:
+        raise IOError(f'unknown dtype code {code}')
+    (n_seq,) = struct.unpack_from('<Q', buf, 18)
+    (n_doc,) = struct.unpack_from('<Q', buf, 26)
+    pos = 34
+    sizes = np.frombuffer(buf, np.int32, n_seq, pos)
+    pos += 4 * n_seq
+    pointers = np.frombuffer(buf, np.int64, n_seq, pos)
+    pos += 8 * n_seq
+    doc_idx = np.frombuffer(buf, np.int64, n_doc, pos)
+    return np.dtype(_CODE_DTYPES[code]), sizes, pointers, doc_idx
+
+
+def _open_sibling_bin(idx_uri: str):
+    """Open the ``.bin`` next to an ``.idx`` URI via the filesystem the
+    URI itself names (local / hdfs / s3 all resolve; no shuffle)."""
+    import pyarrow.fs as pafs
+    bin_uri = idx_uri[:-4] + '.bin'
+    try:
+        fs, fpath = pafs.FileSystem.from_uri(bin_uri)
+        return fs.open_input_file(fpath)
+    except (OSError, ValueError):
+        local = bin_uri[7:] if bin_uri.startswith('file://') else bin_uri
+        return open(local, 'rb')
+
+
+def read_megatron(spark: SparkSession, path: str,
+                  tokens_col: str = 'tokens') -> DataFrame:
+    """Read a Megatron indexed-dataset directory back as
+    ``(_file string, seq_id long, tokens array)`` — ``seq_id`` is the
+    sequence's ordinal within its shard. Element type is long for
+    integer shards, double for float shards (mixed-dtype directories
+    read as long if ALL shards are integral). One whole ``.bin`` is
+    buffered per file row, so task memory is bounded by the write
+    side's ``shard_bytes``, not by directory size."""
+    probe = spark.read.format('binaryFile') \
+        .option('pathGlobFilter', '*.idx').load(path) \
+        .select('path', 'content')
+    # peek one index for the element type (driver-side, 16 B/seq file)
+    first = probe.limit(1).collect()
+    is_float = False
+    if first:
+        dt, _, _, _ = parse_idx(bytes(first[0]['content']))
+        is_float = dt.kind == 'f'
+    elem = T.DoubleType() if is_float else T.LongType()
+    schema = T.StructType([
+        T.StructField('_file', T.StringType()),
+        T.StructField('seq_id', T.LongType()),
+        T.StructField(tokens_col, T.ArrayType(elem))])
+
+    def _parse(batches):
+        import pandas as pd
+        for pdf in batches:
+            files, seq_ids, toks = [], [], []
+            for fpath, blob in zip(pdf['path'], pdf['content']):
+                dt, sizes, pointers, _ = parse_idx(bytes(blob))
+                with _open_sibling_bin(fpath) as f:
+                    raw = f.read()
+                base = os.path.basename(fpath)
+                cast = np.float64 if is_float else np.int64
+                for i in range(len(sizes)):
+                    off = int(pointers[i])
+                    a = np.frombuffer(raw, dt, int(sizes[i]), off)
+                    files.append(base)
+                    seq_ids.append(i)
+                    toks.append(a.astype(cast).tolist())
+            yield pd.DataFrame(
+                {'_file': files, 'seq_id': seq_ids, tokens_col: toks})
+
+    return probe.mapInPandas(_parse, schema)

@@ -197,3 +197,59 @@ def perplexity_filter(docs: DataFrame, lm: NgramLM,
     keep = scored.where(F.col('perplexity') <= max_perplexity) \
         .select(id_col)
     return docs.join(keep, id_col, 'semi')
+
+
+def perplexity_buckets(scored: DataFrame, lang_col: str = 'lang',
+                       ppl_col: str = 'perplexity',
+                       id_col: str = 'doc_id',
+                       bucket_col: str = 'ppl_bucket',
+                       cuts: tuple = (1 / 3, 2 / 3),
+                       method: str = 'rank') -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: within
+    each language, the lowest-perplexity third is 'head', then
+    'middle', then 'tail'; reference has no LM pipeline). Two methods,
+    identical buckets away from cut-point ties:
+
+    * ``'rank'`` (default, deterministic to the row): exact
+      ``percent_rank`` per language, ties broken by ``id_col`` —
+      one per-language range sort. At 100 TB a single dominant
+      language serializes its sort into one task chain; use
+      ``'threshold'`` there.
+    * ``'threshold'`` (the scale path, matching CCNet's own
+      precomputed-cutoff design): per-language exact quantile
+      thresholds from a groupBy over DISTINCT (lang, perplexity)
+      values (the only sort is over distinct values, usually far
+      smaller than rows), broadcast back, bucket by comparison — no
+      full-data sort, rows at a threshold tie all land in the lower
+      bucket together.
+    """
+    from pyspark.sql import Window
+    lo, hi = cuts
+    if not (0 < lo < hi < 1):
+        raise ValueError(f'cuts must satisfy 0 < lo < hi < 1: {cuts}')
+    if method == 'rank':
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc())
+        pr = F.percent_rank().over(w)
+        b = (F.when(pr <= lo, 'head')
+             .when(pr <= hi, 'middle').otherwise('tail'))
+        return scored.withColumn(bucket_col, b)
+    if method != 'threshold':
+        raise ValueError(f"method must be 'rank' or 'threshold', "
+                         f'got {method!r}')
+    counts = scored.groupBy(lang_col, ppl_col).count()
+    wv = Window.partitionBy(lang_col).orderBy(F.col(ppl_col).asc())
+    tot = Window.partitionBy(lang_col)
+    frac = (F.sum('count').over(wv) / F.sum('count').over(tot))
+    cum = counts.select(lang_col, ppl_col, frac.alias('_cf'))
+    thr = cum.groupBy(lang_col).agg(
+        F.min(F.when(F.col('_cf') >= lo, F.col(ppl_col)))
+        .alias('_head_max'),
+        F.min(F.when(F.col('_cf') >= hi, F.col(ppl_col)))
+        .alias('_mid_max'))
+    joined = scored.join(F.broadcast(thr), lang_col, 'left')
+    b = (F.when(F.col(ppl_col) <= F.col('_head_max'), 'head')
+         .when(F.col(ppl_col) <= F.col('_mid_max'), 'middle')
+         .otherwise('tail'))
+    return joined.withColumn(bucket_col, b) \
+        .drop('_head_max', '_mid_max')

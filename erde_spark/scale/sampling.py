@@ -211,3 +211,52 @@ def split_no_leakage(df: DataFrame, splits: dict[str, float],
     else:
         keyed = df.withColumn('_lk', fingerprint(F.col(text_col)))
     return hash_split(keyed, '_lk', splits, salt).drop('_lk')
+
+
+def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = '',
+                          pos_col: str = 'shuffle_pos',
+                          buckets: int = 1024) -> DataFrame:
+    """Reproducible global training-order shuffle: every row gets a
+    dense zero-based ``pos_col`` equal to its rank under
+    ``md5(cast(id as string) || salt)`` (ties broken by id) — the same
+    permutation on any engine, at any parallelism, across re-runs;
+    change ``salt`` per epoch for a fresh order.
+
+    The usual Spark spellings don't scale or don't reproduce:
+    ``orderBy(rand())`` differs per run, and ``row_number`` over a
+    global window funnels 100 TB through ONE task. Here the hash's
+    first four hex chars range-partition rows into up to 65536 ordered
+    groups folded to ``buckets``; a groupBy counts each group (tiny:
+    ``buckets`` rows to the driver), exclusive-prefix offsets broadcast
+    back, and each group ranks independently —
+    ``pos = offset[group] + rank_within_group``. Two shuffles (count +
+    rank), the largest single sort is ~n/buckets, and nothing but the
+    group-count table ever leaves the executors. Downstream, write
+    with ``df.repartitionByRange(k, 'shuffle_pos')`` for globally
+    ordered output shards. No counterpart in the reference (no
+    ordering operator at all); the epoch-reshuffle role follows the
+    published data-loader designs (e.g. T5/Megatron epoch seeding)."""
+    if not 1 <= buckets <= 0x10000:
+        raise ValueError(f'buckets must be in [1, 65536], got {buckets}')
+    h = F.md5(F.encode(
+        F.concat(F.col(id_col).cast('string'), F.lit(salt)), 'UTF-8'))
+    # group id = first-4-hex-chars value folded to <=65536 groups:
+    # group order IS hash order (the fold is monotone), so inter-group
+    # offsets compose a total order
+    grp = (F.conv(F.substring('_h', 1, 4), 16, 10).cast('long')
+           * buckets / 0x10000).cast('int')
+    d = df.withColumn('_h', h).withColumn('_g', grp)
+    counts = {r['_g']: r['c'] for r in
+              d.groupBy('_g').agg(F.count(F.lit(1)).alias('c')).collect()}
+    if not counts:            # empty frame: schema-only result
+        return df.withColumn(pos_col, F.lit(None).cast('long'))
+    run, offsets = 0, {}
+    for g in sorted(counts):
+        offsets[g] = run
+        run += counts[g]
+    off = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy('_g').orderBy(F.col('_h').asc(),
+                                         F.col(id_col).asc())
+    pos = off[F.col('_g')] + F.row_number().over(w) - 1
+    return d.withColumn(pos_col, pos.cast('long')).drop('_h', '_g')

@@ -421,3 +421,35 @@ def test_ppl_subcommand(spark, tmp_path):
                 '--train-path', train, '--max-perplexity', str(cut)])
     assert {r['doc_id'] for r in spark.read.parquet(kept).collect()} \
         == {0, 1, 2, 3, 4}
+
+
+def test_megexport_and_shuffle_subcommands(spark, tmp_path):
+    """megexport writes Megatron .bin/.idx pairs readable by
+    read_megatron (dtype honored); shuffle writes a dense reproducible
+    shuffle_pos column from the shell."""
+    import glob
+
+    from erde_spark.cli import entrypoint
+    from erde_spark.io.megatron import read_megatron
+    src = str(tmp_path / 'toks.parquet')
+    spark.createDataFrame(
+        [(i, list(range(i + 1))) for i in range(12)],
+        'doc_id long, tokens array<long>') \
+        .write.mode('overwrite').parquet(src)
+    out1 = str(tmp_path / 'meg')
+    entrypoint(['megexport', src, out1, '--dtype', 'uint16'])
+    assert glob.glob(out1 + '/*.idx') and glob.glob(out1 + '/*.bin')
+    sizes = sorted(len(r['tokens'])
+                   for r in read_megatron(spark, out1).collect())
+    assert sizes == list(range(1, 13))
+    out2 = str(tmp_path / 'shuf.parquet')
+    entrypoint(['shuffle', src, out2, '--id-column', 'doc_id',
+                '--buckets', '8'])
+    got = {r['doc_id']: r['shuffle_pos']
+           for r in spark.read.parquet(out2).collect()}
+    assert sorted(got.values()) == list(range(12))
+    brute = {r['doc_id']: r['p'] - 1 for r in spark.read.parquet(src)
+             .selectExpr('doc_id', 'row_number() over (order by '
+                         'md5(cast(doc_id as string)), doc_id) as p')
+             .collect()}
+    assert got == brute

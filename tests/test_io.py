@@ -728,3 +728,90 @@ def test_atomic_task_staging_helpers(tmp_path):
     assert open(final, 'rb').read() == b'payload'
     assert not os.path.exists(tmp)
     abort_file(tmp)  # no raise on already-gone
+
+
+def test_megatron_roundtrip(spark, tmp_path):
+    """Megatron/fairseq indexed-dataset sink/source: the .idx binary
+    layout matches the published MMIDIDX format byte-for-byte (magic,
+    version, dtype code, sizes/pointers/doc_idx arrays), variable-
+    length and empty sequences round trip exactly, float shards read
+    as double, and out-of-range token ids raise instead of wrapping."""
+    import glob
+    import struct
+
+    import numpy as np
+
+    from erde_spark.io.megatron import (parse_idx, read_megatron,
+                                        write_megatron)
+    docs = spark.createDataFrame(
+        [(i, list(range(i, i + (i % 5)))) for i in range(30)],
+        'doc_id long, tokens array<long>')
+    out = str(tmp_path / 'meg')
+    write_megatron(docs.repartition(3), out, dtype='int32')
+    back = read_megatron(spark, out).collect()
+    got = sorted(tuple(r['tokens']) for r in back)
+    exp = sorted(tuple(range(i, i + (i % 5))) for i in range(30))
+    assert got == exp  # includes the empty (i%5==0) sequences
+    # hand-parse one index: header fields + pointer arithmetic
+    idx_path = sorted(glob.glob(out + '/*.idx'))[0]
+    buf = open(idx_path, 'rb').read()
+    assert buf[:9] == b'MMIDIDX\x00\x00'
+    assert struct.unpack_from('<Q', buf, 9)[0] == 1
+    assert buf[17] == 4  # int32 code
+    dt, sizes, pointers, doc_idx = parse_idx(buf)
+    assert dt == np.int32
+    assert pointers[0] == 0
+    assert (np.diff(pointers) == sizes[:-1].astype(np.int64) * 4).all()
+    assert doc_idx[0] == 0 and doc_idx[-1] == len(sizes)
+    bin_size = len(open(idx_path[:-4] + '.bin', 'rb').read())
+    assert bin_size == int(sizes.astype(np.int64).sum()) * 4
+    # uint16 bounds-check: 70000 does not fit
+    import pytest as _p
+    with _p.raises(Exception, match='out of range'):
+        write_megatron(
+            spark.createDataFrame([(1, [70000])],
+                                  'doc_id long, tokens array<long>'),
+            str(tmp_path / 'bad'), dtype='uint16')
+    with _p.raises(Exception, match='null token array'):
+        write_megatron(
+            spark.createDataFrame([(1, None)],
+                                  'doc_id long, tokens array<long>'),
+            str(tmp_path / 'bad2'))
+    # float shards
+    fdocs = spark.createDataFrame(
+        [(i, [i / 3, -i / 7]) for i in range(5)],
+        'doc_id long, v array<double>')
+    fout = str(tmp_path / 'megf')
+    write_megatron(fdocs, fout, tokens_col='v', dtype='float64')
+    frows = read_megatron(spark, fout, tokens_col='v').collect()
+    vals = sorted(r['v'][0] for r in frows)
+    assert vals == sorted(i / 3 for i in range(5))
+
+
+def test_megatron_shard_rolling(spark, tmp_path):
+    """One skewed partition rolls multiple .bin/.idx pairs by record
+    cap and by byte cap; no .inprogress leftovers; every sequence
+    survives exactly once."""
+    import glob
+
+    from erde_spark.io.megatron import read_megatron, write_megatron
+    docs = spark.createDataFrame(
+        [(i, [i] * 10) for i in range(100)],
+        'doc_id long, tokens array<long>')
+    one = docs.coalesce(1)
+    out25 = str(tmp_path / 'm25')
+    write_megatron(one, out25, shard_size=25)
+    assert len(glob.glob(out25 + '/*.idx')) == 4
+    assert len(glob.glob(out25 + '/*.bin')) == 4
+    # 10 tokens * 4 B = 40 B/seq; 400 B cap -> 10 shards
+    outb = str(tmp_path / 'mb')
+    write_megatron(one, outb, shard_bytes=400)
+    assert len(glob.glob(outb + '/*.idx')) == 10
+    assert not glob.glob(outb + '/*.inprogress')
+    back = read_megatron(spark, outb).collect()
+    assert sorted(r['tokens'][0] for r in back) == list(range(100))
+    import pytest as _p
+    with _p.raises(ValueError, match='positive'):
+        write_megatron(docs, str(tmp_path / 'bad'), shard_size=0)
+    with _p.raises(ValueError, match='unsupported dtype'):
+        write_megatron(docs, str(tmp_path / 'bad'), dtype='complex64')

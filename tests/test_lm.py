@@ -158,3 +158,75 @@ def test_scoring_plan_is_jvm_only(spark, tiny):
     assert 'BatchEvalPython' not in plan
     assert 'ArrowEval' not in plan
     assert 'Cartesian' not in plan
+
+
+def test_perplexity_buckets_rank_exact(spark):
+    """Rank method: 9 docs per language split exactly 3/3/3 by
+    ascending perplexity with id tie-breaks; single-doc languages land
+    in head (percent_rank 0)."""
+    from erde_spark.scale.lm import perplexity_buckets
+    rows = [(i, 'en', float(i)) for i in range(9)]
+    rows += [(100 + i, 'fr', 5.0) for i in range(3)]  # all-tied
+    rows += [(200, 'sw', 42.0)]
+    df = spark.createDataFrame(
+        rows, 'doc_id long, lang string, perplexity double')
+    got = {r['doc_id']: r['ppl_bucket']
+           for r in perplexity_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == ['head'] * 3 + \
+        ['middle'] * 3 + ['tail'] * 3
+    # ties broken by doc_id: 100 head, 101 middle, 102 tail
+    assert (got[100], got[101], got[102]) == ('head', 'middle', 'tail')
+    assert got[200] == 'head'
+
+
+def test_perplexity_buckets_threshold_scale_path(spark):
+    """Threshold method agrees with rank away from cut ties, puts a
+    whole tie-class in the lower bucket together, and its plan carries
+    a broadcast join (no full-data sort)."""
+    from erde_spark.scale.lm import perplexity_buckets
+    df = spark.createDataFrame(
+        [(i, 'en', float(i % 30)) for i in range(90)],
+        'doc_id long, lang string, perplexity double')
+    got = perplexity_buckets(df, method='threshold')
+    by_ppl = {(r['perplexity'], r['ppl_bucket'])
+              for r in got.collect()}
+    # 30 distinct values x3 docs: head = ppl 0-9, middle 10-19, tail rest
+    assert {b for p, b in by_ppl if p <= 9} == {'head'}
+    assert {b for p, b in by_ppl if 10 <= p <= 19} == {'middle'}
+    assert {b for p, b in by_ppl if p >= 20} == {'tail'}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan
+    rank = perplexity_buckets(df, method='rank')
+    agree = rank.join(
+        got.withColumnRenamed('ppl_bucket', 'b2'), 'doc_id') \
+        .where('ppl_bucket = b2').count()
+    assert agree == 90  # no tie straddles a cut here -> exact agreement
+    import pytest as _p
+    with _p.raises(ValueError, match='method'):
+        perplexity_buckets(df, method='nope')
+    with _p.raises(ValueError, match='cuts'):
+        perplexity_buckets(df, cuts=(0.9, 0.1))
+
+
+def test_perplexity_buckets_end_to_end_lm(spark):
+    """Composition: train -> score -> bucket. Gibberish twins must
+    never out-bucket their real counterparts (tail vs head)."""
+    from erde_spark.scale.lm import (perplexity_buckets, score_perplexity,
+                                     train_ngram_lm)
+    real = ['the cat sat on the mat', 'the dog sat on the mat',
+            'a cat and a dog', 'the cat and the dog sat']
+    gib = ['zqx vbn mlp qwe rty uio', 'xzc vbq plm wer tyu oiu',
+           'qpz mxn vbl ewq ytr uoi', 'zxq bnv lmp qew rty iou']
+    trusted = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(real)], 'doc_id long, text string')
+    lm = train_ngram_lm(trusted, n=2)
+    docs = spark.createDataFrame(
+        [(i, 'en', t) for i, t in enumerate(real + gib)],
+        'doc_id long, lang string, text string')
+    scored = score_perplexity(docs, lm).join(
+        docs.select('doc_id', 'lang'), 'doc_id')
+    out = {r['doc_id']: r['ppl_bucket']
+           for r in perplexity_buckets(scored).collect()}
+    order = {'head': 0, 'middle': 1, 'tail': 2}
+    assert max(order[out[i]] for i in range(4)) <= \
+        min(order[out[i]] for i in range(4, 8))

@@ -191,3 +191,44 @@ def test_target_mix_drops_unlisted_and_validates(spark):
         target_mix(df, 'lang', 'doc_id', {})
     with pytest.raises(ValueError):
         target_mix(df, 'lang', 'doc_id', {'en': 0.5, 'absent': 0.5})
+
+
+def test_shuffle_deterministic_matches_single_sort(spark):
+    """The bucketed two-phase position equals the brute-force global
+    md5 sort exactly (dense 0..n-1, same permutation), is stable
+    across repartitioning, salt changes the order, and DuckDB's
+    ROW_NUMBER over the same md5 reproduces it engine-portably."""
+    import duckdb
+
+    from erde_spark.scale.sampling import shuffle_deterministic
+    df = spark.createDataFrame([(i,) for i in range(500)], 'doc_id long')
+    out = shuffle_deterministic(df, 'doc_id', buckets=16)
+    got = {r['doc_id']: r['shuffle_pos'] for r in out.collect()}
+    assert sorted(got.values()) == list(range(500))
+    brute = {r['doc_id']: r['p'] - 1 for r in df.selectExpr(
+        'doc_id',
+        "row_number() over (order by md5(cast(doc_id as string)), "
+        'doc_id) as p').collect()}
+    assert got == brute
+    # repartition-proof
+    got2 = {r['doc_id']: r['shuffle_pos'] for r in
+            shuffle_deterministic(df.repartition(13), 'doc_id',
+                                  buckets=16).collect()}
+    assert got2 == got
+    # engine-portable: DuckDB agrees
+    duck = dict(duckdb.sql(
+        'SELECT i, ROW_NUMBER() OVER (ORDER BY md5(CAST(i AS VARCHAR)), i)'
+        ' - 1 FROM range(500) t(i)').fetchall())
+    assert got == duck
+    # a salt permutes
+    salted = {r['doc_id']: r['shuffle_pos'] for r in
+              shuffle_deterministic(df, 'doc_id', salt='ep1',
+                                    buckets=16).collect()}
+    assert sorted(salted.values()) == list(range(500))
+    assert salted != got
+    import pytest as _p
+    with _p.raises(ValueError, match='buckets'):
+        shuffle_deterministic(df, 'doc_id', buckets=0)
+    # empty frame keeps the schema
+    empty = shuffle_deterministic(df.where('doc_id < 0'), 'doc_id')
+    assert empty.count() == 0 and 'shuffle_pos' in empty.columns
