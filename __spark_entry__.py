@@ -4948,6 +4948,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_unimax_mix_check(spark, sf_dir):
+    """UniMax corpus mixing (Chung et al. ICLR 2023; NEW round 9)
+    VALUE-checked by an n-independent construction: doc_id-rank splits
+    documents 1:7 into 'small'/'big' (exact eighths at any corpus
+    size); with budget = corpus size and max_epochs = 2 the waterfill
+    ALWAYS caps small at exactly 2 whole epochs (fair share n/2 >
+    capacity n/4) and redistributes to big = 3n/4 budget = 6/7 of an
+    epoch — 0 whole passes + the deterministic md5 fractional sample
+    at threshold floor(6/7*65536) = 0xdb6d, a CONSTANT DuckDB compares
+    directly against substring(md5(doc_id),1,4). Exercises cap
+    binding, uniform redistribution and the engine-portable fractional
+    epoch in one gate. Impl:
+    erde_spark/scale/sampling.py::unimax_mix/unimax_allocation."""
+    from erde_spark.scale.sampling import unimax_mix
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    w = Window.orderBy('doc_id')
+    ranked = d.withColumn('_r', F.row_number().over(w) - 1)
+    n8 = 8 * (ranked.count() // 8)
+    docs = (ranked.filter(F.col('_r') < n8)
+            .withColumn('grp', F.when(F.col('_r') < n8 // 8, 'small')
+                        .otherwise('big')))
+    out = unimax_mix(docs, 'grp', 'doc_id', budget=n8, max_epochs=2)
+    return (out.select('doc_id', 'n_full_epochs',
+                       F.col('frac_kept').cast('int').alias('frac_kept'))
+            .orderBy('doc_id'))
+
+
+_UNIMAX_MIX_SQL = """
+WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM documents),
+f AS (SELECT doc_id, rk, 8 * (n // 8) AS n8 FROM r
+      WHERE rk < 8 * (n // 8))
+SELECT doc_id,
+       CASE WHEN rk < n8 // 8 THEN 2 ELSE 0 END AS n_full_epochs,
+       CASE WHEN rk < n8 // 8 THEN 0
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'db6d'
+            THEN 1 ELSE 0 END AS frac_kept
+FROM f ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5256,14 +5297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     perplexity_rank_check (CCNet LM scoring), megatron_roundtrip (the
     .bin/.idx binarized-token interchange format, full round trip),
     ccnet_buckets_check (head/middle/tail per-language percent_rank
-    split) and global_shuffle_check (deterministic md5 training-order
-    permutation, engine-portable), and 7 of the 12 r3-era queries
-    (pack_sequences, oov_rate, full_outer_priority,
-    pivot_priority_revenue and rollup_pricing defer to the r10 window,
-    the least-stale of the cohort — all still r03, so stalest-first
-    packing holds by tie). Everything last green r04+ moves to the
-    tail; the r10 window picks up the five deferred r3-era queries
-    then the r4/r5/r7 cohorts.
+    split), global_shuffle_check (deterministic md5 training-order
+    permutation, engine-portable) and unimax_mix_check (UniMax
+    epoch-capped budget waterfill, n-independent construction), and 6
+    of the 12 r3-era queries (pack_sequences, oov_rate,
+    full_outer_priority, pivot_priority_revenue, rollup_pricing and
+    range_band_join defer to the r10 window, the least-stale of the
+    cohort — all still r03, so stalest-first packing holds by tie).
+    Everything last green r04+ moves to the tail; the r10 window picks
+    up the six deferred r3-era queries then the r4/r5/r7 cohorts.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5314,12 +5356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
-        'range_band_join': q_range_band_join,
         'perplexity_rank_check': q_perplexity_rank_check,
         'megatron_roundtrip': q_megatron_roundtrip,
         'ccnet_buckets_check': q_ccnet_buckets_check,
         'global_shuffle_check': q_global_shuffle_check,
+        'unimax_mix_check': q_unimax_mix_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'range_band_join': q_range_band_join,
         'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
@@ -5461,6 +5504,7 @@ def oracle_sql() -> dict[str, str]:
         'megatron_roundtrip': _MEGATRON_ROUNDTRIP_SQL,
         'ccnet_buckets_check': _CCNET_BUCKETS_SQL,
         'global_shuffle_check': _GLOBAL_SHUFFLE_SQL,
+        'unimax_mix_check': _UNIMAX_MIX_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

@@ -260,3 +260,86 @@ def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = '',
                                          F.col(id_col).asc())
     pos = off[F.col('_g')] + F.row_number().over(w) - 1
     return d.withColumn(pos_col, pos.cast('long')).drop('_h', '_g')
+
+
+def unimax_allocation(counts: dict, budget, max_epochs) -> dict:
+    """UniMax budget waterfill (Chung et al., ICLR 2023): visit groups
+    by ascending capacity (``max_epochs * count``); each takes
+    ``min(capacity, remaining / groups_left)``. Exact Fraction
+    arithmetic so a 1-ulp error can never flip a cap decision; returns
+    ``{group: allocated}`` as Fractions summing to ``min(budget,
+    total capacity)``."""
+    from fractions import Fraction
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError('budget and max_epochs must be positive')
+    if not counts or any(c <= 0 for c in counts.values()):
+        raise ValueError('counts must be a non-empty dict of positives')
+    remaining = Fraction(budget)
+    out = {}
+    order = sorted(counts, key=lambda g: (Fraction(max_epochs)
+                                          * counts[g], str(g)))
+    for i, g in enumerate(order):
+        cap = Fraction(max_epochs) * counts[g]
+        fair = remaining / (len(order) - i)
+        out[g] = min(cap, fair)
+        remaining -= out[g]
+    return out
+
+
+def unimax_mix(df: DataFrame, group_col: str, id_col: str,
+               budget, max_epochs, weight_col: str | None = None,
+               salt: str = '', materialize: bool = False) -> DataFrame:
+    """UniMax language/source sampling (Chung et al., ICLR 2023): give
+    every group an equal share of the training ``budget`` UNLESS that
+    would repeat its data more than ``max_epochs`` times — low-resource
+    groups cap at ``max_epochs`` epochs and the freed budget
+    redistributes uniformly over the rest (closed-form waterfill; the
+    reference has no mixing operator). Budget and capacities count
+    ROWS by default, or ``sum(weight_col)`` (e.g. per-doc token
+    counts) when given.
+
+    Default output: the input plus ``n_full_epochs`` (whole passes
+    over the group) and ``frac_kept`` (whether the row belongs to the
+    deterministic md5 sample implementing the fractional final pass —
+    same engine-portable contract as ``hash_sample``).
+    ``materialize=True`` explodes instead to one row per (doc, epoch)
+    with an ``epoch`` column — the actual training-mix table.
+
+    Scale shape: one map-side-combined count per group (collected —
+    one row per group, bounded by group cardinality; the waterfill is
+    a driver loop over that table), then a broadcast CASE on the
+    group column — no shuffle of the data itself; ``materialize``
+    adds only the explode (output-sized, no extra exchange)."""
+    from fractions import Fraction
+    agg = (F.sum(weight_col) if weight_col
+           else F.count(F.lit(1))).alias('n')
+    rows = df.groupBy(F.col(group_col).alias('g')).agg(agg).collect()
+    counts = {r['g']: r['n'] for r in rows}
+    alloc = unimax_allocation(counts, budget, max_epochs)
+    full, thr = {}, {}
+    for g, b in alloc.items():
+        epochs = b / Fraction(counts[g])
+        full[g] = int(epochs)               # floor: whole passes
+        frac = epochs - full[g]
+        thr[g] = ('g' if frac >= 1
+                  else format(int(frac * 0x10000), '04x'))
+    full_col = F.lit(None).cast('int')
+    thr_col = F.lit(None).cast('string')
+    for g in alloc:
+        full_col = F.when(F.col(group_col) == g, full[g]) \
+            .otherwise(full_col)
+        thr_col = F.when(F.col(group_col) == g, thr[g]) \
+            .otherwise(thr_col)
+    out = (df.filter(F.col(group_col).isin(*alloc))
+           .withColumn('n_full_epochs', full_col)
+           .withColumn('frac_kept',
+                       sample_key(id_col, salt) < thr_col))
+    if not materialize:
+        return out
+    # one row per (doc, epoch): epochs 0..n_full-1 are the whole
+    # passes; the md5-sampled rows add a final fractional epoch
+    n_ep = F.col('n_full_epochs') + F.col('frac_kept').cast('int')
+    return (out.where(n_ep > 0)
+            .withColumn('epoch', F.explode(F.sequence(F.lit(0),
+                                                      n_ep - 1)))
+            .drop('n_full_epochs', 'frac_kept'))

@@ -232,3 +232,65 @@ def test_shuffle_deterministic_matches_single_sort(spark):
     # empty frame keeps the schema
     empty = shuffle_deterministic(df.where('doc_id < 0'), 'doc_id')
     assert empty.count() == 0 and 'shuffle_pos' in empty.columns
+
+
+def test_unimax_allocation_waterfill():
+    """The paper's worked shape: a low-resource group caps at
+    max_epochs and the freed budget redistributes uniformly; exact
+    Fractions; budget beyond total capacity allocates every cap."""
+    from fractions import Fraction
+
+    import pytest
+
+    from erde_spark.scale.sampling import unimax_allocation
+    # capacities: a=2*10=20, b=2*100=200, c=2*100=200; budget 300
+    a = unimax_allocation({'a': 10, 'b': 100, 'c': 100}, 300, 2)
+    assert a['a'] == 20                     # capped (fair share was 100)
+    assert a['b'] == a['c'] == Fraction(280, 2)
+    assert sum(a.values()) == 300
+    # budget > total capacity: everything caps
+    full = unimax_allocation({'a': 10, 'b': 100}, 10**6, 2)
+    assert full == {'a': 20, 'b': 200}
+    with pytest.raises(ValueError):
+        unimax_allocation({}, 10, 2)
+    with pytest.raises(ValueError):
+        unimax_allocation({'a': 5}, 0, 2)
+
+
+def test_unimax_mix_epochs_and_fraction(spark):
+    """unimax_mix: the capped group gets exactly max_epochs whole
+    passes (no fractional sample); the uncapped group's fractional
+    epoch is the deterministic md5 sample at the exact Fraction
+    threshold; materialize=True yields one row per (doc, epoch)."""
+    from erde_spark.scale.sampling import sample_key, unimax_mix
+    import pyspark.sql.functions as F
+    rows = [(i, 'small') for i in range(10)]
+    rows += [(100 + i, 'big') for i in range(70)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    # capacities: small 20, big 140; budget 80: small caps at 20,
+    # big gets 60 -> 6/7 epoch (0 full + frac 6/7, threshold 0xdb6d)
+    out = unimax_mix(df, 'lang', 'doc_id', budget=80, max_epochs=2)
+    got = {r['doc_id']: (r['n_full_epochs'], r['frac_kept'])
+           for r in out.collect()}
+    assert all(got[i] == (2, False) for i in range(10))
+    assert all(got[100 + i][0] == 0 for i in range(70))
+    keys = {r['doc_id']: r['k'] for r in
+            df.select('doc_id', sample_key('doc_id').alias('k')).collect()}
+    assert all(got[100 + i][1] == (keys[100 + i] < 'db6d')
+               for i in range(70))
+    mat = unimax_mix(df, 'lang', 'doc_id', budget=80, max_epochs=2,
+                     materialize=True)
+    per_doc = {r['doc_id']: r['n'] for r in
+               mat.groupBy('doc_id').agg(F.count('*').alias('n'))
+               .collect()}
+    assert all(per_doc[i] == 2 for i in range(10))
+    for i in range(70):
+        expect = 1 if keys[100 + i] < 'db6d' else 0
+        assert per_doc.get(100 + i, 0) == expect
+    # weight_col: capacities by token sums instead of row counts
+    wdf = df.withColumn('toks', F.lit(10))
+    wout = unimax_mix(wdf, 'lang', 'doc_id', budget=800, max_epochs=2,
+                      weight_col='toks')
+    wgot = {r['doc_id']: (r['n_full_epochs'], r['frac_kept'])
+            for r in wout.collect()}
+    assert wgot == got  # same shape scaled by 10
