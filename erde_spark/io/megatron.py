@@ -65,29 +65,31 @@ _CODE_DTYPES = {1: np.uint8, 2: np.int8, 3: np.int16, 4: np.int32,
                 5: np.int64, 6: np.float64, 7: np.float64, 8: np.uint16}
 
 
-def _write_shard(path_base: str, arrays: list, dtype: np.dtype) -> None:
-    """Write one committed .bin/.idx pair for ``arrays`` (list of 1-D
-    numpy arrays, one per sequence = one per document)."""
+def _write_shard(path_base: str, sizes: np.ndarray, flat: np.ndarray,
+                 dtype: np.dtype) -> None:
+    """Write one committed .bin/.idx pair. ``flat`` is every sequence
+    concatenated (already cast to ``dtype``); ``sizes`` the per-
+    sequence token counts — the .bin IS the concatenation, so the
+    writer never touches individual documents."""
     from erde_spark.io.task_files import commit_file, staging_path
-    sizes = np.asarray([len(a) for a in arrays], dtype=np.int32)
+    sizes = np.asarray(sizes, dtype=np.int32)
     itemsize = np.dtype(dtype).itemsize
-    pointers = np.zeros(len(arrays), dtype=np.int64)
-    if len(arrays) > 1:
+    pointers = np.zeros(len(sizes), dtype=np.int64)
+    if len(sizes) > 1:
         np.cumsum(sizes[:-1].astype(np.int64) * itemsize,
                   out=pointers[1:])
-    doc_idx = np.arange(len(arrays) + 1, dtype=np.int64)
+    doc_idx = np.arange(len(sizes) + 1, dtype=np.int64)
 
     bin_final = path_base + '.bin'
     idx_final = path_base + '.idx'
     bin_tmp, idx_tmp = staging_path(bin_final), staging_path(idx_final)
     with open(bin_tmp, 'wb') as out:
-        for a in arrays:
-            out.write(a.astype(dtype, copy=False).tobytes())
+        out.write(flat.astype(dtype, copy=False).tobytes())
     with open(idx_tmp, 'wb') as out:
         out.write(_MAGIC)
         out.write(struct.pack('<Q', _VERSION))
         out.write(struct.pack('<B', _DTYPE_CODES[np.dtype(dtype).name]))
-        out.write(struct.pack('<Q', len(arrays)))
+        out.write(struct.pack('<Q', len(sizes)))
         out.write(struct.pack('<Q', len(doc_idx)))
         out.write(sizes.tobytes())
         out.write(pointers.tobytes())
@@ -125,43 +127,80 @@ def write_megatron(df: DataFrame, path: str, tokens_col: str = 'tokens',
     if np_dtype.kind in 'iu':
         info = np.iinfo(np_dtype)
         lo, hi = info.min, info.max
+    wide = np.float64 if lo is None else np.int64
+    itemsize = np_dtype.itemsize
 
-    def _write_partition(it):
+    def _write_partition(batches):
+        # Arrow-vectorized: per batch ONE concatenate + ONE bounds
+        # check + ONE dtype cast; shard-roll boundaries are found with
+        # searchsorted over the cumulative byte sizes (O(shards log n)
+        # per batch), so no per-document Python runs anywhere
+        import pandas as pd
         from pyspark import TaskContext
         tid = TaskContext.get().partitionId()
         shard_idx = 0
-        arrays: list = []
-        nbytes = 0
+        pend_flat: list = []          # cast chunks awaiting a flush
+        pend_sizes: list = []
+        cur_records = 0
+        cur_bytes = 0
 
         def _flush():
-            nonlocal shard_idx, arrays, nbytes
-            if not arrays:
+            nonlocal shard_idx, pend_flat, pend_sizes
+            nonlocal cur_records, cur_bytes
+            if not cur_records:
                 return
             _write_shard(
                 os.path.join(path, f'part-{tid:05d}-{shard_idx:05d}'),
-                arrays, np_dtype)
+                np.concatenate(pend_sizes) if pend_sizes
+                else np.zeros(0, np.int32),
+                np.concatenate(pend_flat) if pend_flat
+                else np.zeros(0, np_dtype),
+                np_dtype)
             shard_idx += 1
-            arrays, nbytes = [], 0
+            pend_flat, pend_sizes = [], []
+            cur_records = cur_bytes = 0
 
-        for row in it:
-            toks = row['_toks']
-            if toks is None:
+        for pdf in batches:
+            vals = pdf['_toks']
+            if vals.isna().any():
                 raise ValueError(
                     'null token array (coalesce to [] or filter first)')
-            a = np.asarray(toks, dtype=np.float64 if lo is None
-                           else np.int64)
-            if lo is not None and len(a) and \
-                    (a.min() < lo or a.max() > hi):
+            vals = vals.values
+            lens = np.fromiter((len(v) for v in vals), np.int64,
+                               len(vals))
+            flat = (np.concatenate([np.asarray(v, dtype=wide)
+                                    for v in vals])
+                    if lens.sum() else np.zeros(0, wide))
+            if lo is not None and len(flat) and \
+                    (flat.min() < lo or flat.max() > hi):
                 raise ValueError(
                     f'token id out of range for {np_dtype.name}: '
-                    f'[{a.min()}, {a.max()}] vs [{lo}, {hi}]')
-            arrays.append(a)
-            nbytes += len(a) * np_dtype.itemsize
-            if len(arrays) >= shard_size or nbytes >= shard_bytes:
-                _flush()
+                    f'[{flat.min()}, {flat.max()}] vs [{lo}, {hi}]')
+            flat = flat.astype(np_dtype, copy=False)
+            off = np.zeros(len(vals) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            cum_b = off[1:] * itemsize
+            i = 0
+            while i < len(vals):
+                take_rec = shard_size - cur_records
+                room = shard_bytes - cur_bytes
+                base = cum_b[i - 1] if i else 0
+                take_byte = int(np.searchsorted(
+                    cum_b, base + room, side='left')) - i + 1
+                k = max(1, min(take_rec, take_byte, len(vals) - i))
+                pend_sizes.append(lens[i:i + k].astype(np.int32))
+                pend_flat.append(flat[off[i]:off[i + k]])
+                cur_records += k
+                cur_bytes += int(cum_b[i + k - 1] - base)
+                i += k
+                if cur_records >= shard_size or cur_bytes >= shard_bytes:
+                    _flush()
         _flush()
+        yield pd.DataFrame({'shards': [shard_idx]})
 
-    rows.rdd.foreachPartition(_write_partition)
+    out_schema = T.StructType([T.StructField('shards', T.LongType())])
+    # collect is bounded: exactly one summary row per task
+    rows.mapInPandas(_write_partition, out_schema).collect()
 
 
 def parse_idx(buf: bytes):
@@ -224,20 +263,32 @@ def read_megatron(spark: SparkSession, path: str,
 
     def _parse(batches):
         import pandas as pd
+        cast = np.float64 if is_float else np.int64
         for pdf in batches:
             files, seq_ids, toks = [], [], []
             for fpath, blob in zip(pdf['path'], pdf['content']):
                 dt, sizes, pointers, _ = parse_idx(bytes(blob))
                 with _open_sibling_bin(fpath) as f:
                     raw = f.read()
-                base = os.path.basename(fpath)
-                cast = np.float64 if is_float else np.int64
-                for i in range(len(sizes)):
-                    off = int(pointers[i])
-                    a = np.frombuffer(raw, dt, int(sizes[i]), off)
-                    files.append(base)
-                    seq_ids.append(i)
-                    toks.append(a.astype(cast).tolist())
+                # one decode + one cast for the whole file, then
+                # zero-copy views per sequence — valid when pointers
+                # are the contiguous cumsum (always true for this
+                # writer and the published one); a foreign gapped
+                # layout falls back to per-sequence decodes
+                ends = np.cumsum(sizes.astype(np.int64))
+                starts = ends - sizes
+                if (pointers == starts * dt.itemsize).all():
+                    whole = np.frombuffer(raw, dt, int(ends[-1])
+                                          if len(ends) else 0) \
+                        .astype(cast, copy=False)
+                    seqs = np.split(whole, ends[:-1])
+                else:
+                    seqs = [np.frombuffer(raw, dt, int(sizes[i]),
+                                          int(pointers[i])).astype(cast)
+                            for i in range(len(sizes))]
+                files.extend([os.path.basename(fpath)] * len(sizes))
+                seq_ids.extend(range(len(sizes)))
+                toks.extend(seqs)
             yield pd.DataFrame(
                 {'_file': files, 'seq_id': seq_ids, tokens_col: toks})
 

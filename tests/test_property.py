@@ -1225,3 +1225,35 @@ def test_equidistant_cylindrical_pins_and_roundtrip():
         lon2, lat2 = O.transform_geom(g, 4087, 4326)[1]
         assert math.isclose(lon, lon2, abs_tol=1e-7)
         assert math.isclose(lat, lat2, abs_tol=1e-7)
+
+
+@given(st.sampled_from(['uint8', 'int16', 'int32', 'int64', 'uint16']),
+       st.lists(st.lists(st.integers(min_value=0, max_value=127),
+                         max_size=40), min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_megatron_shard_codec_roundtrip(dtype, seqs):
+    """Pure-codec property: any mix of sequence lengths (incl. empty)
+    under any integer dtype writes one .bin/.idx pair whose parsed
+    index reconstructs every sequence exactly and whose pointer/size
+    arithmetic is self-consistent."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from erde_spark.io.megatron import _write_shard, parse_idx
+    base = tempfile.mkdtemp()
+    path = os.path.join(base, 'part-00000-00000')
+    flat = np.asarray([x for s in seqs for x in s], dtype=np.int64)
+    _write_shard(path, np.asarray([len(s) for s in seqs], np.int32),
+                 flat, np.dtype(dtype))
+    dt, sizes, pointers, doc_idx = parse_idx(open(path + '.idx',
+                                                  'rb').read())
+    raw = open(path + '.bin', 'rb').read()
+    assert dt == np.dtype(dtype)
+    assert len(sizes) == len(seqs)
+    assert doc_idx[0] == 0 and doc_idx[-1] == len(seqs)
+    assert len(raw) == int(sizes.astype(np.int64).sum()) * dt.itemsize
+    for i, s in enumerate(seqs):
+        got = np.frombuffer(raw, dt, int(sizes[i]), int(pointers[i]))
+        assert got.tolist() == s
