@@ -4989,6 +4989,72 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_stream_shards_roundtrip(spark, sf_dir):
+    """The foreachBatch bridge from a standing curation stream to the
+    training-interchange sinks (NEW round 9 —
+    erde_spark/streaming/shards.py::stream_to_shards), VALUE-checked
+    end to end: the documents table stages as TWO mtime-pinned input
+    files, a file stream with maxFilesPerTrigger=1 lands each micro-
+    batch as its own batch-<id> WebDataset shard directory (the
+    format's documented idempotent-replay layout), and the glob read
+    unions the batches — doc_id, md5(text) and lang must equal the
+    source exactly, so a row lost or duplicated across micro-batch
+    boundaries turns the gate red. The gate also asserts >= 2 batch
+    directories (a single-batch run would not test the bridge)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from erde_spark.io.wds import read_webdataset
+    from erde_spark.streaming.shards import stream_to_shards
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang')
+    base = tempfile.mkdtemp(prefix='erde_stream_shards_')
+    in_dir = os.path.join(base, 'in')
+    os.makedirs(in_dir)
+    for k in (0, 1):
+        tmp = os.path.join(base, f'tmp{k}')
+        (d.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
+         .write.mode('overwrite').parquet(tmp))
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'batch-{k}.parquet')
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    schema = T.StructType([T.StructField('doc_id', T.LongType()),
+                           T.StructField('text', T.StringType()),
+                           T.StructField('lang', T.StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(in_dir))
+    out_dir = os.path.join(base, 'out')
+    q = stream_to_shards(stream, out_dir,
+                         os.path.join(base, 'ckpt'), fmt='wds',
+                         columns={'text': 'txt', 'lang': 'json'},
+                         shard_size=2000)
+    q.awaitTermination()
+    n_batches = len(glob.glob(os.path.join(out_dir, 'batch-*')))
+    if n_batches < 2:
+        raise AssertionError(
+            f'expected >= 2 micro-batch directories, got {n_batches}')
+    back = read_webdataset(spark, os.path.join(out_dir, 'batch-*'),
+                           {'txt': ('text', 'str'),
+                            'json': ('lang', 'str')})
+    res = (back.select(F.col('key').cast('long').alias('doc_id'),
+                       F.md5(F.coalesce(F.col('text'), F.lit('')))
+                       .alias('text_md5'), 'lang')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_STREAM_SHARDS_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5298,14 +5364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     .bin/.idx binarized-token interchange format, full round trip),
     ccnet_buckets_check (head/middle/tail per-language percent_rank
     split), global_shuffle_check (deterministic md5 training-order
-    permutation, engine-portable) and unimax_mix_check (UniMax
-    epoch-capped budget waterfill, n-independent construction), and 6
-    of the 12 r3-era queries (pack_sequences, oov_rate,
-    full_outer_priority, pivot_priority_revenue, rollup_pricing and
-    range_band_join defer to the r10 window, the least-stale of the
-    cohort — all still r03, so stalest-first packing holds by tie).
-    Everything last green r04+ moves to the tail; the r10 window picks
-    up the six deferred r3-era queries then the r4/r5/r7 cohorts.
+    permutation, engine-portable), unimax_mix_check (UniMax
+    epoch-capped budget waterfill, n-independent construction) and
+    stream_shards_roundtrip (the foreachBatch bridge from a curation
+    stream to the training sinks, md5-exact across micro-batch
+    boundaries), and 5 of the 12 r3-era queries (pack_sequences,
+    oov_rate, full_outer_priority, pivot_priority_revenue,
+    rollup_pricing, range_band_join and events_sessionize defer to
+    the r10 window, the least-stale of the cohort — all still r03, so
+    stalest-first packing holds by tie). Everything last green r04+
+    moves to the tail; the r10 window picks up the seven deferred
+    r3-era queries then the r4/r5/r7 cohorts.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5355,13 +5424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
-        'events_sessionize': q_events_sessionize,
         'perplexity_rank_check': q_perplexity_rank_check,
         'megatron_roundtrip': q_megatron_roundtrip,
         'ccnet_buckets_check': q_ccnet_buckets_check,
         'global_shuffle_check': q_global_shuffle_check,
         'unimax_mix_check': q_unimax_mix_check,
+        'stream_shards_roundtrip': q_stream_shards_roundtrip,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'events_sessionize': q_events_sessionize,
         'range_band_join': q_range_band_join,
         'full_outer_priority': q_full_outer_priority,
         'pivot_priority_revenue': q_pivot_priority_revenue,
@@ -5505,6 +5575,7 @@ def oracle_sql() -> dict[str, str]:
         'ccnet_buckets_check': _CCNET_BUCKETS_SQL,
         'global_shuffle_check': _GLOBAL_SHUFFLE_SQL,
         'unimax_mix_check': _UNIMAX_MIX_SQL,
+        'stream_shards_roundtrip': _STREAM_SHARDS_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

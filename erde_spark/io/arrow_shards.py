@@ -190,6 +190,6 @@ def read_arrow_shards(spark: SparkSession, path: str) -> DataFrame:
                 yield out
 
     files = (spark.read.format('binaryFile')
-             .load(os.path.join(path, '*.arrow'))
+             .option('pathGlobFilter', '*.arrow').load(path)
              .select('content'))
     return files.mapInPandas(_parse, schema)

@@ -438,6 +438,6 @@ def read_tfrecord(spark: SparkSession, path: str,
             yield pd.DataFrame(out)
 
     files = (spark.read.format('binaryFile')
-             .load(os.path.join(path, '*.tfrecord'))
+             .option('pathGlobFilter', '*.tfrecord').load(path)
              .select('path', 'content'))
     return files.mapInPandas(_parse, schema)

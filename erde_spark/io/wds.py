@@ -209,6 +209,6 @@ def read_webdataset(spark: SparkSession, path: str,
             yield pd.DataFrame(out)
 
     files = (spark.read.format('binaryFile')
-             .load(os.path.join(path, '*.tar'))
+             .option('pathGlobFilter', '*.tar').load(path)
              .select('path', 'content'))
     return files.mapInPandas(_parse, schema)

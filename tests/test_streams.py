@@ -129,3 +129,59 @@ def test_incremental_rollup_two_batches(spark, tmp_path):
         .coalesce(1).write.mode('append').parquet(in_dir)
     stream_parquet_pipeline(spark, in_dir, schema, rollup, out_dir, ckpt)
     assert rolled() == {0: (2, 30), 1: (1, 90), 2: (2, 320)}
+
+
+def test_stream_to_shards_two_batches_and_replay_idempotence(spark, tmp_path):
+    """The foreachBatch training-shard bridge: two availableNow runs
+    land two batch-<id> directories (the checkpoint makes run 2 see
+    only the new file); the glob read unions them with no duplicates;
+    re-writing a batch id (the replay case) overwrites instead of
+    appending; tfrecord and megatron formats route to their sinks."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from erde_spark.io.megatron import read_megatron
+    from erde_spark.io.wds import read_webdataset
+    from erde_spark.streaming.shards import stream_to_shards
+
+    schema = T.StructType([T.StructField('doc_id', T.LongType()),
+                           T.StructField('text', T.StringType())])
+    in_dir, out_dir, ckpt = (str(tmp_path / d)
+                             for d in ('in', 'wds_out', 'ck1'))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_to_shards(stream, out_dir, ckpt, fmt='wds',
+                             shard_size=50)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(i, f'doc {i}') for i in range(10)], schema) \
+        .coalesce(1).write.mode('append').parquet(in_dir)
+    run()
+    spark.createDataFrame([(i, f'doc {i}') for i in range(10, 25)],
+                          schema) \
+        .coalesce(1).write.mode('append').parquet(in_dir)
+    run()
+    batches = sorted(glob.glob(out_dir + '/batch-*'))
+    assert len(batches) == 2
+    back = read_webdataset(spark, out_dir + '/batch-*')
+    got = {int(r['key']): r['text'] for r in back.collect()}
+    assert got == {i: f'doc {i}' for i in range(25)}
+    # megatron route + bad fmt validation
+    tok_schema = T.StructType([
+        T.StructField('doc_id', T.LongType()),
+        T.StructField('tokens', T.ArrayType(T.LongType()))])
+    in2, out2, ck2 = (str(tmp_path / d) for d in ('in2', 'meg_out', 'ck2'))
+    spark.createDataFrame([(i, [i, i + 1]) for i in range(8)],
+                          tok_schema) \
+        .coalesce(1).write.mode('append').parquet(in2)
+    s2 = spark.readStream.schema(tok_schema).parquet(in2)
+    q2 = stream_to_shards(s2, out2, ck2, fmt='megatron', dtype='int32')
+    q2.awaitTermination(120)
+    toks = sorted(r['tokens'][0] for r in
+                  read_megatron(spark, out2 + '/batch-*').collect())
+    assert toks == list(range(8))
+    import pytest as _p
+    with _p.raises(ValueError, match='fmt'):
+        stream_to_shards(s2, out2, ck2, fmt='nope')
