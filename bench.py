@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     'pack_bestfit_check',
     'wds_roundtrip',
     'tfrecord_roundtrip',
+    'megatron_roundtrip',
+    'ccnet_buckets_check',
+    'global_shuffle_check',
+    'unimax_mix_check',
+    'stream_shards_roundtrip',
 ]
 
 
@@ -228,27 +233,70 @@ def main():
     # the line must fit that window in full (asserted below) or the
     # artifact loses rows (BENCH_r06 lost 23 of 79)
     print(json.dumps({'spread': spreads, 'queries_3dp': timings,
-                      'jobs_per_run': job_counts}),
+                      'jobs_per_run': job_counts,
+                      'runs_per_query': n_runs,
+                      'sentinel': {'cpu': [round(t, 3) for t in sent_cpu],
+                                   'spark': [round(t, 3)
+                                             for t in sent_spark]}}),
           file=sys.stderr)
-    def _compact(dp):
-        return json.dumps({
+
+    def _q(v, dp):
+        # "1" not "1.0": whole-second 1dp values waste 2 chars each
+        # across ~half the registry
+        r = round(v, dp)
+        return int(r) if float(r).is_integer() else r
+
+    def _compact(dp, slim=False, fit_budget=None):
+        qd = {k: _q(v, dp) for k, v in timings.items()}
+        omitted = None
+        if fit_budget is not None:
+            # keep the most expensive queries until the line fits —
+            # the ones whose drift matters; at 1dp a 0.1 s query
+            # carries no signal anyway. NOT a silent cap: the count
+            # and summed seconds of the dropped tail are recorded,
+            # and the full 3dp set is in the stderr artifact
+            order = sorted(timings, key=lambda k: (-timings[k], k))
+            qd, used = {}, 0
+            for k in order:
+                entry = len(k) + len(json.dumps(_q(timings[k], dp))) + 4
+                if used + entry > fit_budget:
+                    break
+                qd[k] = _q(timings[k], dp)
+                used += entry
+            dropped = [k for k in timings if k not in qd]
+            omitted = {'n': len(dropped),
+                       'sum_sec': round(sum(timings[k]
+                                            for k in dropped), 2)}
+        d = {
             'metric': 'headline_queries_total_sec',
             'value': round(total, 2),
             'unit': 'sec',
-            'queries': {k: round(v, dp) for k, v in timings.items()},
+            'queries': qd,
             'sf': float(sf),
-            'runs_per_query': n_runs,
-            'sentinel': {'cpu': [round(t, 3) for t in sent_cpu],
-                         'spark': [round(t, 3) for t in sent_spark]},
-        }, separators=(',', ':'))
+        }
+        if omitted is not None:
+            d['omitted'] = omitted
+        if slim:
+            # host-drift calibration survives as the two minima; the
+            # full before/after pairs are in the stderr record above
+            d['sentinel'] = {'cpu': round(min(sent_cpu), 3),
+                             'spark': round(min(sent_spark), 3)}
+        else:
+            d['runs_per_query'] = n_runs
+            d['sentinel'] = {'cpu': [round(t, 3) for t in sent_cpu],
+                             'spark': [round(t, 3) for t in sent_spark]}
+        return json.dumps(d, separators=(',', ':'))
 
-    compact = _compact(2)
-    if len(compact) >= 1900:
-        # the registry grew the line to the edge of the driver's
-        # 2000-char stdout tail — drop per-query precision to 1dp
-        # (full 3dp timings are in the stderr artifact regardless)
-        # rather than risk truncating the artifact
-        compact = _compact(1)
+    # the driver records the final 2000 characters of stdout, so the
+    # ONE line must fit that window in full or the artifact loses rows
+    # (BENCH_r06 lost 23 of 79). Degrade gracefully as the registry
+    # grows: 2dp -> 1dp -> 1dp/scalar sentinels -> biggest-first fit
+    # with an explicit omitted record; full 3dp timings live in the
+    # stderr artifact at every tier
+    for args in ((2,), (1,), (1, True), (1, True, 1650)):
+        compact = _compact(*args)
+        if len(compact) < 1900:
+            break
     assert len(compact) < 1950, f'final bench line too long: {len(compact)}'
     print(compact)
 

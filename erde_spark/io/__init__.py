@@ -323,6 +323,72 @@ class WarcDriver(_Driver):
         write_warc(df, path, mode=mode, **kw)
 
 
+class WdsDriver(_Driver):
+    """WebDataset shard directories (see io/wds.py) as facade paths:
+    `corpus.wds` is a directory of `.tar` shards (a single `.tar`
+    also reads). Read yields (key, shard, _pos, text) by default —
+    pass ``columns`` for other members."""
+    name = 'wds'
+    path_re = re.compile(r'^.*\.(wds|tar)$', re.I)
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.wds import read_webdataset
+        return read_webdataset(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.wds import write_webdataset
+        write_webdataset(df, path, mode=mode, **kw)
+
+
+class TfRecordDriver(_Driver):
+    """TFRecord shard directories (see io/tfrecord.py). Read yields
+    doc_id by default — pass ``columns={name: (kind, shape)}`` for
+    the full feature set."""
+    name = 'tfrecord'
+    path_re = re.compile(r'^.*\.tfrecords?$', re.I)
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.tfrecord import read_tfrecord
+        return read_tfrecord(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.tfrecord import write_tfrecord
+        write_tfrecord(df, path, mode=mode, **kw)
+
+
+class ArrowShardsDriver(_Driver):
+    """Arrow IPC / HF-datasets shard directories (see
+    io/arrow_shards.py); full schema round-trips from the shard
+    footers, so no column spec is needed either way."""
+    name = 'arrow'
+    path_re = re.compile(r'^.*\.arrow$', re.I)
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.arrow_shards import read_arrow_shards
+        return read_arrow_shards(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.arrow_shards import write_arrow_shards
+        write_arrow_shards(df, path, mode=mode, **kw)
+
+
+class MegatronDriver(_Driver):
+    """Megatron-LM/fairseq indexed-dataset directories (see
+    io/megatron.py): `corpus.megatron` holds `.bin`/`.idx` shard
+    pairs. Write expects a `tokens` array column (override with
+    ``tokens_col``); read returns (_file, seq_id, tokens)."""
+    name = 'megatron'
+    path_re = re.compile(r'^.*\.megatron$', re.I)
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.megatron import read_megatron
+        return read_megatron(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.megatron import write_megatron
+        write_megatron(df, path, mode=mode, **kw)
+
+
 class GpkgDriver(_Driver):
     """Real GeoPackage source/sink on stdlib sqlite3 (see io/gpkg.py):
     distributed rowid-sliced scan, rtree bbox pushdown, single-file
@@ -681,6 +747,8 @@ DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), JsonDriver(), WarcDriver(),
+    WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
+    MegatronDriver(),
 ]
 
 

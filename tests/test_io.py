@@ -815,3 +815,36 @@ def test_megatron_shard_rolling(spark, tmp_path):
         write_megatron(docs, str(tmp_path / 'bad'), shard_size=0)
     with _p.raises(ValueError, match='unsupported dtype'):
         write_megatron(docs, str(tmp_path / 'bad'), dtype='complex64')
+
+
+def test_training_formats_in_path_dispatch(spark, tmp_path):
+    """The read_df/write_df facade routes training-interchange paths:
+    .wds/.tar -> WebDataset, .tfrecord -> TFRecord, .arrow -> Arrow
+    shards, .megatron -> indexed dataset — so CLI output paths and
+    generic pipelines treat them like any reference format."""
+    from erde_spark.io import read_df, select_driver, write_df
+    assert select_driver('corpus.wds').name == 'wds'
+    assert select_driver('shard.tar').name == 'wds'
+    assert select_driver('out.tfrecord').name == 'tfrecord'
+    assert select_driver('out.tfrecords').name == 'tfrecord'
+    assert select_driver('ds.arrow').name == 'arrow'
+    assert select_driver('tok.megatron').name == 'megatron'
+    docs = spark.createDataFrame([(i, f'b{i}') for i in range(6)],
+                                 'doc_id long, text string')
+    arrow = str(tmp_path / 'd.arrow')
+    write_df(docs, arrow)
+    assert {r['doc_id'] for r in read_df(arrow, spark).collect()} \
+        == set(range(6))
+    wds = str(tmp_path / 'd.wds')
+    write_df(docs, wds)
+    back = read_df(wds, spark)
+    assert {int(r['key']): r['text'] for r in back.collect()} \
+        == {i: f'b{i}' for i in range(6)}
+    meg = str(tmp_path / 'd.megatron')
+    toks = spark.createDataFrame([(i, [i, i]) for i in range(4)],
+                                 'doc_id long, tokens array<long>')
+    write_df(toks, meg)
+    assert read_df(meg, spark).count() == 4
+    tfr = str(tmp_path / 'd.tfrecord')
+    write_df(docs, tfr)
+    assert read_df(tfr, spark).count() == 6
