@@ -339,6 +339,22 @@ def mix(input_data: DataFrame, weights: str, group_column: str = 'lang',
 
 
 @autocli
+def unimax(input_data: DataFrame, budget: float, max_epochs: int = 4,
+           group_column: str = 'lang', id_column: str = 'doc_id',
+           weight_column: str = '', salt: str = '',
+           materialize: bool = False) -> DataFrame:
+    """UniMax language sampling: equal budget per group capped at
+    --max-epochs passes, freed budget redistributed uniformly; budget
+    counts rows (or sum of --weight-column, e.g. token counts).
+    Default output adds n_full_epochs + frac_kept; --materialize
+    explodes to one row per (doc, epoch)."""
+    from erde_spark.scale.sampling import unimax_mix
+    return unimax_mix(input_data, group_column, id_column, budget,
+                      max_epochs, weight_col=weight_column or None,
+                      salt=salt, materialize=materialize)
+
+
+@autocli
 def pack(input_data: DataFrame, max_tokens: int = 2048,
          shard_column: str = None, id_column: str = 'doc_id',
          text_column: str = 'text') -> DataFrame:
@@ -579,7 +595,7 @@ COMMANDS = {
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
-    'shuffle': shuffle,
+    'shuffle': shuffle, 'unimax': unimax,
 }
 
 

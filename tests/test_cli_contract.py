@@ -453,3 +453,23 @@ def test_megexport_and_shuffle_subcommands(spark, tmp_path):
                          'md5(cast(doc_id as string)), doc_id) as p')
              .collect()}
     assert got == brute
+
+
+def test_unimax_subcommand(spark, tmp_path):
+    """unimax from the shell: the capped group materializes exactly
+    max-epochs copies per doc; the uncapped group gets its fractional
+    md5 sample."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, 'small') for i in range(10)]
+    rows += [(100 + i, 'big') for i in range(70)]
+    spark.createDataFrame(rows, 'doc_id long, lang string') \
+        .write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'mixed.parquet')
+    entrypoint(['unimax', src, '80', out,
+                '--max-epochs', '2', '--materialize'])
+    got = spark.read.parquet(out)
+    small = got.where("lang = 'small'").groupBy('doc_id').count()
+    assert {r['count'] for r in small.collect()} == {2}
+    n_big = got.where("lang = 'big'").count()
+    assert 0 < n_big < 70  # the 6/7 fractional epoch, sampled
