@@ -556,13 +556,17 @@ def shuffle(input_data: DataFrame, id_column: str = 'doc_id',
 @autocli
 def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
         min_count: int = 2, max_perplexity: float = 0.0,
+        bucket: bool = False, lang_column: str = 'lang',
         id_column: str = 'doc_id', text_column: str = 'text') -> DataFrame:
-    """Score (or filter) documents by stupid-backoff n-gram LM
-    perplexity, CCNet-style: the LM trains on --train-path (default:
-    the input itself); with --max-perplexity > 0 the output is the
-    filtered input, otherwise the per-document score table."""
-    from erde_spark.scale.lm import (perplexity_filter, score_perplexity,
-                                     train_ngram_lm)
+    """Score (or filter, or bucket) documents by stupid-backoff n-gram
+    LM perplexity, CCNet-style: the LM trains on --train-path
+    (default: the input itself); with --max-perplexity > 0 the output
+    is the filtered input; with --bucket it is the score table plus
+    the per-language head/middle/tail split on --lang-column;
+    otherwise the per-document score table."""
+    from erde_spark.scale.lm import (perplexity_buckets,
+                                     perplexity_filter,
+                                     score_perplexity, train_ngram_lm)
     train = (read_df(train_path, input_data.sparkSession)
              if train_path else input_data)
     lm = train_ngram_lm(train, text_col=text_column, n=n,
@@ -570,8 +574,17 @@ def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
     if max_perplexity > 0:
         return perplexity_filter(input_data, lm, max_perplexity,
                                  id_col=id_column, text_col=text_column)
-    return score_perplexity(input_data, lm, id_col=id_column,
-                            text_col=text_column)
+    scored = score_perplexity(input_data, lm, id_col=id_column,
+                              text_col=text_column)
+    if not bucket:
+        return scored
+    if lang_column not in input_data.columns:
+        raise AutocliError(f'--bucket needs column {lang_column!r} '
+                           '(set --lang-column)')
+    scored = scored.join(
+        input_data.select(id_column, lang_column), id_column)
+    return perplexity_buckets(scored, lang_col=lang_column,
+                              id_col=id_column)
 
 
 @autocli

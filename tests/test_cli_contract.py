@@ -473,3 +473,31 @@ def test_unimax_subcommand(spark, tmp_path):
     assert {r['count'] for r in small.collect()} == {2}
     n_big = got.where("lang = 'big'").count()
     assert 0 < n_big < 70  # the 6/7 fractional epoch, sampled
+
+
+def test_ppl_bucket_mode(spark, tmp_path):
+    """ppl --bucket lands the CCNet head/middle/tail split from the
+    shell: per-language terciles of the perplexity under the TRUSTED
+    LM (--train-path, the CCNet design — a self-trained model rewards
+    whatever repeats, including gibberish)."""
+    from erde_spark.cli import entrypoint
+    real = ['the cat sat on the mat', 'the dog sat on the mat',
+            'a cat and a dog sat', 'the cat and the dog']
+    trusted = str(tmp_path / 'trusted.parquet')
+    spark.createDataFrame([(i, t) for i, t in enumerate(real)],
+                          'doc_id long, text string') \
+        .write.mode('overwrite').parquet(trusted)
+    rows = [(i, 'en', real[i % 4]) for i in range(6)]
+    rows += [(10 + i, 'en', 'zqx vbn mlp qwe rty uio wer')
+             for i in range(3)]
+    src = str(tmp_path / 'docs.parquet')
+    spark.createDataFrame(rows, 'doc_id long, lang string, text string') \
+        .write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'b.parquet')
+    entrypoint(['ppl', src, out, '--bucket', '--n', '2',
+                '--train-path', trusted])
+    got = {r['doc_id']: r['ppl_bucket']
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == 9 and set(got.values()) == {'head', 'middle', 'tail'}
+    # OOV gibberish under the trusted LM lands in the tail tercile
+    assert all(got[10 + i] == 'tail' for i in range(3))

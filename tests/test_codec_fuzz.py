@@ -99,3 +99,36 @@ def test_warc_truncation_clean():
         compress=False)
     for cut in range(0, len(blob), 7):
         list(parse_warc_records(BytesIO(blob[:cut])))  # never raises
+
+
+def test_megatron_idx_truncation_and_bitflips_clean():
+    """The indexed-dataset index parser honors the same corrupt-blob
+    contract as the media decoders: every truncation and every
+    single-byte corruption of a valid .idx either parses (payload
+    bytes that don't affect header consistency) or raises a clean
+    IOError/ValueError-family error — never hangs or escapes with an
+    unexpected type."""
+    import struct
+
+    from erde_spark.io.megatron import parse_idx
+    sizes = np.asarray([3, 0, 5, 2], np.int32)
+    pointers = np.asarray([0, 12, 12, 32], np.int64)
+    doc_idx = np.arange(5, dtype=np.int64)
+    buf = (b'MMIDIDX\x00\x00' + struct.pack('<Q', 1) +
+           struct.pack('<B', 4) + struct.pack('<Q', 4) +
+           struct.pack('<Q', 5) + sizes.tobytes() +
+           pointers.tobytes() + doc_idx.tobytes())
+    parse_idx(buf)  # the intact blob must parse
+    errs = OK_ERRORS + (IOError,)
+    for cut in range(len(buf)):
+        try:
+            parse_idx(buf[:cut])
+        except errs:
+            pass
+    for pos in range(len(buf)):
+        b = bytearray(buf)
+        b[pos] ^= 0xFF
+        try:
+            parse_idx(bytes(b))
+        except errs:
+            pass
