@@ -3,6 +3,7 @@ entry on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row
 count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # first-50 gate
 """
 
 import sys
@@ -16,6 +17,10 @@ import __spark_entry__ as entry  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 ONLY = set(sys.argv[2:])
+if '--window' in ONLY:
+    # exactly what the driver's correctness gate runs: the first 50
+    # registry entries (the rotation window)
+    ONLY = set(list(entry.queries())[:50])
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

@@ -291,6 +291,48 @@ def op_warc_roundtrip(spark, sf):
     return warc_to_documents(read_warc(out, spark))
 
 
+def op_shuffle_deterministic(spark, sf):
+    from erde_spark.scale.sampling import shuffle_deterministic
+    d = spark.read.parquet(f'{sf}/documents.parquet').select('doc_id')
+    return shuffle_deterministic(d, 'doc_id', buckets=1024) \
+        .select('shuffle_pos')
+
+
+def op_ppl_buckets_threshold(spark, sf):
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.lm import perplexity_buckets
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'lang')
+    scored = d.withColumn(
+        'perplexity', (F.col('doc_id') * 37 % 10007).cast('double'))
+    return perplexity_buckets(scored, method='threshold') \
+        .select('doc_id', 'ppl_bucket')
+
+
+def op_unimax_materialized(spark, sf):
+    from erde_spark.scale.sampling import unimax_mix
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'lang')
+    n = d.count()
+    return unimax_mix(d, 'lang', 'doc_id', budget=n, max_epochs=2,
+                      materialize=True)
+
+
+def op_megatron_roundtrip(spark, sf):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from erde_spark.io.megatron import read_megatron, write_megatron
+    d = spark.read.parquet(f'{sf}/documents.parquet').select(
+        'doc_id', F.sequence(F.lit(1), F.lit(64)).alias('tokens'))
+    out = os.path.join(tempfile.gettempdir(),
+                       'meg_scale_' + os.path.basename(sf.rstrip('/')))
+    write_megatron(d.repartition(32), out, dtype='int32')
+    return read_megatron(spark, out).select('seq_id')
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -307,6 +349,10 @@ OPS = {
     'image_dedup_planted': op_image_dedup_planted,
     'warc_roundtrip': op_warc_roundtrip,
     'langid': op_langid,
+    'shuffle_deterministic': op_shuffle_deterministic,
+    'ppl_buckets_threshold': op_ppl_buckets_threshold,
+    'unimax_materialized': op_unimax_materialized,
+    'megatron_roundtrip': op_megatron_roundtrip,
 }
 
 
