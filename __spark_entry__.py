@@ -5055,6 +5055,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_sentence_split_check(spark, sf_dir):
+    """Rule-based sentence segmentation (NEW round 9 — the granularity
+    bitext mining / sentence dedup operate at;
+    erde_spark/scale/text.py::split_sentences, one JVM lookaround
+    split, codegen) VALUE-checked by construction: each document is
+    built as doc_id%5+1 planted sentences ('Word<j> of doc <i> here.'
+    single-space-joined), so the splitter must recover EXACTLY that
+    many sentences and their byte-exact text — DuckDB rebuilds the
+    expected sentence list arithmetically and compares count + an
+    order-sensitive md5. RE2 can't replay the lookarounds, which is
+    exactly why the gate pins outputs, not the regex. Abbreviation /
+    initial / quote edge semantics are pinned in tests/test_scale.py."""
+    from erde_spark.scale.text import split_sentences
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    sent = lambda j: F.concat(F.lit('Word'), j.cast('string'),
+                              F.lit(' of doc '),
+                              F.col('doc_id').cast('string'),
+                              F.lit(' here.'))
+    text = F.array_join(F.transform(
+        F.sequence(F.lit(0), (F.col('doc_id') % 5).cast('int')), sent),
+        ' ')
+    docs = d.select('doc_id', text.alias('text'))
+    arr = split_sentences('text')
+    return (docs.select(
+        'doc_id',
+        F.size(arr).cast('long').alias('n_sentences'),
+        F.md5(F.array_join(arr, '|')).alias('sent_md5'))
+        .orderBy('doc_id'))
+
+
+_SENTENCE_SPLIT_SQL = """
+SELECT doc_id,
+       doc_id % 5 + 1 AS n_sentences,
+       md5(array_to_string(list_transform(range(doc_id % 5 + 1),
+           j -> 'Word' || j || ' of doc ' || doc_id || ' here.'), '|'))
+       AS sent_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5365,16 +5405,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ccnet_buckets_check (head/middle/tail per-language percent_rank
     split), global_shuffle_check (deterministic md5 training-order
     permutation, engine-portable), unimax_mix_check (UniMax
-    epoch-capped budget waterfill, n-independent construction) and
+    epoch-capped budget waterfill, n-independent construction),
     stream_shards_roundtrip (the foreachBatch bridge from a curation
     stream to the training sinks, md5-exact across micro-batch
-    boundaries), and 5 of the 12 r3-era queries (pack_sequences,
-    oov_rate, full_outer_priority, pivot_priority_revenue,
-    rollup_pricing, range_band_join and events_sessionize defer to
-    the r10 window, the least-stale of the cohort — all still r03, so
-    stalest-first packing holds by tie). Everything last green r04+
-    moves to the tail; the r10 window picks up the seven deferred
-    r3-era queries then the r4/r5/r7 cohorts.
+    boundaries) and sentence_split_check (rule-based sentence
+    segmentation, byte-exact planted constructions), and 4 of the 12
+    r3-era queries (pack_sequences, oov_rate, full_outer_priority,
+    pivot_priority_revenue, rollup_pricing, range_band_join,
+    events_sessionize and events_hourly defer to the r10 window, the
+    least-stale of the cohort — all still r03, so stalest-first
+    packing holds by tie). Everything last green r04+ moves to the
+    tail; the r10 window picks up the eight deferred r3-era queries
+    then the r4/r5/r7 cohorts.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5423,14 +5465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
-        'events_hourly': q_events_hourly,
         'perplexity_rank_check': q_perplexity_rank_check,
         'megatron_roundtrip': q_megatron_roundtrip,
         'ccnet_buckets_check': q_ccnet_buckets_check,
         'global_shuffle_check': q_global_shuffle_check,
         'unimax_mix_check': q_unimax_mix_check,
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
+        'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
         'range_band_join': q_range_band_join,
         'full_outer_priority': q_full_outer_priority,
@@ -5576,6 +5619,7 @@ def oracle_sql() -> dict[str, str]:
         'global_shuffle_check': _GLOBAL_SHUFFLE_SQL,
         'unimax_mix_check': _UNIMAX_MIX_SQL,
         'stream_shards_roundtrip': _STREAM_SHARDS_SQL,
+        'sentence_split_check': _SENTENCE_SPLIT_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

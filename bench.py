@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     'global_shuffle_check',
     'unimax_mix_check',
     'stream_shards_roundtrip',
+    'sentence_split_check',
 ]
 
 

@@ -902,6 +902,52 @@ def normalize_text(col: Column | str, collapse_spaces: bool = True) -> Column:
     return c
 
 
+#: fixed-width negative lookbehinds (Java regex requires bounded
+#: lookbehind) for terminators that are abbreviations, not sentence
+#: ends — the list every rule-based splitter carries (Koehn's
+#: split-sentences.perl ships per-language nonbreaking_prefix files;
+#: this is the English core of it)
+_SENT_ABBREV = ('Mr', 'Ms', 'Mrs', 'Dr', 'Prof', 'St', 'Jr', 'Sr',
+                'vs', 'etc', 'No', 'Inc', 'Ltd', 'Co', 'Fig', 'approx')
+_SENT_SPLIT_RE = (
+    r'(?<=[.!?]["\')\]]?)'        # terminator, optional closing quote
+    + ''.join(rf'(?<!\b{a}\.)' for a in _SENT_ABBREV)
+    + r'(?<!\b[A-Z]\.)'           # single-initial "J. Smith"
+    + r'\s+(?=["\'(]?[A-Z0-9])')
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Rule-based sentence segmentation -> ``array<string>`` (the
+    granularity bitext mining, passage dedup and PII windows operate
+    at). Split points are terminator ([.!?]) + whitespace + an
+    upper/digit (optionally quote/paren) start, guarded by fixed-width
+    negative lookbehinds for the standard abbreviation list and single
+    initials — one JVM ``split``, whole-stage codegen, sentence text
+    preserved byte-exact (the delimiter whitespace is all that's
+    consumed). Deterministic by construction; RE2 engines can't replay
+    the lookarounds, so gates use planted constructions. For
+    locale-aware segmentation of word LISTS, Spark's built-in
+    ``F.sentences`` (java.text.BreakIterator) is the alternative —
+    this splitter exists because BreakIterator discards the original
+    spacing/punctuation, which passage-level dedup needs intact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, _SENT_SPLIT_RE)
+
+
+def explode_sentences(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text',
+                      min_chars: int = 1) -> DataFrame:
+    """One row per sentence: (id, sent_id, sentence) — ``posexplode``
+    over :func:`split_sentences`, sentences shorter than ``min_chars``
+    after trimming dropped (keeps indices of the SURVIVORS dense).
+    Map-only; feeds bitext mining / sentence-level dedup."""
+    sents = F.filter(
+        F.transform(split_sentences(text_col), lambda s: F.trim(s)),
+        lambda s: F.length(s) >= min_chars)
+    return (df.select(id_col, F.posexplode(sents)
+                      .alias('sent_id', 'sentence')))
+
+
 def url_domain(col: Column | str) -> Column:
     """Lower-cased host part of a URL column ('' when not a URL).
     Case-insensitive scheme; userinfo ('user:pass@host') and port are

@@ -2029,3 +2029,46 @@ def test_pack_bins_bestfit(spark):
     assert {r['lang'] for r in sh} == {'0', '1'}
     with pytest.raises(ValueError, match='max_tokens'):
         pack_bins_bestfit(df, max_tokens=0)
+
+
+def test_split_sentences_rules(spark):
+    """Rule-based splitter: terminator+space+capital splits; the
+    abbreviation list, single initials and lowercase continuations do
+    NOT split; closing quotes/parens attach to their sentence; text is
+    preserved byte-exact across the split."""
+    from erde_spark.scale.text import explode_sentences, split_sentences
+    rows = [
+        (0, 'The cat sat. The dog ran! Did it? Yes.'),
+        (1, 'Mr. Smith met Dr. Jones at 5 p.m. yesterday. They talked.'),
+        (2, 'See Fig. 3 for details. J. Smith wrote it.'),
+        (3, 'One sentence only'),
+        (4, 'Quotes work. "Indeed." (Right.) End.'),
+        (5, 'He said "stop." Then left.'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r['s'] for r in
+           df.select('doc_id', split_sentences('text').alias('s'))
+           .collect()}
+    assert got[0] == ['The cat sat.', 'The dog ran!', 'Did it?', 'Yes.']
+    assert got[1] == ['Mr. Smith met Dr. Jones at 5 p.m. yesterday.',
+                      'They talked.']
+    assert got[2] == ['See Fig. 3 for details.', 'J. Smith wrote it.']
+    assert got[3] == ['One sentence only']
+    assert got[4] == ['Quotes work.', '"Indeed."', '(Right.)', 'End.']
+    assert got[5] == ['He said "stop."', 'Then left.']
+    # byte-exact reassembly: single-space joins reproduce the source
+    for i in (0, 1, 2, 4, 5):
+        assert ' '.join(got[i]) == rows[i][1]
+    ex = explode_sentences(df.where('doc_id = 0'))
+    assert [r['sentence'] for r in ex.orderBy('sent_id').collect()] \
+        == got[0]
+    # min_chars drops trimmed-short survivors with dense re-indexing
+    short = spark.createDataFrame([(9, 'Ok. A very long sentence here.')],
+                                  'doc_id long, text string')
+    kept = explode_sentences(short, min_chars=5).collect()
+    assert [(r['sent_id'], r['sentence']) for r in kept] \
+        == [(0, 'A very long sentence here.')]
+    # JVM-only plan: no Python eval in the splitter
+    plan = df.select(split_sentences('text'))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'BatchEvalPython' not in plan and 'ArrowEval' not in plan
