@@ -429,6 +429,66 @@ def pack_bins_bestfit(df: DataFrame, id_col: str = 'doc_id',
     return out.select(*keep)
 
 
+def fim_transform(df: DataFrame, id_col: str = 'doc_id',
+                  text_col: str = 'text', rate: float = 0.5,
+                  salt: str = '', out_col: str = 'fim_text',
+                  pre: str = '<PRE>', suf: str = '<SUF>',
+                  mid: str = '<MID>', mode: str = 'psm') -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle") — the standard
+    code-model data augmentation: a ``rate`` fraction of documents is
+    rewritten as sentinel-delimited (prefix, suffix, middle) triples so
+    the model learns infilling; the rest stay autoregressive. Adds
+    ``out_col`` (the transformed text) and ``fim_applied``.
+
+    Every decision is derived from md5 of the row id, never from RNG
+    state: the SAME documents are selected and split at the SAME two
+    character offsets on any engine, at any parallelism, across reruns
+    (the property :mod:`erde_spark.scale.sampling` keys splits on).
+    Selection reuses :func:`~erde_spark.scale.sampling.sample_key`'s
+    16-bit bucket; the two cut points are independent 32-bit hashes
+    reduced mod (len+1), so cuts at 0 / len (empty prefix, suffix or
+    middle) occur naturally, as the paper requires.
+
+    ``mode='psm'`` emits ``PRE p SUF s MID m``; ``'spm'`` emits
+    ``SUF s PRE p MID m`` (the paper's joined-SPM variant — middle
+    always last, so training masks stay contiguous).
+
+    Scale shape: pure JVM string expressions (md5/conv/substring/
+    concat), one narrow map-side projection inside whole-stage codegen
+    — no shuffle, no Python, pushdown-transparent at 100 TB."""
+    from .sampling import _threshold_hex, sample_key
+    if mode not in ('psm', 'spm'):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    c = F.col(text_col)
+    length = F.length(c)
+
+    def _cut(tag: str) -> Column:
+        h = F.md5(F.encode(F.concat(F.col(id_col).cast('string'),
+                                    F.lit(f':{tag}{salt}')), 'UTF-8'))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast('long')
+                % (length.cast('long') + 1)).cast('int')
+
+    c1, c2 = _cut('fim1'), _cut('fim2')
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    prefix = F.substring(c, F.lit(1), lo)
+    middle = F.substring(c, lo + 1, hi - lo)
+    suffix = F.substring(c, hi + 1, length)
+    if mode == 'psm':
+        fim = F.concat(F.lit(pre), prefix, F.lit(suf), suffix,
+                       F.lit(mid), middle)
+    else:
+        fim = F.concat(F.lit(suf), suffix, F.lit(pre), prefix,
+                       F.lit(mid), middle)
+    selected = (sample_key(id_col, salt + '|fim')
+                < F.lit(_threshold_hex(rate)))
+    applied = F.when(c.isNull(), F.lit(None).cast('boolean')) \
+        .otherwise(selected)
+    return (df.withColumn('fim_applied', applied)
+            .withColumn(out_col, F.when(F.coalesce(applied, F.lit(False)),
+                                        fim).otherwise(c)))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text. The exact-dedup key."""
@@ -816,6 +876,52 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
     if keep_flags:
         return kept.select('*', F.col('__q.*')).drop('__q')
     return kept.drop('__q')
+
+
+def compression_ratio(df: DataFrame, text_col: str = 'text',
+                      level: int = 6,
+                      out_col: str = 'compression_ratio') -> DataFrame:
+    """Adds ``out_col`` = UTF-8 bytes / zlib-deflated bytes — the
+    entropy proxy web-curation recipes use to catch what rule lists
+    miss: a very HIGH ratio is machine-generated repetition (keyword
+    stuffing, boilerplate loops, tag soup), a ratio near 1.0 is
+    high-entropy non-text (base64 blobs, minified bundles, binary
+    spill). Complements :func:`gopher_quality_flags` (which sees token
+    shapes, not redundancy). None -> None; '' -> 0.0 (eight bytes of
+    deflate header for zero payload).
+
+    Exact compressed sizes vary a little across zlib builds, so
+    downstream thresholds must be margins, not pins (the gate plants
+    classes an order of magnitude apart). Scale shape: one
+    Arrow-batched pandas UDF over the text column (zlib has no SQL
+    form) — map-only, no shuffle; ~100 MB/s/core deflate keeps it scan
+    -bound at level 6."""
+    import zlib
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode('utf-8')
+            return len(b) / len(zlib.compress(b, level))
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def compression_filter(df: DataFrame, text_col: str = 'text',
+                       min_ratio: float = 1.1, max_ratio: float = 12.0,
+                       level: int = 6,
+                       keep_ratio: bool = False) -> DataFrame:
+    """Drop documents outside the [min_ratio, max_ratio] compression
+    band (both pathological ends — see :func:`compression_ratio`).
+    Null text never passes (no bytes to judge)."""
+    out = compression_ratio(df, text_col, level, '__cr')
+    kept = out.filter(F.col('__cr').between(min_ratio, max_ratio))
+    if keep_ratio:
+        return kept.withColumnRenamed('__cr', 'compression_ratio')
+    return kept.drop('__cr')
 
 
 # ---------------------------------------------------------------- PII / URLs
