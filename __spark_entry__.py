@@ -5095,6 +5095,139 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_fim_transform_check(spark, sf_dir):
+    """Fill-in-the-middle augmentation (Bavarian et al. 2022; NEW this
+    session — erde_spark/scale/text.py::fim_transform) VALUE-checked on
+    the REAL documents table: selection (16-bit md5 bucket, rate 0.5)
+    and both character cut points (independent 32-bit md5 hashes mod
+    len+1) are engine-portable arithmetic, so DuckDB rebuilds every
+    transformed string byte-for-byte — md5 of the PSM rendering must
+    match exactly, transformed and untouched rows both covered. The
+    Spark side is one whole-stage-codegen projection (no Python, no
+    shuffle)."""
+    from erde_spark.scale.text import fim_transform
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id', 'text')
+    out = fim_transform(d, rate=0.5)
+    return (out.select('doc_id',
+                       F.col('fim_applied').cast('int').alias('fim_applied'),
+                       F.md5(F.col('fim_text')).alias('fim_md5'))
+            .orderBy('doc_id'))
+
+
+_FIM_TRANSFORM_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         substring(md5(doc_id || '|fim'), 1, 4) < '8000' AS sel,
+         (('0x' || substring(md5(doc_id || ':fim1'), 1, 8))::BIGINT
+          % (length(text) + 1))::INT AS c1,
+         (('0x' || substring(md5(doc_id || ':fim2'), 1, 8))::BIGINT
+          % (length(text) + 1))::INT AS c2
+  FROM documents),
+g AS (SELECT doc_id, text, sel, least(c1, c2) AS lo,
+             greatest(c1, c2) AS hi FROM f)
+SELECT doc_id, CASE WHEN sel THEN 1 ELSE 0 END AS fim_applied,
+       md5(CASE WHEN sel THEN
+           '<PRE>' || substring(text, 1, lo) || '<SUF>'
+           || substring(text, hi + 1) || '<MID>'
+           || substring(text, lo + 1, hi - lo)
+           ELSE text END) AS fim_md5
+FROM g ORDER BY doc_id
+"""
+
+
+def q_chat_spans_check(spark, sf_dir):
+    """SFT conversation prep (NEW this session —
+    erde_spark/scale/sft.py): every document becomes a planted ChatML
+    conversation of doc_id%3+2 alternating turns with arithmetic
+    contents; the gate checks the LOSS MASK — each assistant turn's
+    [start, end) character span in the rendered byte stream — plus an
+    md5 of the full rendering, against DuckDB replaying the template
+    arithmetic (prefix-sum window over turn lengths). ``span_ok`` is
+    the Spark-side self-check that substring(rendered, start, end)
+    really is the turn content, so a span that drifts while the
+    arithmetic happens to agree still turns the gate red."""
+    from erde_spark.scale.sft import assistant_spans, render_chat
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    turn = lambda j: F.struct(
+        F.when(j % 2 == 0, 'user').otherwise('assistant').alias('role'),
+        F.concat(F.lit('Turn '), j.cast('string'),
+                 F.lit(' of conversation '),
+                 F.col('doc_id').cast('string'), F.lit('.'))
+        .alias('content'))
+    conv = d.select(
+        F.col('doc_id').alias('conv_id'),
+        F.transform(F.sequence(F.lit(0), (F.col('doc_id') % 3 + 1)
+                               .cast('int')), turn).alias('turns'))
+    rendered = render_chat(conv).select('conv_id', 'rendered')
+    spans = assistant_spans(conv)
+    content = F.expr('substring(rendered, start + 1, end - start)')
+    expected = F.concat(F.lit('Turn '), F.col('turn_idx').cast('string'),
+                        F.lit(' of conversation '),
+                        F.col('conv_id').cast('string'), F.lit('.'))
+    return (spans.join(rendered, 'conv_id')
+            .select('conv_id', 'turn_idx', 'start', 'end',
+                    (content == expected).cast('int').alias('span_ok'),
+                    F.md5('rendered').alias('rendered_md5'))
+            .orderBy('conv_id', 'turn_idx'))
+
+
+_CHAT_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, j,
+         CASE WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         'Turn ' || j || ' of conversation ' || doc_id || '.' AS content
+  FROM documents, UNNEST(range(doc_id % 3 + 2)) AS u(j)),
+w AS (SELECT doc_id, j, role, content,
+        COALESCE(SUM(12 + length(role) + 1 + length(content) + 11)
+          OVER (PARTITION BY doc_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS before
+      FROM t),
+r AS (SELECT doc_id,
+        md5(string_agg('<|im_start|>' || role || chr(10) || content
+            || '<|im_end|>' || chr(10), '' ORDER BY j)) AS rendered_md5
+      FROM t GROUP BY doc_id)
+SELECT w.doc_id AS conv_id, j AS turn_idx,
+       (before + 12 + length(role) + 1)::BIGINT AS start,
+       (before + 12 + length(role) + 1 + length(content))::BIGINT AS "end",
+       1 AS span_ok, r.rendered_md5
+FROM w JOIN r ON w.doc_id = r.doc_id
+WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+"""
+
+
+def q_compression_filter_check(spark, sf_dir):
+    """zlib compression-ratio quality signal (NEW this session —
+    erde_spark/scale/text.py::compression_ratio) VALUE-checked by
+    planted classes an order of magnitude apart: even doc_ids carry a
+    60x-repeated phrase (deflate ratio ~19), odd doc_ids a
+    non-repeating 512-char md5 chain (hex alphabet, ratio ~1.9 — the
+    4-bit/char Huffman floor). The classifier column (ratio >= 4)
+    must reproduce doc_id parity exactly; the wide margin makes the
+    gate robust to zlib build differences, which is the documented
+    contract of the op (thresholds are margins, never pins)."""
+    from erde_spark.scale.text import compression_ratio
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    chain = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(15)),
+                                     lambda k: F.md5(F.encode(F.concat(
+                                         F.col('doc_id').cast('string'),
+                                         F.lit(':'), k.cast('string')),
+                                         'UTF-8'))), '')
+    text = F.when(F.col('doc_id') % 2 == 0,
+                  F.repeat(F.lit('token stream '), 60)).otherwise(chain)
+    out = compression_ratio(d.select('doc_id', text.alias('text')))
+    return (out.select('doc_id', (F.col('compression_ratio') >= 4.0)
+                       .cast('int').alias('high_compress'))
+            .orderBy('doc_id'))
+
+
+_COMPRESSION_FILTER_SQL = """
+SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+       AS high_compress
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5417,6 +5550,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     packing holds by tie). Everything last green r04+ moves to the
     tail; the r10 window picks up the eight deferred r3-era queries
     then the r4/r5/r7 cohorts.
+    Late round-9 additions: fim_transform_check (fill-in-the-middle
+    augmentation, md5-byte-exact vs DuckDB), chat_spans_check (SFT
+    ChatML rendering + loss-mask character spans) and
+    compression_filter_check (zlib ratio quality band on planted
+    classes) enter the window as never-green newcomers (stalest by
+    definition); the three freshest in-window queries
+    (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
+    — all last green r03, same era as the out-of-window minimum, so
+    stalest-first packing still holds) move to the head of the tail
+    and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5462,9 +5605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
         'bitext_lsh_check': q_bitext_lsh_check,
-        'anti_join_no_urgent': q_anti_join,
-        'scalar_subquery_acctbal': q_scalar_subquery,
-        'sketch_cardinality': q_sketch_cardinality,
+        'fim_transform_check': q_fim_transform_check,
+        'chat_spans_check': q_chat_spans_check,
+        'compression_filter_check': q_compression_filter_check,
         'perplexity_rank_check': q_perplexity_rank_check,
         'megatron_roundtrip': q_megatron_roundtrip,
         'ccnet_buckets_check': q_ccnet_buckets_check,
@@ -5473,6 +5616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'anti_join_no_urgent': q_anti_join,
+        'scalar_subquery_acctbal': q_scalar_subquery,
+        'sketch_cardinality': q_sketch_cardinality,
         'events_hourly': q_events_hourly,
         'events_sessionize': q_events_sessionize,
         'range_band_join': q_range_band_join,
@@ -5620,6 +5766,9 @@ def oracle_sql() -> dict[str, str]:
         'unimax_mix_check': _UNIMAX_MIX_SQL,
         'stream_shards_roundtrip': _STREAM_SHARDS_SQL,
         'sentence_split_check': _SENTENCE_SPLIT_SQL,
+        'fim_transform_check': _FIM_TRANSFORM_SQL,
+        'chat_spans_check': _CHAT_SPANS_SQL,
+        'compression_filter_check': _COMPRESSION_FILTER_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,

@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     'unimax_mix_check',
     'stream_shards_roundtrip',
     'sentence_split_check',
+    'fim_transform_check',
+    'chat_spans_check',
+    'compression_filter_check',
 ]
 
 

@@ -588,6 +588,66 @@ def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
 
 
 @autocli
+def fim(input_data: DataFrame, rate: float = 0.5, salt: str = '',
+        mode: str = 'psm', id_column: str = 'doc_id',
+        text_column: str = 'text') -> DataFrame:
+    """Fill-in-the-middle augmentation for code-model training: a
+    --rate fraction of documents (md5-selected, reproducible) is
+    rewritten as sentinel-delimited prefix/suffix/middle triples
+    (--mode psm or spm); adds fim_text + fim_applied."""
+    from erde_spark.scale.text import fim_transform
+    return fim_transform(input_data, id_col=id_column,
+                         text_col=text_column, rate=rate, salt=salt,
+                         mode=mode)
+
+
+@autocli
+def chat(input_data: DataFrame, turns_column: str = 'turns',
+         template: str = 'chatml', id_column: str = 'conv_id',
+         spans: bool = False, validate: bool = False,
+         max_chars: int = 0) -> DataFrame:
+    """SFT conversation prep over an array<struct<role,content>>
+    column: render the chat template (default), or emit the
+    assistant loss-mask character spans (--spans), or filter to
+    structurally valid conversations (--validate); --max-chars > 0
+    first truncates to whole tail turns within the budget."""
+    from erde_spark.scale.sft import (assistant_spans, render_chat,
+                                      truncate_turns, validate_turns)
+    df = input_data
+    if max_chars > 0:
+        df = truncate_turns(df, turns_col=turns_column,
+                            max_chars=max_chars, template=template) \
+            .drop(turns_column) \
+            .withColumnRenamed('turns_kept', turns_column)
+    if validate:
+        return validate_turns(df, turns_col=turns_column) \
+            .filter('turns_valid').drop('turns_valid')
+    if spans:
+        return assistant_spans(df, id_col=id_column,
+                               turns_col=turns_column,
+                               template=template)
+    return render_chat(df, turns_col=turns_column, template=template)
+
+
+@autocli
+def entropy(input_data: DataFrame, min_ratio: float = 1.1,
+            max_ratio: float = 12.0, level: int = 6,
+            text_column: str = 'text',
+            filter_rows: bool = False) -> DataFrame:
+    """zlib compression-ratio quality signal: append the ratio column
+    (default) or keep only rows inside the [--min-ratio, --max-ratio]
+    band (--filter-rows) — high ratio = machine repetition, ~1 =
+    binary/base64 spill."""
+    from erde_spark.scale.text import compression_filter, compression_ratio
+    if filter_rows:
+        return compression_filter(input_data, text_col=text_column,
+                                  min_ratio=min_ratio,
+                                  max_ratio=max_ratio, level=level)
+    return compression_ratio(input_data, text_col=text_column,
+                             level=level)
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -608,7 +668,8 @@ COMMANDS = {
     'robots': robots, 'langid': langid, 'capdomains': capdomains,
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
-    'shuffle': shuffle, 'unimax': unimax,
+    'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
+    'entropy': entropy,
 }
 
 

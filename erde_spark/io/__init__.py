@@ -53,7 +53,7 @@ class _Driver:
 
 class CsvDriver(_Driver):
     name = 'csv'
-    path_re = re.compile(r'^.*\.csv(\.gz)?$')
+    path_re = re.compile(r'^.*\.csv(\.gz|\.bz2)?$')
 
     def read(self, spark, path, **kw):
         df = spark.read.csv(path, header=True, inferSchema=True, **kw)
@@ -294,13 +294,22 @@ def _geojson_to_geom(d: dict):
 
 
 class JsonDriver(_Driver):
+    """Line-delimited JSON, the lingua franca of corpus releases —
+    plain or compressed (.gz/.bz2, the codecs this Spark build ships;
+    Hadoop decompresses transparently on read). Writing a path that
+    ends in a compression suffix sets the matching codec, so
+    ``write_df(df, 'out.jsonl.gz')`` does what it says."""
     name = 'json'
-    path_re = re.compile(r'^.*\.(json|jsonl|ndjson)$')
+    path_re = re.compile(r'^.*\.(json|jsonl|ndjson)(\.gz|\.bz2)?$')
+    _CODECS = {'.gz': 'gzip', '.bz2': 'bzip2'}
 
     def read(self, spark, path, **kw):
         return spark.read.json(path, **kw)
 
     def write(self, df, path, mode='overwrite', **kw):
+        for suf, codec in self._CODECS.items():
+            if path.endswith(suf):
+                kw.setdefault('compression', codec)
         df.write.mode(mode).json(path, **kw)
 
 

@@ -501,3 +501,73 @@ def test_ppl_bucket_mode(spark, tmp_path):
     assert len(got) == 9 and set(got.values()) == {'head', 'middle', 'tail'}
     # OOV gibberish under the trusted LM lands in the tail tercile
     assert all(got[10 + i] == 'tail' for i in range(3))
+
+
+def test_fim_and_entropy_subcommands(spark, tmp_path):
+    """fim rewrites the md5-selected fraction as reconstructible
+    PSM triples from the shell; entropy appends the zlib ratio and
+    --filter-rows keeps only the in-band documents."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'docs.parquet')
+    rows = [(i, f'document {i} where sentence number {j} talks about '
+             f'topic {(i * 7 + j) % 5} in ordinary prose. '
+             * 1 + ' '.join(f'word{(i * 13 + k) % 97}'
+                            for k in range(60)))
+            for i, j in ((i, i % 3) for i in range(20))]
+    rows.append((99, 'repeat me ' * 300))
+    spark.createDataFrame(rows, 'doc_id long, text string') \
+        .write.mode('overwrite').parquet(src)
+    out1 = str(tmp_path / 'fim.parquet')
+    entrypoint(['fim', src, out1, '--rate', '1.0'])
+    for r in spark.read.parquet(out1).collect():
+        assert r['fim_applied'] is True
+        p, rest = r['fim_text'][5:].split('<SUF>', 1)
+        s, m = rest.split('<MID>', 1)
+        assert p + m + s == r['text']
+    out2 = str(tmp_path / 'ratio.parquet')
+    entrypoint(['entropy', src, out2])
+    got = {r['doc_id']: r['compression_ratio']
+           for r in spark.read.parquet(out2).collect()}
+    assert got[99] > 12.0 and all(v < 12.0 for k, v in got.items()
+                                  if k != 99)
+    out3 = str(tmp_path / 'kept.parquet')
+    entrypoint(['entropy', src, out3, '--filter-rows'])
+    kept = {r['doc_id'] for r in spark.read.parquet(out3).collect()}
+    assert 99 not in kept and len(kept) == 20
+
+
+def test_chat_subcommand_modes(spark, tmp_path):
+    """chat from the shell: render (default), --spans (loss mask),
+    --validate (structural filter), --max-chars (whole-turn tail
+    truncation before the other modes)."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'convs.parquet')
+    good = [{'role': 'user', 'content': 'question one'},
+            {'role': 'assistant', 'content': 'answer one'},
+            {'role': 'user', 'content': 'question two'},
+            {'role': 'assistant', 'content': 'answer two'}]
+    bad = [{'role': 'assistant', 'content': 'starts wrong'}]
+    spark.createDataFrame(
+        [(1, good), (2, bad)],
+        'conv_id long, turns array<struct<role:string,content:string>>') \
+        .write.mode('overwrite').parquet(src)
+    out1 = str(tmp_path / 'rendered.parquet')
+    entrypoint(['chat', src, out1])
+    r1 = {r['conv_id']: r['rendered']
+          for r in spark.read.parquet(out1).collect()}
+    assert r1[1].startswith('<|im_start|>user\nquestion one<|im_end|>\n')
+    out2 = str(tmp_path / 'spans.parquet')
+    entrypoint(['chat', src, out2, '--spans'])
+    spans = [(r['conv_id'], r['turn_idx'])
+             for r in spark.read.parquet(out2).collect()]
+    assert sorted(spans) == [(1, 1), (1, 3), (2, 0)]
+    out3 = str(tmp_path / 'valid.parquet')
+    entrypoint(['chat', src, out3, '--validate'])
+    assert [r['conv_id'] for r in
+            spark.read.parquet(out3).collect()] == [1]
+    out4 = str(tmp_path / 'trunc.parquet')
+    # final pair renders to 40 + 43 = 83 chars; 90 keeps exactly it
+    entrypoint(['chat', src, out4, '--max-chars', '90', '--spans'])
+    got = [(r['conv_id'], r['turn_idx'])
+           for r in spark.read.parquet(out4).collect()]
+    assert sorted(got) == [(1, 1), (2, 0)]

@@ -848,3 +848,31 @@ def test_training_formats_in_path_dispatch(spark, tmp_path):
     tfr = str(tmp_path / 'd.tfrecord')
     write_df(docs, tfr)
     assert read_df(tfr, spark).count() == 6
+
+
+def test_compressed_jsonl_facade(spark, tmp_path):
+    """.jsonl.gz / .jsonl.bz2 route through the json driver: writes set
+    the matching codec (the part files really are compressed), reads
+    decompress transparently; externally-gzipped jsonl reads too."""
+    import glob
+    import gzip
+
+    from erde_spark.io import read_df, select_driver, write_df
+    docs = spark.createDataFrame([(i, f'text {i}') for i in range(8)],
+                                 'doc_id long, text string')
+    for suffix in ('jsonl.gz', 'jsonl.bz2', 'ndjson', 'json'):
+        assert select_driver(f'x.{suffix}').name == 'json', suffix
+    out = str(tmp_path / 'd.jsonl.gz')
+    write_df(docs, out)
+    parts = glob.glob(out + '/part-*')
+    assert parts and all(p.endswith('.gz') for p in parts)
+    assert {r['doc_id'] for r in read_df(out, spark).collect()} \
+        == set(range(8))
+    # a hand-gzipped single file (the shape corpus releases ship)
+    ext = str(tmp_path / 'ext.jsonl.gz')
+    with gzip.open(ext, 'wt') as f:
+        for i in range(5):
+            f.write('{"doc_id": %d}\n' % i)
+    assert read_df(ext, spark).count() == 5
+    # geojsonl.json must still route to the geo driver, not json
+    assert select_driver('x.geojsonl.json').name == 'geojsonl'

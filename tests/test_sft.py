@@ -249,3 +249,50 @@ class TestCompression:
             'doc_id long, text string')
         out = compression_filter(df, keep_ratio=True).collect()[0]
         assert 1.0 < out.compression_ratio < 3.0
+
+
+class TestFimUnicode:
+    def test_reconstruction_on_adversarial_unicode(self, spark):
+        """p + m + s == text must hold at CODEPOINT granularity for any
+        input: combining marks, non-BMP emoji (UTF-16 surrogate pairs —
+        the classic off-by-one source), CJK, RTL, zero-width joiners,
+        newlines and quotes. One Spark job over the whole corpus."""
+        pieces = ['café', '\U0001f600\U0001f680', 'NUL\x00byte',
+                  '你好世界', 'שלום',
+                  'a‍​b', 'line\nbreak\ttab', '"quoted"',
+                  'x' * 3, '', '\U0001f1fa\U0001f1f8']
+        texts = []
+        for i in range(200):
+            t = ''.join(pieces[(i + k) % len(pieces)]
+                        for k in range(i % 7 + 1))
+            texts.append((i, t))
+        df = spark.createDataFrame(texts, 'doc_id long, text string')
+        out = fim_transform(df, rate=1.0).collect()
+        assert len(out) == 200
+        for r in out:
+            p, rest = r.fim_text[5:].split('<SUF>', 1)
+            s, m = rest.split('<MID>', 1)
+            assert p + m + s == r.text, r.doc_id
+
+    def test_truncate_invariants_bulk(self, spark):
+        """For a spread of budgets: kept is a contiguous TAIL of the
+        input (after the optional system head), its rendered length
+        fits the budget, and adding one more turn would overflow."""
+        turns = [('system', 'sys')] + [
+            ('user' if j % 2 == 0 else 'assistant', 'c' * (j % 17 + 1))
+            for j in range(12)]
+        df = _conv(spark, turns)
+        rendered = [_rlen(r, c) for r, c in turns]
+        for budget in range(0, sum(rendered) + 30, 13):
+            kept = truncate_turns(df, max_chars=budget) \
+                .collect()[0].turns_kept
+            got = [(t.role, t.content) for t in kept]
+            assert got[0] == turns[0]          # system always kept
+            body = got[1:]
+            assert body == turns[len(turns) - len(body):]  # contiguous tail
+            used = sum(_rlen(r, c) for r, c in got)
+            if body != turns[1:]:              # something was dropped
+                nxt = turns[len(turns) - len(body) - 1]
+                assert used + _rlen(*nxt) > budget
+            if len(got) > 1:
+                assert used <= max(budget, _rlen(*turns[0]))

@@ -333,6 +333,43 @@ def op_megatron_roundtrip(spark, sf):
     return read_megatron(spark, out).select('seq_id')
 
 
+def op_fim_transform(spark, sf):
+    """FIM is one codegen projection: time should stay scan-bound and
+    shuffle exactly 0 at any size."""
+    from erde_spark.scale.text import fim_transform
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text')
+    return fim_transform(d, rate=0.5).select('doc_id', 'fim_text')
+
+
+def op_chat_spans(spark, sf):
+    """Loss-mask spans = posexplode + one prefix-sum window keyed by
+    conversation id: shuffle should track ~10x rows, no skew (unique
+    small keys)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.sft import assistant_spans
+    d = spark.read.parquet(f'{sf}/documents.parquet').select('doc_id')
+    turn = lambda j: F.struct(
+        F.when(j % 2 == 0, 'user').otherwise('assistant').alias('role'),
+        F.concat(F.lit('turn '), j.cast('string'), F.lit(' of '),
+                 F.col('doc_id').cast('string')).alias('content'))
+    conv = d.select(
+        F.col('doc_id').alias('conv_id'),
+        F.transform(F.sequence(F.lit(0), (F.col('doc_id') % 6 + 1)
+                               .cast('int')), turn).alias('turns'))
+    return assistant_spans(conv)
+
+
+def op_compression_ratio(spark, sf):
+    """Arrow-batched zlib kernel: map-only (shuffle 0), wall time is
+    the deflate throughput bound."""
+    from erde_spark.scale.text import compression_ratio
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text')
+    return compression_ratio(d).select('doc_id', 'compression_ratio')
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -353,6 +390,9 @@ OPS = {
     'ppl_buckets_threshold': op_ppl_buckets_threshold,
     'unimax_materialized': op_unimax_materialized,
     'megatron_roundtrip': op_megatron_roundtrip,
+    'fim_transform': op_fim_transform,
+    'chat_spans': op_chat_spans,
+    'compression_ratio': op_compression_ratio,
 }
 
 
