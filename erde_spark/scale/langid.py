@@ -663,22 +663,30 @@ def norm_for_langid(col: Column | str,
 def char_ngrams(col: Column, sizes: tuple = NGRAM_SIZES) -> Column:
     """All overlapping character n-grams of the given sizes as one
     array — pure JVM ``sequence``/``transform``/``substr``, linear in
-    the (already truncated) text."""
-    def _window(n):
+    the (already truncated) text. ``col`` is let-bound
+    (functions/bind.py) so a derived expression (the normalizer) is
+    evaluated once per row, not once per gram — unbound expressions
+    re-evaluate per lambda element."""
+    from erde_spark.functions.bind import bind
+
+    def _window(c, n):
         # single-parameter closure: F.transform passes (element, index)
         # to 2-arg callables, so a `n=n` default would capture the
         # array index, not the gram size
-        return lambda i: F.substr(col, i, F.lit(n))
+        return lambda i: F.substr(c, i, F.lit(n))
 
-    out = None
-    for n in sizes:
-        m = F.length(col) - (n - 1)
-        grams = F.when(m >= 1,
-                       F.transform(F.sequence(F.lit(1), F.greatest(
-                           m, F.lit(1))), _window(n))) \
-            .otherwise(F.array().cast('array<string>'))
-        out = grams if out is None else F.concat(out, grams)
-    return out
+    def _all(c):
+        out = None
+        for n in sizes:
+            m = F.length(c) - (n - 1)
+            grams = F.when(m >= 1,
+                           F.transform(F.sequence(F.lit(1), F.greatest(
+                               m, F.lit(1))), _window(c, n))) \
+                .otherwise(F.array().cast('array<string>'))
+            out = grams if out is None else F.concat(out, grams)
+        return out
+
+    return bind(col, _all)
 
 
 @dataclass

@@ -66,23 +66,38 @@ class NgramLM(NamedTuple):
     alpha: float             # stupid-backoff multiplier (paper: 0.4)
 
 
-def _padded(text_col, n: int):
-    """BOS-padded token array: (n-1) ``<s>`` then the real tokens."""
-    return F.concat(F.array_repeat(F.lit(BOS), n - 1), tokens(text_col))
+def _padded_base(docs: DataFrame, text_col: str, n: int,
+                 id_col: str | None = None) -> DataFrame:
+    """(id?, _p, _len): the BOS-padded token array ((n-1) ``<s>`` then
+    the real tokens) projected ONCE as a bound column, zero-token
+    documents dropped.
+
+    The projection is the load-bearing part: inside a higher-order
+    lambda an UNBOUND expression re-evaluates per element, so an
+    inline ``padded`` made every (position, order) slice re-split the
+    document — quadratic in document length (measured: the training
+    explode alone 12.8 s -> 1.4 s at sf0.1 once ``_p`` is a bound
+    attribute; the same re-evaluation cliff as exactsubstr's
+    array_sort, erde_spark/scale/text.py::cut_duplicate_spans)."""
+    padded = F.concat(F.array_repeat(F.lit(BOS), n - 1), tokens(text_col))
+    cols = [F.col(id_col).alias('id')] if id_col else []
+    return (docs.select(*cols, padded.alias('_p'))
+            .withColumn('_len', F.size('_p') - (n - 1))
+            .where(F.col('_len') > 0))
 
 
-def _grams_ending_at_real(text_col, n: int):
+def _all_grams(base: DataFrame, n: int):
     """Array over real positions i (1-based) of all k-grams (k=1..n)
-    ending at i, as SEP-joined strings; flattened to one array."""
-    padded = _padded(text_col, n)
-    length = F.size(tokens(text_col))
+    ending at i, as SEP-joined strings over the bound ``_p`` column;
+    flattened to one array."""
     return F.flatten(F.transform(
-        F.sequence(F.lit(1), length),
+        F.sequence(F.lit(1), F.col('_len')),
         # padded index of real token i is i + n - 1; the k-gram ending
         # there starts at padded index i + n - k
         lambda i: F.transform(
             F.sequence(F.lit(1), F.lit(n)),
-            lambda k: F.array_join(F.slice(padded, i + n - k, k), SEP))))
+            lambda k: F.array_join(F.slice(F.col('_p'), i + n - k, k),
+                                   SEP))))
 
 
 def train_ngram_lm(docs: DataFrame, text_col: str = 'text', n: int = 3,
@@ -96,15 +111,13 @@ def train_ngram_lm(docs: DataFrame, text_col: str = 'text', n: int = 3,
         raise ValueError('n must be >= 1')
     if not 0 < alpha <= 1:
         raise ValueError('alpha must be in (0, 1]')
-    base = docs.select(tokens(text_col).alias('_toks')) \
-        .where(F.size('_toks') > 0)
-    totals = base.agg(F.sum(F.size('_toks')).alias('nt'),
+    base = _padded_base(docs, text_col, n)
+    totals = base.agg(F.sum('_len').alias('nt'),
                       F.count(F.lit(1)).alias('nd')).collect()[0]
     n_tokens, n_docs = int(totals['nt'] or 0), int(totals['nd'])
     if n_tokens == 0:
         raise ValueError('no tokens to train on')
-    grams = docs.select(F.explode(
-        _grams_ending_at_real(text_col, n)).alias('gram'))
+    grams = base.select(F.explode(_all_grams(base, n)).alias('gram'))
     counts = grams.groupBy('gram').agg(F.count(F.lit(1)).alias('count'))
     if min_count > 1:
         # unigrams (no SEP) survive any pruning: N and OOV need them
@@ -147,25 +160,23 @@ def score_perplexity(docs: DataFrame, lm: NgramLM, id_col: str = 'doc_id',
     Catalyst/AQE, which shuffle-joins on the gram key when the model
     is itself corpus-sized."""
     n = lm.n
-    padded = _padded(text_col, n)
-    length = F.size(tokens(text_col))
+    base = _padded_base(docs, text_col, n, id_col=id_col)
     # per position: the n gram keys + n-1 context keys, role-tagged
     roles = [(f'g{k}', 0, k) for k in range(1, n + 1)] \
         + [(f'c{k}', 1, k - 1) for k in range(2, n + 1)]
     # role (name, ends_at_prev, klen): key = klen-gram ending at i
     # (ends_at_prev=0) or i-1 (ends_at_prev=1); padded index of real
-    # token i is i+n-1, so the gram starts at i+n-klen-ends_at_prev
+    # token i is i+n-1, so the gram starts at i+n-klen-ends_at_prev.
+    # Slices read the BOUND _p column — see _padded_base for why.
     keys = F.flatten(F.transform(
-        F.sequence(F.lit(1), length),
+        F.sequence(F.lit(1), F.col('_len')),
         lambda i: F.array(*[
             F.struct(i.alias('pos'), F.lit(name).alias('role'),
                      F.array_join(
-                         F.slice(padded, i + n - klen - prev, klen),
+                         F.slice(F.col('_p'), i + n - klen - prev, klen),
                          SEP).alias('gram'))
             for name, prev, klen in roles])))
-    pos_keys = (docs.where(F.size(tokens(text_col)) > 0)
-                .select(F.col(id_col).alias('id'),
-                        F.explode(keys).alias('k'))
+    pos_keys = (base.select('id', F.explode(keys).alias('k'))
                 .select('id', 'k.pos', 'k.role', 'k.gram'))
     counts = F.broadcast(lm.counts) if broadcast_counts else lm.counts
     joined = pos_keys.join(counts, 'gram', 'left')

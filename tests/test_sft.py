@@ -296,3 +296,18 @@ class TestFimUnicode:
                 assert used + _rlen(*nxt) > budget
             if len(got) > 1:
                 assert used <= max(budget, _rlen(*turns[0]))
+
+
+class TestBind:
+    def test_bind_evaluates_once_per_row(self, spark):
+        """bind() must return body(value) exactly and keep nulls sane."""
+        from pyspark.sql import functions as F
+
+        from erde_spark.functions.bind import bind
+        df = spark.createDataFrame([(1, 'ab'), (2, None)],
+                                   'i long, s string')
+        out = df.select('i', bind(
+            F.upper('s'),
+            lambda v: F.concat(v, F.lit('/'), v)).alias('x')).collect()
+        got = {r.i: r.x for r in out}
+        assert got == {1: 'AB/AB', 2: None}
