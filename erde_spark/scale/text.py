@@ -146,13 +146,19 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of overlapping word n-grams (space-joined token windows).
     Documents with fewer than ``n`` tokens yield an empty array. JVM
     higher-order functions only (``sequence``/``transform``/``slice``),
-    so the per-document pass is linear and stays executor-side."""
-    t = tokens(col)
-    m = F.size(t) - (n - 1)
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                        lambda i: F.array_join(F.slice(t, i, n), ' '))
-    return F.when(m >= 1, grams).otherwise(
-        F.array().cast(T.ArrayType(T.StringType())))
+    so the per-document pass is linear and stays executor-side; the
+    token array is let-bound (functions/bind.py) so the tokenizer runs
+    once per document, not once per n-gram."""
+    from erde_spark.functions.bind import bind
+
+    def _grams(tb):
+        m = F.size(tb) - (n - 1)
+        grams = F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                            lambda i: F.array_join(F.slice(tb, i, n), ' '))
+        return F.when(m >= 1, grams).otherwise(
+            F.array().cast(T.ArrayType(T.StringType())))
+
+    return bind(tokens(col), _grams)
 
 
 def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
@@ -1081,10 +1087,12 @@ def _domain_suffixes(dom: Column) -> Column:
     """All registrable suffixes of a host: a.b.example -> [a.b.example,
     b.example, example] — the unit a subdomain-matching blocklist join
     keys on."""
-    parts = F.split(dom, r'\.')
-    n = F.size(parts)
-    return F.transform(F.sequence(F.lit(1), n),
-                       lambda i: F.array_join(F.slice(parts, i, n), '.'))
+    from erde_spark.functions.bind import bind
+    return bind(
+        F.split(dom, r'\.'),
+        lambda parts: F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), '.')))
 
 
 def filter_by_domain(df: DataFrame, url_col: str = 'url',
@@ -1209,20 +1217,24 @@ def dedup_lines_within_doc(df: DataFrame, id_col: str = 'doc_id',
     empty separator would silently collapse every paragraph break
     after the first.
 
-    Pure whole-stage-codegen (split -> indexed array filter keeping
-    positions where the FIRST occurrence index equals the current
-    index -> rejoin): no shuffle, no Python, scales as a map over any
-    corpus. Cost is O(lines^2) per document in the worst case
-    (array_position scans), fine at real document line counts; null
-    text passes through as null. ``sep`` is a LITERAL separator
-    (regex-escaped for the split, used verbatim for the rejoin) —
-    pass '\\n\\n' for paragraph granularity."""
+    Pure JVM (split -> indexed array filter keeping positions where
+    the FIRST occurrence index equals the current index -> rejoin):
+    no shuffle, no Python, scales as a map over any corpus. The split
+    array is let-bound (functions/bind.py) so the text splits once per
+    document, not once per line; the remaining cost is O(lines^2) per
+    document worst case (array_position scans), fine at real document
+    line counts. Null text passes through as null. ``sep`` is a
+    LITERAL separator (regex-escaped for the split, used verbatim for
+    the rejoin) — pass '\\n\\n' for paragraph granularity."""
     import re
-    parts = F.split(F.col(text_col), re.escape(sep))
-    kept = F.filter(
-        parts,
-        lambda x, i: (F.length(F.trim(x)) < min_line_chars)
-        | (F.array_position(parts, x) == i + 1))
+
+    from erde_spark.functions.bind import bind
+    kept = bind(
+        F.split(F.col(text_col), re.escape(sep)),
+        lambda parts: F.filter(
+            parts,
+            lambda x, i: (F.length(F.trim(x)) < min_line_chars)
+            | (F.array_position(parts, x) == i + 1)))
     return df.withColumn(text_col, F.array_join(kept, sep))
 
 
