@@ -5228,6 +5228,84 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_curation_pipeline_check(spark, sf_dir):
+    """The composed curation pipeline (NEW this session —
+    erde_spark/scale/pipeline.py::curate, quality -> compression ->
+    PII -> exact dedup fused into one plan) VALUE-checked by a planted
+    four-class corpus where each stage has exactly one class to kill:
+    doc_id%4==0 is passing prose (60 words mixing stopwords and md5
+    hex, ratio ~1.7 — ids %8==0 carry an email the PII stage must
+    redact), %4==1 is the same prose keyed per 8-block so 8m+1/8m+5
+    are exact duplicates (dedup keeps 8m+1), %4==2 is stopword-free
+    hex salad (quality kills), %4==3 is a 40x-repeated phrase
+    (compression kills at ratio ~21 vs the 12 cap). Survivors AND
+    their final bytes (md5, post-redaction) are pure arithmetic for
+    DuckDB."""
+    from erde_spark.scale.pipeline import curate
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    key0 = F.col('doc_id').cast('string')
+    key1 = (F.col('doc_id') - F.col('doc_id') % 8).cast('string')
+
+    def prose(key):
+        # hex words carry a 'w' prefix so digit-only runs can never
+        # form an accidental phone/card match for the PII stage
+        word = lambda j: (
+            F.when(j % 5 == 0, F.lit('the'))
+            .when(j % 7 == 1, F.lit('of'))
+            .otherwise(F.concat(F.lit('w'), F.substring(
+                F.md5(F.encode(F.concat(
+                    key, F.lit(':'), j.cast('string')), 'UTF-8')), 1, 3))))
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(59)), word), ' ')
+
+    gib_word = lambda j: F.substring(F.md5(F.encode(F.concat(
+        F.lit('g:'), key0, F.lit(':'), j.cast('string')), 'UTF-8')), 1, 4)
+    gib = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(59)), gib_word), ' ')
+    pii_sfx = F.concat(F.lit(' mail bob'), key0, F.lit('@ex'), key0,
+                       F.lit('.com now'))
+    cls = F.col('doc_id') % 4
+    text = (F.when(cls == 0,
+                   F.when(F.col('doc_id') % 8 == 0,
+                          F.concat(prose(key0), pii_sfx))
+                   .otherwise(prose(key0)))
+            .when(cls == 1, prose(key1))
+            .when(cls == 2, gib)
+            .otherwise(F.rtrim(F.repeat(F.lit('the data of rows '), 40))))
+    docs = d.select('doc_id', text.alias('text'))
+    out = curate(docs, steps=('quality', 'compression', 'pii', 'dedup'))
+    return (out.select('doc_id', F.md5('text').alias('text_md5'))
+            .orderBy('doc_id'))
+
+
+_CURATION_PIPELINE_SQL = """
+WITH w AS (
+  SELECT d.doc_id, u.j,
+         CASE WHEN u.j % 5 = 0 THEN 'the'
+              WHEN u.j % 7 = 1 THEN 'of'
+              ELSE 'w' || substring(md5(d.doc_id || ':' || u.j), 1, 3)
+         END AS w0,
+         CASE WHEN u.j % 5 = 0 THEN 'the'
+              WHEN u.j % 7 = 1 THEN 'of'
+              ELSE 'w' || substring(md5(
+                   (d.doc_id - d.doc_id % 8) || ':' || u.j), 1, 3)
+         END AS w1
+  FROM documents d, UNNEST(range(60)) AS u(j)),
+p AS (SELECT doc_id,
+        string_agg(w0, ' ' ORDER BY j) AS prose0,
+        string_agg(w1, ' ' ORDER BY j) AS prose1
+      FROM w GROUP BY doc_id)
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 4 = 0 AND doc_id % 8 = 0
+                THEN prose0 || ' mail [PII] now'
+                WHEN doc_id % 4 = 0 THEN prose0
+                ELSE prose1 END) AS text_md5
+FROM p
+WHERE doc_id % 4 = 0 OR doc_id % 8 = 1
+ORDER BY doc_id
+"""
+
+
 def q_bitext_mine_check(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     CCMatrix/WikiMatrix curation scoring; NEW round 8) VALUE-checked by
@@ -5552,14 +5630,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the r4/r5/r7 cohorts.
     Late round-9 additions: fim_transform_check (fill-in-the-middle
     augmentation, md5-byte-exact vs DuckDB), chat_spans_check (SFT
-    ChatML rendering + loss-mask character spans) and
+    ChatML rendering + loss-mask character spans),
     compression_filter_check (zlib ratio quality band on planted
-    classes) enter the window as never-green newcomers (stalest by
-    definition); the three freshest in-window queries
-    (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
-    — all last green r03, same era as the out-of-window minimum, so
-    stalest-first packing still holds) move to the head of the tail
-    and rotate back in r10.
+    classes) and curation_pipeline_check (the composed quality ->
+    compression -> PII -> dedup pipeline on a four-class planted
+    corpus, one class per stage) enter the window as never-green
+    newcomers (stalest by definition); the four freshest in-window
+    queries (anti_join_no_urgent, scalar_subquery_acctbal,
+    sketch_cardinality — last green r03 — and string_funcs — r02, the
+    era the out-of-window minimum then becomes, so stalest-first
+    packing still holds by tie) move to the head of the tail and
+    rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5603,7 +5684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
         'percentile_prices': q_percentile_prices,
-        'string_funcs': q_string_funcs,
+        'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
         'fim_transform_check': q_fim_transform_check,
         'chat_spans_check': q_chat_spans_check,
@@ -5616,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'string_funcs': q_string_funcs,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
         'sketch_cardinality': q_sketch_cardinality,
@@ -5767,6 +5849,7 @@ def oracle_sql() -> dict[str, str]:
         'stream_shards_roundtrip': _STREAM_SHARDS_SQL,
         'sentence_split_check': _SENTENCE_SPLIT_SQL,
         'fim_transform_check': _FIM_TRANSFORM_SQL,
+        'curation_pipeline_check': _CURATION_PIPELINE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     'fim_transform_check',
     'chat_spans_check',
     'compression_filter_check',
+    'curation_pipeline_check',
 ]
 
 

@@ -588,6 +588,28 @@ def ppl(input_data: DataFrame, train_path: str = '', n: int = 3,
 
 
 @autocli
+def curate(input_data: DataFrame, steps: str = '', langs: str = 'en',
+           dedup_mode: str = 'exact', dedup_threshold: float = 0.8,
+           min_ratio: float = 1.05, max_ratio: float = 12.0,
+           id_column: str = 'doc_id',
+           text_column: str = 'text') -> DataFrame:
+    """Run the standard curation pipeline (normalize -> langid ->
+    quality -> compression -> pii -> dedup) in one fused plan; --steps
+    is a comma list to run a subset (order is fixed), --langs the
+    comma list the language gate keeps ('' keeps all, tagged)."""
+    from erde_spark.scale.pipeline import CURATE_STEPS
+    from erde_spark.scale.pipeline import curate as _curate
+    step_list = tuple(s.strip() for s in steps.split(',')
+                      if s.strip()) or CURATE_STEPS
+    lang_list = tuple(s.strip() for s in langs.split(',')
+                      if s.strip()) or None
+    return _curate(input_data, steps=step_list, id_col=id_column,
+                   text_col=text_column, langs=lang_list,
+                   min_ratio=min_ratio, max_ratio=max_ratio,
+                   dedup=dedup_mode, dedup_threshold=dedup_threshold)
+
+
+@autocli
 def fim(input_data: DataFrame, rate: float = 0.5, salt: str = '',
         mode: str = 'psm', id_column: str = 'doc_id',
         text_column: str = 'text') -> DataFrame:
@@ -669,7 +691,7 @@ COMMANDS = {
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
-    'entropy': entropy,
+    'entropy': entropy, 'curate': curate,
 }
 
 
