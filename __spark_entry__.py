@@ -5278,6 +5278,51 @@ def q_curation_pipeline_check(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_hard_negative_check(spark, sf_dir):
+    """Hard-negative mining for contrastive training (NEW this session
+    — erde_spark/scale/similarity.py::mine_hard_negatives, the DPR
+    §5.2 shape) VALUE-checked by planted 2-d geometry: vec(i) =
+    [1, (i%101)/101], so cosine(i, j) = cos(atan(a_j) - atan(a_i)) is
+    strictly monotone in the angle gap — DuckDB reproduces the EXACT
+    top-5 per anchor by ranking |atan(a_j) - atan(a_i)| (adjacent-gap
+    separation ~6e-5, nine orders above float noise; equal-residue
+    ties broken by id on both sides). Same-residue pairs (cosine
+    exactly 1) are the labeled positives: the anti-join must spend no
+    negative slot on them, which is the op's defining property."""
+    from erde_spark.scale.similarity import mine_hard_negatives
+    e = _t(spark, sf_dir, 'embeddings')['embeddings'].select('vec_id')
+    vec = F.array(F.lit(1.0),
+                  ((F.col('vec_id') % 101) / F.lit(101.0)).cast('double'))
+    corpus = e.select('vec_id', vec.alias('embedding'))
+    queries = corpus.where(F.col('vec_id') < 40)
+    ids = e.select('vec_id', (F.col('vec_id') % 101).alias('_r'))
+    pos = (ids.alias('a').join(
+        ids.alias('b'),
+        (F.col('a._r') == F.col('b._r'))
+        & (F.col('a.vec_id') != F.col('b.vec_id')))
+        .select(F.col('a.vec_id').alias('query_id'),
+                F.col('b.vec_id').alias('vec_id'))
+        .where(F.col('query_id') < 40))
+    out = mine_hard_negatives(corpus, queries, pos, k=5, method='exact')
+    return (out.select('query_id', 'vec_id', 'neg_rank')
+            .orderBy('query_id', 'neg_rank'))
+
+
+_HARD_NEGATIVE_SQL = """
+WITH v AS (SELECT vec_id, vec_id % 101 AS r,
+                  atan((vec_id % 101) / 101.0) AS th FROM embeddings),
+q AS (SELECT vec_id AS query_id, r, th FROM v WHERE vec_id < 40),
+cand AS (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY abs(v.th - q.th), v.vec_id)
+         AS neg_rank
+  FROM q JOIN v ON v.vec_id <> q.query_id AND v.r <> q.r)
+SELECT query_id, vec_id, neg_rank FROM cand WHERE neg_rank <= 5
+ORDER BY query_id, neg_rank
+"""
+
+
 _CURATION_PIPELINE_SQL = """
 WITH w AS (
   SELECT d.doc_id, u.j,
@@ -5632,15 +5677,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     augmentation, md5-byte-exact vs DuckDB), chat_spans_check (SFT
     ChatML rendering + loss-mask character spans),
     compression_filter_check (zlib ratio quality band on planted
-    classes) and curation_pipeline_check (the composed quality ->
+    classes), curation_pipeline_check (the composed quality ->
     compression -> PII -> dedup pipeline on a four-class planted
-    corpus, one class per stage) enter the window as never-green
-    newcomers (stalest by definition); the four freshest in-window
-    queries (anti_join_no_urgent, scalar_subquery_acctbal,
-    sketch_cardinality — last green r03 — and string_funcs — r02, the
-    era the out-of-window minimum then becomes, so stalest-first
-    packing still holds by tie) move to the head of the tail and
-    rotate back in r10.
+    corpus, one class per stage) and hard_negative_check (contrastive
+    hard-negative mining on planted angle geometry) enter the window
+    as never-green newcomers (stalest by definition); the five
+    freshest in-window queries (anti_join_no_urgent,
+    scalar_subquery_acctbal, sketch_cardinality — last green r03 —
+    and string_funcs + percentile_prices — r02, the era the
+    out-of-window minimum then becomes, so stalest-first packing
+    still holds by tie) move to the head of the tail and rotate back
+    in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5683,7 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'window_top3_orders': q_window_top3,
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
-        'percentile_prices': q_percentile_prices,
+        'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
         'fim_transform_check': q_fim_transform_check,
@@ -5697,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
         'anti_join_no_urgent': q_anti_join,
         'scalar_subquery_acctbal': q_scalar_subquery,
@@ -5850,6 +5898,7 @@ def oracle_sql() -> dict[str, str]:
         'sentence_split_check': _SENTENCE_SPLIT_SQL,
         'fim_transform_check': _FIM_TRANSFORM_SQL,
         'curation_pipeline_check': _CURATION_PIPELINE_SQL,
+        'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,

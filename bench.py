@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     'chat_spans_check',
     'compression_filter_check',
     'curation_pipeline_check',
+    'hard_negative_check',
 ]
 
 

@@ -601,3 +601,68 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     return (scored.withColumn('_r', F.row_number().over(w))
             .filter((F.col('_r') == 1) & (F.col('margin') >= threshold))
             .select('src_id', 'tgt_id', 'cosine', 'margin'))
+
+
+# ------------------------------------------------- hard-negative mining
+
+def mine_hard_negatives(corpus: DataFrame, queries: DataFrame,
+                        positives: DataFrame, k: int = 5,
+                        id_col: str = 'vec_id',
+                        vec_col: str = 'embedding',
+                        max_cosine: float | None = None,
+                        method: str = 'exact', fetch_factor: int = 4,
+                        **retriever_kw) -> DataFrame:
+    """Top-k most-similar NON-positive corpus items per anchor —
+    the hard negatives contrastive retrieval training mines (DPR,
+    Karpukhin et al. 2020 §5.2; Sentence-BERT fine-tuning): random
+    negatives are too easy, so each anchor trains against the
+    highest-scoring items that are NOT labeled positive.
+
+    ``positives`` is the label table, columns (query_id, vec_id) —
+    anti-joined out BEFORE ranking, so every positive consumes no
+    negative slot. ``max_cosine`` additionally drops candidates at or
+    above the cut — the standard false-negative guard: an unlabeled
+    near-duplicate of the positive is far more likely a missing label
+    than a genuinely hard negative (the "denoised" mining of
+    RocketQA, Qu et al. 2021). Self-matches never mine.
+
+    Returns (query_id, vec_id, cosine, neg_rank), neg_rank 1..k dense
+    per anchor, ties broken by corpus id ascending (deterministic).
+
+    ``method='exact'`` is the brute-force path: anchors broadcast, the
+    corpus scanned once, anti-join + band filter applied BEFORE the
+    per-anchor window, so the result is exactly the top-k of the
+    eligible set. ``'ivf'`` / ``'lsh'`` are the 100 TB paths: fetch
+    ``k * fetch_factor`` approximate candidates per anchor, then
+    anti-join + re-rank — a positive-dense neighborhood can consume
+    fetched slots, so recall of rank-k negatives degrades gracefully
+    with fetch_factor (exact path has no such loss). Extra
+    ``retriever_kw`` reach the retriever (n_probes, n_lists, ...).
+    """
+    pos = positives.select(F.col('query_id').cast('long').alias('query_id'),
+                           F.col('vec_id').cast('long').alias('vec_id'))
+    if method == 'exact':
+        c = normalized(corpus, id_col, vec_col) \
+            .select(F.col('id').alias('vec_id'), F.col('nvec').alias('cvec'))
+        q = normalized(queries, id_col, vec_col) \
+            .select(F.col('id').alias('query_id'), F.col('nvec').alias('qvec'))
+        j = c.join(F.broadcast(q), F.col('vec_id') != F.col('query_id'))
+        scored = j.join(F.broadcast(pos), ['query_id', 'vec_id'],
+                        'left_anti') \
+            .withColumn('cosine', cosine_udf(F.col('cvec'), F.col('qvec')))
+    elif method in ('ivf', 'lsh'):
+        fetch = {'ivf': ivf_topk, 'lsh': lsh_topk}[method]
+        cand = fetch(corpus, queries, k=k * fetch_factor, id_col=id_col,
+                     vec_col=vec_col, exclude_self=True, **retriever_kw)
+        scored = cand.join(F.broadcast(pos), ['query_id', 'vec_id'],
+                           'left_anti').drop('rank')
+    else:
+        raise ValueError(f"method must be 'exact', 'ivf' or 'lsh', "
+                         f"got {method!r}")
+    if max_cosine is not None:
+        scored = scored.filter(F.col('cosine') < max_cosine)
+    w = Window.partitionBy('query_id').orderBy(F.desc('cosine'),
+                                               F.asc('vec_id'))
+    return (scored.withColumn('neg_rank', F.row_number().over(w))
+            .filter(F.col('neg_rank') <= k)
+            .select('query_id', 'vec_id', 'cosine', 'neg_rank'))

@@ -2072,3 +2072,87 @@ def test_split_sentences_rules(spark):
     plan = df.select(split_sentences('text'))._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'BatchEvalPython' not in plan and 'ArrowEval' not in plan
+
+
+class TestHardNegatives:
+    """mine_hard_negatives (similarity.py) — the contrastive-training
+    negative miner."""
+
+    def _geom(self, spark, n=60):
+        from pyspark.sql import functions as F
+        ids = spark.range(n).select(F.col('id').alias('vec_id'))
+        vec = F.array(F.lit(1.0),
+                      ((F.col('vec_id') % 7) / F.lit(7.0)).cast('double'))
+        return ids.select('vec_id', vec.alias('embedding'))
+
+    def _pos(self, spark, n=60):
+        # same residue mod 7 = exact duplicates = the labeled positives
+        from pyspark.sql import functions as F
+        ids = spark.range(n).select(F.col('id').alias('vec_id'),
+                                    (F.col('id') % 7).alias('_r'))
+        return (ids.alias('a').join(
+            ids.alias('b'), (F.col('a._r') == F.col('b._r'))
+            & (F.col('a.vec_id') != F.col('b.vec_id')))
+            .select(F.col('a.vec_id').alias('query_id'),
+                    F.col('b.vec_id').alias('vec_id')))
+
+    def test_positives_never_mine(self, spark):
+        from erde_spark.scale.similarity import mine_hard_negatives
+        corpus = self._geom(spark)
+        queries = corpus.where('vec_id < 5')
+        out = mine_hard_negatives(corpus, queries, self._pos(spark),
+                                  k=3).collect()
+        assert len(out) == 15
+        for r in out:
+            assert r.vec_id % 7 != r.query_id % 7   # no positive mined
+            assert r.vec_id != r.query_id           # no self
+        ranks = sorted((r.query_id, r.neg_rank) for r in out)
+        assert ranks == [(q, j) for q in range(5) for j in (1, 2, 3)]
+
+    def test_nearest_angle_wins(self, spark):
+        from erde_spark.scale.similarity import mine_hard_negatives
+        corpus = self._geom(spark)
+        queries = corpus.where('vec_id = 0')   # residue 0
+        top = mine_hard_negatives(corpus, queries, self._pos(spark),
+                                  k=1).collect()[0]
+        # nearest non-positive angle to residue 0 is residue 1; the
+        # smallest such id is 1
+        assert (top.vec_id, top.neg_rank) == (1, 1)
+
+    def test_max_cosine_guard(self, spark):
+        from erde_spark.scale.similarity import mine_hard_negatives
+        import math
+        corpus = self._geom(spark)
+        queries = corpus.where('vec_id = 0')
+        # cosine to residue-1 vectors = cos(atan(1/7)) ~ 0.9899:
+        # a cut below it must push mining to residue 2 and beyond
+        cut = math.cos(math.atan(1 / 7)) - 1e-6
+        out = mine_hard_negatives(corpus, queries, self._pos(spark),
+                                  k=3, max_cosine=cut).collect()
+        assert all(r.vec_id % 7 >= 2 for r in out)
+        assert all(r.cosine < cut for r in out)
+
+    def test_approximate_paths_exclude_positives(self, spark):
+        from erde_spark.scale.similarity import mine_hard_negatives
+        corpus = self._geom(spark)
+        queries = corpus.where('vec_id < 3')
+        for method, kw in (('lsh', {'dim': 2, 'n_bits': 2}),
+                           ('ivf', {'n_lists': 2, 'n_probes': 2})):
+            out = mine_hard_negatives(corpus, queries, self._pos(spark),
+                                      k=3, method=method, **kw).collect()
+            assert out, method
+            for r in out:
+                assert r.vec_id % 7 != r.query_id % 7, method
+            by_q = {}
+            for r in out:
+                by_q.setdefault(r.query_id, []).append(r.neg_rank)
+            for q, rr in by_q.items():
+                assert sorted(rr) == list(range(1, len(rr) + 1))
+
+    def test_unknown_method(self, spark):
+        import pytest as _pytest
+        from erde_spark.scale.similarity import mine_hard_negatives
+        corpus = self._geom(spark)
+        with _pytest.raises(ValueError, match='method'):
+            mine_hard_negatives(corpus, corpus, self._pos(spark),
+                                method='hnsw')
