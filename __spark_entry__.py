@@ -5278,6 +5278,68 @@ def q_curation_pipeline_check(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_span_corrupt_check(spark, sf_dir):
+    """T5-style span corruption (NEW this session —
+    erde_spark/scale/text.py::span_corrupt, the masked-span denoising
+    objective) VALUE-checked on the REAL documents table: the
+    deterministic variant uses only floor/mod integer arithmetic over
+    md5 offsets, so DuckDB rebuilds BOTH the sentinel-masked inputs
+    and the span targets byte-for-byte (md5 of each) for every
+    document — segmentation, span placement, sentinel numbering and
+    edge handling (spans touching segment edges must not double
+    separators) all pinned at once."""
+    from erde_spark.scale.text import span_corrupt
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id', 'text')
+    out = span_corrupt(d, noise_density=0.15, mean_span=3.0)
+    return (out.select('doc_id',
+                       F.md5('inputs').alias('inputs_md5'),
+                       F.md5('targets').alias('targets_md5'))
+            .orderBy('doc_id'))
+
+
+_SPAN_CORRUPT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+s AS (SELECT doc_id, toks, n,
+             greatest(1, (n * 1500) // 30000) AS n_spans
+      FROM n WHERE n > 0),
+g AS (SELECT doc_id, toks, n, n_spans, u.i,
+             (u.i * n) // n_spans AS s0,
+             ((u.i + 1) * n) // n_spans AS e0
+      FROM s, UNNEST(range(n_spans)) AS u(i)),
+h AS (SELECT *, e0 - s0 AS seg_len,
+             least(greatest(1, ((e0 - s0) * 1500) // 10000),
+                   e0 - s0) AS li
+      FROM g),
+o AS (SELECT *,
+             ('0x' || substring(md5(doc_id || ':' || i || ':'), 1, 8))
+               ::BIGINT % (seg_len - li + 1) AS off,
+             '<extra_id_' || i || '>' AS sent
+      FROM h),
+p AS (SELECT doc_id, i, sent,
+             array_to_string(list_filter(
+               [array_to_string(toks[s0 + 1 : s0 + off], ' '),
+                sent,
+                array_to_string(toks[s0 + off + li + 1 : e0], ' ')],
+               x -> x <> ''), ' ') AS inp,
+             sent || ' ' || array_to_string(
+               toks[s0 + off + 1 : s0 + off + li], ' ') AS tgt
+      FROM o),
+agg AS (SELECT doc_id,
+          string_agg(inp, ' ' ORDER BY i) AS inputs,
+          string_agg(tgt, ' ' ORDER BY i) AS targets
+        FROM p GROUP BY doc_id)
+SELECT d.doc_id, md5(COALESCE(a.inputs, '')) AS inputs_md5,
+       md5(COALESCE(a.targets, '')) AS targets_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_hard_negative_check(spark, sf_dir):
     """Hard-negative mining for contrastive training (NEW this session
     — erde_spark/scale/similarity.py::mine_hard_negatives, the DPR
@@ -5679,15 +5741,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compression_filter_check (zlib ratio quality band on planted
     classes), curation_pipeline_check (the composed quality ->
     compression -> PII -> dedup pipeline on a four-class planted
-    corpus, one class per stage) and hard_negative_check (contrastive
-    hard-negative mining on planted angle geometry) enter the window
-    as never-green newcomers (stalest by definition); the five
-    freshest in-window queries (anti_join_no_urgent,
-    scalar_subquery_acctbal, sketch_cardinality — last green r03 —
-    and string_funcs + percentile_prices — r02, the era the
-    out-of-window minimum then becomes, so stalest-first packing
-    still holds by tie) move to the head of the tail and rotate back
-    in r10.
+    corpus, one class per stage), hard_negative_check (contrastive
+    hard-negative mining on planted angle geometry) and
+    span_corrupt_check (T5 masked-span denoising, inputs+targets
+    byte-replayed on the real documents) enter the window as
+    never-green newcomers (stalest by definition); the six freshest
+    in-window queries (anti_join_no_urgent, scalar_subquery_acctbal,
+    sketch_cardinality — last green r03 — and string_funcs,
+    percentile_prices, resample_locf — r02, the era the out-of-window
+    minimum then becomes, so stalest-first packing still holds by
+    tie) move to the head of the tail and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5729,7 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
         'asof_last_click': q_asof_last_click,
-        'resample_locf': q_resample_locf,
+        'span_corrupt_check': q_span_corrupt_check,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -5744,6 +5807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'resample_locf': q_resample_locf,
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
         'anti_join_no_urgent': q_anti_join,
@@ -5898,6 +5962,7 @@ def oracle_sql() -> dict[str, str]:
         'sentence_split_check': _SENTENCE_SPLIT_SQL,
         'fim_transform_check': _FIM_TRANSFORM_SQL,
         'curation_pipeline_check': _CURATION_PIPELINE_SQL,
+        'span_corrupt_check': _SPAN_CORRUPT_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     'compression_filter_check',
     'curation_pipeline_check',
     'hard_negative_check',
+    'span_corrupt_check',
 ]
 
 

@@ -624,6 +624,22 @@ def fim(input_data: DataFrame, rate: float = 0.5, salt: str = '',
 
 
 @autocli
+def spancorrupt(input_data: DataFrame, noise_density: float = 0.15,
+                mean_span: float = 3.0, salt: str = '',
+                id_column: str = 'doc_id',
+                text_column: str = 'text') -> DataFrame:
+    """T5-style span corruption: mask ~--noise-density of each
+    document's tokens in spans of ~--mean-span, appending the
+    sentinel-masked inputs and the span targets (deterministic;
+    vary --salt per epoch)."""
+    from erde_spark.scale.text import span_corrupt
+    return span_corrupt(input_data, id_col=id_column,
+                        text_col=text_column,
+                        noise_density=noise_density,
+                        mean_span=mean_span, salt=salt)
+
+
+@autocli
 def chat(input_data: DataFrame, turns_column: str = 'turns',
          template: str = 'chatml', id_column: str = 'conv_id',
          spans: bool = False, validate: bool = False,
@@ -691,7 +707,7 @@ COMMANDS = {
     'linededup': linededup, 'bitext': bitext, 'wds': wds,
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
-    'entropy': entropy, 'curate': curate,
+    'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
 }
 
 

@@ -508,6 +508,88 @@ def fim_transform(df: DataFrame, id_col: str = 'doc_id',
                                         fim).otherwise(c)))
 
 
+def span_corrupt(df: DataFrame, id_col: str = 'doc_id',
+                 text_col: str = 'text', noise_density: float = 0.15,
+                 mean_span: float = 3.0, salt: str = '',
+                 sentinel: str = '<extra_id_{}>') -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4; the R-
+    denoiser of UL2) — the masked-span denoising objective: ~
+    ``noise_density`` of each document's tokens are removed in spans
+    of ~``mean_span`` tokens, each span replaced by a numbered
+    sentinel in ``inputs`` and emitted after the same sentinel in
+    ``targets``. Adds ``inputs`` and ``targets``.
+
+    Deterministic variant for reproducible distributed curation: the
+    token array splits into ``n_spans = max(1, floor(n*density/
+    mean_span))`` equal segments; segment i corrupts a window of
+    ``L_i = clamp(floor(seg_len*density*...), 1, seg_len)`` tokens at
+    an offset drawn from md5(id:i:salt) — same spans on any engine,
+    at any parallelism, across reruns (the FIM/sampling md5
+    discipline; T5's RNG segmentation is not replayable, its
+    STATISTICS are what's preserved). Only floor/mod integer
+    arithmetic, so a SQL oracle rebuilds inputs and targets
+    byte-for-byte. Documents with zero tokens yield empty strings.
+
+    Scale shape: one codegen projection over a let-bound token array
+    (functions/bind.py) — no shuffle, no Python."""
+    from erde_spark.functions.bind import bind
+    if not 0 < noise_density < 1:
+        raise ValueError('noise_density must be in (0, 1)')
+    if mean_span < 1:
+        raise ValueError('mean_span must be >= 1')
+    # rational arithmetic: density as parts-per-10000 so both engines
+    # compute identical integer span lengths
+    dppm = int(round(noise_density * 10000))
+    mspan = int(round(mean_span * 100))
+    sent_pre, sent_post = sentinel.split('{}')
+
+    def _corrupt(t):
+        n = F.size(t).cast('long')
+        n_spans = F.greatest(
+            F.lit(1).cast('long'),
+            F.floor(n * dppm / F.lit(100 * mspan)).cast('long'))
+        idx = F.sequence(F.lit(0).cast('long'), n_spans - 1)
+
+        def seg(i):
+            s = F.floor(i * n / n_spans).cast('int')
+            e = F.floor((i + 1) * n / n_spans).cast('int')
+            seg_len = e - s
+            li = F.greatest(F.lit(1), F.floor(
+                seg_len * F.lit(dppm) / F.lit(10000)).cast('int'))
+            li = F.least(li, seg_len)
+            h = F.md5(F.encode(F.concat(
+                F.col(id_col).cast('string'), F.lit(':'),
+                i.cast('string'), F.lit(f':{salt}')), 'UTF-8'))
+            off = (F.conv(F.substring(h, 1, 8), 16, 10).cast('long')
+                   % (seg_len - li + 1).cast('long')).cast('int')
+            start = s + off
+            sent = F.concat(F.lit(sent_pre), i.cast('string'),
+                            F.lit(sent_post))
+            # array_join over non-empty pieces, NOT concat_ws: concat_ws
+            # keeps empty strings and would double separators when a
+            # span touches a segment edge
+            inp = F.array_join(F.filter(F.array(
+                F.array_join(F.slice(t, s + 1, start - s), ' '), sent,
+                F.array_join(F.slice(t, start + li + 1, e - start - li),
+                             ' ')), lambda x: x != ''), ' ')
+            tgt = F.concat(sent, F.lit(' '),
+                           F.array_join(F.slice(t, start + 1, li), ' '))
+            return F.struct(inp.alias('inp'), tgt.alias('tgt'))
+
+        parts = F.transform(idx, seg)
+        inputs = F.array_join(F.transform(parts, lambda p: p['inp']), ' ')
+        targets = F.array_join(F.transform(parts, lambda p: p['tgt']), ' ')
+        return F.struct(
+            F.when(n > 0, inputs).otherwise(F.lit('')).alias('inputs'),
+            F.when(n > 0, targets).otherwise(F.lit('')).alias('targets'))
+
+    both = bind(tokens(F.col(text_col)), _corrupt)
+    return (df.withColumn('__sc', both)
+            .select('*', F.col('__sc.inputs').alias('inputs'),
+                    F.col('__sc.targets').alias('targets'))
+            .drop('__sc'))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text. The exact-dedup key."""

@@ -571,3 +571,16 @@ def test_chat_subcommand_modes(spark, tmp_path):
     got = [(r['conv_id'], r['turn_idx'])
            for r in spark.read.parquet(out4).collect()]
     assert sorted(got) == [(1, 1), (2, 0)]
+
+
+def test_spancorrupt_subcommand(spark, tmp_path):
+    """spancorrupt from the shell appends inputs/targets columns."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'd.parquet')
+    spark.createDataFrame(
+        [(1, ' '.join(f'tok{k}' for k in range(40)))],
+        'doc_id long, text string').write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'sc.parquet')
+    entrypoint(['spancorrupt', src, out, '--noise-density', '0.2'])
+    r = spark.read.parquet(out).collect()[0]
+    assert '<extra_id_0>' in r['inputs'] and '<extra_id_0>' in r['targets']

@@ -311,3 +311,58 @@ class TestBind:
             lambda v: F.concat(v, F.lit('/'), v)).alias('x')).collect()
         got = {r.i: r.x for r in out}
         assert got == {1: 'AB/AB', 2: None}
+
+
+class TestSpanCorrupt:
+    def _docs(self, spark):
+        rows = [(i, ' '.join(f'tok{i}x{k}' for k in range(i % 50 + 1)))
+                for i in range(60)] + [(100, ''), (101, None)]
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_reconstructible(self, spark):
+        """Merging inputs and targets at the sentinels reproduces the
+        exact token stream for every document."""
+        from erde_spark.scale.text import span_corrupt, tokens
+        import re
+        import pyspark.sql.functions as F
+        out = span_corrupt(self._docs(spark)).withColumn(
+            '_toks', tokens(F.col('text'))).collect()
+        for r in out:
+            if not r.text:
+                assert r.inputs == '' and r.targets == ''
+                continue
+            spans = {}
+            for m in re.finditer(r'<extra_id_(\d+)> ([^<]*)', r.targets + ' '):
+                spans[int(m.group(1))] = m.group(2).strip()
+            rebuilt = re.sub(r'<extra_id_(\d+)>',
+                             lambda m: spans[int(m.group(1))], r.inputs)
+            assert rebuilt.split() == list(r._toks), r.doc_id
+
+    def test_density_and_span_stats(self, spark):
+        from erde_spark.scale.text import span_corrupt
+        text = ' '.join(f'w{k}' for k in range(1000))
+        df = spark.createDataFrame([(1, text)], 'doc_id long, text string')
+        r = span_corrupt(df, noise_density=0.15, mean_span=3.0).collect()[0]
+        corrupted = len(r.targets.split()) - r.targets.count('<extra_id_')
+        assert 120 <= corrupted <= 180          # ~15% of 1000
+        n_spans = r.targets.count('<extra_id_')
+        assert 40 <= n_spans <= 60              # ~mean span 3
+
+    def test_deterministic_and_salted(self, spark):
+        from erde_spark.scale.text import span_corrupt
+        d = self._docs(spark)
+        a = sorted((r.doc_id, r.inputs) for r in span_corrupt(d).collect())
+        b = sorted((r.doc_id, r.inputs)
+                   for r in span_corrupt(d.repartition(5)).collect())
+        assert a == b
+        c = sorted((r.doc_id, r.inputs)
+                   for r in span_corrupt(d, salt='ep2').collect())
+        assert a != c  # a new salt re-draws the spans
+
+    def test_bad_params(self, spark):
+        from erde_spark.scale.text import span_corrupt
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            span_corrupt(self._docs(spark), noise_density=0.0)
+        with _pytest.raises(ValueError):
+            span_corrupt(self._docs(spark), mean_span=0.5)
