@@ -5278,6 +5278,49 @@ def q_curation_pipeline_check(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_temperature_mix_check(spark, sf_dir):
+    """Temperature-based corpus mixing (NEW this session — the mT5
+    §3.1/T5 §3.4.1 exponentiated smoothing;
+    erde_spark/scale/sampling.py::temperature_mix) VALUE-checked by a
+    rational construction: doc_id-rank splits documents 1:4 into
+    'small'/'big' (exact fifths), so alpha=0.5 weights are sqrt(1/5):
+    sqrt(4/5) = EXACTLY 1:2 — small (n/5) binds and is kept whole,
+    big's quota is exactly 2n/5, and the kept big rows are the
+    hash-rank top (sample_key 4-hex of md5(doc_id), ties by id) —
+    the ENTIRE kept set is DuckDB arithmetic, including which rows of
+    the downsampled group survive."""
+    from erde_spark.scale.sampling import temperature_mix
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    w = Window.orderBy('doc_id')
+    ranked = d.withColumn('_r', F.row_number().over(w) - 1)
+    n5 = 5 * (ranked.count() // 5)
+    docs = (ranked.filter(F.col('_r') < n5)
+            .withColumn('grp', F.when(F.col('_r') < n5 // 5, 'small')
+                        .otherwise('big')))
+    out = temperature_mix(docs.select('doc_id', 'grp'), 'grp',
+                          'doc_id', alpha=0.5)
+    return out.select('doc_id', 'grp').orderBy('doc_id')
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM documents),
+f AS (SELECT doc_id, rk, 5 * (n // 5) AS n5 FROM r
+      WHERE rk < 5 * (n // 5)),
+g AS (SELECT doc_id, n5,
+             CASE WHEN rk < n5 // 5 THEN 'small' ELSE 'big' END AS grp
+      FROM f),
+k AS (SELECT doc_id, grp, n5,
+             ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4),
+                        doc_id) AS hrk
+      FROM g)
+SELECT doc_id, grp FROM k
+WHERE grp = 'small' OR hrk <= 2 * n5 / 5
+ORDER BY doc_id
+"""
+
+
 def q_span_corrupt_check(spark, sf_dir):
     """T5-style span corruption (NEW this session —
     erde_spark/scale/text.py::span_corrupt, the masked-span denoising
@@ -5744,11 +5787,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus, one class per stage), hard_negative_check (contrastive
     hard-negative mining on planted angle geometry) and
     span_corrupt_check (T5 masked-span denoising, inputs+targets
-    byte-replayed on the real documents) enter the window as
-    never-green newcomers (stalest by definition); the six freshest
-    in-window queries (anti_join_no_urgent, scalar_subquery_acctbal,
-    sketch_cardinality — last green r03 — and string_funcs,
-    percentile_prices, resample_locf — r02, the era the out-of-window
+    byte-replayed on the real documents) and temperature_mix_check
+    (mT5 exponentiated-smoothing mixing, rational-quota construction)
+    enter the window as never-green newcomers (stalest by
+    definition); the seven freshest in-window queries
+    (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
+    — last green r03 — and string_funcs, percentile_prices,
+    resample_locf, asof_last_click — r02, the era the out-of-window
     minimum then becomes, so stalest-first packing still holds by
     tie) move to the head of the tail and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
@@ -5791,8 +5836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
-        'asof_last_click': q_asof_last_click,
         'span_corrupt_check': q_span_corrupt_check,
+        'temperature_mix_check': q_temperature_mix_check,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -5807,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
         'percentile_prices': q_percentile_prices,
         'string_funcs': q_string_funcs,
@@ -5963,6 +6009,7 @@ def oracle_sql() -> dict[str, str]:
         'fim_transform_check': _FIM_TRANSFORM_SQL,
         'curation_pipeline_check': _CURATION_PIPELINE_SQL,
         'span_corrupt_check': _SPAN_CORRUPT_SQL,
+        'temperature_mix_check': _TEMPERATURE_MIX_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     'curation_pipeline_check',
     'hard_negative_check',
     'span_corrupt_check',
+    'temperature_mix_check',
 ]
 
 

@@ -141,6 +141,36 @@ def target_mix(df: DataFrame, group_col: str, id_col: str,
             .drop('_q', '_rk'))
 
 
+def temperature_mix(df: DataFrame, group_col: str, id_col: str,
+                    alpha: float = 0.3, salt: str = '') -> DataFrame:
+    """Temperature-based corpus rebalancing — the multilingual-mixing
+    standard (mT5/mBART exponentiated smoothing; T5 §3.4.1): target
+    proportions q_g ∝ p_g^alpha where p_g is each group's corpus
+    share. alpha=1 keeps the natural distribution, alpha=0 flattens to
+    uniform, the published sweet spots sit at 0.2-0.5 (mT5 uses 0.3).
+    Upsampling is out of scope (this is a one-pass filter — compose
+    :func:`unimax_mix` with ``materialize=True`` for epoch-repeating);
+    like :func:`target_mix`, the binding group is kept whole and every
+    other group downsamples to its exact rational quota,
+    hash-deterministically.
+
+    Scale shape: identical to target_mix — one bounded per-group count
+    (the quotas ARE a function of group sizes), one shuffle for the
+    within-group rank."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f'alpha must be in [0, 1], got {alpha}')
+    counts = {r['g']: r['n'] for r in
+              (df.where(F.col(group_col).isNotNull())
+               .groupBy(F.col(group_col).alias('g'))
+               .agg(F.count(F.lit(1)).alias('n')).collect())}
+    if not counts:
+        return df.where(F.lit(False))
+    total = sum(counts.values())
+    weights = {g: (n / total) ** alpha for g, n in counts.items()}
+    return target_mix(df.where(F.col(group_col).isNotNull()),
+                      group_col, id_col, weights, salt=salt)
+
+
 def cap_per_key(df: DataFrame, key_col: str, cap: int,
                 id_col: str = 'doc_id', salt: str = '') -> DataFrame:
     """Keep at most ``cap`` rows per key, chosen deterministically by

@@ -294,3 +294,56 @@ def test_unimax_mix_epochs_and_fraction(spark):
     wgot = {r['doc_id']: (r['n_full_epochs'], r['frac_kept'])
             for r in wout.collect()}
     assert wgot == got  # same shape scaled by 10
+
+
+class TestTemperatureMix:
+    def _df(self, spark):
+        rows = [(i, 'small' if i < 20 else 'big') for i in range(100)]
+        return spark.createDataFrame(rows, 'doc_id long, grp string')
+
+    def test_alpha_one_keeps_natural(self, spark):
+        from erde_spark.scale.sampling import temperature_mix
+        out = temperature_mix(self._df(spark), 'grp', 'doc_id', alpha=1.0)
+        assert out.count() == 100  # natural distribution already
+
+    def test_alpha_zero_flattens(self, spark):
+        from erde_spark.scale.sampling import temperature_mix
+        out = temperature_mix(self._df(spark), 'grp', 'doc_id', alpha=0.0)
+        got = {r['grp']: 0 for r in out.collect()}
+        for r in out.collect():
+            got[r['grp']] += 1
+        # uniform targets: small (20) binds whole, big downsamples to 20
+        assert got == {'small': 20, 'big': 20}
+
+    def test_alpha_half_rational_quota(self, spark):
+        from erde_spark.scale.sampling import temperature_mix
+        rows = [(i, 'small' if i < 20 else 'big') for i in range(100)]
+        df = spark.createDataFrame(rows, 'doc_id long, grp string')
+        # shares 1/5, 4/5 -> sqrt weights 1/3, 2/3 -> big quota 40
+        out = temperature_mix(df, 'grp', 'doc_id', alpha=0.5)
+        counts = {}
+        for r in out.collect():
+            counts[r['grp']] = counts.get(r['grp'], 0) + 1
+        assert counts == {'small': 20, 'big': 40}
+
+    def test_deterministic(self, spark):
+        from erde_spark.scale.sampling import temperature_mix
+        d = self._df(spark)
+        a = sorted(r['doc_id'] for r in
+                   temperature_mix(d, 'grp', 'doc_id', 0.3).collect())
+        b = sorted(r['doc_id'] for r in temperature_mix(
+            d.repartition(7), 'grp', 'doc_id', 0.3).collect())
+        assert a == b
+
+    def test_bad_alpha(self, spark):
+        import pytest as _pytest
+        from erde_spark.scale.sampling import temperature_mix
+        with _pytest.raises(ValueError):
+            temperature_mix(self._df(spark), 'grp', 'doc_id', alpha=1.5)
+
+    def test_nulls_dropped(self, spark):
+        from erde_spark.scale.sampling import temperature_mix
+        df = spark.createDataFrame(
+            [(1, 'a'), (2, None), (3, 'a')], 'doc_id long, grp string')
+        out = temperature_mix(df, 'grp', 'doc_id', alpha=0.5)
+        assert sorted(r['doc_id'] for r in out.collect()) == [1, 3]
