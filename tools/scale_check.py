@@ -370,6 +370,44 @@ def op_compression_ratio(spark, sf):
     return compression_ratio(d).select('doc_id', 'compression_ratio')
 
 
+def op_span_corrupt(spark, sf):
+    """Span corruption is one codegen projection over the let-bound
+    token array: shuffle 0, time scan-bound."""
+    from erde_spark.scale.text import span_corrupt
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text')
+    return span_corrupt(d).select('doc_id', 'inputs', 'targets')
+
+
+def op_curate_exact(spark, sf):
+    """The composed pipeline (compression -> pii -> exact dedup;
+    quality is omitted because the sf1 fixture's per-copy token
+    suffixes remove every stopword and the gate would trivially empty
+    the corpus): stages fuse into one pass + the dedup window's
+    single shuffle — shuffle should track ~10x rows, time
+    near-flat."""
+    from erde_spark.scale.pipeline import curate
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text')
+    return curate(d, steps=('compression', 'pii', 'dedup'))
+
+
+def op_hard_negatives(spark, sf):
+    """Exact miner at a FIXED anchor count (10): work = anchors x
+    corpus, so 10x corpus should cost ~10x scan at constant anchors —
+    the honest exact-path scaling (anchor growth multiplies it, which
+    is why ivf/lsh are the 100 TB retrievers)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.similarity import mine_hard_negatives
+    e = spark.read.parquet(f'{sf}/embeddings.parquet')
+    q = e.where((F.col('vec_id') < 2000)
+                & (F.col('vec_id') % 200 == 0))
+    pos = q.select(F.col('vec_id').alias('query_id'),
+                   (F.col('vec_id') + 1).alias('vec_id'))
+    return mine_hard_negatives(e, q, pos, k=10)
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -393,6 +431,9 @@ OPS = {
     'fim_transform': op_fim_transform,
     'chat_spans': op_chat_spans,
     'compression_ratio': op_compression_ratio,
+    'span_corrupt': op_span_corrupt,
+    'curate_exact': op_curate_exact,
+    'hard_negatives': op_hard_negatives,
 }
 
 
