@@ -5278,6 +5278,40 @@ def q_curation_pipeline_check(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro Object Container File export/ingest (NEW this session —
+    erde_spark/io/avro_ocf.py, hand-implemented from the Apache Avro
+    1.11 spec because Spark's avro module is an undeployed external
+    package) VALUE-checked by a full round trip: the documents table
+    writes to deflate-coded OCF shards executor-side (rolling +
+    attempt-staged) and reads back through binaryFile + mapInPandas;
+    doc_id, md5(text) and lang must match the source exactly — DuckDB
+    computes them from the table directly. The encoder is additionally
+    cross-validated BOTH WAYS against the reference Apache Avro jar in
+    tests/test_avro.py."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.avro_ocf import read_avro, write_avro
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang')
+    base = tempfile.mkdtemp(prefix='erde_avro_') + '/docs.avro'
+    write_avro(d.repartition(8), base, shard_size=2000)
+    back = read_avro(spark, base)
+    res = (back.select('doc_id',
+                       F.md5(F.coalesce(F.col('text'), F.lit('')))
+                       .alias('text_md5'), 'lang')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return res
+
+
+_AVRO_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_temperature_mix_check(spark, sf_dir):
     """Temperature-based corpus mixing (NEW this session — the mT5
     §3.1/T5 §3.4.1 exponentiated smoothing;
@@ -5787,15 +5821,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus, one class per stage), hard_negative_check (contrastive
     hard-negative mining on planted angle geometry) and
     span_corrupt_check (T5 masked-span denoising, inputs+targets
-    byte-replayed on the real documents) and temperature_mix_check
+    byte-replayed on the real documents), temperature_mix_check
     (mT5 exponentiated-smoothing mixing, rational-quota construction)
-    enter the window as never-green newcomers (stalest by
+    and avro_roundtrip (hand-rolled Avro OCF, md5-exact round trip,
+    cross-validated vs the reference Apache jar) enter the window as
+    never-green newcomers (stalest by
     definition); the seven freshest in-window queries
     (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
     — last green r03 — and string_funcs, percentile_prices,
-    resample_locf, asof_last_click — r02, the era the out-of-window
-    minimum then becomes, so stalest-first packing still holds by
-    tie) move to the head of the tail and rotate back in r10.
+    resample_locf, asof_last_click, window_top3_orders — r02, the era
+    the out-of-window minimum then becomes, so stalest-first packing
+    still holds by tie) move to the head of the tail and rotate back
+    in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5835,9 +5872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
-        'window_top3_orders': q_window_top3,
         'span_corrupt_check': q_span_corrupt_check,
         'temperature_mix_check': q_temperature_mix_check,
+        'avro_roundtrip': q_avro_roundtrip,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -5852,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'window_top3_orders': q_window_top3,
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
         'percentile_prices': q_percentile_prices,
@@ -6010,6 +6048,7 @@ def oracle_sql() -> dict[str, str]:
         'curation_pipeline_check': _CURATION_PIPELINE_SQL,
         'span_corrupt_check': _SPAN_CORRUPT_SQL,
         'temperature_mix_check': _TEMPERATURE_MIX_SQL,
+        'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     'hard_negative_check',
     'span_corrupt_check',
     'temperature_mix_check',
+    'avro_roundtrip',
 ]
 
 

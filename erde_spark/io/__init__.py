@@ -365,6 +365,24 @@ class TfRecordDriver(_Driver):
         write_tfrecord(df, path, mode=mode, **kw)
 
 
+class AvroDriver(_Driver):
+    """Avro Object Container Files (see io/avro_ocf.py) — Spark's
+    own avro module is an external package not deployed here, so this
+    is the hand-rolled spec implementation, cross-validated both ways
+    against the reference Apache Avro jar in tests/test_avro.py.
+    Schema round-trips via the avro.schema header."""
+    name = 'avro'
+    path_re = re.compile(r'^.*\.avro$', re.I)
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.avro_ocf import read_avro
+        return read_avro(spark, path, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.avro_ocf import write_avro
+        write_avro(df, path, mode=mode, **kw)
+
+
 class ArrowShardsDriver(_Driver):
     """Arrow IPC / HF-datasets shard directories (see
     io/arrow_shards.py); full schema round-trips from the shard
@@ -757,7 +775,7 @@ DRIVERS: list[_Driver] = [
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), JsonDriver(), WarcDriver(),
     WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
-    MegatronDriver(),
+    MegatronDriver(), AvroDriver(),
 ]
 
 

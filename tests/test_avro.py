@@ -1,0 +1,175 @@
+"""Avro OCF sink/source (erde_spark.io.avro_ocf) — hand-rolled from
+the Apache Avro 1.11 spec, cross-validated BOTH WAYS against the
+reference Apache Avro Java implementation that ships in pyspark/jars
+(the same independent-implementation discipline as the image codecs
+vs libgd)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from erde_spark.io.avro_ocf import (read_avro, write_avro,
+                                    zigzag_decode, zigzag_encode)
+
+ALL_TYPES = ('id long, s string, x double, f float, i int, '
+             'b boolean, raw binary, arr array<long>, '
+             'names array<string>')
+ROWS = [
+    (1, 'hello', 2.5, 1.5, 7, True, bytearray(b'\x00\xff'),
+     [1, None, 3], ['a', None]),
+    (2, None, None, None, None, None, None, None, None),
+    (3, 'héllo 世界', -1.5, -0.5, -7, False, bytearray(b''), [], []),
+]
+
+
+@pytest.mark.parametrize('n', [0, 1, -1, 63, 64, -64, -65, 8191,
+                               2**31 - 1, -(2**31), 2**62,
+                               2**63 - 1, -(2**63)])
+def test_zigzag_roundtrip(n):
+    v, pos = zigzag_decode(zigzag_encode(n), 0)
+    assert v == n and pos == len(zigzag_encode(n))
+
+
+@pytest.mark.parametrize('codec', ['deflate', 'null'])
+def test_roundtrip_all_types(spark, tmp_path, codec):
+    df = spark.createDataFrame(ROWS, ALL_TYPES)
+    out = str(tmp_path / 'd.avro')
+    write_avro(df, out, codec=codec)
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_shard_rolling_and_no_staging_leftovers(spark, tmp_path):
+    df = spark.range(10_000).select(
+        F.col('id'), F.concat(F.lit('t'), F.col('id').cast('string'))
+        .alias('s')).coalesce(2)
+    out = str(tmp_path / 'roll.avro')
+    write_avro(df, out, shard_size=1500)
+    parts = glob.glob(out + '/part-*.avro')
+    assert len(parts) >= 6          # 5000 rows/partition / 1500 cap
+    assert not glob.glob(out + '/*.inprogress')
+    assert read_avro(spark, out).count() == 10_000
+
+
+def test_apache_java_reads_our_files(spark, tmp_path):
+    """The REFERENCE implementation (org.apache.avro 1.12, in
+    pyspark/jars) must parse our hand-rolled encoder's output —
+    schema, unions, arrays, deflate blocks, sync markers."""
+    df = spark.createDataFrame(ROWS, ALL_TYPES)
+    out = str(tmp_path / 'x.avro')
+    write_avro(df.coalesce(1), out)
+    part = glob.glob(out + '/*.avro')[0]
+    jvm = spark._jvm
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(part),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    got = []
+    while rd.hasNext():
+        got.append(rd.next())
+    rd.close()
+    assert len(got) == 3
+    by_id = {int(str(r.get('id'))): r for r in got}
+    assert str(by_id[1].get('s')) == 'hello'
+    assert float(str(by_id[1].get('x'))) == 2.5
+    assert by_id[2].get('s') is None
+    assert str(by_id[3].get('s')) == 'héllo 世界'
+    # py4j auto-converts the Java List to a Python list
+    assert list(by_id[1].get('arr')) == [1, None, 3]
+
+
+def test_we_read_apache_java_files(spark, tmp_path):
+    """And the reverse: a file written by the reference Java
+    implementation (deflate codec) round-trips through read_avro."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        '{"type":"record","name":"row","fields":['
+        '{"name":"id","type":["null","long"]},'
+        '{"name":"s","type":["null","string"]}]}')
+    out_dir = tmp_path / 'java.avro'
+    out_dir.mkdir()
+    part = str(out_dir / 'part-java.avro')
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema))
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(schema, jvm.java.io.File(part))
+    # build records in Java-land via Avro's own JSON decoder — py4j
+    # unboxes java.lang.Long returns to Python ints, which re-enter
+    # the JVM as Integer and fail ["null","long"] union resolution
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    for js in ('{"id":{"long":1},"s":{"string":"alpha"}}',
+               '{"id":{"long":2},"s":null}',
+               '{"id":{"long":3},"s":{"string":"Ω"}}'):
+        dec = jvm.org.apache.avro.io.DecoderFactory.get() \
+            .jsonDecoder(schema, js)
+        w.append(reader.read(None, dec))
+    w.close()
+    back = {r['id']: r['s']
+            for r in read_avro(spark, str(out_dir)).collect()}
+    assert back == {1: 'alpha', 2: None, 3: 'Ω'}
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    """Same input -> identical output bytes (sync marker is derived
+    from (task, shard), not random) — the property golden-file pins
+    and md5-exact gates rely on."""
+    import hashlib
+    df = spark.createDataFrame(ROWS, ALL_TYPES)
+    sums = []
+    for name in ('a', 'b'):
+        out = str(tmp_path / f'{name}.avro')
+        write_avro(df.coalesce(1), out)
+        part = glob.glob(out + '/*.avro')[0]
+        sums.append(hashlib.md5(open(part, 'rb').read()).hexdigest())
+    assert sums[0] == sums[1]
+
+
+def test_corrupt_sync_detected(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, ALL_TYPES)
+    out = str(tmp_path / 'c.avro')
+    write_avro(df.coalesce(1), out)
+    part = glob.glob(out + '/*.avro')[0]
+    raw = bytearray(open(part, 'rb').read())
+    raw[-1] ^= 0xFF  # flip a sync byte of the last block
+    open(part, 'wb').write(raw)
+    with pytest.raises(Exception, match='sync marker'):
+        read_avro(spark, out).collect()
+
+
+def test_foreign_rich_schema_rejected(spark, tmp_path):
+    """Nested records are outside the flat subset: the source must
+    raise, not silently mangle."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        '{"type":"record","name":"outer","fields":[{"name":"inner",'
+        '"type":{"type":"record","name":"pt","fields":['
+        '{"name":"x","type":"long"}]}}]}')
+    out_dir = tmp_path / 'rich.avro'
+    out_dir.mkdir()
+    part = str(out_dir / 'part-java.avro')
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema))
+    w.create(schema, jvm.java.io.File(part))
+    inner = jvm.org.apache.avro.generic.GenericData.Record(
+        schema.getField('inner').schema())
+    inner.put('x', jvm.java.lang.Long(1))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put('inner', inner)
+    w.append(rec)
+    w.close()
+    with pytest.raises(ValueError, match='unsupported|record'):
+        read_avro(spark, str(out_dir))
+
+
+def test_facade_routes_avro(spark, tmp_path):
+    from erde_spark.io import read_df, select_driver, write_df
+    assert select_driver('x.avro').name == 'avro'
+    docs = spark.createDataFrame([(i, f'd{i}') for i in range(6)],
+                                 'doc_id long, text string')
+    out = str(tmp_path / 'f.avro')
+    write_df(docs, out)
+    assert {r['doc_id'] for r in read_df(out, spark).collect()} \
+        == set(range(6))

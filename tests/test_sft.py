@@ -317,6 +317,9 @@ class TestSpanCorrupt:
     def _docs(self, spark):
         rows = [(i, ' '.join(f'tok{i}x{k}' for k in range(i % 50 + 1)))
                 for i in range(60)] + [(100, ''), (101, None)]
+        # multibyte text: the alnum tokenizer strips CJK/accents by
+        # design; reconstruction must still hold on the TOKEN stream
+        rows.append((102, '你好 café 世界 b2 ' * 10))
         return spark.createDataFrame(rows, 'doc_id long, text string')
 
     def test_reconstructible(self, spark):
