@@ -408,6 +408,23 @@ def op_hard_negatives(spark, sf):
     return mine_hard_negatives(e, q, pos, k=10)
 
 
+def op_avro_roundtrip(spark, sf):
+    """Pure-Python per-record codec: the honest number to watch is
+    rows/s staying proportional (time ~10x for 10x rows on
+    underfilled cores is acceptable; the format is interchange, not a
+    hot analytical path)."""
+    import os as _os
+    import tempfile
+
+    from erde_spark.io.avro_ocf import read_avro, write_avro
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text', 'lang')
+    out = _os.path.join(tempfile.gettempdir(),
+                        'avro_scale_' + _os.path.basename(sf.rstrip('/')))
+    write_avro(d.repartition(32), out)
+    return read_avro(spark, out).select('doc_id')
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -434,6 +451,7 @@ OPS = {
     'span_corrupt': op_span_corrupt,
     'curate_exact': op_curate_exact,
     'hard_negatives': op_hard_negatives,
+    'avro_roundtrip': op_avro_roundtrip,
 }
 
 
