@@ -29,13 +29,15 @@ _WRITERS = {}
 def _writers():
     if not _WRITERS:
         from erde_spark.io.arrow_shards import write_arrow_shards
+        from erde_spark.io.avro_ocf import write_avro
         from erde_spark.io.megatron import write_megatron
         from erde_spark.io.tfrecord import write_tfrecord
         from erde_spark.io.wds import write_webdataset
         _WRITERS.update({'wds': write_webdataset,
                          'tfrecord': write_tfrecord,
                          'megatron': write_megatron,
-                         'arrow': write_arrow_shards})
+                         'arrow': write_arrow_shards,
+                         'avro': write_avro})
     return _WRITERS
 
 
@@ -45,7 +47,7 @@ def stream_to_shards(stream_df: DataFrame, path: str,
                      **writer_kwargs):
     """Start a streaming query that lands every micro-batch as
     training shards under ``path/batch-<id>/`` in ``fmt`` ('wds' |
-    'tfrecord' | 'megatron' | 'arrow'); ``writer_kwargs`` pass through
+    'tfrecord' | 'megatron' | 'arrow' | 'avro'); ``writer_kwargs`` pass through
     to the sink (columns/shard_size/dtype/...). Returns the started
     ``StreamingQuery``; ``trigger_once=False`` runs continuously.
 

@@ -185,3 +185,24 @@ def test_stream_to_shards_two_batches_and_replay_idempotence(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match='fmt'):
         stream_to_shards(s2, out2, ck2, fmt='nope')
+
+
+def test_stream_to_shards_avro_route(spark, tmp_path):
+    """The fifth bridge format: micro-batches land as Avro OCF batch
+    directories and the glob read unions them."""
+    from pyspark.sql import types as T
+
+    from erde_spark.io.avro_ocf import read_avro
+    from erde_spark.streaming.shards import stream_to_shards
+    schema = T.StructType([T.StructField('doc_id', T.LongType()),
+                           T.StructField('text', T.StringType())])
+    in_dir, out_dir, ckpt = (str(tmp_path / d)
+                             for d in ('in', 'avro_out', 'ck'))
+    spark.createDataFrame([(i, f'doc {i}') for i in range(12)], schema) \
+        .coalesce(1).write.mode('append').parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = stream_to_shards(stream, out_dir, ckpt, fmt='avro')
+    q.awaitTermination(120)
+    back = read_avro(spark, out_dir + '/batch-*/*.avro')
+    got = {r['doc_id']: r['text'] for r in back.collect()}
+    assert got == {i: f'doc {i}' for i in range(12)}
