@@ -5312,6 +5312,107 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+def q_ul2_mix_check(spark, sf_dir):
+    """UL2 mixture-of-denoisers (Tay et al. 2022; NEW this session —
+    erde_spark/scale/text.py::ul2_mix) VALUE-checked end to end on the
+    REAL documents table: md5 buckets assign R/S/X (5000/2500/2500 per
+    10000), and DuckDB byte-replays ALL THREE objectives — R and X are
+    the span-corruption arithmetic at their published densities
+    (0.15/3 and 0.5/8), S is the prefix-LM cut — plus the paradigm
+    tags, via md5 of inputs and targets per document."""
+    from erde_spark.scale.text import ul2_mix
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id', 'text')
+    out = ul2_mix(d)
+    return (out.select('doc_id', 'denoiser',
+                       F.md5('inputs').alias('inputs_md5'),
+                       F.md5('targets').alias('targets_md5'))
+            .orderBy('doc_id'))
+
+
+def _ul2_span_branch_sql(alias, base, dppm, mspan):
+    return f"""
+{alias}_g AS (
+  SELECT doc_id, toks, n,
+         greatest(1, (n * {dppm}) // ({100 * mspan})) AS n_spans
+  FROM {base}),
+{alias}_h AS (
+  SELECT doc_id, toks, n, n_spans, u.i,
+         (u.i * n) // n_spans AS s0,
+         ((u.i + 1) * n) // n_spans AS e0
+  FROM {alias}_g, UNNEST(range(n_spans)) AS u(i)),
+{alias}_o AS (
+  SELECT *, e0 - s0 AS seg_len,
+         least(greatest(1, ((e0 - s0) * {dppm}) // 10000),
+               e0 - s0) AS li
+  FROM {alias}_h),
+{alias}_p AS (
+  SELECT doc_id, i,
+         ('0x' || substring(md5(doc_id || ':' || i || ':'), 1, 8))
+           ::BIGINT % (seg_len - li + 1) AS off,
+         '<extra_id_' || i || '>' AS sent,
+         toks, s0, e0, li
+  FROM {alias}_o),
+{alias}_q AS (
+  SELECT doc_id, i,
+         array_to_string(list_filter(
+           [array_to_string(toks[s0 + 1 : s0 + off], ' '),
+            sent,
+            array_to_string(toks[s0 + off + li + 1 : e0], ' ')],
+           x -> x <> ''), ' ') AS inp,
+         sent || ' ' || array_to_string(
+           toks[s0 + off + 1 : s0 + off + li], ' ') AS tgt
+  FROM {alias}_p),
+{alias} AS (
+  SELECT doc_id, string_agg(inp, ' ' ORDER BY i) AS inputs,
+         string_agg(tgt, ' ' ORDER BY i) AS targets
+  FROM {alias}_q GROUP BY doc_id)"""
+
+
+_UL2_MIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+b AS (SELECT doc_id, toks, n,
+             ('0x' || substring(md5(doc_id || ':ul2'), 1, 4))::BIGINT
+             % 10000 AS bkt
+      FROM n0),
+rb AS (SELECT doc_id, toks, n FROM b WHERE bkt < 5000 AND n > 0),
+xb AS (SELECT doc_id, toks, n FROM b WHERE bkt >= 7500 AND n > 0),
+{_ul2_span_branch_sql('rr', 'rb', 1500, 300)},
+{_ul2_span_branch_sql('xx', 'xb', 5000, 800)},
+ss AS (
+  SELECT doc_id,
+         array_to_string(toks[1 : cut], ' ') AS inputs,
+         array_to_string(toks[cut + 1 : n], ' ') AS targets
+  FROM (SELECT doc_id, toks, n,
+          CASE WHEN n >= 2 THEN
+            (('0x' || substring(md5(doc_id || ':ul2s'), 1, 8))::BIGINT
+             % (n - 1)) + 1
+          ELSE 0 END AS cut
+        FROM b WHERE bkt >= 5000 AND bkt < 7500 AND n > 0)),
+u AS (
+  SELECT b.doc_id,
+         CASE WHEN bkt < 5000 THEN 'R'
+              WHEN bkt < 7500 THEN 'S' ELSE 'X' END AS denoiser,
+         CASE WHEN bkt < 5000 THEN '[NLU]'
+              WHEN bkt < 7500 THEN '[S2S]' ELSE '[NLG]' END AS tag,
+         COALESCE(rr.inputs, ss.inputs, xx.inputs, '') AS raw_in,
+         COALESCE(rr.targets, ss.targets, xx.targets, '') AS raw_tgt
+  FROM b LEFT JOIN rr ON b.doc_id = rr.doc_id
+         LEFT JOIN ss ON b.doc_id = ss.doc_id
+         LEFT JOIN xx ON b.doc_id = xx.doc_id)
+SELECT doc_id, denoiser,
+       md5(CASE WHEN raw_in = '' THEN tag
+                ELSE tag || ' ' || raw_in END) AS inputs_md5,
+       md5(raw_tgt) AS targets_md5
+FROM u ORDER BY doc_id
+"""
+
+
 def q_temperature_mix_check(spark, sf_dir):
     """Temperature-based corpus mixing (NEW this session — the mT5
     §3.1/T5 §3.4.1 exponentiated smoothing;
@@ -5823,16 +5924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span_corrupt_check (T5 masked-span denoising, inputs+targets
     byte-replayed on the real documents), temperature_mix_check
     (mT5 exponentiated-smoothing mixing, rational-quota construction)
-    and avro_roundtrip (hand-rolled Avro OCF, md5-exact round trip,
-    cross-validated vs the reference Apache jar) enter the window as
-    never-green newcomers (stalest by
+    avro_roundtrip (hand-rolled Avro OCF, md5-exact round trip,
+    cross-validated vs the reference Apache jar) and ul2_mix_check
+    (UL2 mixture-of-denoisers, all three objectives byte-replayed)
+    enter the window as never-green newcomers (stalest by
     definition); the seven freshest in-window queries
     (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
     — last green r03 — and string_funcs, percentile_prices,
-    resample_locf, asof_last_click, window_top3_orders — r02, the era
-    the out-of-window minimum then becomes, so stalest-first packing
-    still holds by tie) move to the head of the tail and rotate back
-    in r10.
+    resample_locf, asof_last_click, window_top3_orders, column_stats —
+    r02, the era the out-of-window minimum then becomes, so
+    stalest-first packing still holds by tie) move to the head of the
+    tail and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5871,10 +5973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'subset_dsl': q_subset_dsl,
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
-        'column_stats': q_column_stats,
         'span_corrupt_check': q_span_corrupt_check,
         'temperature_mix_check': q_temperature_mix_check,
         'avro_roundtrip': q_avro_roundtrip,
+        'ul2_mix_check': q_ul2_mix_check,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -5889,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
         'asof_last_click': q_asof_last_click,
         'resample_locf': q_resample_locf,
@@ -6049,6 +6152,7 @@ def oracle_sql() -> dict[str, str]:
         'span_corrupt_check': _SPAN_CORRUPT_SQL,
         'temperature_mix_check': _TEMPERATURE_MIX_SQL,
         'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
+        'ul2_mix_check': _UL2_MIX_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     'span_corrupt_check',
     'temperature_mix_check',
     'avro_roundtrip',
+    'ul2_mix_check',
 ]
 
 

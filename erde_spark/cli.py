@@ -8,11 +8,13 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 19 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 28 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
 pack, scrub, extract, select, tokenize, fixenc, urlcanon,
 boilerplate, robots, langid, capdomains, linededup, bitext, wds,
-tfexport, ppl (the training-data pipeline from the shell).
+tfexport, ppl, megexport, shuffle, unimax, curate, fim, chat,
+entropy, spancorrupt, ul2 (the training-data pipeline from the
+shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
@@ -640,6 +642,23 @@ def spancorrupt(input_data: DataFrame, noise_density: float = 0.15,
 
 
 @autocli
+def ul2(input_data: DataFrame, r_weight: float = 0.5,
+        s_weight: float = 0.25, x_weight: float = 0.25,
+        x_density: float = 0.5, x_mean_span: float = 8.0,
+        salt: str = '', id_column: str = 'doc_id',
+        text_column: str = 'text') -> DataFrame:
+    """UL2 mixture-of-denoisers: md5-assign each document to R
+    (regular span corruption), S (prefix-LM) or X (extreme) by the
+    given weights and append denoiser/inputs/targets with the
+    paradigm tags."""
+    from erde_spark.scale.text import ul2_mix
+    return ul2_mix(input_data, id_col=id_column, text_col=text_column,
+                   r_weight=r_weight, s_weight=s_weight,
+                   x_weight=x_weight, x_density=x_density,
+                   x_mean_span=x_mean_span, salt=salt)
+
+
+@autocli
 def chat(input_data: DataFrame, turns_column: str = 'turns',
          template: str = 'chatml', id_column: str = 'conv_id',
          spans: bool = False, validate: bool = False,
@@ -708,6 +727,7 @@ COMMANDS = {
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
+    'ul2': ul2,
 }
 
 

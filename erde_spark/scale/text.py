@@ -533,6 +533,21 @@ def span_corrupt(df: DataFrame, id_col: str = 'doc_id',
     Scale shape: one codegen projection over a let-bound token array
     (functions/bind.py) — no shuffle, no Python."""
     from erde_spark.functions.bind import bind
+    both = bind(tokens(F.col(text_col)),
+                _span_corrupt_struct(id_col, noise_density, mean_span,
+                                     salt, sentinel))
+    return (df.withColumn('__sc', both)
+            .select('*', F.col('__sc.inputs').alias('inputs'),
+                    F.col('__sc.targets').alias('targets'))
+            .drop('__sc'))
+
+
+def _span_corrupt_struct(id_col: str, noise_density: float,
+                         mean_span: float, salt: str,
+                         sentinel: str = '<extra_id_{}>'):
+    """The span-corruption kernel as a bound-token-array -> struct
+    (inputs, targets) callable — shared by :func:`span_corrupt` and
+    :func:`ul2_mix` (whose denoisers are parameterizations of it)."""
     if not 0 < noise_density < 1:
         raise ValueError('noise_density must be in (0, 1)')
     if mean_span < 1:
@@ -583,11 +598,79 @@ def span_corrupt(df: DataFrame, id_col: str = 'doc_id',
             F.when(n > 0, inputs).otherwise(F.lit('')).alias('inputs'),
             F.when(n > 0, targets).otherwise(F.lit('')).alias('targets'))
 
-    both = bind(tokens(F.col(text_col)), _corrupt)
-    return (df.withColumn('__sc', both)
-            .select('*', F.col('__sc.inputs').alias('inputs'),
-                    F.col('__sc.targets').alias('targets'))
-            .drop('__sc'))
+    return _corrupt
+
+
+def ul2_mix(df: DataFrame, id_col: str = 'doc_id',
+            text_col: str = 'text', r_weight: float = 0.5,
+            s_weight: float = 0.25, x_weight: float = 0.25,
+            x_density: float = 0.5, x_mean_span: float = 8.0,
+            salt: str = '') -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): each document is
+    md5-assigned one of the three published objectives and rewritten
+    accordingly — R (regular span corruption, the T5 recipe: density
+    0.15, mean span 3, paradigm tag ``[NLU]``), S (sequential /
+    prefix-LM: one md5 cut point, the prefix becomes the input and
+    the suffix the target, tag ``[S2S]``), X (extreme corruption:
+    ``x_density``/``x_mean_span``, tag ``[NLG]``). Adds ``denoiser``
+    ('R'|'S'|'X'), ``inputs`` and ``targets``.
+
+    Assignment and every span/cut decision are md5 arithmetic
+    (engine-portable, the FIM/sampling discipline); weights are
+    normalized to integer parts-per-10000 thresholds so the same
+    documents land in the same denoiser on any engine. The S cut
+    leaves at least one token on each side when n >= 2 (a document of
+    one token puts it in the target, inputs = the bare tag). One
+    codegen projection over a let-bound token array — no shuffle, no
+    Python."""
+    from erde_spark.functions.bind import bind
+    total = r_weight + s_weight + x_weight
+    if total <= 0 or min(r_weight, s_weight, x_weight) < 0:
+        raise ValueError('denoiser weights must be >= 0 with a '
+                         'positive sum')
+    r_thr = int(round(r_weight / total * 10000))
+    s_thr = r_thr + int(round(s_weight / total * 10000))
+    h = F.md5(F.encode(F.concat(F.col(id_col).cast('string'),
+                                F.lit(f':ul2{salt}')), 'UTF-8'))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast('long') % 10000
+    r_struct = _span_corrupt_struct(id_col, 0.15, 3.0, salt)
+    x_struct = _span_corrupt_struct(id_col, x_density, x_mean_span,
+                                    salt)
+
+    def _s_struct(t):
+        n = F.size(t).cast('long')
+        hc = F.md5(F.encode(F.concat(F.col(id_col).cast('string'),
+                                     F.lit(f':ul2s{salt}')), 'UTF-8'))
+        # cut in [1, n-1] when n >= 2: both sides non-empty
+        cut = F.when(n >= 2, (F.conv(F.substring(hc, 1, 8), 16, 10)
+                              .cast('long') % (n - 1)) + 1) \
+            .otherwise(F.lit(0)).cast('int')
+        inputs = F.array_join(F.slice(t, 1, cut), ' ')
+        targets = F.array_join(
+            F.slice(t, cut + 1, (n - cut).cast('int')), ' ')
+        return F.struct(
+            F.when(n > 0, inputs).otherwise(F.lit('')).alias('inputs'),
+            F.when(n > 0, targets).otherwise(F.lit('')).alias('targets'))
+
+    def _mix(t):
+        r, s, x = r_struct(t), _s_struct(t), x_struct(t)
+        den = F.when(bucket < r_thr, 'R') \
+            .when(bucket < s_thr, 'S').otherwise('X')
+        pick = F.when(den == 'R', r).when(den == 'S', s).otherwise(x)
+        tag = F.when(den == 'R', '[NLU]').when(den == 'S', '[S2S]') \
+            .otherwise('[NLG]')
+        joined = F.when(pick['inputs'] == '', tag) \
+            .otherwise(F.concat(tag, F.lit(' '), pick['inputs']))
+        return F.struct(den.alias('denoiser'),
+                        joined.alias('inputs'),
+                        pick['targets'].alias('targets'))
+
+    both = bind(tokens(F.col(text_col)), _mix)
+    return (df.withColumn('__u', both)
+            .select('*', F.col('__u.denoiser').alias('denoiser'),
+                    F.col('__u.inputs').alias('inputs'),
+                    F.col('__u.targets').alias('targets'))
+            .drop('__u'))
 
 
 def fingerprint(col: Column | str) -> Column:

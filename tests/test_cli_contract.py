@@ -584,3 +584,19 @@ def test_spancorrupt_subcommand(spark, tmp_path):
     entrypoint(['spancorrupt', src, out, '--noise-density', '0.2'])
     r = spark.read.parquet(out).collect()[0]
     assert '<extra_id_0>' in r['inputs'] and '<extra_id_0>' in r['targets']
+
+
+def test_ul2_subcommand(spark, tmp_path):
+    """ul2 from the shell: denoiser assignment + tagged inputs."""
+    from erde_spark.cli import entrypoint
+    src = str(tmp_path / 'd.parquet')
+    spark.createDataFrame(
+        [(i, ' '.join(f'tok{i}x{k}' for k in range(25)))
+         for i in range(30)],
+        'doc_id long, text string').write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'ul2.parquet')
+    entrypoint(['ul2', src, out, '--s-weight', '1.0',
+                '--r-weight', '0', '--x-weight', '0'])
+    rows = spark.read.parquet(out).collect()
+    assert all(r['denoiser'] == 'S' for r in rows)
+    assert all(r['inputs'].startswith('[S2S]') for r in rows)

@@ -369,3 +369,55 @@ class TestSpanCorrupt:
             span_corrupt(self._docs(spark), noise_density=0.0)
         with _pytest.raises(ValueError):
             span_corrupt(self._docs(spark), mean_span=0.5)
+
+
+class TestUl2Mix:
+    def _docs(self, spark):
+        rows = [(i, ' '.join(f'w{i}x{k}' for k in range(i % 40 + 1)))
+                for i in range(80)]
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_all_denoisers_present_and_tagged(self, spark):
+        from erde_spark.scale.text import ul2_mix
+        out = ul2_mix(self._docs(spark)).collect()
+        seen = {r.denoiser for r in out}
+        assert seen == {'R', 'S', 'X'}
+        tags = {'R': '[NLU]', 'S': '[S2S]', 'X': '[NLG]'}
+        for r in out:
+            assert r.inputs.startswith(tags[r.denoiser]), r.doc_id
+
+    def test_s_branch_reconstructs(self, spark):
+        from erde_spark.scale.text import ul2_mix
+        for r in ul2_mix(self._docs(spark)).collect():
+            if r.denoiser == 'S':
+                assert (r.inputs.split()[1:] + r.targets.split()
+                        == r.text.split()), r.doc_id
+
+    def test_x_denser_than_r(self, spark):
+        from erde_spark.scale.text import ul2_mix
+        # force all docs through each branch via weights
+        d = self._docs(spark)
+        r_only = ul2_mix(d, r_weight=1, s_weight=0, x_weight=0).collect()
+        x_only = ul2_mix(d, r_weight=0, s_weight=0, x_weight=1).collect()
+        def corrupt_frac(rows):
+            tot = cor = 0
+            for r in rows:
+                n = len(r.text.split())
+                c = len(r.targets.split()) - r.targets.count('<extra_id_')
+                tot += n; cor += c
+            return cor / tot
+        fr, fx = corrupt_frac(r_only), corrupt_frac(x_only)
+        assert fr < 0.3 < fx            # ~0.15 vs ~0.5
+
+    def test_weights_partition(self, spark):
+        from erde_spark.scale.text import ul2_mix
+        out = ul2_mix(self._docs(spark), r_weight=0, s_weight=1,
+                      x_weight=0).collect()
+        assert all(r.denoiser == 'S' for r in out)
+
+    def test_bad_weights(self, spark):
+        import pytest as _pytest
+        from erde_spark.scale.text import ul2_mix
+        with _pytest.raises(ValueError):
+            ul2_mix(self._docs(spark), r_weight=0, s_weight=0,
+                    x_weight=0)
