@@ -97,7 +97,18 @@ def _avro_field_type(dt) -> object:
     raise ValueError(f'unsupported type for avro: {dt}')
 
 
+#: Avro spec "Names": [A-Za-z_][A-Za-z0-9_]* — a Spark column outside
+#: this set would produce a schema OUR reader accepts but the
+#: reference implementation rejects, so the sink fails fast instead
+_AVRO_NAME_RE = __import__('re').compile(r'^[A-Za-z_][A-Za-z0-9_]*$')
+
+
 def _avro_schema_json(schema: T.StructType) -> str:
+    for f in schema.fields:
+        if not _AVRO_NAME_RE.match(f.name):
+            raise ValueError(
+                f'column name {f.name!r} is not a valid Avro name '
+                f'([A-Za-z_][A-Za-z0-9_]*) — rename before writing')
     fields = [{'name': f.name,
                'type': ['null', _avro_field_type(f.dataType)]}
               for f in schema.fields]

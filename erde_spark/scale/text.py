@@ -620,7 +620,9 @@ def ul2_mix(df: DataFrame, id_col: str = 'doc_id',
     normalized to integer parts-per-10000 thresholds so the same
     documents land in the same denoiser on any engine. The S cut
     leaves at least one token on each side when n >= 2 (a document of
-    one token puts it in the target, inputs = the bare tag). One
+    one token puts it in the target, inputs = the bare tag; a
+    zero-token document yields the bare tag with empty targets — keep
+    a length filter upstream if those must not reach training). One
     codegen projection over a let-bound token array — no shuffle, no
     Python."""
     from erde_spark.functions.bind import bind
@@ -1081,6 +1083,10 @@ def compression_ratio(df: DataFrame, text_col: str = 'text',
     form) — map-only, no shuffle; ~100 MB/s/core deflate keeps it scan
     -bound at level 6."""
     import zlib
+    if not 0 <= level <= 9:
+        # validate on the driver — executor-side zlib would raise the
+        # same error per task, wrapped in a Py4J stack
+        raise ValueError(f'zlib level must be in [0, 9], got {level}')
 
     @F.pandas_udf(T.DoubleType())
     def _ratio(s: pd.Series) -> pd.Series:

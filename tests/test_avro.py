@@ -173,3 +173,9 @@ def test_facade_routes_avro(spark, tmp_path):
     write_df(docs, out)
     assert {r['doc_id'] for r in read_df(out, spark).collect()} \
         == set(range(6))
+
+
+def test_invalid_field_name_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, 'x')], '`n-chars` long, text string')
+    with pytest.raises(ValueError, match='valid Avro name'):
+        write_avro(df, str(tmp_path / 'bad.avro'))
