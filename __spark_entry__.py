@@ -5413,6 +5413,72 @@ FROM u ORDER BY doc_id
 """
 
 
+def q_audio_dedup_check(spark, sf_dir):
+    """Audio near-dup detection via the Haitsma-Kalker robust hash
+    (ISMIR 2002; NEW this session — erde_spark/scale/audiohash.py,
+    completing the multimodal dedup tier: text MinHash / image pHash /
+    video frame-pHash / AUDIO) VALUE-checked by planted twins: each
+    4-block's ids 4m and 4m+1 carry the SAME 2 s broadband 48-tone
+    mix (seeded by m, exact copies — they share every distinct
+    sub-fingerprint, measured >= 59 across all 1250 sf0.1 groups vs 0
+    cross-content, so threshold 8 has seven-fold margins both ways),
+    while ids 4m+2 / 4m+3 carry their own mixes. Volume invariance —
+    the property that makes HK bits robust — is pinned separately in
+    tests/test_audiohash.py where the margin is controlled (a
+    stationary weak-seed tone mix can share as few as 7 distinct
+    hashes across a 0.7x volume re-quantization; real broadband audio
+    does not, but a 1250-group gate must not ride a min-7 margin).
+    The found pair set is pure doc_id arithmetic. A green row
+    certifies WAV round-trip, framing/FFT/banding, the differential
+    bit construction, the stop-frame filter plumbing and the
+    equi-join candidate shape end to end."""
+    import pandas as pd
+
+    from erde_spark.scale.audiohash import audio_dedup_pairs
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+
+    def _synth(batches):
+        import numpy as np
+
+        from erde_spark.scale.png import encode_wav
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+
+        def mix(seed):
+            rng = np.random.RandomState(seed)
+            freqs = rng.uniform(300, 1900, 48)
+            amps = rng.uniform(0.5, 1.0, 48)
+            return sum(a * np.sin(2 * np.pi * f * t + i)
+                       for i, (f, a) in
+                       enumerate(zip(freqs, amps))) / 48
+
+        for pdf in batches:
+            rows = []
+            for did in pdf['doc_id']:
+                did = int(did)
+                grp, pos = divmod(did, 4)
+                sig = mix(grp) if pos in (0, 1) \
+                    else mix(1_000_000 + did)
+                x = (sig * 16384).astype(np.int16)[:, None]
+                blob = encode_wav(x, framerate=sr)
+                rows.append((did, bytearray(blob),
+                             ('audio/wav', None, None, len(blob))))
+            yield pd.DataFrame(rows,
+                               columns=['asset_id', 'media', 'meta'])
+
+    assets = d.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    pairs = audio_dedup_pairs(assets, min_shared=8)
+    return (pairs.select('id_a', 'id_b', F.lit(1).alias('found'))
+            .orderBy('id_a'))
+
+
+_AUDIO_DEDUP_SQL = """
+SELECT doc_id AS id_a, doc_id + 1 AS id_b, 1 AS found
+FROM documents WHERE doc_id % 4 = 0 ORDER BY id_a
+"""
+
+
 def q_temperature_mix_check(spark, sf_dir):
     """Temperature-based corpus mixing (NEW this session — the mT5
     §3.1/T5 §3.4.1 exponentiated smoothing;
@@ -5925,16 +5991,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     byte-replayed on the real documents), temperature_mix_check
     (mT5 exponentiated-smoothing mixing, rational-quota construction)
     avro_roundtrip (hand-rolled Avro OCF, md5-exact round trip,
-    cross-validated vs the reference Apache jar) and ul2_mix_check
+    cross-validated vs the reference Apache jar) ul2_mix_check
     (UL2 mixture-of-denoisers, all three objectives byte-replayed)
-    enter the window as never-green newcomers (stalest by
+    and audio_dedup_check (Haitsma-Kalker audio fingerprint dedup on
+    planted WAV twins) enter the window as never-green newcomers (stalest by
     definition); the seven freshest in-window queries
     (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
     — last green r03 — and string_funcs, percentile_prices,
-    resample_locf, asof_last_click, window_top3_orders, column_stats —
-    r02, the era the out-of-window minimum then becomes, so
-    stalest-first packing still holds by tie) move to the head of the
-    tail and rotate back in r10.
+    resample_locf, asof_last_click, window_top3_orders, column_stats,
+    crossjoin_dims — r02, the era the out-of-window minimum then
+    becomes, so stalest-first packing still holds by tie) move to the
+    head of the tail and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -5972,11 +6039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q6_revenue': q_tpch_q6,
         'subset_dsl': q_subset_dsl,
         'lookup_customer': q_lookup_customer,
-        'crossjoin_dims': q_crossjoin_dims,
         'span_corrupt_check': q_span_corrupt_check,
         'temperature_mix_check': q_temperature_mix_check,
         'avro_roundtrip': q_avro_roundtrip,
         'ul2_mix_check': q_ul2_mix_check,
+        'audio_dedup_check': q_audio_dedup_check,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -5991,6 +6058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
         'asof_last_click': q_asof_last_click,
@@ -6153,6 +6221,7 @@ def oracle_sql() -> dict[str, str]:
         'temperature_mix_check': _TEMPERATURE_MIX_SQL,
         'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
         'ul2_mix_check': _UL2_MIX_SQL,
+        'audio_dedup_check': _AUDIO_DEDUP_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

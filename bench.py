@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     'temperature_mix_check',
     'avro_roundtrip',
     'ul2_mix_check',
+    'audio_dedup_check',
 ]
 
 
