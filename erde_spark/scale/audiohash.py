@@ -132,9 +132,13 @@ def audio_dedup_pairs(assets: DataFrame, min_shared: int = 5,
                             on_error=on_error)
     ex = (fp.select('asset_id', F.explode('fp').alias('h'))
           .distinct())
-    df_counts = ex.groupBy('h').agg(F.count(F.lit(1)).alias('_df'))
-    keep = df_counts.where(F.col('_df') <= max_df).select('h')
-    ex = ex.join(F.broadcast(keep), 'h')
+    # broadcast the DROP list (stop-frames over max_df — few by
+    # definition), never the keep set: the survivors are corpus-sized
+    # and broadcasting them would ship the whole distinct-hash table
+    # to every executor
+    stop = (ex.groupBy('h').agg(F.count(F.lit(1)).alias('_df'))
+            .where(F.col('_df') > max_df).select('h'))
+    ex = ex.join(F.broadcast(stop), 'h', 'left_anti')
     a = ex.select(F.col('asset_id').alias('id_a'), 'h')
     b = ex.select(F.col('asset_id').alias('id_b'), 'h')
     return (a.join(b, 'h')
