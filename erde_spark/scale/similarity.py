@@ -629,10 +629,15 @@ def mine_hard_negatives(corpus: DataFrame, queries: DataFrame,
     Returns (query_id, vec_id, cosine, neg_rank), neg_rank 1..k dense
     per anchor, ties broken by corpus id ascending (deterministic).
 
-    ``method='exact'`` is the brute-force path: anchors broadcast, the
-    corpus scanned once, anti-join + band filter applied BEFORE the
-    per-anchor window, so the result is exactly the top-k of the
-    eligible set. ``'ivf'`` / ``'lsh'`` are the 100 TB paths: fetch
+    ``method='exact'`` is the brute-force path: anchors (and the
+    positives table) are EXPLICITLY broadcast — correct for the
+    mining shape (anchors are a training batch, thousands to ~1M;
+    positives a few labels per anchor), wrong for anchor sets beyond
+    executor memory, which should use the approximate methods or
+    batch their anchors. The corpus is scanned once, anti-join + band
+    filter applied BEFORE the per-anchor window, so the result is
+    exactly the top-k of the eligible set. ``'ivf'`` / ``'lsh'`` are
+    the 100 TB corpus paths: fetch
     ``k * fetch_factor`` approximate candidates per anchor, then
     anti-join + re-rank — a positive-dense neighborhood can consume
     fetched slots, so recall of rank-k negatives degrades gracefully
