@@ -5418,40 +5418,43 @@ def q_audio_dedup_check(spark, sf_dir):
     (ISMIR 2002; NEW this session — erde_spark/scale/audiohash.py,
     completing the multimodal dedup tier: text MinHash / image pHash /
     video frame-pHash / AUDIO) VALUE-checked by planted twins: each
-    4-block's ids 4m and 4m+1 carry the SAME 2 s broadband 48-tone
+    4-block's ids 4m and 4m+1 carry the SAME 0.75 s broadband 24-tone
     mix (seeded by m, exact copies — they share every distinct
-    sub-fingerprint, measured >= 59 across all 1250 sf0.1 groups vs 0
-    cross-content, so threshold 8 has seven-fold margins both ways),
-    while ids 4m+2 / 4m+3 carry their own mixes. Volume invariance —
-    the property that makes HK bits robust — is pinned separately in
-    tests/test_audiohash.py where the margin is controlled (a
-    stationary weak-seed tone mix can share as few as 7 distinct
-    hashes across a 0.7x volume re-quantization; real broadband audio
-    does not, but a 1250-group gate must not ride a min-7 margin).
-    The found pair set is pure doc_id arithmetic. A green row
-    certifies WAV round-trip, framing/FFT/banding, the differential
-    bit construction, the stop-frame filter plumbing and the
-    equi-join candidate shape end to end."""
+    sub-fingerprint: >= 20 measured over 300 seeds vs 0 cross-content,
+    threshold 8), while ids 4m+2 / 4m+3 carry their own mixes. The
+    construction is capped at doc_id < 1200 and the synthesis is one
+    vectorized outer-product per doc — the first cut (2 s / 48 tones /
+    every doc) measured 170 s at sf0.1, ALL of it construction, none
+    of it operator. Volume invariance — the property that makes HK
+    bits robust — is pinned in tests/test_audiohash.py where the
+    margin is controlled (a stationary weak-seed tone mix can share
+    as few as 7 distinct hashes across a 0.7x re-quantization; a
+    1250-group gate must not ride a min-7 margin). The found pair set
+    is pure doc_id arithmetic. A green row certifies WAV round-trip,
+    framing/FFT/banding, the differential bit construction, the
+    stop-frame filter plumbing and the equi-join candidate shape end
+    to end."""
     import pandas as pd
 
     from erde_spark.scale.audiohash import audio_dedup_pairs
     from erde_spark.scale.multimodal import ASSET_SCHEMA
-    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id').where(F.col('doc_id') < 1200)
 
     def _synth(batches):
         import numpy as np
 
         from erde_spark.scale.png import encode_wav
         sr = 16000
-        t = np.arange(sr * 2) / sr
+        t = np.arange(int(sr * 0.75)) / sr
 
-        def mix(seed):
+        def mix(seed, n_tones=24):
             rng = np.random.RandomState(seed)
-            freqs = rng.uniform(300, 1900, 48)
-            amps = rng.uniform(0.5, 1.0, 48)
-            return sum(a * np.sin(2 * np.pi * f * t + i)
-                       for i, (f, a) in
-                       enumerate(zip(freqs, amps))) / 48
+            freqs = rng.uniform(300, 1900, n_tones)
+            amps = rng.uniform(0.5, 1.0, n_tones)
+            return (amps * np.sin(2 * np.pi * np.outer(t, freqs)
+                                  + np.arange(n_tones))).sum(axis=1) \
+                / n_tones
 
         for pdf in batches:
             rows = []
@@ -5467,7 +5470,9 @@ def q_audio_dedup_check(spark, sf_dir):
             yield pd.DataFrame(rows,
                                columns=['asset_id', 'media', 'meta'])
 
-    assets = d.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    # spread the synthesis+FFT over the executors: the filtered scan
+    # would otherwise land in one or two input partitions
+    assets = d.repartition(32).mapInPandas(_synth, schema=ASSET_SCHEMA)
     pairs = audio_dedup_pairs(assets, min_shared=8)
     return (pairs.select('id_a', 'id_b', F.lit(1).alias('found'))
             .orderBy('id_a'))
@@ -5475,7 +5480,7 @@ def q_audio_dedup_check(spark, sf_dir):
 
 _AUDIO_DEDUP_SQL = """
 SELECT doc_id AS id_a, doc_id + 1 AS id_b, 1 AS found
-FROM documents WHERE doc_id % 4 = 0 ORDER BY id_a
+FROM documents WHERE doc_id % 4 = 0 AND doc_id < 1200 ORDER BY id_a
 """
 
 

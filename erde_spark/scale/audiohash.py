@@ -130,8 +130,12 @@ def audio_dedup_pairs(assets: DataFrame, min_shared: int = 5,
     coarse test."""
     fp = audio_fingerprints(assets, sample_rate, frame_len, hop,
                             on_error=on_error)
+    # (asset, hash) feeds TWO plan branches (stop-frame counting and
+    # the pair join) — materialize it eagerly or the decode+FFT
+    # mapInPandas pass runs once per branch (the tok/sig discipline
+    # of scale/dedup.py; these are 4-byte-int rows, cheap to hold)
     ex = (fp.select('asset_id', F.explode('fp').alias('h'))
-          .distinct())
+          .distinct().localCheckpoint(eager=True))
     # broadcast the DROP list (stop-frames over max_df — few by
     # definition), never the keep set: the survivors are corpus-sized
     # and broadcasting them would ship the whole distinct-hash table
