@@ -59,9 +59,16 @@ class CsvDriver(_Driver):
         df = spark.read.csv(path, header=True, inferSchema=True, **kw)
         return _try_geo(df)
 
+    _CODECS = {'.gz': 'gzip', '.bz2': 'bzip2'}
+
     def write(self, df, path, mode='overwrite', **kw):
         if 'geometry' in df.columns and dict(df.dtypes)['geometry'] == 'binary':
             df = df.withColumn('geometry', st_astext(F.col('geometry')))
+        # a compressed-suffix path must actually compress (same
+        # contract as JsonDriver — the extension is a promise)
+        for suf, codec in self._CODECS.items():
+            if path.endswith(suf):
+                kw.setdefault('compression', codec)
         df.write.mode(mode).option('header', True).csv(path, **kw)
 
 

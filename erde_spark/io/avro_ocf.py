@@ -360,6 +360,18 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
         _roll()
 
     df.rdd.foreachPartition(_write_partition)
+    import glob as _glob
+    if not _glob.glob(os.path.join(path, '*.avro')):
+        # every partition was empty: emit one header-only shard so the
+        # write -> read round trip returns an empty frame WITH the
+        # schema instead of FileNotFoundError (empty streaming
+        # micro-batches and all-filtered pipelines are normal inputs)
+        import hashlib
+        final = os.path.join(path, 'part-empty-00000.avro')
+        with open(final + '.tmp', 'wb') as fh:
+            _write_header(fh, schema_json, codec,
+                          hashlib.md5(b'erde-avro:empty').digest())
+        os.replace(final + '.tmp', final)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
@@ -370,8 +382,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     the memory bound, as for the other binaryFile sources). Codecs:
     null, deflate."""
     import glob as _glob
-    pattern = path if any(ch in path for ch in '*?[') \
-        else os.path.join(path, '*.avro')
+    if any(ch in path for ch in '*?['):
+        pattern = path
+    elif os.path.isfile(path):
+        # a FOREIGN Avro artifact is one file, not a part-directory
+        pattern = path
+    else:
+        pattern = os.path.join(path, '*.avro')
     files = sorted(_glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f'no .avro files match {pattern}')

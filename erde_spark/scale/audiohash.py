@@ -68,7 +68,11 @@ def hk_frame_hashes(mono: np.ndarray, sr: int, frame_len: int = 1024,
     freqs = np.fft.rfftfreq(frame_len, d=1.0 / sr)
     edges = np.geomspace(f_lo, f_hi, N_BANDS)
     idx = np.searchsorted(freqs, edges)
-    bands = np.add.reduceat(spec, idx[:-1], axis=1)  # (frames, 32)
+    # reduceat's FINAL segment always runs to the array end, so
+    # passing all 33 edges and dropping the last segment is what caps
+    # the top band at f_hi — with idx[:-1] the 32nd band would sum
+    # ~1.9-8 kHz and out-of-band energy would own its bits
+    bands = np.add.reduceat(spec, idx, axis=1)[:, :-1]  # (frames, 32)
     diff = bands[:, :-1] - bands[:, 1:]              # (frames, 31)
     bits = (diff[1:] - diff[:-1]) > 0                # (frames-1, 31)
     weights = (1 << np.arange(bits.shape[1])).astype(np.int64)

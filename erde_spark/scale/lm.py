@@ -86,10 +86,11 @@ def _padded_base(docs: DataFrame, text_col: str, n: int,
             .where(F.col('_len') > 0))
 
 
-def _all_grams(base: DataFrame, n: int):
+def _all_grams(n: int):
     """Array over real positions i (1-based) of all k-grams (k=1..n)
-    ending at i, as SEP-joined strings over the bound ``_p`` column;
-    flattened to one array."""
+    ending at i, as SEP-joined strings over the bound ``_p``/``_len``
+    columns a :func:`_padded_base` projection provides; flattened to
+    one array."""
     return F.flatten(F.transform(
         F.sequence(F.lit(1), F.col('_len')),
         # padded index of real token i is i + n - 1; the k-gram ending
@@ -117,7 +118,7 @@ def train_ngram_lm(docs: DataFrame, text_col: str = 'text', n: int = 3,
     n_tokens, n_docs = int(totals['nt'] or 0), int(totals['nd'])
     if n_tokens == 0:
         raise ValueError('no tokens to train on')
-    grams = base.select(F.explode(_all_grams(base, n)).alias('gram'))
+    grams = base.select(F.explode(_all_grams(n)).alias('gram'))
     counts = grams.groupBy('gram').agg(F.count(F.lit(1)).alias('count'))
     if min_count > 1:
         # unigrams (no SEP) survive any pruning: N and OOV need them

@@ -93,7 +93,8 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
 
 
 def target_mix(df: DataFrame, group_col: str, id_col: str,
-               weights: dict[str, float], salt: str = '') -> DataFrame:
+               weights: dict[str, float], salt: str = '',
+               _counts: dict | None = None) -> DataFrame:
     """Rebalance a corpus to target group proportions — the data-mixing
     step of a training run (e.g. 40% en / 20% de / ... by language, or
     web/books/code source weights).
@@ -114,10 +115,13 @@ def target_mix(df: DataFrame, group_col: str, id_col: str,
         raise ValueError('weights must be a non-empty dict of positive numbers')
     total_w = sum(weights.values())
     norm = {g: w / total_w for g, w in weights.items()}
-    counts = {r['g']: r['n'] for r in
-              (df.filter(F.col(group_col).isin(*norm))
-               .groupBy(F.col(group_col).alias('g'))
-               .agg(F.count(F.lit(1)).alias('n')).collect())}
+    if _counts is not None:
+        counts = {g: n for g, n in _counts.items() if g in norm}
+    else:
+        counts = {r['g']: r['n'] for r in
+                  (df.filter(F.col(group_col).isin(*norm))
+                   .groupBy(F.col(group_col).alias('g'))
+                   .agg(F.count(F.lit(1)).alias('n')).collect())}
     missing = set(norm) - set(counts)
     if missing:
         raise ValueError(f'groups absent from the data: {sorted(missing)}')
@@ -167,8 +171,11 @@ def temperature_mix(df: DataFrame, group_col: str, id_col: str,
         return df.where(F.lit(False))
     total = sum(counts.values())
     weights = {g: (n / total) ** alpha for g, n in counts.items()}
+    # pass the counts through — target_mix would otherwise recompute
+    # the identical per-group aggregation, doubling the corpus scan
     return target_mix(df.where(F.col(group_col).isNotNull()),
-                      group_col, id_col, weights, salt=salt)
+                      group_col, id_col, weights, salt=salt,
+                      _counts=counts)
 
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int,

@@ -179,8 +179,11 @@ def truncate_turns(df: DataFrame, turns_col: str = 'turns',
     tlen = lambda t: (F.length(t['role']) + F.length(t['content'])
                       + F.lit(len(tpl.head) + len(tpl.sep)
                               + len(tpl.tail))).cast('long')
-    has_sys = F.element_at(F.transform(turns, lambda t: t['role']), 1) \
-        == 'system'
+    # try_element_at, not element_at: ANSI mode (Spark 4 default)
+    # throws on an EMPTY turns array otherwise — same pitfall the
+    # validate_turns slice rewrite avoids
+    has_sys = F.try_element_at(
+        F.transform(turns, lambda t: t['role']), F.lit(1)) == 'system'
     sys_on = F.lit(keep_system) & F.coalesce(has_sys, F.lit(False))
     body = F.when(sys_on, F.slice(turns, 2, F.greatest(
         F.size(turns) - 1, F.lit(0)))).otherwise(turns)

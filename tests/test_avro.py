@@ -216,3 +216,20 @@ def test_fuzz_truncation_and_bitflips(spark, tmp_path):
             pass  # clean failure is the contract
     open(part, 'wb').write(raw)
     assert read_avro(spark, out).count() == 3  # intact file still reads
+
+
+def test_single_file_and_empty_roundtrip(spark, tmp_path):
+    """Foreign single-file artifacts read directly; an all-empty write
+    still round-trips as an empty frame WITH the schema."""
+    import shutil
+    df = spark.createDataFrame(ROWS, ALL_TYPES)
+    out = str(tmp_path / 'd.avro')
+    write_avro(df.coalesce(1), out)
+    single = str(tmp_path / 'single.avro')
+    shutil.copy(glob.glob(out + '/*.avro')[0], single)
+    assert read_avro(spark, single).count() == 3
+    empty_out = str(tmp_path / 'empty.avro')
+    write_avro(df.where('id < 0'), empty_out)
+    back = read_avro(spark, empty_out)
+    assert back.count() == 0
+    assert back.schema == df.schema

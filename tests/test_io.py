@@ -876,3 +876,20 @@ def test_compressed_jsonl_facade(spark, tmp_path):
     assert read_df(ext, spark).count() == 5
     # geojsonl.json must still route to the geo driver, not json
     assert select_driver('x.geojsonl.json').name == 'geojsonl'
+
+
+def test_compressed_csv_write_sets_codec(spark, tmp_path):
+    """write_df(df, 'x.csv.gz'/'x.csv.bz2') must actually compress —
+    the extension is a promise (same contract as the json driver)."""
+    import glob
+
+    from erde_spark.io import read_df, write_df
+    df = spark.createDataFrame([(i, f't{i}') for i in range(8)],
+                               'id long, s string')
+    for suf, ext in (('csv.gz', '.gz'), ('csv.bz2', '.bz2')):
+        out = str(tmp_path / f'd.{suf}')
+        write_df(df, out)
+        parts = [p for p in glob.glob(out + '/part-*')
+                 if not p.endswith('.crc')]
+        assert parts and all(p.endswith(ext) for p in parts), parts
+        assert read_df(out, spark).count() == 8
