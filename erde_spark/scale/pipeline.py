@@ -19,6 +19,14 @@ exact dedup needs (hash groupBy on the fingerprint) or the documented
 minhash join graph. ``keep_stats=True`` adds per-stage survivor
 counts; it costs one extra action per stage, so leave it off in
 production runs and measure on samples.
+
+Composition note: chaining curate with further expression-heavy
+operators (span corruption, UL2) in ONE plan can push a generated
+method past the JVM's 64 KB limit; Spark then logs a codegen compile
+error and falls back to interpreted execution for that stage —
+correct, just slower. If a profiled hot path hits it, break the
+pipeline with an eager ``localCheckpoint`` at the stage boundary so
+each side compiles separately.
 """
 
 from __future__ import annotations
