@@ -5484,6 +5484,70 @@ FROM documents WHERE doc_id % 4 = 0 AND doc_id < 1200 ORDER BY id_a
 """
 
 
+
+def q_domain_pagerank_check(spark, sf_dir):
+    """Link-graph centrality for crawl curation (NEW this session —
+    erde_spark/scale/graphrank.py::pagerank, the iterative-algorithm
+    member of the scale surface) VALUE-checked end to end: a planted
+    50-domain graph (linear + quadratic edge families over doc_id
+    residues — the quadratic one gives non-uniform in-degrees, self
+    loops dropped; the edge set is n-independent once every residue
+    appears, so ranks are identical at every SF) runs 5 power
+    iterations on Spark while DuckDB replays the SAME iterations as
+    five chained CTEs. Ranks compare at 9 decimals — per-node fan-in
+    is a handful of doubles, leaving ~1e-14 cross-engine noise, five
+    orders below the comparison. Sum-to-1 is implied by the oracle
+    matching (its own sum is exactly 1)."""
+    from erde_spark.scale.graphrank import pagerank
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    D = 50
+    r = F.col('doc_id') % D
+    e1 = d.select(r.alias('src'),
+                  ((F.col('doc_id') * 7 + 3) % D).alias('dst'))
+    e2 = d.select(r.alias('src'), ((r * r + 1) % D).alias('dst'))
+    edges = e1.unionByName(e2).where(F.col('src') != F.col('dst'))
+    out = pagerank(edges, iterations=5)
+    return (out.select(F.col('node').cast('long').alias('node'),
+                       F.round('rank', 9).alias('rank'))
+            .orderBy('node'))
+
+
+def _pagerank_sql(iters=5, D=50, damping=0.85):
+    pre = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % {D} AS src, (doc_id * 7 + 3) % {D} AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id % {D} AS src,
+           ((doc_id % {D}) * (doc_id % {D}) + 1) % {D} AS dst
+    FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+o AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / {D} AS rank FROM nodes)"""
+    body = ''
+    prev = 'r0'
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / {D}
+         + {damping} * COALESCE(SUM(p.rank / o.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN o ON o.src = e.src
+  GROUP BY n.node)"""
+        prev = f'r{k}'
+    return pre + body + f"""
+SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node"""
+
+
+_DOMAIN_PAGERANK_SQL = _pagerank_sql()
+
+
 def q_temperature_mix_check(spark, sf_dir):
     """Temperature-based corpus mixing (NEW this session — the mT5
     §3.1/T5 §3.4.1 exponentiated smoothing;
@@ -5998,15 +6062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     avro_roundtrip (hand-rolled Avro OCF, md5-exact round trip,
     cross-validated vs the reference Apache jar) ul2_mix_check
     (UL2 mixture-of-denoisers, all three objectives byte-replayed)
-    and audio_dedup_check (Haitsma-Kalker audio fingerprint dedup on
-    planted WAV twins) enter the window as never-green newcomers (stalest by
+    audio_dedup_check (Haitsma-Kalker audio fingerprint dedup on
+    planted WAV twins) and domain_pagerank_check (link-graph
+    centrality, DuckDB replaying the power iterations as chained
+    CTEs) enter the window as never-green newcomers (stalest by
     definition); the seven freshest in-window queries
     (anti_join_no_urgent, scalar_subquery_acctbal, sketch_cardinality
     — last green r03 — and string_funcs, percentile_prices,
     resample_locf, asof_last_click, window_top3_orders, column_stats,
-    crossjoin_dims — r02, the era the out-of-window minimum then
-    becomes, so stalest-first packing still holds by tie) move to the
-    head of the tail and rotate back in r10.
+    crossjoin_dims, lookup_customer — r02, the era the out-of-window
+    minimum then becomes, so stalest-first packing still holds by
+    tie) move to the head of the tail and rotate back in r10.
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
@@ -6043,12 +6109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q1_pricing': q_tpch_q1,
         'tpch_q6_revenue': q_tpch_q6,
         'subset_dsl': q_subset_dsl,
-        'lookup_customer': q_lookup_customer,
         'span_corrupt_check': q_span_corrupt_check,
         'temperature_mix_check': q_temperature_mix_check,
         'avro_roundtrip': q_avro_roundtrip,
         'ul2_mix_check': q_ul2_mix_check,
         'audio_dedup_check': q_audio_dedup_check,
+        'domain_pagerank_check': q_domain_pagerank_check,
         'hard_negative_check': q_hard_negative_check,
         'curation_pipeline_check': q_curation_pipeline_check,
         'bitext_lsh_check': q_bitext_lsh_check,
@@ -6063,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_shards_roundtrip': q_stream_shards_roundtrip,
         'sentence_split_check': q_sentence_split_check,
         # -- tail: driver-green in recent rounds, + rows-only ops --
+        'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
         'window_top3_orders': q_window_top3,
@@ -6227,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
         'ul2_mix_check': _UL2_MIX_SQL,
         'audio_dedup_check': _AUDIO_DEDUP_SQL,
+        'domain_pagerank_check': _DOMAIN_PAGERANK_SQL,
         'hard_negative_check': _HARD_NEGATIVE_SQL,
         'chat_spans_check': _CHAT_SPANS_SQL,
         'compression_filter_check': _COMPRESSION_FILTER_SQL,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     'avro_roundtrip',
     'ul2_mix_check',
     'audio_dedup_check',
+    'domain_pagerank_check',
 ]
 
 
