@@ -408,6 +408,24 @@ def op_hard_negatives(spark, sf):
     return mine_hard_negatives(e, q, pos, k=10)
 
 
+def op_pagerank(spark, sf):
+    """Iterative graph shape: ranks-table size = domains (here scaled
+    with the corpus), five join+agg rounds — shuffle should track
+    edge count ~linearly; the checkpoints bound lineage, so time per
+    iteration stays flat across rounds."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.graphrank import pagerank
+    d = spark.read.parquet(f'{sf}/documents.parquet').select('doc_id')
+    n_dom = 500 if sf == SF01 else 5000
+    r = F.col('doc_id') % n_dom
+    e1 = d.select(r.alias('src'),
+                  ((F.col('doc_id') * 7 + 3) % n_dom).alias('dst'))
+    e2 = d.select(r.alias('src'), ((r * r + 1) % n_dom).alias('dst'))
+    edges = e1.unionByName(e2).where(F.col('src') != F.col('dst'))
+    return pagerank(edges, iterations=5)
+
+
 def op_avro_roundtrip(spark, sf):
     """Pure-Python per-record codec: the honest number to watch is
     rows/s staying proportional (time ~10x for 10x rows on
@@ -452,6 +470,7 @@ OPS = {
     'curate_exact': op_curate_exact,
     'hard_negatives': op_hard_negatives,
     'avro_roundtrip': op_avro_roundtrip,
+    'pagerank': op_pagerank,
 }
 
 
