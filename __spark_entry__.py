@@ -6073,62 +6073,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crossjoin_dims, lookup_customer — r02, the era the out-of-window
     minimum then becomes, so stalest-first packing still holds by
     tie) move to the head of the tail and rotate back in r10.
+    Round-10 rotation (verdict asks #1/#4 — drain the backlog): with
+    the entire r09 window green in CORRECTNESS_r09, the window is
+    repacked from scratch as the 50 STALEST out-of-window queries:
+    the full over-K backlog — the 8 r02-era (lookup_customer ...
+    string_funcs), 12 r03-era (anti_join_no_urgent ... oov_rate),
+    8 r04-era (profile_orders ... tpch_q12_late_lines) and 12 r05-era
+    (repetition_ngrams ... lm_quality_score) queries — plus 10 of the
+    13 r07-era (simhash_check ... video_metadata, registry order);
+    mojibake_fix, url_canonical_dedup and robots_filter (also r07, a
+    tie with the in-window max, so stalest-first holds) lead the tail
+    and rotate in r11 together with the r08 cohort. After this window
+    lands green the oldest out-of-window green is r07, completing the
+    K=4 drain the round-9 verdict scheduled. tools/check_rotation.py
+    verifies this ordering mechanically against the CORRECTNESS
+    ledger (including the round-boundary PRE-ROTATION grace state).
+    Newcomers added during round 10 (never driver-green, staleness 0)
+    enter the window displacing the freshest r07-era entries, which
+    rejoin the r11 cohort — ties keep stalest-first packing legal.
+
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
     return {
-        # -- first 50 (the r09 window): stalest-first rotation --
-        'date_funcs': q_date_funcs,
-        'array_funcs': q_array_funcs,
-        'tpch_q3_topk': q_tpch_q3,
-        'tpch_q5_region_revenue': q_tpch_q5,
-        'tpch_q4_semijoin': q_tpch_q4,
-        'tpch_q13_custdist': q_tpch_q13,
-        'tpch_q18_bigorders': q_tpch_q18,
-        'tpch_q19_disjunctive': q_tpch_q19,
-        'tpch_q10_returns': q_tpch_q10,
-        'tpch_q2_min_supplier': q_tpch_q2,
-        'tpch_q7_nation_volume': q_tpch_q7,
-        'tpch_q8_mktshare': q_tpch_q8,
-        'tpch_q9_profit': q_tpch_q9,
-        'tpch_q11_important_parts': q_tpch_q11,
-        'tpch_q14_promo': q_tpch_q14_promo,
-        'tpch_q15_top_supplier': q_tpch_q15,
-        'tpch_q16_supplier_cnt': q_tpch_q16,
-        'tpch_q17_small_qty': q_tpch_q17,
-        'tpch_q20_heavy_shippers': q_tpch_q20,
-        'tpch_q21_waiting': q_tpch_q21,
-        'tpch_q22_idle_customers': q_tpch_q22,
-        'cube_orders': q_cube_orders,
-        'distinct_segments': q_distinct_segments,
-        'supplier_by_nation': q_supplier_by_nation,
-        'window_running_revenue': q_window_running,
-        'events_sliding': q_events_sliding,
-        'events_json': q_events_json,
-        'grouping_sets_orders': q_grouping_sets,
-        'tpch_q1_pricing': q_tpch_q1,
-        'tpch_q6_revenue': q_tpch_q6,
-        'subset_dsl': q_subset_dsl,
-        'span_corrupt_check': q_span_corrupt_check,
-        'temperature_mix_check': q_temperature_mix_check,
-        'avro_roundtrip': q_avro_roundtrip,
-        'ul2_mix_check': q_ul2_mix_check,
-        'audio_dedup_check': q_audio_dedup_check,
-        'domain_pagerank_check': q_domain_pagerank_check,
-        'hard_negative_check': q_hard_negative_check,
-        'curation_pipeline_check': q_curation_pipeline_check,
-        'bitext_lsh_check': q_bitext_lsh_check,
-        'fim_transform_check': q_fim_transform_check,
-        'chat_spans_check': q_chat_spans_check,
-        'compression_filter_check': q_compression_filter_check,
-        'perplexity_rank_check': q_perplexity_rank_check,
-        'megatron_roundtrip': q_megatron_roundtrip,
-        'ccnet_buckets_check': q_ccnet_buckets_check,
-        'global_shuffle_check': q_global_shuffle_check,
-        'unimax_mix_check': q_unimax_mix_check,
-        'stream_shards_roundtrip': q_stream_shards_roundtrip,
-        'sentence_split_check': q_sentence_split_check,
-        # -- tail: driver-green in recent rounds, + rows-only ops --
+        # -- first 50 (the r10 window): stalest-first rotation --
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
@@ -6147,6 +6115,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pivot_priority_revenue': q_pivot_priority_revenue,
         'rollup_pricing': q_rollup_pricing,
         'corpus_mix': q_corpus_mix,
+        'pack_sequences': q_pack_sequences,
+        'oov_rate': q_oov_rate,
+        'profile_orders': q_profile_orders,
+        'geo_rect_area': q_geo_rect_area,
+        'geo_line_length': q_geo_line_length,
+        'geo_buffer_area': q_geo_buffer_area,
+        'sample_hash': q_sample_hash,
+        'bm25_search': q_bm25_search,
+        'set_ops': q_set_ops,
+        'tpch_q12_late_lines': q_tpch_q12,
+        'repetition_ngrams': q_repetition_ngrams,
+        'dedup_jaccard': q_dedup_jaccard,
+        'top_tokens': q_top_tokens,
+        'text_analysis': q_text_analysis,
+        'token_count_bpe': q_token_count_bpe,
+        'dedup_containment': q_dedup_containment,
+        'corpus_health': q_corpus_health,
+        'sample_stratified': q_sample_stratified,
+        'sample_split': q_sample_split,
+        'pii_scrub': q_pii_scrub,
+        'domain_stats': q_domain_stats,
+        'lm_quality_score': q_lm_quality_score,
+        'simhash_check': q_simhash_check,
+        'embedding_lsh_check': q_embedding_lsh_check,
+        'minhash_cluster_check': q_minhash_cluster_check,
+        'embedding_cluster_check': q_embedding_cluster_check,
+        'ann_rank1_check': q_ann_rank1_check,
+        'passage_span_check': q_passage_span_check,
+        'readability': q_readability,
+        'image_phash_dedup': q_image_phash_dedup,
+        'dsir_weights': q_dsir_weights,
+        'video_metadata': q_video_metadata,
+        # -- tail: driver-green in recent rounds (stalest-first), --
+        # -- then the rows-only ops --
+        'mojibake_fix': q_mojibake_fix,
+        'url_canonical_dedup': q_url_canonical_dedup,
+        'robots_filter': q_robots_filter,
         'warc_ingest': q_warc_ingest,
         'geo_line_buffer': q_geo_line_buffer,
         'bitext_mine_check': q_bitext_mine_check,
@@ -6197,41 +6202,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_embedding': q_dedup_embedding,
         'similarity_topk': q_similarity_topk,
         'contamination_check': q_contamination,
-        'repetition_ngrams': q_repetition_ngrams,
-        'simhash_check': q_simhash_check,
-        'embedding_lsh_check': q_embedding_lsh_check,
-        'minhash_cluster_check': q_minhash_cluster_check,
-        'embedding_cluster_check': q_embedding_cluster_check,
-        'ann_rank1_check': q_ann_rank1_check,
-        'passage_span_check': q_passage_span_check,
-        'readability': q_readability,
-        'image_phash_dedup': q_image_phash_dedup,
-        'dsir_weights': q_dsir_weights,
-        'video_metadata': q_video_metadata,
-        'mojibake_fix': q_mojibake_fix,
-        'url_canonical_dedup': q_url_canonical_dedup,
-        'robots_filter': q_robots_filter,
-        'dedup_jaccard': q_dedup_jaccard,
-        'top_tokens': q_top_tokens,
-        'text_analysis': q_text_analysis,
-        'token_count_bpe': q_token_count_bpe,
-        'dedup_containment': q_dedup_containment,
-        'corpus_health': q_corpus_health,
-        'sample_stratified': q_sample_stratified,
-        'sample_split': q_sample_split,
-        'pii_scrub': q_pii_scrub,
-        'domain_stats': q_domain_stats,
-        'lm_quality_score': q_lm_quality_score,
-        'profile_orders': q_profile_orders,
-        'geo_rect_area': q_geo_rect_area,
-        'geo_line_length': q_geo_line_length,
-        'geo_buffer_area': q_geo_buffer_area,
-        'sample_hash': q_sample_hash,
-        'bm25_search': q_bm25_search,
-        'set_ops': q_set_ops,
-        'tpch_q12_late_lines': q_tpch_q12,
-        'pack_sequences': q_pack_sequences,
-        'oov_rate': q_oov_rate,
+        'date_funcs': q_date_funcs,
+        'array_funcs': q_array_funcs,
+        'tpch_q3_topk': q_tpch_q3,
+        'tpch_q5_region_revenue': q_tpch_q5,
+        'tpch_q4_semijoin': q_tpch_q4,
+        'tpch_q13_custdist': q_tpch_q13,
+        'tpch_q18_bigorders': q_tpch_q18,
+        'tpch_q19_disjunctive': q_tpch_q19,
+        'tpch_q10_returns': q_tpch_q10,
+        'tpch_q2_min_supplier': q_tpch_q2,
+        'tpch_q7_nation_volume': q_tpch_q7,
+        'tpch_q8_mktshare': q_tpch_q8,
+        'tpch_q9_profit': q_tpch_q9,
+        'tpch_q11_important_parts': q_tpch_q11,
+        'tpch_q14_promo': q_tpch_q14_promo,
+        'tpch_q15_top_supplier': q_tpch_q15,
+        'tpch_q16_supplier_cnt': q_tpch_q16,
+        'tpch_q17_small_qty': q_tpch_q17,
+        'tpch_q20_heavy_shippers': q_tpch_q20,
+        'tpch_q21_waiting': q_tpch_q21,
+        'tpch_q22_idle_customers': q_tpch_q22,
+        'cube_orders': q_cube_orders,
+        'distinct_segments': q_distinct_segments,
+        'supplier_by_nation': q_supplier_by_nation,
+        'window_running_revenue': q_window_running,
+        'events_sliding': q_events_sliding,
+        'events_json': q_events_json,
+        'grouping_sets_orders': q_grouping_sets,
+        'tpch_q1_pricing': q_tpch_q1,
+        'tpch_q6_revenue': q_tpch_q6,
+        'subset_dsl': q_subset_dsl,
+        'span_corrupt_check': q_span_corrupt_check,
+        'temperature_mix_check': q_temperature_mix_check,
+        'avro_roundtrip': q_avro_roundtrip,
+        'ul2_mix_check': q_ul2_mix_check,
+        'audio_dedup_check': q_audio_dedup_check,
+        'domain_pagerank_check': q_domain_pagerank_check,
+        'hard_negative_check': q_hard_negative_check,
+        'curation_pipeline_check': q_curation_pipeline_check,
+        'bitext_lsh_check': q_bitext_lsh_check,
+        'fim_transform_check': q_fim_transform_check,
+        'chat_spans_check': q_chat_spans_check,
+        'compression_filter_check': q_compression_filter_check,
+        'perplexity_rank_check': q_perplexity_rank_check,
+        'megatron_roundtrip': q_megatron_roundtrip,
+        'ccnet_buckets_check': q_ccnet_buckets_check,
+        'global_shuffle_check': q_global_shuffle_check,
+        'unimax_mix_check': q_unimax_mix_check,
+        'stream_shards_roundtrip': q_stream_shards_roundtrip,
+        'sentence_split_check': q_sentence_split_check,
         'text_winnow_pairs': q_text_winnow,
         'audio_features': q_audio_features,
         'bpe_train_merges': q_bpe_train_merges,
