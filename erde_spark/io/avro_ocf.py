@@ -254,13 +254,39 @@ def _read_header(buf: bytes):
             _, pos = zigzag_decode(buf, pos)
         for _ in range(n):
             kl, pos = zigzag_decode(buf, pos)
+            if pos + kl > len(buf):
+                raise IndexError('avro header truncated')
             k = buf[pos:pos + kl].decode('utf-8')
             pos += kl
             vl, pos = zigzag_decode(buf, pos)
+            if pos + vl > len(buf):
+                raise IndexError('avro header truncated')
             meta[k] = buf[pos:pos + vl]
             pos += vl
     sync = buf[pos:pos + 16]
+    if len(sync) != 16:
+        raise IndexError('avro header truncated')
     return meta, sync, pos + 16
+
+
+def _read_header_file(fname: str):
+    """Driver-side header read that never truncates: start at 64 KiB
+    and double until the metadata map + sync marker parse whole, so a
+    legal foreign OCF with a multi-megabyte schema still loads (the
+    old fixed 1 MiB read died in an opaque IndexError)."""
+    size = os.path.getsize(fname)
+    n = 64 << 10
+    while True:
+        with open(fname, 'rb') as fh:
+            head = fh.read(n)
+        try:
+            return _read_header(head)
+        except IndexError:
+            if n >= size:
+                raise ValueError(
+                    f'{fname}: avro header does not parse even reading '
+                    'the whole file — truncated or not an OCF')
+            n = min(n * 4, size)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
@@ -376,11 +402,14 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read an Avro OCF directory (or glob) back. The Spark schema
-    comes from the first file's ``avro.schema`` header (one driver
-    read); blocks then decode executor-side inside ``mapInPandas``
-    (one whole shard buffered per task — the sink's rolling caps are
-    the memory bound, as for the other binaryFile sources). Codecs:
-    null, deflate."""
+    comes from the first file's ``avro.schema`` header (one
+    incremental driver read, no size cap); every file then re-parses
+    its own header executor-side and must declare the SAME (name,
+    type) field list — heterogeneous globs raise instead of silently
+    decoding with the wrong field order. Blocks decode inside
+    ``mapInPandas`` (one whole shard buffered per task — the sink's
+    rolling caps are the memory bound, as for the other binaryFile
+    sources). Codecs: null, deflate."""
     import glob as _glob
     if any(ch in path for ch in '*?['):
         pattern = path
@@ -392,19 +421,31 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     files = sorted(_glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f'no .avro files match {pattern}')
-    with open(files[0], 'rb') as fh:
-        head = fh.read(1 << 20)
-    meta, _, _ = _read_header(head)
+    meta, _, _ = _read_header_file(files[0])
     avro_schema = json.loads(meta['avro.schema'].decode('utf-8'))
     schema = _spark_schema(avro_schema)
     decoders = [_decoder(f.dataType) for f in schema.fields]
     names = [f.name for f in schema.fields]
+    # (name, sparkType) fingerprint of the driver-read schema; every
+    # blob re-parses its OWN avro.schema below and must match, so a
+    # heterogeneous glob (same types, different field order — or any
+    # other drift) fails loudly instead of silently mis-decoding.
+    want_sig = [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
     def _parse(batches):
         for pdf in batches:
             for blob in pdf['content']:
                 buf = bytes(blob)
                 meta, sync, pos = _read_header(buf)
+                got = _spark_schema(
+                    json.loads(meta['avro.schema'].decode('utf-8')))
+                got_sig = [(f.name, f.dataType.simpleString())
+                           for f in got.fields]
+                if got_sig != want_sig:
+                    raise ValueError(
+                        'avro schema mismatch across files in one read: '
+                        f'expected {want_sig}, file declares {got_sig} — '
+                        'read heterogeneous OCFs separately')
                 codec = meta.get('avro.codec', b'null').decode('ascii')
                 if codec not in ('null', 'deflate'):
                     raise ValueError(f'unsupported avro codec {codec}')

@@ -43,7 +43,8 @@ FP_SCHEMA = T.StructType([
     T.StructField('n_frames', T.LongType()),
 ])
 
-#: the paper's band edges: 33 log-spaced points (32 bands) 300-2000 Hz
+#: the paper's band count: 33 log-spaced bands (34 edge points)
+#: spanning 300-2000 Hz -> 32 differential bits per frame
 N_BANDS = 33
 
 
@@ -66,19 +67,20 @@ def hk_frame_hashes(mono: np.ndarray, sr: int, frame_len: int = 1024,
     window = np.hanning(frame_len)
     spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
     freqs = np.fft.rfftfreq(frame_len, d=1.0 / sr)
-    edges = np.geomspace(f_lo, f_hi, N_BANDS)
+    edges = np.geomspace(f_lo, f_hi, N_BANDS + 1)
     idx = np.searchsorted(freqs, edges)
     # reduceat's FINAL segment always runs to the array end, so
-    # passing all 33 edges and dropping the last segment is what caps
-    # the top band at f_hi — with idx[:-1] the 32nd band would sum
+    # passing all 34 edges and dropping the last segment is what caps
+    # the top band at f_hi — with idx[:-1] the 33rd band would sum
     # ~1.9-8 kHz and out-of-band energy would own its bits
-    bands = np.add.reduceat(spec, idx, axis=1)[:, :-1]  # (frames, 32)
-    diff = bands[:, :-1] - bands[:, 1:]              # (frames, 31)
-    bits = (diff[1:] - diff[:-1]) > 0                # (frames-1, 31)
+    bands = np.add.reduceat(spec, idx, axis=1)[:, :-1]  # (frames, 33)
+    diff = bands[:, :-1] - bands[:, 1:]              # (frames, 32)
+    bits = (diff[1:] - diff[:-1]) > 0                # (frames-1, 32)
     weights = (1 << np.arange(bits.shape[1])).astype(np.int64)
     h = (bits @ weights).astype(np.int64)
     keep = rms[1:] >= silence_rms
-    return h[keep].astype(np.int32)
+    # two's-complement fold into int32 (bit 31 is a real hash bit)
+    return h[keep].astype(np.uint32).view(np.int32)
 
 
 def audio_fingerprints(assets: DataFrame, sample_rate: int = 16000,

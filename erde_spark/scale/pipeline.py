@@ -48,8 +48,10 @@ def curate(docs: DataFrame, steps=CURATE_STEPS, id_col: str = 'doc_id',
            keep_stats: bool = False):
     """Run the standard curation stages in the pinned order and return
     the cleaned DataFrame (same columns; ``text_col`` rewritten by
-    normalize/PII). Unknown step names raise; stages not requested are
-    skipped without reordering the rest.
+    normalize/PII; a ``lang_pred`` column is ADDED only in the
+    tag-without-filtering mode ``langs=None`` — filtering runs drop
+    it). Unknown step names raise; stages not requested are skipped
+    without reordering the rest.
 
     - ``normalize``: NFC + control-strip + space canonicalization
       (:func:`~erde_spark.scale.text.normalize_text`).
@@ -91,13 +93,23 @@ def curate(docs: DataFrame, steps=CURATE_STEPS, id_col: str = 'doc_id',
         _mark('normalize')
     if 'langid' in steps:
         from .langid import identify_language
+        # collision-safe internal name: the caller's own lang_pred (if
+        # any) must survive untouched when we only filter
         ided = identify_language(df, model=langid_model, id_col=id_col,
                                  text_col=text_col) \
             .select(F.col('id').alias(id_col),
-                    F.col('lang').alias('lang_pred'))
+                    F.col('lang').alias('__lang_pred'))
         df = df.join(ided, id_col, 'left')
         if langs is not None:
-            df = df.where(F.col('lang_pred').isin(*langs))
+            df = df.where(F.col('__lang_pred').isin(*langs)) \
+                   .drop('__lang_pred')
+        else:
+            if 'lang_pred' in df.columns:
+                raise ValueError(
+                    "curate(langs=None) tags a lang_pred column but the "
+                    "input already has one — rename it or pass langs to "
+                    "filter instead of tag")
+            df = df.withColumnRenamed('__lang_pred', 'lang_pred')
         _mark('langid')
     if 'quality' in steps:
         flags = gopher_quality_flags(F.col(text_col),

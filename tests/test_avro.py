@@ -233,3 +233,49 @@ def test_single_file_and_empty_roundtrip(spark, tmp_path):
     back = read_avro(spark, empty_out)
     assert back.count() == 0
     assert back.schema == df.schema
+
+
+def test_heterogeneous_glob_fails_loudly(spark, tmp_path):
+    """Two OCFs with the SAME field types but a different field ORDER
+    must raise at read time, not silently swap column values (the
+    pre-r10 reader decoded every file with the first file's decoders).
+    Advisory: ADVICE r10 medium, avro_ocf per-file schema check."""
+    a = spark.createDataFrame([(1, 'x')], 'id long, s string')
+    b = spark.createDataFrame([('y', 2)], 's string, id long')
+    d = str(tmp_path / 'mix.avro')
+    write_avro(a.coalesce(1), d)
+    write_avro(b.coalesce(1), str(tmp_path / 'b.avro'))
+    import shutil
+    src = glob.glob(str(tmp_path / 'b.avro') + '/*.avro')[0]
+    shutil.copy(src, d + '/part-zzz.avro')
+    with pytest.raises(Exception) as ei:
+        read_avro(spark, d).collect()
+    assert 'schema mismatch' in str(ei.value)
+
+
+def test_large_header_reads(spark, tmp_path):
+    """A legal foreign OCF whose metadata map exceeds the old 1 MiB
+    driver read must still load (header is now read incrementally)."""
+    from erde_spark.io.avro_ocf import (_avro_schema_json, MAGIC,
+                                        zigzag_encode)
+    df = spark.createDataFrame([(1, 'x')], 'id long, s string')
+    out = str(tmp_path / 'd.avro')
+    write_avro(df.coalesce(1), out, codec='null')
+    part = glob.glob(out + '/*.avro')[0]
+    raw = open(part, 'rb').read()
+    # rebuild the file with a 3 MiB junk metadata entry before the
+    # schema key (map order is legal either way per the Avro spec)
+    from erde_spark.io.avro_ocf import _read_header
+    meta, sync, body_at = _read_header(raw)
+    blob = b'z' * (3 << 20)
+    out2 = bytearray(MAGIC)
+    entries = [(b'junk.padding', blob)] + sorted(meta.items())
+    out2 += zigzag_encode(len(entries))
+    for k, v in entries:
+        k = k if isinstance(k, bytes) else k.encode()
+        out2 += zigzag_encode(len(k)) + k
+        out2 += zigzag_encode(len(v)) + v
+    out2 += zigzag_encode(0) + sync + raw[body_at:]
+    big = str(tmp_path / 'big.avro')
+    open(big, 'wb').write(bytes(out2))
+    assert read_avro(spark, big).collect() == [(1, 'x')]

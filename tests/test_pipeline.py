@@ -93,3 +93,34 @@ def test_curate_subcommand(spark, tmp_path):
     entrypoint(['curate', src, out, '--steps', 'quality,dedup'])
     assert [r['doc_id'] for r in
             spark.read.parquet(out).collect()] == [1]
+
+
+class TestLangPredContract:
+    """ADVICE r10: filtering runs must NOT leak lang_pred; tag mode
+    (langs=None) keeps it, and a pre-existing lang_pred collides
+    loudly instead of producing an ambiguous join."""
+
+    def test_filtering_run_keeps_caller_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'the cat and the dog are in the house with the people',
+              'keep-me')],
+            'doc_id long, text string, extra string')
+        out = curate(df, steps=('langid',), langs=('en',))
+        assert out.columns == ['doc_id', 'text', 'extra']
+        assert out.collect()[0].extra == 'keep-me'
+
+    def test_existing_lang_pred_survives_filtering(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'the cat and the dog are in the house with the people',
+              'caller-value')],
+            'doc_id long, text string, lang_pred string')
+        out = curate(df, steps=('langid',), langs=('en',))
+        assert out.collect()[0].lang_pred == 'caller-value'
+
+    def test_tag_mode_collision_raises(self, spark):
+        import pytest as _pytest
+        df = spark.createDataFrame(
+            [(1, 'hello there', 'x')],
+            'doc_id long, text string, lang_pred string')
+        with _pytest.raises(ValueError, match='already has one'):
+            curate(df, steps=('langid',), langs=None)
