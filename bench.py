@@ -238,6 +238,33 @@ def main():
     sent_cpu.append(_sentinel_cpu())
     sent_spark.append(_sentinel_spark(spark))
 
+    # Self-normalizing record (round-9 verdict ask #3): every query as
+    # BOTH min-of-N seconds AND sentinel-normalized units
+    # (min_sec / min cpu-sentinel — a host-speed-independent number, so
+    # round-over-round comparison stops requiring a manual A/B when the
+    # box wobbles). The full dual record lands in BENCH_NORM.json at
+    # the repo root (committed per round); the stdout payload carries
+    # the normalized TOTAL plus the exact sentinel scalars, so each
+    # query's normalized value is reconstructible from the payload
+    # alone as queries[q] / sentinel.cpu.
+    cpu_ref = min(sent_cpu)
+    norm = {k: round(v / cpu_ref, 2) for k, v in timings.items()}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'BENCH_NORM.json'), 'w') as fh:
+        json.dump({
+            'sf': float(SF_DIR.rstrip('/').rsplit('sf', 1)[-1]),
+            'runs_per_query': n_runs,
+            'sentinel': {'cpu': [round(t, 4) for t in sent_cpu],
+                         'spark': [round(t, 4) for t in sent_spark]},
+            'cpu_ref': round(cpu_ref, 4),
+            'total_sec': round(total, 3),
+            'total_norm': round(total / cpu_ref, 1),
+            'queries': {k: {'sec': timings[k], 'norm': norm[k],
+                            'spread': spreads[k]}
+                        for k in timings},
+        }, fh, indent=1, sort_keys=True)
+        fh.write('\n')
+
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     # full-fidelity record to STDERR (human/debug: 3-decimal times +
     # min/max spread bands); stdout carries exactly ONE compact JSON
@@ -283,6 +310,10 @@ def main():
             'metric': 'headline_queries_total_sec',
             'value': round(total, 2),
             'unit': 'sec',
+            # host-independent headline: total / min cpu-sentinel; the
+            # per-query equivalents are queries[q]/sentinel.cpu and the
+            # full dual record is BENCH_NORM.json in the repo
+            'value_norm': round(total / cpu_ref, 1),
             'queries': qd,
             'sf': float(sf),
         }
