@@ -3452,6 +3452,90 @@ ORDER BY doc_id
 """
 
 
+def q_backfill_resume_check(spark, sf_dir):
+    """COLD-RESTART recovery of the streaming near-dup pipeline
+    VALUE-checked by construction (round-9 verdict ask #5 — the
+    backfill/recovery story of erde_spark/scale/dedup.py::
+    streaming_neardup_dedup): run 1 ingests shard A (doc_id%4 in
+    {0,1}, every text a unique hex salad) and terminates; shard B
+    (doc_id%4 in {2,3}) is added and a SECOND invocation resumes from
+    the same checkpoint + parquet state store. %4==2 docs are exact
+    copies of the %4==0 doc in the same 4-block — they can only be
+    dropped if the restarted query (a) skips already-processed shard A
+    via the source checkpoint and (b) joins the new batch against the
+    state persisted by the DEAD run. If shard A were reprocessed its
+    docs would duplicate in the output (row-count mismatch); if the
+    store were lost the copies would survive (value mismatch).
+    Survivors are pure doc_id arithmetic: everything except %4==2 docs
+    whose copy source exists, with byte-identical text replayed by
+    DuckDB."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.scale.dedup import streaming_neardup_dedup
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    m4 = F.col('doc_id') % 4
+    group = F.when((m4 == 0) | (m4 == 2),
+                   F.col('doc_id') - m4).otherwise(F.col('doc_id'))
+    salad = F.concat_ws(' ', F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws('-', group.cast('string'),
+                              i.cast('string'))), 1, 8)))
+    docs = d.select('doc_id', salad.alias('text'),
+                    F.lit('en').alias('lang'))
+    base = tempfile.mkdtemp(prefix='erde_backfill_resume_')
+    in_dir = os.path.join(base, 'in')
+    os.makedirs(in_dir)
+
+    def _stage(k, cond):
+        tmp = os.path.join(base, f'tmp{k}')
+        docs.filter(cond).coalesce(1) \
+            .write.mode('overwrite').parquet(tmp)
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'shard-{k}.parquet')
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+
+    kw = dict(out_dir=os.path.join(base, 'out'),
+              checkpoint_dir=os.path.join(base, 'ckpt'),
+              state_dir=os.path.join(base, 'state'),
+              threshold=0.9, max_files_per_trigger=1)
+    _stage(0, m4 < 2)
+    # run 1: shard A only; the returned query has terminated
+    # (availableNow) before run 2 starts — a genuine dead process as
+    # far as the checkpoint and the parquet state store are concerned
+    streaming_neardup_dedup(spark, in_dir, docs.schema, **kw)
+    _stage(1, m4 >= 2)
+    streaming_neardup_dedup(spark, in_dir, docs.schema, **kw)
+    out = (spark.read.parquet(os.path.join(base, 'out'))
+           .select('doc_id', F.md5('text').alias('text_md5'))
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+_BACKFILL_RESUME_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 IN (0, 2) THEN doc_id - (doc_id % 4)
+              ELSE doc_id END AS grp
+  FROM documents)
+SELECT doc_id,
+       md5(array_to_string([substr(md5(grp || '-' || i), 1, 8)
+                            FOR i IN generate_series(1, 30)], ' '))
+         AS text_md5
+FROM g
+WHERE doc_id % 4 <> 2
+   OR NOT EXISTS (SELECT 1 FROM documents d2
+                  WHERE d2.doc_id = g.doc_id - 2)
+ORDER BY doc_id
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio DSP features (RMS / zero-cross rate / spectral centroid)
     over REAL WAV blobs synthesized deterministically per document
@@ -6146,9 +6230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'readability': q_readability,
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
-        'video_metadata': q_video_metadata,
+        'backfill_resume_check': q_backfill_resume_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
+        'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
         'robots_filter': q_robots_filter,
@@ -6286,6 +6371,7 @@ def oracle_sql() -> dict[str, str]:
         'langid_nb': _LANGID_SQL,
         'c4_filter': _C4_FILTER_SQL,
         'streaming_dedup_check': _STREAMING_DEDUP_CHECK_SQL,
+        'backfill_resume_check': _BACKFILL_RESUME_SQL,
         'simhash_check': _SIMHASH_CHECK_SQL,
         'embedding_lsh_check': _EMBEDDING_LSH_CHECK_SQL,
         'minhash_cluster_check': _MINHASH_CLUSTER_CHECK_SQL,

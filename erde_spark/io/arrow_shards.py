@@ -111,8 +111,20 @@ def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from erde_spark.io.task_files import commit_file, staging_path
-        tid = TaskContext.get().partitionId()
+        # staging inlined from erde_spark.io.task_files: an erde_spark
+        # import here would pull the whole io package (pandas + geo
+        # chain, ~0.6 s) into every fresh Python worker — this closure
+        # otherwise references only pandas/pyarrow/stdlib by name (see
+        # the wds.py note / AB_r10 for the measured 2x cost)
+        tc = TaskContext.get()
+        tid = tc.partitionId()
+        _attempt = tc.taskAttemptId()
+
+        def staging_path(f):
+            return f'{f}.{_attempt}.inprogress'
+
+        def commit_file(t, f):
+            os.replace(t, f)
         writer = None
         sink = None
         tmp = final = None

@@ -14,6 +14,17 @@ is exactly Spark's semantics for idempotent task output).
 
 No counterpart in the reference (its sinks are single-process,
 ``/root/reference/erde/io/base.py``); this is Spark-executor plumbing.
+
+EXECUTOR-SIDE IMPORT WARNING: do NOT ``import erde_spark.io.task_files``
+inside a closure whose only erde_spark dependency it would be — the
+parent-package inits drag pandas + the geo chain (~0.6 s) into every
+FRESH Python worker, measured as a 2x wds_roundtrip regression in
+AB_r10 whenever the worker pool had been recycled. Closures that
+already reference module-level helpers of their own sink module
+(tfrecord, megatron, avro_ocf) pay that chain regardless and may use
+these helpers freely; closures that otherwise touch only
+stdlib/pyspark/pandas by name (wds, arrow_shards) must inline the two
+lines instead — see the notes at those call sites.
 """
 from __future__ import annotations
 

@@ -81,10 +81,16 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
     rows = df.select(F.col(key_col).cast('string').alias('_key'), *names)
 
     def _write_partition(it):
+        # staging discipline inlined from erde_spark.io.task_files:
+        # importing that module here would drag the whole erde_spark.io
+        # package (pandas + geo chain, ~0.6 s) into every FRESH Python
+        # worker — this closure must reference only stdlib + pyspark
+        # (measured as a 2x wds_roundtrip regression in AB_r10 when the
+        # worker pool had been recycled by a preceding Arrow-UDF query)
         from pyspark import TaskContext
-
-        from erde_spark.io.task_files import commit_file, staging_path
-        tid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        tid = tc.partitionId()
+        attempt = tc.taskAttemptId()
         tar = None
         tmp = final = None
         shard_idx = 0
@@ -94,12 +100,12 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
             nonlocal tmp, final
             final = os.path.join(path,
                                  f'shard-{tid:05d}-{shard_idx:05d}.tar')
-            tmp = staging_path(final)
+            tmp = f'{final}.{attempt}.inprogress'
             return tarfile.open(tmp, 'w', format=tarfile.USTAR_FORMAT)
 
         def _close(t):
             t.close()
-            commit_file(tmp, final)
+            os.replace(tmp, final)
 
         def _add(t, name, payload):
             info = tarfile.TarInfo(name)

@@ -205,3 +205,51 @@ def test_st_point_and_linestring_between(spark):
     df = df.withColumn('line', st_linestring_between('p1', 'p2'))
     g = G.wkb_loads(bytes(df.first()['line']))
     assert g == ('LineString', [(0.0, 0.0), (3.0, 4.0)])
+
+
+def test_register_crs_recipe_journey_jamaica(spark):
+    """Round-9 verdict ask #6 — the register_crs recipe exercised as a
+    USER would hit it, end-to-end on the DataFrame surface: EPSG:24200
+    (JAD69 / Jamaica National Grid, Lambert Conic Conformal 1SP) is an
+    UNLISTED code whose method (lcc1, EPSG 9801) is implemented. The
+    raised message must hand over a working recipe; following it
+    verbatim must make convert() resolve the code and land the EPSG
+    Guidance Note 7-2 worked example on the published grid point:
+    76°56'37.26"W 17°55'55.80"N -> E 255966.58, N 142493.51
+    (registered with towgs84=None so the gate feeds JAD69 geographic
+    coordinates exactly as the worked example does; the production
+    registration would carry the published JAD69->WGS84 shift
+    (70, 207, 389.5))."""
+    assert 24200 not in O._CRS_TABLE  # the premise: genuinely unlisted
+    lam = -(76 + 56 / 60 + 37.26 / 3600)
+    phi = 17 + 55 / 60 + 55.80 / 3600
+    df = _gdf(spark, [f'POINT ({lam!r} {phi!r})'])
+    # step 1: the dead end must be a recipe
+    with pytest.raises(NotImplementedError) as ei:
+        convert(df, to_crs=24200).collect()
+    msg = str(ei.value)
+    assert 'register_crs(epsg, spec)' in msg
+    assert 'lcc1 (9801, 1SP): (lat0, lon0, k0, FE, FN)' in msg
+    assert 'RADIANS' in msg
+    # step 2: follow the recipe verbatim — method name, parameter
+    # order and units exactly as printed
+    try:
+        O.register_crs(24200, {
+            'proj': 'lcc1', 'ellps': 'clrk66',
+            'params': (math.radians(18.0), math.radians(-77.0),
+                       1.0, 250000.0, 150000.0),
+            'towgs84': None})
+        # step 3: the same DataFrame call now works and must land the
+        # published worked-example grid point
+        out = convert(df, to_crs=24200)
+        assert get_crs(out) == 24200
+        e, n = G.wkb_loads(bytes(out.first()['geometry']))[1]
+        assert math.isclose(e, 255966.58, abs_tol=0.01), (e, n)
+        assert math.isclose(n, 142493.51, abs_tol=0.01), (e, n)
+        # step 4: and round-trip back to geographic at numeric noise
+        back = G.wkb_loads(bytes(convert(out, to_crs=4326)
+                                 .first()['geometry']))[1]
+        assert math.isclose(back[0], lam, abs_tol=1e-8)
+        assert math.isclose(back[1], phi, abs_tol=1e-8)
+    finally:
+        O._CRS_TABLE.pop(24200, None)

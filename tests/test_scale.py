@@ -754,6 +754,46 @@ def test_streaming_neardup_dedup(spark, docs, tmp_path):
     assert kept.count() >= 1
 
 
+def test_streaming_neardup_cold_restart_resume(spark, docs, tmp_path):
+    """Backfill recovery (round-9 verdict ask #5): a SECOND
+    streaming_neardup_dedup invocation on the same checkpoint + state
+    dirs must (a) skip the already-processed shard — no duplicated
+    output rows — and (b) dedup the new shard against the state store
+    persisted by the terminated run."""
+    from erde_spark.scale.dedup import streaming_neardup_dedup
+    sample = docs.limit(60).select('doc_id', 'text')
+    in_dir = str(tmp_path / 'in')
+    kw = dict(out_dir=str(tmp_path / 'out'),
+              checkpoint_dir=str(tmp_path / 'ck'),
+              state_dir=str(tmp_path / 'state'),
+              threshold=0.9, max_files_per_trigger=4)
+    sample.write.parquet(in_dir)
+    streaming_neardup_dedup(spark, in_dir, sample.schema, **kw)
+    run1 = spark.read.parquet(kw['out_dir']).drop('batch')
+    run1_ids = {r['doc_id'] for r in run1.collect()}
+    # new shard after the restart: 20 exact replays + 10 fresh docs
+    replay = (sample.filter('doc_id < 20')
+              .selectExpr('doc_id + 100000 AS doc_id', 'text'))
+    import hashlib
+    fresh = spark.createDataFrame(
+        [(200000 + i,
+          ' '.join(hashlib.md5(f'fresh-{i}-{j}'.encode()).hexdigest()[:8]
+                   for j in range(30)))
+         for i in range(10)], 'doc_id long, text string')
+    replay.unionByName(fresh).write.mode('append').parquet(in_dir)
+    streaming_neardup_dedup(spark, in_dir, sample.schema, **kw)
+    kept = spark.read.parquet(kw['out_dir']).drop('batch')
+    kept_ids = [r['doc_id'] for r in kept.collect()]
+    # (a) no duplicates: shard A was not reprocessed
+    assert len(kept_ids) == len(set(kept_ids))
+    assert set(kept_ids) & set(range(60)) == run1_ids
+    # (b) every replay whose original survived run 1 was dropped by
+    # the store join; the fresh docs all survived
+    assert all(k + 100000 not in set(kept_ids)
+               for k in run1_ids & set(range(20)))
+    assert {r['doc_id'] for r in fresh.collect()} <= set(kept_ids)
+
+
 # ---------------------------------------------------------------- clustering
 
 def test_connected_components_matches_union_find(spark):
