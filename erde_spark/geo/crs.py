@@ -25,6 +25,31 @@ def get_crs(df: DataFrame, column: str = 'geometry') -> int | None:
     return int(crs) if crs is not None else None
 
 
+def set_covering(df: DataFrame, bbox_col: str | None,
+                 column: str = 'geometry') -> DataFrame:
+    """Record that ``bbox_col`` is the GeoParquet 1.1 bbox covering of
+    ``column`` (a struct<xmin,ymin,xmax,ymax> column that exists in the
+    scan, so range predicates on it push down to parquet row-group
+    stats). None is a no-op — callers can pass the parsed footer value
+    straight through."""
+    if bbox_col is None:
+        return df
+    meta = dict(_field_meta(df, column))
+    meta['covering_bbox'] = str(bbox_col)
+    return df.withMetadata(column, meta)
+
+
+def get_covering(df: DataFrame, column: str = 'geometry') -> str | None:
+    """The bbox covering column recorded by :func:`set_covering`, if it
+    still exists in the DataFrame (a select that dropped it makes the
+    stamp stale — return None rather than a dangling name)."""
+    try:
+        cov = _field_meta(df, column).get('covering_bbox')
+    except KeyError:
+        return None
+    return cov if cov is not None and cov in df.columns else None
+
+
 def require_crs(df: DataFrame, column: str = 'geometry', default_crs: int | None = None) -> int:
     """Fail-fast CRS resolution, mirroring the reference's error contract."""
     crs = get_crs(df, column)

@@ -87,29 +87,48 @@ class ParquetDriver(_Driver):
         df = spark.read.parquet(path, **kw)
         meta = _geoparquet_meta(path)
         if meta:
-            from erde_spark.geo.crs import set_crs
-            col, crs = meta
+            from erde_spark.geo.crs import set_crs, set_covering
+            col, crs, cov = meta
             if col in df.columns:
                 if col != 'geometry':
                     if 'geometry' in df.columns:
                         # a clashing unrelated 'geometry' column would make
                         # the rename ambiguous — keep the primary under its
                         # original name and just stamp the CRS on it
-                        return set_crs(df, crs, col)
+                        return set_covering(set_crs(df, crs, col), cov, col)
                     df = df.withColumnRenamed(col, 'geometry')
-                df = set_crs(df, crs)
+                df = set_covering(set_crs(df, crs), cov)
         return df
 
-    def write(self, df, path, mode='overwrite', **kw):
+    def write(self, df, path, mode='overwrite', covering=False, **kw):
         from erde_spark.geo.crs import get_crs
+        cov = None
+        if covering and 'geometry' in df.columns \
+                and dict(df.dtypes)['geometry'] == 'binary':
+            cov = 'bbox' if covering is True else str(covering)
+            if cov not in df.columns:
+                df = df.withColumn(cov, _bbox_covering_col('geometry'))
         df.write.mode(mode).parquet(path, **kw)
         if 'geometry' in df.columns:
             crs = get_crs(df)
-            if crs is not None:
-                _stamp_geoparquet(path, 'geometry', crs)
+            if crs is not None or cov:
+                _stamp_geoparquet(path, 'geometry', crs, covering=cov)
 
 
-def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
+def _bbox_covering_col(geometry: str):
+    """GeoParquet 1.1 ``bbox`` covering struct (xmin/ymin/xmax/ymax,
+    geoparquet.org 1.1 §covering) for a WKB geometry column. One Arrow
+    UDF pass — ExtractPythonUDFs pulls st_bounds into its own
+    ArrowEvalPython node, so the four field references below read one
+    evaluation, not four."""
+    from erde_spark.functions.geo import st_bounds
+    b = st_bounds(F.col(geometry))
+    return F.struct(b['minx'].alias('xmin'), b['miny'].alias('ymin'),
+                    b['maxx'].alias('xmax'), b['maxy'].alias('ymax'))
+
+
+def _stamp_geoparquet(path: str, col: str, epsg: int | None,
+                      covering: str | None = None) -> None:
     """Rewrite each part file's footer with the standard GeoParquet
     ``geo`` metadata (geoparquet.org 1.0) so GeoPandas/DuckDB/GDAL read
     the output natively. Spark's own round-trip already works via its
@@ -123,10 +142,17 @@ def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover
         return
-    geo = {'version': '1.0.0', 'primary_column': col,
-           'columns': {col: {
-               'encoding': 'WKB', 'geometry_types': [],
-               'crs': {'id': {'authority': 'EPSG', 'code': int(epsg)}}}}}
+    spec = {'encoding': 'WKB', 'geometry_types': []}
+    if epsg is not None:
+        spec['crs'] = {'id': {'authority': 'EPSG', 'code': int(epsg)}}
+    # (a missing 'crs' key means OGC:CRS84 per the spec)
+    version = '1.0.0'
+    if covering:
+        version = '1.1.0'  # covering is a GeoParquet 1.1 construct
+        spec['covering'] = {'bbox': {
+            a: [covering, a] for a in ('xmin', 'ymin', 'xmax', 'ymax')}}
+    geo = {'version': version, 'primary_column': col,
+           'columns': {col: spec}}
     blob = json.dumps(geo).encode()
     files = ([path] if os.path.isfile(path)
              else glob.glob(os.path.join(path, '*.parquet')))
@@ -155,10 +181,11 @@ def _stamp_geoparquet(path: str, col: str, epsg: int) -> None:
             os.remove(crc)
 
 
-def _geoparquet_meta(path: str) -> tuple[str, int] | None:
-    """(primary geometry column, EPSG code) from the first parquet
-    footer under ``path`` carrying the ``geo`` key, else None. Bounded
-    driver-side metadata read (no row groups touched)."""
+def _geoparquet_meta(path: str) -> tuple[str, int, str | None] | None:
+    """(primary geometry column, EPSG code, bbox covering column or
+    None) from the first parquet footer under ``path`` carrying the
+    ``geo`` key, else None. Bounded driver-side metadata read (no row
+    groups touched)."""
     import glob
     import json
     import os
@@ -186,7 +213,20 @@ def _geoparquet_meta(path: str) -> tuple[str, int] | None:
                 ident = crs.get('id', {})
                 if str(ident.get('authority', '')).upper() == 'EPSG':
                     epsg = int(ident.get('code', 4326))
-            return col, epsg
+            # GeoParquet 1.1 bbox covering: accept only the standard
+            # shape (one struct column with xmin/ymin/xmax/ymax leaves)
+            cov = None
+            paths = (g['columns'][col].get('covering') or {}).get('bbox')
+            if isinstance(paths, dict):
+                roots = {tuple(paths.get(a, ())) [:1] for a in
+                         ('xmin', 'ymin', 'xmax', 'ymax')}
+                ok = all(
+                    isinstance(paths.get(a), list) and len(paths[a]) == 2
+                    and paths[a][1] == a
+                    for a in ('xmin', 'ymin', 'xmax', 'ymax'))
+                if ok and len(roots) == 1:
+                    cov = paths['xmin'][0]
+            return col, epsg, cov
         except Exception:
             return None
     return None

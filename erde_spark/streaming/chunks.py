@@ -39,12 +39,25 @@ def read_stream(path: str, geometry_filter=None, chunk_size: int = DEFAULT_CHUNK
 def _apply_geometry_filter(df: DataFrame, geometry_filter, spark) -> DataFrame:
     """Reference's scan-time spatial mask (`erde/io/base.py:63-88`):
     accepts a path, a kernel geometry tuple, WKT, or a DataFrame with a
-    geometry column; rows not intersecting it are dropped."""
+    geometry column; rows not intersecting it are dropped.
+
+    When the source is a GeoParquet file carrying a 1.1 ``bbox``
+    covering column, a coarse envelope-overlap predicate on the
+    covering struct is prepended BEFORE the exact spatial semi-join:
+    those are plain double comparisons on scan columns, so Spark pushes
+    them into the parquet reader (PushedFilters on bbox.xmin/… leaf
+    stats) and row groups outside the filter's envelope are never
+    read — the fiona-style bbox pushdown, re-expressed as parquet
+    row-group pruning. Conservative by construction (envelope ⊇
+    geometry), so the exact sfilter that follows keeps semantics."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from erde_spark.geo import geom as G
+    from erde_spark.geo.crs import get_covering
     from erde_spark.operators.sjoin import sfilter
     spark = spark or SparkSession.getActiveSession()
+    env = None  # filter envelope (x0, y0, x1, y1) when cheaply known
     if isinstance(geometry_filter, DataFrame):
         fdf = geometry_filter
     else:
@@ -53,10 +66,27 @@ def _apply_geometry_filter(df: DataFrame, geometry_filter, spark) -> DataFrame:
             from erde_spark.io import read_df
             fdf = read_df(geometry_filter, spark)
         else:
+            from erde_spark.geo import ops as O
             geom = G.wkt_loads(geometry_filter) if isinstance(geometry_filter, str) \
                 else geometry_filter
+            env = O.geom_bounds(geom)  # driver-side, no job
             schema = T.StructType([T.StructField('geometry', T.BinaryType())])
             fdf = spark.createDataFrame([(G.wkb_dumps(geom),)], schema)
+    cov = get_covering(df)
+    if cov is not None:
+        if env is None:
+            # mask came as a DataFrame/path: one tiny agg job over the
+            # (small) mask side buys row-group pruning on the big scan
+            from erde_spark.functions.geo import st_bounds
+            r = (fdf.select(st_bounds(F.col('geometry')).alias('b'))
+                 .agg(F.min('b.minx'), F.min('b.miny'),
+                      F.max('b.maxx'), F.max('b.maxy')).first())
+            env = None if r is None or r[0] is None else tuple(r)
+        if env is not None:
+            x0, y0, x1, y1 = env
+            c = F.col(cov)
+            df = df.filter((c['xmin'] <= float(x1)) & (c['xmax'] >= float(x0))
+                           & (c['ymin'] <= float(y1)) & (c['ymax'] >= float(y0)))
     return sfilter(df, fdf, op='intersects')
 
 

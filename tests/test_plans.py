@@ -275,3 +275,68 @@ def test_embedding_lsh_pair_distinct_carries_bare_ids(spark):
     ex = [ln for ln in plan.splitlines()
           if 'Exchange hashpartitioning(id_a' in ln]
     assert ex and all('nvec' not in ln and 'va' not in ln for ln in ex)
+
+
+def test_geoparquet_bbox_covering_pushdown(spark, tmp_path):
+    """Round-9 verdict optional ask: read_stream's geometry filter
+    routed through parquet row-group bbox stats when the source is
+    GeoParquet. write_df(covering=True) adds the GeoParquet 1.1 bbox
+    covering struct + footer metadata; read_stream's filter prepends an
+    envelope-overlap predicate on it that must reach the parquet scan
+    as PushedFilters on the bbox leaf fields (= row-group pruning on a
+    bbox-sorted file), while the exact sfilter keeps semantics."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from erde_spark.functions.geo import st_point
+    from erde_spark.geo.crs import get_covering, set_crs
+    from erde_spark.io import read_df, write_df
+    from erde_spark.streaming.chunks import read_stream
+
+    path = str(tmp_path / 'pts.parquet')
+    pts = (spark.range(2000)
+           .select('id', (F.col('id') * 0.01).alias('x'),
+                   F.lit(0.5).alias('y'))
+           .withColumn('geometry', st_point('x', 'y'))
+           .drop('x', 'y').orderBy('id').coalesce(1))
+    write_df(set_crs(pts, 4326), path, covering=True)
+
+    # footer: GeoParquet 1.1 with the standard covering declaration
+    import glob as _g
+    f = ([path] if not _g.glob(path + '/*.parquet')
+         else _g.glob(path + '/*.parquet'))[0]
+    geo = json.loads((pq.ParquetFile(f).metadata.metadata or {})[b'geo'])
+    assert geo['version'] == '1.1.0'
+    assert geo['columns']['geometry']['covering']['bbox']['xmin'] == \
+        ['bbox', 'xmin']
+
+    back = read_df(path, spark)
+    assert get_covering(back) == 'bbox'
+
+    # WKT mask: envelope computed driver-side, no extra job
+    q = read_stream(path, geometry_filter='POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))',
+                    spark=spark)
+    pf = pushed_filters(q)
+    assert any('bbox.xmin' in s for s in pf), pf
+    assert any('bbox.xmax' in s for s in pf), pf
+    assert any('bbox.ymin' in s for s in pf), pf
+    got = sorted(r['id'] for r in q.select('id').collect())
+    assert got == list(range(100, 201)), (got[:5], got[-5:], len(got))
+
+    # DataFrame mask: envelope comes from one tiny agg over the mask
+    mask = spark.createDataFrame([('POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))',)],
+                                 'wkt string')
+    from erde_spark.functions.geo import st_geomfromtext
+    mask = mask.withColumn('geometry', st_geomfromtext('wkt')).drop('wkt')
+    q2 = read_stream(path, geometry_filter=mask, spark=spark)
+    assert any('bbox.xmin' in s for s in pushed_filters(q2))
+    assert q2.count() == 101
+
+    # a plain (no covering) write must not regress: filter still exact
+    plain = str(tmp_path / 'plain.parquet')
+    write_df(set_crs(pts, 4326), plain)
+    q3 = read_stream(plain, geometry_filter='POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))',
+                     spark=spark)
+    assert not any('bbox' in s for s in pushed_filters(q3))
+    assert q3.count() == 101
