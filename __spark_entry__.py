@@ -2202,6 +2202,30 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
 """
 
 
+def q_weighted_sample_check(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES exponential race): 100 documents drawn with probability
+    proportional to weight (doc_id%7+1), deterministically — the race
+    key is -ln(u)/w with u a dyadic uniform from md5(doc_id), so DuckDB
+    replays the SAME draw bit-for-bit. Plan: TakeOrderedAndProject
+    (partial top-n per partition), no shuffle, no full sort. Impl:
+    erde_spark/scale/sampling.py::weighted_sample (reference has no
+    sampling tier — training-data extension surface)."""
+    from erde_spark.scale.sampling import weighted_sample
+    d = _t(spark, sf_dir, 'documents')['documents']
+    d = d.withColumn('w', (F.col('doc_id') % 7 + 1).cast('double'))
+    return weighted_sample(d, 'doc_id', 'w', 100).select('doc_id', 'lang')
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+ORDER BY -ln((('0x' || substring(md5(doc_id || ':ws:'), 1, 8))::UBIGINT + 1)
+             / 4294967296.0) / CAST(doc_id % 7 + 1 AS DOUBLE),
+         doc_id
+LIMIT 100
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Exactly-20-per-language deterministic stratified sample (hash-
     order rank within stratum)."""
@@ -6221,7 +6245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
-        'simhash_check': q_simhash_check,
         'embedding_lsh_check': q_embedding_lsh_check,
         'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_cluster_check': q_embedding_cluster_check,
@@ -6231,8 +6254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'backfill_resume_check': q_backfill_resume_check,
+        'weighted_sample_check': q_weighted_sample_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
+        'simhash_check': q_simhash_check,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6505,6 +6530,7 @@ def oracle_sql() -> dict[str, str]:
         'oov_rate': _OOV_SQL,
         'bm25_search': _BM25_SQL,
         'sample_hash': _SAMPLE_HASH_SQL,
+        'weighted_sample_check': _WEIGHTED_SAMPLE_SQL,
         'sample_stratified': _SAMPLE_STRAT_SQL,
         'sample_split': _SAMPLE_SPLIT_SQL,
         'lm_quality_score': _LM_QUALITY_SQL,

@@ -222,6 +222,35 @@ def top_n_sample(df: DataFrame, id_col: str, n: int,
     return df.orderBy(sample_key(id_col, salt), F.col(id_col)).limit(n)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, n: int,
+                    salt: str = '') -> DataFrame:
+    """Exactly ``min(n, |w>0|)`` rows, weighted WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES in exponential-race
+    form): every row draws a deterministic uniform ``u`` from its id
+    hash and races with key ``-ln(u) / w`` — the ``n`` smallest keys
+    win, giving each row first-draw probability proportional to its
+    weight and the exact A-ES distribution overall. Deterministic,
+    engine-portable (same md5 -> same sample in DuckDB/Trino), and
+    plan-cheap: compiles to TakeOrderedAndProject (partial top-n per
+    partition + driver merge, O(n) driver memory, no full sort, no
+    shuffle). Rows with weight <= 0 or NULL are excluded, matching the
+    paper's w > 0 domain. Different ``salt`` values draw independent
+    samples (use per-epoch salts for repeated passes).
+
+    For n large enough that a driver merge hurts (n in the hundreds of
+    millions), pre-filter with a key threshold estimated from a sample
+    quantile and re-run on the survivors — the race key is a plain
+    column, so the two-pass refinement is two cheap scans."""
+    u = (F.conv(F.substring(
+        F.md5(F.encode(F.concat(F.col(id_col).cast('string'),
+                                F.lit(':ws:' + salt)), 'UTF-8')),
+        1, 8), 16, 10).cast('double') + 1.0) / 4294967296.0  # (0, 1]
+    w = F.col(weight_col).cast('double')
+    key = -F.log(u) / w
+    return (df.filter(w > 0)
+            .orderBy(key.asc(), F.col(id_col).asc()).limit(n))
+
+
 def split_no_leakage(df: DataFrame, splits: dict[str, float],
                      text_col: str = 'text', salt: str = '',
                      near_dup: bool = False, id_col: str = 'doc_id',

@@ -347,3 +347,61 @@ class TestTemperatureMix:
             [(1, 'a'), (2, None), (3, 'a')], 'doc_id long, grp string')
         out = temperature_mix(df, 'grp', 'doc_id', alpha=0.5)
         assert sorted(r['doc_id'] for r in out.collect()) == [1, 3]
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement."""
+
+    def _df(self, spark, n=2000):
+        return spark.range(n).select(
+            F.col('id'),
+            # weights 1 and 10, interleaved
+            F.when(F.col('id') % 2 == 0, 1.0).otherwise(10.0).alias('w'))
+
+    def test_exact_n_deterministic_repartition_proof(self, spark):
+        from erde_spark.scale.sampling import weighted_sample
+        df = self._df(spark)
+        a = sorted(r['id'] for r in weighted_sample(df, 'id', 'w', 200).collect())
+        b = sorted(r['id'] for r in
+                   weighted_sample(df.repartition(17), 'id', 'w', 200).collect())
+        assert len(a) == 200 and a == b
+
+    def test_weight_proportionality(self, spark):
+        from erde_spark.scale.sampling import weighted_sample
+        # 10x-weighted rows must dominate the sample (A-ES first-draw
+        # probability proportional to weight; with n=200 of 2000 the
+        # heavy half should take the large majority of slots)
+        got = weighted_sample(self._df(spark), 'id', 'w', 200).collect()
+        heavy = sum(1 for r in got if r['id'] % 2 == 1)
+        assert heavy > 150, heavy
+
+    def test_infinite_relative_weight_always_wins(self, spark):
+        from erde_spark.scale.sampling import weighted_sample
+        df = spark.range(1000).select(
+            F.col('id'),
+            F.when(F.col('id') == 77, 1e12).otherwise(1e-6).alias('w'))
+        for salt in ('', 'a', 'b'):
+            got = {r['id'] for r in
+                   weighted_sample(df, 'id', 'w', 5, salt=salt).collect()}
+            assert 77 in got
+
+    def test_nonpositive_weights_excluded_and_plan(self, spark):
+        from erde_spark.scale.sampling import weighted_sample
+        df = spark.range(100).select(
+            F.col('id'),
+            F.when(F.col('id') < 90, F.lit(None).cast('double'))
+             .otherwise(F.when(F.col('id') < 95, -1.0).otherwise(2.0))
+             .alias('w'))
+        q = weighted_sample(df, 'id', 'w', 50)
+        got = sorted(r['id'] for r in q.collect())
+        assert got == list(range(95, 100))  # only the 5 positive-weight rows
+        assert 'TakeOrderedAndProject' in physical_plan(q)
+        assert count_shuffles(q) == 0
+
+    def test_salts_draw_independent_samples(self, spark):
+        from erde_spark.scale.sampling import weighted_sample
+        df = self._df(spark)
+        a = {r['id'] for r in weighted_sample(df, 'id', 'w', 200, 'e1').collect()}
+        b = {r['id'] for r in weighted_sample(df, 'id', 'w', 200, 'e2').collect()}
+        # independent draws: expected overlap ~ sum p_i^2 ~ 35 of 200
+        assert a != b and 0 < len(a & b) < 120
