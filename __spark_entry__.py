@@ -4916,6 +4916,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_zst_roundtrip(spark, sf_dir):
+    """Zstandard JSONL shard export/ingest (NEW round 10 — the format
+    modern corpus releases actually ship; this Spark build has no
+    Hadoop zstd codec, so the path goes through pyarrow's zstd with
+    JSON parse/serialize JVM-side via from_json/to_json) VALUE-checked
+    by a full round trip: documents -> part-*.jsonl.zst shards
+    (executor-side streaming writes, byte-rolled) -> read back with an
+    explicit DDL schema; md5(text) and lang must match the source rows
+    exactly — DuckDB computes them from the table directly. Impl:
+    erde_spark/io/zst.py."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.zst import read_jsonl_zst, write_jsonl_zst
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang')
+    base = tempfile.mkdtemp(prefix='erde_zst_') + '/docs.jsonl.zst'
+    write_jsonl_zst(d.repartition(8), base, shard_bytes=1 << 20)
+    back = read_jsonl_zst(base, spark,
+                          schema='doc_id bigint, text string, lang string')
+    res = (back.select('doc_id',
+                       F.md5(F.coalesce(F.col('text'), F.lit('')))
+                       .alias('text_md5'), 'lang')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return res
+
+
+_ZST_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_pack_bestfit_check(spark, sf_dir):
     """Whole-document best-fit bin packing (NEW round 8 — the
     padding-minimizing alternative to concat-then-chunk packing)
@@ -6250,14 +6284,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'passage_span_check': q_passage_span_check,
-        'readability': q_readability,
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'backfill_resume_check': q_backfill_resume_check,
         'weighted_sample_check': q_weighted_sample_check,
+        'zst_roundtrip': q_zst_roundtrip,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
+        'readability': q_readability,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6431,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         'compression_filter_check': _COMPRESSION_FILTER_SQL,
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
+        'zst_roundtrip': _ZST_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -379,6 +379,25 @@ class WarcDriver(_Driver):
         write_warc(df, path, mode=mode, **kw)
 
 
+class ZstJsonDriver(_Driver):
+    """``.jsonl.zst`` corpus shards (see io/zst.py): this Spark build
+    has no Hadoop zstd codec, so the path goes through pyarrow's zstd —
+    one file per task, line decompression in Python, JSON parse/
+    serialize JVM-side (from_json/to_json). Must be dispatched BEFORE
+    the plain JsonDriver (whose regex would not match ``.zst`` anyway,
+    but the intent is explicit here)."""
+    name = 'jsonl.zst'
+    path_re = re.compile(r'^.*\.(json|jsonl|ndjson)\.zst$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.zst import read_jsonl_zst
+        return read_jsonl_zst(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.zst import write_jsonl_zst
+        write_jsonl_zst(df, path, mode=mode, **kw)
+
+
 class WdsDriver(_Driver):
     """WebDataset shard directories (see io/wds.py) as facade paths:
     `corpus.wds` is a directory of `.tar` shards (a single `.tar`
@@ -820,7 +839,8 @@ class PostgresDriver(_Driver):
 DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
-    GeoJsonDriver(), XlsDriver(), JsonDriver(), WarcDriver(),
+    GeoJsonDriver(), XlsDriver(), ZstJsonDriver(), JsonDriver(),
+    WarcDriver(),
     WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
     MegatronDriver(), AvroDriver(),
 ]

@@ -1,0 +1,175 @@
+"""Zstandard-compressed JSONL (``.jsonl.zst``) source and sink — the
+format Common Crawl derivatives and most modern corpus releases
+actually ship (this Spark build has no native Hadoop zstd codec, so
+``spark.read.json`` can't touch these; pyarrow's bundled zstd can).
+
+Scale shape mirrors io/warc.py: the listing is a ``binaryFile`` scan
+pruned to ``path`` only (the blob column never materializes), one file
+= one unit of work, and each task streams its file through pyarrow's
+zstd decompressor — peak memory is one Arrow batch of lines plus the
+decompressor window, never a whole decompressed file. The Python side
+only moves LINES; JSON parsing happens JVM-side via ``from_json``
+(Jackson, whole-stage codegen) and serialization via ``to_json``, so
+the slow path is just byte shoveling.
+
+A ``.zst`` file is not splittable (single frame, no seek table), so
+parallelism = file count — exactly how these corpora are distributed
+(hundreds of ~100 MB-1 GB shards). The sink rolls shards by
+uncompressed bytes for the same reason.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from erde_spark.io.warc import _open_segment, _ReadAdapter
+
+_SAMPLE_LINES = 500
+
+
+def _zst_line_stream(path: str):
+    """Buffered text-line stream of the decompressed file. pyarrow's
+    NativeFile isn't an io.RawIOBase, so readline comes from wrapping
+    it in the warc adapter + BufferedReader."""
+    import pyarrow as pa
+    raw = _open_segment(path)
+    z = pa.input_stream(raw, compression='zstd')
+    return io.BufferedReader(_ReadAdapter(z), buffer_size=1 << 20)
+
+
+def _sample_schema(spark: SparkSession, files: list[str],
+                   sample_lines: int) -> T.StructType:
+    """Schema inferred by Spark's own JSON inference over the HEAD of
+    the first file — a bounded driver-side read (sample_lines lines),
+    not a data scan. Pass ``schema`` explicitly in production pipelines;
+    head-sampling can miss late-appearing optional fields (they'd read
+    as absent -> the column wouldn't exist)."""
+    lines = []
+    with _zst_line_stream(files[0]) as s:
+        for ln in s:
+            ln = ln.strip()
+            if ln:
+                lines.append(ln.decode('utf-8', 'replace'))
+            if len(lines) >= sample_lines:
+                break
+    if not lines:
+        raise ValueError(f'no JSON lines found in {files[0]!r}')
+    return spark.read.json(spark.sparkContext.parallelize(lines, 1)).schema
+
+
+def _line_reader(batch_rows: int):
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf['path']:
+                buf = []
+                with _zst_line_stream(fpath) as s:
+                    for ln in s:
+                        ln = ln.strip()
+                        if not ln:
+                            continue
+                        buf.append(ln.decode('utf-8', 'replace'))
+                        if len(buf) >= batch_rows:
+                            yield pd.DataFrame({'value': buf})
+                            buf = []
+                if buf:
+                    yield pd.DataFrame({'value': buf})
+
+    return _read
+
+
+def read_jsonl_zst(path: str, spark: SparkSession,
+                   schema: T.StructType | str | None = None,
+                   sample_lines: int = _SAMPLE_LINES,
+                   batch_rows: int = 4096) -> DataFrame:
+    """DataFrame over ``.jsonl.zst`` file(s) (a file, directory, or
+    glob). Tasks decompress lines; ``from_json`` parses them JVM-side
+    against ``schema`` (inferred from the first file's head when not
+    given — see :func:`_sample_schema`). Lines that fail to parse yield
+    all-null rows (the Jackson PERMISSIVE default), matching
+    ``spark.read.json`` semantics."""
+    listing = spark.read.format('binaryFile').load(path).select('path')
+    if schema is None:
+        files = [r['path'] for r in listing.limit(1).collect()]
+        if not files:
+            raise FileNotFoundError(path)
+        schema = _sample_schema(spark, files, sample_lines)
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    lines = listing.mapInPandas(
+        _line_reader(batch_rows),
+        schema=T.StructType([T.StructField('value', T.StringType())]))
+    return lines.select(F.from_json('value', schema).alias('j')).select('j.*')
+
+
+def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
+                    shard_bytes: int = 256 << 20) -> None:
+    """Write ``part-<task>-<n>.jsonl.zst`` shards. Rows are serialized
+    JVM-side (``to_json`` over the full row struct); the task loop only
+    pushes bytes through pyarrow's zstd stream and ROLLS a new shard
+    every ``shard_bytes`` UNCOMPRESSED bytes, so a skewed partition
+    becomes several bounded shards and the read side's one-file-per-task
+    unit stays ~shard_bytes regardless of partition skew. Shards stage
+    to attempt-scoped temp names and commit by atomic rename (same
+    discipline as Spark's own file committers)."""
+    import shutil
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    if shard_bytes <= 0:
+        raise ValueError('shard_bytes must be positive')
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias('value'))
+
+    def _write_partition(it):
+        # staging discipline inlined from erde_spark.io.task_files:
+        # referencing that module here would make every FRESH Python
+        # worker import the whole erde_spark.io chain (~0.6 s each, the
+        # wds 2x-regression root cause) — this closure must touch only
+        # stdlib/pyspark/pyarrow
+        import pyarrow as pa
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        tid = tc.partitionId()
+        attempt = tc.taskAttemptId()
+        shard_idx = 0
+        out = tmp = final = None
+        nbytes = 0
+
+        def _open_shard():
+            nonlocal out, tmp, final
+            final = os.path.join(
+                path, f'part-{tid:05d}-{shard_idx:05d}.jsonl.zst')
+            tmp = f'{final}.{attempt}.inprogress'
+            # this pyarrow's output_stream exposes no level knob —
+            # zstd default (3) is the archival sweet spot anyway
+            out = pa.output_stream(tmp, compression='zstd')
+
+        def _close_shard():
+            nonlocal out, shard_idx, nbytes
+            if out is None:
+                return
+            out.close()
+            os.replace(tmp, final)
+            out = None
+            shard_idx += 1
+            nbytes = 0
+
+        for row in it:
+            if out is None:
+                _open_shard()
+            b = row['value'].encode('utf-8') + b'\n'
+            out.write(b)
+            nbytes += len(b)
+            if nbytes >= shard_bytes:
+                _close_shard()
+        _close_shard()
+
+    lines.rdd.foreachPartition(_write_partition)
