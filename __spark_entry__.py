@@ -4950,6 +4950,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_npy_roundtrip(spark, sf_dir):
+    """NumPy ``.npy`` matrix export/ingest (NEW round 10 — the
+    embedding-dump interchange format; the read side is a SPLITTABLE
+    byte-range scan, row i at a fixed offset) VALUE-checked by
+    construction: embeddings are range-partitioned and sorted by
+    vec_id, written as part-*.npy shards, read back as (row_id, value),
+    and each row survives ONLY if its float32 payload is bit-exactly
+    the vector of the vec_id holding that global rank — a single flipped
+    byte, swapped row, or wrong shard order drops rows and fails the
+    count/value match. Oracle is the plain vec_id list. Impl:
+    erde_spark/io/npy.py (tested cross-engine against numpy's own
+    reader in tests/test_io.py)."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.npy import read_npy, write_npy
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    base = tempfile.mkdtemp(prefix='erde_npy_') + '/emb.npy'
+    write_npy(e.repartitionByRange(4, 'vec_id')
+               .sortWithinPartitions('vec_id'), base,
+              value_col='embedding')
+    back = read_npy(base, spark)
+    ranked = e.select(
+        'vec_id', 'embedding',
+        (F.row_number().over(Window.orderBy('vec_id')) - 1)
+        .alias('row_id'))
+    res = (back.join(ranked, 'row_id')
+           .filter(F.col('value') == F.col('embedding'))
+           .select('vec_id').orderBy('vec_id')
+           .localCheckpoint(eager=True))
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return res
+
+
+_NPY_ROUNDTRIP_SQL = """
+SELECT vec_id FROM embeddings ORDER BY vec_id
+"""
+
+
 def q_pack_bestfit_check(spark, sf_dir):
     """Whole-document best-fit bin packing (NEW round 8 — the
     padding-minimizing alternative to concat-then-chunk packing)
@@ -6283,16 +6322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
-        'passage_span_check': q_passage_span_check,
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'backfill_resume_check': q_backfill_resume_check,
         'weighted_sample_check': q_weighted_sample_check,
         'zst_roundtrip': q_zst_roundtrip,
+        'npy_roundtrip': q_npy_roundtrip,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
         'readability': q_readability,
+        'passage_span_check': q_passage_span_check,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6467,6 +6507,7 @@ def oracle_sql() -> dict[str, str]:
         'pack_bestfit_check': _PACK_BESTFIT_SQL,
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'zst_roundtrip': _ZST_ROUNDTRIP_SQL,
+        'npy_roundtrip': _NPY_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

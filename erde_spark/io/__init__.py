@@ -379,6 +379,27 @@ class WarcDriver(_Driver):
         write_warc(df, path, mode=mode, **kw)
 
 
+class NpyDriver(_Driver):
+    """NumPy ``.npy`` matrices (see io/npy.py): a single file, a glob,
+    or a directory of part files named ``*.npy``. Read is a SPLITTABLE
+    byte-range scan (row i at a fixed offset), yielding
+    (row_id, value); write emits one part per non-empty partition.
+    The embedding-dump interchange path."""
+    name = 'npy'
+    path_re = re.compile(r'^.*\.npy$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.npy import read_npy
+        return read_npy(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', value_col=None, **kw):
+        from erde_spark.io.npy import write_npy
+        if value_col is None:
+            arrays = [c for c, t in df.dtypes if t.startswith('array<')]
+            value_col = arrays[0] if len(arrays) == 1 else 'value'
+        write_npy(df, path, value_col=value_col, mode=mode, **kw)
+
+
 class ZstJsonDriver(_Driver):
     """``.jsonl.zst`` corpus shards (see io/zst.py): this Spark build
     has no Hadoop zstd codec, so the path goes through pyarrow's zstd —
@@ -840,7 +861,7 @@ DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), ZstJsonDriver(), JsonDriver(),
-    WarcDriver(),
+    NpyDriver(), WarcDriver(),
     WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
     MegatronDriver(), AvroDriver(),
 ]

@@ -1,0 +1,250 @@
+"""NumPy ``.npy`` matrix source/sink — the de-facto interchange for
+embedding dumps (faiss tooling, sentence-transformers pipelines, eval
+harnesses all read/write these directly).
+
+Format: NEP-1 / numpy.lib.format — magic ``\\x93NUMPY``, version,
+header-length word, a Python-literal header dict (``descr``,
+``fortran_order``, ``shape``), then the raw C-order array bytes. A
+2-D C-order matrix is therefore a SPLITTABLE file: row ``i`` lives at
+``data_offset + i * row_bytes``, so the scan plans byte-range slices
+and every task seeks straight to its rows — no single-reader
+bottleneck, unlike the pickle-bearing ``.npz``/object formats. That is
+the 100 TB posture: a 1 TB embedding matrix becomes ~8000 independent
+128 MB slices.
+
+Read yields ``(row_id, value)`` where ``row_id`` is the GLOBAL row
+index across the file set (files ordered by name, offsets cumulative
+from driver-side header reads — headers only, never data). Write emits
+one ``part-<partition>.npy`` per non-empty partition; with a
+range-partitioned, sorted frame the concatenation order is the sort
+order, making the matrix row order deterministic and reproducible.
+
+Only C-order little-endian numeric dtypes are supported; everything
+else (fortran_order, big-endian, object dtype, ``.npz`` archives)
+raises with the reason — honest boundaries, not silent misreads.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b'\x93NUMPY'
+
+#: numpy descr -> (numpy dtype, Spark element type)
+_DTYPES = {
+    '<f4': (np.float32, T.FloatType()),
+    '<f8': (np.float64, T.DoubleType()),
+    '<i4': (np.int32, T.IntegerType()),
+    '<i8': (np.int64, T.LongType()),
+    '|i1': (np.int8, T.ByteType()),
+    '<i2': (np.int16, T.ShortType()),
+}
+_DESCR_OF = {np.dtype(v[0]).str: k for k, v in _DTYPES.items()}
+
+
+def read_npy_header(f) -> tuple[str, tuple[int, ...], int]:
+    """(descr, shape, data_offset) from an open binary handle
+    positioned at 0. Validates magic/version/flags and rejects what the
+    splittable reader can't honor."""
+    head = f.read(10)
+    if head[:6] != _MAGIC:
+        raise ValueError('not a .npy file (bad magic)')
+    major = head[6]
+    if major == 1:
+        (hlen,) = struct.unpack('<H', head[8:10])
+        header = f.read(hlen).decode('latin1')
+        off = 10 + hlen
+    elif major in (2, 3):
+        more = f.read(2)
+        (hlen,) = struct.unpack('<I', head[8:10] + more)
+        header = f.read(hlen).decode('latin1')
+        off = 12 + hlen
+    else:
+        raise ValueError(f'unsupported .npy version {major}')
+    meta = ast.literal_eval(header)
+    if meta.get('fortran_order'):
+        raise ValueError('fortran_order .npy is not row-sliceable; '
+                         'transpose to C order first')
+    descr = meta['descr']
+    if descr not in _DTYPES:
+        raise ValueError(
+            f'unsupported .npy dtype {descr!r}: supported '
+            f'{sorted(_DTYPES)} (little-endian numerics)')
+    shape = tuple(meta['shape'])
+    if len(shape) not in (1, 2):
+        raise ValueError(f'only 1-D/2-D .npy supported, got shape {shape}')
+    return descr, shape, off
+
+
+def _file_plan(path: str) -> list[dict]:
+    """Driver-side listing + header reads (bytes, not data): one entry
+    per file with its dtype/shape/offset and the cumulative global row
+    base. Files order by name — the writer's part numbering."""
+    import glob as g
+    if os.path.isdir(path):
+        files = sorted(g.glob(os.path.join(path, '*.npy')))
+    else:
+        files = sorted(g.glob(path)) if any(c in path for c in '*?[') \
+            else [path]
+    if not files:
+        raise FileNotFoundError(path)
+    plan, base = [], 0
+    descr0 = dim0 = None
+    for fp in files:
+        with open(fp, 'rb') as f:
+            descr, shape, off = read_npy_header(f)
+        dim = shape[1] if len(shape) == 2 else 0
+        if descr0 is None:
+            descr0, dim0 = descr, dim
+        elif (descr, dim) != (descr0, dim0):
+            raise ValueError(
+                f'{fp!r}: dtype/width {descr}/{dim} does not match the '
+                f'first file ({descr0}/{dim0})')
+        plan.append({'file': fp, 'descr': descr, 'dim': dim,
+                     'offset': off, 'rows': shape[0], 'base': base})
+        base += shape[0]
+    return plan
+
+
+def read_npy(path: str, spark: SparkSession,
+             value_col: str = 'value', slice_bytes: int = 128 << 20,
+             batch_rows: int = 8192) -> DataFrame:
+    """DataFrame of ``(row_id long, <value_col>)`` over a ``.npy`` file,
+    glob, or directory of part files. 2-D -> array column, 1-D ->
+    scalar column. The plan is a tiny driver-built slice table
+    (~bytes/slice_bytes rows); each task seeks to its byte range."""
+    plan = _file_plan(path)
+    descr, dim = plan[0]['descr'], plan[0]['dim']
+    npt, spark_t = _DTYPES[descr]
+    row_bytes = np.dtype(npt).itemsize * max(dim, 1)
+    rows_per_slice = max(1, slice_bytes // row_bytes)
+    slices = []
+    for p in plan:
+        for s in range(0, p['rows'], rows_per_slice):
+            e = min(s + rows_per_slice, p['rows'])
+            slices.append((p['file'], p['offset'], p['base'], s, e))
+    sdf = spark.createDataFrame(
+        slices, 'file string, offset long, base long, start long, end long') \
+        .repartition(min(len(slices), 2 * _default_parallelism(spark)))
+    val_t = T.ArrayType(spark_t) if dim else spark_t
+    schema = T.StructType([T.StructField('row_id', T.LongType()),
+                           T.StructField(value_col, val_t)])
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                with open(r.file, 'rb') as f:
+                    f.seek(r.offset + r.start * row_bytes)
+                    for bs in range(r.start, r.end, batch_rows):
+                        be = min(bs + batch_rows, r.end)
+                        raw = f.read((be - bs) * row_bytes)
+                        arr = np.frombuffer(raw, dtype=npt)
+                        ids = np.arange(r.base + bs, r.base + be)
+                        if dim:
+                            arr = arr.reshape(be - bs, dim)
+                            vals = list(arr)
+                        else:
+                            vals = arr
+                        yield pd.DataFrame({'row_id': ids,
+                                            value_col: vals})
+
+    return sdf.mapInPandas(_read, schema=schema)
+
+
+def _default_parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def write_npy(df: DataFrame, path: str, value_col: str = 'value',
+              mode: str = 'overwrite') -> None:
+    """Write ``part-<partition>.npy`` files (one per non-empty
+    partition) under ``path``. The column must be a numeric scalar or a
+    numeric array of CONSTANT width; width or dtype drift raises inside
+    the task rather than corrupting the matrix. Row order within a file
+    is partition order — range-partition + sortWithinPartitions first
+    when the global matrix order matters (the round-trip gate does).
+
+    Each task buffers only the growing byte payload of its own shard
+    and stitches the header by rewrite-at-close (shape isn't known
+    up front); staging + atomic rename, stdlib-only closure."""
+    import shutil
+    dt = dict(df.dtypes)[value_col]
+    is_arr = dt.startswith('array<')
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    elem = dt[6:-1] if is_arr else dt
+    np_of = {'float': np.float32, 'double': np.float64, 'int': np.int32,
+             'bigint': np.int64, 'smallint': np.int16, 'tinyint': np.int8}
+    if elem not in np_of:
+        raise ValueError(f'unsupported element type {elem!r} for .npy '
+                         f'(supported: {sorted(np_of)})')
+    npt = np_of[elem]
+    descr = np.dtype(npt).str
+    magic = _MAGIC
+    rows = df.select(value_col)
+
+    def _write_partition(it):
+        # stdlib/numpy-only closure (no erde_spark imports in executors)
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        final = os.path.join(path, f'part-{tc.partitionId():05d}.npy')
+        tmp = f'{final}.{tc.taskAttemptId()}.inprogress'
+        n = 0
+        dim = None
+        out = None
+        try:
+            for row in it:
+                v = row[0]
+                if v is None:
+                    raise ValueError('.npy cannot represent null rows')
+                a = np.asarray(v, dtype=npt)
+                if a.ndim not in (0, 1):
+                    raise ValueError('only scalars / flat arrays')
+                d = a.size if a.ndim else 0
+                if dim is None:
+                    dim = d
+                    out = open(tmp, 'wb')
+                    out.write(b'\x00' * 128)  # header placeholder
+                elif d != dim:
+                    raise ValueError(
+                        f'ragged {value_col}: width {d} after {dim}')
+                out.write(a.tobytes())
+                n += 1
+            if out is None:
+                return  # empty partition: no file
+            shape = (n, dim) if dim else (n,)
+            # NEP-1 v1 header into the 128-byte placeholder: 10 fixed
+            # bytes + a space-padded, newline-terminated dict literal
+            d = ('{' + f"'descr': {descr!r}, 'fortran_order': False, "
+                 f"'shape': {shape!r}, " + '}')
+            room = 128 - 10 - 1
+            if len(d) > room:
+                raise ValueError('shape literal exceeds reserved header')
+            hdr = (magic + b'\x01\x00' + struct.pack('<H', 128 - 10)
+                   + (d + ' ' * (room - len(d)) + '\n').encode('latin1'))
+            out.seek(0)
+            out.write(hdr)
+            out.close()
+            out = None
+            os.replace(tmp, final)
+        finally:
+            if out is not None:
+                out.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+    rows.rdd.foreachPartition(_write_partition)

@@ -959,3 +959,74 @@ class TestZstJsonl:
             write_df(d, out, mode='error')
         write_df(self._docs(spark, 7), out)  # overwrite default
         assert read_df(out, spark).count() == 7
+
+
+class TestNpy:
+    """.npy matrix source/sink (io/npy.py): NEP-1 format parity with
+    numpy itself, splittable byte-range read, honest boundaries."""
+
+    def test_roundtrip_vs_numpy(self, spark, tmp_path):
+        import numpy as np
+        out = str(tmp_path / 'm.npy')
+        df = spark.range(100).select(
+            F.col('id'),
+            F.array(*[(F.col('id') * 10 + k).cast('float')
+                      for k in range(5)]).alias('vec'))
+        write_df(df.repartitionByRange(3, 'id').sortWithinPartitions('id'),
+                 out, value_col='vec')
+        import glob
+        parts = sorted(glob.glob(out + '/*.npy'))
+        assert len(parts) == 3
+        # numpy's own reader must accept our files bit-for-bit
+        M = np.concatenate([np.load(p) for p in parts])
+        assert M.shape == (100, 5) and M.dtype == np.float32
+        assert M[7, 3] == 73.0
+        back = read_df(out, spark).orderBy('row_id').collect()
+        assert len(back) == 100
+        assert back[42]['value'] == [420.0, 421.0, 422.0, 423.0, 424.0]
+
+    def test_reads_foreign_numpy_file_sliced(self, spark, tmp_path):
+        import numpy as np
+        f = str(tmp_path / 'foreign.npy')
+        np.save(f, np.arange(2000, dtype=np.int64).reshape(500, 4))
+        # tiny slice_bytes forces many byte-range tasks over ONE file
+        from erde_spark.io.npy import read_npy
+        df = read_npy(f, spark, slice_bytes=1024)
+        rows = df.orderBy('row_id').collect()
+        assert len(rows) == 500
+        assert rows[123]['value'] == [492, 493, 494, 495]
+
+    def test_1d_and_double(self, spark, tmp_path):
+        import numpy as np
+        f = str(tmp_path / 'v.npy')
+        np.save(f, np.linspace(0.0, 1.0, 11))
+        rows = read_df(f, spark).orderBy('row_id').collect()
+        assert len(rows) == 11 and abs(rows[5]['value'] - 0.5) < 1e-12
+
+    def test_boundaries_raise_clearly(self, spark, tmp_path):
+        import numpy as np
+        import pytest as _pt
+        f1 = str(tmp_path / 'f.npy')
+        np.save(f1, np.asfortranarray(np.ones((4, 3), dtype=np.float32)))
+        with _pt.raises(ValueError, match='fortran_order'):
+            read_df(f1, spark)
+        f2 = str(tmp_path / 'o.npy')
+        np.save(f2, np.array(['a', 'b'], dtype=object), allow_pickle=True)
+        with _pt.raises(ValueError, match='unsupported .npy dtype'):
+            read_df(f2, spark)
+
+    def test_ragged_write_raises(self, spark, tmp_path):
+        from py4j.protocol import Py4JJavaError
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], 'id long, v array<double>')
+        with pytest.raises(Exception, match='ragged'):
+            write_df(df.coalesce(1), str(tmp_path / 'r.npy'), value_col='v')
+
+    def test_heterogeneous_shards_rejected(self, spark, tmp_path):
+        import numpy as np
+        d = tmp_path / 'mix.npy'
+        d.mkdir()
+        np.save(str(d / 'a.npy'), np.ones((2, 3), dtype=np.float32))
+        np.save(str(d / 'b.npy'), np.ones((2, 4), dtype=np.float32))
+        with pytest.raises(ValueError, match='does not match'):
+            read_df(str(d), spark)
