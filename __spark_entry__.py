@@ -4950,6 +4950,37 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_semdedup_check(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — kmeans-scoped
+    semantic dedup, NEW round 10) VALUE-checked by planted
+    construction: every vec_id%5==1 embedding is replaced with an EXACT
+    copy of vec_id-1's vector. Identical vectors normalize identically,
+    land in the same kmeans cluster deterministically, and sit at
+    cosine 1 >= 0.99, so each planted pair forms a duplicate group
+    whose keep='min' survivor is vec_id-1 — the survivor set is pure
+    vec_id arithmetic (verified at sf0.01: no natural pair reaches the
+    0.99 threshold, so only planted groups form). DuckDB replays the
+    arithmetic. Impl: erde_spark/scale/dedup.py::semdedup — cluster-
+    LOCAL quadratic step (the paper's own approximation), one shuffle,
+    union-find inside the task, no global component iterations."""
+    from erde_spark.scale.dedup import semdedup
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    src = e.select((F.col('vec_id') + 1).alias('vec_id'),
+                   F.col('embedding').alias('_dup'))
+    planted = (e.join(src, 'vec_id', 'left')
+               .select('vec_id',
+                       F.when((F.col('vec_id') % 5 == 1)
+                              & F.col('_dup').isNotNull(), F.col('_dup'))
+                       .otherwise(F.col('embedding')).alias('embedding')))
+    out = semdedup(planted, threshold=0.99, keep='min')
+    return out.select('vec_id').orderBy('vec_id')
+
+
+_SEMDEDUP_SQL = """
+SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 1 ORDER BY vec_id
+"""
+
+
 def q_npy_roundtrip(spark, sf_dir):
     """NumPy ``.npy`` matrix export/ingest (NEW round 10 — the
     embedding-dump interchange format; the read side is a SPLITTABLE
@@ -6319,7 +6350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
         'embedding_lsh_check': q_embedding_lsh_check,
-        'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'image_phash_dedup': q_image_phash_dedup,
@@ -6328,11 +6358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'weighted_sample_check': q_weighted_sample_check,
         'zst_roundtrip': q_zst_roundtrip,
         'npy_roundtrip': q_npy_roundtrip,
+        'semdedup_check': q_semdedup_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
         'readability': q_readability,
         'passage_span_check': q_passage_span_check,
+        'minhash_cluster_check': q_minhash_cluster_check,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6508,6 +6540,7 @@ def oracle_sql() -> dict[str, str]:
         'wds_roundtrip': _WDS_ROUNDTRIP_SQL,
         'zst_roundtrip': _ZST_ROUNDTRIP_SQL,
         'npy_roundtrip': _NPY_ROUNDTRIP_SQL,
+        'semdedup_check': _SEMDEDUP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -1214,6 +1214,84 @@ def embedding_dedup_clusters(df: DataFrame, id_col: str = 'vec_id',
                    id_col, 'inner')
 
 
+def semdedup(df: DataFrame, id_col: str = 'vec_id',
+             vec_col: str = 'embedding', threshold: float = 0.95,
+             n_clusters: int | None = None, sample_size: int = 4096,
+             seed: int = 42, keep: str = 'far',
+             n_docs: int | None = None, block: int = 1024) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-scoped
+    semantic deduplication. Vectors are assigned to ~sqrt(n) spherical
+    k-means clusters (the coarse quantizer shared with the IVF
+    retriever); WITHIN each cluster, pairwise cosine >= ``threshold``
+    defines duplicate groups, and each group keeps exactly one point —
+    the paper's policy ``keep='far'`` retains the member with the
+    LOWEST similarity to its centroid (preserving the cluster's
+    diversity frontier), ``keep='min'`` retains the minimum id
+    (arithmetic-friendly for planted-construction gates). Ties break
+    by id, so the result is fully deterministic.
+
+    Scale posture (100 TB): the quadratic step is CLUSTER-LOCAL — the
+    paper's own approximation (cross-cluster near-dups are not
+    claimed). One shuffle on cluster id; per task the similarity matrix
+    is computed in ``block``-row strips, so memory is
+    ``c*dim*8 + block*c*8`` bytes for cluster size c (E[c] = sqrt(n)
+    with the default cluster count). Duplicate groups cannot span
+    clusters by construction, so components resolve with a LOCAL
+    union-find inside the task — no iterative global join rounds at
+    all (contrast :func:`embedding_dedup_clusters`, the banded-LSH
+    tier that does pay them to catch cross-partition pairs).
+    A pathologically giant cluster (one task's memory) is the known
+    failure mode of the method itself — raise ``n_clusters`` or
+    pre-split such corpora.
+
+    Returns the SURVIVING rows of ``df`` (original columns)."""
+    from erde_spark.scale.similarity import ivf_index
+    if keep not in ('far', 'min'):
+        raise ValueError(f"keep={keep!r}: use 'far' or 'min'")
+    cent, indexed = ivf_index(df, n_lists=n_clusters, id_col=id_col,
+                              vec_col=vec_col, sample_size=sample_size,
+                              seed=seed, n_docs=n_docs)
+    thr, far, blk = float(threshold), keep == 'far', int(block)
+
+    def _cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf['id'].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf['nvec']])
+        c = len(ids)
+        parent = np.arange(c)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        csim = m @ cent[int(pdf['list_id'].iloc[0])]
+        for s in range(0, c, blk):
+            sims = m[s:s + blk] @ m.T  # strip x cluster
+            for di, row in enumerate(sims):
+                i = s + di
+                for j in np.nonzero(row[i + 1:] >= thr)[0] + i + 1:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.fromiter((find(i) for i in range(c)), dtype=np.int64)
+        keep_mask = np.zeros(c, dtype=bool)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            if far:
+                order = np.lexsort((ids[members], csim[members]))
+            else:
+                order = np.argsort(ids[members])
+            keep_mask[members[order[0]]] = True
+        return pd.DataFrame({'id': ids[keep_mask]})
+
+    kept = indexed.groupBy('list_id').applyInPandas(
+        _cluster_keep, schema=f'id {dict(df.dtypes)[id_col]}')
+    return df.join(kept.withColumnRenamed('id', id_col),
+                   id_col, 'left_semi')
+
+
 def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
                         vec_col: str = 'embedding', threshold: float = 0.9,
                         dim: int = 64, bands: int | None = None,

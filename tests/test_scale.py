@@ -2196,3 +2196,61 @@ class TestHardNegatives:
         with _pytest.raises(ValueError, match='method'):
             mine_hard_negatives(corpus, corpus, self._pos(spark),
                                 method='hnsw')
+
+
+class TestSemDedup:
+    """SemDeDup (arXiv:2303.09540): kmeans-cluster-scoped semantic
+    dedup with the paper's keep-farthest-from-centroid policy."""
+
+    def _planted(self, spark, n=200, dim=16):
+        # deterministic pseudo-random unit-ish vectors; vec_id%5==1 is
+        # an exact copy of vec_id-1's vector
+        import numpy as np
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = []
+        for i in range(n):
+            v = base[i - 1] if i % 5 == 1 else base[i]
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+
+    def test_planted_duplicates_drop_min_keep(self, spark):
+        from erde_spark.scale.dedup import semdedup
+        df = self._planted(spark)
+        out = semdedup(df, threshold=0.99, keep='min')
+        got = sorted(r['vec_id'] for r in out.collect())
+        assert got == [i for i in range(200) if i % 5 != 1]
+
+    def test_keep_far_retains_low_centroid_sim_member(self, spark):
+        from erde_spark.scale.dedup import semdedup
+        import math
+        # one cluster of three: a/b near-dups (cos ~0.999), c distinct.
+        # centroid pulls toward the a/b mass => between a and b, the one
+        # farther from the centroid must survive under keep='far'.
+        a = [1.0, 0.0]
+        b = [math.cos(0.04), math.sin(0.04)]
+        c = [math.cos(1.2), math.sin(1.2)]
+        df = spark.createDataFrame(
+            [(0, a), (1, b), (2, c)], 'vec_id long, embedding array<double>')
+        out = semdedup(df, threshold=0.99, n_clusters=1, keep='far')
+        got = sorted(r['vec_id'] for r in out.collect())
+        # centroid ~ normalized mean; b sits between a and the centroid,
+        # so a (farther) is kept; c is no one's duplicate
+        assert got == [0, 2]
+        out2 = semdedup(df, threshold=0.99, n_clusters=1, keep='min')
+        assert sorted(r['vec_id'] for r in out2.collect()) == [0, 2]
+
+    def test_no_duplicates_all_survive_and_deterministic(self, spark):
+        from erde_spark.scale.dedup import semdedup
+        df = self._planted(spark).filter(F.col('vec_id') % 5 != 1)
+        a = sorted(r['vec_id'] for r in
+                   semdedup(df, threshold=0.99).collect())
+        b = sorted(r['vec_id'] for r in
+                   semdedup(df.repartition(13), threshold=0.99).collect())
+        assert a == b == sorted(r['vec_id'] for r in df.collect())
+
+    def test_keep_validates(self, spark):
+        from erde_spark.scale.dedup import semdedup
+        with pytest.raises(ValueError, match='far'):
+            semdedup(self._planted(spark, 10), keep='random')
