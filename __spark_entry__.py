@@ -1811,6 +1811,74 @@ FROM (SELECT c_custkey FROM customer LIMIT 200)
 
 # ================================================================ text / dedup / similarity
 
+def q_inverted_index_check(spark, sf_dir):
+    """Inverted-index build (NEW round 10 — the serving artifact for
+    decontamination lookups / boolean retrieval / query-time BM25):
+    (term, df, postings) with postings sorted (id, tf) structs, two
+    map-side-combined shuffles, zero Python. VALUE-checked by hashing
+    each postings list ('id:tf' space-joined) — DuckDB rebuilds the
+    identical lists with string_agg ORDER BY id. Impl:
+    erde_spark/scale/ranking.py::build_postings."""
+    from erde_spark.scale.ranking import build_postings
+    d = _t(spark, sf_dir, 'documents')['documents']
+    idx = build_postings(d, min_df=5)
+    return (idx.select(
+        'term', 'df',
+        F.md5(F.concat_ws(' ', F.transform(
+            'postings',
+            lambda p: F.concat_ws(':', p['id'], p['tf']))))
+        .alias('postings_md5'))
+        .orderBy(F.desc('df'), 'term').limit(1000))
+
+
+_INVERTED_INDEX_SQL = """
+WITH tf AS (
+  SELECT term, doc_id AS id, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                 AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY term, doc_id)
+SELECT term, COUNT(*) AS df,
+       md5(string_agg(id || ':' || tf, ' ' ORDER BY id)) AS postings_md5
+FROM tf GROUP BY term HAVING COUNT(*) >= 5
+ORDER BY df DESC, term LIMIT 1000
+"""
+
+
+def q_postings_lookup_check(spark, sf_dir):
+    """Boolean-AND retrieval through the inverted index: the two terms
+    ranked 11th-12th by corpus frequency (selective but non-trivial,
+    derived identically by both engines) must return exactly the doc
+    ids containing BOTH — DuckDB answers from the token table directly,
+    the engine from k postings-list scans (index filtered to k terms
+    before any explode). Impl: ranking.py::postings_lookup."""
+    from erde_spark.scale.ranking import build_postings, postings_lookup
+    from erde_spark.scale.text import tokens as _tk
+    d = _t(spark, sf_dir, 'documents')['documents']
+    terms = [r['term'] for r in
+             (d.select(F.explode(_tk('text')).alias('term'))
+              .groupBy('term').count()
+              .orderBy(F.desc('count'), 'term').limit(12).collect())][10:]
+    idx = build_postings(d, min_df=1)
+    return (postings_lookup(idx, terms, mode='all')
+            .select(F.col('id').alias('doc_id')).orderBy('doc_id'))
+
+
+_POSTINGS_LOOKUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t AS (SELECT term FROM toks WHERE term <> ''
+      GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT 2 OFFSET 10)
+SELECT doc_id FROM toks JOIN t USING (term)
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+ORDER BY doc_id
+"""
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus top-20 tokens: the classic explode -> count -> top-k text
     pipeline, all JVM-side (split/explode/groupBy/window). Deterministic
@@ -6349,8 +6417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
-        'embedding_lsh_check': q_embedding_lsh_check,
-        'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
@@ -6359,12 +6425,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zst_roundtrip': q_zst_roundtrip,
         'npy_roundtrip': q_npy_roundtrip,
         'semdedup_check': q_semdedup_check,
+        'inverted_index_check': q_inverted_index_check,
+        'postings_lookup_check': q_postings_lookup_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
         'readability': q_readability,
         'passage_span_check': q_passage_span_check,
         'minhash_cluster_check': q_minhash_cluster_check,
+        'embedding_lsh_check': q_embedding_lsh_check,
+        'embedding_cluster_check': q_embedding_cluster_check,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6541,6 +6611,8 @@ def oracle_sql() -> dict[str, str]:
         'zst_roundtrip': _ZST_ROUNDTRIP_SQL,
         'npy_roundtrip': _NPY_ROUNDTRIP_SQL,
         'semdedup_check': _SEMDEDUP_SQL,
+        'inverted_index_check': _INVERTED_INDEX_SQL,
+        'postings_lookup_check': _POSTINGS_LOOKUP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

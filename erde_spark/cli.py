@@ -659,6 +659,32 @@ def ul2(input_data: DataFrame, r_weight: float = 0.5,
 
 
 @autocli
+def semdedup(input_data: DataFrame, threshold: float = 0.95,
+             n_clusters: int = 0, keep: str = 'far',
+             id_column: str = 'vec_id',
+             vector_column: str = 'embedding') -> DataFrame:
+    """SemDeDup semantic dedup over an embedding column: kmeans-
+    cluster-scoped cosine duplicate groups, one survivor per group
+    ('far' = the paper's lowest-centroid-similarity policy, 'min' =
+    minimum id). n_clusters 0 means ~sqrt(n)."""
+    from erde_spark.scale.dedup import semdedup as _sd
+    return _sd(input_data, id_col=id_column, vec_col=vector_column,
+               threshold=threshold,
+               n_clusters=n_clusters or None, keep=keep)
+
+
+@autocli
+def wsample(input_data: DataFrame, n: int, weight_column: str,
+            id_column: str = 'doc_id', salt: str = '') -> DataFrame:
+    """Weighted sample WITHOUT replacement (Efraimidis-Spirakis):
+    exactly n rows, inclusion proportional to weight, deterministic
+    given the salt."""
+    from erde_spark.scale.sampling import weighted_sample
+    return weighted_sample(input_data, id_column, weight_column, n,
+                           salt=salt)
+
+
+@autocli
 def chat(input_data: DataFrame, turns_column: str = 'turns',
          template: str = 'chatml', id_column: str = 'conv_id',
          spans: bool = False, validate: bool = False,
@@ -727,7 +753,7 @@ COMMANDS = {
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
-    'ul2': ul2,
+    'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample,
 }
 
 

@@ -80,3 +80,63 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     """
     scores = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
     return scores.orderBy(F.col('score').desc(), F.col(id_col)).limit(k)
+
+
+def build_postings(docs: DataFrame, id_col: str = 'doc_id',
+                   text_col: str = 'text', min_df: int = 1,
+                   max_df_frac: float = 1.0,
+                   n_docs: int | None = None) -> DataFrame:
+    """Inverted index build: ``(term, df, postings)`` with postings an
+    array of ``(id, tf)`` structs sorted by id — the serving artifact
+    for decontamination lookups, boolean retrieval, and BM25 at query
+    time (df and tf are exactly the statistics :func:`bm25_scores`
+    recomputes per query; an index materializes them once).
+
+    Plan: explode tokens -> groupBy (term, id) count (map-side
+    combined) -> groupBy term ``sort_array(collect_list(...))``. Two
+    shuffles, both on term-ish keys, everything inside codegen — no
+    Python anywhere. ``min_df``/``max_df_frac`` prune hapaxes and
+    stopword-grade terms AT BUILD TIME (df > max_df_frac*N terms carry
+    postings lists ~N long — the classic index-bloat key-skew; pruning
+    them bounds the largest collect_list). Write the result partitioned
+    by a term-hash bucket for partition-pruned point lookups at scale.
+
+    ``n_docs`` short-circuits the corpus count when the caller already
+    knows it (skips one columnar count job)."""
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(f'max_df_frac must be in (0, 1], got {max_df_frac}')
+    if n_docs is None:
+        n_docs = docs.count()
+    tf = (docs.select(F.col(id_col).alias('id'),
+                      F.explode(tokens(text_col)).alias('term'))
+          .groupBy('term', 'id').agg(F.count(F.lit(1)).alias('tf')))
+    out = (tf.groupBy('term')
+           .agg(F.count(F.lit(1)).alias('df'),
+                F.sort_array(F.collect_list(F.struct('id', 'tf')))
+                .alias('postings'))
+           .filter(F.col('df') >= int(min_df)))
+    if max_df_frac < 1.0:
+        out = out.filter(F.col('df') <= float(max_df_frac) * n_docs)
+    return out
+
+
+def postings_lookup(index: DataFrame, terms: list[str],
+                    mode: str = 'any') -> DataFrame:
+    """Doc ids matching ``terms`` from a :func:`build_postings` index:
+    ``mode='any'`` (boolean OR) or ``'all'`` (AND — id must appear in
+    every term's postings). The index side is filtered to k terms
+    before any explode, so this is k postings-list scans however big
+    the corpus was."""
+    if not terms:
+        raise ValueError('terms must be non-empty')
+    if mode not in ('any', 'all'):
+        raise ValueError(f"mode={mode!r}: use 'any' or 'all'")
+    hits = (index.filter(F.col('term').isin([t.lower() for t in terms]))
+            .select('term', F.explode('postings').alias('p'))
+            .select('term', F.col('p.id').alias('id')))
+    if mode == 'any':
+        return hits.select('id').distinct()
+    need = len({t.lower() for t in terms})
+    return (hits.groupBy('id')
+            .agg(F.countDistinct('term').alias('_k'))
+            .filter(F.col('_k') == need).select('id'))

@@ -600,3 +600,32 @@ def test_ul2_subcommand(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert all(r['denoiser'] == 'S' for r in rows)
     assert all(r['inputs'].startswith('[S2S]') for r in rows)
+
+
+def test_semdedup_wsample_subcommands(spark, tmp_path):
+    """Round-10 CLI additions end-to-end from the entrypoint."""
+    import numpy as np
+
+    from erde_spark.cli import entrypoint
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in (base[i - 1] if i % 4 == 1 else base[i])])
+            for i in range(40)]
+    src = str(tmp_path / 'emb.parquet')
+    spark.createDataFrame(rows, 'vec_id long, embedding array<double>') \
+        .write.parquet(src)
+    out = str(tmp_path / 'kept.parquet')
+    entrypoint(['semdedup', src, out, '--threshold', '0.99',
+                '--keep', 'min'])
+    kept = sorted(r['vec_id'] for r in spark.read.parquet(out).collect())
+    assert kept == [i for i in range(40) if i % 4 != 1]
+
+    docs = str(tmp_path / 'd.parquet')
+    spark.range(100).selectExpr('id AS doc_id',
+                                'CAST(id % 3 + 1 AS DOUBLE) AS w') \
+        .write.parquet(docs)
+    out2 = str(tmp_path / 'sample.parquet')
+    entrypoint(['wsample', docs, '20', 'w', out2])
+    got = spark.read.parquet(out2)
+    assert got.count() == 20 and 'doc_id' in got.columns

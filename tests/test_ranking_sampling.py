@@ -405,3 +405,56 @@ class TestWeightedSample:
         b = {r['id'] for r in weighted_sample(df, 'id', 'w', 200, 'e2').collect()}
         # independent draws: expected overlap ~ sum p_i^2 ~ 35 of 200
         assert a != b and 0 < len(a & b) < 120
+
+
+class TestInvertedIndex:
+    """build_postings / postings_lookup (scale/ranking.py)."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [(0, 'alpha beta gamma'),
+                (1, 'alpha alpha delta'),
+                (2, 'beta beta beta gamma'),
+                (3, 'delta epsilon'),
+                (4, 'alpha beta')]
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_postings_exact(self, spark, corpus):
+        from erde_spark.scale.ranking import build_postings
+        idx = {r['term']: (r['df'], [(p['id'], p['tf']) for p in r['postings']])
+               for r in build_postings(corpus).collect()}
+        assert idx['alpha'] == (3, [(0, 1), (1, 2), (4, 1)])
+        assert idx['beta'] == (3, [(0, 1), (2, 3), (4, 1)])
+        assert idx['epsilon'] == (1, [(3, 1)])
+
+    def test_df_pruning(self, spark, corpus):
+        from erde_spark.scale.ranking import build_postings
+        terms = {r['term'] for r in
+                 build_postings(corpus, min_df=2, max_df_frac=0.5).collect()}
+        # df>=2 kills epsilon; max_df 0.5*5=2.5 kills alpha/beta (df 3)
+        assert terms == {'gamma', 'delta'}
+
+    def test_lookup_any_all(self, spark, corpus):
+        from erde_spark.scale.ranking import build_postings, postings_lookup
+        idx = build_postings(corpus)
+        any_ = sorted(r['id'] for r in
+                      postings_lookup(idx, ['alpha', 'delta']).collect())
+        assert any_ == [0, 1, 3, 4]
+        all_ = sorted(r['id'] for r in
+                      postings_lookup(idx, ['alpha', 'delta'], 'all').collect())
+        assert all_ == [1]
+
+    def test_lookup_validates(self, spark, corpus):
+        from erde_spark.scale.ranking import build_postings, postings_lookup
+        idx = build_postings(corpus)
+        with pytest.raises(ValueError):
+            postings_lookup(idx, [])
+        with pytest.raises(ValueError):
+            postings_lookup(idx, ['a'], mode='phrase')
+
+    def test_plan_no_python(self, spark, corpus):
+        from erde_spark.plans.inspect import count_python_udf_passes, count_shuffles
+        from erde_spark.scale.ranking import build_postings
+        idx = build_postings(corpus, n_docs=5)
+        assert count_python_udf_passes(idx) == 0
+        assert count_shuffles(idx) <= 2
