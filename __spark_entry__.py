@@ -5018,6 +5018,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_upsert_latest_check(spark, sf_dir):
+    """Snapshot MERGE semantics (NEW round 10 — latest-wins upsert with
+    tombstones, the recurring-ingest maintenance op; no Delta/Iceberg
+    in-container so MERGE is a deterministic transformation): base =
+    every document at version 1; updates carry (a) version-2 rewrites
+    for doc_id%4==0, (b) tombstones for doc_id%4==1, (c) inserts at
+    doc_id+10000000 derived from doc_id%4==2. One shuffle (union + one
+    window). DuckDB replays the arithmetic directly. Impl:
+    erde_spark/operators/upsert.py."""
+    from erde_spark.operators.upsert import upsert_latest
+    d = _t(spark, sf_dir, 'documents')['documents']
+    base = d.select('doc_id', F.lit(1).alias('version'),
+                    F.md5('text').alias('val'))
+    m4 = F.col('doc_id') % 4
+    rewrites = (d.filter(m4 == 0)
+                .select('doc_id', F.lit(2).alias('version'),
+                        F.concat(F.lit('U'), F.col('doc_id')).alias('val'),
+                        F.lit(False).alias('dead')))
+    deletes = (d.filter(m4 == 1)
+               .select('doc_id', F.lit(2).alias('version'),
+                       F.lit('x').alias('val'), F.lit(True).alias('dead')))
+    inserts = (d.filter(m4 == 2)
+               .select((F.col('doc_id') + 10000000).alias('doc_id'),
+                       F.lit(1).alias('version'),
+                       F.concat(F.lit('I'), F.col('doc_id')).alias('val'),
+                       F.lit(False).alias('dead')))
+    updates = rewrites.unionByName(deletes).unionByName(inserts)
+    out = upsert_latest(base, updates, 'doc_id', 'version',
+                        tombstone_col='dead')
+    return out.orderBy('doc_id')
+
+
+_UPSERT_LATEST_SQL = """
+SELECT doc_id, 2 AS version, 'U' || doc_id AS val
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, 1 AS version, md5(text) AS val
+FROM documents WHERE doc_id % 4 IN (2, 3)
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, 1 AS version, 'I' || doc_id AS val
+FROM documents WHERE doc_id % 4 = 2
+ORDER BY doc_id
+"""
+
+
 def q_semdedup_check(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — kmeans-scoped
     semantic dedup, NEW round 10) VALUE-checked by planted
@@ -6417,7 +6462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
-        'ann_rank1_check': q_ann_rank1_check,
         'image_phash_dedup': q_image_phash_dedup,
         'dsir_weights': q_dsir_weights,
         'backfill_resume_check': q_backfill_resume_check,
@@ -6427,6 +6471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semdedup_check': q_semdedup_check,
         'inverted_index_check': q_inverted_index_check,
         'postings_lookup_check': q_postings_lookup_check,
+        'upsert_latest_check': q_upsert_latest_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6435,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_cluster_check': q_minhash_cluster_check,
         'embedding_lsh_check': q_embedding_lsh_check,
         'embedding_cluster_check': q_embedding_cluster_check,
+        'ann_rank1_check': q_ann_rank1_check,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6613,6 +6659,7 @@ def oracle_sql() -> dict[str, str]:
         'semdedup_check': _SEMDEDUP_SQL,
         'inverted_index_check': _INVERTED_INDEX_SQL,
         'postings_lookup_check': _POSTINGS_LOOKUP_SQL,
+        'upsert_latest_check': _UPSERT_LATEST_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -28,6 +28,7 @@ from erde_spark.operators.convert import convert  # noqa: F401
 from erde_spark.operators.asof import asof_join  # noqa: F401
 from erde_spark.operators.timeseries import resample_locf  # noqa: F401
 from erde_spark.operators.stats import stats  # noqa: F401
+from erde_spark.operators.upsert import upsert_latest  # noqa: F401
 from erde_spark.operators.zorder import cluster_by_zorder, zorder_value  # noqa: F401
 from erde_spark.functions.sqlreg import register_sql_functions  # noqa: F401
 

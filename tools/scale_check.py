@@ -443,6 +443,62 @@ def op_avro_roundtrip(spark, sf):
     return read_avro(spark, out).select('doc_id')
 
 
+def op_semdedup(spark, sf):
+    """SemDeDup with cluster SIZE pinned (n_clusters ~ n/256): per-task
+    pairwise work stays constant, so total time/shuffle should track
+    ~10x for 10x rows (the sqrt(n) default instead gives the paper's
+    n^1.5 total pairwise compute — fine at fixed k, wrong for a
+    linearity harness). sf1's per-copy rotations preserve intra-copy
+    cosines, so planted dup structure is exactly 10x sf0.1's."""
+    from erde_spark.scale.dedup import semdedup
+    e = spark.read.parquet(f'{sf}/embeddings.parquet')
+    n = e.count()
+    return semdedup(e, threshold=0.95,
+                    n_clusters=max(16, n // 256), n_docs=n) \
+        .select('vec_id')
+
+
+def op_zst_roundtrip(spark, sf):
+    """jsonl.zst write+read: line shoveling in Python, JSON JVM-side;
+    shuffle 0 both directions — the honest number is rows/s staying
+    proportional."""
+    import os as _os
+    import tempfile
+
+    from erde_spark.io.zst import read_jsonl_zst, write_jsonl_zst
+    d = spark.read.parquet(f'{sf}/documents.parquet') \
+        .select('doc_id', 'text', 'lang')
+    out = _os.path.join(tempfile.gettempdir(),
+                        'zst_scale_' + _os.path.basename(sf.rstrip('/')))
+    write_jsonl_zst(d.repartition(32), out)
+    return read_jsonl_zst(out, spark,
+                          schema='doc_id bigint, text string, lang string') \
+        .select('doc_id')
+
+
+def op_npy_roundtrip(spark, sf):
+    """npy write+read: fixed-stride binary, byte-range sliced read;
+    shuffle 0 — scan-bound, time ~rows."""
+    import os as _os
+    import tempfile
+
+    from erde_spark.io.npy import read_npy, write_npy
+    e = spark.read.parquet(f'{sf}/embeddings.parquet')
+    out = _os.path.join(tempfile.gettempdir(),
+                        'npy_scale_' + _os.path.basename(sf.rstrip('/')))
+    write_npy(e.repartition(32), out, value_col='embedding')
+    return read_npy(out, spark).select('row_id')
+
+
+def op_build_postings(spark, sf):
+    """Inverted index: two map-side-combined shuffles on term keys;
+    max_df pruning bounds the largest postings list, so shuffle should
+    track ~10x rows without a giant-key straggler."""
+    from erde_spark.scale.ranking import build_postings
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    return build_postings(d, min_df=2, max_df_frac=0.5)
+
+
 OPS = {
     'dedup_clusters': op_dedup_clusters,
     'dedup_minhash_lsh': op_minhash_lsh,
@@ -471,6 +527,10 @@ OPS = {
     'hard_negatives': op_hard_negatives,
     'avro_roundtrip': op_avro_roundtrip,
     'pagerank': op_pagerank,
+    'semdedup': op_semdedup,
+    'zst_roundtrip': op_zst_roundtrip,
+    'npy_roundtrip': op_npy_roundtrip,
+    'build_postings': op_build_postings,
 }
 
 
