@@ -106,7 +106,17 @@ class ParquetDriver(_Driver):
         if covering and 'geometry' in df.columns \
                 and dict(df.dtypes)['geometry'] == 'binary':
             cov = 'bbox' if covering is True else str(covering)
-            if cov not in df.columns:
+            if cov in df.columns:
+                # an existing column only qualifies if it IS a bbox
+                # struct — declaring a random column as the covering
+                # would corrupt every reader's pruning silently
+                if dict(df.dtypes)[cov] != \
+                        'struct<xmin:double,ymin:double,xmax:double,ymax:double>':
+                    raise ValueError(
+                        f'column {cov!r} exists but is not a '
+                        'struct<xmin,ymin,xmax,ymax> double bbox; rename '
+                        'it or pass covering=<other name>')
+            else:
                 df = df.withColumn(cov, _bbox_covering_col('geometry'))
         df.write.mode(mode).parquet(path, **kw)
         if 'geometry' in df.columns:

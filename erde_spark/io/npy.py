@@ -132,12 +132,14 @@ def read_npy(path: str, spark: SparkSession,
         for s in range(0, p['rows'], rows_per_slice):
             e = min(s + rows_per_slice, p['rows'])
             slices.append((p['file'], p['offset'], p['base'], s, e))
-    sdf = spark.createDataFrame(
-        slices, 'file string, offset long, base long, start long, end long') \
-        .repartition(min(len(slices), 2 * _default_parallelism(spark)))
     val_t = T.ArrayType(spark_t) if dim else spark_t
     schema = T.StructType([T.StructField('row_id', T.LongType()),
                            T.StructField(value_col, val_t)])
+    if not slices:  # every file declares zero rows
+        return spark.createDataFrame([], schema)
+    sdf = spark.createDataFrame(
+        slices, 'file string, offset long, base long, start long, end long') \
+        .repartition(min(len(slices), 2 * _default_parallelism(spark)))
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,6 +185,15 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
         raise FileExistsError(path)
     if mode == 'overwrite':
         shutil.rmtree(path, ignore_errors=True)
+    elif mode != 'error':
+        # append would interleave new part names into the existing
+        # lexicographic order and silently REORDER the global matrix —
+        # row position is the semantic here, so refuse rather than
+        # corrupt (write a fresh directory and concatenate plans
+        # upstream instead)
+        raise ValueError(f"mode={mode!r}: .npy supports only "
+                         "'overwrite'/'error' (append would reorder "
+                         'the global row index)')
     os.makedirs(path, exist_ok=True)
     elem = dt[6:-1] if is_arr else dt
     np_of = {'float': np.float32, 'double': np.float64, 'int': np.int32,

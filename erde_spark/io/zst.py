@@ -119,14 +119,21 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
     to attempt-scoped temp names and commit by atomic rename (same
     discipline as Spark's own file committers)."""
     import shutil
+    import uuid
     if mode == 'error' and os.path.exists(path):
         raise FileExistsError(path)
     if mode == 'overwrite':
         shutil.rmtree(path, ignore_errors=True)
+    elif mode != 'append':
+        raise ValueError(f'mode={mode!r}: use overwrite/append/error')
     os.makedirs(path, exist_ok=True)
     if shard_bytes <= 0:
         raise ValueError('shard_bytes must be positive')
     lines = df.select(F.to_json(F.struct(*df.columns)).alias('value'))
+    # append must not collide with (or silently replace) a previous
+    # job's part-<tid> names — tag this job's shards uniquely, the same
+    # reason Spark's own committer puts a job UUID in file names
+    tag = '' if mode == 'overwrite' else f'-{uuid.uuid4().hex[:8]}'
 
     def _write_partition(it):
         # staging discipline inlined from erde_spark.io.task_files:
@@ -146,7 +153,7 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
         def _open_shard():
             nonlocal out, tmp, final
             final = os.path.join(
-                path, f'part-{tid:05d}-{shard_idx:05d}.jsonl.zst')
+                path, f'part-{tid:05d}-{shard_idx:05d}{tag}.jsonl.zst')
             tmp = f'{final}.{attempt}.inprogress'
             # this pyarrow's output_stream exposes no level knob —
             # zstd default (3) is the archival sweet spot anyway

@@ -1030,3 +1030,45 @@ class TestNpy:
         np.save(str(d / 'b.npy'), np.ones((2, 4), dtype=np.float32))
         with pytest.raises(ValueError, match='does not match'):
             read_df(str(d), spark)
+
+
+def test_zst_append_no_collision(spark, tmp_path):
+    """Round-10 review fix: append must not silently REPLACE a previous
+    job's part files (same partition ids) — appended shards carry a
+    job tag."""
+    out = str(tmp_path / 'a.jsonl.zst')
+    d = spark.range(10).selectExpr('id AS doc_id', "'x' AS text")
+    write_df(d.coalesce(1), out)
+    write_df(d.coalesce(1), out, mode='append')
+    assert read_df(out, spark, schema='doc_id bigint, text string') \
+        .count() == 20
+    with pytest.raises(ValueError, match='mode'):
+        write_df(d, out, mode='ignore')
+
+
+def test_npy_append_refused_and_empty_read(spark, tmp_path):
+    """Append would reorder the global row index -> refuse; an all-empty
+    file set reads as an empty frame, not a crash."""
+    import numpy as np
+    out = str(tmp_path / 'm.npy')
+    d = spark.range(4).selectExpr('CAST(id AS DOUBLE) AS value')
+    write_df(d, out, value_col='value')
+    with pytest.raises(ValueError, match='reorder'):
+        write_df(d, out, value_col='value', mode='append')
+    empty = str(tmp_path / 'e.npy')
+    np.save(empty, np.zeros((0, 3), dtype=np.float32))
+    got = read_df(empty, spark)
+    assert got.count() == 0 and got.columns == ['row_id', 'value']
+
+
+def test_covering_rejects_non_bbox_column(spark, tmp_path):
+    """covering=True with a pre-existing non-bbox 'bbox' column must
+    refuse rather than declare it as the covering."""
+    from erde_spark.functions.geo import st_point
+    from erde_spark.geo.crs import set_crs
+    df = (spark.range(3)
+          .select('id', F.lit('oops').alias('bbox'),
+                  st_point(F.lit(1.0), F.lit(2.0)).alias('geometry')))
+    with pytest.raises(ValueError, match='bbox'):
+        write_df(set_crs(df, 4326), str(tmp_path / 'c.parquet'),
+                 covering=True)
