@@ -5314,6 +5314,48 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_zst_stream_ingest(spark, sf_dir):
+    """Continuous .jsonl.zst ingest (NEW round 10 —
+    erde_spark/io/zst.py::read_jsonl_zst_stream, the warc-streaming
+    shape applied to the corpus-release format) VALUE-checked end to
+    end: the documents table stages as TWO zst shards, the file-stream
+    source consumes them one per micro-batch (maxFilesPerTrigger=1,
+    exactly-once via the checkpoint) into parquet, and doc_id /
+    md5(text) / lang must equal the source exactly — a row lost or
+    duplicated across micro-batch boundaries turns the gate red."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.zst import read_jsonl_zst_stream, write_jsonl_zst
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'text', 'lang')
+    base = tempfile.mkdtemp(prefix='erde_zst_stream_')
+    in_dir = os.path.join(base, 'in')
+    for k in (0, 1):
+        write_jsonl_zst(d.filter(F.pmod('doc_id', F.lit(2)) == k)
+                        .coalesce(1), in_dir,
+                        mode='overwrite' if k == 0 else 'append')
+    q = read_jsonl_zst_stream(
+        spark, in_dir, os.path.join(base, 'out'),
+        os.path.join(base, 'ckpt'),
+        schema='doc_id bigint, text string, lang string',
+        max_files_per_trigger=1)
+    q.awaitTermination()
+    res = (spark.read.parquet(os.path.join(base, 'out'))
+           .select('doc_id',
+                   F.md5(F.coalesce(F.col('text'), F.lit(''))).alias('text_md5'),
+                   'lang')
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_ZST_STREAM_SQL = """
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_stream_shards_roundtrip(spark, sf_dir):
     """The foreachBatch bridge from a standing curation stream to the
     training-interchange sinks (NEW round 9 —
@@ -6463,7 +6505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
         'image_phash_dedup': q_image_phash_dedup,
-        'dsir_weights': q_dsir_weights,
         'backfill_resume_check': q_backfill_resume_check,
         'weighted_sample_check': q_weighted_sample_check,
         'zst_roundtrip': q_zst_roundtrip,
@@ -6472,6 +6513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'inverted_index_check': q_inverted_index_check,
         'postings_lookup_check': q_postings_lookup_check,
         'upsert_latest_check': q_upsert_latest_check,
+        'zst_stream_ingest': q_zst_stream_ingest,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6481,6 +6523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_lsh_check': q_embedding_lsh_check,
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
+        'dsir_weights': q_dsir_weights,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6660,6 +6703,7 @@ def oracle_sql() -> dict[str, str]:
         'inverted_index_check': _INVERTED_INDEX_SQL,
         'postings_lookup_check': _POSTINGS_LOOKUP_SQL,
         'upsert_latest_check': _UPSERT_LATEST_SQL,
+        'zst_stream_ingest': _ZST_STREAM_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -108,6 +108,46 @@ def read_jsonl_zst(path: str, spark: SparkSession,
     return lines.select(F.from_json('value', schema).alias('j')).select('j.*')
 
 
+def read_jsonl_zst_stream(spark: SparkSession, in_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          schema: T.StructType | str,
+                          trigger_once: bool = True,
+                          max_files_per_trigger: int | None = None,
+                          batch_rows: int = 4096):
+    """Continuous ``.jsonl.zst`` ingest (the io/warc.py streaming shape):
+    watch ``in_dir`` for new shards — the file-stream source tracks
+    arrivals exactly-once via the checkpoint — decompress/parse each
+    through the same machinery as :func:`read_jsonl_zst`, and append
+    parquet to ``out_dir`` per micro-batch. New corpus-release shards
+    land in a bucket; this query turns them into table rows that the
+    downstream streaming dedup store-join curates incrementally.
+    ``schema`` is REQUIRED (streaming sources cannot head-sample).
+    Returns the started ``StreamingQuery``."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    bin_schema = ('path string, modificationTime timestamp, '
+                  'length long, content binary')
+    stream = (spark.readStream.format('binaryFile').schema(bin_schema)
+              .option('pathGlobFilter', '*.zst'))
+    if max_files_per_trigger:
+        stream = stream.option('maxFilesPerTrigger',
+                               int(max_files_per_trigger))
+    files = stream.load(in_dir).select('path')
+    lines = files.mapInPandas(
+        _line_reader(batch_rows),
+        schema=T.StructType([T.StructField('value', T.StringType())]))
+    rows = lines.select(F.from_json('value', schema).alias('j')) \
+        .select('j.*')
+    writer = (rows.writeStream
+              .option('checkpointLocation', checkpoint_dir)
+              .outputMode('append')
+              .format('parquet')
+              .option('path', out_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
                     shard_bytes: int = 256 << 20) -> None:
     """Write ``part-<task>-<n>.jsonl.zst`` shards. Rows are serialized

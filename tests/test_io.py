@@ -1072,3 +1072,26 @@ def test_covering_rejects_non_bbox_column(spark, tmp_path):
     with pytest.raises(ValueError, match='bbox'):
         write_df(set_crs(df, 4326), str(tmp_path / 'c.parquet'),
                  covering=True)
+
+
+def test_zst_stream_ingest_incremental(spark, tmp_path):
+    """read_jsonl_zst_stream: a SECOND invocation with the same
+    checkpoint must process only newly-arrived shards (exactly-once
+    file tracking), not reprocess old ones."""
+    import os
+
+    from erde_spark.io.zst import read_jsonl_zst_stream, write_jsonl_zst
+    d = spark.range(40).selectExpr('id AS doc_id', "'t' AS text")
+    in_dir, out, ckpt = (str(tmp_path / p) for p in ('in', 'out', 'ckpt'))
+    write_jsonl_zst(d.filter('doc_id < 20').coalesce(1), in_dir)
+    read_jsonl_zst_stream(spark, in_dir, out, ckpt,
+                          schema='doc_id bigint, text string') \
+        .awaitTermination()
+    assert spark.read.parquet(out).count() == 20
+    write_jsonl_zst(d.filter('doc_id >= 20').coalesce(1), in_dir,
+                    mode='append')
+    read_jsonl_zst_stream(spark, in_dir, out, ckpt,
+                          schema='doc_id bigint, text string') \
+        .awaitTermination()
+    got = sorted(r['doc_id'] for r in spark.read.parquet(out).collect())
+    assert got == list(range(40))  # no dupes, no losses
