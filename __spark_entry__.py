@@ -1811,6 +1811,42 @@ FROM (SELECT c_custkey FROM customer LIMIT 200)
 
 # ================================================================ text / dedup / similarity
 
+def q_kneser_ney_check(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram estimation (NEW round 10 — the
+    smoothing KenLM ships, Chen & Goodman eq. 4.28, as pure count
+    algebra: three map-side-combined groupBys over the bigram-type
+    table + a 1-row type-total broadcast, zero Python). DuckDB replays
+    the full formula — discounted ML term + continuation interpolation
+    — to 9 decimals on every observed bigram. Impl:
+    erde_spark/scale/lm.py::kneser_ney_bigrams."""
+    from erde_spark.scale.lm import kneser_ney_bigrams
+    d = _t(spark, sf_dir, 'documents')['documents']
+    out = kneser_ney_bigrams(d)
+    return (out.select('w1', 'w2', 'c', F.round('p_kn', 9).alias('p_kn'))
+            .orderBy(F.desc('c'), 'w1', 'w2').limit(500))
+
+
+_KNESER_NEY_SQL = """
+WITH toks AS (
+  SELECT list_prepend('<s>', [t FOR t IN
+           regexp_split_to_array(lower(text), '[^a-z0-9]+') IF t <> '']) AS p
+  FROM documents),
+bg AS (
+  SELECT p[i] AS w1, p[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(p) - 1)) AS u(i)
+  WHERE len(p) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n_follow FROM bc GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM bc)
+SELECT w1, w2, c,
+       ROUND(GREATEST(c - 0.75, 0.0) / c1
+             + 0.75 * n_follow / c1 * n_prec / t, 9) AS p_kn
+FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+ORDER BY c DESC, w1, w2 LIMIT 500
+"""
+
+
 def q_inverted_index_check(spark, sf_dir):
     """Inverted-index build (NEW round 10 — the serving artifact for
     decontamination lookups / boolean retrieval / query-time BM25):
@@ -6504,7 +6540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'domain_stats': q_domain_stats,
         'lm_quality_score': q_lm_quality_score,
-        'image_phash_dedup': q_image_phash_dedup,
         'backfill_resume_check': q_backfill_resume_check,
         'weighted_sample_check': q_weighted_sample_check,
         'zst_roundtrip': q_zst_roundtrip,
@@ -6514,6 +6549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'postings_lookup_check': q_postings_lookup_check,
         'upsert_latest_check': q_upsert_latest_check,
         'zst_stream_ingest': q_zst_stream_ingest,
+        'kneser_ney_check': q_kneser_ney_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6524,6 +6560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'dsir_weights': q_dsir_weights,
+        'image_phash_dedup': q_image_phash_dedup,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
         'url_canonical_dedup': q_url_canonical_dedup,
@@ -6704,6 +6741,7 @@ def oracle_sql() -> dict[str, str]:
         'postings_lookup_check': _POSTINGS_LOOKUP_SQL,
         'upsert_latest_check': _UPSERT_LATEST_SQL,
         'zst_stream_ingest': _ZST_STREAM_SQL,
+        'kneser_ney_check': _KNESER_NEY_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -265,3 +265,51 @@ def perplexity_buckets(scored: DataFrame, lang_col: str = 'lang',
          .otherwise('tail'))
     return joined.withColumn(bucket_col, b) \
         .drop('_head_max', '_mid_max')
+
+
+def kneser_ney_bigrams(docs: DataFrame, text_col: str = 'text',
+                       discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimation (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.28) — the smoothing KenLM implements,
+    here as pure count algebra so another engine can replay it exactly:
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                      + D * N1+(w1 .) / c(w1 .) * Pcont(w2)
+        Pcont(w2)   = N1+(. w2) / N1+(. .)
+
+    with one BOS pad per document so sentence-initial words carry a
+    real context. Returns ``(w1, w2, c, p_kn)`` for every observed
+    bigram.
+
+    Plan: one bound-array projection (the re-evaluation cliff
+    :func:`_padded_base` documents) -> explode -> THREE
+    map-side-combined groupBys over the bigram-type table (counts,
+    follower types per context, predecessor types per word) + a 1-row
+    type-total broadcast — no Python, no driver collect, shuffles keyed
+    on words (the classic Zipf head keys combine map-side, so no
+    straggler carries a stage). 100 TB: this is wordcount-shaped; it
+    scales wherever wordcount does."""
+    from erde_spark.scale.text import tokens
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f'discount must be in (0, 1), got {discount}')
+    p = F.concat(F.array(F.lit(BOS)), tokens(text_col))
+    base = (docs.select(p.alias('_p'))
+            .where(F.size('_p') >= 2))  # at least BOS + one token
+    pairs = base.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size('_p') - 1),
+        lambda i: F.struct(
+            F.element_at('_p', i).alias('w1'),
+            F.element_at('_p', (i + 1).cast('int')).alias('w2'))))
+        .alias('bg')).select('bg.w1', 'bg.w2')
+    bc = pairs.groupBy('w1', 'w2').agg(F.count(F.lit(1)).alias('c'))
+    ctx = bc.groupBy('w1').agg(F.sum('c').alias('c1'),
+                               F.count(F.lit(1)).alias('n_follow'))
+    cont = bc.groupBy('w2').agg(F.count(F.lit(1)).alias('n_prec'))
+    tot = bc.agg(F.count(F.lit(1)).alias('t'))
+    d = F.lit(float(discount))
+    p_kn = (F.greatest(F.col('c') - d, F.lit(0.0)) / F.col('c1')
+            + d * F.col('n_follow') / F.col('c1')
+            * F.col('n_prec') / F.col('t'))
+    return (bc.join(ctx, 'w1').join(cont, 'w2')
+            .crossJoin(F.broadcast(tot))
+            .select('w1', 'w2', 'c', p_kn.alias('p_kn')))

@@ -230,3 +230,42 @@ def test_perplexity_buckets_end_to_end_lm(spark):
     order = {'head': 0, 'middle': 1, 'tail': 2}
     assert max(order[out[i]] for i in range(4)) <= \
         min(order[out[i]] for i in range(4, 8))
+
+
+class TestKneserNey:
+    """Interpolated KN bigrams vs hand-computed values (Chen & Goodman
+    eq. 4.28 on a 3-doc corpus; worked by hand in the round-10 notes)."""
+
+    def test_hand_worked_values_and_unit_mass(self, spark):
+        from erde_spark.scale.lm import kneser_ney_bigrams
+        docs = spark.createDataFrame(
+            [(0, 'a b a c'), (1, 'a b b'), (2, 'c a b')],
+            'doc_id long, text string')
+        rows = {(r['w1'], r['w2']): r for r in
+                kneser_ney_bigrams(docs).collect()}
+        # c(a.)=4, N1+(a.)=2, T=7, N1+(.b)=2:
+        # P(b|a) = (3-.75)/4 + .75*2/4 * 2/7
+        assert rows[('a', 'b')]['c'] == 3
+        assert abs(rows[('a', 'b')]['p_kn']
+                   - ((3 - .75) / 4 + .75 * 2 / 4 * 2 / 7)) < 1e-12
+        assert abs(rows[('a', 'c')]['p_kn']
+                   - ((1 - .75) / 4 + .75 * 2 / 4 * 2 / 7)) < 1e-12
+        # interpolation must conserve mass: sum over the FULL vocab of
+        # P(.|a) = observed terms + unseen ('a','a') continuation term
+        unseen_aa = .75 * 2 / 4 * 3 / 7
+        s = sum(r['p_kn'] for (w1, _), r in rows.items() if w1 == 'a')
+        assert abs(s + unseen_aa - 1.0) < 1e-12
+
+    def test_discount_validates(self, spark):
+        import pytest as _pt
+        from erde_spark.scale.lm import kneser_ney_bigrams
+        docs = spark.createDataFrame([(0, 'a b')], 'doc_id long, text string')
+        with _pt.raises(ValueError, match='discount'):
+            kneser_ney_bigrams(docs, discount=1.5)
+
+    def test_plan_no_python(self, spark):
+        from erde_spark.plans.inspect import count_python_udf_passes
+        from erde_spark.scale.lm import kneser_ney_bigrams
+        docs = spark.createDataFrame([(0, 'a b c a b')],
+                                     'doc_id long, text string')
+        assert count_python_udf_passes(kneser_ney_bigrams(docs)) == 0
