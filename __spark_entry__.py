@@ -1811,6 +1811,47 @@ FROM (SELECT c_custkey FROM customer LIMIT 200)
 
 # ================================================================ text / dedup / similarity
 
+def q_mmr_select_check(spark, sf_dir):
+    """Maximal Marginal Relevance diversity re-rank (NEW round 10 —
+    Carbonell & Goldstein 1998; erde_spark/scale/similarity.py::
+    mmr_select) VALUE-checked by planted construction: candidates are
+    10 mutually-ORTHOGONAL one-hot clusters (cluster = vec_id block of
+    B = ceil(n/10)) with relevance strictly decreasing in vec_id. At
+    lambda = 0.5 a same-cluster twin scores 0.5*rel - 0.5 < 0 while any
+    unvisited cluster's best scores 0.5*rel > 0, so the greedy MUST
+    pick exactly the minimum id of each block in block order — rank r
+    -> vec_id r*B with mmr_score 0.5*(1 - rB/(10n)), pure arithmetic
+    replayed by DuckDB. A wrong penalty update, broken tie-break, or
+    non-greedy order all change the id sequence."""
+    from erde_spark.scale.similarity import mmr_select
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    n = e.count()
+    b = -(-n // 10)
+    cand = e.select(
+        'vec_id',
+        (1 - F.col('vec_id') / (10.0 * n)).alias('relevance'),
+        F.transform(F.sequence(F.lit(0), F.lit(9)),
+                    lambda j: F.when(
+                        j == (F.col('vec_id') / b).cast('int'),
+                        1.0).otherwise(0.0)).alias('embedding'))
+    out = mmr_select(cand, k=10, lam=0.5, pool=n)
+    return out.select('rank', 'vec_id',
+                      F.round('relevance', 9).alias('relevance'),
+                      F.round('mmr_score', 9).alias('mmr_score')) \
+        .orderBy('rank')
+
+
+_MMR_SELECT_SQL = """
+WITH s AS (SELECT COUNT(*) AS n, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS b
+           FROM embeddings)
+SELECT r AS rank, r * b AS vec_id,
+       ROUND(1 - (r * b) / (10.0 * n), 9) AS relevance,
+       ROUND(0.5 * (1 - (r * b) / (10.0 * n)), 9) AS mmr_score
+FROM s, unnest(generate_series(0, 9)) AS u(r)
+ORDER BY rank
+"""
+
+
 def q_kneser_ney_check(spark, sf_dir):
     """Interpolated Kneser-Ney bigram estimation (NEW round 10 — the
     smoothing KenLM ships, Chen & Goodman eq. 4.28, as pure count
@@ -6530,7 +6571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q12_late_lines': q_tpch_q12,
         'repetition_ngrams': q_repetition_ngrams,
         'dedup_jaccard': q_dedup_jaccard,
-        'top_tokens': q_top_tokens,
         'text_analysis': q_text_analysis,
         'token_count_bpe': q_token_count_bpe,
         'dedup_containment': q_dedup_containment,
@@ -6550,6 +6590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'upsert_latest_check': q_upsert_latest_check,
         'zst_stream_ingest': q_zst_stream_ingest,
         'kneser_ney_check': q_kneser_ney_check,
+        'mmr_select_check': q_mmr_select_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6560,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_cluster_check': q_embedding_cluster_check,
         'ann_rank1_check': q_ann_rank1_check,
         'dsir_weights': q_dsir_weights,
+        'top_tokens': q_top_tokens,
         'image_phash_dedup': q_image_phash_dedup,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
@@ -6742,6 +6784,7 @@ def oracle_sql() -> dict[str, str]:
         'upsert_latest_check': _UPSERT_LATEST_SQL,
         'zst_stream_ingest': _ZST_STREAM_SQL,
         'kneser_ney_check': _KNESER_NEY_SQL,
+        'mmr_select_check': _MMR_SELECT_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -671,3 +671,67 @@ def mine_hard_negatives(corpus: DataFrame, queries: DataFrame,
     return (scored.withColumn('neg_rank', F.row_number().over(w))
             .filter(F.col('neg_rank') <= k)
             .select('query_id', 'vec_id', 'cosine', 'neg_rank'))
+
+
+def mmr_select(candidates: DataFrame, k: int = 10, lam: float = 0.5,
+               id_col: str = 'vec_id', vec_col: str = 'embedding',
+               rel_col: str = 'relevance', pool: int = 1000) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+
+        lam * relevance(d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    — the standard diversity re-rank for retrieval-corpus construction
+    (one exemplar per redundant cluster instead of k copies of the top
+    hit). Relevance comes from ``rel_col`` (BM25, a cross-encoder, a
+    query cosine — the caller's choice), diversity from the embedding
+    column. Fully deterministic: ties break by ascending id at every
+    step.
+
+    Scale shape: the GREEDY stage is inherently sequential, so the
+    design splits it — stage 1 takes the top-``pool`` candidates by
+    relevance DISTRIBUTED (TakeOrderedAndProject, partial top-n per
+    partition), stage 2 runs the k greedy rounds over the bounded pool
+    driver-side with one vectorized pool-sized similarity update per
+    round (numpy, O(pool * k) dot products on unit vectors). ``pool``
+    is the explicit memory/fidelity knob; MMR beyond a few thousand
+    candidates re-ranks noise anyway. Returns (rank, id, relevance,
+    mmr_score) with rank 0-based in selection order."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f'lam must be in [0, 1], got {lam}')
+    if k <= 0 or pool <= 0:
+        raise ValueError('k and pool must be positive')
+    spark = candidates.sparkSession
+    rows = (candidates
+            .select(F.col(id_col), F.col(rel_col).cast('double'),
+                    F.col(vec_col))
+            .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+            .limit(int(pool)).collect())
+    out_schema = (f'rank int, {id_col} {dict(candidates.dtypes)[id_col]}, '
+                  'relevance double, mmr_score double')
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = [r[0] for r in rows]
+    rel = np.array([r[1] for r in rows], dtype=np.float64)
+    m = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    np.divide(m, n, out=m, where=n > 0)
+    c = len(ids)
+    selected: list[int] = []
+    max_sim = np.full(c, -np.inf)
+    taken = np.zeros(c, dtype=bool)
+    picks = []
+    for rank in range(min(k, c)):
+        pen = np.where(np.isneginf(max_sim), 0.0, max_sim)
+        score = lam * rel - (1.0 - lam) * pen
+        score[taken] = -np.inf
+        best = int(score.argmax())
+        # deterministic tie-break: smallest id among exact score ties
+        tied = np.nonzero(score == score[best])[0]
+        if len(tied) > 1:
+            best = int(min(tied, key=lambda i: ids[i]))
+        picks.append((rank, ids[best], float(rel[best]),
+                      float(score[best])))
+        taken[best] = True
+        max_sim = np.maximum(max_sim, m @ m[best])
+    return spark.createDataFrame(picks, out_schema)

@@ -2254,3 +2254,56 @@ class TestSemDedup:
         from erde_spark.scale.dedup import semdedup
         with pytest.raises(ValueError, match='far'):
             semdedup(self._planted(spark, 10), keep='random')
+
+
+class TestMmrSelect:
+    """MMR diversity re-rank (similarity.py::mmr_select)."""
+
+    def _blocks(self, spark, n=30, dim=5):
+        return spark.range(n).select(
+            F.col('id').alias('vec_id'),
+            (1 - F.col('id') / 100.0).alias('relevance'),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: F.when(j == (F.col('id') / 10).cast('int'),
+                                         1.0).otherwise(0.0))
+            .alias('embedding'))
+
+    def test_orthogonal_blocks_one_per_cluster(self, spark):
+        from erde_spark.scale.similarity import mmr_select
+        out = mmr_select(self._blocks(spark), k=3, lam=0.5)
+        assert [(r['rank'], r['vec_id']) for r in out.collect()] == \
+            [(0, 0), (1, 10), (2, 20)]
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from erde_spark.scale.similarity import mmr_select
+        out = mmr_select(self._blocks(spark), k=5, lam=1.0)
+        assert [r['vec_id'] for r in out.collect()] == [0, 1, 2, 3, 4]
+
+    def test_penalty_tracks_max_not_sum(self, spark):
+        from erde_spark.scale.similarity import mmr_select
+        import math
+        # c close to a (20 deg) and far from b; after picking a then b,
+        # c's penalty must be max(cos20, cos70) = cos20 — a summed
+        # penalty would differ and flip the 3rd pick vs d
+        vecs = {0: 0.0, 1: 90.0, 2: 20.0, 3: 45.0}
+        rows = [(i, 1.0 - i * 1e-6,
+                 [math.cos(math.radians(a)), math.sin(math.radians(a))])
+                for i, a in vecs.items()]
+        df = spark.createDataFrame(
+            rows, 'vec_id long, relevance double, embedding array<double>')
+        out = [r['vec_id'] for r in
+               mmr_select(df, k=4, lam=0.5).collect()]
+        # picks: 0 (top rel), 1 (orthogonal), then 3 (45 deg from both,
+        # pen cos45) beats 2 (pen cos20)
+        assert out == [0, 1, 3, 2]
+
+    def test_pool_bounds_and_validation(self, spark):
+        from erde_spark.scale.similarity import mmr_select
+        df = self._blocks(spark)
+        # pool smaller than corpus: only top-rel candidates compete
+        out = mmr_select(df, k=3, lam=0.5, pool=10)
+        assert [r['vec_id'] for r in out.collect()] == [0, 1, 2]  # one cluster only
+        with pytest.raises(ValueError, match='lam'):
+            mmr_select(df, lam=1.5)
+        with pytest.raises(ValueError, match='positive'):
+            mmr_select(df, k=0)
