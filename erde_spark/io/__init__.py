@@ -103,8 +103,16 @@ class ParquetDriver(_Driver):
     def write(self, df, path, mode='overwrite', covering=False, **kw):
         from erde_spark.geo.crs import get_crs
         cov = None
-        if covering and 'geometry' in df.columns \
-                and dict(df.dtypes)['geometry'] == 'binary':
+        if covering:
+            # an explicit covering request must not degrade silently —
+            # the caller is counting on row-group pruning downstream
+            if 'geometry' not in df.columns:
+                raise ValueError(
+                    "covering=True needs a 'geometry' column")
+            if dict(df.dtypes)['geometry'] != 'binary':
+                raise ValueError(
+                    'covering=True needs WKB geometry (binary), got '
+                    f"{dict(df.dtypes)['geometry']!r}")
             cov = 'bbox' if covering is True else str(covering)
             if cov in df.columns:
                 # an existing column only qualifies if it IS a bbox

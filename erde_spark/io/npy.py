@@ -223,6 +223,14 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
                 a = np.asarray(v, dtype=npt)
                 if a.ndim not in (0, 1):
                     raise ValueError('only scalars / flat arrays')
+                if a.ndim and a.size == 0:
+                    # a width-0 row would make shape claim (n,) scalars
+                    # while contributing zero data bytes — a silently
+                    # corrupt file; there is no sane constant-width-0
+                    # matrix, so refuse
+                    raise ValueError(
+                        f'empty array in {value_col}: .npy rows must '
+                        'have at least one element')
                 d = a.size if a.ndim else 0
                 if dim is None:
                     dim = d

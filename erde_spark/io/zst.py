@@ -94,9 +94,18 @@ def read_jsonl_zst(path: str, spark: SparkSession,
     given — see :func:`_sample_schema`). Lines that fail to parse yield
     all-null rows (the Jackson PERMISSIVE default), matching
     ``spark.read.json`` semantics."""
-    listing = spark.read.format('binaryFile').load(path).select('path')
+    # '*.zst' glob (matching the streaming reader): a dead task
+    # attempt's leftover '.inprogress' staging file must never be fed
+    # to the decompressor as a shard
+    listing = (spark.read.format('binaryFile')
+               .option('pathGlobFilter', '*.zst')
+               .load(path).select('path'))
     if schema is None:
-        files = [r['path'] for r in listing.limit(1).collect()]
+        # FIRST file by name — limit(1) without ordering picks an
+        # arbitrary file per run, making inference non-reproducible on
+        # heterogeneous shard sets
+        files = [r['path'] for r in
+                 listing.orderBy('path').limit(1).collect()]
         if not files:
             raise FileNotFoundError(path)
         schema = _sample_schema(spark, files, sample_lines)
@@ -164,7 +173,7 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
         raise FileExistsError(path)
     if mode == 'overwrite':
         shutil.rmtree(path, ignore_errors=True)
-    elif mode != 'append':
+    elif mode not in ('append', 'error'):
         raise ValueError(f'mode={mode!r}: use overwrite/append/error')
     os.makedirs(path, exist_ok=True)
     if shard_bytes <= 0:
@@ -209,14 +218,25 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
             shard_idx += 1
             nbytes = 0
 
-        for row in it:
-            if out is None:
-                _open_shard()
-            b = row['value'].encode('utf-8') + b'\n'
-            out.write(b)
-            nbytes += len(b)
-            if nbytes >= shard_bytes:
-                _close_shard()
-        _close_shard()
+        try:
+            for row in it:
+                if out is None:
+                    _open_shard()
+                b = row['value'].encode('utf-8') + b'\n'
+                out.write(b)
+                nbytes += len(b)
+                if nbytes >= shard_bytes:
+                    _close_shard()
+            _close_shard()
+        finally:
+            # a dying attempt must not leave a truncated staging file
+            # behind (the read-side glob excludes '.inprogress', but a
+            # clean directory beats relying on the filter)
+            if out is not None:
+                out.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
     lines.rdd.foreachPartition(_write_partition)

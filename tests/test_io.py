@@ -1095,3 +1095,42 @@ def test_zst_stream_ingest_incremental(spark, tmp_path):
         .awaitTermination()
     got = sorted(r['doc_id'] for r in spark.read.parquet(out).collect())
     assert got == list(range(40))  # no dupes, no losses
+
+
+def test_zst_review_fixes(spark, tmp_path):
+    """Round-10 code-review findings regression-pinned: (a) a leftover
+    '.inprogress' staging file is never read as a shard; (b)
+    mode='error' on a FRESH path writes instead of raising; (c) schema
+    inference samples the first file BY NAME (reproducible)."""
+    out = str(tmp_path / 'r.jsonl.zst')
+    d = spark.range(5).selectExpr('id AS doc_id', "'t' AS text")
+    write_df(d.coalesce(1), out, mode='error')          # fresh path: must write
+    # plant a truncated staging leftover; reads must ignore it
+    with open(out + '/part-00000-00000.jsonl.zst.99.inprogress', 'wb') as f:
+        f.write(b'\x28\xb5\x2f\xfd garbage')
+    assert read_df(out, spark, schema='doc_id bigint, text string') \
+        .count() == 5
+    # inference picks the lexicographically FIRST file: plant a second
+    # shard whose name sorts first and carries an extra field
+    import pyarrow as pa
+    with pa.output_stream(out + '/a-first.jsonl.zst',
+                          compression='zstd') as o:
+        o.write(b'{"doc_id": 99, "text": "x", "extra": 1}\n')
+    cols = set(read_df(out, spark).columns)
+    assert 'extra' in cols  # 'a-first' sorts before every part-* shard
+
+
+def test_npy_empty_array_rows_refused(spark, tmp_path):
+    d = spark.createDataFrame([(0, [])], 'id long, v array<double>')
+    with pytest.raises(Exception, match='at least one element'):
+        write_df(d.coalesce(1), str(tmp_path / 'e.npy'), value_col='v')
+
+
+def test_covering_request_never_degrades_silently(spark, tmp_path):
+    from erde_spark.geo.crs import set_crs
+    no_geom = spark.range(3)
+    with pytest.raises(ValueError, match='geometry'):
+        write_df(no_geom, str(tmp_path / 'a.parquet'), covering=True)
+    wkt = spark.range(3).selectExpr('id', "'POINT (1 2)' AS geometry")
+    with pytest.raises(ValueError, match='binary'):
+        write_df(wkt, str(tmp_path / 'b.parquet'), covering=True)
