@@ -132,3 +132,66 @@ def test_megatron_idx_truncation_and_bitflips_clean():
             parse_idx(bytes(b))
         except errs:
             pass
+
+
+def test_npy_header_truncation_and_bitflips_clean(tmp_path):
+    """The .npy header parser (io/npy.py) must decode or raise cleanly
+    on truncated and bit-flipped headers — never hang or escape with an
+    unexpected exception type."""
+    import io
+
+    from erde_spark.io.npy import read_npy_header
+    blob = io.BytesIO()
+    np.save(blob, np.arange(60, dtype=np.float32).reshape(12, 5))
+    data = blob.getvalue()
+    # round-trip parity with numpy's own writer first
+    descr, shape, off = read_npy_header(io.BytesIO(data))
+    assert descr == '<f4' and shape == (12, 5)
+    assert np.frombuffer(data[off:], '<f4').size == 60
+    for cut in range(0, len(data), 7):
+        try:
+            read_npy_header(io.BytesIO(data[:cut]))
+        except OK_ERRORS:
+            pass
+        except SyntaxError:
+            pass  # ast.literal_eval on a truncated dict literal
+    rng = np.random.RandomState(5)
+    for _ in range(200):
+        b = bytearray(data)
+        i = rng.randint(len(b))
+        b[i] ^= 1 << rng.randint(8)
+        try:
+            read_npy_header(io.BytesIO(bytes(b)))
+        except OK_ERRORS:
+            pass
+        except SyntaxError:
+            pass
+
+
+def test_npy_header_parity_hypothesis():
+    """Property: for every supported dtype and 1-D/2-D shape, our
+    header parser agrees with numpy's own writer (descr, shape, and
+    data offset)."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erde_spark.io.npy import _DTYPES, read_npy_header
+
+    @settings(max_examples=60, deadline=None)
+    @given(descr=st.sampled_from(sorted(_DTYPES)),
+           rows=st.integers(0, 40),
+           cols=st.one_of(st.none(), st.integers(1, 40)))
+    def prop(descr, rows, cols):
+        npt = _DTYPES[descr][0]
+        shape = (rows,) if cols is None else (rows, cols)
+        arr = np.zeros(shape, dtype=npt)
+        blob = io.BytesIO()
+        np.save(blob, arr)
+        blob.seek(0)
+        d, s, off = read_npy_header(blob)
+        assert d == descr and s == shape
+        assert len(blob.getvalue()) - off == arr.nbytes
+
+    prop()

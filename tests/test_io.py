@@ -1134,3 +1134,17 @@ def test_covering_request_never_degrades_silently(spark, tmp_path):
     wkt = spark.range(3).selectExpr('id', "'POINT (1 2)' AS geometry")
     with pytest.raises(ValueError, match='binary'):
         write_df(wkt, str(tmp_path / 'b.parquet'), covering=True)
+
+
+def test_zst_truncated_shard_raises_not_hangs(spark, tmp_path):
+    """A truncated zstd frame must fail the read loudly (corpus shards
+    are delivery artifacts — silently skipping one hides data loss)."""
+    import pyarrow as pa
+    f = str(tmp_path / 'trunc.jsonl.zst')
+    with pa.output_stream(f + '.tmp', compression='zstd') as o:
+        o.write(b'{"doc_id": 1}\n' * 1000)
+    data = open(f + '.tmp', 'rb').read()
+    with open(f, 'wb') as o:
+        o.write(data[:len(data) // 2])
+    with pytest.raises(Exception, match='(?i)zstd|arrow|decompress'):
+        read_df(f, spark, schema='doc_id bigint').collect()
