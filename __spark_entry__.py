@@ -5171,6 +5171,43 @@ SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 1 ORDER BY vec_id
 """
 
 
+def q_safetensors_roundtrip(spark, sf_dir):
+    """SafeTensors export/ingest (NEW round 10 — the HF tensor
+    interchange; erde_spark/io/safetensors.py) VALUE-checked by the
+    same construction as npy_roundtrip: embeddings range-partitioned
+    and sorted by vec_id write as HF-convention model-i-of-N shards
+    (+ index json), read back byte-range-sliced as (tensor, row_id,
+    value), and each row survives ONLY if its float32 payload is
+    bit-exactly the vector of the vec_id holding that global rank.
+    Oracle: the plain vec_id list."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.safetensors import (read_safetensors,
+                                           write_safetensors)
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    base = tempfile.mkdtemp(prefix='erde_st_') + '/emb.st'
+    write_safetensors(e.repartitionByRange(4, 'vec_id')
+                       .sortWithinPartitions('vec_id'), base,
+                      value_col='embedding')
+    back = read_safetensors(base, spark, tensor='emb')
+    ranked = e.select(
+        'vec_id', 'embedding',
+        (F.row_number().over(Window.orderBy('vec_id')) - 1)
+        .alias('row_id'))
+    res = (back.join(ranked, 'row_id')
+           .filter(F.col('value') == F.col('embedding'))
+           .select('vec_id').orderBy('vec_id')
+           .localCheckpoint(eager=True))
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return res
+
+
+_SAFETENSORS_ROUNDTRIP_SQL = """
+SELECT vec_id FROM embeddings ORDER BY vec_id
+"""
+
+
 def q_npy_roundtrip(spark, sf_dir):
     """NumPy ``.npy`` matrix export/ingest (NEW round 10 — the
     embedding-dump interchange format; the read side is a SPLITTABLE
@@ -6578,7 +6615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_ngrams': q_repetition_ngrams,
         'dedup_jaccard': q_dedup_jaccard,
         'text_analysis': q_text_analysis,
-        'token_count_bpe': q_token_count_bpe,
         'dedup_containment': q_dedup_containment,
         'corpus_health': q_corpus_health,
         'sample_stratified': q_sample_stratified,
@@ -6597,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zst_stream_ingest': q_zst_stream_ingest,
         'kneser_ney_check': q_kneser_ney_check,
         'mmr_select_check': q_mmr_select_check,
+        'safetensors_roundtrip': q_safetensors_roundtrip,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6608,6 +6645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_rank1_check': q_ann_rank1_check,
         'dsir_weights': q_dsir_weights,
         'top_tokens': q_top_tokens,
+        'token_count_bpe': q_token_count_bpe,
         'image_phash_dedup': q_image_phash_dedup,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
@@ -6791,6 +6829,7 @@ def oracle_sql() -> dict[str, str]:
         'zst_stream_ingest': _ZST_STREAM_SQL,
         'kneser_ney_check': _KNESER_NEY_SQL,
         'mmr_select_check': _MMR_SELECT_SQL,
+        'safetensors_roundtrip': _SAFETENSORS_ROUNDTRIP_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,

@@ -418,6 +418,26 @@ class NpyDriver(_Driver):
         write_npy(df, path, value_col=value_col, mode=mode, **kw)
 
 
+class SafetensorsDriver(_Driver):
+    """SafeTensors tensor files (see io/safetensors.py): a single file,
+    glob, or HF-convention sharded directory. Byte-range-splittable
+    read yielding (tensor, row_id, value); write emits
+    model-i-of-N.safetensors shards + the index json."""
+    name = 'safetensors'
+    path_re = re.compile(r'^.*\.(safetensors|st)$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.safetensors import read_safetensors
+        return read_safetensors(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', value_col=None, **kw):
+        from erde_spark.io.safetensors import write_safetensors
+        if value_col is None:
+            arrays = [c for c, t in df.dtypes if t.startswith('array<')]
+            value_col = arrays[0] if len(arrays) == 1 else 'value'
+        write_safetensors(df, path, value_col=value_col, mode=mode, **kw)
+
+
 class ZstJsonDriver(_Driver):
     """``.jsonl.zst`` corpus shards (see io/zst.py): this Spark build
     has no Hadoop zstd codec, so the path goes through pyarrow's zstd —
@@ -879,7 +899,7 @@ DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), ZstJsonDriver(), JsonDriver(),
-    NpyDriver(), WarcDriver(),
+    NpyDriver(), SafetensorsDriver(), WarcDriver(),
     WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
     MegatronDriver(), AvroDriver(),
 ]

@@ -1148,3 +1148,76 @@ def test_zst_truncated_shard_raises_not_hangs(spark, tmp_path):
         o.write(data[:len(data) // 2])
     with pytest.raises(Exception, match='(?i)zstd|arrow|decompress'):
         read_df(f, spark, schema='doc_id bigint').collect()
+
+
+class TestSafetensors:
+    """SafeTensors source/sink (io/safetensors.py): HF-convention
+    shards, byte-range reads, honest boundaries."""
+
+    def test_roundtrip_and_shard_convention(self, spark, tmp_path):
+        import json
+        import os
+        out = str(tmp_path / 'm.st')
+        df = spark.range(90).select(
+            'id', F.array(*[(F.col('id') * 4 + k).cast('double')
+                            for k in range(4)]).alias('vec'))
+        write_df(df.repartitionByRange(3, 'id').sortWithinPartitions('id'),
+                 out, value_col='vec', tensor_name='w')
+        import glob
+        shards = sorted(glob.glob(out + '/model-*-of-*.safetensors'))
+        assert len(shards) == 3
+        idx = json.load(open(out + '/model.safetensors.index.json'))
+        assert set(idx['weight_map'].values()) == \
+            {os.path.basename(s) for s in shards}
+        back = read_df(out, spark).orderBy('row_id').collect()
+        assert len(back) == 90
+        assert back[17]['value'] == [68.0, 69.0, 70.0, 71.0]
+        assert back[17]['tensor'] == 'w'
+
+    def test_reads_foreign_file_and_selects_tensor(self, spark, tmp_path):
+        """A file written by an independent encoder (8-byte LE header
+        len + JSON + flat buffer, per the published spec) reads back;
+        tensor= selects among multiple."""
+        import json
+        import struct
+        import numpy as np
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        b = np.arange(5, dtype=np.int64)
+        hdr = json.dumps({
+            'a': {'dtype': 'F32', 'shape': [3, 4],
+                  'data_offsets': [0, a.nbytes]},
+            'b': {'dtype': 'I64', 'shape': [5],
+                  'data_offsets': [a.nbytes, a.nbytes + b.nbytes]},
+        }).encode()
+        f = str(tmp_path / 'two.safetensors')
+        with open(f, 'wb') as o:
+            o.write(struct.pack('<Q', len(hdr)) + hdr
+                    + a.tobytes() + b.tobytes())
+        from erde_spark.io.safetensors import read_safetensors
+        ra = read_safetensors(f, spark, tensor='a').orderBy('row_id').collect()
+        assert [r['value'] for r in ra] == \
+            [[0., 1., 2., 3.], [4., 5., 6., 7.], [8., 9., 10., 11.]]
+        rb = read_safetensors(f, spark, tensor='b').orderBy('row_id').collect()
+        assert [r['value'] for r in rb] == [0, 1, 2, 3, 4]
+        # mixed dtypes without tensor= must refuse, not mangle
+        with pytest.raises(ValueError, match='differs'):
+            read_safetensors(f, spark)
+
+    def test_boundaries(self, spark, tmp_path):
+        import json
+        import struct
+        f = str(tmp_path / 'bf16.safetensors')
+        hdr = json.dumps({'x': {'dtype': 'BF16', 'shape': [2],
+                                'data_offsets': [0, 4]}}).encode()
+        with open(f, 'wb') as o:
+            o.write(struct.pack('<Q', len(hdr)) + hdr + b'\x00' * 4)
+        with pytest.raises(ValueError, match='BF16'):
+            read_df(f, spark)
+        g = str(tmp_path / 'huge.safetensors')
+        with open(g, 'wb') as o:
+            o.write(struct.pack('<Q', 1 << 40))
+        with pytest.raises(ValueError, match='cap'):
+            read_df(g, spark)
+        d = spark.range(3).selectExpr('CAST(id AS DOUBLE) AS value')
+        with pytest.raises(ValueError, match='compose'):
+            write_df(d, str(tmp_path / 'a.st'), mode='append')
