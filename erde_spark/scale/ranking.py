@@ -140,3 +140,39 @@ def postings_lookup(index: DataFrame, terms: list[str],
     return (hits.groupBy('id')
             .agg(F.countDistinct('term').alias('_k'))
             .filter(F.col('_k') == need).select('id'))
+
+
+def write_postings(index: DataFrame, path: str, buckets: int = 256,
+                   mode: str = 'overwrite') -> None:
+    """Materialize a :func:`build_postings` index partitioned by a
+    term-hash bucket (``pmod(xxhash64(term), buckets)``): point lookups
+    then read ONLY the matching bucket directories — Hive partition
+    pruning turns a term probe into an O(index/buckets) scan however
+    large the corpus was. 256 buckets keeps directory counts sane while
+    bounding a probe to ~0.4% of the index; raise it for trillion-token
+    vocabularies."""
+    if buckets <= 0:
+        raise ValueError('buckets must be positive')
+    (index.withColumn('bucket',
+                      F.pmod(F.xxhash64('term'), F.lit(buckets)))
+     .write.mode(mode).partitionBy('bucket').parquet(path))
+
+
+def read_postings(spark, path: str, terms: list[str],
+                  buckets: int = 256) -> DataFrame:
+    """Probe a :func:`write_postings` index for ``terms``: the matching
+    bucket values are computed with the SAME hash in the filter, so the
+    scan prunes to at most ``len(terms)`` partition directories (assert
+    it with plans.inspect — the bucket filter appears as a partition
+    filter, not a data filter). ``buckets`` must equal the write-side
+    value."""
+    if not terms:
+        raise ValueError('terms must be non-empty')
+    lo = [t.lower() for t in terms]
+    tdf = spark.createDataFrame([(t,) for t in lo], 'term string')
+    wanted = [r[0] for r in
+              tdf.select(F.pmod(F.xxhash64('term'),
+                                F.lit(buckets))).distinct().collect()]
+    return (spark.read.parquet(path)
+            .filter(F.col('bucket').isin(wanted))
+            .filter(F.col('term').isin(lo)))

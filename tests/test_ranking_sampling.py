@@ -458,3 +458,26 @@ class TestInvertedIndex:
         idx = build_postings(corpus, n_docs=5)
         assert count_python_udf_passes(idx) == 0
         assert count_shuffles(idx) <= 2
+
+
+def test_postings_bucketed_serving_partition_prunes(spark, tmp_path):
+    """write_postings/read_postings: the term probe must land as a
+    PARTITION filter (directory pruning), not a data filter — the
+    serving pattern that makes a term lookup O(index/buckets) at
+    100 TB."""
+    import re
+
+    from erde_spark.plans.inspect import formatted_plan
+    from erde_spark.scale.ranking import (build_postings, read_postings,
+                                          write_postings)
+    rows = [(i, f'tok{i % 7} common filler') for i in range(50)]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    path = str(tmp_path / 'idx')
+    write_postings(build_postings(docs), path, buckets=64)
+    q = read_postings(spark, path, ['tok3', 'common'], buckets=64)
+    got = {r['term']: r['df'] for r in q.collect()}
+    assert got == {'tok3': 7, 'common': 50}
+    m = re.search(r'PartitionFilters: \[([^\]]*)\]', formatted_plan(q))
+    assert m and 'bucket' in m.group(1), m
+    with pytest.raises(ValueError):
+        read_postings(spark, path, [])
