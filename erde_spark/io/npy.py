@@ -88,19 +88,14 @@ def read_npy_header(f) -> tuple[str, tuple[int, ...], int]:
 def _file_plan(path: str) -> list[dict]:
     """Driver-side listing + header reads (bytes, not data): one entry
     per file with its dtype/shape/offset and the cumulative global row
-    base. Files order by name — the writer's part numbering."""
-    import glob as g
-    if os.path.isdir(path):
-        files = sorted(g.glob(os.path.join(path, '*.npy')))
-    else:
-        files = sorted(g.glob(path)) if any(c in path for c in '*?[') \
-            else [path]
-    if not files:
-        raise FileNotFoundError(path)
+    base. Files order by name — the writer's part numbering. Local
+    paths or any pyarrow.fs URI (io/fsutil.py)."""
+    from erde_spark.io.fsutil import list_with_suffix, open_ranged
+    files = list_with_suffix(path, '.npy')
     plan, base = [], 0
     descr0 = dim0 = None
     for fp in files:
-        with open(fp, 'rb') as f:
+        with open_ranged(fp) as f:
             descr, shape, off = read_npy_header(f)
         dim = shape[1] if len(shape) == 2 else 0
         if descr0 is None:
@@ -142,9 +137,23 @@ def read_npy(path: str, spark: SparkSession,
         .repartition(min(len(slices), 2 * _default_parallelism(spark)))
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stdlib/pyarrow-only ranged open, inlined from io/fsutil.py —
+        # an erde_spark import here would make every fresh worker pull
+        # the whole io chain (the wds-regression rule)
+        def _open(fp):
+            from urllib.parse import unquote, urlparse
+            p = urlparse(fp)
+            if len(p.scheme) > 1:
+                # every scheme incl. file:// via pyarrow.fs — same
+                # branch an object store takes
+                from pyarrow import fs as pafs
+                filesystem, rel = pafs.FileSystem.from_uri(fp)
+                return filesystem.open_input_file(rel)
+            return open(fp, 'rb')
+
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                with open(r.file, 'rb') as f:
+                with _open(r.file) as f:
                     f.seek(r.offset + r.start * row_bytes)
                     for bs in range(r.start, r.end, batch_rows):
                         be = min(bs + batch_rows, r.end)

@@ -73,19 +73,13 @@ def _tensor_entries(path: str, tensor: str | None) -> list[dict]:
     Handles a single file, a directory of shards (``*.safetensors``,
     name-ordered), or a glob. Per-shard tensor names ``name/part`` are
     folded into the logical ``name``."""
-    import glob as g
-    if os.path.isdir(path):
-        files = sorted(g.glob(os.path.join(path, '*.safetensors')))
-    else:
-        files = sorted(g.glob(path)) if any(c in path for c in '*?[') \
-            else [path]
-    if not files:
-        raise FileNotFoundError(path)
+    from erde_spark.io.fsutil import list_with_suffix, open_ranged
+    files = list_with_suffix(path, '.safetensors')
     out: list[dict] = []
     bases: dict[str, int] = {}
     sig: dict[str, tuple] = {}
     for fp in files:
-        with open(fp, 'rb') as f:
+        with open_ranged(fp) as f:
             meta, data0 = read_st_header(f)
         for name in sorted(k for k in meta if k != '__metadata__'):
             ent = meta[name]
@@ -163,9 +157,22 @@ def read_safetensors(path: str, spark: SparkSession,
                          2 * spark.sparkContext.defaultParallelism))
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stdlib/pyarrow-only ranged open (see io/npy.py for why this
+        # is inlined rather than imported from fsutil)
+        def _open(fp):
+            from urllib.parse import unquote, urlparse
+            p = urlparse(fp)
+            if len(p.scheme) > 1:
+                # every scheme incl. file:// via pyarrow.fs — same
+                # branch an object store takes
+                from pyarrow import fs as pafs
+                filesystem, rel = pafs.FileSystem.from_uri(fp)
+                return filesystem.open_input_file(rel)
+            return open(fp, 'rb')
+
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                with open(r.file, 'rb') as f:
+                with _open(r.file) as f:
                     f.seek(r.offset + r.start * row_bytes)
                     for bs in range(r.start, r.end, batch_rows):
                         be = min(bs + batch_rows, r.end)

@@ -1221,3 +1221,21 @@ class TestSafetensors:
         d = spark.range(3).selectExpr('CAST(id AS DOUBLE) AS value')
         with pytest.raises(ValueError, match='compose'):
             write_df(d, str(tmp_path / 'a.st'), mode='append')
+
+
+def test_ranged_formats_read_via_pyarrow_fs_uri(spark, tmp_path):
+    """npy + safetensors read through the pyarrow.fs branch end to end
+    (file:// exercises the same URI code path object stores take —
+    listing via FileSelector, ranged opens via open_input_file)."""
+    import numpy as np
+    d = str(tmp_path / 'm.npy')
+    df = spark.range(20).selectExpr('id', 'array(CAST(id AS DOUBLE)) AS v')
+    write_df(df.repartitionByRange(2, 'id').sortWithinPartitions('id'),
+             d, value_col='v')
+    got = read_df('file://' + d, spark).orderBy('row_id').collect()
+    assert [r['value'][0] for r in got] == [float(i) for i in range(20)]
+    st = str(tmp_path / 'm.st')
+    write_df(df.repartitionByRange(2, 'id').sortWithinPartitions('id'),
+             st, value_col='v')
+    got2 = read_df('file://' + st, spark).orderBy('row_id').collect()
+    assert [r['value'][0] for r in got2] == [float(i) for i in range(20)]
