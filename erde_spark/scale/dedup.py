@@ -1218,7 +1218,8 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
              vec_col: str = 'embedding', threshold: float = 0.95,
              n_clusters: int | None = None, sample_size: int = 4096,
              seed: int = 42, keep: str = 'far',
-             n_docs: int | None = None, block: int = 1024) -> DataFrame:
+             n_docs: int | None = None, block: int = 1024,
+             max_cluster: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-scoped
     semantic deduplication. Vectors are assigned to ~sqrt(n) spherical
     k-means clusters (the coarse quantizer shared with the IVF
@@ -1241,17 +1242,63 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
     all (contrast :func:`embedding_dedup_clusters`, the banded-LSH
     tier that does pay them to catch cross-partition pairs).
     A pathologically giant cluster (one task's memory) is the known
-    failure mode of the method itself — raise ``n_clusters`` or
-    pre-split such corpora.
+    failure mode of the method itself; ``max_cluster`` is the guard —
+    clusters over the cap are deterministically sub-split by sign bits
+    of seeded hyperplanes (enough bits to bring the EXPECTED sub-size
+    under the cap). Identical vectors share every sign bit, so exact
+    duplicates always stay co-located; near-dups straddling a
+    hyperplane can separate (each bit keeps a pair together with
+    probability 1 - theta/pi, the standard sign-LSH trade), which is
+    strictly better than the unguarded alternative of one task OOMing
+    the job.
 
     Returns the SURVIVING rows of ``df`` (original columns)."""
-    from erde_spark.scale.similarity import ivf_index
+    from erde_spark.scale.similarity import _hyperplanes, ivf_index
     if keep not in ('far', 'min'):
         raise ValueError(f"keep={keep!r}: use 'far' or 'min'")
     cent, indexed = ivf_index(df, n_lists=n_clusters, id_col=id_col,
                               vec_col=vec_col, sample_size=sample_size,
                               seed=seed, n_docs=n_docs)
     thr, far, blk = float(threshold), keep == 'far', int(block)
+    indexed = indexed.withColumn('_centid', F.col('list_id'))
+    if max_cluster is not None:
+        if max_cluster < 2:
+            raise ValueError('max_cluster must be >= 2')
+        sizes = indexed.groupBy('list_id').agg(
+            F.count(F.lit(1)).alias('_csz'))
+        over = {r['list_id']: int(r['_csz']) for r in
+                sizes.filter(F.col('_csz') > max_cluster).collect()}
+        if over:
+            dim = len(indexed.select('nvec').first()['nvec'])
+            max_bits = max(
+                math.ceil(math.log2(sz / max_cluster)) for sz in over.values())
+            planes = _hyperplanes(dim, max_bits, seed + 1)
+            bits_of = {lid: math.ceil(math.log2(sz / max_cluster))
+                       for lid, sz in over.items()}
+
+            @F.pandas_udf(T.IntegerType())
+            def _refine(lid: pd.Series, v: pd.Series) -> pd.Series:
+                out = np.zeros(len(lid), dtype=np.int32)
+                mask = lid.isin(bits_of).to_numpy()
+                if mask.any():
+                    m = np.stack([np.asarray(x, dtype=np.float64)
+                                  for x in v[mask]])
+                    signs = (m @ planes.T) >= 0
+                    nb = np.array([bits_of[x] for x in lid[mask]])
+                    codes = np.zeros(mask.sum(), dtype=np.int32)
+                    for b in range(planes.shape[0]):
+                        codes |= (signs[:, b] & (b < nb)).astype(np.int32) << b
+                    out[mask] = codes + 1  # 0 = not refined
+                return pd.Series(out)
+
+            indexed = indexed.withColumn(
+                'list_id',
+                F.col('list_id') * 65536
+                + _refine(F.col('list_id'), F.col('nvec')))
+        else:
+            indexed = indexed.withColumn(
+                'list_id', F.col('list_id') * 65536)
+    # (without max_cluster the raw list_id groups are used as-is)
 
     def _cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf['id'].to_numpy()
@@ -1266,7 +1313,7 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
                 i = parent[i]
             return i
 
-        csim = m @ cent[int(pdf['list_id'].iloc[0])]
+        csim = m @ cent[int(pdf['_centid'].iloc[0])]
         for s in range(0, c, blk):
             sims = m[s:s + blk] @ m.T  # strip x cluster
             for di, row in enumerate(sims):

@@ -2307,3 +2307,52 @@ class TestMmrSelect:
             mmr_select(df, lam=1.5)
         with pytest.raises(ValueError, match='positive'):
             mmr_select(df, k=0)
+
+
+class TestSemDedupMaxCluster:
+    """The giant-cluster guard: oversized clusters sub-split by seeded
+    sign bits; exact duplicates must stay co-located."""
+
+    def test_giant_cluster_splits_and_dups_still_drop(self, spark):
+        import numpy as np
+        from erde_spark.scale.dedup import semdedup
+        rng = np.random.RandomState(11)
+        # one tight hemisphere so kmeans makes ONE giant cluster of 300
+        base = rng.normal(size=(300, 12)) * 0.05
+        base[:, 0] += 1.0
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = []
+        for i in range(300):
+            v = base[i - 1] if i % 5 == 1 else base[i]  # exact copies
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows,
+                                   'vec_id long, embedding array<double>')
+        out = semdedup(df, threshold=0.9999, n_clusters=1, keep='min',
+                       max_cluster=64)
+        got = sorted(r['vec_id'] for r in out.collect())
+        # identical vectors share every sign bit -> planted pairs stay
+        # together and the %5==1 copies all drop, even though the one
+        # 300-row cluster was forced through the sub-split
+        assert got == [i for i in range(300) if i % 5 != 1]
+
+    def test_small_clusters_unaffected_by_guard(self, spark):
+        import numpy as np
+        from erde_spark.scale.dedup import semdedup
+        rng = np.random.RandomState(3)
+        base = rng.normal(size=(60, 8))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows,
+                                   'vec_id long, embedding array<double>')
+        a = sorted(r['vec_id'] for r in
+                   semdedup(df, threshold=0.99).collect())
+        b = sorted(r['vec_id'] for r in
+                   semdedup(df, threshold=0.99, max_cluster=1000).collect())
+        assert a == b == list(range(60))
+
+    def test_guard_validates(self, spark):
+        from erde_spark.scale.dedup import semdedup
+        df = spark.createDataFrame([(0, [1.0, 0.0])],
+                                   'vec_id long, embedding array<double>')
+        with pytest.raises(ValueError, match='max_cluster'):
+            semdedup(df, max_cluster=1)
