@@ -1852,6 +1852,33 @@ ORDER BY rank
 """
 
 
+def q_normalize_text_check(spark, sf_dir):
+    """Unicode ingest normalization (erde_spark/scale/text.py::
+    normalize_text — NFC composition via Arrow-batched unicodedata,
+    CRLF->LF, control strip, Zs->space, space-run collapse) VALUE-
+    checked by planted construction: every document gets the input
+    'e'+COMBINING ACUTE+CRLF+2xNBSP+'x'+BEL+'  y '+doc_id, whose
+    normalized form is the CLOSED FORM 'é\\n x y '+doc_id — DuckDB
+    builds the expected bytes directly (chr(233)||chr(10)||...), so
+    every stage (composition, newline fold, control strip, space map,
+    collapse) is independently load-bearing for the md5 match."""
+    d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
+    from erde_spark.scale.text import normalize_text
+    raw = F.concat(F.lit('é\r\n  x\x07  y '),
+                   F.col('doc_id').cast('string'))
+    return (d.select('doc_id',
+                     F.md5(F.encode(normalize_text(raw), 'UTF-8'))
+                     .alias('norm_md5'))
+            .orderBy('doc_id'))
+
+
+_NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       md5(chr(233) || chr(10) || ' x y ' || doc_id) AS norm_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_kneser_ney_check(spark, sf_dir):
     """Interpolated Kneser-Ney bigram estimation (NEW round 10 — the
     smoothing KenLM ships, Chen & Goodman eq. 4.28, as pure count
@@ -6614,7 +6641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q12_late_lines': q_tpch_q12,
         'repetition_ngrams': q_repetition_ngrams,
         'dedup_jaccard': q_dedup_jaccard,
-        'text_analysis': q_text_analysis,
         'dedup_containment': q_dedup_containment,
         'corpus_health': q_corpus_health,
         'sample_stratified': q_sample_stratified,
@@ -6634,6 +6660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kneser_ney_check': q_kneser_ney_check,
         'mmr_select_check': q_mmr_select_check,
         'safetensors_roundtrip': q_safetensors_roundtrip,
+        'normalize_text_check': q_normalize_text_check,
         # -- tail: driver-green in recent rounds (stalest-first), --
         # -- then the rows-only ops --
         'simhash_check': q_simhash_check,
@@ -6646,6 +6673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_weights': q_dsir_weights,
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
+        'text_analysis': q_text_analysis,
         'image_phash_dedup': q_image_phash_dedup,
         'video_metadata': q_video_metadata,
         'mojibake_fix': q_mojibake_fix,
@@ -6830,6 +6858,7 @@ def oracle_sql() -> dict[str, str]:
         'kneser_ney_check': _KNESER_NEY_SQL,
         'mmr_select_check': _MMR_SELECT_SQL,
         'safetensors_roundtrip': _SAFETENSORS_ROUNDTRIP_SQL,
+        'normalize_text_check': _NORMALIZE_TEXT_SQL,
         'tfrecord_roundtrip': _TFRECORD_ROUNDTRIP_SQL,
         'geo_transform_registry': _GEO_TRANSFORM_REGISTRY_SQL,
         'bpe_merges_check': _BPE_MERGES_CHECK_SQL,
