@@ -6599,11 +6599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Newcomers added during round 10 (never driver-green, staleness 0)
     enter the window displacing the freshest r07-era entries, which
     rejoin the r11 cohort — ties keep stalest-first packing legal.
-    Final r10 state: 11 newcomers in-window (weighted_sample, zst x2,
-    npy, semdedup, inverted-index x2, upsert, kneser-ney, mmr,
-    backfill-resume), all r07-era entries + top_tokens (r05, the one
-    over-K entry, correctly scheduled) at the tail head; the r11
-    window = 13 r07s + top_tokens + 36 r08s, exactly 50 (see
+    Final r10 state: 13 newcomers in-window (weighted_sample, zst x2,
+    npy, safetensors, semdedup, inverted-index x2, upsert, kneser-ney,
+    mmr, normalize-text, backfill-resume); all r07-era entries plus
+    top_tokens/token_count_bpe/text_analysis (r05, the over-K trio
+    check_rotation reports as correctly scheduled) lead the tail; the
+    r11 window = 13 r07s + 3 r05s + 34 r08s, exactly 50 (see
     ROUND10_NOTES.md).
 
     Invariant maintained: every oracled query has a driver-green row in
