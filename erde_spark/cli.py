@@ -661,16 +661,17 @@ def ul2(input_data: DataFrame, r_weight: float = 0.5,
 @autocli
 def semdedup(input_data: DataFrame, threshold: float = 0.95,
              n_clusters: int = 0, keep: str = 'far',
-             id_column: str = 'vec_id',
+             max_cluster: int = 0, id_column: str = 'vec_id',
              vector_column: str = 'embedding') -> DataFrame:
     """SemDeDup semantic dedup over an embedding column: kmeans-
     cluster-scoped cosine duplicate groups, one survivor per group
     ('far' = the paper's lowest-centroid-similarity policy, 'min' =
-    minimum id). n_clusters 0 means ~sqrt(n)."""
+    minimum id). n_clusters 0 means ~sqrt(n); max_cluster > 0 caps
+    per-task cluster size via deterministic sign-bit sub-splits."""
     from erde_spark.scale.dedup import semdedup as _sd
     return _sd(input_data, id_col=id_column, vec_col=vector_column,
-               threshold=threshold,
-               n_clusters=n_clusters or None, keep=keep)
+               threshold=threshold, n_clusters=n_clusters or None,
+               keep=keep, max_cluster=max_cluster or None)
 
 
 @autocli

@@ -1270,11 +1270,14 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
                 sizes.filter(F.col('_csz') > max_cluster).collect()}
         if over:
             dim = len(indexed.select('nvec').first()['nvec'])
-            max_bits = max(
-                math.ceil(math.log2(sz / max_cluster)) for sz in over.values())
-            planes = _hyperplanes(dim, max_bits, seed + 1)
-            bits_of = {lid: math.ceil(math.log2(sz / max_cluster))
+            # 24 split bits cover clusters up to 16M x max_cluster;
+            # capping also bounds the refined-key range below, which is
+            # built on a LONG so key = centid * 2^25 + code never
+            # collides across clusters or overflows
+            bits_of = {lid: min(24, math.ceil(math.log2(sz / max_cluster)))
                        for lid, sz in over.items()}
+            max_bits = max(bits_of.values())
+            planes = _hyperplanes(dim, max_bits, seed + 1)
 
             @F.pandas_udf(T.IntegerType())
             def _refine(lid: pd.Series, v: pd.Series) -> pd.Series:
@@ -1293,11 +1296,11 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
 
             indexed = indexed.withColumn(
                 'list_id',
-                F.col('list_id') * 65536
+                F.col('list_id').cast('long') * (1 << 25)
                 + _refine(F.col('list_id'), F.col('nvec')))
         else:
             indexed = indexed.withColumn(
-                'list_id', F.col('list_id') * 65536)
+                'list_id', F.col('list_id').cast('long') * (1 << 25))
     # (without max_cluster the raw list_id groups are used as-is)
 
     def _cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
