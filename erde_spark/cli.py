@@ -8,13 +8,13 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 28 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 30 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
 pack, scrub, extract, select, tokenize, fixenc, urlcanon,
 boilerplate, robots, langid, capdomains, linededup, bitext, wds,
 tfexport, ppl, megexport, shuffle, unimax, curate, fim, chat,
-entropy, spancorrupt, ul2 (the training-data pipeline from the
-shell).
+entropy, spancorrupt, ul2, semdedup, wsample (the training-data
+pipeline from the shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
