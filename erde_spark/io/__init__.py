@@ -397,6 +397,22 @@ class WarcDriver(_Driver):
         write_warc(df, path, mode=mode, **kw)
 
 
+def _single_array_col(df, fmt: str) -> str:
+    """Resolve the default value column for array-matrix sinks: exactly
+    one array<...> column, else a clear error naming the candidates
+    (previously fell through to a raw KeyError on 'value')."""
+    arrays = [c for c, t in df.dtypes if t.startswith('array<')]
+    if len(arrays) == 1:
+        return arrays[0]
+    if 'value' in df.columns:
+        return 'value'
+    detail = (f'array columns found: {arrays}' if arrays
+              else 'no array<...> column in the frame')
+    raise ValueError(
+        f'write_{fmt}: cannot infer the value column — {detail}; '
+        f"pass value_col= explicitly (columns: {df.columns})")
+
+
 class NpyDriver(_Driver):
     """NumPy ``.npy`` matrices (see io/npy.py): a single file, a glob,
     or a directory of part files named ``*.npy``. Read is a SPLITTABLE
@@ -413,8 +429,7 @@ class NpyDriver(_Driver):
     def write(self, df, path, mode='overwrite', value_col=None, **kw):
         from erde_spark.io.npy import write_npy
         if value_col is None:
-            arrays = [c for c, t in df.dtypes if t.startswith('array<')]
-            value_col = arrays[0] if len(arrays) == 1 else 'value'
+            value_col = _single_array_col(df, 'npy')
         write_npy(df, path, value_col=value_col, mode=mode, **kw)
 
 
@@ -433,8 +448,7 @@ class SafetensorsDriver(_Driver):
     def write(self, df, path, mode='overwrite', value_col=None, **kw):
         from erde_spark.io.safetensors import write_safetensors
         if value_col is None:
-            arrays = [c for c, t in df.dtypes if t.startswith('array<')]
-            value_col = arrays[0] if len(arrays) == 1 else 'value'
+            value_col = _single_array_col(df, 'safetensors')
         write_safetensors(df, path, value_col=value_col, mode=mode, **kw)
 
 

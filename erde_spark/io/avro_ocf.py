@@ -271,7 +271,7 @@ def _read_header(buf: bytes):
 
 def _read_header_file(fname: str):
     """Driver-side header read that never truncates: start at 64 KiB
-    and double until the metadata map + sync marker parse whole, so a
+    and grow 4x until the metadata map + sync marker parse whole, so a
     legal foreign OCF with a multi-megabyte schema still loads (the
     old fixed 1 MiB read died in an opaque IndexError)."""
     size = os.path.getsize(fname)

@@ -141,7 +141,7 @@ def read_npy(path: str, spark: SparkSession,
         # an erde_spark import here would make every fresh worker pull
         # the whole io chain (the wds-regression rule)
         def _open(fp):
-            from urllib.parse import unquote, urlparse
+            from urllib.parse import urlparse
             p = urlparse(fp)
             if len(p.scheme) > 1:
                 # every scheme incl. file:// via pyarrow.fs — same

@@ -160,7 +160,7 @@ def read_safetensors(path: str, spark: SparkSession,
         # stdlib/pyarrow-only ranged open (see io/npy.py for why this
         # is inlined rather than imported from fsutil)
         def _open(fp):
-            from urllib.parse import unquote, urlparse
+            from urllib.parse import urlparse
             p = urlparse(fp)
             if len(p.scheme) > 1:
                 # every scheme incl. file:// via pyarrow.fs — same

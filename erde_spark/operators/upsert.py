@@ -12,8 +12,12 @@ Semantics match SQL MERGE with "update-or-insert, newest version wins":
 * a key present in both keeps the row with the HIGHEST version; a
   version tie goes to ``updates`` (the batch being applied wins, the
   same rule as Delta's "last writer wins" within a commit);
-* optional tombstones: updates rows with ``tombstone_col`` true delete
-  the key from the result (and are themselves dropped).
+* optional tombstones: a WINNING row whose ``tombstone_col`` is true
+  deletes the key from the result (and is itself dropped). Updates-side
+  tombstones are the normal path; a base row already carrying the flag
+  is honored identically — the flag means "deleted", whichever side it
+  rode in on. (A snapshot produced by this function never contains the
+  flag, so base-side tombstones only occur if the caller sets them.)
 
 Plan: union + one window (row_number over key, version desc, source
 rank) — a single shuffle on the key; no driver state. Ties WITHIN one

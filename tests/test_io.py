@@ -1015,6 +1015,19 @@ class TestNpy:
         with _pt.raises(ValueError, match='unsupported .npy dtype'):
             read_df(f2, spark)
 
+    def test_value_col_inference_failure_is_clear(self, spark, tmp_path):
+        # facade write with no value_col and zero / multiple array
+        # columns must raise a ValueError naming the candidates, not a
+        # raw KeyError from the dtype lookup
+        no_arr = spark.createDataFrame([(1, 'x')], 'id long, s string')
+        with pytest.raises(ValueError, match='no array'):
+            write_df(no_arr, str(tmp_path / 'n.npy'))
+        two_arr = spark.createDataFrame(
+            [(0, [1.0], [2.0])],
+            'id long, a array<double>, b array<double>')
+        with pytest.raises(ValueError, match=r"\['a', 'b'\]"):
+            write_df(two_arr, str(tmp_path / 't.safetensors'))
+
     def test_ragged_write_raises(self, spark, tmp_path):
         from py4j.protocol import Py4JJavaError
         df = spark.createDataFrame(
