@@ -3057,6 +3057,172 @@ def q_routing_isochrone(spark, sf_dir):
                       st_geometrytype(F.col('geometry')).alias('geom_type'))
 
 
+def q_routing_route_check(spark, sf_dir):
+    """Construction-oracled /route/v1 gate (SURVEY §2.7): the mock OSRM
+    serves straight-line metrics (distance = euclidean degrees x
+    111319.49..., duration = distance / 10 m/s, alternative i scaled by
+    1 + 0.5*(i-1)), and the waypoints are pure c_custkey arithmetic on an
+    axis-aligned segment — so DuckDB replays duration/distance exactly.
+    Values are FLOOR-quantized to integers; tests/test_routing_gates.py
+    proves every value sits >= 0.02 from a floor boundary AND that the
+    DuckDB replay is bit-identical, so the quantization is deterministic,
+    not luck. n_nodes pins the leg-boundary node dedup (3 nodes per
+    single-segment route, both alternatives)."""
+    from erde_spark.functions.geo import st_linestring_between, st_point
+    from erde_spark.routing.route import route_df
+    cust = _t(spark, sf_dir, 'customer')['customer'] \
+        .filter(F.col('c_custkey') <= 40)
+    k = F.col('c_custkey')
+    lon = F.lit(30.0) + (k % 100) / 10.0
+    dx = (1 + k % 7) / 100.0
+    lines = cust.select(
+        k.alias('c_custkey'),
+        st_linestring_between(st_point(lon, F.lit(55.0)),
+                              st_point(lon + dx, F.lit(55.0)))
+        .alias('geometry'))
+    out = route_df(lines, _mock_osrm_url(), overview='full',
+                   annotations='duration,distance,nodes', alternatives=2)
+    return out.select('c_custkey', 'alternative',
+                      F.floor('duration').alias('duration_s'),
+                      F.floor('distance').alias('distance_m'),
+                      F.size('nodes').alias('n_nodes'))
+
+
+_ROUTING_ROUTE_CHECK_SQL = """
+WITH ks AS (SELECT c_custkey FROM customer WHERE c_custkey <= 40),
+alts AS (SELECT 1 AS alternative, 1.0 AS factor
+         UNION ALL SELECT 2, 1.5)
+SELECT c_custkey, alternative,
+  CAST(FLOOR(((30.0 + (c_custkey % 100)/10.0 + (1 + c_custkey % 7)/100.0)
+              - (30.0 + (c_custkey % 100)/10.0))
+             * 111319.49079327358 * factor / 10.0) AS BIGINT) AS duration_s,
+  CAST(FLOOR(((30.0 + (c_custkey % 100)/10.0 + (1 + c_custkey % 7)/100.0)
+              - (30.0 + (c_custkey % 100)/10.0))
+             * 111319.49079327358 * factor) AS BIGINT) AS distance_m,
+  3 AS n_nodes
+FROM ks CROSS JOIN alts
+"""
+
+
+def q_od_table_check(spark, sf_dir):
+    """Construction-oracled /table/v1 gate (SURVEY §2.7): 12 x 8 OD
+    matrix against the mock OSRM, block-split at max_table_size=40 (so
+    the blocked cross-join + melt path actually exercises multi-request
+    assembly). Points sit on one parallel at 2-decimal longitudes —
+    polyline precision-5 quantization is exact — so the straight-line
+    metrics are pure key arithmetic DuckDB replays; the oracle also pins
+    the full N x M pair coverage and the constant 5.0 m snap distances
+    the mock serves (doubles, integer-valued, bit-exact cross-engine)."""
+    from erde_spark.functions.geo import st_point
+    from erde_spark.routing.table import od_table
+    cust = _t(spark, sf_dir, 'customer')['customer']
+    k = F.col('c_custkey')
+    src = cust.filter(k <= 12).select(
+        k.alias('sid'),
+        st_point(F.lit(30.0) + (k % 5) / 100.0, F.lit(55.0))
+        .alias('geometry'))
+    dst = cust.filter(k <= 8).select(
+        k.alias('did'),
+        st_point(F.lit(30.5) + (k % 3) / 100.0, F.lit(55.0))
+        .alias('geometry'))
+    out = od_table(src, dst, _mock_osrm_url(), max_table_size=40,
+                   annotations='duration,distance')
+    return out.select('source', 'destination',
+                      F.floor('duration').alias('duration_s'),
+                      F.floor('distance').alias('distance_m'),
+                      'source_snap', 'destination_snap')
+
+
+_OD_TABLE_CHECK_SQL = """
+WITH s AS (SELECT c_custkey AS source,
+                  30.0 + (c_custkey % 5)/100.0 AS sx
+           FROM customer WHERE c_custkey <= 12),
+     d AS (SELECT c_custkey AS destination,
+                  30.5 + (c_custkey % 3)/100.0 AS dx
+           FROM customer WHERE c_custkey <= 8)
+SELECT source, destination,
+  CAST(FLOOR(ABS(dx - sx) * 111319.49079327358 / 10.0) AS BIGINT)
+    AS duration_s,
+  CAST(FLOOR(ABS(dx - sx) * 111319.49079327358) AS BIGINT) AS distance_m,
+  CAST(5.0 AS DOUBLE) AS source_snap,
+  CAST(5.0 AS DOUBLE) AS destination_snap
+FROM s CROSS JOIN d
+"""
+
+
+def q_isochrone_grid_check(spark, sf_dir):
+    """Construction-oracled isochrone gate (SURVEY §2.7, reference
+    /root/reference/erde/op/isochrone.py:103-152 grid+snap math): with
+    the mock's straight-line durations (dist / 10 m/s) and constant 5 m
+    snaps, the lv-minute isochrone is a disk of radius
+    10 * (lv*60 - (5+5)/2.5*3.6) metres around the source. The oracle
+    pins the exact (sid x level) coverage; the geometry columns are
+    verified by construction Spark-side: geom_type, strict origin
+    containment, and shoelace area within 10% of the analytic disk
+    (IDW raster + marching squares discretization error measured ~2%)."""
+    import pandas as _pd
+
+    from erde_spark.functions.geo import st_point
+    from erde_spark.routing.isochrone import isochrones
+    cust = _t(spark, sf_dir, 'customer')['customer'] \
+        .filter(F.col('c_custkey') <= 3)
+    k = F.col('c_custkey')
+    src = cust.select(k.alias('sid'),
+                      st_point(k * 2.0, F.lit(0.0)).alias('geometry'))
+    out = isochrones(src, _mock_osrm_url(), durations=[3, 6], speed=36.0,
+                     max_snap=100.0)
+
+    schema = ('sid long, duration double, geom_type string, '
+              'origin_inside boolean, area_ok boolean')
+
+    def _verify(batches):
+        import math as _m
+
+        from erde_spark.geo import geom as G
+        from erde_spark.geo import ops as O
+        m_per_deg = 111319.49079327358
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                gtype, parts = G.wkb_loads(bytes(r['geometry']))
+                ox, oy = float(r['sid']) * 2.0, 0.0
+                inside = any(
+                    O._point_in_polygon(ox, oy, rings) == 2
+                    for rings in parts) if gtype == 'MultiPolygon' else False
+                area = 0.0
+                for rings in (parts if gtype == 'MultiPolygon' else []):
+                    for i, ring in enumerate(rings):
+                        sh = abs(sum(
+                            ring[j][0] * ring[j + 1][1]
+                            - ring[j + 1][0] * ring[j][1]
+                            for j in range(len(ring) - 1))) / 2.0
+                        area += sh if i == 0 else -sh
+                area *= m_per_deg * m_per_deg  # lat 0: no cos-lat term
+                lv = float(r['duration'])
+                radius = 10.0 * (lv * 60.0 - (5.0 + 5.0) / 2.5 * 3.6)
+                expected = _m.pi * radius * radius
+                rows.append({'sid': int(r['sid']), 'duration': lv,
+                             'geom_type': gtype,
+                             'origin_inside': bool(inside),
+                             'area_ok': bool(0.9 * expected <= area
+                                             <= 1.1 * expected)})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(_verify, schema=schema)
+
+
+_ISOCHRONE_GRID_CHECK_SQL = """
+SELECT c_custkey AS sid, lv.duration,
+       'MultiPolygon' AS geom_type,
+       true AS origin_inside, true AS area_ok
+FROM customer,
+     (SELECT CAST(3.0 AS DOUBLE) AS duration
+      UNION ALL SELECT CAST(6.0 AS DOUBLE)) lv
+WHERE c_custkey <= 3
+"""
+
+
 def q_events_stateful(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState) driven over
     the events table via a file-stream + availableNow (rows-only)."""
@@ -6607,11 +6773,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 window = 13 r07s + 3 r05s + 34 r08s, exactly 50 (see
     ROUND10_NOTES.md).
 
+    Round-11 rotation: the three NEW construction-oracled routing gates
+    (routing_route_check, od_table_check, isochrone_grid_check — the
+    mock-OSRM straight-line metrics made pure key arithmetic so DuckDB
+    replays them; SURVEY §2.7's first driver-green rows) enter the
+    window with the 47 stalest per check_rotation.py's printed repack
+    (the r05 trio + 13 r07s + 31 r08s); the last three r08 geo entries
+    (geo_transform_polar, geo_lonlat_detect, geo_buffer_dissolve) wait
+    for r12 with the remaining r08s + oldest r09s.
+
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
     return {
-        # -- first 50 (the r10 window): stalest-first rotation --
+        # -- first 50 (the r11 window): 3 new construction-oracled
+        # -- routing gates + the 47 stalest per check_rotation.py --
+        'routing_route_check': q_routing_route_check,
+        'od_table_check': q_od_table_check,
+        'isochrone_grid_check': q_isochrone_grid_check,
+        'top_tokens': q_top_tokens,
+        'token_count_bpe': q_token_count_bpe,
+        'text_analysis': q_text_analysis,
+        'simhash_check': q_simhash_check,
+        'readability': q_readability,
+        'passage_span_check': q_passage_span_check,
+        'minhash_cluster_check': q_minhash_cluster_check,
+        'embedding_lsh_check': q_embedding_lsh_check,
+        'embedding_cluster_check': q_embedding_cluster_check,
+        'ann_rank1_check': q_ann_rank1_check,
+        'dsir_weights': q_dsir_weights,
+        'image_phash_dedup': q_image_phash_dedup,
+        'video_metadata': q_video_metadata,
+        'mojibake_fix': q_mojibake_fix,
+        'url_canonical_dedup': q_url_canonical_dedup,
+        'robots_filter': q_robots_filter,
+        'warc_ingest': q_warc_ingest,
+        'geo_line_buffer': q_geo_line_buffer,
+        'bitext_mine_check': q_bitext_mine_check,
+        'geo_transform_registry': q_geo_transform_registry,
+        'text_quality_filter': q_text_quality_filter,
+        'html_extract': q_html_extract,
+        'token_divergence': q_token_divergence,
+        'passage_dedup': q_passage_dedup,
+        'dedup_against_snapshot': q_dedup_against_snapshot,
+        'domain_filter': q_domain_filter,
+        'events_stateful_check': q_events_stateful_check,
+        'bpe_merges_check': q_bpe_merges_check,
+        'audio_features_check': q_audio_features_check,
+        'multimodal_features_check': q_multimodal_features_check,
+        'split_no_leakage': q_split_no_leakage,
+        'bpe_pair_stats': q_bpe_pair_stats,
+        'dedup_cluster_sizes': q_dedup_cluster_sizes,
+        'cap_per_domain': q_cap_per_domain,
+        'dedup_lines_within_doc': q_dedup_lines_within_doc,
+        'exactsubstr_cut': q_exactsubstr_cut,
+        'media_decode_mixed': q_media_decode_mixed,
+        'video_frame_dedup': q_video_frame_dedup,
+        'pack_bestfit_check': q_pack_bestfit_check,
+        'wds_roundtrip': q_wds_roundtrip,
+        'tfrecord_roundtrip': q_tfrecord_roundtrip,
+        'boilerplate_lines': q_boilerplate_lines,
+        'nb_classifier': q_nb_classifier,
+        'chunk_documents': q_chunk_documents,
+        'langid_nb': q_langid_nb,
+        'geo_transform': q_geo_transform,
+        'geo_transform_families': q_geo_transform_families,
+        # -- tail: driver-green in earlier rounds (see rotation notes) --
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
@@ -6662,55 +6889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mmr_select_check': q_mmr_select_check,
         'safetensors_roundtrip': q_safetensors_roundtrip,
         'normalize_text_check': q_normalize_text_check,
-        # -- tail: driver-green in recent rounds (stalest-first), --
-        # -- then the rows-only ops --
-        'simhash_check': q_simhash_check,
-        'readability': q_readability,
-        'passage_span_check': q_passage_span_check,
-        'minhash_cluster_check': q_minhash_cluster_check,
-        'embedding_lsh_check': q_embedding_lsh_check,
-        'embedding_cluster_check': q_embedding_cluster_check,
-        'ann_rank1_check': q_ann_rank1_check,
-        'dsir_weights': q_dsir_weights,
-        'top_tokens': q_top_tokens,
-        'token_count_bpe': q_token_count_bpe,
-        'text_analysis': q_text_analysis,
-        'image_phash_dedup': q_image_phash_dedup,
-        'video_metadata': q_video_metadata,
-        'mojibake_fix': q_mojibake_fix,
-        'url_canonical_dedup': q_url_canonical_dedup,
-        'robots_filter': q_robots_filter,
-        'warc_ingest': q_warc_ingest,
-        'geo_line_buffer': q_geo_line_buffer,
-        'bitext_mine_check': q_bitext_mine_check,
-        'geo_transform_registry': q_geo_transform_registry,
-        'text_quality_filter': q_text_quality_filter,
-        'html_extract': q_html_extract,
-        'token_divergence': q_token_divergence,
-        'passage_dedup': q_passage_dedup,
-        'dedup_against_snapshot': q_dedup_against_snapshot,
-        'domain_filter': q_domain_filter,
-        'events_stateful_check': q_events_stateful_check,
-        'bpe_merges_check': q_bpe_merges_check,
-        'audio_features_check': q_audio_features_check,
-        'multimodal_features_check': q_multimodal_features_check,
-        'split_no_leakage': q_split_no_leakage,
-        'bpe_pair_stats': q_bpe_pair_stats,
-        'dedup_cluster_sizes': q_dedup_cluster_sizes,
-        'cap_per_domain': q_cap_per_domain,
-        'dedup_lines_within_doc': q_dedup_lines_within_doc,
-        'exactsubstr_cut': q_exactsubstr_cut,
-        'media_decode_mixed': q_media_decode_mixed,
-        'video_frame_dedup': q_video_frame_dedup,
-        'pack_bestfit_check': q_pack_bestfit_check,
-        'wds_roundtrip': q_wds_roundtrip,
-        'tfrecord_roundtrip': q_tfrecord_roundtrip,
-        'boilerplate_lines': q_boilerplate_lines,
-        'nb_classifier': q_nb_classifier,
-        'chunk_documents': q_chunk_documents,
-        'langid_nb': q_langid_nb,
-        'geo_transform': q_geo_transform,
-        'geo_transform_families': q_geo_transform_families,
         'geo_transform_polar': q_geo_transform_polar,
         'geo_lonlat_detect': q_geo_lonlat_detect,
         'geo_buffer_dissolve': q_geo_buffer_dissolve,
@@ -6803,6 +6981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        'routing_route_check': _ROUTING_ROUTE_CHECK_SQL,
+        'od_table_check': _OD_TABLE_CHECK_SQL,
+        'isochrone_grid_check': _ISOCHRONE_GRID_CHECK_SQL,
         'warc_ingest': _WARC_INGEST_SQL,
         'warc_stream_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,

@@ -10,7 +10,11 @@ one compact line the driver's 2000-char tail captures whole). Two
 CODE-INDEPENDENT calibration sentinels (single-core md5 churn; a fixed
 Spark range->shuffle->agg) run before AND after the suite and land in
 the JSON — this box drifts 1.5-2x on the ~1 h scale, and the sentinel
-ratio is what lets cross-round per-query deltas be normalized.
+ratio is what lets cross-round per-query deltas be normalized. The
+artifact also DEFENDS itself: any query whose warm spread exceeds 2x
+its min is re-run (two bounded passes, fresh sentinel brackets), and
+the emitted line carries a `host_settled` flag so an unsettled-host
+record is labeled as such instead of needing manual reinterpretation.
 
 `streaming_neardup_backfill` is a PIPELINE entry, not a single query:
 it runs two full spanning-dedup passes (one per micro-batch), the
@@ -191,7 +195,6 @@ def main():
     timings = {}
     spreads = {}
     job_counts = {}
-    total = 0.0
 
     def _n_jobs():
         # highest job id the app status store has seen: ids are
@@ -202,7 +205,7 @@ def main():
         jl = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
         return jl.apply(0).jobId() if jl.size() else -1
 
-    for name in BENCH_QUERIES:
+    def _time_query(name):
         runs = []
         jobs = []
         for _ in range(n_runs):
@@ -222,8 +225,19 @@ def main():
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
             spark.catalog.clearCache()
-        best = min(runs)
-        timings[name] = round(best, 3)
+        return runs, jobs
+
+    def _spready(name):
+        # a warm best-of-N whose max exceeds 2x its min was measured on
+        # an unsettled host (identical code, same run — BENCH_r10
+        # recorded an 8.2->75.5 s band on one query); the +0.05 floor
+        # keeps sub-100 ms queries from tripping on scheduler jitter
+        lo, hi = spreads[name]
+        return hi > 2.0 * lo + 0.05
+
+    for name in BENCH_QUERIES:
+        runs, jobs = _time_query(name)
+        timings[name] = round(min(runs), 3)
         # min/max band so the recorded file itself shows host noise —
         # single warm numbers on this box flip-flop 10-40% run to run
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
@@ -231,12 +245,42 @@ def main():
         # "slower but same jobs" vs "slower with more jobs" question is
         # answerable from the recorded stderr artifact without a rerun
         job_counts[name] = jobs
-        total += best
 
     # sentinels re-run AFTER the suite: the pair brackets the bench
     # window, so monotonic host drift during the run is visible too
     sent_cpu.append(_sentinel_cpu())
     sent_spark.append(_sentinel_spark(spark))
+
+    # Artifact defense (round-10 verdict ask #3): the recorded number
+    # must not need manual reinterpretation when the host wobbles
+    # mid-run. Two unsettledness signals — intra-run sentinel drift
+    # >10% and per-query spread/min > 2 — trigger bounded re-runs of
+    # exactly the polluted queries; each retry pass re-brackets with
+    # fresh sentinels. min-of-all-runs is kept (a slow run never makes
+    # a query's best worse), the spread band is REPLACED by the retry
+    # pass's so the artifact reflects the settled measurement, and the
+    # retry counts land in the payload.
+    retried = {}
+    for _pass in range(2):
+        suspect = [k for k in BENCH_QUERIES if _spready(k)]
+        if not suspect:
+            break
+        for name in suspect:
+            runs, jobs = _time_query(name)
+            retried[name] = retried.get(name, 0) + len(runs)
+            timings[name] = round(min(timings[name], min(runs)), 3)
+            spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+            job_counts[name] = jobs
+        sent_cpu.append(_sentinel_cpu())
+        sent_spark.append(_sentinel_spark(spark))
+
+    total = sum(timings.values())
+    # settled = the final bracketing sentinel sits within 15% of the
+    # run's best AND no query kept a >2x spread through the retries;
+    # false means "interpret this artifact against BENCH_NORM.json's
+    # sentinel column", recorded instead of needing to be rediscovered
+    host_settled = (sent_cpu[-1] / min(sent_cpu) - 1 <= 0.15
+                    and not any(_spready(k) for k in BENCH_QUERIES))
 
     # Self-normalizing record (round-9 verdict ask #3): every query as
     # BOTH min-of-N seconds AND sentinel-normalized units
@@ -257,6 +301,8 @@ def main():
             'sentinel': {'cpu': [round(t, 4) for t in sent_cpu],
                          'spark': [round(t, 4) for t in sent_spark]},
             'cpu_ref': round(cpu_ref, 4),
+            'host_settled': host_settled,
+            'retried': retried,
             'total_sec': round(total, 3),
             'total_norm': round(total / cpu_ref, 1),
             'queries': {k: {'sec': timings[k], 'norm': norm[k],
@@ -273,6 +319,7 @@ def main():
     # artifact loses rows (BENCH_r06 lost 23 of 79)
     print(json.dumps({'spread': spreads, 'queries_3dp': timings,
                       'jobs_per_run': job_counts,
+                      'host_settled': host_settled, 'retried': retried,
                       'runs_per_query': n_runs,
                       'sentinel': {'cpu': [round(t, 3) for t in sent_cpu],
                                    'spark': [round(t, 3)
@@ -314,6 +361,10 @@ def main():
             # per-query equivalents are queries[q]/sentinel.cpu and the
             # full dual record is BENCH_NORM.json in the repo
             'value_norm': round(total / cpu_ref, 1),
+            # false = a >2x spread survived the bounded retries (or the
+            # closing sentinel drifted >15%); read BENCH_NORM.json's
+            # normalized column before comparing rounds
+            'host_settled': host_settled,
             'queries': qd,
             'sf': float(sf),
         }

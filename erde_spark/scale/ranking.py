@@ -156,6 +156,49 @@ def write_postings(index: DataFrame, path: str, buckets: int = 256,
     (index.withColumn('bucket',
                       F.pmod(F.xxhash64('term'), F.lit(buckets)))
      .write.mode(mode).partitionBy('bucket').parquet(path))
+    # sidecar metadata so a probe with the wrong bucket count raises
+    # instead of silently pruning to empty directories (a wrong-buckets
+    # probe was previously indistinguishable from "term absent")
+    import json as _json
+    _meta_write(path, _json.dumps(
+        {'buckets': int(buckets), 'hash': _POSTINGS_HASH}))
+
+
+_POSTINGS_META = '_postings_meta.json'
+_POSTINGS_HASH = 'pmod(xxhash64(term), buckets)'
+
+
+def _meta_write(index_path: str, payload: str) -> None:
+    from urllib.parse import urlparse
+    import os as _os
+    if len(urlparse(index_path).scheme) > 1:
+        from pyarrow import fs as pafs
+        filesystem, rel = pafs.FileSystem.from_uri(index_path)
+        with filesystem.open_output_stream(
+                f'{rel}/{_POSTINGS_META}') as fh:
+            fh.write(payload.encode())
+    else:
+        with open(_os.path.join(index_path, _POSTINGS_META), 'w') as fh:
+            fh.write(payload)
+
+
+def _meta_read(index_path: str) -> dict | None:
+    import json as _json
+    import os as _os
+    from urllib.parse import urlparse
+    try:
+        if len(urlparse(index_path).scheme) > 1:
+            from pyarrow import fs as pafs
+            filesystem, rel = pafs.FileSystem.from_uri(index_path)
+            with filesystem.open_input_file(
+                    f'{rel}/{_POSTINGS_META}') as fh:
+                return _json.loads(fh.read().decode())
+        with open(_os.path.join(index_path, _POSTINGS_META)) as fh:
+            return _json.load(fh)
+    except (FileNotFoundError, OSError):
+        # pre-metadata index (or a foreign layout): probe proceeds on
+        # the caller's word, the pre-r11 behavior
+        return None
 
 
 def read_postings(spark, path: str, terms: list[str],
@@ -165,9 +208,17 @@ def read_postings(spark, path: str, terms: list[str],
     scan prunes to at most ``len(terms)`` partition directories (assert
     it with plans.inspect — the bucket filter appears as a partition
     filter, not a data filter). ``buckets`` must equal the write-side
-    value."""
+    value — validated against the ``_postings_meta.json`` sidecar the
+    writer persists, so a mismatched probe raises instead of silently
+    pruning to empty directories."""
     if not terms:
         raise ValueError('terms must be non-empty')
+    meta = _meta_read(path)
+    if meta is not None and int(meta.get('buckets', buckets)) != buckets:
+        raise ValueError(
+            f'read_postings(buckets={buckets}) does not match the index '
+            f"at {path!r} (written with buckets={meta['buckets']}); a "
+            'mismatched probe would silently return empty')
     lo = [t.lower() for t in terms]
     tdf = spark.createDataFrame([(t,) for t in lo], 'term string')
     wanted = [r[0] for r in

@@ -481,3 +481,28 @@ def test_postings_bucketed_serving_partition_prunes(spark, tmp_path):
     assert m and 'bucket' in m.group(1), m
     with pytest.raises(ValueError):
         read_postings(spark, path, [])
+
+
+def test_postings_bucket_mismatch_raises(spark, tmp_path):
+    """A probe with the wrong bucket count must RAISE against the
+    writer's _postings_meta.json sidecar — before r11 it silently
+    pruned to the wrong directories, indistinguishable from 'term
+    absent'. A pre-metadata index (sidecar deleted) keeps the old
+    proceed-on-the-caller's-word behavior."""
+    import os
+
+    from erde_spark.scale.ranking import (build_postings, read_postings,
+                                          write_postings)
+    docs = spark.createDataFrame(
+        [(i, f'tok{i % 3} common') for i in range(12)],
+        'doc_id long, text string')
+    path = str(tmp_path / 'idx')
+    write_postings(build_postings(docs), path, buckets=64)
+    with pytest.raises(ValueError, match='written with buckets=64'):
+        read_postings(spark, path, ['common'], buckets=32)
+    # matching count still serves
+    assert read_postings(spark, path, ['common'], buckets=64).count() == 1
+    # legacy index without the sidecar: no validation possible, probe
+    # proceeds (correct count because the caller's value IS right)
+    os.remove(os.path.join(path, '_postings_meta.json'))
+    assert read_postings(spark, path, ['common'], buckets=64).count() == 1
