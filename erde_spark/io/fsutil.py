@@ -5,9 +5,13 @@ any URI scheme through ``pyarrow.fs`` (s3://, hdfs://, gs:// ... and
 remote code path). The streaming formats (warc/zst) carry their own
 adapter in io/warc.py; this module serves the random-access ones.
 
-Writers stay shared-filesystem by design: every sink in this package
-commits by atomic rename, which object stores don't offer — write to
-the cluster FS and lift afterwards.
+Writers: the zst sink (io/zst.py::write_jsonl_zst) is the reference
+object-store writer — URI destinations take a pyarrow.fs TWO-PHASE
+commit (temp object -> verify -> fs.move, one atomic PUT) because
+object stores have no atomic rename. The remaining sinks
+(wds/tfrecord/arrow/megatron/avro/npy/safetensors) still commit by
+``os.replace`` and stay shared-filesystem-only by design — write to
+the cluster FS and lift afterwards, or port the zst pattern.
 """
 
 from __future__ import annotations

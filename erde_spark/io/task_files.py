@@ -15,6 +15,11 @@ is exactly Spark's semantics for idempotent task output).
 No counterpart in the reference (its sinks are single-process,
 ``/root/reference/erde/io/base.py``); this is Spark-executor plumbing.
 
+These helpers are POSIX-rename writers. For object-store destinations
+(no atomic rename) the pattern is the pyarrow.fs two-phase commit in
+``io/zst.py::write_jsonl_zst`` (temp object -> verify -> ``fs.move``);
+port that branch when a sink needs s3://, gs:// or hdfs:// output.
+
 EXECUTOR-SIDE IMPORT WARNING: do NOT ``import erde_spark.io.task_files``
 inside a closure whose only erde_spark dependency it would be — the
 parent-package inits drag pandas + the geo chain (~0.6 s) into every

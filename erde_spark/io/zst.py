@@ -164,18 +164,44 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
     pushes bytes through pyarrow's zstd stream and ROLLS a new shard
     every ``shard_bytes`` UNCOMPRESSED bytes, so a skewed partition
     becomes several bounded shards and the read side's one-file-per-task
-    unit stays ~shard_bytes regardless of partition skew. Shards stage
-    to attempt-scoped temp names and commit by atomic rename (same
-    discipline as Spark's own file committers)."""
+    unit stays ~shard_bytes regardless of partition skew.
+
+    Commit protocol by destination: a plain local path stages to an
+    attempt-scoped temp name and commits by atomic ``os.replace`` (the
+    Spark-committer discipline). Any URI scheme — ``file://`` (the
+    in-container test branch), ``s3://``, ``gs://``, ``hdfs://`` — goes
+    through pyarrow.fs with a TWO-PHASE commit instead, because object
+    stores have no atomic rename: write the ``.inprogress`` temp
+    object, VERIFY it exists with nonzero size, then ``fs.move`` onto
+    the final name (one atomic PUT on stores where move = copy+delete;
+    a reader racing the move sees either nothing or a whole shard
+    because the read-side glob excludes ``.inprogress``). The other
+    training sinks (wds/tfrecord/arrow/megatron/avro/npy/safetensors)
+    remain shared-filesystem-only writers — write locally and lift —
+    with this function as the reference pattern for porting them."""
     import shutil
     import uuid
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    elif mode not in ('append', 'error'):
-        raise ValueError(f'mode={mode!r}: use overwrite/append/error')
-    os.makedirs(path, exist_ok=True)
+    from urllib.parse import urlparse
+    scheme = urlparse(path).scheme if len(urlparse(path).scheme) > 1 else ''
+    if scheme:
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(path)
+        info = filesystem.get_file_info(root)
+        if mode == 'error' and info.type != pafs.FileType.NotFound:
+            raise FileExistsError(path)
+        if mode == 'overwrite' and info.type == pafs.FileType.Directory:
+            filesystem.delete_dir(root)
+        elif mode not in ('overwrite', 'append', 'error'):
+            raise ValueError(f'mode={mode!r}: use overwrite/append/error')
+        filesystem.create_dir(root, recursive=True)
+    else:
+        if mode == 'error' and os.path.exists(path):
+            raise FileExistsError(path)
+        if mode == 'overwrite':
+            shutil.rmtree(path, ignore_errors=True)
+        elif mode not in ('append', 'error'):
+            raise ValueError(f'mode={mode!r}: use overwrite/append/error')
+        os.makedirs(path, exist_ok=True)
     if shard_bytes <= 0:
         raise ValueError('shard_bytes must be positive')
     lines = df.select(F.to_json(F.struct(*df.columns)).alias('value'))
@@ -198,25 +224,55 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
         shard_idx = 0
         out = tmp = final = None
         nbytes = 0
+        if scheme:
+            from pyarrow import fs as pafs
+            filesystem, root = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, root = None, path
 
         def _open_shard():
             nonlocal out, tmp, final
-            final = os.path.join(
-                path, f'part-{tid:05d}-{shard_idx:05d}{tag}.jsonl.zst')
+            name = f'part-{tid:05d}-{shard_idx:05d}{tag}.jsonl.zst'
+            final = f'{root}/{name}' if scheme else os.path.join(root, name)
             tmp = f'{final}.{attempt}.inprogress'
             # this pyarrow's output_stream exposes no level knob —
             # zstd default (3) is the archival sweet spot anyway
-            out = pa.output_stream(tmp, compression='zstd')
+            if scheme:
+                out = pa.CompressedOutputStream(
+                    filesystem.open_output_stream(tmp), 'zstd')
+            else:
+                out = pa.output_stream(tmp, compression='zstd')
 
         def _close_shard():
             nonlocal out, shard_idx, nbytes
             if out is None:
                 return
             out.close()
-            os.replace(tmp, final)
+            if scheme:
+                # two-phase: the temp object is complete — verify it
+                # landed, then PUT it onto the final name (fs.move); on
+                # object stores that's copy+delete, and the copy is one
+                # atomic PUT, so readers never see a partial shard
+                info = filesystem.get_file_info(tmp)
+                if info.type != pafs.FileType.File or info.size <= 0:
+                    raise IOError(
+                        f'staged shard {tmp!r} missing or empty at '
+                        'commit — refusing to publish')
+                filesystem.move(tmp, final)
+            else:
+                os.replace(tmp, final)
             out = None
             shard_idx += 1
             nbytes = 0
+
+        def _abort_shard():
+            try:
+                if scheme:
+                    filesystem.delete_file(tmp)
+                else:
+                    os.remove(tmp)
+            except OSError:
+                pass
 
         try:
             for row in it:
@@ -234,9 +290,6 @@ def write_jsonl_zst(df: DataFrame, path: str, mode: str = 'overwrite',
             # clean directory beats relying on the filter)
             if out is not None:
                 out.close()
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
+                _abort_shard()
 
     lines.rdd.foreachPartition(_write_partition)

@@ -918,6 +918,29 @@ class TestZstJsonl:
         joined = back.withColumnRenamed('text', 't2').join(d, 'doc_id')
         assert joined.filter(F.col('t2') != F.col('text')).count() == 0
 
+    def test_uri_write_two_phase_commit(self, spark, tmp_path):
+        """A file:// URI destination takes the pyarrow.fs two-phase
+        commit branch (write temp object -> verify -> fs.move) — the
+        identical code path s3://, gs:// and hdfs:// take, since
+        FileSystem.from_uri maps file:// to LocalFileSystem. Pins:
+        round-trip fidelity, no leftover .inprogress objects, and
+        mode=error/overwrite semantics through the fs branch."""
+        import glob
+
+        from erde_spark.io.zst import write_jsonl_zst
+        local = str(tmp_path / 'u.jsonl.zst')
+        uri = 'file://' + local
+        d = self._docs(spark, 120)
+        write_jsonl_zst(d, uri, shard_bytes=4 << 10)
+        assert glob.glob(local + '/part-*.jsonl.zst')
+        assert not glob.glob(local + '/*.inprogress')
+        back = read_df(local, spark)
+        assert back.count() == 120
+        with pytest.raises(FileExistsError):
+            write_jsonl_zst(d, uri, mode='error')
+        write_jsonl_zst(d.limit(10).coalesce(1), uri, mode='overwrite')
+        assert read_df(local, spark).count() == 10
+
     def test_shard_rolling_bounds_file_size(self, spark, tmp_path):
         out = str(tmp_path / 'r.jsonl.zst')
         from erde_spark.io.zst import write_jsonl_zst
