@@ -400,13 +400,51 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
         os.replace(final + '.tmp', final)
 
 
+#: Avro spec "Schema Resolution" numeric promotions (writer -> reader),
+#: keyed by Spark simpleString names. string<->bytes promotion is
+#: deliberately omitted (silent text/binary coercion hides bugs);
+#: array element types must match exactly.
+_PROMOTIONS = {('int', 'bigint'), ('int', 'float'), ('int', 'double'),
+               ('bigint', 'float'), ('bigint', 'double'),
+               ('float', 'double')}
+
+
+def _resolve_plan(writer, reader_names, want_sig):
+    """Avro Schema Resolution by field name: returns, per WRITER field,
+    (decoder-for-writer-type, reader column index or None, cast). A
+    writer field absent from the reader decodes and is discarded; a
+    reader field absent from the writer stays null (every field this
+    sink writes is a nullable union, so null IS the default); a common
+    field with a promotable numeric type casts; anything else raises."""
+    reader_idx = {n: i for i, n in enumerate(reader_names)}
+    plan = []
+    for f in writer.fields:
+        wt = f.dataType.simpleString()
+        oi = reader_idx.get(f.name)
+        cast = None
+        if oi is not None:
+            rt = want_sig[oi][1]
+            if wt != rt:
+                if (wt, rt) not in _PROMOTIONS:
+                    raise ValueError(
+                        f'avro schema resolution: field {f.name!r} has '
+                        f'incompatible types (writer {wt}, reader {rt})'
+                        ' — read these OCFs separately')
+                if rt in ('float', 'double'):
+                    cast = float
+        plan.append((_decoder(f.dataType), oi, cast))
+    return plan
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read an Avro OCF directory (or glob) back. The Spark schema
+    """Read an Avro OCF directory (or glob) back. The READER schema
     comes from the first file's ``avro.schema`` header (one
     incremental driver read, no size cap); every file then re-parses
-    its own header executor-side and must declare the SAME (name,
-    type) field list — heterogeneous globs raise instead of silently
-    decoding with the wrong field order. Blocks decode inside
+    its own WRITER schema executor-side and resolves it against the
+    reader by field name per the Avro spec's Schema Resolution rules
+    (reorders, extra/missing fields, numeric promotions — see
+    :func:`_resolve_plan`); an unpromotable common-field type raises
+    instead of silently coercing. Blocks decode inside
     ``mapInPandas`` (one whole shard buffered per task — the sink's
     rolling caps are the memory bound, as for the other binaryFile
     sources). Codecs: null, deflate."""
@@ -426,26 +464,29 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     schema = _spark_schema(avro_schema)
     decoders = [_decoder(f.dataType) for f in schema.fields]
     names = [f.name for f in schema.fields]
-    # (name, sparkType) fingerprint of the driver-read schema; every
-    # blob re-parses its OWN avro.schema below and must match, so a
-    # heterogeneous glob (same types, different field order — or any
-    # other drift) fails loudly instead of silently mis-decoding.
+    # (name, sparkType) fingerprint of the driver-read reader schema;
+    # every blob re-parses its OWN writer schema below and resolves
+    # against it by FIELD NAME per the Avro spec's Schema Resolution
+    # rules (see _resolve_plan) — so a heterogeneous glob with
+    # reordered / extra / missing / numerically-promoted fields decodes
+    # correctly, and only a genuinely incompatible field type raises.
     want_sig = [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
     def _parse(batches):
+        plans: dict = {}
         for pdf in batches:
             for blob in pdf['content']:
                 buf = bytes(blob)
                 meta, sync, pos = _read_header(buf)
-                got = _spark_schema(
-                    json.loads(meta['avro.schema'].decode('utf-8')))
-                got_sig = [(f.name, f.dataType.simpleString())
-                           for f in got.fields]
-                if got_sig != want_sig:
-                    raise ValueError(
-                        'avro schema mismatch across files in one read: '
-                        f'expected {want_sig}, file declares {got_sig} — '
-                        'read heterogeneous OCFs separately')
+                wjson = meta['avro.schema'].decode('utf-8')
+                if wjson not in plans:
+                    got = _spark_schema(json.loads(wjson))
+                    got_sig = [(f.name, f.dataType.simpleString())
+                               for f in got.fields]
+                    plans[wjson] = (None if got_sig == want_sig
+                                    else _resolve_plan(got, names,
+                                                       want_sig))
+                plan = plans[wjson]
                 codec = meta.get('avro.codec', b'null').decode('ascii')
                 if codec not in ('null', 'deflate'):
                     raise ValueError(f'unsupported avro codec {codec}')
@@ -462,16 +503,28 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                     if codec == 'deflate':
                         data = zlib.decompress(data, -15)
                     p = 0
-                    for _ in range(count):
-                        vals = []
-                        for dec in decoders:
-                            branch, p = zigzag_decode(data, p)
-                            if branch == 0:
-                                vals.append(None)
-                            else:
+                    if plan is None:  # fast path: writer == reader
+                        for _ in range(count):
+                            vals = []
+                            for dec in decoders:
+                                branch, p = zigzag_decode(data, p)
+                                if branch == 0:
+                                    vals.append(None)
+                                else:
+                                    v, p = dec(data, p)
+                                    vals.append(v)
+                            rows.append(vals)
+                    else:  # resolved: writer order in, reader order out
+                        for _ in range(count):
+                            vals = [None] * len(names)
+                            for dec, oi, cast in plan:
+                                branch, p = zigzag_decode(data, p)
+                                if branch == 0:
+                                    continue
                                 v, p = dec(data, p)
-                                vals.append(v)
-                        rows.append(vals)
+                                if oi is not None:
+                                    vals[oi] = cast(v) if cast else v
+                            rows.append(vals)
                 yield pd.DataFrame(rows, columns=names)
 
     src = (spark.read.format('binaryFile')

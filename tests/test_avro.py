@@ -235,22 +235,53 @@ def test_single_file_and_empty_roundtrip(spark, tmp_path):
     assert back.schema == df.schema
 
 
-def test_heterogeneous_glob_fails_loudly(spark, tmp_path):
-    """Two OCFs with the SAME field types but a different field ORDER
-    must raise at read time, not silently swap column values (the
-    pre-r10 reader decoded every file with the first file's decoders).
-    Advisory: ADVICE r10 medium, avro_ocf per-file schema check."""
-    a = spark.createDataFrame([(1, 'x')], 'id long, s string')
-    b = spark.createDataFrame([('y', 2)], 's string, id long')
-    d = str(tmp_path / 'mix.avro')
-    write_avro(a.coalesce(1), d)
-    write_avro(b.coalesce(1), str(tmp_path / 'b.avro'))
+def _mix_dir(spark, tmp_path, a_df, b_df):
+    """Two OCFs with different writer schemas in one directory; the
+    FIRST file by name (part-a...) supplies the reader schema."""
     import shutil
+    d = str(tmp_path / 'mix.avro')
+    write_avro(a_df.coalesce(1), d)
+    first = glob.glob(d + '/*.avro')[0]
+    shutil.move(first, d + '/part-aaa.avro')
+    write_avro(b_df.coalesce(1), str(tmp_path / 'b.avro'))
     src = glob.glob(str(tmp_path / 'b.avro') + '/*.avro')[0]
     shutil.copy(src, d + '/part-zzz.avro')
+    return d
+
+
+def test_heterogeneous_glob_resolves_by_field_name(spark, tmp_path):
+    """Avro spec Schema Resolution (r10 optional ask #8b): a foreign
+    data lake's glob mixes files with reordered / extra / missing /
+    numerically-promoted fields. The reader resolves each file's
+    WRITER schema against the reader schema by FIELD NAME — reordered
+    values land in the right columns (the pre-r10 reader silently
+    swapped them; r10 raised), extra writer fields are discarded,
+    missing reader fields come back null, int promotes to long."""
+    a = spark.createDataFrame([(1, 'x')], 'id long, s string')
+    # reordered + extra field 'junk' + id written as int (promotes)
+    b = spark.createDataFrame([('y', True, 2)],
+                              's string, junk boolean, id int')
+    d = _mix_dir(spark, tmp_path, a, b)
+    rows = {r['id']: r['s'] for r in read_avro(spark, d).collect()}
+    assert rows == {1: 'x', 2: 'y'}
+    # reader field missing from one writer -> null, not an error
+    c = spark.createDataFrame([(3,)], 'id long')
+    d2 = _mix_dir(spark, tmp_path / 'm2', a, c)
+    rows = {r['id']: r['s'] for r in read_avro(spark, d2).collect()}
+    assert rows == {1: 'x', 3: None}
+
+
+def test_heterogeneous_glob_incompatible_type_fails_loudly(spark,
+                                                           tmp_path):
+    """Resolution is not coercion: a common field whose types are not
+    Avro-promotable (string vs long) still raises at read time instead
+    of silently mangling values."""
+    a = spark.createDataFrame([(1, 'x')], 'id long, s string')
+    b = spark.createDataFrame([(2, 3)], 'id long, s long')
+    d = _mix_dir(spark, tmp_path, a, b)
     with pytest.raises(Exception) as ei:
         read_avro(spark, d).collect()
-    assert 'schema mismatch' in str(ei.value)
+    assert 'incompatible' in str(ei.value)
 
 
 def test_large_header_reads(spark, tmp_path):
