@@ -3223,6 +3223,104 @@ WHERE c_custkey <= 3
 """
 
 
+def q_stream_join_attrib(spark, sf_dir):
+    """Watermarked stream-stream interval join (NEW round 11 —
+    erde_spark/streaming/windows.py::stream_interval_join): view->click
+    attribution within 2 hours per user, driven through TWO file-stream
+    sources with availableNow into a memory sink. Inner interval joins
+    emit on match (no watermark-close wait) and each source drains in
+    one micro-batch, so no row is ever late — the streaming result is
+    exactly the batch join, which IS the DuckDB oracle. The interval
+    predicate is also what bounds the join STATE on a real unbounded
+    stream (rows evict once the watermark passes ts + lag)."""
+    import shutil
+    import tempfile
+
+    from erde_spark.streaming.windows import stream_interval_join
+    ev = _t(spark, sf_dir, 'events')['events']
+    ts = F.col('ts').cast('timestamp')  # watermarks reject TIMESTAMP_NTZ
+    views = ev.filter(F.col('event_type') == 'view').select(
+        'user_id', F.col('event_id').alias('view_id'),
+        ts.alias('view_ts'))
+    clicks = ev.filter(F.col('event_type') == 'click').select(
+        'user_id', F.col('event_id').alias('click_id'),
+        ts.alias('click_ts'))
+    base = tempfile.mkdtemp(prefix='erde_stream_join_')
+    views.write.parquet(f'{base}/v')
+    clicks.write.parquet(f'{base}/c')
+    vs = spark.readStream.schema(views.schema).parquet(f'{base}/v')
+    cs = spark.readStream.schema(clicks.schema).parquet(f'{base}/c')
+    joined = stream_interval_join(vs, cs, 'user_id', 'view_ts',
+                                  'click_ts', '2 hours',
+                                  watermark='1 minute')
+    name = 'sj_attrib_' + os.path.basename(base).rsplit('_', 1)[-1]
+    q = (joined.writeStream.format('memory').queryName(name)
+         .outputMode('append')
+         .option('checkpointLocation', f'{base}/ckpt')
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = (spark.table(name).select('user_id', 'view_id', 'click_id')
+           .localCheckpoint(eager=True))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+_STREAM_JOIN_ATTRIB_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
+def q_d4_check(spark, sf_dir):
+    """D4 data selection (Tirumala et al. 2023, arXiv:2308.12284 —
+    SemDeDup then drop the most PROTOTYPICAL fraction of each k-means
+    cluster; NEW round 11, erde_spark/scale/dedup.py::d4_select)
+    verified by construction: at threshold 0.99 the semdedup phase
+    keeps everything (no natural sf pair reaches 0.99 — the
+    semdedup_check invariant), so the gate isolates the prototype
+    phase and checks its POLICY from the debug frame — every cluster
+    dropped exactly min(ceil(frac*size), size-1) members, every
+    dropped member's centroid-cosine >= every kept member's, and the
+    returned id set is consistent with the per-cluster drops. The
+    oracle replays the input cardinality and pins the booleans."""
+    from erde_spark.scale.dedup import d4_select
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    dbg: dict = {}
+    out = d4_select(e, threshold=0.99, proto_frac=0.25,
+                    _debug_out=dbg)
+    ranked = dbg['ranked']
+    per_cluster = (ranked.groupBy('list_id').agg(
+        F.count(F.lit(1)).alias('csz'),
+        F.sum(F.col('_dropped').cast('int')).alias('n_drop'),
+        F.max(F.when(~F.col('_dropped'), F.col('_sim'))).alias('max_kept'),
+        F.min(F.when(F.col('_dropped'), F.col('_sim'))).alias('min_drop')))
+    checks = per_cluster.agg(
+        F.every((F.col('n_drop') ==
+                 F.least(F.ceil(F.lit(0.25) * F.col('csz')),
+                         F.col('csz') - 1))).alias('drop_counts_ok'),
+        F.every(F.coalesce(F.col('min_drop') >= F.col('max_kept'),
+                           F.lit(True))).alias('ranking_ok'),
+        F.sum(F.col('csz') - F.col('n_drop')).alias('expect_out'))
+    n_in = e.count()
+    n_out = out.count()
+    return checks.select(
+        F.lit(n_in).alias('n_in'),
+        'drop_counts_ok', 'ranking_ok',
+        (F.col('expect_out') == F.lit(n_out)).alias('count_consistent'))
+
+
+_D4_CHECK_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_in,
+       true AS drop_counts_ok, true AS ranking_ok,
+       true AS count_consistent
+FROM embeddings
+"""
+
+
 def q_events_stateful(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState) driven over
     the events table via a file-stream + availableNow (rows-only)."""
@@ -6773,14 +6871,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 window = 13 r07s + 3 r05s + 34 r08s, exactly 50 (see
     ROUND10_NOTES.md).
 
-    Round-11 rotation: the three NEW construction-oracled routing gates
+    Round-11 rotation: FIVE never-green oracled newcomers enter the
+    window — the three construction-oracled routing gates
     (routing_route_check, od_table_check, isochrone_grid_check — the
     mock-OSRM straight-line metrics made pure key arithmetic so DuckDB
-    replays them; SURVEY §2.7's first driver-green rows) enter the
-    window with the 47 stalest per check_rotation.py's printed repack
-    (the r05 trio + 13 r07s + 31 r08s); the last three r08 geo entries
-    (geo_transform_polar, geo_lonlat_detect, geo_buffer_dissolve) wait
-    for r12 with the remaining r08s + oldest r09s.
+    replays them; SURVEY §2.7's first driver-green rows), the
+    watermarked stream-stream interval join (stream_join_attrib) and
+    D4 data selection (d4_check) — plus the 45 stalest per
+    check_rotation.py's printed repack (the r05 trio + 13 r07s + 29
+    r08s); the five r08 entries displaced (geo_transform,
+    geo_transform_families, geo_transform_polar, geo_lonlat_detect,
+    geo_buffer_dissolve) wait for r12 with the remaining r08s + oldest
+    r09s (24 r08s then remain out-of-window — r12's 50 slots cover
+    them all inside the K=4 horizon).
 
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
@@ -6791,6 +6894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'routing_route_check': q_routing_route_check,
         'od_table_check': q_od_table_check,
         'isochrone_grid_check': q_isochrone_grid_check,
+        'stream_join_attrib': q_stream_join_attrib,
+        'd4_check': q_d4_check,
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
         'text_analysis': q_text_analysis,
@@ -6836,9 +6941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'nb_classifier': q_nb_classifier,
         'chunk_documents': q_chunk_documents,
         'langid_nb': q_langid_nb,
+        # -- tail: driver-green in earlier rounds (see rotation notes) --
         'geo_transform': q_geo_transform,
         'geo_transform_families': q_geo_transform_families,
-        # -- tail: driver-green in earlier rounds (see rotation notes) --
         'lookup_customer': q_lookup_customer,
         'crossjoin_dims': q_crossjoin_dims,
         'column_stats': q_column_stats,
@@ -6984,6 +7089,8 @@ def oracle_sql() -> dict[str, str]:
         'routing_route_check': _ROUTING_ROUTE_CHECK_SQL,
         'od_table_check': _OD_TABLE_CHECK_SQL,
         'isochrone_grid_check': _ISOCHRONE_GRID_CHECK_SQL,
+        'stream_join_attrib': _STREAM_JOIN_ATTRIB_SQL,
+        'd4_check': _D4_CHECK_SQL,
         'warc_ingest': _WARC_INGEST_SQL,
         'warc_stream_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,

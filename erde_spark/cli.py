@@ -8,12 +8,12 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 30 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 31 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
 pack, scrub, extract, select, tokenize, fixenc, urlcanon,
 boilerplate, robots, langid, capdomains, linededup, bitext, wds,
 tfexport, ppl, megexport, shuffle, unimax, curate, fim, chat,
-entropy, spancorrupt, ul2, semdedup, wsample (the training-data
+entropy, spancorrupt, ul2, semdedup, wsample, d4 (the training-data
 pipeline from the shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
@@ -675,6 +675,23 @@ def semdedup(input_data: DataFrame, threshold: float = 0.95,
 
 
 @autocli
+def d4(input_data: DataFrame, threshold: float = 0.95,
+       proto_frac: float = 0.25, n_clusters: int = 0,
+       max_cluster: int = 0, id_column: str = 'vec_id',
+       vector_column: str = 'embedding') -> DataFrame:
+    """D4 data selection (SemDeDup then drop the proto_frac most
+    PROTOTYPICAL members of each re-clustered survivor cluster —
+    highest centroid cosine): the dedup-plus-diversify pipeline of
+    arXiv:2308.12284. n_clusters 0 means ~sqrt(n)."""
+    from erde_spark.scale.dedup import d4_select
+    return d4_select(input_data, id_col=id_column,
+                     vec_col=vector_column, threshold=threshold,
+                     proto_frac=proto_frac,
+                     n_clusters=n_clusters or None,
+                     max_cluster=max_cluster or None)
+
+
+@autocli
 def wsample(input_data: DataFrame, n: int, weight_column: str,
             id_column: str = 'doc_id', salt: str = '') -> DataFrame:
     """Weighted sample WITHOUT replacement (Efraimidis-Spirakis):
@@ -754,7 +771,7 @@ COMMANDS = {
     'tfexport': tfexport, 'ppl': ppl, 'megexport': megexport,
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
-    'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample,
+    'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample, 'd4': d4,
 }
 
 

@@ -1342,6 +1342,69 @@ def semdedup(df: DataFrame, id_col: str = 'vec_id',
                    id_col, 'left_semi')
 
 
+def d4_select(df: DataFrame, id_col: str = 'vec_id',
+              vec_col: str = 'embedding', threshold: float = 0.95,
+              proto_frac: float = 0.25, n_clusters: int | None = None,
+              sample_size: int = 4096, seed: int = 42,
+              n_docs: int | None = None, block: int = 1024,
+              max_cluster: int | None = None,
+              _debug_out: dict | None = None) -> DataFrame:
+    """D4 data selection (Tirumala et al. 2023, arXiv:2308.12284):
+    :func:`semdedup` first (cosine >= ``threshold`` duplicate groups
+    collapse, paper ``keep='far'`` policy), then the survivors are
+    RE-clustered and each cluster drops its ``proto_frac`` most
+    PROTOTYPICAL members — highest cosine to the cluster centroid, the
+    SSL-prototypes criterion — keeping the diversity frontier the paper
+    shows trains better than dedup alone. Re-clustering the deduped set
+    (not reusing the first assignment) follows the paper's pipeline.
+
+    Every cluster keeps at least one member
+    (``n_drop = min(ceil(proto_frac * size), size - 1)``); ranking ties
+    break by id, so the selection is deterministic given the centroids.
+
+    Scale: the dedup phase is semdedup's (cluster-local quadratics, one
+    shuffle); the prototype phase is one narrow pass for the centroid
+    cosine plus ONE shuffle on cluster id for the rank window — nothing
+    quadratic. Set ``_debug_out['ranked']`` to receive the per-point
+    (id, list_id, _sim, _rn, _csz, _dropped) frame (the construction
+    gate audits the policy from it).
+
+    Returns the SURVIVING rows of ``df`` (original columns)."""
+    from erde_spark.scale.similarity import ivf_index
+    if not 0.0 <= proto_frac < 1.0:
+        raise ValueError(f'proto_frac must be in [0, 1), got {proto_frac}')
+    kept = semdedup(df, id_col, vec_col, threshold, n_clusters,
+                    sample_size, seed, 'far', n_docs, block, max_cluster)
+    cent, indexed = ivf_index(kept, n_lists=n_clusters, id_col=id_col,
+                              vec_col=vec_col, sample_size=sample_size,
+                              seed=seed)
+
+    @F.pandas_udf(T.DoubleType())
+    def _centroid_sim(v: pd.Series, lid: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype='float64')
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        c = cent[lid.to_numpy()]
+        return pd.Series(np.einsum('ij,ij->i', m, c))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy('list_id').orderBy(F.col('_sim').desc(), 'id')
+    wc = Window.partitionBy('list_id')
+    ranked = (indexed
+              .withColumn('_sim', _centroid_sim('nvec', 'list_id'))
+              .withColumn('_rn', F.row_number().over(w))
+              .withColumn('_csz', F.count(F.lit(1)).over(wc))
+              .withColumn('_dropped', F.col('_rn') <= F.least(
+                  F.ceil(F.lit(float(proto_frac)) * F.col('_csz')),
+                  F.col('_csz') - 1)))
+    if _debug_out is not None:
+        _debug_out['ranked'] = ranked.select(
+            'id', 'list_id', '_sim', '_rn', '_csz', '_dropped')
+    survivors = ranked.filter(~F.col('_dropped')) \
+        .select(F.col('id').alias(id_col))
+    return kept.join(survivors, id_col, 'left_semi')
+
+
 def embedding_lsh_pairs(df: DataFrame, id_col: str = 'vec_id',
                         vec_col: str = 'embedding', threshold: float = 0.9,
                         dim: int = 64, bands: int | None = None,

@@ -68,6 +68,62 @@ def stream_dedup(df: DataFrame, ts_col: str, delay: str,
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         keys: list[str] | str, left_ts: str,
+                         right_ts: str, max_lag: str,
+                         watermark: str = '0 seconds') -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the attribution
+    shape (view -> click within N minutes, impression -> conversion):
+    per shared key, right rows with
+    ``left_ts <= right_ts <= left_ts + max_lag``.
+
+    Works identically on batch and streaming frames (same expressions,
+    so a batch backtest replays the live job). On streams BOTH sides
+    get ``withWatermark`` and the time-range predicate is what lets
+    Spark bound the join state: a left row is evictable once the
+    watermark passes ``left_ts + max_lag``, a right row once it passes
+    ``right_ts`` — without the interval condition, stream-stream join
+    state grows forever (Spark would reject the unbounded append join).
+    State scales with rows inside the lag horizon per key — the only
+    join shape that survives an unbounded 100 TB stream.
+
+    Column names must be disjoint across sides except ``keys`` (rename
+    before joining — the output keeps the LEFT key columns). Inner only:
+    outer interval joins additionally delay emission to watermark close;
+    compose via the kept key if needed.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for c in keys + [left_ts]:
+        if c not in left.columns:
+            raise ValueError(f'column {c!r} missing from left')
+    for c in keys + [right_ts]:
+        if c not in right.columns:
+            raise ValueError(f'column {c!r} missing from right')
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(f'non-key columns present on both sides: '
+                         f'{sorted(clash)} — rename before joining')
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    la, ra = l.alias('__l'), r.alias('__r')
+    cond = None
+    for k in keys:
+        c = F.col(f'__l.{k}') == F.col(f'__r.{k}')
+        cond = c if cond is None else cond & c
+    lag = F.expr(f'INTERVAL {max_lag}')
+    cond = (cond & (F.col(f'__r.{right_ts}') >= F.col(f'__l.{left_ts}'))
+            & (F.col(f'__r.{right_ts}') <= F.col(f'__l.{left_ts}') + lag))
+    out_cols = ([F.col(f'__l.{k}').alias(k) for k in keys]
+                + [F.col(f'__l.{c}').alias(c) for c in left.columns
+                   if c not in keys]
+                + [F.col(f'__r.{c}').alias(c) for c in right.columns
+                   if c not in keys])
+    return la.join(ra, cond, 'inner').select(*out_cols)
+
+
 def stream_parquet_pipeline(spark, in_dir: str, schema, transform: Callable[[DataFrame], DataFrame],
                             out_dir: str, checkpoint_dir: str,
                             trigger_once: bool = True):

@@ -2256,6 +2256,68 @@ class TestSemDedup:
             semdedup(self._planted(spark, 10), keep='random')
 
 
+class TestD4Select:
+    """D4 (arXiv:2308.12284): SemDeDup then drop the most prototypical
+    proto_frac of each re-clustered survivor cluster."""
+
+    def _planted(self, spark, n=200, dim=16):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in
+                     (base[i - 1] if i % 5 == 1 else base[i])])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, 'vec_id long, embedding array<double>')
+
+    def test_dedup_phase_then_policy(self, spark):
+        from erde_spark.scale.dedup import d4_select
+        df = self._planted(spark)
+        dbg = {}
+        out = d4_select(df, threshold=0.99, proto_frac=0.25,
+                        _debug_out=dbg)
+        kept = sorted(r['vec_id'] for r in out.collect())
+        # dedup phase removed one of each planted pair (keep='far'
+        # picks per-centroid, so only the count is pinned here)
+        assert len(set(kept)) == len(kept)
+        ranked = dbg['ranked'].collect()
+        by_cluster: dict = {}
+        for r in ranked:
+            by_cluster.setdefault(r['list_id'], []).append(r)
+        n_kept_expect = 0
+        for rows in by_cluster.values():
+            csz = len(rows)
+            n_drop = sum(1 for r in rows if r['_dropped'])
+            assert n_drop == min(-(-csz // 4), csz - 1)  # ceil(csz/4)
+            n_kept_expect += csz - n_drop
+            kept_sims = [r['_sim'] for r in rows if not r['_dropped']]
+            drop_sims = [r['_sim'] for r in rows if r['_dropped']]
+            if kept_sims and drop_sims:
+                # dropped = the most prototypical (highest centroid sim)
+                assert min(drop_sims) >= max(kept_sims) - 1e-12
+        assert len(kept) == n_kept_expect
+        # survivors are a subset of the dedup output ids
+        assert set(kept) <= {r['vec_id'] for r in df.collect()}
+
+    def test_every_cluster_keeps_at_least_one(self, spark):
+        from erde_spark.scale.dedup import d4_select
+        # 3 near-identical vectors in one cluster at frac 0.9: a naive
+        # ceil(0.9*3)=3 would empty the cluster; the guard keeps one
+        import math
+        rows = [(i, [math.cos(i * 1e-3), math.sin(i * 1e-3)])
+                for i in range(3)]
+        df = spark.createDataFrame(rows,
+                                   'vec_id long, embedding array<double>')
+        out = d4_select(df, threshold=2.0, proto_frac=0.9, n_clusters=1)
+        assert out.count() == 1
+
+    def test_proto_frac_validates(self, spark):
+        from erde_spark.scale.dedup import d4_select
+        with pytest.raises(ValueError, match='proto_frac'):
+            d4_select(self._planted(spark, 10), proto_frac=1.0)
+
+
 class TestMmrSelect:
     """MMR diversity re-rank (similarity.py::mmr_select)."""
 

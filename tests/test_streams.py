@@ -206,3 +206,62 @@ def test_stream_to_shards_avro_route(spark, tmp_path):
     back = read_avro(spark, out_dir + '/batch-*/*.avro')
     got = {r['doc_id']: r['text'] for r in back.collect()}
     assert got == {i: f'doc {i}' for i in range(12)}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """stream_interval_join: the streaming result (two file-stream
+    sources, availableNow, append memory sink) must equal the batch
+    join of the same frames — inner interval joins emit on match, and
+    a single micro-batch per source means nothing is ever late."""
+    from erde_spark.streaming.windows import stream_interval_join
+    views = spark.createDataFrame(
+        [(1, 100, '2024-01-01 10:00:00'),
+         (1, 101, '2024-01-01 12:00:00'),
+         (2, 102, '2024-01-01 10:00:00')],
+        'user_id long, view_id long, vts string').select(
+        'user_id', 'view_id', F.col('vts').cast('timestamp').alias('vts'))
+    clicks = spark.createDataFrame(
+        [(1, 200, '2024-01-01 10:05:00'),   # matches view 100
+         (1, 201, '2024-01-01 12:30:00'),   # within 1h of 101 only
+         (1, 202, '2024-01-01 09:00:00'),   # before every view
+         (2, 203, '2024-01-01 11:30:00'),   # 1.5h after 102: too late
+         (3, 204, '2024-01-01 10:00:00')],  # no such user in views
+        'user_id long, click_id long, cts string').select(
+        'user_id', 'click_id', F.col('cts').cast('timestamp').alias('cts'))
+    expected = {(1, 100, 200), (1, 101, 201)}
+    batch = stream_interval_join(views, clicks, 'user_id',
+                                 'vts', 'cts', '1 hour')
+    got = {(r['user_id'], r['view_id'], r['click_id'])
+           for r in batch.collect()}
+    assert got == expected
+    vdir, cdir = str(tmp_path / 'v'), str(tmp_path / 'c')
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    sj = stream_interval_join(vs, cs, 'user_id', 'vts', 'cts', '1 hour',
+                              watermark='1 minute')
+    assert sj.isStreaming
+    q = (sj.writeStream.format('memory').queryName('sij_test')
+         .outputMode('append')
+         .option('checkpointLocation', str(tmp_path / 'ckpt'))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_s = {(r['user_id'], r['view_id'], r['click_id'])
+             for r in spark.table('sij_test').collect()}
+    spark.catalog.dropTempView('sij_test')
+    assert got_s == expected
+
+
+def test_stream_interval_join_validates(spark):
+    from erde_spark.streaming.windows import stream_interval_join
+    a = spark.createDataFrame([(1, '2024-01-01')],
+                              'k long, ts string').select(
+        'k', F.col('ts').cast('timestamp').alias('ts'))
+    b = a.withColumnRenamed('ts', 'ts2')
+    import pytest as _p
+    with _p.raises(ValueError, match='missing from left'):
+        stream_interval_join(a, b, 'nope', 'ts', 'ts2', '1 hour')
+    with _p.raises(ValueError, match='rename before joining'):
+        # 'ts' exists on both sides as a non-key column
+        stream_interval_join(a, a, 'k', 'ts', 'ts', '1 hour')
