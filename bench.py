@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     'ul2_mix_check',
     'audio_dedup_check',
     'domain_pagerank_check',
+    'routing_route_check',
+    'od_table_check',
+    'isochrone_grid_check',
+    'stream_join_attrib',
+    'd4_check',
 ]
 
 

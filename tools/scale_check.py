@@ -120,6 +120,62 @@ def build_sf1(spark):
     oute.write.mode('overwrite').parquet(f'{SF1_DIR}/embeddings.parquet')
 
 
+def build_sf1_events(spark):
+    """10 user-disjoint copies of the sf0.1 events (user_id and
+    event_id offset per copy): interval-join ground truth is exactly
+    10x sf0.1's because cross-copy users never match."""
+    from pyspark.sql import functions as F
+    if os.path.isdir(f'{SF1_DIR}/events.parquet'):
+        return
+    ev = spark.read.parquet(f'{SF01}/events.parquet')
+    nu = ev.agg(F.max('user_id')).first()[0] + 1
+    ne = ev.agg(F.max('event_id')).first()[0] + 1
+    copies = [ev.select((F.col('event_id') + i * ne).alias('event_id'),
+                        'ts', (F.col('user_id') + i * nu).alias('user_id'),
+                        'event_type', 'value', 'props')
+              for i in range(10)]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode('overwrite').parquet(f'{SF1_DIR}/events.parquet')
+
+
+def op_stream_interval_join(spark, sf):
+    """Watermarked interval join, batch expression (the plan is the
+    same operator chain the streaming job runs): one range-condition
+    join whose cost tracks candidate pairs per user — sf1's 10
+    user-disjoint copies make output exactly 10x, and time/shuffle
+    should follow."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.streaming.windows import stream_interval_join
+    if sf == SF1_DIR:
+        build_sf1_events(spark)
+    ev = spark.read.parquet(f'{sf}/events.parquet')
+    ts = F.col('ts').cast('timestamp')
+    views = ev.filter(F.col('event_type') == 'view').select(
+        'user_id', F.col('event_id').alias('view_id'), ts.alias('view_ts'))
+    clicks = ev.filter(F.col('event_type') == 'click').select(
+        'user_id', F.col('event_id').alias('click_id'),
+        ts.alias('click_ts'))
+    return stream_interval_join(views, clicks, 'user_id', 'view_ts',
+                                'click_ts', '2 hours') \
+        .select('view_id', 'click_id')
+
+
+def op_d4(spark, sf):
+    """D4 = semdedup + per-cluster prototype drop: with cluster size
+    pinned (n/256, the semdedup linearity posture) both phases should
+    track ~10x for 10x rows; the extra cost over semdedup is one
+    narrow centroid-cosine pass + one rank-window shuffle."""
+    from erde_spark.scale.dedup import d4_select
+    e = spark.read.parquet(f'{sf}/embeddings.parquet')
+    n = e.count()
+    return d4_select(e, threshold=0.95, proto_frac=0.25,
+                     n_clusters=max(16, n // 256), n_docs=n) \
+        .select('vec_id')
+
+
 def op_dedup_clusters(spark, sf):
     from erde_spark.scale.dedup import dedup_clusters
     d = spark.read.parquet(f'{sf}/documents.parquet')
@@ -531,6 +587,8 @@ OPS = {
     'zst_roundtrip': op_zst_roundtrip,
     'npy_roundtrip': op_npy_roundtrip,
     'build_postings': op_build_postings,
+    'stream_interval_join': op_stream_interval_join,
+    'd4_select': op_d4,
 }
 
 
