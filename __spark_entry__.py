@@ -3321,6 +3321,45 @@ FROM embeddings
 """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination (NEW round 11,
+    erde_spark/scale/bloom.py): the 100 TB path where the eval n-gram
+    set broadcasts as ~10 bits/key instead of a hashed relation. The
+    Bloom can only over-admit candidates (no false negatives) and every
+    candidate is exact-verified, so the kept set EQUALS the plain exact
+    anti-join — which is the DuckDB oracle (same n-gram semantics as
+    contamination_check)."""
+    from erde_spark.scale.bloom import decontaminate_bloom
+    d = _t(spark, sf_dir, 'documents')['documents']
+    ev = d.filter(F.col('doc_id') % 97 == 0)
+    corpus = d.filter(F.col('doc_id') % 97 != 0)
+    return (decontaminate_bloom(corpus, ev, n=4, fpp=0.01)
+            .select('doc_id', 'lang'))
+
+
+_BLOOM_DECON_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_transform(generate_series(1, len(t) - 3),
+                          i -> array_to_string(t[i:i+3], ' '))
+         ELSE []::VARCHAR[] END AS grams
+  FROM toks),
+ev AS (SELECT DISTINCT unnest(grams) AS ngram FROM g WHERE doc_id % 97 = 0),
+dg AS (SELECT DISTINCT doc_id, unnest(grams) AS ngram
+       FROM g WHERE doc_id % 97 <> 0),
+hit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev USING (ngram))
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
+
 def q_events_stateful(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState) driven over
     the events table via a file-stream + availableNow (rows-only)."""
@@ -6871,19 +6910,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 window = 13 r07s + 3 r05s + 34 r08s, exactly 50 (see
     ROUND10_NOTES.md).
 
-    Round-11 rotation: FIVE never-green oracled newcomers enter the
+    Round-11 rotation: SIX never-green oracled newcomers enter the
     window — the three construction-oracled routing gates
     (routing_route_check, od_table_check, isochrone_grid_check — the
     mock-OSRM straight-line metrics made pure key arithmetic so DuckDB
     replays them; SURVEY §2.7's first driver-green rows), the
-    watermarked stream-stream interval join (stream_join_attrib) and
-    D4 data selection (d4_check) — plus the 45 stalest per
-    check_rotation.py's printed repack (the r05 trio + 13 r07s + 29
-    r08s); the five r08 entries displaced (geo_transform,
-    geo_transform_families, geo_transform_polar, geo_lonlat_detect,
-    geo_buffer_dissolve) wait for r12 with the remaining r08s + oldest
-    r09s (24 r08s then remain out-of-window — r12's 50 slots cover
-    them all inside the K=4 horizon).
+    watermarked stream-stream interval join (stream_join_attrib), D4
+    data selection (d4_check) and Bloom-prefiltered decontamination
+    (bloom_decontaminate, oracle = the plain exact anti-join) — plus
+    the 44 stalest per check_rotation.py's printed repack (the r05
+    trio + 13 r07s + 28 r08s); the six r08 entries displaced
+    (langid_nb, geo_transform, geo_transform_families,
+    geo_transform_polar, geo_lonlat_detect, geo_buffer_dissolve) wait
+    for r12 with the remaining r08s + oldest r09s (25 r08s then remain
+    out-of-window — r12's 50 slots cover them all inside the K=4
+    horizon).
 
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
@@ -6896,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'isochrone_grid_check': q_isochrone_grid_check,
         'stream_join_attrib': q_stream_join_attrib,
         'd4_check': q_d4_check,
+        'bloom_decontaminate': q_bloom_decontaminate,
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
         'text_analysis': q_text_analysis,
@@ -7091,6 +7133,7 @@ def oracle_sql() -> dict[str, str]:
         'isochrone_grid_check': _ISOCHRONE_GRID_CHECK_SQL,
         'stream_join_attrib': _STREAM_JOIN_ATTRIB_SQL,
         'd4_check': _D4_CHECK_SQL,
+        'bloom_decontaminate': _BLOOM_DECON_SQL,
         'warc_ingest': _WARC_INGEST_SQL,
         'warc_stream_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,

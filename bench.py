@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     'isochrone_grid_check',
     'stream_join_attrib',
     'd4_check',
+    'bloom_decontaminate',
 ]
 
 

@@ -1,0 +1,154 @@
+"""Distributed Bloom filter + bloom-prefiltered decontamination.
+
+100 TB rationale: exact decontamination
+(``scale.text.contamination_hits``) broadcasts the eval side's n-gram
+set — correct while that set fits in executor memory as a hash
+relation. A big eval suite (every benchmark + its paraphrases, ~10^8+
+n-grams) stops fitting long before the corpus does; a Bloom filter
+over the SAME set is ~10 bits per key instead of a hashed relation's
+~50-100 bytes, an order of magnitude more headroom for one broadcast.
+The corpus is still scanned ONCE: each row's n-grams probe the bit
+array map-side, and only candidate survivors (true hits + ~fpp false
+positives) pay the exact verification join — the n-gram shuffle
+shrinks from every-corpus-ngram to ~hit-rate x corpus.
+
+Exactness is NOT probabilistic: a Bloom filter never false-negatives,
+so prefilter + exact-verify returns exactly the exact-join answer; the
+``fpp`` knob only trades broadcast size against wasted verification
+work. That property is what the driver gate pins (the DuckDB oracle
+replays the plain exact anti-join).
+
+Construction: classic (m, k) Bloom (Bloom 1970) with the
+Kirsch-Mitzenmacher double-hashing scheme (two 64-bit halves of
+md5(key); index_i = (h1 + i*h2) mod m) — deterministic across runs and
+processes, no seed state. The bit array is built in one distributed
+pass: per-partition numpy bitmaps OR-merged by ``treeReduce``, so the
+driver only ever holds O(m/8) bytes per merge step regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: refuse to build a single filter past this many bits (1 GiB): at that
+#: point shard the key space and build per-shard filters instead of
+#: broadcasting one giant array to every executor.
+MAX_BITS = 1 << 33
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for ``n_items`` at ``fpp``:
+    m = -n ln p / (ln 2)^2, k = (m/n) ln 2 (byte-rounded m)."""
+    if n_items <= 0:
+        raise ValueError('n_items must be positive')
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f'fpp must be in (0, 1), got {fpp}')
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)
+    if m > MAX_BITS:
+        raise ValueError(
+            f'bloom of {n_items} keys at fpp={fpp} needs {m} bits '
+            f'(> {MAX_BITS}); shard the key space into multiple filters')
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _hashes(key: str, k: int, m: int) -> list[int]:
+    import hashlib
+    d = hashlib.md5(key.encode('utf-8')).digest()
+    h1 = int.from_bytes(d[:8], 'little')
+    h2 = int.from_bytes(d[8:], 'little') | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
+                fpp: float = 0.01) -> tuple[bytes, int, int]:
+    """One distributed pass over ``df[col]`` -> (bits, k, m). Null keys
+    are skipped. ``n_items`` sizes the filter (one count job when not
+    given — pass the known cardinality in pipelines)."""
+    if n_items is None:
+        n_items = df.select(col).filter(F.col(col).isNotNull()).count()
+    m, k = bloom_params(max(n_items, 1), fpp)
+    nbytes = m // 8
+
+    def _partition_bits(rows):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        import hashlib
+        for r in rows:
+            v = r[0]
+            if v is None:
+                continue
+            d = hashlib.md5(str(v).encode('utf-8')).digest()
+            h1 = int.from_bytes(d[:8], 'little')
+            h2 = int.from_bytes(d[8:], 'little') | 1
+            for i in range(k):
+                idx = (h1 + i * h2) % m
+                bits[idx >> 3] |= 1 << (idx & 7)
+        yield bits
+
+    merged = (df.select(col).rdd.mapPartitions(_partition_bits)
+              .treeReduce(np.bitwise_or))
+    return bytes(merged.tobytes()), k, m
+
+
+def bloom_contains(bits: bytes, k: int, m: int, col: Column | str) -> Column:
+    """Membership-test Column (pandas UDF over the broadcast-captured
+    bit array): true when every one of the k probe bits is set —
+    possibly a false positive (rate ~fpp), NEVER a false negative."""
+    arr = np.frombuffer(bits, dtype=np.uint8)
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(v: pd.Series) -> pd.Series:
+        import hashlib
+        out = np.zeros(len(v), dtype=bool)
+        for j, s in enumerate(v):
+            if s is None:
+                continue
+            d = hashlib.md5(str(s).encode('utf-8')).digest()
+            h1 = int.from_bytes(d[:8], 'little')
+            h2 = int.from_bytes(d[8:], 'little') | 1
+            hit = True
+            for i in range(k):
+                idx = (h1 + i * h2) % m
+                if not (arr[idx >> 3] >> (idx & 7)) & 1:
+                    hit = False
+                    break
+            out[j] = hit
+        return pd.Series(out)
+
+    return _probe(F.col(col) if isinstance(col, str) else col)
+
+
+def decontaminate_bloom(corpus: DataFrame, eval_df: DataFrame,
+                        n: int = 4, id_col: str = 'doc_id',
+                        text_col: str = 'text',
+                        fpp: float = 0.01) -> DataFrame:
+    """Corpus rows with NO word ``n``-gram shared with ``eval_df`` —
+    the same contract as dropping every ``contamination_hits`` hit,
+    computed bloom-first: (1) build the Bloom over the eval side's
+    distinct n-grams; (2) scan the corpus once, keeping as CANDIDATES
+    only docs with at least one bloom-positive n-gram; (3) exact-verify
+    the candidates with the broadcast join (removes false positives);
+    (4) anti-join verified hits from the corpus. Identical output to
+    the exact path at any fpp — the filter can only over-admit
+    candidates, never hide a hit."""
+    from erde_spark.scale.text import word_ngrams
+    ev = (eval_df.select(F.explode(word_ngrams(text_col, n))
+                         .alias('ngram')).distinct())
+    bits, k, m = build_bloom(ev, 'ngram', fpp=fpp)
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n)))
+        .alias('ngram'))
+    cand = (doc_grams
+            .filter(bloom_contains(bits, k, m, 'ngram'))
+            .join(F.broadcast(ev), 'ngram')     # exact verification
+            .select(id_col).distinct())
+    return corpus.join(cand, id_col, 'left_anti')

@@ -2418,3 +2418,62 @@ class TestSemDedupMaxCluster:
                                    'vec_id long, embedding array<double>')
         with pytest.raises(ValueError, match='max_cluster'):
             semdedup(df, max_cluster=1)
+
+
+class TestBloom:
+    """Distributed Bloom filter + bloom-prefiltered decontamination
+    (scale/bloom.py): no false negatives ever, fpp in range, and the
+    decontamination output equals the exact path at any fpp."""
+
+    def test_params_math(self):
+        from erde_spark.scale.bloom import bloom_params
+        m, k = bloom_params(10_000, 0.01)
+        # textbook optimum: ~9.59 bits/key, k ~ 7 at 1% fpp
+        assert 9.0 <= m / 10_000 <= 10.5
+        assert k == 7
+        import pytest as _p
+        with _p.raises(ValueError, match='fpp'):
+            bloom_params(10, 2.0)
+        with _p.raises(ValueError, match='shard the key space'):
+            bloom_params(10**12, 1e-9)
+
+    def test_no_false_negatives_and_fpp(self, spark):
+        from erde_spark.scale.bloom import bloom_contains, build_bloom
+        keys = spark.range(2000).select(
+            F.concat(F.lit('key-'), F.col('id')).alias('k'))
+        bits, k, m = build_bloom(keys, 'k', fpp=0.01)
+        # every inserted key answers true — exhaustively
+        hits = keys.select(bloom_contains(bits, k, m, 'k').alias('h'))
+        assert hits.filter(~F.col('h')).count() == 0
+        # foreign keys: false-positive rate near the target
+        foreign = spark.range(20_000).select(
+            F.concat(F.lit('other-'), F.col('id')).alias('k'))
+        fp = foreign.select(bloom_contains(bits, k, m, 'k').alias('h')) \
+            .filter('h').count()
+        assert fp / 20_000 < 0.03
+
+    def test_build_is_partitioning_invariant(self, spark):
+        from erde_spark.scale.bloom import build_bloom
+        keys = spark.range(500).select(
+            F.concat(F.lit('k'), F.col('id')).alias('k'))
+        a = build_bloom(keys.coalesce(1), 'k', n_items=500)
+        b = build_bloom(keys.repartition(13), 'k', n_items=500)
+        assert a == b
+
+    def test_decontaminate_equals_exact_path(self, spark):
+        from erde_spark.scale.bloom import decontaminate_bloom
+        from erde_spark.scale.text import contamination_hits
+        docs = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        ev = docs.filter(F.col('doc_id') % 31 == 0)
+        corpus = docs.filter(F.col('doc_id') % 31 != 0)
+        # even at an absurd fpp the verify join restores exactness
+        for fpp in (0.01, 0.5):
+            kept = {r['doc_id'] for r in
+                    decontaminate_bloom(corpus, ev, n=4, fpp=fpp)
+                    .select('doc_id').collect()}
+            hit = {r['doc_id'] for r in
+                   contamination_hits(corpus, ev, n=4).collect()}
+            all_ids = {r['doc_id'] for r in corpus.select('doc_id')
+                       .collect()}
+            assert kept == all_ids - hit
