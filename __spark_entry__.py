@@ -5612,6 +5612,42 @@ SELECT vec_id FROM embeddings ORDER BY vec_id
 """
 
 
+def q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 chunked-array export/ingest (NEW round 11 — the
+    science/embedding store format; erde_spark/io/zarr.py; one task
+    per chunk row band on read, one shuffle imposing the regular grid
+    on write) VALUE-checked by the npy_roundtrip construction: each
+    row survives ONLY if its float32 payload is bit-exactly the vector
+    of the vec_id holding that global rank — a flipped byte, lost
+    chunk, wrong band offset, or padding leak drops rows. Oracle: the
+    plain vec_id list."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.zarr import read_zarr, write_zarr
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    base = tempfile.mkdtemp(prefix='erde_zarr_') + '/emb.zarr'
+    write_zarr(e.repartitionByRange(4, 'vec_id')
+                .sortWithinPartitions('vec_id'), base,
+               value_col='embedding', chunk_rows=128)
+    back = read_zarr(base, spark)
+    ranked = e.select(
+        'vec_id', 'embedding',
+        (F.row_number().over(Window.orderBy('vec_id')) - 1)
+        .alias('row_id'))
+    res = (back.join(ranked, 'row_id')
+           .filter(F.col('value') == F.col('embedding'))
+           .select('vec_id').orderBy('vec_id')
+           .localCheckpoint(eager=True))
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return res
+
+
+_ZARR_ROUNDTRIP_SQL = """
+SELECT vec_id FROM embeddings ORDER BY vec_id
+"""
+
+
 def q_pack_bestfit_check(spark, sf_dir):
     """Whole-document best-fit bin packing (NEW round 8 — the
     padding-minimizing alternative to concat-then-chunk packing)
@@ -6945,19 +6981,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 window = 13 r07s + 3 r05s + 34 r08s, exactly 50 (see
     ROUND10_NOTES.md).
 
-    Round-11 rotation: SIX never-green oracled newcomers enter the
+    Round-11 rotation: SEVEN never-green oracled newcomers enter the
     window — the three construction-oracled routing gates
     (routing_route_check, od_table_check, isochrone_grid_check — the
     mock-OSRM straight-line metrics made pure key arithmetic so DuckDB
     replays them; SURVEY §2.7's first driver-green rows), the
     watermarked stream-stream interval join (stream_join_attrib), D4
-    data selection (d4_check) and Bloom-prefiltered decontamination
-    (bloom_decontaminate, oracle = the plain exact anti-join) — plus
-    the 44 stalest per check_rotation.py's printed repack (the r05
-    trio + 13 r07s + 28 r08s); the six r08 entries displaced
-    (langid_nb, geo_transform, geo_transform_families,
+    data selection (d4_check), Bloom-prefiltered decontamination
+    (bloom_decontaminate, oracle = the plain exact anti-join) and the
+    Zarr v2 roundtrip (zarr_roundtrip) — plus the 43 stalest per
+    check_rotation.py's printed repack (the r05 trio + 13 r07s + 27
+    r08s); the seven r08 entries displaced (chunk_documents,
+    langid_nb, geo_transform, geo_transform_families,
     geo_transform_polar, geo_lonlat_detect, geo_buffer_dissolve) wait
-    for r12 with the remaining r08s + oldest r09s (25 r08s then remain
+    for r12 with the remaining r08s + oldest r09s (26 r08s then remain
     out-of-window — r12's 50 slots cover them all inside the K=4
     horizon).
 
@@ -6973,6 +7010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_join_attrib': q_stream_join_attrib,
         'd4_check': q_d4_check,
         'bloom_decontaminate': q_bloom_decontaminate,
+        'zarr_roundtrip': q_zarr_roundtrip,
         'top_tokens': q_top_tokens,
         'token_count_bpe': q_token_count_bpe,
         'text_analysis': q_text_analysis,
@@ -7169,6 +7207,7 @@ def oracle_sql() -> dict[str, str]:
         'stream_join_attrib': _STREAM_JOIN_ATTRIB_SQL,
         'd4_check': _D4_CHECK_SQL,
         'bloom_decontaminate': _BLOOM_DECON_SQL,
+        'zarr_roundtrip': _ZARR_ROUNDTRIP_SQL,
         'warc_ingest': _WARC_INGEST_SQL,
         'warc_stream_ingest': _WARC_INGEST_SQL,
         'video_frame_dedup': _VIDEO_FRAME_DEDUP_SQL,

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     'stream_join_attrib',
     'd4_check',
     'bloom_decontaminate',
+    'zarr_roundtrip',
 ]
 
 

@@ -433,6 +433,27 @@ class NpyDriver(_Driver):
         write_npy(df, path, value_col=value_col, mode=mode, **kw)
 
 
+class ZarrDriver(_Driver):
+    """Zarr v2 chunked arrays (see io/zarr.py): a ``*.zarr`` directory
+    store. Read is one task per chunk row band yielding
+    (row_id, value); write imposes the regular chunk grid with one
+    shuffle. stdlib-decodable compressors only (null/zlib/gzip — no
+    blosc in this container, refused loudly)."""
+    name = 'zarr'
+    path_re = re.compile(r'^.*\.zarr/?$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.zarr import read_zarr
+        return read_zarr(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', value_col=None, **kw):
+        from erde_spark.io.zarr import write_zarr
+        if value_col is None:
+            value_col = _single_array_col(df, 'zarr')
+        write_zarr(df, path.rstrip('/'), value_col=value_col,
+                   mode=mode, **kw)
+
+
 class SafetensorsDriver(_Driver):
     """SafeTensors tensor files (see io/safetensors.py): a single file,
     glob, or HF-convention sharded directory. Byte-range-splittable
@@ -913,7 +934,7 @@ DRIVERS: list[_Driver] = [
     PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), ZstJsonDriver(), JsonDriver(),
-    NpyDriver(), SafetensorsDriver(), WarcDriver(),
+    NpyDriver(), SafetensorsDriver(), ZarrDriver(), WarcDriver(),
     WdsDriver(), TfRecordDriver(), ArrowShardsDriver(),
     MegatronDriver(), AvroDriver(),
 ]

@@ -1,0 +1,241 @@
+"""Zarr v2 chunked-array source/sink — the third embedding/science
+interchange format next to .npy and SafeTensors (spec:
+https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html).
+
+A v2 array is a directory store: a ``.zarray`` JSON document (shape,
+chunk shape, dtype, compressor, C/F order, fill_value) plus one file
+per chunk named by its grid indices (``"3.0"`` = chunk row 3, chunk
+col 0). That layout is EXACTLY what a distributed engine wants: the
+chunk grid is derivable from the metadata alone (no directory
+listing), one chunk = one unit of work, and every chunk file is an
+independent whole-file read — so the scan parallelism is the chunk
+count and nothing is shuffled.
+
+Scope (honest boundaries, all raising loudly):
+* 2-D arrays, C order, no filters — the embedding-matrix shape;
+* dtype ``<f4 <f8 <i4 <i8`` (little-endian, like io/npy.py — the
+  big-endian refusal is pinned there and applies here);
+* compressor ``null``, ``zlib`` or ``gzip`` (stdlib-decodable).
+  **Blosc — numcodecs' default — is NOT in this container**, so a
+  store written by stock ``zarr.save`` needs
+  ``compressor=numcodecs.Zlib()`` (or None) at write time; reading a
+  blosc store raises with that instruction rather than mis-decoding.
+
+Read: driver-side ``.zarray`` fetch, then ``spark.range(n_chunk_rows)``
+-> ``mapInPandas`` — each task reads one chunk ROW BAND (all column
+chunks of that band), trims edge padding by shape arithmetic, and
+emits (row_id, value) with ``row_id = band * chunks[0] + local``.
+Paths go through the same stdlib/pyarrow ranged-open branch as
+io/npy.py, so ``s3:// gs:// hdfs://`` take the tested ``file://`` path.
+
+Write: the chunk grid is REGULAR (every chunk ``chunk_rows`` tall,
+edge padded with ``fill_value``), which no per-partition layout can
+guarantee — so the writer pays its one honest shuffle: per-partition
+counts (small driver aggregate) give each row a global index
+narrowly, then ``groupBy(row_id // chunk_rows)`` + ``applyInPandas``
+writes each chunk file with attempt-staged atomic rename. Row order
+within input partitions is the semantic order — range-partition +
+``sortWithinPartitions`` first when the global matrix order matters
+(the round-trip gate does), the io/npy.py contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DTYPES = {'<f4': 'float', '<f8': 'double', '<i4': 'int', '<i8': 'bigint'}
+_NP_OF = {'float': '<f4', 'double': '<f8', 'int': '<i4', 'bigint': '<i8'}
+
+
+def _open_bytes(fp: str) -> bytes:
+    """Whole-file read; any URI scheme via pyarrow.fs (file:// included
+    — the same branch an object store takes), bare paths via open."""
+    from urllib.parse import urlparse
+    if len(urlparse(fp).scheme) > 1:
+        from pyarrow import fs as pafs
+        filesystem, rel = pafs.FileSystem.from_uri(fp)
+        with filesystem.open_input_file(rel) as fh:
+            return fh.read()
+    with open(fp, 'rb') as fh:
+        return fh.read()
+
+
+def _load_meta(path: str) -> dict:
+    meta = json.loads(_open_bytes(f'{path}/.zarray').decode('utf-8'))
+    if meta.get('zarr_format') != 2:
+        raise ValueError(f'not a zarr v2 array: {path!r}')
+    if len(meta['shape']) != 2:
+        raise ValueError(f'only 2-D zarr arrays are supported, got '
+                         f'shape {meta["shape"]}')
+    if meta.get('order', 'C') != 'C':
+        raise ValueError("only C-order zarr arrays are supported "
+                         "(order='F' in .zarray)")
+    if meta.get('filters'):
+        raise ValueError('zarr filters are not supported')
+    comp = meta.get('compressor')
+    cid = None if comp is None else comp.get('id')
+    if cid not in (None, 'zlib', 'gzip'):
+        raise ValueError(
+            f'unsupported zarr compressor {cid!r} — this container has '
+            "no blosc; write the store with compressor=None or "
+            'numcodecs.Zlib()')
+    if meta['dtype'] not in _DTYPES:
+        raise ValueError(
+            f'unsupported zarr dtype {meta["dtype"]!r} (supported: '
+            f'{sorted(_DTYPES)}; big-endian refused, as in io/npy.py)')
+    return meta
+
+
+def _decompress(buf: bytes, cid: str | None) -> bytes:
+    if cid is None:
+        return buf
+    # numcodecs zlib = raw zlib stream; gzip = gzip container
+    return zlib.decompress(buf, 47 if cid == 'gzip' else 15)
+
+
+def read_zarr(path: str, spark: SparkSession) -> DataFrame:
+    """DataFrame (row_id long, value array<elem>) over a zarr v2 array
+    directory. One task per chunk row band; row_id is the global array
+    row — a deterministic function of the grid, not of task order."""
+    path = path.rstrip('/')
+    meta = _load_meta(path)
+    n_rows, n_cols = meta['shape']
+    c_rows, c_cols = meta['chunks']
+    comp = meta.get('compressor')
+    cid = None if comp is None else comp['id']
+    dtype = meta['dtype']
+    elem = _DTYPES[dtype]
+    n_bands = max(1, -(-n_rows // c_rows))
+    n_col_chunks = max(1, -(-n_cols // c_cols))
+
+    def _read(batches):
+        for pdf in batches:
+            for band in pdf['id']:
+                band = int(band)
+                parts = []
+                for j in range(n_col_chunks):
+                    raw = _decompress(
+                        _open_bytes(f'{path}/{band}.{j}'), cid)
+                    a = np.frombuffer(raw, dtype=dtype).reshape(
+                        c_rows, c_cols)
+                    parts.append(a)
+                block = np.hstack(parts)[:, :n_cols]
+                lo = band * c_rows
+                block = block[:min(c_rows, n_rows - lo)]
+                yield pd.DataFrame({
+                    'row_id': np.arange(lo, lo + len(block),
+                                        dtype=np.int64),
+                    'value': list(block)})
+
+    return spark.range(n_bands).mapInPandas(
+        _read, schema=f'row_id long, value array<{elem}>')
+
+
+def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
+               chunk_rows: int = 4096, compressor: str | None = 'zlib',
+               mode: str = 'overwrite') -> None:
+    """Write ``df[value_col]`` (constant-width numeric arrays) as a
+    zarr v2 array. See the module docstring for the layout and the
+    one-shuffle grid construction; the npy append refusal applies for
+    the same reason (append would renumber the global row index)."""
+    import shutil
+    if compressor not in (None, 'zlib', 'gzip'):
+        raise ValueError(f'compressor={compressor!r}: use None, '
+                         "'zlib' or 'gzip'")
+    if chunk_rows <= 0:
+        raise ValueError('chunk_rows must be positive')
+    dt = dict(df.dtypes)[value_col]
+    if not dt.startswith('array<') or dt[6:-1] not in _NP_OF:
+        raise ValueError(f'unsupported value column type {dt!r} for '
+                         f'zarr (need array of {sorted(_NP_OF)})')
+    elem = dt[6:-1]
+    dtype = _NP_OF[elem]
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode != 'error':
+        raise ValueError(f"mode={mode!r}: zarr supports only "
+                         "'overwrite'/'error' (append would renumber "
+                         'the global row index)')
+    os.makedirs(path, exist_ok=True)
+
+    rows = df.select(F.col(value_col).alias('v'))
+    # global row index WITHOUT a global sort: per-partition counts off
+    # the SAME RDD object (same lineage -> identical partitioning in
+    # both passes, immune to AQE re-planning), then each partition
+    # numbers its rows narrowly from its offset. Two passes over the
+    # data — the price of a regular grid without a global sort.
+    rdd = rows.rdd
+    sizes = dict(rdd.mapPartitionsWithIndex(
+        lambda pid, it: [(pid, sum(1 for _ in it))]).collect())
+    n_rows = sum(sizes.values())
+    if n_rows == 0:
+        raise ValueError('refusing to write an empty zarr array')
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    n_cols = len(rows.first()['v'])
+    c_rows = min(chunk_rows, n_rows)
+
+    def _index(pid, it):
+        base = offsets.get(pid, 0)
+        for i, row in enumerate(it):
+            yield base + i, row['v']
+
+    arr_t = 'array<double>' if elem in ('float', 'double') \
+        else 'array<bigint>'
+    indexed = rdd.mapPartitionsWithIndex(_index).toDF(
+        f'row_id long, v {arr_t}')
+
+    meta = {
+        'zarr_format': 2, 'shape': [n_rows, n_cols],
+        'chunks': [c_rows, n_cols], 'dtype': dtype,
+        'compressor': ({'id': compressor, 'level': 1}
+                       if compressor else None),
+        'fill_value': 0, 'order': 'C', 'filters': None,
+    }
+    cid = compressor
+
+    def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stdlib/numpy-only closure (executor-import discipline)
+        import zlib as _z
+
+        from pyspark import TaskContext
+        pdf = pdf.sort_values('row_id')
+        band = int(pdf['row_id'].iloc[0]) // c_rows
+        m = np.zeros((c_rows, n_cols), dtype=dtype)
+        for _, r in pdf.iterrows():
+            a = np.asarray(r['v'], dtype=dtype)
+            if a.shape != (n_cols,):
+                raise ValueError(
+                    f'ragged value row (got {a.shape}, want '
+                    f'({n_cols},)) — zarr rows must be constant width')
+            m[int(r['row_id']) - band * c_rows] = a
+        buf = m.tobytes(order='C')
+        if cid:
+            co = _z.compressobj(1, _z.DEFLATED,
+                                31 if cid == 'gzip' else 15)
+            buf = co.compress(buf) + co.flush()
+        final = os.path.join(path, f'{band}.0')
+        tmp = f'{final}.{TaskContext.get().taskAttemptId()}.inprogress'
+        with open(tmp, 'wb') as fh:
+            fh.write(buf)
+        os.replace(tmp, final)
+        return pd.DataFrame({'band': [band]})
+
+    (indexed.withColumn('_band', (F.col('row_id') /
+                                  F.lit(c_rows)).cast('long'))
+     .groupBy('_band').applyInPandas(_write_chunk, schema='band long')
+     .count())
+    with open(os.path.join(path, '.zarray'), 'w') as fh:
+        json.dump(meta, fh)

@@ -1,0 +1,136 @@
+"""Zarr v2 source/sink (io/zarr.py): spec-by-hand cross-validation
+(no zarr lib in this container), bit-exact roundtrip, chunk-grid
+arithmetic, and the honest capability boundaries."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from erde_spark.io import read_df, write_df
+from erde_spark.io.zarr import read_zarr, write_zarr
+
+
+def _hand_store(tmp_path, arr, chunks, compressor='zlib',
+                name='foreign.zarr', **meta_over):
+    """Build a zarr v2 directory by hand, straight from the spec —
+    stands in for a store written by stock zarr+numcodecs."""
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    n_rows, n_cols = arr.shape
+    cr, cc = chunks
+    meta = {'zarr_format': 2, 'shape': [n_rows, n_cols],
+            'chunks': [cr, cc], 'dtype': arr.dtype.str,
+            'compressor': ({'id': compressor, 'level': 1}
+                           if compressor else None),
+            'fill_value': 0, 'order': 'C', 'filters': None}
+    meta.update(meta_over)
+    with open(d + '/.zarray', 'w') as fh:
+        json.dump(meta, fh)
+    for bi in range(-(-n_rows // cr)):
+        for bj in range(-(-n_cols // cc)):
+            block = np.zeros((cr, cc), dtype=arr.dtype)
+            sl = arr[bi * cr:(bi + 1) * cr, bj * cc:(bj + 1) * cc]
+            block[:sl.shape[0], :sl.shape[1]] = sl
+            buf = block.tobytes(order='C')
+            if compressor == 'zlib':
+                buf = zlib.compress(buf, 1)
+            elif compressor == 'gzip':
+                co = zlib.compressobj(1, zlib.DEFLATED, 31)
+                buf = co.compress(buf) + co.flush()
+            with open(d + f'/{bi}.{bj}', 'wb') as fh:
+                fh.write(buf)
+    return d
+
+
+class TestZarrRead:
+    def test_foreign_store_multi_chunk_grid(self, spark, tmp_path):
+        # 7x5 float64 in 3x2 chunks: edge padding on BOTH axes must be
+        # trimmed, bands hstacked, row ids global
+        arr = np.arange(35, dtype='<f8').reshape(7, 5) * 1.5
+        d = _hand_store(tmp_path, arr, (3, 2))
+        got = read_zarr(d, spark).orderBy('row_id').collect()
+        assert len(got) == 7
+        for r in got:
+            assert list(r['value']) == list(arr[r['row_id']])
+
+    @pytest.mark.parametrize('comp', [None, 'zlib', 'gzip'])
+    def test_compressors(self, spark, tmp_path, comp):
+        arr = np.arange(12, dtype='<i8').reshape(4, 3)
+        d = _hand_store(tmp_path, arr, (2, 3), compressor=comp,
+                        name=f'c_{comp}.zarr')
+        got = read_zarr(d, spark).orderBy('row_id').collect()
+        assert [list(r['value']) for r in got] == arr.tolist()
+
+    def test_refusals_are_loud(self, spark, tmp_path):
+        arr = np.ones((2, 2), dtype='<f4')
+        d = _hand_store(tmp_path, arr, (2, 2), name='blosc.zarr',
+                        compressor=None)
+        meta = json.load(open(d + '/.zarray'))
+        meta['compressor'] = {'id': 'blosc', 'cname': 'lz4'}
+        json.dump(meta, open(d + '/.zarray', 'w'))
+        with pytest.raises(ValueError, match='blosc'):
+            read_zarr(d, spark)
+        for patch, msg in ((dict(order='F'), 'C-order'),
+                           (dict(dtype='>f4'), 'dtype'),
+                           (dict(shape=[2, 2, 2]), '2-D'),
+                           (dict(zarr_format=3), 'zarr v2')):
+            d2 = _hand_store(tmp_path, arr, (2, 2),
+                             name=f'bad_{msg.strip(" -")}.zarr',
+                             compressor=None, **patch)
+            with pytest.raises(ValueError, match=msg):
+                read_zarr(d2, spark)
+
+
+class TestZarrWrite:
+    def test_roundtrip_bit_exact_and_facade(self, spark, tmp_path):
+        e = spark.read.parquet(
+            '/root/testdata/sf0.001/embeddings.parquet')
+        out = str(tmp_path / 'emb.zarr')
+        write_df(e.repartitionByRange(3, 'vec_id')
+                  .sortWithinPartitions('vec_id'), out, chunk_rows=128)
+        meta = json.load(open(out + '/.zarray'))
+        assert meta['chunks'] == [128, meta['shape'][1]]
+        assert not [f for f in os.listdir(out)
+                    if f.endswith('.inprogress')]
+        back = read_df(out, spark).orderBy('row_id').collect()
+        src = e.orderBy('vec_id').collect()
+        assert len(back) == len(src)
+        for b, s in zip(back, src):
+            assert np.array_equal(
+                np.asarray(b['value'], dtype=np.float32),
+                np.asarray(s['embedding'], dtype=np.float32))
+
+    def test_write_refusals(self, spark, tmp_path):
+        df = spark.createDataFrame([(0, [1.0, 2.0])],
+                                   'id long, v array<double>')
+        out = str(tmp_path / 'a.zarr')
+        write_zarr(df, out, value_col='v')
+        with pytest.raises(FileExistsError):
+            write_zarr(df, out, value_col='v', mode='error')
+        with pytest.raises(ValueError, match='renumber'):
+            write_zarr(df, out, value_col='v', mode='append')
+        with pytest.raises(ValueError, match='compressor'):
+            write_zarr(df, str(tmp_path / 'b.zarr'), value_col='v',
+                       compressor='blosc')
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0])], 'id long, v array<double>')
+        with pytest.raises(Exception, match='ragged|constant width'):
+            write_zarr(ragged, str(tmp_path / 'r.zarr'), value_col='v')
+        empty = df.filter('id < 0')
+        with pytest.raises(ValueError, match='empty'):
+            write_zarr(empty, str(tmp_path / 'e.zarr'), value_col='v')
+
+    def test_int_arrays(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, [i, i * 2, i * 3]) for i in range(10)],
+            'id long, v array<bigint>')
+        out = str(tmp_path / 'i.zarr')
+        write_zarr(df.coalesce(1), out, value_col='v', chunk_rows=4,
+                   compressor=None)
+        got = read_zarr(out, spark).orderBy('row_id').collect()
+        assert [list(r['value']) for r in got] == \
+            [[i, i * 2, i * 3] for i in range(10)]
