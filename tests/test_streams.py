@@ -249,6 +249,12 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got_s = {(r['user_id'], r['view_id'], r['click_id'])
              for r in spark.table('sij_test').collect()}
+    # plan pin: the streaming side must run the stateful
+    # symmetric-hash join — the operator whose per-partition state the
+    # interval predicate bounds; a silent fallback to a batch join
+    # would break state eviction on a real unbounded stream
+    exec_plan = q._jsq.explainInternal(False)
+    assert 'StreamingSymmetricHashJoin' in exec_plan, exec_plan[:2000]
     spark.catalog.dropTempView('sij_test')
     assert got_s == expected
 
