@@ -8,13 +8,13 @@ IO facade (``read_df``); a ``DataFrame`` return value appends a positional
 Scalar annotations/defaults become typed options. The ``erde_spark``
 entrypoint registers the same 9 subcommands as the reference: area,
 buffer, convert, isochrone, length, osm, route, subset, table
-(`/root/reference/erde/__init__.py:340-377`) — plus 31 curation
+(`/root/reference/erde/__init__.py:340-377`) — plus 32 curation
 EXTENSIONS the reference has no equivalent for: dedup, quality, mix,
 pack, scrub, extract, select, tokenize, fixenc, urlcanon,
 boilerplate, robots, langid, capdomains, linededup, bitext, wds,
 tfexport, ppl, megexport, shuffle, unimax, curate, fim, chat,
-entropy, spancorrupt, ul2, semdedup, wsample, d4 (the training-data
-pipeline from the shell).
+entropy, spancorrupt, ul2, semdedup, wsample, d4, decon (the
+training-data pipeline from the shell).
 
 Execution is lazy end-to-end: the command builds one DataFrame graph
 (scan -> operator -> write) and Catalyst plans it — the reference's
@@ -692,6 +692,21 @@ def d4(input_data: DataFrame, threshold: float = 0.95,
 
 
 @autocli
+def decon(input_data: DataFrame, eval_data: DataFrame, n: int = 13,
+          id_column: str = 'doc_id', text_column: str = 'text',
+          fpp: float = 0.01) -> DataFrame:
+    """Benchmark decontamination, bloom-prefiltered: drop every corpus
+    document sharing a word n-gram (default 13, the GPT-3/PaLM
+    overlap size) with the eval set. The Bloom prefilter broadcasts
+    ~10 bits per eval n-gram and candidates are exact-verified, so the
+    output equals the exact anti-join at any fpp."""
+    from erde_spark.scale.bloom import decontaminate_bloom
+    return decontaminate_bloom(input_data, eval_data, n=n,
+                               id_col=id_column, text_col=text_column,
+                               fpp=fpp)
+
+
+@autocli
 def wsample(input_data: DataFrame, n: int, weight_column: str,
             id_column: str = 'doc_id', salt: str = '') -> DataFrame:
     """Weighted sample WITHOUT replacement (Efraimidis-Spirakis):
@@ -772,6 +787,7 @@ COMMANDS = {
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
     'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample, 'd4': d4,
+    'decon': decon,
 }
 
 
