@@ -157,15 +157,28 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
                          f'zarr (need array of {sorted(_NP_OF)})')
     elem = dt[6:-1]
     dtype = _NP_OF[elem]
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    elif mode != 'error':
+    from urllib.parse import urlparse
+    scheme = urlparse(path).scheme if len(urlparse(path).scheme) > 1 \
+        else ''
+    if mode not in ('overwrite', 'error'):
         raise ValueError(f"mode={mode!r}: zarr supports only "
                          "'overwrite'/'error' (append would renumber "
                          'the global row index)')
-    os.makedirs(path, exist_ok=True)
+    if scheme:
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(path)
+        info = filesystem.get_file_info(root)
+        if mode == 'error' and info.type != pafs.FileType.NotFound:
+            raise FileExistsError(path)
+        if mode == 'overwrite' and info.type == pafs.FileType.Directory:
+            filesystem.delete_dir(root)
+        filesystem.create_dir(root, recursive=True)
+    else:
+        if mode == 'error' and os.path.exists(path):
+            raise FileExistsError(path)
+        if mode == 'overwrite':
+            shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
 
     rows = df.select(F.col(value_col).alias('v'))
     # global row index WITHOUT a global sort: per-partition counts off
@@ -226,16 +239,42 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
             co = _z.compressobj(1, _z.DEFLATED,
                                 31 if cid == 'gzip' else 15)
             buf = co.compress(buf) + co.flush()
-        final = os.path.join(path, f'{band}.0')
-        tmp = f'{final}.{TaskContext.get().taskAttemptId()}.inprogress'
-        with open(tmp, 'wb') as fh:
-            fh.write(buf)
-        os.replace(tmp, final)
+        attempt = TaskContext.get().taskAttemptId()
+        if scheme:
+            # two-phase commit via pyarrow.fs (the io/zst.py protocol):
+            # temp object -> verify -> atomic-PUT move
+            from pyarrow import fs as _pafs
+            filesystem, root = _pafs.FileSystem.from_uri(path)
+            final = f'{root}/{band}.0'
+            tmp = f'{final}.{attempt}.inprogress'
+            with filesystem.open_output_stream(tmp) as fh:
+                fh.write(buf)
+            info = filesystem.get_file_info(tmp)
+            if info.type != _pafs.FileType.File or info.size != len(buf):
+                raise IOError(f'staged chunk {tmp!r} missing or '
+                              'truncated at commit — refusing to '
+                              'publish')
+            filesystem.move(tmp, final)
+        else:
+            final = os.path.join(path, f'{band}.0')
+            tmp = f'{final}.{attempt}.inprogress'
+            with open(tmp, 'wb') as fh:
+                fh.write(buf)
+            os.replace(tmp, final)
         return pd.DataFrame({'band': [band]})
 
     (indexed.withColumn('_band', (F.col('row_id') /
                                   F.lit(c_rows)).cast('long'))
      .groupBy('_band').applyInPandas(_write_chunk, schema='band long')
      .count())
-    with open(os.path.join(path, '.zarray'), 'w') as fh:
-        json.dump(meta, fh)
+    # .zarray lands LAST — it is the store's commit marker (a reader
+    # that races the write sees no array rather than a partial grid)
+    payload = json.dumps(meta).encode('utf-8')
+    if scheme:
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(path)
+        with filesystem.open_output_stream(f'{root}/.zarray') as fh:
+            fh.write(payload)
+    else:
+        with open(os.path.join(path, '.zarray'), 'wb') as fh:
+            fh.write(payload)

@@ -155,6 +155,26 @@ class TestZarrWrite:
 
         prop()
 
+    def test_uri_write_two_phase_commit(self, spark, tmp_path):
+        """A file:// destination takes the pyarrow.fs two-phase branch
+        (the io/zst.py protocol) — identical code path to s3://;
+        roundtrip fidelity, no .inprogress leftovers, .zarray written
+        last as the commit marker."""
+        local = str(tmp_path / 'u.zarr')
+        df = spark.createDataFrame(
+            [(i, [float(i), i + 0.5]) for i in range(20)],
+            'id long, v array<double>')
+        write_zarr(df.coalesce(1), 'file://' + local, value_col='v',
+                   chunk_rows=8)
+        assert not [f for f in os.listdir(local)
+                    if f.endswith('.inprogress')]
+        got = read_zarr(local, spark).orderBy('row_id').collect()
+        assert [list(r['value']) for r in got] == \
+            [[float(i), i + 0.5] for i in range(20)]
+        with pytest.raises(FileExistsError):
+            write_zarr(df, 'file://' + local, value_col='v',
+                       mode='error')
+
     def test_int_arrays(self, spark, tmp_path):
         df = spark.createDataFrame(
             [(i, [i, i * 2, i * 3]) for i in range(10)],
