@@ -64,6 +64,29 @@ def list_with_suffix(path: str, suffix: str) -> list[str]:
     return [f'{sch}://{n}' for n in names]
 
 
+def read_bytes(path: str) -> bytes:
+    """Whole-file bytes for a local path or any pyarrow.fs URI —
+    driver-side convenience over :func:`open_ranged` (executor
+    closures must keep inlining the two-line equivalent instead of
+    referencing this module: the wds import-chain rule)."""
+    with open_ranged(path) as fh:
+        return fh.read()
+
+
+def write_bytes(path: str, payload: bytes) -> None:
+    """Write a small driver-side object (sidecar metadata, commit
+    markers) to a local path or any pyarrow.fs URI."""
+    sch = _scheme(path)
+    if not sch:
+        with open(path, 'wb') as fh:
+            fh.write(payload)
+        return
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    with filesystem.open_output_stream(rel) as fh:
+        fh.write(payload)
+
+
 def open_ranged(path: str):
     """Random-access binary handle (``read``/``seek``) for a local path
     or any pyarrow.fs URI. pyarrow's ``open_input_file`` IS seekable —

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -55,16 +54,11 @@ _NP_OF = {'float': '<f4', 'double': '<f8', 'int': '<i4', 'bigint': '<i8'}
 
 
 def _open_bytes(fp: str) -> bytes:
-    """Whole-file read; any URI scheme via pyarrow.fs (file:// included
-    — the same branch an object store takes), bare paths via open."""
-    from urllib.parse import urlparse
-    if len(urlparse(fp).scheme) > 1:
-        from pyarrow import fs as pafs
-        filesystem, rel = pafs.FileSystem.from_uri(fp)
-        with filesystem.open_input_file(rel) as fh:
-            return fh.read()
-    with open(fp, 'rb') as fh:
-        return fh.read()
+    """Driver-side whole-file read (any URI scheme via pyarrow.fs) —
+    delegates to io/fsutil.py; the executor closure in read_zarr
+    inlines its own two-line equivalent instead (the wds rule)."""
+    from erde_spark.io.fsutil import read_bytes
+    return read_bytes(fp)
 
 
 def _load_meta(path: str) -> dict:
@@ -90,20 +84,20 @@ def _load_meta(path: str) -> dict:
         raise ValueError(
             f'unsupported zarr dtype {meta["dtype"]!r} (supported: '
             f'{sorted(_DTYPES)}; big-endian refused, as in io/npy.py)')
+    if meta.get('dimension_separator', '.') not in ('.', '/'):
+        raise ValueError(
+            f'unsupported dimension_separator '
+            f'{meta.get("dimension_separator")!r}')
     return meta
-
-
-def _decompress(buf: bytes, cid: str | None) -> bytes:
-    if cid is None:
-        return buf
-    # numcodecs zlib = raw zlib stream; gzip = gzip container
-    return zlib.decompress(buf, 47 if cid == 'gzip' else 15)
 
 
 def read_zarr(path: str, spark: SparkSession) -> DataFrame:
     """DataFrame (row_id long, value array<elem>) over a zarr v2 array
     directory. One task per chunk row band; row_id is the global array
-    row — a deterministic function of the grid, not of task order."""
+    row — a deterministic function of the grid, not of task order.
+    Spec-legal ABSENT chunks read as ``fill_value`` (zarr writers omit
+    all-fill chunks by default); an absent chunk with a null
+    fill_value raises, since the spec leaves those cells undefined."""
     path = path.rstrip('/')
     meta = _load_meta(path)
     n_rows, n_cols = meta['shape']
@@ -112,20 +106,62 @@ def read_zarr(path: str, spark: SparkSession) -> DataFrame:
     cid = None if comp is None else comp['id']
     dtype = meta['dtype']
     elem = _DTYPES[dtype]
+    sep = meta.get('dimension_separator', '.')
+    fill = meta.get('fill_value')
     n_bands = max(1, -(-n_rows // c_rows))
     n_col_chunks = max(1, -(-n_cols // c_cols))
 
     def _read(batches):
+        # stdlib/numpy-only closure, helpers inlined (an
+        # erde_spark.io.zarr module reference here would make every
+        # fresh worker import the whole io chain — the wds rule;
+        # decompression: numcodecs zlib = raw stream, gzip = container,
+        # hence wbits 15 vs 47 below)
+        import zlib as _z
+        from urllib.parse import urlparse as _up
+
+        def _open(fp):
+            """Bytes, or None when the chunk is DEFINITIVELY absent
+            (an explicit existence check, not a broad except — a
+            transient store error must fail the task, not silently
+            read as fill_value)."""
+            if len(_up(fp).scheme) > 1:
+                from pyarrow import fs as pafs
+                filesystem, rel = pafs.FileSystem.from_uri(fp)
+                if (filesystem.get_file_info(rel).type
+                        == pafs.FileType.NotFound):
+                    return None
+                with filesystem.open_input_file(rel) as fh:
+                    return fh.read()
+            import os as _os
+            if not _os.path.exists(fp):
+                return None
+            with open(fp, 'rb') as fh:
+                return fh.read()
+
         for pdf in batches:
             for band in pdf['id']:
                 band = int(band)
                 parts = []
                 for j in range(n_col_chunks):
-                    raw = _decompress(
-                        _open_bytes(f'{path}/{band}.{j}'), cid)
-                    a = np.frombuffer(raw, dtype=dtype).reshape(
-                        c_rows, c_cols)
-                    parts.append(a)
+                    raw = _open(f'{path}/{band}{sep}{j}')
+                    if raw is None:
+                        # spec: a chunk absent from the store is
+                        # all-fill_value
+                        if fill is None:
+                            raise ValueError(
+                                f'chunk {band}{sep}{j} absent from '
+                                f'{path!r} and fill_value is null — '
+                                'those cells are undefined by the '
+                                'zarr v2 spec')
+                        parts.append(np.full((c_rows, c_cols), fill,
+                                             dtype=dtype))
+                        continue
+                    if cid:
+                        raw = _z.decompress(
+                            raw, 47 if cid == 'gzip' else 15)
+                    parts.append(np.frombuffer(raw, dtype=dtype)
+                                 .reshape(c_rows, c_cols))
                 block = np.hstack(parts)[:, :n_cols]
                 lo = band * c_rows
                 block = block[:min(c_rows, n_rows - lo)]
@@ -187,17 +223,32 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
     # numbers its rows narrowly from its offset. Two passes over the
     # data — the price of a regular grid without a global sort.
     rdd = rows.rdd
-    sizes = dict(rdd.mapPartitionsWithIndex(
-        lambda pid, it: [(pid, sum(1 for _ in it))]).collect())
+
+    def _count_and_width(pid, it):
+        n = 0
+        width = None
+        for row in it:
+            n += 1
+            if width is None and row[0] is not None:
+                width = len(row[0])
+        yield pid, n, width
+
+    stats = rdd.mapPartitionsWithIndex(_count_and_width).collect()
+    sizes = {pid: n for pid, n, _ in stats}
     n_rows = sum(sizes.values())
     if n_rows == 0:
         raise ValueError('refusing to write an empty zarr array')
+    widths = [w for _, _, w in sorted(stats) if w is not None]
+    if not widths:
+        raise ValueError(
+            f'column {value_col!r} is null in every row — zarr cannot '
+            'represent null rows')
+    n_cols = widths[0]
     offsets = {}
     acc = 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    n_cols = len(rows.first()['v'])
     c_rows = min(chunk_rows, n_rows)
 
     def _index(pid, it):
@@ -228,6 +279,8 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         band = int(pdf['row_id'].iloc[0]) // c_rows
         m = np.zeros((c_rows, n_cols), dtype=dtype)
         for _, r in pdf.iterrows():
+            if r['v'] is None:
+                raise ValueError('zarr cannot represent null rows')
             a = np.asarray(r['v'], dtype=dtype)
             if a.shape != (n_cols,):
                 raise ValueError(

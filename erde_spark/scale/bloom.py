@@ -60,14 +60,6 @@ def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _hashes(key: str, k: int, m: int) -> list[int]:
-    import hashlib
-    d = hashlib.md5(key.encode('utf-8')).digest()
-    h1 = int.from_bytes(d[:8], 'little')
-    h2 = int.from_bytes(d[8:], 'little') | 1
-    return [(h1 + i * h2) % m for i in range(k)]
-
-
 def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
                 fpp: float = 0.01) -> tuple[bytes, int, int]:
     """One distributed pass over ``df[col]`` -> (bits, k, m). Null keys
@@ -79,6 +71,12 @@ def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
     nbytes = m // 8
 
     def _partition_bits(rows):
+        # Kirsch-Mitzenmacher probe, inlined (NOT a module-level helper
+        # — that would ship a module reference and make every fresh
+        # worker import the scale chain, the wds rule). The SAME
+        # md5/h1/h2 scheme is inlined in bloom_contains._probe; the
+        # no-false-negatives test pins their agreement, so drift fails
+        # CI rather than silently false-negativing.
         bits = np.zeros(nbytes, dtype=np.uint8)
         import hashlib
         for r in rows:
@@ -140,15 +138,25 @@ def decontaminate_bloom(corpus: DataFrame, eval_df: DataFrame,
     the exact path at any fpp — the filter can only over-admit
     candidates, never hide a hit."""
     from erde_spark.scale.text import word_ngrams
+    # the distinct eval n-gram set is consumed three times (filter
+    # sizing, bitmap build, verify join) — materialize it ONCE;
+    # localCheckpoint also truncates the tokenize/explode lineage
     ev = (eval_df.select(F.explode(word_ngrams(text_col, n))
-                         .alias('ngram')).distinct())
+                         .alias('ngram')).distinct()
+          .localCheckpoint(eager=True))
     bits, k, m = build_bloom(ev, 'ngram', fpp=fpp)
     doc_grams = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n)))
         .alias('ngram'))
+    # exact verification: deliberately NOT broadcast — at the eval
+    # sizes that motivate the bloom (10^8+ n-grams) a broadcast hash
+    # relation is exactly the memory blowup the prefilter avoids; the
+    # candidate side is already pruned to ~hit-rate x corpus, so a
+    # shuffle join on ngram is cheap (and AQE may still choose to
+    # broadcast a small ev on its own evidence)
     cand = (doc_grams
             .filter(bloom_contains(bits, k, m, 'ngram'))
-            .join(F.broadcast(ev), 'ngram')     # exact verification
+            .join(ev, 'ngram')
             .select(id_col).distinct())
     return corpus.join(cand, id_col, 'left_anti')

@@ -1375,6 +1375,11 @@ def d4_select(df: DataFrame, id_col: str = 'vec_id',
         raise ValueError(f'proto_frac must be in [0, 1), got {proto_frac}')
     kept = semdedup(df, id_col, vec_col, threshold, n_clusters,
                     sample_size, seed, 'far', n_docs, block, max_cluster)
+    # the semdedup plan (cluster-local quadratic UDF + shuffles) is
+    # consumed four times below (count/sample inside ivf_index, the
+    # assignment pass, and both sides of the final semi-join) —
+    # materialize it once, the file-wide eager-checkpoint discipline
+    kept = kept.localCheckpoint(eager=True)
     cent, indexed = ivf_index(kept, n_lists=n_clusters, id_col=id_col,
                               vec_col=vec_col, sample_size=sample_size,
                               seed=seed)

@@ -169,32 +169,20 @@ _POSTINGS_HASH = 'pmod(xxhash64(term), buckets)'
 
 
 def _meta_write(index_path: str, payload: str) -> None:
-    from urllib.parse import urlparse
-    import os as _os
-    if len(urlparse(index_path).scheme) > 1:
-        from pyarrow import fs as pafs
-        filesystem, rel = pafs.FileSystem.from_uri(index_path)
-        with filesystem.open_output_stream(
-                f'{rel}/{_POSTINGS_META}') as fh:
-            fh.write(payload.encode())
-    else:
-        with open(_os.path.join(index_path, _POSTINGS_META), 'w') as fh:
-            fh.write(payload)
+    # driver-side: fsutil handles the URI-vs-local dispatch (one copy
+    # of the scheme subtlety, not four)
+    from erde_spark.io.fsutil import write_bytes
+    write_bytes(f'{index_path.rstrip("/")}/{_POSTINGS_META}',
+                payload.encode('utf-8'))
 
 
 def _meta_read(index_path: str) -> dict | None:
     import json as _json
-    import os as _os
-    from urllib.parse import urlparse
+
+    from erde_spark.io.fsutil import read_bytes
     try:
-        if len(urlparse(index_path).scheme) > 1:
-            from pyarrow import fs as pafs
-            filesystem, rel = pafs.FileSystem.from_uri(index_path)
-            with filesystem.open_input_file(
-                    f'{rel}/{_POSTINGS_META}') as fh:
-                return _json.loads(fh.read().decode())
-        with open(_os.path.join(index_path, _POSTINGS_META)) as fh:
-            return _json.load(fh)
+        return _json.loads(read_bytes(
+            f'{index_path.rstrip("/")}/{_POSTINGS_META}').decode())
     except (FileNotFoundError, OSError):
         # pre-metadata index (or a foreign layout): probe proceeds on
         # the caller's word, the pre-r11 behavior

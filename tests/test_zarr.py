@@ -65,6 +65,39 @@ class TestZarrRead:
         got = read_zarr(d, spark).orderBy('row_id').collect()
         assert [list(r['value']) for r in got] == arr.tolist()
 
+    def test_absent_chunk_reads_as_fill_value(self, spark, tmp_path):
+        # spec: chunks need not be present — zarr writers omit all-fill
+        # chunks by default; an absent chunk must read as fill_value
+        arr = np.arange(12, dtype='<f8').reshape(6, 2)
+        d = _hand_store(tmp_path, arr, (2, 2), compressor=None,
+                        fill_value=7.5)
+        os.remove(d + '/1.0')  # rows 2-3 become all-fill
+        got = {r['row_id']: list(r['value'])
+               for r in read_zarr(d, spark).collect()}
+        for i in (0, 1, 4, 5):
+            assert got[i] == list(arr[i])
+        for i in (2, 3):
+            assert got[i] == [7.5, 7.5]
+        # null fill_value + absent chunk = undefined cells: loud error
+        d2 = _hand_store(tmp_path, arr, (2, 2), compressor=None,
+                         name='nf.zarr', fill_value=None)
+        os.remove(d2 + '/0.0')
+        with pytest.raises(Exception, match='fill_value is null'):
+            read_zarr(d2, spark).collect()
+
+    def test_slash_dimension_separator(self, spark, tmp_path):
+        # zarr v2 allows dimension_separator '/' (nested chunk dirs)
+        arr = np.arange(8, dtype='<i4').reshape(4, 2)
+        d = _hand_store(tmp_path, arr, (2, 2), compressor=None,
+                        name='nested.zarr', dimension_separator='/')
+        for f in list(os.listdir(d)):
+            if f != '.zarray':
+                i, j = f.split('.')
+                os.makedirs(f'{d}/{i}', exist_ok=True)
+                os.rename(f'{d}/{f}', f'{d}/{i}/{j}')
+        got = read_zarr(d, spark).orderBy('row_id').collect()
+        assert [list(r['value']) for r in got] == arr.tolist()
+
     def test_refusals_are_loud(self, spark, tmp_path):
         arr = np.ones((2, 2), dtype='<f4')
         d = _hand_store(tmp_path, arr, (2, 2), name='blosc.zarr',
