@@ -140,6 +140,35 @@ def build_sf1_events(spark):
     out.write.mode('overwrite').parquet(f'{SF1_DIR}/events.parquet')
 
 
+def op_zarr_roundtrip(spark, sf):
+    """zarr v2 write+read: one grid shuffle on write, shuffle-0 read
+    (one task per chunk band) — time should track rows."""
+    import os as _os
+    import tempfile
+
+    from erde_spark.io.zarr import read_zarr, write_zarr
+    e = spark.read.parquet(f'{sf}/embeddings.parquet')
+    out = _os.path.join(tempfile.gettempdir(),
+                        'zarr_scale_' + _os.path.basename(sf.rstrip('/')))
+    write_zarr(e.repartition(32), out, value_col='embedding',
+               chunk_rows=2048)
+    return read_zarr(out, spark).select('row_id')
+
+
+def op_bloom_decon(spark, sf):
+    """Bloom-prefiltered decontamination: eval side fixed (doc_id%97
+    slice of the BASE corpus at both sizes would shrink relatively —
+    instead %97 of each sf's own corpus, so eval grows with corpus and
+    the verify join's candidate side stays ~hit-rate x corpus)."""
+    from pyspark.sql import functions as F
+
+    from erde_spark.scale.bloom import decontaminate_bloom
+    d = spark.read.parquet(f'{sf}/documents.parquet')
+    ev = d.filter(F.col('doc_id') % 97 == 0)
+    corpus = d.filter(F.col('doc_id') % 97 != 0)
+    return decontaminate_bloom(corpus, ev, n=4).select('doc_id')
+
+
 def op_stream_interval_join(spark, sf):
     """Watermarked interval join, batch expression (the plan is the
     same operator chain the streaming job runs): one range-condition
@@ -589,6 +618,8 @@ OPS = {
     'build_postings': op_build_postings,
     'stream_interval_join': op_stream_interval_join,
     'd4_select': op_d4,
+    'zarr_roundtrip': op_zarr_roundtrip,
+    'bloom_decon': op_bloom_decon,
 }
 
 
