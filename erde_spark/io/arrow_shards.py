@@ -92,39 +92,53 @@ def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
     batch) — a skewed 10 GB partition becomes splittable ~256 MB
     shards instead of one unsplittable file, and the read side (which
     buffers one whole shard per ``binaryFile`` row) stays bounded by
-    the shard cap rather than by partition skew. Shards stage to
-    attempt-scoped temp names and rename atomically on completion, so
+    the shard cap rather than by partition skew. Local shards stage to
+    attempt-scoped temp names and rename atomically on completion; URI
+    destinations (file:// s3:// gs:// hdfs://) take the pyarrow.fs
+    two-phase commit (temp object -> verify -> fs.move) — either way
     speculative or retried task attempts never interleave writes into
     one shard (same discipline as Spark's own file committers)."""
-    import shutil
     schema = _pa_schema(df.schema)
     names = [f.name for f in df.schema.fields]
     if shard_size <= 0 or shard_bytes <= 0:
         raise ValueError('shard_size and shard_bytes must be positive')
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
 
     def _write_partition(it):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        # staging inlined from erde_spark.io.task_files: an erde_spark
-        # import here would pull the whole io package (pandas + geo
-        # chain, ~0.6 s) into every fresh Python worker — this closure
-        # otherwise references only pandas/pyarrow/stdlib by name (see
-        # the wds.py note / AB_r10 for the measured 2x cost)
+        # staging inlined from erde_spark.io.task_files (incl. its
+        # open_staged two-phase branch): an erde_spark import here
+        # would pull the whole io package (pandas + geo chain, ~0.6 s)
+        # into every fresh Python worker — this closure otherwise
+        # references only pandas/pyarrow/stdlib by name (see the
+        # wds.py note / AB_r10 for the measured 2x cost)
         tc = TaskContext.get()
         tid = tc.partitionId()
         _attempt = tc.taskAttemptId()
+        if scheme:
+            from pyarrow import fs as pafs
+            filesystem, root = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, root = None, path
 
         def staging_path(f):
             return f'{f}.{_attempt}.inprogress'
 
         def commit_file(t, f):
-            os.replace(t, f)
+            if scheme:
+                # two-phase: verify the staged object, then one
+                # atomic PUT onto the final name
+                info = filesystem.get_file_info(t)
+                if info.type != pafs.FileType.File or info.size <= 0:
+                    raise IOError(f'staged shard {t!r} missing or '
+                                  'empty at commit — refusing to '
+                                  'publish')
+                filesystem.move(t, f)
+            else:
+                os.replace(t, f)
         writer = None
         sink = None
         tmp = final = None
@@ -140,10 +154,12 @@ def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
             tbl = pa.Table.from_pandas(pdf, schema=schema,
                                        preserve_index=False)
             if writer is None:
-                final = os.path.join(
-                    path, f'part-{tid:05d}-{shard_idx:05d}.arrow')
+                name = f'part-{tid:05d}-{shard_idx:05d}.arrow'
+                final = f'{root}/{name}' if scheme \
+                    else os.path.join(root, name)
                 tmp = staging_path(final)
-                sink = pa.OSFile(tmp, 'wb')
+                sink = filesystem.open_output_stream(tmp) if scheme \
+                    else pa.OSFile(tmp, 'wb')
                 writer = pa.ipc.new_file(sink, schema)
             writer.write_table(tbl)
             batch.clear()

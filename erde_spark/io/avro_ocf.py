@@ -270,23 +270,24 @@ def _read_header(buf: bytes):
 
 
 def _read_header_file(fname: str):
-    """Driver-side header read that never truncates: start at 64 KiB
-    and grow 4x until the metadata map + sync marker parse whole, so a
-    legal foreign OCF with a multi-megabyte schema still loads (the
-    old fixed 1 MiB read died in an opaque IndexError)."""
-    size = os.path.getsize(fname)
+    """Header read that never truncates: start at 64 KiB and grow 4x
+    until the metadata map + sync marker parse whole, so a legal
+    foreign OCF with a multi-megabyte schema still loads (the old
+    fixed 1 MiB read died in an opaque IndexError). Local paths and
+    pyarrow.fs URIs both resolve (ranged GETs on object stores)."""
+    from erde_spark.io.fsutil import open_ranged
     n = 64 << 10
     while True:
-        with open(fname, 'rb') as fh:
+        with open_ranged(fname) as fh:
             head = fh.read(n)
         try:
             return _read_header(head)
         except IndexError:
-            if n >= size:
+            if len(head) < n:  # EOF: the whole file failed to parse
                 raise ValueError(
                     f'{fname}: avro header does not parse even reading '
                     'the whole file — truncated or not an OCF')
-            n = min(n * 4, size)
+            n *= 4
 
 
 def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
@@ -302,16 +303,12 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
     from (task, shard) — deterministic output bytes for deterministic
     input, which the golden-file pin in tests relies on."""
     import hashlib
-    import shutil
     if codec not in ('null', 'deflate'):
         raise ValueError(f"codec must be 'null' or 'deflate', got {codec!r}")
     if shard_size <= 0 or shard_bytes <= 0 or block_rows <= 0:
         raise ValueError('shard_size/shard_bytes/block_rows must be positive')
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
     schema_json = _avro_schema_json(df.schema)
     names = [f.name for f in df.schema.fields]
     encoders = [_encoder(f.dataType) for f in df.schema.fields]
@@ -322,22 +319,22 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
     def _write_partition(it):
         from pyspark import TaskContext
 
-        from erde_spark.io.task_files import commit_file, staging_path
+        from erde_spark.io.task_files import open_staged
         tid = TaskContext.get().partitionId()
         fh = None
-        tmp = final = sync = None
+        commit = sync = None
         shard_idx = 0
         rows_in_shard = 0
         block = []
 
         def _open():
-            nonlocal fh, tmp, final, sync
-            final = os.path.join(path,
-                                 f'part-{tid:05d}-{shard_idx:05d}.avro')
-            tmp = staging_path(final)
+            nonlocal fh, commit, sync
+            name = f'part-{tid:05d}-{shard_idx:05d}.avro'
+            final = f'{path}/{name}' if scheme \
+                else os.path.join(path, name)
             sync = hashlib.md5(
                 f'erde-avro:{tid}:{shard_idx}'.encode()).digest()
-            fh = open(tmp, 'wb')
+            fh, commit, _ = open_staged(final, scheme)
             _write_header(fh, schema_json, codec, sync)
 
         def _flush():
@@ -369,7 +366,7 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
             if fh is None:
                 return
             fh.close()
-            commit_file(tmp, final)
+            commit()
             fh = None
             shard_idx += 1
             rows_in_shard = 0
@@ -386,18 +383,33 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
         _roll()
 
     df.rdd.foreachPartition(_write_partition)
-    import glob as _glob
-    if not _glob.glob(os.path.join(path, '*.avro')):
+    try:
+        from erde_spark.io.fsutil import list_with_suffix
+        have_shards = bool(list_with_suffix(path, '.avro'))
+    except FileNotFoundError:
+        have_shards = False
+    if not have_shards:
         # every partition was empty: emit one header-only shard so the
         # write -> read round trip returns an empty frame WITH the
         # schema instead of FileNotFoundError (empty streaming
-        # micro-batches and all-filtered pipelines are normal inputs)
+        # micro-batches and all-filtered pipelines are normal inputs).
+        # Driver-side, same staged-commit discipline as the tasks.
         import hashlib
-        final = os.path.join(path, 'part-empty-00000.avro')
-        with open(final + '.tmp', 'wb') as fh:
-            _write_header(fh, schema_json, codec,
-                          hashlib.md5(b'erde-avro:empty').digest())
-        os.replace(final + '.tmp', final)
+        import io as _io
+        name = 'part-empty-00000.avro'
+        final = f'{path}/{name}' if scheme else os.path.join(path, name)
+        buf = _io.BytesIO()
+        _write_header(buf, schema_json, codec,
+                      hashlib.md5(b'erde-avro:empty').digest())
+        from erde_spark.io.task_files import open_staged
+        fh, commit, abort = open_staged(final, scheme)
+        try:
+            fh.write(buf.getvalue())
+            fh.close()
+            commit()
+        except BaseException:
+            abort()
+            raise
 
 
 #: Avro spec "Schema Resolution" numeric promotions (writer -> reader),
@@ -437,39 +449,86 @@ def _resolve_plan(writer, reader_names, want_sig):
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read an Avro OCF directory (or glob) back. The READER schema
-    comes from the first file's ``avro.schema`` header (one
-    incremental driver read, no size cap); every file then re-parses
-    its own WRITER schema executor-side and resolves it against the
-    reader by field name per the Avro spec's Schema Resolution rules
-    (reorders, extra/missing fields, numeric promotions — see
-    :func:`_resolve_plan`); an unpromotable common-field type raises
-    instead of silently coercing. Blocks decode inside
-    ``mapInPandas`` (one whole shard buffered per task — the sink's
-    rolling caps are the memory bound, as for the other binaryFile
-    sources). Codecs: null, deflate."""
-    import glob as _glob
-    if any(ch in path for ch in '*?['):
-        pattern = path
-    elif os.path.isfile(path):
-        # a FOREIGN Avro artifact is one file, not a part-directory
-        pattern = path
+    """Read an Avro OCF directory, glob, or single file back (local
+    path or pyarrow.fs URI). The READER schema is the UNION of every
+    file's writer schema — base column order from the
+    lexicographically-first file, later-appearing fields appended,
+    common fields widened along the Avro spec's numeric promotion
+    chain — so a schema-evolved lake (old narrow shards + new wide
+    shards in one directory) reads every column instead of silently
+    dropping the new ones against the oldest file's schema. Headers
+    are small ranged reads: a driver loop under 256 files, one Spark
+    job above. Every file then re-parses its own WRITER schema
+    executor-side and resolves it against the reader by field name per
+    Schema Resolution (reorders, extra/missing fields, numeric
+    promotions — see :func:`_resolve_plan`); an unpromotable
+    common-field type raises instead of silently coercing. Blocks
+    decode inside ``mapInPandas`` (one whole shard buffered per task —
+    the sink's rolling caps are the memory bound, as for the other
+    binaryFile sources). Codecs: null, deflate."""
+    from erde_spark.io.fsutil import _scheme as _uri_scheme
+    if _uri_scheme(path):
+        # remote: directory or single object (no server-side glob)
+        from erde_spark.io.fsutil import list_with_suffix
+        files = list_with_suffix(path, '.avro')
+        pattern = None
     else:
-        pattern = os.path.join(path, '*.avro')
-    files = sorted(_glob.glob(pattern))
-    if not files:
-        raise FileNotFoundError(f'no .avro files match {pattern}')
-    meta, _, _ = _read_header_file(files[0])
-    avro_schema = json.loads(meta['avro.schema'].decode('utf-8'))
-    schema = _spark_schema(avro_schema)
+        import glob as _glob
+        if any(ch in path for ch in '*?['):
+            pattern = path
+        elif os.path.isfile(path):
+            # a FOREIGN Avro artifact is one file, not a part-directory
+            pattern = path
+        else:
+            pattern = os.path.join(path, '*.avro')
+        files = sorted(_glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f'no .avro files match {pattern}')
+    # distinct writer-schema JSONs across the listing (header-only
+    # ranged reads): the first file anchors the column ORDER, the
+    # rest merge in sorted order so the union is listing-stable
+    first_json = _read_header_file(files[0])[0]['avro.schema'] \
+        .decode('utf-8')
+    rest = files[1:]
+    if len(rest) <= 255:
+        others = {_read_header_file(f)[0]['avro.schema'].decode('utf-8')
+                  for f in rest}
+    else:
+        sc = spark.sparkContext
+        others = set(
+            sc.parallelize(rest, max(32, len(rest) // 64))
+            .mapPartitions(lambda it: {
+                _read_header_file(f)[0]['avro.schema'].decode('utf-8')
+                for f in it})
+            .distinct().collect())
+    schema = _spark_schema(json.loads(first_json))
+    fields = list(schema.fields)
+    by_name = {f.name: i for i, f in enumerate(fields)}
+    for wjson in sorted(others - {first_json}):
+        for f in _spark_schema(json.loads(wjson)).fields:
+            i = by_name.get(f.name)
+            if i is None:
+                by_name[f.name] = len(fields)
+                fields.append(f)
+                continue
+            cur = fields[i].dataType.simpleString()
+            new = f.dataType.simpleString()
+            if cur == new or (new, cur) in _PROMOTIONS:
+                continue                      # current already covers it
+            if (cur, new) in _PROMOTIONS:
+                fields[i] = f                 # widen the reader field
+            else:
+                raise ValueError(
+                    f'avro schema resolution: field {f.name!r} has '
+                    f'incompatible types across files ({cur} vs {new})'
+                    ' — read these OCFs separately')
+    schema = T.StructType(fields)
     decoders = [_decoder(f.dataType) for f in schema.fields]
     names = [f.name for f in schema.fields]
-    # (name, sparkType) fingerprint of the driver-read reader schema;
-    # every blob re-parses its OWN writer schema below and resolves
-    # against it by FIELD NAME per the Avro spec's Schema Resolution
-    # rules (see _resolve_plan) — so a heterogeneous glob with
-    # reordered / extra / missing / numerically-promoted fields decodes
-    # correctly, and only a genuinely incompatible field type raises.
+    # (name, sparkType) fingerprint of the union reader schema; every
+    # blob re-parses its OWN writer schema below and resolves against
+    # it by FIELD NAME (see _resolve_plan), so reordered / missing /
+    # numerically-promoted fields decode correctly per file.
     want_sig = [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
     def _parse(batches):
@@ -527,8 +586,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                             rows.append(vals)
                 yield pd.DataFrame(rows, columns=names)
 
-    src = (spark.read.format('binaryFile')
-           .option('pathGlobFilter', os.path.basename(pattern))
-           .load(os.path.dirname(pattern) or path)
-           .select('content'))
+    if pattern is None:
+        # remote: binaryFile reads the resolved listing directly
+        # (file:// s3a:// hdfs:// — Hadoop FS handles the scheme)
+        src = (spark.read.format('binaryFile').load(files)
+               .select('content'))
+    else:
+        src = (spark.read.format('binaryFile')
+               .option('pathGlobFilter', os.path.basename(pattern))
+               .load(os.path.dirname(pattern) or path)
+               .select('content'))
     return src.mapInPandas(_parse, schema)

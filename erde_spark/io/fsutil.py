@@ -5,13 +5,14 @@ any URI scheme through ``pyarrow.fs`` (s3://, hdfs://, gs:// ... and
 remote code path). The streaming formats (warc/zst) carry their own
 adapter in io/warc.py; this module serves the random-access ones.
 
-Writers: the zst sink (io/zst.py::write_jsonl_zst) is the reference
-object-store writer — URI destinations take a pyarrow.fs TWO-PHASE
-commit (temp object -> verify -> fs.move, one atomic PUT) because
-object stores have no atomic rename. The remaining sinks
-(wds/tfrecord/arrow/megatron/avro/npy/safetensors) still commit by
-``os.replace`` and stay shared-filesystem-only by design — write to
-the cluster FS and lift afterwards, or port the zst pattern.
+Writers: EVERY training sink (zst/wds/tfrecord/arrow/megatron/avro/
+npy/safetensors/zarr) dispatches on destination — plain local paths
+commit by attempt-staged ``os.replace``; any URI scheme takes the
+pyarrow.fs TWO-PHASE commit (temp object -> verify -> ``fs.move``,
+one atomic PUT) because object stores have no atomic rename. The
+shared executor-side primitive is ``io/task_files.py::open_staged``
+(inlined in the closures that must stay stdlib-only); the shared
+driver-side prologue is :func:`prepare_dir` below.
 """
 
 from __future__ import annotations
@@ -24,6 +25,41 @@ def _scheme(path: str) -> str:
     p = urlparse(path)
     # a Windows drive letter or a bare path has no scheme we care about
     return p.scheme if len(p.scheme) > 1 else ''
+
+
+def prepare_dir(path: str, mode: str) -> str:
+    """Driver-side sink-directory prologue shared by the training
+    sinks: handle ``mode`` ('error' raises if the destination exists,
+    'overwrite' clears it, 'append' leaves it) and ensure the
+    directory exists. Returns the URI scheme ('' for a plain local
+    path) for the caller to thread into its executor closures —
+    that single string is what selects the two-phase commit branch
+    in ``task_files.open_staged``. Mode VALIDATION stays in each
+    sink (several refuse 'append' with format-specific reasons)."""
+    sch = _scheme(path)
+    if sch:
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(path)
+        info = filesystem.get_file_info(root)
+        if mode == 'error' and info.type != pafs.FileType.NotFound:
+            raise FileExistsError(path)
+        if mode == 'overwrite' and info.type == pafs.FileType.Directory:
+            filesystem.delete_dir(root)
+        filesystem.create_dir(root, recursive=True)
+        return sch
+    import shutil
+    if mode == 'error' and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == 'overwrite':
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return ''
+
+
+def join_path(root: str, name: str, scheme: str) -> str:
+    """Child path under a sink root: URI roots join with '/', local
+    roots with ``os.path.join`` (Windows separators)."""
+    return f'{root}/{name}' if scheme else os.path.join(root, name)
 
 
 def list_with_suffix(path: str, suffix: str) -> list[str]:

@@ -66,12 +66,14 @@ _CODE_DTYPES = {1: np.uint8, 2: np.int8, 3: np.int16, 4: np.int32,
 
 
 def _write_shard(path_base: str, sizes: np.ndarray, flat: np.ndarray,
-                 dtype: np.dtype) -> None:
+                 dtype: np.dtype, scheme: str = '') -> None:
     """Write one committed .bin/.idx pair. ``flat`` is every sequence
     concatenated (already cast to ``dtype``); ``sizes`` the per-
     sequence token counts — the .bin IS the concatenation, so the
-    writer never touches individual documents."""
-    from erde_spark.io.task_files import commit_file, staging_path
+    writer never touches individual documents. ``scheme`` selects the
+    pyarrow.fs two-phase commit for URI destinations (object stores
+    have no atomic rename; see ``task_files.open_staged``)."""
+    from erde_spark.io.task_files import open_staged
     sizes = np.asarray(sizes, dtype=np.int32)
     itemsize = np.dtype(dtype).itemsize
     pointers = np.zeros(len(sizes), dtype=np.int64)
@@ -80,12 +82,15 @@ def _write_shard(path_base: str, sizes: np.ndarray, flat: np.ndarray,
                   out=pointers[1:])
     doc_idx = np.arange(len(sizes) + 1, dtype=np.int64)
 
-    bin_final = path_base + '.bin'
-    idx_final = path_base + '.idx'
-    bin_tmp, idx_tmp = staging_path(bin_final), staging_path(idx_final)
-    with open(bin_tmp, 'wb') as out:
+    out, commit_bin, abort_bin = open_staged(path_base + '.bin', scheme)
+    try:
         out.write(flat.astype(dtype, copy=False).tobytes())
-    with open(idx_tmp, 'wb') as out:
+        out.close()
+    except BaseException:
+        abort_bin()
+        raise
+    out, commit_idx, abort_idx = open_staged(path_base + '.idx', scheme)
+    try:
         out.write(_MAGIC)
         out.write(struct.pack('<Q', _VERSION))
         out.write(struct.pack('<B', _DTYPE_CODES[np.dtype(dtype).name]))
@@ -94,9 +99,14 @@ def _write_shard(path_base: str, sizes: np.ndarray, flat: np.ndarray,
         out.write(sizes.tobytes())
         out.write(pointers.tobytes())
         out.write(doc_idx.tobytes())
+        out.close()
+    except BaseException:
+        abort_idx()
+        abort_bin()
+        raise
     # .bin commits before .idx: a listed index always has a whole .bin
-    commit_file(bin_tmp, bin_final)
-    commit_file(idx_tmp, idx_final)
+    commit_bin(min_size=0 if flat.size == 0 else 1)
+    commit_idx()
 
 
 def write_megatron(df: DataFrame, path: str, tokens_col: str = 'tokens',
@@ -110,16 +120,12 @@ def write_megatron(df: DataFrame, path: str, tokens_col: str = 'tokens',
     round-trips as size 0). Integer dtypes bounds-check before the
     cast so an out-of-range token id raises instead of silently
     wrapping."""
-    import shutil
     if np.dtype(dtype).name not in _DTYPE_CODES:
         raise ValueError(f'unsupported dtype {dtype!r}; '
                          f'one of {sorted(_DTYPE_CODES)}')
     np_dtype = np.dtype(dtype)
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
     if shard_size <= 0 or shard_bytes <= 0:
         raise ValueError('shard_size and shard_bytes must be positive')
     rows = df.select(F.col(tokens_col).alias('_toks'))
@@ -149,13 +155,14 @@ def write_megatron(df: DataFrame, path: str, tokens_col: str = 'tokens',
             nonlocal cur_records, cur_bytes
             if not cur_records:
                 return
+            base = f'part-{tid:05d}-{shard_idx:05d}'
             _write_shard(
-                os.path.join(path, f'part-{tid:05d}-{shard_idx:05d}'),
+                f'{path}/{base}' if scheme else os.path.join(path, base),
                 np.concatenate(pend_sizes) if pend_sizes
                 else np.zeros(0, np.int32),
                 np.concatenate(pend_flat) if pend_flat
                 else np.zeros(0, np_dtype),
-                np_dtype)
+                np_dtype, scheme)
             shard_idx += 1
             pend_flat, pend_sizes = [], []
             cur_records = cur_bytes = 0

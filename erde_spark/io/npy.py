@@ -185,16 +185,15 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
     when the global matrix order matters (the round-trip gate does).
 
     Each task buffers only the growing byte payload of its own shard
-    and stitches the header by rewrite-at-close (shape isn't known
-    up front); staging + atomic rename, stdlib-only closure."""
-    import shutil
+    and stitches the header by rewrite-at-close (shape isn't known up
+    front); staging + atomic rename for local paths. A URI destination
+    (file:// s3:// gs:// hdfs://) spools the data bytes to task-local
+    disk first — object streams cannot seek back to patch the header —
+    then streams header + spool into a pyarrow.fs two-phase commit
+    (temp object -> verify size -> fs.move)."""
     dt = dict(df.dtypes)[value_col]
     is_arr = dt.startswith('array<')
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    elif mode != 'error':
+    if mode not in ('overwrite', 'error'):
         # append would interleave new part names into the existing
         # lexicographic order and silently REORDER the global matrix —
         # row position is the semantic here, so refuse rather than
@@ -203,7 +202,8 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
         raise ValueError(f"mode={mode!r}: .npy supports only "
                          "'overwrite'/'error' (append would reorder "
                          'the global row index)')
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
     elem = dt[6:-1] if is_arr else dt
     np_of = {'float': np.float32, 'double': np.float64, 'int': np.int32,
              'bigint': np.int64, 'smallint': np.int16, 'tinyint': np.int8}
@@ -216,14 +216,18 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
     rows = df.select(value_col)
 
     def _write_partition(it):
-        # stdlib/numpy-only closure (no erde_spark imports in executors)
+        # stdlib/numpy/pyarrow-only closure (no erde_spark imports in
+        # executors; the two-phase URI branch is inlined from
+        # task_files.open_staged for the same reason)
         from pyspark import TaskContext
         tc = TaskContext.get()
-        final = os.path.join(path, f'part-{tc.partitionId():05d}.npy')
+        name = f'part-{tc.partitionId():05d}.npy'
+        final = f'{path}/{name}' if scheme else os.path.join(path, name)
         tmp = f'{final}.{tc.taskAttemptId()}.inprogress'
         n = 0
         dim = None
         out = None
+        committed = False
         try:
             for row in it:
                 v = row[0]
@@ -243,8 +247,14 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
                 d = a.size if a.ndim else 0
                 if dim is None:
                     dim = d
-                    out = open(tmp, 'wb')
-                    out.write(b'\x00' * 128)  # header placeholder
+                    if scheme:
+                        # object streams can't seek back to patch the
+                        # header — spool data to task-local disk first
+                        import tempfile
+                        out = tempfile.TemporaryFile()
+                    else:
+                        out = open(tmp, 'wb')
+                        out.write(b'\x00' * 128)  # header placeholder
                 elif d != dim:
                     raise ValueError(
                         f'ragged {value_col}: width {d} after {dim}')
@@ -262,14 +272,42 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
                 raise ValueError('shape literal exceeds reserved header')
             hdr = (magic + b'\x01\x00' + struct.pack('<H', 128 - 10)
                    + (d + ' ' * (room - len(d)) + '\n').encode('latin1'))
-            out.seek(0)
-            out.write(hdr)
+            if scheme:
+                # two-phase commit (the io/zst.py protocol): stream
+                # header + spool into the temp object, verify the
+                # exact byte count, then one atomic PUT (fs.move)
+                from pyarrow import fs as pafs
+                filesystem, rel_final = pafs.FileSystem.from_uri(final)
+                rel_tmp = f'{rel_final}.{tc.taskAttemptId()}.inprogress'
+                out.seek(0)
+                with filesystem.open_output_stream(rel_tmp) as rh:
+                    rh.write(hdr)
+                    while True:
+                        chunk = out.read(1 << 20)
+                        if not chunk:
+                            break
+                        rh.write(chunk)
+                expect = 128 + n * max(dim, 1) * np.dtype(npt).itemsize
+                info = filesystem.get_file_info(rel_tmp)
+                if info.type != pafs.FileType.File \
+                        or info.size != expect:
+                    raise IOError(
+                        f'staged object {rel_tmp!r} missing or '
+                        f'truncated at commit (want {expect} bytes, '
+                        f'got {info.size}) — refusing to publish')
+                filesystem.move(rel_tmp, rel_final)
+            else:
+                out.seek(0)
+                out.write(hdr)
             out.close()
             out = None
-            os.replace(tmp, final)
+            if not scheme:
+                os.replace(tmp, final)
+            committed = True
         finally:
             if out is not None:
                 out.close()
+            if not committed and not scheme:
                 try:
                     os.remove(tmp)
                 except OSError:

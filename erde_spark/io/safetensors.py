@@ -199,16 +199,17 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
     contract as the npy writer: range-partition + sortWithinPartitions
     first when the global order matters. Refuses ragged/empty rows and
     non-overwrite modes (shard names encode the shard COUNT, so append
-    cannot compose)."""
-    import shutil
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    elif mode != 'error':
+    cannot compose). URI destinations (file:// s3:// gs:// hdfs://)
+    spool each shard's data to task-local disk — the header splice
+    needs a seek — then stream it into a pyarrow.fs staged object; the
+    DRIVER publishes every staged shard onto its count-encoding final
+    name (fs.move = one atomic PUT each) after all tasks report, so a
+    racing reader never sees a partial shard set with a valid index."""
+    if mode not in ('overwrite', 'error'):
         raise ValueError(f"mode={mode!r}: shard names encode the shard "
                          "count, so only 'overwrite'/'error' compose")
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
     dt = dict(df.dtypes)[value_col]
     elem = dt[6:-1] if dt.startswith('array<') else dt
     np_of = {'float': '<f4', 'double': '<f8', 'int': '<i4',
@@ -221,12 +222,13 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
     rows = df.select(value_col)
 
     def _write_partition(it):
-        # stdlib/numpy-only executor closure (wds-regression rule)
+        # stdlib/numpy/pyarrow-only executor closure (wds-regression
+        # rule; the URI staging branch is inlined for the same reason)
         from pyspark import TaskContext
         tc = TaskContext.get()
         pid = tc.partitionId()
         tmp = os.path.join(path, f'.part-{pid:05d}.{tc.taskAttemptId()}'
-                                 '.inprogress')
+                                 '.inprogress') if not scheme else None
         n = 0
         dim = None
         out = None
@@ -243,8 +245,15 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
                 d = a.size if a.ndim else 0
                 if dim is None:
                     dim = d
-                    out = open(tmp, 'wb')
-                    out.write(b'\x00' * 8)  # header-length placeholder
+                    if scheme:
+                        # the header splice below needs a seekable
+                        # stream — spool to task-local disk, stream to
+                        # the object store once the length is known
+                        import tempfile
+                        out = tempfile.TemporaryFile()
+                    else:
+                        out = open(tmp, 'wb')
+                        out.write(b'\x00' * 8)  # header-length slot
                 elif d != dim:
                     raise ValueError(f'ragged {value_col}: {d} after {dim}')
                 out.write(a.tobytes())
@@ -260,6 +269,34 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
                 separators=(',', ':')).encode()
             pad = (8 - len(hdr) % 8) % 8  # spec: pad header with spaces
             hdr += b' ' * pad
+            if scheme:
+                # stage the complete shard as a remote object; the
+                # DRIVER publishes it onto the count-encoding final
+                # name (two-phase: this write + driver-side verify+move)
+                from pyarrow import fs as pafs
+                filesystem, root = pafs.FileSystem.from_uri(path)
+                staged = (f'{root}/.part-{pid:05d}.'
+                          f'{tc.taskAttemptId()}.staged')
+                out.seek(0)
+                with filesystem.open_output_stream(staged) as rh:
+                    rh.write(struct.pack('<Q', len(hdr)))
+                    rh.write(hdr)
+                    while True:
+                        chunk = out.read(1 << 20)
+                        if not chunk:
+                            break
+                        rh.write(chunk)
+                expect = 8 + len(hdr) + nbytes
+                info = filesystem.get_file_info(staged)
+                if info.type != pafs.FileType.File \
+                        or info.size != expect:
+                    raise IOError(
+                        f'staged shard {staged!r} missing or truncated '
+                        f'(want {expect} bytes, got {info.size}) — '
+                        'refusing to publish')
+                out.close()
+                out = None
+                return iter([(pid, n, staged)])
             out.seek(0)
             out.write(struct.pack('<Q', len(hdr)))
             out.close()
@@ -280,23 +317,39 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
         finally:
             if out is not None:
                 out.close()
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
+                if not scheme:
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
 
     parts = sorted(rows.rdd.mapPartitions(_write_partition).collect())
     if not parts:
         raise ValueError('input has no rows')
     n_shards = len(parts)
     index = {'metadata': {'total_size': 0}, 'weight_map': {}}
+    if scheme:
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(path)
     for i, (pid, n, tmp_path) in enumerate(parts):
-        final = os.path.join(
-            path, f'model-{i + 1:05d}-of-{n_shards:05d}.safetensors')
-        os.replace(tmp_path, final)
-        index['weight_map'][f'{tensor_name}/{pid:05d}'] = \
-            os.path.basename(final)
-        index['metadata']['total_size'] += os.path.getsize(final)
-    with open(os.path.join(path, 'model.safetensors.index.json'),
-              'w') as f:
-        json.dump(index, f, indent=1, sort_keys=True)
+        name = f'model-{i + 1:05d}-of-{n_shards:05d}.safetensors'
+        if scheme:
+            # publish: one atomic PUT per verified staged object
+            final = f'{root}/{name}'
+            filesystem.move(tmp_path, final)
+            size = filesystem.get_file_info(final).size
+        else:
+            final = os.path.join(path, name)
+            os.replace(tmp_path, final)
+            size = os.path.getsize(final)
+        index['weight_map'][f'{tensor_name}/{pid:05d}'] = name
+        index['metadata']['total_size'] += size
+    payload = json.dumps(index, indent=1, sort_keys=True)
+    if scheme:
+        with filesystem.open_output_stream(
+                f'{root}/model.safetensors.index.json') as f:
+            f.write(payload.encode('utf-8'))
+    else:
+        with open(os.path.join(path, 'model.safetensors.index.json'),
+                  'w') as f:
+            f.write(payload)

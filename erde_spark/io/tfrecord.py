@@ -278,11 +278,12 @@ def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
     shard's records are buffered in memory before the flush (that is
     what lets the CRC run vectorized across the whole shard), so
     ``shard_bytes`` is also the sink's memory high-water mark per
-    task. Shards are staged to attempt-scoped temp names and
-    atomically renamed on completion, so speculative or retried task
-    attempts never interleave writes into one shard (same discipline
-    as Spark's own file committers)."""
-    import shutil
+    task. Local destinations stage to attempt-scoped temp names and
+    atomically rename on completion; URI destinations (file:// s3://
+    gs:// hdfs://) take the pyarrow.fs two-phase commit
+    (``task_files.open_staged``: temp object -> verify -> fs.move),
+    so speculative or retried task attempts never interleave writes
+    into one shard (same discipline as Spark's own file committers)."""
     inferred = {}
     for f in df.schema.fields:
         dt = f.dataType
@@ -298,11 +299,8 @@ def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
     for c in cols:
         if c not in inferred:
             raise ValueError(f'no column {c!r} in the frame')
-    if mode == 'error' and os.path.exists(path):
-        raise FileExistsError(path)
-    if mode == 'overwrite':
-        shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    from erde_spark.io.fsutil import prepare_dir
+    scheme = prepare_dir(path, mode)
     names = list(cols)
     rows = df.select(F.col(key_col).cast('long').alias('_key'), *names)
 
@@ -324,7 +322,7 @@ def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
     def _write_partition(it):
         from pyspark import TaskContext
 
-        from erde_spark.io.task_files import commit_file, staging_path
+        from erde_spark.io.task_files import open_staged
         tid = TaskContext.get().partitionId()
         shard_idx = 0
         payloads: list = []
@@ -337,16 +335,21 @@ def write_tfrecord(df: DataFrame, path: str, key_col: str = 'doc_id',
             data_crc = _mask(crc32c_many(payloads))
             lens = [struct.pack('<Q', len(p)) for p in payloads]
             len_crc = _mask(crc32c_many(lens))
-            final = os.path.join(
-                path, f'part-{tid:05d}-{shard_idx:05d}.tfrecord')
-            tmp = staging_path(final)
-            with open(tmp, 'wb') as out:
+            name = f'part-{tid:05d}-{shard_idx:05d}.tfrecord'
+            final = f'{path}/{name}' if scheme \
+                else os.path.join(path, name)
+            out, commit, abort = open_staged(final, scheme)
+            try:
                 for i, p in enumerate(payloads):
                     out.write(lens[i])
                     out.write(struct.pack('<I', int(len_crc[i])))
                     out.write(p)
                     out.write(struct.pack('<I', int(data_crc[i])))
-            commit_file(tmp, final)
+                out.close()
+                commit()
+            except BaseException:
+                abort()
+                raise
             shard_idx += 1
             payloads, nbytes = [], 0
 

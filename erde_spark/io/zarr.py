@@ -120,20 +120,32 @@ def read_zarr(path: str, spark: SparkSession) -> DataFrame:
         import zlib as _z
         from urllib.parse import urlparse as _up
 
-        def _open(fp):
-            """Bytes, or None when the chunk is DEFINITIVELY absent
-            (an explicit existence check, not a broad except — a
-            transient store error must fail the task, not silently
-            read as fill_value)."""
-            if len(_up(fp).scheme) > 1:
+        # one FileSystem per task invocation, NOT per chunk file — a
+        # per-chunk from_uri would pay a fresh client construction for
+        # every column-chunk GET on an object store. Resolved lazily
+        # off the store ROOT; every chunk rel is root_rel + name.
+        if len(_up(path).scheme) > 1:
+            from pyarrow import fs as pafs
+            filesystem, root_rel = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem = root_rel = None
+
+        def _open(name):
+            """Bytes of chunk file ``name`` under the store root, or
+            None when the chunk is DEFINITIVELY absent (an explicit
+            existence check, not a broad except — a transient store
+            error must fail the task, not silently read as
+            fill_value)."""
+            if filesystem is not None:
                 from pyarrow import fs as pafs
-                filesystem, rel = pafs.FileSystem.from_uri(fp)
+                rel = f'{root_rel}/{name}'
                 if (filesystem.get_file_info(rel).type
                         == pafs.FileType.NotFound):
                     return None
                 with filesystem.open_input_file(rel) as fh:
                     return fh.read()
             import os as _os
+            fp = _os.path.join(path, name)
             if not _os.path.exists(fp):
                 return None
             with open(fp, 'rb') as fh:
@@ -144,7 +156,7 @@ def read_zarr(path: str, spark: SparkSession) -> DataFrame:
                 band = int(band)
                 parts = []
                 for j in range(n_col_chunks):
-                    raw = _open(f'{path}/{band}{sep}{j}')
+                    raw = _open(f'{band}{sep}{j}')
                     if raw is None:
                         # spec: a chunk absent from the store is
                         # all-fill_value
@@ -187,6 +199,9 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
                          "'zlib' or 'gzip'")
     if chunk_rows <= 0:
         raise ValueError('chunk_rows must be positive')
+    if value_col not in df.columns:
+        raise ValueError(f'no column {value_col!r} in the frame '
+                         f'(available: {df.columns})')
     dt = dict(df.dtypes)[value_col]
     if not dt.startswith('array<') or dt[6:-1] not in _NP_OF:
         raise ValueError(f'unsupported value column type {dt!r} for '
@@ -278,15 +293,23 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         pdf = pdf.sort_values('row_id')
         band = int(pdf['row_id'].iloc[0]) // c_rows
         m = np.zeros((c_rows, n_cols), dtype=dtype)
-        for _, r in pdf.iterrows():
-            if r['v'] is None:
-                raise ValueError('zarr cannot represent null rows')
-            a = np.asarray(r['v'], dtype=dtype)
-            if a.shape != (n_cols,):
-                raise ValueError(
-                    f'ragged value row (got {a.shape}, want '
-                    f'({n_cols},)) — zarr rows must be constant width')
-            m[int(r['row_id']) - band * c_rows] = a
+        vals = pdf['v'].to_numpy()
+        if any(v is None for v in vals):
+            raise ValueError('zarr cannot represent null rows')
+        try:
+            # one batch stack + one fancy-index fill (np.stack raises
+            # on ragged input, which is exactly the refusal we want)
+            block = np.stack([np.asarray(v, dtype=dtype) for v in vals])
+        except ValueError:
+            raise ValueError(
+                f'ragged value row (widths '
+                f'{sorted({len(v) for v in vals})}, want {n_cols}) — '
+                'zarr rows must be constant width') from None
+        if block.shape[1] != n_cols:
+            raise ValueError(
+                f'ragged value row (got width {block.shape[1]}, want '
+                f'{n_cols}) — zarr rows must be constant width')
+        m[pdf['row_id'].to_numpy(dtype=np.int64) - band * c_rows] = block
         buf = m.tobytes(order='C')
         if cid:
             co = _z.compressobj(1, _z.DEFLATED,

@@ -77,18 +77,41 @@ def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
         # md5/h1/h2 scheme is inlined in bloom_contains._probe; the
         # no-false-negatives test pins their agreement, so drift fails
         # CI rather than silently false-negativing.
-        bits = np.zeros(nbytes, dtype=np.uint8)
+        #
+        # Vectorization (r11 verdict ask #4): md5 stays a per-string
+        # loop — it IS the cross-engine determinism contract — but the
+        # k probe indices compute in ONE numpy expression per batch.
+        # Bit-exact with the scalar loop because
+        #   (h1 + i*h2) % m == ((h1%m) + i*(h2%m)) % m
+        # and h1%m + (k-1)*(h2%m) < k*m <= ~2^38 never overflows
+        # uint64 (m is capped at 2^33 by MAX_BITS).
         import hashlib
-        for r in rows:
-            v = r[0]
-            if v is None:
+        from itertools import islice
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        ks = np.arange(k, dtype=np.uint64)
+        rows = iter(rows)
+        while True:
+            chunk = list(islice(rows, 65536))
+            if not chunk:
+                break
+            h1m, h2m = [], []
+            for r in chunk:
+                v = r[0]
+                if v is None:
+                    continue
+                d = hashlib.md5(str(v).encode('utf-8')).digest()
+                h1 = int.from_bytes(d[:8], 'little')
+                h2 = int.from_bytes(d[8:], 'little') | 1
+                h1m.append(h1 % m)
+                h2m.append(h2 % m)
+            if not h1m:
                 continue
-            d = hashlib.md5(str(v).encode('utf-8')).digest()
-            h1 = int.from_bytes(d[:8], 'little')
-            h2 = int.from_bytes(d[8:], 'little') | 1
-            for i in range(k):
-                idx = (h1 + i * h2) % m
-                bits[idx >> 3] |= 1 << (idx & 7)
+            a1 = np.array(h1m, dtype=np.uint64)[:, None]
+            a2 = np.array(h2m, dtype=np.uint64)[:, None]
+            idx = ((a1 + ks[None, :] * a2) % np.uint64(m)).ravel()
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (idx & np.uint64(7))
+                              .astype(np.uint8)))
         yield bits
 
     merged = (df.select(col).rdd.mapPartitions(_partition_bits)
@@ -104,21 +127,31 @@ def bloom_contains(bits: bytes, k: int, m: int, col: Column | str) -> Column:
 
     @F.pandas_udf(T.BooleanType())
     def _probe(v: pd.Series) -> pd.Series:
+        # md5 stays per-string (the determinism contract shared with
+        # build_bloom's inlined builder); the k bit tests are one
+        # vectorized gather over the whole Arrow batch — bit-exact
+        # with the scalar loop, see build_bloom for the modular
+        # arithmetic argument (r11 verdict ask #4)
         import hashlib
         out = np.zeros(len(v), dtype=bool)
+        h1m, h2m, pos = [], [], []
         for j, s in enumerate(v):
             if s is None:
                 continue
             d = hashlib.md5(str(s).encode('utf-8')).digest()
             h1 = int.from_bytes(d[:8], 'little')
             h2 = int.from_bytes(d[8:], 'little') | 1
-            hit = True
-            for i in range(k):
-                idx = (h1 + i * h2) % m
-                if not (arr[idx >> 3] >> (idx & 7)) & 1:
-                    hit = False
-                    break
-            out[j] = hit
+            h1m.append(h1 % m)
+            h2m.append(h2 % m)
+            pos.append(j)
+        if h1m:
+            ks = np.arange(k, dtype=np.uint64)
+            a1 = np.array(h1m, dtype=np.uint64)[:, None]
+            a2 = np.array(h2m, dtype=np.uint64)[:, None]
+            idx = (a1 + ks[None, :] * a2) % np.uint64(m)
+            got = (arr[(idx >> np.uint64(3)).astype(np.int64)]
+                   >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+            out[np.array(pos)] = got.all(axis=1)
         return pd.Series(out)
 
     return _probe(F.col(col) if isinstance(col, str) else col)
