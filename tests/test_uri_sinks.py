@@ -1,0 +1,218 @@
+"""URI (object-store) two-phase commit branch for every training sink
+(r11 verdict ask #2 — finish the protocol io/zst.py pioneered).
+
+Every test writes to a ``file://`` URI: ``pyarrow.fs.FileSystem.from_uri``
+maps it to LocalFileSystem, so the IDENTICAL code path s3:// / gs:// /
+hdfs:// destinations take — open the ``.inprogress``/``.staged`` temp
+object, VERIFY it landed whole, then ``fs.move`` onto the final name
+(one atomic PUT) — runs end-to-end in-container. Each test pins:
+
+* round-trip fidelity through the URI branch,
+* no leftover staging objects after commit,
+* mode='error' raising through the pyarrow.fs prologue.
+
+The zst sink's equivalent test lives in test_io.py (r10); the zarr
+sink's in test_zarr.py (r11). This file covers the r12 ports:
+wds / tfrecord / arrow shards / megatron / npy / safetensors / avro.
+"""
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=60):
+    return spark.range(n).select(
+        F.col('id').alias('doc_id'),
+        F.md5(F.col('id').cast('string')).alias('text'))
+
+
+def _no_staging(local_dir):
+    left = [f for f in glob.glob(os.path.join(local_dir, '**'),
+                                 recursive=True)
+            if f.endswith('.inprogress') or f.endswith('.staged')]
+    assert not left, left
+
+
+class TestWdsUri:
+    def test_roundtrip_and_two_phase(self, spark, tmp_path):
+        from erde_spark.io.wds import read_webdataset, write_webdataset
+        local = str(tmp_path / 'w')
+        write_webdataset(_docs(spark), 'file://' + local, shard_size=25)
+        assert glob.glob(local + '/shard-*.tar')
+        _no_staging(local)
+        back = read_webdataset(spark, local)
+        assert back.count() == 60
+        with pytest.raises(FileExistsError):
+            write_webdataset(_docs(spark), 'file://' + local,
+                             mode='error')
+
+    def test_tar_bytes_match_local_branch(self, spark, tmp_path):
+        """The streamed ('w|') tar written through the URI branch and
+        the seekable ('w') tar written locally are byte-identical —
+        deterministic member headers are the format contract."""
+        from erde_spark.io.wds import write_webdataset
+        d = _docs(spark, 10).coalesce(1)
+        write_webdataset(d, 'file://' + str(tmp_path / 'u'))
+        write_webdataset(d, str(tmp_path / 'l'))
+        u = open(glob.glob(str(tmp_path / 'u') + '/*.tar')[0], 'rb').read()
+        loc = open(glob.glob(str(tmp_path / 'l') + '/*.tar')[0], 'rb').read()
+        assert u == loc
+
+
+class TestTfrecordUri:
+    def test_roundtrip_and_two_phase(self, spark, tmp_path):
+        from erde_spark.io.tfrecord import read_tfrecord, write_tfrecord
+        local = str(tmp_path / 't')
+        write_tfrecord(_docs(spark), 'file://' + local, shard_size=25)
+        assert glob.glob(local + '/part-*.tfrecord')
+        _no_staging(local)
+        back = read_tfrecord(spark, local,
+                             columns={'doc_id': ('int64', 'scalar'),
+                                      'text': ('bytes', 'scalar')})
+        assert back.count() == 60
+        with pytest.raises(FileExistsError):
+            write_tfrecord(_docs(spark), 'file://' + local, mode='error')
+
+
+class TestArrowUri:
+    def test_roundtrip_and_two_phase(self, spark, tmp_path):
+        from erde_spark.io.arrow_shards import (read_arrow_shards,
+                                                write_arrow_shards)
+        local = str(tmp_path / 'a')
+        write_arrow_shards(_docs(spark), 'file://' + local,
+                           shard_size=25)
+        assert glob.glob(local + '/part-*.arrow')
+        _no_staging(local)
+        back = read_arrow_shards(spark, local)
+        assert back.count() == 60
+        assert {r['doc_id'] for r in back.collect()} == set(range(60))
+        with pytest.raises(FileExistsError):
+            write_arrow_shards(_docs(spark), 'file://' + local,
+                               mode='error')
+
+
+class TestMegatronUri:
+    def test_roundtrip_and_two_phase(self, spark, tmp_path):
+        from erde_spark.io.megatron import read_megatron, write_megatron
+        local = str(tmp_path / 'm')
+        df = spark.range(40).select(
+            F.array(F.col('id'), F.col('id') * 2,
+                    F.col('id') + 7).alias('tokens'))
+        write_megatron(df, 'file://' + local, dtype='int32')
+        assert glob.glob(local + '/part-*.bin')
+        assert glob.glob(local + '/part-*.idx')
+        _no_staging(local)
+        back = read_megatron(spark, local)
+        assert back.count() == 40
+        got = {tuple(r['tokens']) for r in back.collect()}
+        assert (0, 0, 7) in got and (39, 78, 46) in got
+        with pytest.raises(FileExistsError):
+            write_megatron(df, 'file://' + local, mode='error')
+
+
+class TestNpyUri:
+    def test_roundtrip_exact_size_verify(self, spark, tmp_path):
+        from erde_spark.io.npy import read_npy, write_npy
+        local = str(tmp_path / 'n')
+        df = spark.range(30).select(
+            F.array(F.col('id').cast('double'),
+                    (F.col('id') * 2).cast('double')).alias('value'))
+        write_npy(df.coalesce(2), 'file://' + local)
+        assert glob.glob(local + '/part-*.npy')
+        _no_staging(local)
+        back = read_npy(local, spark)
+        assert back.count() == 30
+        import numpy as np
+        a = np.load(glob.glob(local + '/part-*.npy')[0])
+        assert a.ndim == 2 and a.shape[1] == 2
+        with pytest.raises(FileExistsError):
+            write_npy(df, 'file://' + local, mode='error')
+
+
+class TestSafetensorsUri:
+    def test_roundtrip_and_driver_publish(self, spark, tmp_path):
+        from erde_spark.io.safetensors import (read_safetensors,
+                                               write_safetensors)
+        local = str(tmp_path / 's')
+        df = spark.range(30).select(
+            F.array(F.col('id').cast('float'),
+                    (F.col('id') + 1).cast('float')).alias('value'))
+        write_safetensors(df.coalesce(2), 'file://' + local)
+        shards = glob.glob(local + '/model-*.safetensors')
+        assert shards
+        assert os.path.exists(
+            os.path.join(local, 'model.safetensors.index.json'))
+        _no_staging(local)
+        back = read_safetensors(local, spark)
+        assert back.count() == 30
+        # index total_size equals the published shard bytes
+        import json
+        idx = json.load(open(
+            os.path.join(local, 'model.safetensors.index.json')))
+        assert idx['metadata']['total_size'] == \
+            sum(os.path.getsize(s) for s in shards)
+        with pytest.raises(FileExistsError):
+            write_safetensors(df, 'file://' + local, mode='error')
+
+
+class TestAvroUri:
+    def test_roundtrip_and_two_phase(self, spark, tmp_path):
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        local = str(tmp_path / 'v.avro')
+        write_avro(_docs(spark), 'file://' + local)
+        assert glob.glob(local + '/part-*.avro')
+        _no_staging(local)
+        assert read_avro(spark, 'file://' + local).count() == 60
+        with pytest.raises(FileExistsError):
+            write_avro(_docs(spark), 'file://' + local, mode='error')
+
+    def test_empty_frame_header_only_shard_via_uri(self, spark, tmp_path):
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        local = str(tmp_path / 'e.avro')
+        write_avro(_docs(spark).filter(F.lit(False)),
+                   'file://' + local)
+        back = read_avro(spark, local)
+        assert back.count() == 0
+        assert set(back.columns) == {'doc_id', 'text'}
+
+
+class TestAvroUnionSchema:
+    def test_evolved_lake_keeps_new_columns(self, spark, tmp_path):
+        """ADVICE r11 (medium): a schema-evolved directory where the
+        OLDER, NARROWER file sorts first must not silently drop the
+        newer file's added column — the reader schema is the union."""
+        import shutil
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        d = str(tmp_path / 'lake.avro')
+        old = spark.createDataFrame([(1, 'x')], 'id long, s string')
+        new = spark.createDataFrame([(2, 'y', 9.5)],
+                                    'id long, s string, score double')
+        write_avro(old.coalesce(1), d)
+        first = glob.glob(d + '/*.avro')[0]
+        shutil.move(first, d + '/part-aaa.avro')
+        write_avro(new.coalesce(1), str(tmp_path / 'n.avro'))
+        shutil.copy(glob.glob(str(tmp_path / 'n.avro') + '/*.avro')[0],
+                    d + '/part-zzz.avro')
+        back = read_avro(spark, d)
+        assert 'score' in back.columns
+        rows = {r['id']: r['score'] for r in back.collect()}
+        assert rows == {1: None, 2: 9.5}
+
+    def test_union_widens_promotable_types(self, spark, tmp_path):
+        """int-written and long-written shards of the same field read
+        back as the WIDER type, whichever file sorts first."""
+        import shutil
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        d = str(tmp_path / 'p.avro')
+        narrow = spark.createDataFrame([(1,)], 'v int')
+        wide = spark.createDataFrame([(2.5,)], 'v double')
+        write_avro(narrow.coalesce(1), d)
+        shutil.move(glob.glob(d + '/*.avro')[0], d + '/part-aaa.avro')
+        write_avro(wide.coalesce(1), str(tmp_path / 'w.avro'))
+        shutil.copy(glob.glob(str(tmp_path / 'w.avro') + '/*.avro')[0],
+                    d + '/part-zzz.avro')
+        back = read_avro(spark, d)
+        assert dict(back.dtypes)['v'] == 'double'
+        assert {r['v'] for r in back.collect()} == {1.0, 2.5}
