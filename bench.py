@@ -276,7 +276,11 @@ def main():
             runs, jobs = _time_query(name)
             retried[name] = retried.get(name, 0) + len(runs)
             timings[name] = round(min(timings[name], min(runs)), 3)
-            spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+            # band lo = the global min across ALL passes (the recorded
+            # best-of must sit inside its own band); hi = the retry
+            # pass's max, so the band still reflects the settled
+            # re-measurement rather than the polluted first pass
+            spreads[name] = [timings[name], round(max(runs), 3)]
             job_counts[name] = jobs
         sent_cpu.append(_sentinel_cpu())
         sent_spark.append(_sentinel_spark(spark))
@@ -300,6 +304,43 @@ def main():
     # alone as queries[q] / sentinel.cpu.
     cpu_ref = min(sent_cpu)
     norm = {k: round(v / cpu_ref, 2) for k, v in timings.items()}
+
+    # Self-interpretation vs the last SETTLED run (round-11 verdict ask
+    # #3): a flagged artifact used to need the settled number fished
+    # out of git history. bench.py now keeps BENCH_SETTLED.json — a
+    # copy of the dual record updated ONLY when host_settled — and
+    # every run compares its sentinel-normalized per-query values
+    # against it: `vs_settled` carries the per-query ratio plus a
+    # one-line verdict ("all within noise" / "REGRESSED: q1, q2"), so
+    # even an unsettled artifact reads stand-alone. Regression bar =
+    # normalized ratio > 1.6x with a +0.5 floor (the same scale as the
+    # spread heuristic: smaller deltas are host noise on this box).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    settled_path = os.path.join(repo_dir, 'BENCH_SETTLED.json')
+    baseline = None
+    if os.path.exists(settled_path):
+        try:
+            with open(settled_path) as fh:
+                baseline = json.load(fh)
+        except (OSError, ValueError):
+            baseline = None
+    vs_settled = None
+    vs_verdict = None
+    if baseline:
+        ratios = {}
+        regressed = []
+        for k, v in norm.items():
+            p = baseline.get('queries', {}).get(k, {}).get('norm')
+            if not p:
+                continue
+            ratios[k] = round(v / p, 2)
+            if v > 1.6 * p + 0.5:
+                regressed.append(k)
+        vs_verdict = ('all within noise' if not regressed else
+                      'REGRESSED: ' + ', '.join(sorted(regressed)))
+        vs_settled = {'baseline_total_norm': baseline.get('total_norm'),
+                      'verdict': vs_verdict, 'ratios': ratios}
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'BENCH_NORM.json'), 'w') as fh:
         json.dump({
@@ -312,11 +353,17 @@ def main():
             'retried': retried,
             'total_sec': round(total, 3),
             'total_norm': round(total / cpu_ref, 1),
+            'vs_settled': vs_settled,
             'queries': {k: {'sec': timings[k], 'norm': norm[k],
                             'spread': spreads[k]}
                         for k in timings},
         }, fh, indent=1, sort_keys=True)
         fh.write('\n')
+    if host_settled:
+        # refresh the settled baseline the NEXT run interprets against
+        import shutil as _sh
+        _sh.copyfile(os.path.join(repo_dir, 'BENCH_NORM.json'),
+                     settled_path)
 
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     # full-fidelity record to STDERR (human/debug: 3-decimal times +
@@ -375,6 +422,10 @@ def main():
             'queries': qd,
             'sf': float(sf),
         }
+        if vs_verdict is not None:
+            # one short string: the artifact carries its own
+            # interpretation vs the committed settled baseline
+            d['vs_settled'] = vs_verdict
         if omitted is not None:
             d['omitted'] = omitted
         if slim:
