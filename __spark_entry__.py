@@ -3356,6 +3356,52 @@ FROM embeddings
 """
 
 
+def q_d4_survivors_check(spark, sf_dir):
+    """D4 end-to-end SURVIVOR-SET gate at a second knob setting
+    (r11 verdict ask #6: the policy audit in d4_check can't see
+    knob-plumbing regressions — this pins the actual returned id set
+    under proto_frac=0.5, n_clusters=1). Construction: threshold 0.99
+    makes the semdedup phase keep everything (the semdedup_check
+    invariant), and n_clusters=1 collapses the k-means to a CLOSED
+    FORM — with one list, every iteration assigns all samples to it,
+    so the centroid is exactly normalize(mean(normalized vectors))
+    and sample_size=4096 >= n makes the training sample the whole
+    table. DuckDB replays the normalize -> mean -> normalize -> dot
+    -> rank-desc-ties-by-id -> drop min(ceil(0.5*n), n-1) pipeline
+    bit-for-bit on the survivor IDS (sims differ only in last-bit
+    summation order, far below the inter-row gaps)."""
+    from erde_spark.scale.dedup import d4_select
+    e = _t(spark, sf_dir, 'embeddings')['embeddings']
+    out = d4_select(e, threshold=0.99, proto_frac=0.5, n_clusters=1)
+    return out.select('vec_id', 'label')
+
+
+_D4_SURVIVORS_SQL = """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) /
+                sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nvec
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+cent0 AS (SELECT i, avg(nvec[i]) AS c FROM nv, dims GROUP BY i),
+cnorm AS (SELECT sqrt(sum(c * c)) AS nrm FROM cent0),
+cent AS (SELECT i, c / (SELECT nrm FROM cnorm) AS c FROM cent0),
+sims AS (
+  SELECT nv.vec_id, sum(nv.nvec[cent.i] * cent.c) AS sim
+  FROM nv, cent GROUP BY nv.vec_id),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM sims)
+SELECT e.vec_id, e.label FROM embeddings e
+JOIN ranked r ON e.vec_id = r.vec_id
+WHERE r.rn > least(CAST(ceil(0.5 * r.n) AS BIGINT), r.n - 1)
+"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (NEW round 11,
     erde_spark/scale/bloom.py): the 100 TB path where the eval n-gram
@@ -6998,12 +7044,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out-of-window — r12's 50 slots cover them all inside the K=4
     horizon).
 
+    Round-12 rotation (verdict ask #1 — the hard freshness
+    obligation): the window is now composed MECHANICALLY — `base`
+    holds every registered query in its historical order and
+    `_R12_WINDOW` below lists the 50 gates of this round's window:
+    ONE never-green newcomer (d4_survivors_check, the survivor-SET
+    gate at a second knob setting, verdict ask #6) followed by the
+    first 49 of check_rotation.py's printed 50-stalest repack (the 26
+    out-of-window r08s that would cross the K=4 horizon at the r12
+    boundary, then the oldest r09s). The 50th printed name
+    (events_json, r09) is displaced to r13 — inside the horizon.
+
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
     stalest queries first."""
-    return {
-        # -- first 50 (the r11 window): 3 new construction-oracled
-        # -- routing gates + the 47 stalest per check_rotation.py --
+    base = {
+        # -- historical order (rotation windows are composed from
+        # -- _R12_WINDOW below; this dict just registers everything) --
         'routing_route_check': q_routing_route_check,
         'od_table_check': q_od_table_check,
         'isochrone_grid_check': q_isochrone_grid_check,
@@ -7196,7 +7253,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_neardup_backfill': q_streaming_neardup_backfill,
         'similarity_ivfpq': q_similarity_ivfpq,
         'winnow_passages': q_winnow_passages,
+        'd4_survivors_check': q_d4_survivors_check,
     }
+    window = [k for k in _R12_WINDOW]
+    assert len(window) == 50 and len(set(window)) == 50
+    out = {k: base[k] for k in window}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
+
+
+#: the 50-query driver window for round 12 — 1 newcomer + the first 49
+#: of tools/check_rotation.py's printed stalest-first repack (see the
+#: queries() docstring for the composition rationale)
+_R12_WINDOW = [
+    'd4_survivors_check',
+    'chunk_documents', 'langid_nb', 'geo_transform',
+    'geo_transform_families', 'geo_transform_polar', 'geo_lonlat_detect',
+    'geo_buffer_dissolve', 'sjoin_points_rects', 'snearest_rect',
+    'sjfull_geoms', 'sagg_rect_demand', 'sfilter_outside',
+    'slookup_nation', 'c4_filter', 'warc_stream_ingest',
+    'streaming_dedup_check', 'dedup_exact', 'quality_classifier',
+    'dedup_jaccard_ngram', 'cluster_components_jaccard',
+    'dedup_embedding', 'similarity_topk', 'contamination_check',
+    'date_funcs', 'array_funcs', 'tpch_q3_topk',
+    'tpch_q5_region_revenue', 'tpch_q4_semijoin', 'tpch_q13_custdist',
+    'tpch_q18_bigorders', 'tpch_q19_disjunctive', 'tpch_q10_returns',
+    'tpch_q2_min_supplier', 'tpch_q7_nation_volume', 'tpch_q8_mktshare',
+    'tpch_q9_profit', 'tpch_q11_important_parts', 'tpch_q14_promo',
+    'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
+    'tpch_q17_small_qty', 'tpch_q20_heavy_shippers', 'tpch_q21_waiting',
+    'tpch_q22_idle_customers', 'cube_orders', 'distinct_segments',
+    'supplier_by_nation', 'window_running_revenue', 'events_sliding',
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7206,6 +7294,7 @@ def oracle_sql() -> dict[str, str]:
         'isochrone_grid_check': _ISOCHRONE_GRID_CHECK_SQL,
         'stream_join_attrib': _STREAM_JOIN_ATTRIB_SQL,
         'd4_check': _D4_CHECK_SQL,
+        'd4_survivors_check': _D4_SURVIVORS_SQL,
         'bloom_decontaminate': _BLOOM_DECON_SQL,
         'zarr_roundtrip': _ZARR_ROUNDTRIP_SQL,
         'warc_ingest': _WARC_INGEST_SQL,

@@ -636,6 +636,16 @@ def main():
         if only and name not in only:
             continue
         row = {'op': name}
+        # one UNTIMED warm pass at the small size first: the first
+        # execution of an op pays python-worker pool spin-up + codegen
+        # compilation, which otherwise lands entirely on the sf0.1
+        # number and makes the 10x run look faster than the 1x run
+        # (r11's zarr/bloom rows showed 0.4-0.5x time at 10x data even
+        # on a settled host — this artifact, not host drift)
+        fn(spark, SF01).count()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
         for label, sf in (('sf0.1', SF01), ('sf1', SF1_DIR)):
             sw0 = shuffle_write_bytes(spark)
             t0 = time.perf_counter()
