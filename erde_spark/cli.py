@@ -545,6 +545,21 @@ def megexport(input_data: DataFrame, output_dir: str,
 
 
 @autocli
+def zarrexport(input_data: DataFrame, output_dir: str,
+               value_column: str = 'value', chunk_rows: int = 4096,
+               compressor: str = 'zlib'):
+    """Export a constant-width numeric array column as a Zarr v2
+    chunked array directory (one chunk file per row band; stdlib
+    zlib/gzip or no compression — blosc is refused at read time with
+    the numcodecs.Zlib recipe)."""
+    from erde_spark.io.zarr import write_zarr
+    write_zarr(input_data, output_dir, value_col=value_column,
+               chunk_rows=chunk_rows,
+               compressor=None if compressor in ('', 'none', 'null')
+               else compressor)
+
+
+@autocli
 def shuffle(input_data: DataFrame, id_column: str = 'doc_id',
             salt: str = '', buckets: int = 1024) -> DataFrame:
     """Assign a reproducible global training-order position
@@ -787,7 +802,7 @@ COMMANDS = {
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
     'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample, 'd4': d4,
-    'decon': decon,
+    'decon': decon, 'zarrexport': zarrexport,
 }
 
 

@@ -421,18 +421,43 @@ _PROMOTIONS = {('int', 'bigint'), ('int', 'float'), ('int', 'double'),
                ('float', 'double')}
 
 
-def _resolve_plan(writer, reader_names, want_sig):
+def _field_aliases(avro_json: dict) -> dict:
+    """field name -> alias list from a record schema's JSON (the Avro
+    spec's Schema Resolution names ``aliases`` as the rename
+    mechanism; r11 verdict optional ask #8a)."""
+    return {f['name']: [a for a in f.get('aliases', [])]
+            for f in avro_json.get('fields', [])
+            if f.get('aliases')}
+
+
+def _resolve_plan(writer, reader_names, want_sig,
+                  alias_to_reader=None, writer_aliases=None):
     """Avro Schema Resolution by field name: returns, per WRITER field,
     (decoder-for-writer-type, reader column index or None, cast). A
     writer field absent from the reader decodes and is discarded; a
     reader field absent from the writer stays null (every field this
     sink writes is a nullable union, so null IS the default); a common
-    field with a promotable numeric type casts; anything else raises."""
+    field with a promotable numeric type casts; anything else raises.
+
+    Aliases (spec: "Schema Resolution"): a writer field also matches a
+    reader column when the reader column declared the writer's name as
+    an alias (``alias_to_reader``: old name -> reader column), or when
+    the WRITER field itself declares an alias that names a reader
+    column (``writer_aliases``: writer field -> old names)."""
     reader_idx = {n: i for i, n in enumerate(reader_names)}
     plan = []
     for f in writer.fields:
         wt = f.dataType.simpleString()
         oi = reader_idx.get(f.name)
+        if oi is None and alias_to_reader:
+            tgt = alias_to_reader.get(f.name)
+            if tgt is not None:
+                oi = reader_idx.get(tgt)
+        if oi is None and writer_aliases:
+            for a in writer_aliases.get(f.name, []):
+                oi = reader_idx.get(a)
+                if oi is not None:
+                    break
         cast = None
         if oi is not None:
             rt = want_sig[oi][1]
@@ -501,28 +526,60 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 _read_header_file(f)[0]['avro.schema'].decode('utf-8')
                 for f in it})
             .distinct().collect())
-    schema = _spark_schema(json.loads(first_json))
+    first_avro = json.loads(first_json)
+    schema = _spark_schema(first_avro)
     fields = list(schema.fields)
+    # by_name maps every KNOWN name — canonical or alias — to its
+    # union-field index, so a renamed field (new name + aliases:[old])
+    # unifies with the old files' column instead of forking two
+    # half-null columns; the renamer's (newer) name wins the column.
     by_name = {f.name: i for i, f in enumerate(fields)}
+    for name, als in _field_aliases(first_avro).items():
+        i = by_name[name]
+        for a in als:
+            by_name.setdefault(a, i)
     for wjson in sorted(others - {first_json}):
-        for f in _spark_schema(json.loads(wjson)).fields:
+        wavro = json.loads(wjson)
+        w_aliases = _field_aliases(wavro)
+        for f in _spark_schema(wavro).fields:
             i = by_name.get(f.name)
+            renames = False
+            if i is None:
+                # the incoming field may be the RENAME of a field we
+                # already track (its aliases name the old column)
+                for a in w_aliases.get(f.name, []):
+                    i = by_name.get(a)
+                    if i is not None:
+                        renames = True
+                        break
             if i is None:
                 by_name[f.name] = len(fields)
+                for a in w_aliases.get(f.name, []):
+                    by_name.setdefault(a, len(fields))
                 fields.append(f)
                 continue
+            for a in w_aliases.get(f.name, []):
+                by_name.setdefault(a, i)
             cur = fields[i].dataType.simpleString()
             new = f.dataType.simpleString()
-            if cur == new or (new, cur) in _PROMOTIONS:
-                continue                      # current already covers it
-            if (cur, new) in _PROMOTIONS:
-                fields[i] = f                 # widen the reader field
-            else:
+            if cur != new and (new, cur) not in _PROMOTIONS \
+                    and (cur, new) not in _PROMOTIONS:
                 raise ValueError(
                     f'avro schema resolution: field {f.name!r} has '
                     f'incompatible types across files ({cur} vs {new})'
                     ' — read these OCFs separately')
+            keep_t = fields[i].dataType if (
+                cur == new or (new, cur) in _PROMOTIONS) else f.dataType
+            keep_n = f.name if renames else fields[i].name
+            if renames:
+                by_name[fields[i].name] = i      # old name -> alias
+                by_name[f.name] = i
+            fields[i] = T.StructField(keep_n, keep_t)
     schema = T.StructType(fields)
+    # old name -> canonical reader column, for per-file resolution
+    canon = {f.name: f.name for f in fields}
+    alias_to_reader = {a: fields[i].name for a, i in by_name.items()
+                       if a not in canon}
     decoders = [_decoder(f.dataType) for f in schema.fields]
     names = [f.name for f in schema.fields]
     # (name, sparkType) fingerprint of the union reader schema; every
@@ -539,12 +596,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 meta, sync, pos = _read_header(buf)
                 wjson = meta['avro.schema'].decode('utf-8')
                 if wjson not in plans:
-                    got = _spark_schema(json.loads(wjson))
+                    wavro = json.loads(wjson)
+                    got = _spark_schema(wavro)
                     got_sig = [(f.name, f.dataType.simpleString())
                                for f in got.fields]
                     plans[wjson] = (None if got_sig == want_sig
-                                    else _resolve_plan(got, names,
-                                                       want_sig))
+                                    else _resolve_plan(
+                                        got, names, want_sig,
+                                        alias_to_reader,
+                                        _field_aliases(wavro)))
                 plan = plans[wjson]
                 codec = meta.get('avro.codec', b'null').decode('ascii')
                 if codec not in ('null', 'deflate'):

@@ -629,3 +629,26 @@ def test_semdedup_wsample_subcommands(spark, tmp_path):
     entrypoint(['wsample', docs, '20', 'w', out2])
     got = spark.read.parquet(out2)
     assert got.count() == 20 and 'doc_id' in got.columns
+
+
+def test_zarrexport_subcommand(spark, tmp_path):
+    """zarrexport (r12: the last training-export format without a CLI
+    mirror) writes a Zarr v2 array directory readable by read_zarr;
+    --compressor none round-trips uncompressed."""
+    import glob
+
+    from erde_spark.cli import entrypoint
+    from erde_spark.io.zarr import read_zarr
+    src = str(tmp_path / 'emb.parquet')
+    spark.createDataFrame(
+        [(i, [float(i), float(i * 2)]) for i in range(10)],
+        'vec_id long, emb array<double>') \
+        .coalesce(1).write.mode('overwrite').parquet(src)
+    out = str(tmp_path / 'z')
+    entrypoint(['zarrexport', src, out, '--value-column', 'emb',
+                '--chunk-rows', '4', '--compressor', 'none'])
+    assert glob.glob(out + '/.zarray')
+    back = read_zarr(out, spark).orderBy('row_id').collect()
+    assert len(back) == 10
+    assert sorted(tuple(r['value']) for r in back) == \
+        sorted((float(i), float(i * 2)) for i in range(10))

@@ -216,3 +216,57 @@ class TestAvroUnionSchema:
         back = read_avro(spark, d)
         assert dict(back.dtypes)['v'] == 'double'
         assert {r['v'] for r in back.collect()} == {1.0, 2.5}
+
+
+class TestAvroAliases:
+    @staticmethod
+    def _patch_aliases(part_path, field, aliases):
+        """Rewrite an OCF's header with ``aliases`` added to one
+        field's schema JSON (body blocks + sync marker unchanged)."""
+        import io as _io
+        import json as _json
+
+        from erde_spark.io.avro_ocf import _read_header, _write_header
+        raw = open(part_path, 'rb').read()
+        meta, sync, pos = _read_header(raw)
+        sch = _json.loads(meta['avro.schema'].decode('utf-8'))
+        for f in sch['fields']:
+            if f['name'] == field:
+                f['aliases'] = aliases
+        codec = meta.get('avro.codec', b'null').decode('ascii')
+        buf = _io.BytesIO()
+        _write_header(buf, _json.dumps(sch), codec, sync)
+        open(part_path, 'wb').write(buf.getvalue() + raw[pos:])
+
+    def test_renamed_field_unifies_via_alias(self, spark, tmp_path):
+        """Spec 'Schema Resolution' aliases (r11 optional ask #8a): an
+        evolved file renames s -> txt and declares aliases:["s"] — the
+        union reader must surface ONE column (the renamer's name) fed
+        by both files, not two half-null columns."""
+        import shutil
+
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        d = str(tmp_path / 'al.avro')
+        old = spark.createDataFrame([(1, 'x')], 'id long, s string')
+        new = spark.createDataFrame([(2, 'y')], 'id long, txt string')
+        write_avro(old.coalesce(1), d)
+        shutil.move(glob.glob(d + '/*.avro')[0], d + '/part-aaa.avro')
+        write_avro(new.coalesce(1), str(tmp_path / 'n.avro'))
+        shutil.copy(glob.glob(str(tmp_path / 'n.avro') + '/*.avro')[0],
+                    d + '/part-zzz.avro')
+        self._patch_aliases(d + '/part-zzz.avro', 'txt', ['s'])
+        back = read_avro(spark, d)
+        assert 'txt' in back.columns and 's' not in back.columns
+        rows = {r['id']: r['txt'] for r in back.collect()}
+        assert rows == {1: 'x', 2: 'y'}
+
+    def test_single_file_with_aliases_reads_plain(self, spark, tmp_path):
+        """A lone file whose schema carries aliases still reads (alias
+        metadata must not confuse the fast path)."""
+        from erde_spark.io.avro_ocf import read_avro, write_avro
+        d = str(tmp_path / 'one.avro')
+        df = spark.createDataFrame([(5, 'z')], 'id long, txt string')
+        write_avro(df.coalesce(1), d)
+        self._patch_aliases(glob.glob(d + '/*.avro')[0], 'txt', ['s'])
+        back = read_avro(spark, d)
+        assert {r['txt'] for r in back.collect()} == {'z'}
