@@ -270,3 +270,45 @@ class TestAvroAliases:
         self._patch_aliases(glob.glob(d + '/*.avro')[0], 'txt', ['s'])
         back = read_avro(spark, d)
         assert {r['txt'] for r in back.collect()} == {'z'}
+
+
+class TestOpenStaged:
+    """Unit pins for the shared staged-commit primitive itself."""
+
+    def test_local_commit_and_abort(self, tmp_path):
+        from erde_spark.io.task_files import open_staged
+        final = str(tmp_path / 'x.bin')
+        fh, commit, abort = open_staged(final)
+        fh.write(b'abc')
+        commit()
+        assert open(final, 'rb').read() == b'abc'
+        fh, commit, abort = open_staged(final + '2')
+        fh.write(b'zzz')
+        abort()
+        assert not os.path.exists(final + '2')
+        assert not glob.glob(str(tmp_path) + '/*.inprogress')
+
+    def test_uri_commit_verifies_size(self, tmp_path):
+        """The two-phase verify refuses to publish a staged object
+        smaller than min_size — and min_size=0 admits a legally empty
+        file (the megatron all-empty-sequences .bin case)."""
+        from erde_spark.io.task_files import open_staged
+        final = 'file://' + str(tmp_path / 'y.bin')
+        fh, commit, abort = open_staged(final, 'file')
+        fh.close()  # zero bytes staged
+        with pytest.raises(IOError):
+            commit()
+        assert not os.path.exists(str(tmp_path / 'y.bin'))
+        fh, commit, abort = open_staged(final, 'file')
+        fh.close()
+        commit(min_size=0)
+        assert os.path.exists(str(tmp_path / 'y.bin'))
+        assert not glob.glob(str(tmp_path) + '/*.inprogress')
+
+    def test_uri_abort_removes_staging(self, tmp_path):
+        from erde_spark.io.task_files import open_staged
+        final = 'file://' + str(tmp_path / 'z.bin')
+        fh, commit, abort = open_staged(final, 'file')
+        fh.write(b'partial')
+        abort()
+        assert not glob.glob(str(tmp_path) + '/*')
