@@ -317,13 +317,20 @@ def main():
     # spread heuristic: smaller deltas are host noise on this box).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     settled_path = os.path.join(repo_dir, 'BENCH_SETTLED.json')
+    cur_sf = float(SF_DIR.rstrip('/').rsplit('sf', 1)[-1])
     baseline = None
+    baseline_sf = None
     if os.path.exists(settled_path):
         try:
             with open(settled_path) as fh:
                 baseline = json.load(fh)
+            baseline_sf = baseline.get('sf')
         except (OSError, ValueError):
             baseline = None
+    if baseline is not None and baseline_sf != cur_sf:
+        # a dev run at another scale factor must neither compare
+        # against nor (below) displace the committed sf0.1 baseline
+        baseline = None
     vs_settled = None
     vs_verdict = None
     if baseline:
@@ -359,8 +366,11 @@ def main():
                         for k in timings},
         }, fh, indent=1, sort_keys=True)
         fh.write('\n')
-    if host_settled:
+    if host_settled and (baseline_sf is None or baseline_sf == cur_sf):
         # refresh the settled baseline the NEXT run interprets against
+        # — but never let a dev run at another sf displace the
+        # committed sf0.1 record (baseline_sf is None only when no
+        # parseable baseline exists yet)
         import shutil as _sh
         _sh.copyfile(os.path.join(repo_dir, 'BENCH_NORM.json'),
                      settled_path)
