@@ -343,8 +343,16 @@ def main():
             ratios[k] = round(v / p, 2)
             if v > 1.6 * p + 0.5:
                 regressed.append(k)
-        vs_verdict = ('all within noise' if not regressed else
-                      'REGRESSED: ' + ', '.join(sorted(regressed)))
+        regressed = sorted(regressed)
+        if not regressed:
+            vs_verdict = 'all within noise'
+        elif len(regressed) <= 6:
+            vs_verdict = 'REGRESSED: ' + ', '.join(regressed)
+        else:
+            # bounded for the 2000-char stdout window; the full ratio
+            # map is in BENCH_NORM.json
+            vs_verdict = (f'REGRESSED({len(regressed)}): '
+                          + ', '.join(regressed[:6]) + ', ...')
         vs_settled = {'baseline_total_norm': baseline.get('total_norm'),
                       'verdict': vs_verdict, 'ratios': ratios}
 
