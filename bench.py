@@ -463,7 +463,9 @@ def main():
     # grows: 2dp -> 1dp -> 1dp/scalar sentinels -> biggest-first fit
     # with an explicit omitted record; full 3dp timings live in the
     # stderr artifact at every tier
-    for args in ((2,), (1,), (1, True), (1, True, 1650)):
+    # 1550 (was 1650): the fixed overhead now includes the bounded
+    # vs_settled verdict string (<= ~95 chars)
+    for args in ((2,), (1,), (1, True), (1, True, 1550)):
         compact = _compact(*args)
         if len(compact) < 1900:
             break
