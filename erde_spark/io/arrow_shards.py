@@ -176,17 +176,32 @@ def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
             rows_in_shard = 0
 
         batch_rows = min(10_000, shard_size)
-        for row in it:
-            batch.append(tuple(row[n] for n in names))
-            rows_in_shard += 1
-            if len(batch) >= batch_rows:
-                _flush()
-                if (rows_in_shard >= shard_size
-                        or (sink is not None
-                            and sink.tell() >= shard_bytes)):
-                    _roll()
-        _flush()
-        _roll()
+        try:
+            for row in it:
+                batch.append(tuple(row[n] for n in names))
+                rows_in_shard += 1
+                if len(batch) >= batch_rows:
+                    _flush()
+                    if (rows_in_shard >= shard_size
+                            or (sink is not None
+                                and sink.tell() >= shard_bytes)):
+                        _roll()
+            _flush()
+            _roll()
+        finally:
+            # dying attempt: close + drop the staging object (the zst
+            # rule — read globs exclude '.inprogress', but a clean
+            # directory beats relying on the filter)
+            if writer is not None:
+                try:
+                    writer.close()
+                    sink.close()
+                    if scheme:
+                        filesystem.delete_file(tmp)
+                    else:
+                        os.remove(tmp)
+                except OSError:
+                    pass
 
     df.rdd.foreachPartition(_write_partition)
 

@@ -322,19 +322,19 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
         from erde_spark.io.task_files import open_staged
         tid = TaskContext.get().partitionId()
         fh = None
-        commit = sync = None
+        commit = abort = sync = None
         shard_idx = 0
         rows_in_shard = 0
         block = []
 
         def _open():
-            nonlocal fh, commit, sync
+            nonlocal fh, commit, abort, sync
             name = f'part-{tid:05d}-{shard_idx:05d}.avro'
             final = f'{path}/{name}' if scheme \
                 else os.path.join(path, name)
             sync = hashlib.md5(
                 f'erde-avro:{tid}:{shard_idx}'.encode()).digest()
-            fh, commit, _ = open_staged(final, scheme)
+            fh, commit, abort = open_staged(final, scheme)
             _write_header(fh, schema_json, codec, sync)
 
         def _flush():
@@ -371,16 +371,21 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
             shard_idx += 1
             rows_in_shard = 0
 
-        for row in it:
-            block.append(tuple(row[n] for n in names))
-            rows_in_shard += 1
-            if len(block) >= block_rows:
-                _flush()
-                if (rows_in_shard >= shard_size
-                        or fh.tell() >= shard_bytes):
-                    _roll()
-        _flush()
-        _roll()
+        try:
+            for row in it:
+                block.append(tuple(row[n] for n in names))
+                rows_in_shard += 1
+                if len(block) >= block_rows:
+                    _flush()
+                    if (rows_in_shard >= shard_size
+                            or fh.tell() >= shard_bytes):
+                        _roll()
+            _flush()
+            _roll()
+        finally:
+            # dying attempt: drop the staging object (the zst rule)
+            if fh is not None:
+                abort()
 
     df.rdd.foreachPartition(_write_partition)
     try:

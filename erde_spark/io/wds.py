@@ -141,43 +141,61 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
             info.uname = info.gname = ''
             t.addfile(info, io.BytesIO(payload))
 
-        for row in it:
-            if tar is None:
-                tar = _open()
-            key = row['_key']
-            if key is None or '.' in key:
-                raise ValueError(
-                    f'WebDataset key {key!r} is null or contains "." — '
-                    'readers split key from extension on the first dot, '
-                    'so dotted keys misfile on read; sanitize the key '
-                    'column first')
-            wrote_member = False
-            for c in names:
-                v = row[c]
-                if v is None:
-                    continue
-                ext = cols[c]
-                if isinstance(v, (bytes, bytearray)):
-                    payload = bytes(v)
-                elif isinstance(v, str):
-                    # strings write raw whatever the extension — a
-                    # string column tagged 'json' already IS json text
-                    payload = v.encode('utf-8')
-                else:
-                    payload = json.dumps(v, sort_keys=True,
-                                         ensure_ascii=False).encode('utf-8')
-                _add(tar, f'{key}.{ext}', payload)
-                wrote_member = True
-            if not wrote_member:
-                # all-null sample: sentinel member keeps the key alive
-                _add(tar, f'{key}.nul', b'')
-            n_in_shard += 1
-            if n_in_shard >= shard_size:
+        try:
+            for row in it:
+                if tar is None:
+                    tar = _open()
+                key = row['_key']
+                if key is None or '.' in key:
+                    raise ValueError(
+                        f'WebDataset key {key!r} is null or contains '
+                        '"." — readers split key from extension on the '
+                        'first dot, so dotted keys misfile on read; '
+                        'sanitize the key column first')
+                wrote_member = False
+                for c in names:
+                    v = row[c]
+                    if v is None:
+                        continue
+                    ext = cols[c]
+                    if isinstance(v, (bytes, bytearray)):
+                        payload = bytes(v)
+                    elif isinstance(v, str):
+                        # strings write raw whatever the extension — a
+                        # string column tagged 'json' already IS json
+                        payload = v.encode('utf-8')
+                    else:
+                        payload = json.dumps(
+                            v, sort_keys=True,
+                            ensure_ascii=False).encode('utf-8')
+                    _add(tar, f'{key}.{ext}', payload)
+                    wrote_member = True
+                if not wrote_member:
+                    # all-null sample: sentinel keeps the key alive
+                    _add(tar, f'{key}.nul', b'')
+                n_in_shard += 1
+                if n_in_shard >= shard_size:
+                    _close(tar)
+                    tar, n_in_shard = None, 0
+                    shard_idx += 1
+            if tar is not None:
                 _close(tar)
-                tar, n_in_shard = None, 0
-                shard_idx += 1
-        if tar is not None:
-            _close(tar)
+                tar = None
+        finally:
+            # a dying attempt must not leave a truncated staging file
+            # (read-side globs exclude '.inprogress', but a clean
+            # directory beats relying on the filter — the zst rule)
+            if tar is not None:
+                try:
+                    tar.close()
+                    if fh is not None:
+                        fh.close()
+                    if scheme:
+                        filesystem.delete_file(tmp)
+                    else:
+                        os.remove(tmp)
+                except OSError:
+                    pass
 
     rows.rdd.foreachPartition(_write_partition)
 

@@ -312,3 +312,56 @@ class TestOpenStaged:
         fh.write(b'partial')
         abort()
         assert not glob.glob(str(tmp_path) + '/*')
+
+
+class TestDyingAttemptCleanup:
+    """A task attempt that dies mid-shard must not leave its staging
+    object behind (read globs exclude '.inprogress', but a clean
+    directory beats relying on the filter — the zst sink's rule,
+    now uniform across wds/arrow/avro)."""
+
+    def test_wds_failure_cleans_staging(self, spark, tmp_path):
+        from erde_spark.io.wds import write_webdataset
+        bad = spark.createDataFrame(
+            [('ok1', 'a'), ('dotted.key', 'b')], 'doc_id string, text string')
+        local = str(tmp_path / 'w')
+        with pytest.raises(Exception):
+            write_webdataset(bad.coalesce(1), local)
+        _no_staging(local)
+        with pytest.raises(Exception):
+            write_webdataset(bad.coalesce(1), 'file://' + local)
+        _no_staging(local)
+
+    def test_avro_failure_cleans_staging(self, spark, tmp_path):
+        # failure injected mid-iteration: a UDF that raises on the
+        # last row, after block_rows=2 already opened + flushed once
+        from pyspark.sql import functions as F, types as T
+
+        from erde_spark.io.avro_ocf import write_avro
+
+        @F.udf(T.LongType())
+        def boom(i):
+            if i == 4:
+                raise RuntimeError('boom')
+            return int(i)
+        bad = spark.range(5).select(boom('id').alias('id'))
+        local = str(tmp_path / 'a.avro')
+        with pytest.raises(Exception):
+            write_avro(bad.coalesce(1), local, block_rows=2)
+        _no_staging(local)
+
+    def test_arrow_failure_cleans_staging(self, spark, tmp_path):
+        from pyspark.sql import functions as F, types as T
+
+        from erde_spark.io.arrow_shards import write_arrow_shards
+
+        @F.udf(T.LongType())
+        def boom(i):
+            if i == 9:
+                raise RuntimeError('boom')
+            return int(i)
+        bad = spark.range(10).select(boom('id').alias('id'))
+        local = str(tmp_path / 'ar')
+        with pytest.raises(Exception):
+            write_arrow_shards(bad.coalesce(1), local, shard_size=4)
+        _no_staging(local)
