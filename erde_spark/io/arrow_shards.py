@@ -193,14 +193,20 @@ def write_arrow_shards(df: DataFrame, path: str, mode: str = 'overwrite',
             # rule — read globs exclude '.inprogress', but a clean
             # directory beats relying on the filter)
             if writer is not None:
+                # best-effort: a cleanup failure must not mask the
+                # task's original exception (writer.close can raise
+                # ArrowInvalid on a half-written footer)
                 try:
                     writer.close()
                     sink.close()
+                except Exception:
+                    pass
+                try:
                     if scheme:
                         filesystem.delete_file(tmp)
                     else:
                         os.remove(tmp)
-                except OSError:
+                except Exception:
                     pass
 
     df.rdd.foreachPartition(_write_partition)

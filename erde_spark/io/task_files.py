@@ -109,11 +109,12 @@ def open_staged(final_path: str, scheme: str = ''):
             filesystem.move(rel_tmp, rel_final)
 
         def abort():
+            # best-effort: cleanup must not mask the original error
             try:
                 if not fh.closed:
                     fh.close()
                 filesystem.delete_file(rel_tmp)
-            except OSError:
+            except Exception:
                 pass
 
         return fh, commit, abort

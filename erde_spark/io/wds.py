@@ -186,15 +186,20 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = 'doc_id',
             # (read-side globs exclude '.inprogress', but a clean
             # directory beats relying on the filter — the zst rule)
             if tar is not None:
+                # best-effort: a cleanup failure must not mask the
+                # task's original exception
                 try:
                     tar.close()
                     if fh is not None:
                         fh.close()
+                except Exception:
+                    pass
+                try:
                     if scheme:
                         filesystem.delete_file(tmp)
                     else:
                         os.remove(tmp)
-                except OSError:
+                except Exception:
                     pass
 
     rows.rdd.foreachPartition(_write_partition)
