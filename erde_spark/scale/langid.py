@@ -729,6 +729,24 @@ def train_langid(spark: SparkSession, corpus: dict | None = None,
         *[F.round(F.log((F.col(lang) + alpha) /
                         F.lit(n_lang[lang] + alpha * v)) * scale)
           .cast('long').alias(f'q_{lang}') for lang in langs])
+    # Materialize the model ONCE, with whole-stage codegen off for
+    # just this job: the |langs|-column pivot fused with the |langs|
+    # log/round projections generates a hashAgg output method past
+    # janino's 64 KB limit whenever ALL columns materialize (a .count
+    # prunes them, which is why the fallback only fired in full-value
+    # harnesses), and spark.sql.codegen.methodSplitThreshold does not
+    # split that method (measured at 128). Interpreted eval of a
+    # few-10k-row model is microseconds, the model is trained once per
+    # process and broadcast everywhere, and the eager localCheckpoint
+    # means no consumer ever re-runs the wide projection — so this
+    # also removes the repeated ERROR CodeGenerator noise + compile
+    # attempt from every downstream job.
+    prev = spark.conf.get('spark.sql.codegen.wholeStage', 'true')
+    spark.conf.set('spark.sql.codegen.wholeStage', 'false')
+    try:
+        model = model.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set('spark.sql.codegen.wholeStage', prev)
     oov = {lang: int(round(math.log(alpha / (n_lang[lang] + alpha * v))
                            * scale)) for lang in langs}
     return LangIdModel(df=model, langs=langs, oov=oov, scale=scale,
@@ -784,13 +802,21 @@ def identify_language(docs: DataFrame, model: LangIdModel | None = None,
     miss = F.col('_tot') - F.col('_hit')
     totals = {lang: (F.col(f'_s_{lang}') + miss * F.lit(m.oov[lang]))
               for lang in m.langs}
-    best = F.greatest(*totals.values())
-    # first language (sorted order) matching the max wins ties —
-    # deterministic and trivially replayable as a CASE chain
-    lang_expr = F.lit('und')
-    for lang in reversed(m.langs):
-        lang_expr = F.when(totals[lang] == best, F.lit(lang)) \
-            .otherwise(lang_expr)
+    # argmax via array_position, NOT a |langs|-deep CASE chain: the
+    # chain inlined every totals expression twice (once per WHEN, once
+    # inside greatest) into the hashAgg output method, which put the
+    # generated Java past janino's 64 KB limit whenever all columns
+    # materialized (ERROR CodeGenerator + interpreted fallback, seen
+    # in full-value harnesses; a .count() pruned it away). The array
+    # build names each totals expression ONCE; array_position's
+    # first-match rule keeps the deterministic first-in-sorted-order
+    # tie-break the DuckDB replay pins.
+    arr = F.array(*[totals[lang] for lang in m.langs])
+    best = F.array_max(arr)
+    lang_expr = F.coalesce(
+        F.element_at(F.array(*[F.lit(lang) for lang in m.langs]),
+                     F.array_position(arr, best).cast('int')),
+        F.lit('und'))
     scored = agg.select(
         'id', lang_expr.alias('lang'),
         (best / F.lit(m.scale) / F.col('_tot')).alias('lang_score'))
