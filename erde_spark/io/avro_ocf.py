@@ -400,10 +400,9 @@ def write_avro(df: DataFrame, path: str, mode: str = 'overwrite',
         # micro-batches and all-filtered pipelines are normal inputs).
         # Driver-side, same staged-commit discipline as the tasks.
         import hashlib
-        import io as _io
         name = 'part-empty-00000.avro'
         final = f'{path}/{name}' if scheme else os.path.join(path, name)
-        buf = _io.BytesIO()
+        buf = io.BytesIO()
         _write_header(buf, schema_json, codec,
                       hashlib.md5(b'erde-avro:empty').digest())
         from erde_spark.io.task_files import open_staged
