@@ -365,3 +365,27 @@ class TestDyingAttemptCleanup:
         with pytest.raises(Exception):
             write_arrow_shards(bad.coalesce(1), local, shard_size=4)
         _no_staging(local)
+
+
+def test_avro_union_distributed_header_path(spark, tmp_path):
+    """Above 255 files the union's distinct-writer-schema collection
+    runs as a Spark job over the listing instead of a driver loop —
+    same union result (both schemas' fields surface)."""
+    import hashlib
+    import json
+
+    from erde_spark.io.avro_ocf import _write_header, read_avro
+    out = str(tmp_path / 'many.avro')
+    os.makedirs(out)
+    s1 = json.dumps({'type': 'record', 'name': 'r', 'fields': [
+        {'name': 'id', 'type': ['null', 'long']}]})
+    s2 = json.dumps({'type': 'record', 'name': 'r', 'fields': [
+        {'name': 'id', 'type': ['null', 'long']},
+        {'name': 's', 'type': ['null', 'string']}]})
+    for i in range(300):   # > the 255 driver-loop cap
+        with open(os.path.join(out, f'part-{i:05d}.avro'), 'wb') as fh:
+            _write_header(fh, s1 if i % 2 else s2, 'null',
+                          hashlib.md5(str(i).encode()).digest())
+    df = read_avro(spark, out)
+    assert df.columns == ['id', 's']
+    assert df.count() == 0   # header-only shards carry no blocks
