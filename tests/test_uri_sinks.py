@@ -389,3 +389,16 @@ def test_avro_union_distributed_header_path(spark, tmp_path):
     df = read_avro(spark, out)
     assert df.columns == ['id', 's']
     assert df.count() == 0   # header-only shards carry no blocks
+
+
+def test_facade_uri_dispatch(spark, tmp_path):
+    """write_df/read_df route file:// URIs to the suffix driver, which
+    then takes the two-phase branch — the user-facing path a pipeline
+    actually writes s3://bucket/out.tfrecord through."""
+    import erde_spark as es
+    df = _docs(spark, 10)
+    for suffix in ['t.tfrecord', 't.wds', 't.avro', 't.arrow']:
+        local = str(tmp_path / suffix)
+        es.write_df(df, 'file://' + local)
+        assert es.read_df(local, spark).count() == 10
+        _no_staging(local)
