@@ -280,21 +280,31 @@ def write_npy(df: DataFrame, path: str, value_col: str = 'value',
                 filesystem, rel_final = pafs.FileSystem.from_uri(final)
                 rel_tmp = f'{rel_final}.{tc.taskAttemptId()}.inprogress'
                 out.seek(0)
-                with filesystem.open_output_stream(rel_tmp) as rh:
-                    rh.write(hdr)
-                    while True:
-                        chunk = out.read(1 << 20)
-                        if not chunk:
-                            break
-                        rh.write(chunk)
-                expect = 128 + n * max(dim, 1) * np.dtype(npt).itemsize
-                info = filesystem.get_file_info(rel_tmp)
-                if info.type != pafs.FileType.File \
-                        or info.size != expect:
-                    raise IOError(
-                        f'staged object {rel_tmp!r} missing or '
-                        f'truncated at commit (want {expect} bytes, '
-                        f'got {info.size}) — refusing to publish')
+                try:
+                    with filesystem.open_output_stream(rel_tmp) as rh:
+                        rh.write(hdr)
+                        while True:
+                            chunk = out.read(1 << 20)
+                            if not chunk:
+                                break
+                            rh.write(chunk)
+                    expect = (128
+                              + n * max(dim, 1) * np.dtype(npt).itemsize)
+                    info = filesystem.get_file_info(rel_tmp)
+                    if info.type != pafs.FileType.File \
+                            or info.size != expect:
+                        raise IOError(
+                            f'staged object {rel_tmp!r} missing or '
+                            f'truncated at commit (want {expect} '
+                            f'bytes, got {info.size}) — refusing to '
+                            'publish')
+                except BaseException:
+                    # dying attempt: best-effort staging cleanup
+                    try:
+                        filesystem.delete_file(rel_tmp)
+                    except Exception:
+                        pass
+                    raise
                 filesystem.move(rel_tmp, rel_final)
             else:
                 out.seek(0)

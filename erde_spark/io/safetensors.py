@@ -278,22 +278,30 @@ def write_safetensors(df: DataFrame, path: str, value_col: str = 'value',
                 staged = (f'{root}/.part-{pid:05d}.'
                           f'{tc.taskAttemptId()}.staged')
                 out.seek(0)
-                with filesystem.open_output_stream(staged) as rh:
-                    rh.write(struct.pack('<Q', len(hdr)))
-                    rh.write(hdr)
-                    while True:
-                        chunk = out.read(1 << 20)
-                        if not chunk:
-                            break
-                        rh.write(chunk)
-                expect = 8 + len(hdr) + nbytes
-                info = filesystem.get_file_info(staged)
-                if info.type != pafs.FileType.File \
-                        or info.size != expect:
-                    raise IOError(
-                        f'staged shard {staged!r} missing or truncated '
-                        f'(want {expect} bytes, got {info.size}) — '
-                        'refusing to publish')
+                try:
+                    with filesystem.open_output_stream(staged) as rh:
+                        rh.write(struct.pack('<Q', len(hdr)))
+                        rh.write(hdr)
+                        while True:
+                            chunk = out.read(1 << 20)
+                            if not chunk:
+                                break
+                            rh.write(chunk)
+                    expect = 8 + len(hdr) + nbytes
+                    info = filesystem.get_file_info(staged)
+                    if info.type != pafs.FileType.File \
+                            or info.size != expect:
+                        raise IOError(
+                            f'staged shard {staged!r} missing or '
+                            f'truncated (want {expect} bytes, got '
+                            f'{info.size}) — refusing to publish')
+                except BaseException:
+                    # dying attempt: best-effort staging cleanup
+                    try:
+                        filesystem.delete_file(staged)
+                    except Exception:
+                        pass
+                    raise
                 out.close()
                 out = None
                 return iter([(pid, n, staged)])
