@@ -12,7 +12,8 @@ independent whole-file read — so the scan parallelism is the chunk
 count and nothing is shuffled.
 
 Scope (honest boundaries, all raising loudly):
-* 2-D arrays, C order, no filters — the embedding-matrix shape;
+* 2-D arrays (the embedding-matrix shape) and 1-D arrays (the
+  label/timestamp vectors shipped beside them); C order, no filters;
 * dtype ``<f4 <f8 <i4 <i8`` (little-endian, like io/npy.py — the
   big-endian refusal is pinned there and applies here);
 * compressor ``null``, ``zlib`` or ``gzip`` (stdlib-decodable).
@@ -65,8 +66,8 @@ def _load_meta(path: str) -> dict:
     meta = json.loads(_open_bytes(f'{path}/.zarray').decode('utf-8'))
     if meta.get('zarr_format') != 2:
         raise ValueError(f'not a zarr v2 array: {path!r}')
-    if len(meta['shape']) != 2:
-        raise ValueError(f'only 2-D zarr arrays are supported, got '
+    if len(meta['shape']) not in (1, 2):
+        raise ValueError(f'only 1-D/2-D zarr arrays are supported, got '
                          f'shape {meta["shape"]}')
     if meta.get('order', 'C') != 'C':
         raise ValueError("only C-order zarr arrays are supported "
@@ -92,16 +93,26 @@ def _load_meta(path: str) -> dict:
 
 
 def read_zarr(path: str, spark: SparkSession) -> DataFrame:
-    """DataFrame (row_id long, value array<elem>) over a zarr v2 array
-    directory. One task per chunk row band; row_id is the global array
-    row — a deterministic function of the grid, not of task order.
-    Spec-legal ABSENT chunks read as ``fill_value`` (zarr writers omit
-    all-fill chunks by default); an absent chunk with a null
-    fill_value raises, since the spec leaves those cells undefined."""
+    """DataFrame (row_id long, value array<elem>) over a 2-D zarr v2
+    array directory — or (row_id long, value elem) over a 1-D one (the
+    label/timestamp vectors that ship beside embedding matrices). One
+    task per chunk row band; row_id is the global array row — a
+    deterministic function of the grid, not of task order. Spec-legal
+    ABSENT chunks read as ``fill_value`` (zarr writers omit all-fill
+    chunks by default); an absent chunk with a null fill_value raises,
+    since the spec leaves those cells undefined."""
     path = path.rstrip('/')
     meta = _load_meta(path)
-    n_rows, n_cols = meta['shape']
-    c_rows, c_cols = meta['chunks']
+    one_d = len(meta['shape']) == 1
+    if one_d:
+        # a 1-D array is a width-1 grid: chunk files are named by the
+        # single band index (no separator pair), rows come back as
+        # SCALARS
+        (n_rows,), (c_rows,) = meta['shape'], meta['chunks']
+        n_cols = c_cols = 1
+    else:
+        n_rows, n_cols = meta['shape']
+        c_rows, c_cols = meta['chunks']
     comp = meta.get('compressor')
     cid = None if comp is None else comp['id']
     dtype = meta['dtype']
@@ -156,13 +167,14 @@ def read_zarr(path: str, spark: SparkSession) -> DataFrame:
                 band = int(band)
                 parts = []
                 for j in range(n_col_chunks):
-                    raw = _open(f'{band}{sep}{j}')
+                    name = str(band) if one_d else f'{band}{sep}{j}'
+                    raw = _open(name)
                     if raw is None:
                         # spec: a chunk absent from the store is
                         # all-fill_value
                         if fill is None:
                             raise ValueError(
-                                f'chunk {band}{sep}{j} absent from '
+                                f'chunk {name} absent from '
                                 f'{path!r} and fill_value is null — '
                                 'those cells are undefined by the '
                                 'zarr v2 spec')
@@ -180,19 +192,22 @@ def read_zarr(path: str, spark: SparkSession) -> DataFrame:
                 yield pd.DataFrame({
                     'row_id': np.arange(lo, lo + len(block),
                                         dtype=np.int64),
-                    'value': list(block)})
+                    'value': block[:, 0] if one_d else list(block)})
 
     return spark.range(n_bands).mapInPandas(
-        _read, schema=f'row_id long, value array<{elem}>')
+        _read, schema=f'row_id long, value '
+                      f'{elem if one_d else f"array<{elem}>"}')
 
 
 def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
                chunk_rows: int = 4096, compressor: str | None = 'zlib',
                mode: str = 'overwrite') -> None:
-    """Write ``df[value_col]`` (constant-width numeric arrays) as a
-    zarr v2 array. See the module docstring for the layout and the
-    one-shuffle grid construction; the npy append refusal applies for
-    the same reason (append would renumber the global row index)."""
+    """Write ``df[value_col]`` as a zarr v2 array: a constant-width
+    numeric ARRAY column becomes a 2-D array, a scalar numeric column
+    becomes a 1-D one (label/timestamp vectors). See the module
+    docstring for the layout and the one-shuffle grid construction;
+    the npy append refusal applies for the same reason (append would
+    renumber the global row index)."""
     import shutil
     if compressor not in (None, 'zlib', 'gzip'):
         raise ValueError(f'compressor={compressor!r}: use None, '
@@ -203,10 +218,13 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         raise ValueError(f'no column {value_col!r} in the frame '
                          f'(available: {df.columns})')
     dt = dict(df.dtypes)[value_col]
-    if not dt.startswith('array<') or dt[6:-1] not in _NP_OF:
+    one_d = dt in _NP_OF
+    if not one_d and (not dt.startswith('array<')
+                      or dt[6:-1] not in _NP_OF):
         raise ValueError(f'unsupported value column type {dt!r} for '
-                         f'zarr (need array of {sorted(_NP_OF)})')
-    elem = dt[6:-1]
+                         f'zarr (need array-of or scalar '
+                         f'{sorted(_NP_OF)})')
+    elem = dt if one_d else dt[6:-1]
     dtype = _NP_OF[elem]
     from urllib.parse import urlparse
     scheme = urlparse(path).scheme if len(urlparse(path).scheme) > 1 \
@@ -245,7 +263,7 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         for row in it:
             n += 1
             if width is None and row[0] is not None:
-                width = len(row[0])
+                width = 1 if one_d else len(row[0])
         yield pid, n, width
 
     stats = rdd.mapPartitionsWithIndex(_count_and_width).collect()
@@ -271,14 +289,16 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         for i, row in enumerate(it):
             yield base + i, row['v']
 
-    arr_t = 'array<double>' if elem in ('float', 'double') \
-        else 'array<bigint>'
+    wide = 'double' if elem in ('float', 'double') else 'bigint'
+    arr_t = wide if one_d else f'array<{wide}>'
     indexed = rdd.mapPartitionsWithIndex(_index).toDF(
         f'row_id long, v {arr_t}')
 
     meta = {
-        'zarr_format': 2, 'shape': [n_rows, n_cols],
-        'chunks': [c_rows, n_cols], 'dtype': dtype,
+        'zarr_format': 2,
+        'shape': [n_rows] if one_d else [n_rows, n_cols],
+        'chunks': [c_rows] if one_d else [c_rows, n_cols],
+        'dtype': dtype,
         'compressor': ({'id': compressor, 'level': 1}
                        if compressor else None),
         'fill_value': 0, 'order': 'C', 'filters': None,
@@ -292,23 +312,29 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
         from pyspark import TaskContext
         pdf = pdf.sort_values('row_id')
         band = int(pdf['row_id'].iloc[0]) // c_rows
-        m = np.zeros((c_rows, n_cols), dtype=dtype)
         vals = pdf['v'].to_numpy()
         if any(v is None for v in vals):
             raise ValueError('zarr cannot represent null rows')
-        try:
-            # one batch stack + one fancy-index fill (np.stack raises
-            # on ragged input, which is exactly the refusal we want)
-            block = np.stack([np.asarray(v, dtype=dtype) for v in vals])
-        except ValueError:
-            raise ValueError(
-                f'ragged value row (widths '
-                f'{sorted({len(v) for v in vals})}, want {n_cols}) — '
-                'zarr rows must be constant width') from None
-        if block.shape[1] != n_cols:
-            raise ValueError(
-                f'ragged value row (got width {block.shape[1]}, want '
-                f'{n_cols}) — zarr rows must be constant width')
+        if one_d:
+            m = np.zeros(c_rows, dtype=dtype)
+            block = np.asarray(list(vals), dtype=dtype)
+        else:
+            m = np.zeros((c_rows, n_cols), dtype=dtype)
+            try:
+                # one batch stack + one fancy-index fill (np.stack
+                # raises on ragged input — exactly the refusal we want)
+                block = np.stack([np.asarray(v, dtype=dtype)
+                                  for v in vals])
+            except ValueError:
+                raise ValueError(
+                    f'ragged value row (widths '
+                    f'{sorted({len(v) for v in vals})}, want {n_cols}) '
+                    '— zarr rows must be constant width') from None
+            if block.shape[1] != n_cols:
+                raise ValueError(
+                    f'ragged value row (got width {block.shape[1]}, '
+                    f'want {n_cols}) — zarr rows must be constant '
+                    'width')
         m[pdf['row_id'].to_numpy(dtype=np.int64) - band * c_rows] = block
         buf = m.tobytes(order='C')
         if cid:
@@ -321,7 +347,8 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
             # temp object -> verify -> atomic-PUT move
             from pyarrow import fs as _pafs
             filesystem, root = _pafs.FileSystem.from_uri(path)
-            final = f'{root}/{band}.0'
+            cname = str(band) if one_d else f'{band}.0'
+            final = f'{root}/{cname}'
             tmp = f'{final}.{attempt}.inprogress'
             with filesystem.open_output_stream(tmp) as fh:
                 fh.write(buf)
@@ -332,7 +359,8 @@ def write_zarr(df: DataFrame, path: str, value_col: str = 'value',
                               'publish')
             filesystem.move(tmp, final)
         else:
-            final = os.path.join(path, f'{band}.0')
+            cname = str(band) if one_d else f'{band}.0'
+            final = os.path.join(path, cname)
             tmp = f'{final}.{attempt}.inprogress'
             with open(tmp, 'wb') as fh:
                 fh.write(buf)

@@ -218,3 +218,58 @@ class TestZarrWrite:
         got = read_zarr(out, spark).orderBy('row_id').collect()
         assert [list(r['value']) for r in got] == \
             [[i, i * 2, i * 3] for i in range(10)]
+
+
+class TestZarr1D:
+    """1-D arrays (r12): scalar column <-> 1-D store — the
+    label/timestamp vectors that ship beside 2-D embedding matrices."""
+
+    def test_scalar_roundtrip(self, spark, tmp_path):
+        from erde_spark.io.zarr import read_zarr, write_zarr
+        out = str(tmp_path / 'z1')
+        df = spark.range(100).selectExpr('cast(id * 3 as bigint) as v')
+        write_zarr(df.coalesce(2), out, value_col='v', chunk_rows=16)
+        back = read_zarr(out, spark)
+        assert dict(back.dtypes)['value'] == 'bigint'
+        got = sorted(r['value'] for r in back.collect())
+        assert got == [i * 3 for i in range(100)]
+        import json
+        import os
+        meta = json.load(open(os.path.join(out, '.zarray')))
+        assert meta['shape'] == [100] and meta['chunks'] == [16]
+        # 1-D chunk files are named by the bare band index
+        assert os.path.exists(os.path.join(out, '0'))
+        assert not os.path.exists(os.path.join(out, '0.0'))
+
+    def test_foreign_1d_store_reads(self, spark, tmp_path):
+        """A hand-built spec-shaped 1-D store (uncompressed, with an
+        absent all-fill chunk) reads back with fill_value padding."""
+        import json
+        import os
+
+        import numpy as np
+
+        from erde_spark.io.zarr import read_zarr
+        out = str(tmp_path / 'f1')
+        os.makedirs(out)
+        meta = {'zarr_format': 2, 'shape': [10], 'chunks': [4],
+                'dtype': '<f8', 'compressor': None, 'fill_value': 7.5,
+                'order': 'C', 'filters': None}
+        json.dump(meta, open(os.path.join(out, '.zarray'), 'w'))
+        np.arange(4, dtype='<f8').tofile(os.path.join(out, '0'))
+        # chunk 1 absent -> all fill_value; chunk 2 covers rows 8..9
+        np.full(4, 9.0, dtype='<f8').tofile(os.path.join(out, '2'))
+        rows = {r['row_id']: r['value']
+                for r in read_zarr(out, spark).collect()}
+        assert rows[0] == 0.0 and rows[3] == 3.0
+        assert rows[4] == 7.5 and rows[7] == 7.5
+        assert rows[8] == 9.0 and len(rows) == 10
+
+    def test_float_scalar_uri_roundtrip(self, spark, tmp_path):
+        from erde_spark.io.zarr import read_zarr, write_zarr
+        local = str(tmp_path / 'zu')
+        df = spark.range(20).selectExpr('cast(id as double) as v')
+        write_zarr(df.coalesce(1), 'file://' + local, value_col='v',
+                   chunk_rows=8, compressor='gzip')
+        got = sorted(r['value'] for r in read_zarr(local, spark).collect())
+        assert got == [float(i) for i in range(20)]
