@@ -397,15 +397,24 @@ class WarcDriver(_Driver):
         write_warc(df, path, mode=mode, **kw)
 
 
-def _single_array_col(df, fmt: str) -> str:
+def _single_array_col(df, fmt: str, allow_scalar: bool = False) -> str:
     """Resolve the default value column for array-matrix sinks: exactly
     one array<...> column, else a clear error naming the candidates
-    (previously fell through to a raw KeyError on 'value')."""
+    (previously fell through to a raw KeyError on 'value').
+    ``allow_scalar``: sinks that also take scalar numeric columns
+    (npy 1-column matrices, zarr 1-D arrays) fall back to a lone
+    numeric scalar column before erroring."""
     arrays = [c for c, t in df.dtypes if t.startswith('array<')]
     if len(arrays) == 1:
         return arrays[0]
     if 'value' in df.columns:
         return 'value'
+    if allow_scalar and not arrays:
+        scalars = [c for c, t in df.dtypes
+                   if t in ('float', 'double', 'int', 'bigint',
+                            'smallint', 'tinyint')]
+        if len(scalars) == 1:
+            return scalars[0]
     detail = (f'array columns found: {arrays}' if arrays
               else 'no array<...> column in the frame')
     raise ValueError(
@@ -429,7 +438,8 @@ class NpyDriver(_Driver):
     def write(self, df, path, mode='overwrite', value_col=None, **kw):
         from erde_spark.io.npy import write_npy
         if value_col is None:
-            value_col = _single_array_col(df, 'npy')
+            value_col = _single_array_col(df, 'npy',
+                                          allow_scalar=True)
         write_npy(df, path, value_col=value_col, mode=mode, **kw)
 
 
@@ -449,7 +459,8 @@ class ZarrDriver(_Driver):
     def write(self, df, path, mode='overwrite', value_col=None, **kw):
         from erde_spark.io.zarr import write_zarr
         if value_col is None:
-            value_col = _single_array_col(df, 'zarr')
+            value_col = _single_array_col(df, 'zarr',
+                                          allow_scalar=True)
         write_zarr(df, path.rstrip('/'), value_col=value_col,
                    mode=mode, **kw)
 

@@ -1039,12 +1039,18 @@ class TestNpy:
             read_df(f2, spark)
 
     def test_value_col_inference_failure_is_clear(self, spark, tmp_path):
-        # facade write with no value_col and zero / multiple array
-        # columns must raise a ValueError naming the candidates, not a
-        # raw KeyError from the dtype lookup
-        no_arr = spark.createDataFrame([(1, 'x')], 'id long, s string')
+        # facade write with no value_col and ambiguous columns must
+        # raise a ValueError naming the candidates, not a raw KeyError
+        # from the dtype lookup. (r12: a LONE numeric scalar column now
+        # resolves — npy takes scalars and zarr maps them to 1-D — so
+        # the ambiguous case is two scalars / two arrays.)
+        lone_scalar = spark.createDataFrame([(1, 'x')], 'id long, s string')
+        write_df(lone_scalar, str(tmp_path / 'ok.npy'))  # resolves to id
+        assert read_df(str(tmp_path / 'ok.npy'), spark).count() == 1
+        two_scalar = spark.createDataFrame([(1, 2.0, 'x')],
+                                           'id long, v double, s string')
         with pytest.raises(ValueError, match='no array'):
-            write_df(no_arr, str(tmp_path / 'n.npy'))
+            write_df(two_scalar, str(tmp_path / 'n.npy'))
         two_arr = spark.createDataFrame(
             [(0, [1.0], [2.0])],
             'id long, a array<double>, b array<double>')
