@@ -434,6 +434,72 @@ def _field_aliases(avro_json: dict) -> dict:
             if f.get('aliases')}
 
 
+def _union_reader_schema(first_json: str, others):
+    """UNION reader schema over a set of writer-schema JSONs: base
+    column order from ``first_json`` (the lexicographically-first
+    file), later-appearing fields appended (remaining schemas merged
+    in sorted order, so the union is listing-stable), common fields
+    widened along the Avro numeric promotion chain, incompatible
+    types raising. Aliases unify a renamed field with its old column
+    — the renamer's (newer) name wins. Returns
+    ``(StructType, alias_to_reader)`` with ``alias_to_reader`` mapping
+    every non-canonical known name to its reader column (for per-file
+    resolution). Pure string/JSON logic — property-tested without
+    Spark in tests/test_avro.py."""
+    first_avro = json.loads(first_json)
+    fields = list(_spark_schema(first_avro).fields)
+    # by_name maps every KNOWN name — canonical or alias — to its
+    # union-field index, so a renamed field (new name + aliases:[old])
+    # unifies with the old files' column instead of forking two
+    # half-null columns.
+    by_name = {f.name: i for i, f in enumerate(fields)}
+    for name, als in _field_aliases(first_avro).items():
+        i = by_name[name]
+        for a in als:
+            by_name.setdefault(a, i)
+    for wjson in sorted(set(others) - {first_json}):
+        wavro = json.loads(wjson)
+        w_aliases = _field_aliases(wavro)
+        for f in _spark_schema(wavro).fields:
+            i = by_name.get(f.name)
+            renames = False
+            if i is None:
+                # the incoming field may be the RENAME of a field we
+                # already track (its aliases name the old column)
+                for a in w_aliases.get(f.name, []):
+                    i = by_name.get(a)
+                    if i is not None:
+                        renames = True
+                        break
+            if i is None:
+                by_name[f.name] = len(fields)
+                for a in w_aliases.get(f.name, []):
+                    by_name.setdefault(a, len(fields))
+                fields.append(f)
+                continue
+            for a in w_aliases.get(f.name, []):
+                by_name.setdefault(a, i)
+            cur = fields[i].dataType.simpleString()
+            new = f.dataType.simpleString()
+            if cur != new and (new, cur) not in _PROMOTIONS \
+                    and (cur, new) not in _PROMOTIONS:
+                raise ValueError(
+                    f'avro schema resolution: field {f.name!r} has '
+                    f'incompatible types across files ({cur} vs {new})'
+                    ' — read these OCFs separately')
+            keep_t = fields[i].dataType if (
+                cur == new or (new, cur) in _PROMOTIONS) else f.dataType
+            keep_n = f.name if renames else fields[i].name
+            if renames:
+                by_name[fields[i].name] = i      # old name -> alias
+                by_name[f.name] = i
+            fields[i] = T.StructField(keep_n, keep_t)
+    canon = {f.name for f in fields}
+    alias_to_reader = {a: fields[i].name for a, i in by_name.items()
+                       if a not in canon}
+    return T.StructType(fields), alias_to_reader
+
+
 def _resolve_plan(writer, reader_names, want_sig,
                   alias_to_reader=None, writer_aliases=None):
     """Avro Schema Resolution by field name: returns, per WRITER field,
@@ -530,60 +596,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 _read_header_file(f)[0]['avro.schema'].decode('utf-8')
                 for f in it})
             .distinct().collect())
-    first_avro = json.loads(first_json)
-    schema = _spark_schema(first_avro)
-    fields = list(schema.fields)
-    # by_name maps every KNOWN name — canonical or alias — to its
-    # union-field index, so a renamed field (new name + aliases:[old])
-    # unifies with the old files' column instead of forking two
-    # half-null columns; the renamer's (newer) name wins the column.
-    by_name = {f.name: i for i, f in enumerate(fields)}
-    for name, als in _field_aliases(first_avro).items():
-        i = by_name[name]
-        for a in als:
-            by_name.setdefault(a, i)
-    for wjson in sorted(others - {first_json}):
-        wavro = json.loads(wjson)
-        w_aliases = _field_aliases(wavro)
-        for f in _spark_schema(wavro).fields:
-            i = by_name.get(f.name)
-            renames = False
-            if i is None:
-                # the incoming field may be the RENAME of a field we
-                # already track (its aliases name the old column)
-                for a in w_aliases.get(f.name, []):
-                    i = by_name.get(a)
-                    if i is not None:
-                        renames = True
-                        break
-            if i is None:
-                by_name[f.name] = len(fields)
-                for a in w_aliases.get(f.name, []):
-                    by_name.setdefault(a, len(fields))
-                fields.append(f)
-                continue
-            for a in w_aliases.get(f.name, []):
-                by_name.setdefault(a, i)
-            cur = fields[i].dataType.simpleString()
-            new = f.dataType.simpleString()
-            if cur != new and (new, cur) not in _PROMOTIONS \
-                    and (cur, new) not in _PROMOTIONS:
-                raise ValueError(
-                    f'avro schema resolution: field {f.name!r} has '
-                    f'incompatible types across files ({cur} vs {new})'
-                    ' — read these OCFs separately')
-            keep_t = fields[i].dataType if (
-                cur == new or (new, cur) in _PROMOTIONS) else f.dataType
-            keep_n = f.name if renames else fields[i].name
-            if renames:
-                by_name[fields[i].name] = i      # old name -> alias
-                by_name[f.name] = i
-            fields[i] = T.StructField(keep_n, keep_t)
-    schema = T.StructType(fields)
-    # old name -> canonical reader column, for per-file resolution
-    canon = {f.name: f.name for f in fields}
-    alias_to_reader = {a: fields[i].name for a, i in by_name.items()
-                       if a not in canon}
+    schema, alias_to_reader = _union_reader_schema(first_json, others)
     decoders = [_decoder(f.dataType) for f in schema.fields]
     names = [f.name for f in schema.fields]
     # (name, sparkType) fingerprint of the union reader schema; every

@@ -310,3 +310,88 @@ def test_large_header_reads(spark, tmp_path):
     big = str(tmp_path / 'big.avro')
     open(big, 'wb').write(bytes(out2))
     assert read_avro(spark, big).collect() == [(1, 'x')]
+
+
+class TestUnionReaderSchemaProperties:
+    """Property tests over the pure union-merge (r12): random writer
+    schemas drawn from a shared field pool with random numeric types,
+    subsets, orders, and rename-aliases must always produce a union
+    that (a) contains every field under its canonical name, (b) is
+    stable under input-set permutation, and (c) types each field at
+    least as wide as every writer's."""
+
+    _ORDER = ['int', 'long', 'float', 'double']
+
+    @staticmethod
+    def _schema_json(fields):
+        import json as _json
+        return _json.dumps({'type': 'record', 'name': 'r', 'fields': [
+            ({'name': n, 'type': ['null', t], 'aliases': al}
+             if al else {'name': n, 'type': ['null', t]})
+            for n, t, al in fields]})
+
+    def test_union_properties(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from erde_spark.io.avro_ocf import _union_reader_schema
+
+        pool = ['a', 'b', 'c', 'd', 'e']
+        field = st.tuples(st.sampled_from(pool),
+                          st.sampled_from(self._ORDER))
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(
+            st.lists(field, min_size=1, max_size=5,
+                     unique_by=lambda f: f[0]),
+            min_size=1, max_size=6))
+        def run(schemas):
+            jsons = [self._schema_json([(n, t, None) for n, t in fs])
+                     for fs in schemas]
+            first = sorted(jsons)[0]
+            schema, aliases = _union_reader_schema(first, set(jsons))
+            got = {f.name: f.dataType.simpleString()
+                   for f in schema.fields}
+            # (a) every writer field present
+            names = {n for fs in schemas for n, _ in fs}
+            assert set(got) == names
+            # (c) each union type at least as wide as every writer's.
+            # simpleString maps long->bigint; normalize
+            spark_of = {'int': 'int', 'long': 'bigint',
+                        'float': 'float', 'double': 'double'}
+            rank = {'int': 0, 'bigint': 1, 'float': 2, 'double': 3}
+            for fs in schemas:
+                for n, t in fs:
+                    assert rank[got[n]] >= rank[spark_of[t]], (n, t, got)
+            # (b) stable under permutation of the input SET (the merge
+            # sorts internally)
+            schema2, _ = _union_reader_schema(
+                first, set(reversed(jsons)))
+            assert [(f.name, f.dataType.simpleString())
+                    for f in schema2.fields] == \
+                [(f.name, f.dataType.simpleString())
+                 for f in schema.fields]
+            assert aliases == {}
+
+        run()
+
+    def test_rename_alias_chain_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from erde_spark.io.avro_ocf import _union_reader_schema
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.sampled_from(['int', 'long', 'float', 'double']),
+               st.sampled_from(['int', 'long', 'float', 'double']))
+        def run(t_old, t_new):
+            # every numeric pair is promotable in one direction, so the
+            # rename must always unify — one column, the renamer's name
+            old = self._schema_json([('old_name', t_old, None)])
+            new = self._schema_json([('new_name', t_new, ['old_name'])])
+            first = sorted([old, new])[0]
+            schema, aliases = _union_reader_schema(first, {old, new})
+            assert [f.name for f in schema.fields] == ['new_name']
+            assert aliases.get('old_name') == 'new_name'
+
+        run()
