@@ -72,6 +72,24 @@ class CsvDriver(_Driver):
         df.write.mode(mode).option('header', True).csv(path, **kw)
 
 
+class ManifestParquetDriver(_Driver):
+    """Manifested parquet dataset (``*.mparquet`` directory — see
+    io/manifest.py): snapshot reads planned from the manifest's file
+    list with its pinned schema, writes committed as a new version by
+    an atomic pointer swap. MUST dispatch before ParquetDriver
+    (``.mparquet`` also matches its ``.*\\.parquet`` pattern)."""
+    name = 'mparquet'
+    path_re = re.compile(r'^.*\.mparquet/?$')
+
+    def read(self, spark, path, **kw):
+        from erde_spark.io.manifest import read_manifest_parquet
+        return read_manifest_parquet(path, spark, **kw)
+
+    def write(self, df, path, mode='overwrite', **kw):
+        from erde_spark.io.manifest import write_manifest_parquet
+        write_manifest_parquet(df, path, mode=mode, **kw)
+
+
 class ParquetDriver(_Driver):
     """Plain parquet via the native scan, plus GeoParquet awareness on
     read: if any footer carries the standard ``geo`` file-metadata key
@@ -942,7 +960,8 @@ class PostgresDriver(_Driver):
 
 
 DRIVERS: list[_Driver] = [
-    PostgresDriver(), CsvDriver(), ParquetDriver(), OrcDriver(),
+    PostgresDriver(), CsvDriver(), ManifestParquetDriver(),
+    ParquetDriver(), OrcDriver(),
     GeoJsonSeqDriver(), GpkgDriver(), ShpDriver(), FgbDriver(),
     GeoJsonDriver(), XlsDriver(), ZstJsonDriver(), JsonDriver(),
     NpyDriver(), SafetensorsDriver(), ZarrDriver(), WarcDriver(),

@@ -1,0 +1,396 @@
+"""Manifested parquet datasets (``*.mparquet``) — DATASET-level atomic
+commit on top of the per-file two-phase discipline the training sinks
+already carry (io/task_files.py, io/fsutil.py).
+
+The per-file protocol (staged object -> verify -> atomic move) makes
+each FILE all-or-nothing, but a multi-file snapshot published by
+listing a directory is still torn-readable: a reader that lists while
+a writer is mid-publish sees half the files, and on object stores the
+listing itself is the scale problem (O(files) LIST calls, historically
+eventually-consistent). This module closes both gaps the way the
+table-format literature does (Iceberg's snapshot+pointer model,
+re-expressed minimally):
+
+* every commit writes an immutable ``_manifest.v<N>.json`` naming the
+  EXACT data files of snapshot N (plus schema, per-file byte/row
+  stats, parent version);
+* the only mutable object is a tiny ``_latest`` pointer, swapped LAST
+  by the same staged-write -> verify -> atomic-move primitive the
+  sinks use (``os.replace`` locally, one-PUT ``fs.move`` via
+  pyarrow.fs on URI stores) — readers observe the old snapshot or the
+  new one, never a mixture, regardless of how many data files moved;
+* readers plan from the manifest's file list, NEVER from a directory
+  listing — ``spark.read.parquet(*files)`` with the manifest's pinned
+  schema, so a half-published snapshot, a rogue foreign file dropped
+  into ``data/``, or a store's listing latency cannot change what a
+  reader sees. ``count(*)``-class questions answer from manifest
+  stats without touching a data byte.
+
+Scale shape: the commit is O(1) in data size (one pointer swap however
+many files moved); appends add files without rewriting data; time
+travel is "read an older manifest"; ``vacuum_manifest`` is the
+explicit, bounded deletion step. The data plane stays Spark's native
+parquet writer/reader (whole-stage codegen, predicate pushdown into
+the scan — nothing here wraps a row). Snapshot isolation is
+single-writer: a concurrent pointer advance is DETECTED at commit
+(parent re-check) and aborts the loser, it is not prevented (no CAS on
+plain filesystems; serialize writers externally at 100 TB).
+
+No counterpart in the reference (its sinks are single-process
+overwrite, ``/root/reference/erde/io/base.py``); this is the piece a
+1000-executor pipeline needs so downstream jobs never train on a
+half-written corpus snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from erde_spark.io.fsutil import _scheme, join_path, open_ranged
+from erde_spark.io.task_files import open_staged
+
+_POINTER = '_latest'
+_DATA_DIR = 'data'
+#: driver-loop bound for footer stat reads; above it, one Spark job
+#: collects (path, rows) — the avro header-collection pattern
+#: (io/avro_ocf.py read_avro).
+_DRIVER_STAT_CAP = 256
+
+
+def _manifest_name(version: int) -> str:
+    return f'_manifest.v{version}.json'
+
+
+# ---------------------------------------------------------------- fs helpers
+
+def _exists(path: str, scheme: str) -> bool:
+    if not scheme:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    return filesystem.get_file_info(rel).type != pafs.FileType.NotFound
+
+
+def _mkdirs(path: str, scheme: str) -> None:
+    if not scheme:
+        os.makedirs(path, exist_ok=True)
+        return
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    filesystem.create_dir(rel, recursive=True)
+
+
+def _read_small(path: str, scheme: str) -> bytes:
+    with open_ranged(path) as fh:
+        return fh.read()
+
+
+def _write_atomic(path: str, payload: bytes, scheme: str) -> None:
+    """Staged write + verify + atomic move for a small control-plane
+    object (manifest, pointer) — driver-side use of the sinks'
+    ``open_staged`` primitive (attempt id 0 outside a task)."""
+    fh, commit, abort = open_staged(path, scheme)
+    try:
+        fh.write(payload)
+        commit()
+    except BaseException:
+        abort()
+        raise
+
+
+def _move(src: str, dst: str, scheme: str) -> None:
+    if not scheme:
+        os.replace(src, dst)
+        return
+    from pyarrow import fs as pafs
+    filesystem, rel_src = pafs.FileSystem.from_uri(src)
+    _, rel_dst = pafs.FileSystem.from_uri(dst)
+    filesystem.move(rel_src, rel_dst)
+
+
+def _delete_file(path: str, scheme: str) -> None:
+    if not scheme:
+        os.remove(path)
+        return
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    filesystem.delete_file(rel)
+
+
+def _delete_dir(path: str, scheme: str) -> None:
+    if not scheme:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    try:
+        filesystem.delete_dir(rel)
+    except FileNotFoundError:
+        pass
+
+
+def _list_files(dir_path: str, scheme: str, suffix: str) -> list[tuple[str, int]]:
+    """(name, bytes) for ``*suffix`` files directly under ``dir_path``,
+    name-sorted. Only ever called on directories THIS writer just
+    produced (its own staging output) or on the control plane —
+    snapshot READS never list."""
+    if not scheme:
+        out = []
+        for name in sorted(os.listdir(dir_path)):
+            if name.endswith(suffix):
+                out.append((name, os.path.getsize(os.path.join(dir_path, name))))
+        return out
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(dir_path)
+    sel = pafs.FileSelector(rel, recursive=False)
+    infos = [i for i in filesystem.get_file_info(sel)
+             if i.type == pafs.FileType.File and i.path.endswith(suffix)]
+    return sorted((i.path.rsplit('/', 1)[-1], i.size) for i in infos)
+
+
+# ---------------------------------------------------------------- stats
+
+def _footer_rows(full_path: str) -> int:
+    """Row count from the parquet FOOTER — a bounded ranged read, not
+    a data scan (executor-safe: pyarrow + stdlib only)."""
+    from urllib.parse import urlparse
+    import pyarrow.parquet as pq
+    if len(urlparse(full_path).scheme) > 1:
+        from pyarrow import fs as pafs
+        filesystem, rel = pafs.FileSystem.from_uri(full_path)
+        with filesystem.open_input_file(rel) as fh:
+            return pq.ParquetFile(fh).metadata.num_rows
+    with open(full_path, 'rb') as fh:
+        return pq.ParquetFile(fh).metadata.num_rows
+
+
+def _collect_rows(spark: SparkSession, paths: list[str]) -> dict[str, int]:
+    """{path: num_rows} via footer reads: driver loop under
+    ``_DRIVER_STAT_CAP`` files, one Spark job above (the avro
+    header-collection split). The job closure touches only
+    stdlib/pyarrow by name — the wds import-chain rule."""
+    if len(paths) <= _DRIVER_STAT_CAP:
+        return {p: _footer_rows(p) for p in paths}
+    sc = spark.sparkContext
+    return dict(
+        sc.parallelize(paths, max(32, len(paths) // 64))
+        .map(lambda p: (p, _footer_rows(p)))
+        .collect())
+
+
+# ---------------------------------------------------------------- manifests
+
+def _pointer_version(path: str, scheme: str) -> int | None:
+    ptr = join_path(path, _POINTER, scheme)
+    if not _exists(ptr, scheme):
+        return None
+    return int(json.loads(_read_small(ptr, scheme))['version'])
+
+
+def _load_manifest(path: str, scheme: str, version: int) -> dict:
+    mf = join_path(path, _manifest_name(version), scheme)
+    if not _exists(mf, scheme):
+        raise FileNotFoundError(
+            f'manifest version {version} not found under {path!r} '
+            '(vacuumed, or never committed)')
+    return json.loads(_read_small(mf, scheme))
+
+
+def write_manifest_parquet(df: DataFrame, path: str,
+                           mode: str = 'overwrite') -> int:
+    """Commit ``df`` as a new snapshot of the manifested dataset at
+    ``path`` and return the new version number.
+
+    ``mode='overwrite'``: the new snapshot's live file set is the new
+    files only (prior snapshots stay readable by version until
+    :func:`vacuum_manifest`). ``'append'``: new snapshot = parent's
+    files + new files; the schema must match the parent's exactly
+    (snapshot-level schema evolution is a rewrite, by design).
+    ``'error'``: refuse if the dataset already exists.
+
+    Protocol (crash-safe at every step boundary — an aborted commit
+    leaves only unreferenced objects, which vacuum sweeps):
+
+    1. Spark writes parquet into a commit-scoped ``_staging-<token>``
+       under the root (data plane — native writer, full codegen);
+    2. each part file moves to its immutable final name
+       ``data/<token>-<i>.parquet`` (atomic per file);
+    3. footer row counts collect (driver loop or one Spark job);
+    4. ``_manifest.v<N>.json`` is written staged+verified+moved;
+    5. the parent pointer is RE-READ — a concurrent advance aborts
+       this commit with ``ConcurrentWriteError`` (detection, not
+       prevention: plain filesystems have no CAS);
+    6. the ``_latest`` pointer swaps atomically. Readers see parent
+       or N, never a mixture.
+    """
+    if mode not in ('overwrite', 'append', 'error'):
+        raise ValueError(f'unknown save mode {mode!r} for manifest '
+                         "dataset (use 'overwrite', 'append' or 'error')")
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    parent = _pointer_version(path, scheme)
+    if mode == 'error' and parent is not None:
+        raise FileExistsError(
+            f'manifest dataset already exists at {path!r} (version '
+            f'{parent}); use overwrite or append')
+    data_dir = join_path(path, _DATA_DIR, scheme)
+    _mkdirs(data_dir, scheme)
+
+    token = uuid.uuid4().hex[:12]
+    staging = join_path(path, f'_staging-{token}', scheme)
+    try:
+        df.write.mode('overwrite').parquet(staging)
+        parts = _list_files(staging, scheme, '.parquet')
+        entries = []
+        finals = []
+        for i, (name, size) in enumerate(parts):
+            final_name = f'{token}-{i:05d}.parquet'
+            _move(join_path(staging, name, scheme),
+                  join_path(data_dir, final_name, scheme), scheme)
+            entries.append({'path': final_name, 'bytes': size})
+            finals.append(join_path(data_dir, final_name, scheme))
+        rows = _collect_rows(df.sparkSession, finals)
+        for e, full in zip(entries, finals):
+            e['rows'] = rows[full]
+    finally:
+        _delete_dir(staging, scheme)
+
+    schema_json = df.schema.json()
+    if mode == 'append' and parent is not None:
+        parent_mf = _load_manifest(path, scheme, parent)
+        if parent_mf['schema'] != schema_json:
+            raise ValueError(
+                'append schema mismatch: the snapshot schema is pinned '
+                'by the parent manifest; rewrite (overwrite) to evolve')
+        entries = parent_mf['files'] + entries
+    version = (parent or 0) + 1
+    manifest = {
+        'version': version,
+        'parent': parent,
+        'mode': mode,
+        'schema': schema_json,
+        'files': entries,
+        'total_rows': sum(e['rows'] for e in entries),
+        'total_bytes': sum(e['bytes'] for e in entries),
+    }
+    _write_atomic(join_path(path, _manifest_name(version), scheme),
+                  json.dumps(manifest, indent=1).encode(), scheme)
+    if _pointer_version(path, scheme) != parent:
+        # a rival writer advanced the pointer while this commit staged;
+        # publishing would orphan its snapshot — abort (our manifest +
+        # data files are unreferenced; vacuum sweeps them)
+        raise ConcurrentWriteError(
+            f'pointer advanced past version {parent} during commit '
+            f'to {path!r}; retry on top of the new snapshot')
+    _write_atomic(join_path(path, _POINTER, scheme),
+                  json.dumps({'version': version,
+                              'manifest': _manifest_name(version)}).encode(),
+                  scheme)
+    return version
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A rival writer advanced the dataset pointer during a commit."""
+
+
+def read_manifest_parquet(path: str, spark: SparkSession | None = None,
+                          version: int | None = None) -> DataFrame:
+    """Snapshot read planned from the MANIFEST's explicit file list
+    (never a directory listing) with the manifest's pinned schema —
+    ``version=None`` follows the ``_latest`` pointer; an integer time-
+    travels to that snapshot (readable until vacuumed)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        from erde_spark.session import get_spark
+        spark = get_spark()
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    if version is None:
+        version = _pointer_version(path, scheme)
+        if version is None:
+            raise FileNotFoundError(f'no manifest dataset at {path!r}')
+    mf = _load_manifest(path, scheme, version)
+    schema = T.StructType.fromJson(json.loads(mf['schema']))
+    data_dir = join_path(path, _DATA_DIR, scheme)
+    files = [join_path(data_dir, e['path'], scheme) for e in mf['files']]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def manifest_versions(path: str) -> list[dict]:
+    """All readable snapshots, oldest first: ``{version, parent, mode,
+    num_files, total_rows, total_bytes, latest}`` per manifest still
+    present (control-plane listing only — tiny JSON objects)."""
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    current = _pointer_version(path, scheme)
+    out = []
+    for name, _size in _list_files(path, scheme, '.json'):
+        if not name.startswith('_manifest.v'):
+            continue
+        mf = json.loads(_read_small(join_path(path, name, scheme), scheme))
+        out.append({'version': mf['version'], 'parent': mf['parent'],
+                    'mode': mf['mode'], 'num_files': len(mf['files']),
+                    'total_rows': mf['total_rows'],
+                    'total_bytes': mf['total_bytes'],
+                    'latest': mf['version'] == current})
+    return sorted(out, key=lambda d: d['version'])
+
+
+def manifest_stats(path: str, version: int | None = None) -> dict:
+    """Snapshot stats straight off the manifest — ``count(*)``-class
+    answers without touching a data byte."""
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    if version is None:
+        version = _pointer_version(path, scheme)
+        if version is None:
+            raise FileNotFoundError(f'no manifest dataset at {path!r}')
+    mf = _load_manifest(path, scheme, version)
+    return {'version': mf['version'], 'parent': mf['parent'],
+            'num_files': len(mf['files']), 'total_rows': mf['total_rows'],
+            'total_bytes': mf['total_bytes']}
+
+
+def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files unreferenced by the newest ``keep_last``
+    snapshots, and the older manifests themselves; returns the deleted
+    data file names. The pointer always targets the newest snapshot,
+    so it survives any ``keep_last >= 1``. Deletion is the ONLY
+    destructive step in the format and it is this explicit call —
+    aborted commits' orphans are swept here too."""
+    if keep_last < 1:
+        raise ValueError('keep_last must be >= 1')
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    current = _pointer_version(path, scheme)
+    versions = [v['version'] for v in manifest_versions(path)]
+    if not versions or current is None:
+        raise FileNotFoundError(f'no manifest dataset at {path!r}')
+    # the POINTER anchors liveness: manifests NEWER than it are
+    # aborted-commit debris (written, never published), never "the
+    # newest snapshot" — keeping them would let vacuum delete the
+    # live snapshot's files out from under the pointer
+    committed = [v for v in versions if v <= current]
+    keep = set(committed[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        mf = _load_manifest(path, scheme, v)
+        referenced.update(e['path'] for e in mf['files'])
+    data_dir = join_path(path, _DATA_DIR, scheme)
+    removed = []
+    for name, _size in _list_files(data_dir, scheme, '.parquet'):
+        if name not in referenced:
+            _delete_file(join_path(data_dir, name, scheme), scheme)
+            removed.append(name)
+    for v in versions:
+        if v not in keep:
+            _delete_file(join_path(path, _manifest_name(v), scheme), scheme)
+    return removed
