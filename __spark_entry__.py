@@ -3402,6 +3402,66 @@ WHERE r.rn > least(CAST(ceil(0.5 * r.n) AS BIGINT), r.n - 1)
 """
 
 
+def q_manifest_snapshot(spark, sf_dir):
+    """Manifested parquet dataset (NEW round 12, erde_spark/io/
+    manifest.py — dataset-level atomic commit: immutable per-version
+    manifests + a last-swapped pointer, the Iceberg snapshot model
+    re-expressed minimally on the sinks' two-phase primitives)
+    VALUE-checked end-to-end: commit the doc_id%3==0 slice as v1,
+    APPEND the %3==1 slice as v2, plant a rogue parquet file in data/
+    (lang='ROGUE' rows — visible to any listing-based reader), then
+    read BOTH the latest snapshot and the time-traveled v1 through
+    manifest-planned file lists. Every surviving row carries the
+    version that first contained it (1 iff it was readable at v1) and
+    its byte-exact text md5 — pure doc_id arithmetic for DuckDB; a
+    torn snapshot, leaked rogue file, wrong time-travel file set, or
+    corrupted round trip breaks rows or hashes. The manifest's
+    metadata row count must equal the latest read's count or the gate
+    refuses to return."""
+    import shutil
+    import tempfile
+
+    from erde_spark.io.manifest import (manifest_stats,
+                                        read_manifest_parquet,
+                                        write_manifest_parquet)
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'lang', 'text')
+    base = tempfile.mkdtemp(prefix='erde_manifest_')
+    ds = base + '/docs.mparquet'
+    write_manifest_parquet(d.filter(F.col('doc_id') % 3 == 0), ds)
+    write_manifest_parquet(d.filter(F.col('doc_id') % 3 == 1), ds,
+                           mode='append')
+    # a rogue file a listing-based reader WOULD pick up
+    import glob
+    import os
+    (d.filter(F.col('doc_id') % 3 == 2)
+     .withColumn('lang', F.lit('ROGUE')).coalesce(1)
+     .write.mode('overwrite').parquet(base + '/rogue'))
+    os.replace(glob.glob(base + '/rogue/part-*.parquet')[0],
+               ds + '/data/zzz-rogue.parquet')
+    latest = read_manifest_parquet(ds, spark)
+    meta_rows = manifest_stats(ds)['total_rows']
+    v1_ids = read_manifest_parquet(ds, spark, version=1) \
+        .select('doc_id').withColumn('first_version', F.lit(1))
+    res = (latest.join(v1_ids, 'doc_id', 'left')
+           .select('doc_id', 'lang', F.md5('text').alias('text_md5'),
+                   F.coalesce('first_version', F.lit(2))
+                   .alias('first_version'))
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    if res.count() != meta_rows:
+        raise AssertionError('manifest metadata row count diverges '
+                             'from the snapshot read')
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_MANIFEST_SNAPSHOT_SQL = """
+SELECT doc_id, lang, md5(text) AS text_md5,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS first_version
+FROM documents WHERE doc_id % 3 < 2 ORDER BY doc_id
+"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (NEW round 11,
     erde_spark/scale/bloom.py): the 100 TB path where the eval n-gram
@@ -7048,12 +7108,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     obligation): the window is now composed MECHANICALLY — `base`
     holds every registered query in its historical order and
     `_R12_WINDOW` below lists the 50 gates of this round's window:
-    ONE never-green newcomer (d4_survivors_check, the survivor-SET
-    gate at a second knob setting, verdict ask #6) followed by the
-    first 49 of check_rotation.py's printed 50-stalest repack (the 26
+    TWO never-green newcomers (d4_survivors_check, the survivor-SET
+    gate at a second knob setting, verdict ask #6; manifest_snapshot,
+    the dataset-level atomic-commit round trip with time travel and
+    rogue-file invisibility) followed by the first 48 of
+    check_rotation.py's printed 50-stalest repack (the 26
     out-of-window r08s that would cross the K=4 horizon at the r12
-    boundary, then the oldest r09s). The 50th printed name
-    (events_json, r09) is displaced to r13 — inside the horizon.
+    boundary, then the oldest r09s). The last two printed names
+    (events_sliding and events_json, both r09) are displaced to r13 —
+    inside the horizon.
 
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
@@ -7254,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'similarity_ivfpq': q_similarity_ivfpq,
         'winnow_passages': q_winnow_passages,
         'd4_survivors_check': q_d4_survivors_check,
+        'manifest_snapshot': q_manifest_snapshot,
     }
     window = [k for k in _R12_WINDOW]
     assert len(window) == 50 and len(set(window)) == 50
@@ -7266,7 +7330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: of tools/check_rotation.py's printed stalest-first repack (see the
 #: queries() docstring for the composition rationale)
 _R12_WINDOW = [
-    'd4_survivors_check',
+    'd4_survivors_check', 'manifest_snapshot',
     'chunk_documents', 'langid_nb', 'geo_transform',
     'geo_transform_families', 'geo_transform_polar', 'geo_lonlat_detect',
     'geo_buffer_dissolve', 'sjoin_points_rects', 'snearest_rect',
@@ -7283,7 +7347,7 @@ _R12_WINDOW = [
     'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
     'tpch_q17_small_qty', 'tpch_q20_heavy_shippers', 'tpch_q21_waiting',
     'tpch_q22_idle_customers', 'cube_orders', 'distinct_segments',
-    'supplier_by_nation', 'window_running_revenue', 'events_sliding',
+    'supplier_by_nation', 'window_running_revenue',
 ]
 
 
@@ -7295,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         'stream_join_attrib': _STREAM_JOIN_ATTRIB_SQL,
         'd4_check': _D4_CHECK_SQL,
         'd4_survivors_check': _D4_SURVIVORS_SQL,
+        'manifest_snapshot': _MANIFEST_SNAPSHOT_SQL,
         'bloom_decontaminate': _BLOOM_DECON_SQL,
         'zarr_roundtrip': _ZARR_ROUNDTRIP_SQL,
         'warc_ingest': _WARC_INGEST_SQL,
