@@ -779,6 +779,30 @@ def entropy(input_data: DataFrame, min_ratio: float = 1.1,
 
 
 @autocli
+def snapshot(dataset: str, action: str = 'stats', keep_last: int = 1):
+    """Inspect or maintain a manifested parquet dataset (*.mparquet,
+    io/manifest.py — versioned manifests + atomic pointer commit):
+    action 'stats' (latest-snapshot metadata without touching a data
+    byte), 'versions' (every readable snapshot) or 'vacuum' (delete
+    data files unreferenced by the newest --keep-last snapshots).
+    The data plane needs no dedicated command: every subcommand's
+    input/output paths dispatch *.mparquet through the facade."""
+    import json
+    from erde_spark.io import manifest as m
+    if action == 'stats':
+        out = m.manifest_stats(dataset)
+    elif action == 'versions':
+        out = m.manifest_versions(dataset)
+    elif action == 'vacuum':
+        out = {'removed': m.vacuum_manifest(dataset, keep_last=keep_last)}
+    else:
+        raise ValueError(f'unknown snapshot action {action!r} '
+                         "(use 'stats', 'versions' or 'vacuum')")
+    print(json.dumps(out))
+    return out
+
+
+@autocli
 def robots(input_data: DataFrame, robots_data: DataFrame,
            url_column: str = 'url', agent: str = '*') -> DataFrame:
     """Keep only documents whose URL the host's robots.txt allows
@@ -802,7 +826,7 @@ COMMANDS = {
     'shuffle': shuffle, 'unimax': unimax, 'fim': fim, 'chat': chat,
     'entropy': entropy, 'curate': curate, 'spancorrupt': spancorrupt,
     'ul2': ul2, 'semdedup': semdedup, 'wsample': wsample, 'd4': d4,
-    'decon': decon, 'zarrexport': zarrexport,
+    'decon': decon, 'zarrexport': zarrexport, 'snapshot': snapshot,
 }
 
 

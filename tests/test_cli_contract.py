@@ -652,3 +652,37 @@ def test_zarrexport_subcommand(spark, tmp_path):
     assert len(back) == 10
     assert sorted(tuple(r['value']) for r in back) == \
         sorted((float(i), float(i * 2)) for i in range(10))
+
+
+def test_snapshot_subcommand(spark, tmp_path, capsys):
+    """snapshot (r12): the manifest dataset's control-plane verbs from
+    the shell; the data plane goes through any subcommand's normal
+    paths because the facade dispatches *.mparquet."""
+    import json
+
+    from erde_spark.cli import entrypoint
+    from erde_spark.io import read_df, write_df
+    ds = str(tmp_path / 'd.mparquet')
+    df = spark.range(30).selectExpr('id AS doc_id',
+                                    'CAST(id AS STRING) AS text')
+    write_df(df, ds)
+    # appended rows: fresh ids, duplicated texts (exact-dedup fodder)
+    write_df(df.filter('doc_id < 5')
+             .selectExpr('doc_id + 100 AS doc_id', 'text'), ds,
+             mode='append')
+    out = entrypoint(['snapshot', ds])
+    assert out['version'] == 2 and out['total_rows'] == 35
+    vs = entrypoint(['snapshot', ds, '--action', 'versions'])
+    assert [v['version'] for v in vs] == [1, 2]
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(printed[0])['total_rows'] == 35
+    removed = entrypoint(['snapshot', ds, '--action', 'vacuum',
+                          '--keep-last', '1'])
+    assert removed['removed'] == []  # append: v2 references v1's files
+    assert read_df(ds, spark).count() == 35
+    # the data plane through another subcommand: dedup reads/writes
+    # the manifest format via the facade
+    out2 = str(tmp_path / 'kept.mparquet')
+    entrypoint(['dedup', ds, out2, '--strategy', 'exact',
+                '--text-column', 'text'])
+    assert read_df(out2, spark).count() == 30
