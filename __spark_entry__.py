@@ -3462,6 +3462,69 @@ FROM documents WHERE doc_id % 3 < 2 ORDER BY doc_id
 """
 
 
+def q_stream_manifest_check(spark, sf_dir):
+    """EXACTLY-ONCE streaming publish into a manifested dataset (NEW
+    round 12, streaming/shards.py::stream_to_manifest): the documents
+    table split into 2 mtime-ordered micro-batch files (even ids then
+    odd), streamed into a .mparquet dataset — each batch commits as an
+    append snapshot carrying its batch id as the manifest txn — and
+    then the WHOLE stream is re-run against a FRESH checkpoint (a
+    forced full replay with reset batch ids): the txn guard must skip
+    both replayed batches, so the final pointer read holds exactly ONE
+    byte-exact copy of every document and exactly 2 snapshots, with
+    each doc's first-containing version equal to its batch parity + 1.
+    A duplicate snapshot, leaked replay, torn publish, or wrong
+    time-travel set breaks rows, hashes, or the in-gate version
+    audit. Pure doc_id arithmetic for DuckDB."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from erde_spark.io.manifest import (manifest_versions,
+                                        read_manifest_parquet)
+    from erde_spark.streaming.shards import stream_to_manifest
+    d = _t(spark, sf_dir, 'documents')['documents'] \
+        .select('doc_id', 'lang', 'text')
+    base = tempfile.mkdtemp(prefix='erde_stream_manifest_')
+    in_dir = os.path.join(base, 'in')
+    os.makedirs(in_dir)
+    for k in (0, 1):
+        tmp = os.path.join(base, f'tmp{k}')
+        (d.filter(F.pmod('doc_id', F.lit(2)) == k).coalesce(1)
+         .write.mode('overwrite').parquet(tmp))
+        part = glob.glob(os.path.join(tmp, 'part-*.parquet'))[0]
+        dst = os.path.join(in_dir, f'batch-{k}.parquet')
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    ds = os.path.join(base, 'docs.mparquet')
+    for ckpt in ('ckpt1', 'ckpt2'):  # second run = forced full replay
+        src = (spark.readStream.schema(d.schema)
+               .option('maxFilesPerTrigger', '1').parquet(in_dir))
+        stream_to_manifest(src, ds, os.path.join(base, ckpt)) \
+            .awaitTermination()
+    if [v['version'] for v in manifest_versions(ds)] != [1, 2]:
+        raise AssertionError('replayed micro-batches produced extra '
+                             'or missing snapshots')
+    v1_ids = read_manifest_parquet(ds, spark, version=1) \
+        .select('doc_id').withColumn('first_version', F.lit(1))
+    res = (read_manifest_parquet(ds, spark)
+           .join(v1_ids, 'doc_id', 'left')
+           .select('doc_id', 'lang', F.md5('text').alias('text_md5'),
+                   F.coalesce('first_version', F.lit(2))
+                   .alias('first_version'))
+           .orderBy('doc_id').localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+_STREAM_MANIFEST_SQL = """
+SELECT doc_id, lang, md5(text) AS text_md5,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS first_version
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (NEW round 11,
     erde_spark/scale/bloom.py): the 100 TB path where the eval n-gram
@@ -7108,15 +7171,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     obligation): the window is now composed MECHANICALLY — `base`
     holds every registered query in its historical order and
     `_R12_WINDOW` below lists the 50 gates of this round's window:
-    TWO never-green newcomers (d4_survivors_check, the survivor-SET
+    THREE never-green newcomers (d4_survivors_check, the survivor-SET
     gate at a second knob setting, verdict ask #6; manifest_snapshot,
     the dataset-level atomic-commit round trip with time travel and
-    rogue-file invisibility) followed by the first 48 of
-    check_rotation.py's printed 50-stalest repack (the 26
+    rogue-file invisibility; stream_manifest_check, the exactly-once
+    streaming publish surviving a forced full replay) followed by the
+    first 47 of check_rotation.py's printed 50-stalest repack (the 26
     out-of-window r08s that would cross the K=4 horizon at the r12
-    boundary, then the oldest r09s). The last two printed names
-    (events_sliding and events_json, both r09) are displaced to r13 —
-    inside the horizon.
+    boundary, then the oldest r09s). The last three printed names
+    (window_running_revenue, events_sliding and events_json, all r09)
+    are displaced to r13 — inside the horizon.
 
     Invariant maintained: every oracled query has a driver-green row in
     some round's CORRECTNESS file, and the window always refreshes the
@@ -7318,6 +7382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'winnow_passages': q_winnow_passages,
         'd4_survivors_check': q_d4_survivors_check,
         'manifest_snapshot': q_manifest_snapshot,
+        'stream_manifest_check': q_stream_manifest_check,
     }
     window = [k for k in _R12_WINDOW]
     assert len(window) == 50 and len(set(window)) == 50
@@ -7330,7 +7395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: of tools/check_rotation.py's printed stalest-first repack (see the
 #: queries() docstring for the composition rationale)
 _R12_WINDOW = [
-    'd4_survivors_check', 'manifest_snapshot',
+    'd4_survivors_check', 'manifest_snapshot', 'stream_manifest_check',
     'chunk_documents', 'langid_nb', 'geo_transform',
     'geo_transform_families', 'geo_transform_polar', 'geo_lonlat_detect',
     'geo_buffer_dissolve', 'sjoin_points_rects', 'snearest_rect',
@@ -7347,7 +7412,7 @@ _R12_WINDOW = [
     'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
     'tpch_q17_small_qty', 'tpch_q20_heavy_shippers', 'tpch_q21_waiting',
     'tpch_q22_idle_customers', 'cube_orders', 'distinct_segments',
-    'supplier_by_nation', 'window_running_revenue',
+    'supplier_by_nation',
 ]
 
 
@@ -7360,6 +7425,7 @@ def oracle_sql() -> dict[str, str]:
         'd4_check': _D4_CHECK_SQL,
         'd4_survivors_check': _D4_SURVIVORS_SQL,
         'manifest_snapshot': _MANIFEST_SNAPSHOT_SQL,
+        'stream_manifest_check': _STREAM_MANIFEST_SQL,
         'bloom_decontaminate': _BLOOM_DECON_SQL,
         'zarr_roundtrip': _ZARR_ROUNDTRIP_SQL,
         'warc_ingest': _WARC_INGEST_SQL,

@@ -203,7 +203,8 @@ def _load_manifest(path: str, scheme: str, version: int) -> dict:
 
 
 def write_manifest_parquet(df: DataFrame, path: str,
-                           mode: str = 'overwrite') -> int:
+                           mode: str = 'overwrite',
+                           txn: int | None = None) -> int:
     """Commit ``df`` as a new snapshot of the manifested dataset at
     ``path`` and return the new version number.
 
@@ -228,6 +229,11 @@ def write_manifest_parquet(df: DataFrame, path: str,
        prevention: plain filesystems have no CAS);
     6. the ``_latest`` pointer swaps atomically. Readers see parent
        or N, never a mixture.
+
+    ``txn`` is an optional caller transaction id recorded in the
+    manifest (the streaming bridge passes the micro-batch id so
+    replays are detectable — see
+    ``erde_spark/streaming/shards.py::stream_to_manifest``).
     """
     if mode not in ('overwrite', 'append', 'error'):
         raise ValueError(f'unknown save mode {mode!r} for manifest '
@@ -279,6 +285,8 @@ def write_manifest_parquet(df: DataFrame, path: str,
         'total_rows': sum(e['rows'] for e in entries),
         'total_bytes': sum(e['bytes'] for e in entries),
     }
+    if txn is not None:
+        manifest['txn'] = txn
     _write_atomic(join_path(path, _manifest_name(version), scheme),
                   json.dumps(manifest, indent=1).encode(), scheme)
     if _pointer_version(path, scheme) != parent:
@@ -357,6 +365,21 @@ def manifest_stats(path: str, version: int | None = None) -> dict:
     return {'version': mf['version'], 'parent': mf['parent'],
             'num_files': len(mf['files']), 'total_rows': mf['total_rows'],
             'total_bytes': mf['total_bytes']}
+
+
+def manifest_last_txn(path: str) -> int | None:
+    """The transaction id recorded by the LATEST COMMITTED snapshot
+    (pointer-anchored), or None if the dataset doesn't exist or its
+    head snapshot carries no txn. This is the replay guard the
+    streaming bridge consults: a foreachBatch retry of batch B finds
+    ``last_txn >= B`` and skips — debris manifests newer than the
+    pointer (aborted commits) are never consulted."""
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    version = _pointer_version(path, scheme)
+    if version is None:
+        return None
+    return _load_manifest(path, scheme, version).get('txn')
 
 
 def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:

@@ -69,3 +69,48 @@ def stream_to_shards(stream_df: DataFrame, path: str,
     if trigger_once:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def stream_to_manifest(stream_df: DataFrame, path: str,
+                       checkpoint_dir: str,
+                       trigger_once: bool = True):
+    """EXACTLY-ONCE-VISIBLE streaming publish into a manifested
+    parquet dataset (``io/manifest.py``): every micro-batch commits
+    as a new APPEND snapshot whose manifest records the batch id as
+    its ``txn``, published by the dataset's atomic pointer swap.
+
+    foreachBatch delivers at-least-once; the two failure shapes both
+    collapse to exactly-once for pointer-following readers:
+
+    * a batch REPLAYED after its pointer swap landed finds
+      ``manifest_last_txn >= batch_id`` and skips — no duplicate
+      snapshot;
+    * a batch that died BEFORE its pointer swap left only
+      unreferenced data/manifest objects (invisible by construction,
+      swept by vacuum); its replay commits cleanly.
+
+    Unlike the per-batch-directory recipe :func:`stream_to_shards`
+    uses, readers here never union globs: they follow the pointer and
+    see every completed batch exactly once and no partial batch —
+    a downstream training job can re-resolve the snapshot between
+    epochs and always reads a consistent corpus prefix. At 100 TB the
+    per-batch cost over the data write is O(files in batch) moves +
+    one pointer swap.
+
+    Returns the started ``StreamingQuery``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from erde_spark.io.manifest import (manifest_last_txn,
+                                            write_manifest_parquet)
+        last = manifest_last_txn(path)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: its snapshot already landed
+        write_manifest_parquet(batch_df, path, mode='append',
+                               txn=batch_id)
+
+    q = (stream_df.writeStream
+         .option('checkpointLocation', checkpoint_dir)
+         .foreachBatch(_sink))
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()

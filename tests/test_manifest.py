@@ -209,3 +209,80 @@ class TestFacade:
         ds = str(tmp_path / 'd.mparquet')
         write_df(_docs(spark, 0, 15), ds)
         assert _ids(read_df(ds, spark)) == list(range(15))
+
+
+class TestStreamingBridge:
+    def _stage(self, spark, tmp_path, n=40):
+        import shutil
+        in_dir = str(tmp_path / 'in')
+        os.makedirs(in_dir, exist_ok=True)
+        for k in (0, 1):
+            part_dir = str(tmp_path / f'tmp{k}')
+            _docs(spark, k * n // 2, (k + 1) * n // 2).coalesce(1) \
+                .write.mode('overwrite').parquet(part_dir)
+            src = glob.glob(os.path.join(part_dir, 'part-*.parquet'))[0]
+            dst = os.path.join(in_dir, f'batch-{k}.parquet')
+            shutil.move(src, dst)
+            os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+        return in_dir
+
+    def test_exactly_once_across_replay(self, spark, tmp_path):
+        from erde_spark.io.manifest import manifest_last_txn
+        from erde_spark.streaming.shards import stream_to_manifest
+        in_dir = self._stage(spark, tmp_path)
+        ds = str(tmp_path / 'd.mparquet')
+        schema = _docs(spark, 0, 0).schema
+
+        def run(ckpt):
+            src = (spark.readStream.schema(schema)
+                   .option('maxFilesPerTrigger', '1').parquet(in_dir))
+            q = stream_to_manifest(src, ds, ckpt)
+            q.awaitTermination()
+
+        run(str(tmp_path / 'ckpt1'))
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(40))
+        assert manifest_last_txn(ds) == 1
+        vs = manifest_versions(ds)
+        assert [v['version'] for v in vs] == [1, 2]
+        # checkpoint loss forces a FULL replay (fresh batch ids 0, 1):
+        # the txn guard must skip both — no duplicate snapshots
+        run(str(tmp_path / 'ckpt2'))
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(40))
+        assert [v['version'] for v in manifest_versions(ds)] == [1, 2]
+
+    def test_crash_before_pointer_then_replay(self, spark, tmp_path,
+                                              monkeypatch):
+        from erde_spark.io.manifest import manifest_last_txn
+        from erde_spark.streaming.shards import stream_to_manifest
+        import erde_spark.io.manifest as m
+        in_dir = self._stage(spark, tmp_path)
+        ds = str(tmp_path / 'd.mparquet')
+        schema = _docs(spark, 0, 0).schema
+        real = m._write_atomic
+        state = {'crashed': False}
+
+        def crash_second_pointer(path, payload, scheme):
+            if path.endswith(m._POINTER) and \
+                    json.loads(payload)['version'] == 2 and \
+                    not state['crashed']:
+                state['crashed'] = True
+                raise RuntimeError('die before publishing batch 1')
+            real(path, payload, scheme)
+
+        monkeypatch.setattr(m, '_write_atomic', crash_second_pointer)
+        src = (spark.readStream.schema(schema)
+               .option('maxFilesPerTrigger', '1').parquet(in_dir))
+        q = stream_to_manifest(src, ds, str(tmp_path / 'ckpt1'))
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        # batch 0 visible, batch 1's partial commit invisible
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(20))
+        assert manifest_last_txn(ds) == 0
+        # restart from the SAME checkpoint: Spark replays batch 1,
+        # which now commits cleanly — exactly one copy of everything
+        src2 = (spark.readStream.schema(schema)
+                .option('maxFilesPerTrigger', '1').parquet(in_dir))
+        q2 = stream_to_manifest(src2, ds, str(tmp_path / 'ckpt1'))
+        q2.awaitTermination()
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(40))
+        assert manifest_last_txn(ds) == 1
