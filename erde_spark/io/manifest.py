@@ -416,4 +416,22 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
     for v in versions:
         if v not in keep:
             _delete_file(join_path(path, _manifest_name(v), scheme), scheme)
+    # commit-scoped staging directories only outlive their commit when
+    # the DRIVER died inside the write (the finally cleans every other
+    # path) — they are unreferenced by construction, sweep them too
+    for name in _list_dirs(path, scheme):
+        if name.startswith('_staging-'):
+            _delete_dir(join_path(path, name, scheme), scheme)
     return removed
+
+
+def _list_dirs(dir_path: str, scheme: str) -> list[str]:
+    if not scheme:
+        return sorted(n for n in os.listdir(dir_path)
+                      if os.path.isdir(os.path.join(dir_path, n)))
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(dir_path)
+    sel = pafs.FileSelector(rel, recursive=False)
+    return sorted(i.path.rsplit('/', 1)[-1]
+                  for i in filesystem.get_file_info(sel)
+                  if i.type == pafs.FileType.Directory)

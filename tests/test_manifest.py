@@ -286,3 +286,20 @@ class TestStreamingBridge:
         q2.awaitTermination()
         assert _ids(read_manifest_parquet(ds, spark)) == list(range(40))
         assert manifest_last_txn(ds) == 1
+
+
+def test_vacuum_sweeps_dead_driver_staging(spark, tmp_path):
+    """A commit-scoped _staging-<token> directory only survives a
+    driver death mid-write; vacuum sweeps it with the other
+    unreferenced objects."""
+    from erde_spark.io.manifest import vacuum_manifest, \
+        write_manifest_parquet, read_manifest_parquet
+    ds = str(tmp_path / 'd.mparquet')
+    write_manifest_parquet(_docs(spark, 0, 10), ds)
+    dead = os.path.join(ds, '_staging-deadbeef0000')
+    os.makedirs(dead)
+    with open(os.path.join(dead, 'part-00000.parquet'), 'wb') as fh:
+        fh.write(b'torn')
+    vacuum_manifest(ds)
+    assert not os.path.exists(dead)
+    assert read_manifest_parquet(ds, spark).count() == 10
