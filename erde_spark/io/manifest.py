@@ -49,6 +49,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from erde_spark.io.fsutil import _scheme, join_path, open_ranged
@@ -156,24 +157,57 @@ def _list_files(dir_path: str, scheme: str, suffix: str) -> list[tuple[str, int]
 
 # ---------------------------------------------------------------- stats
 
-def _footer_rows(full_path: str) -> int:
-    """Row count from the parquet FOOTER — a bounded ranged read, not
-    a data scan (executor-safe: pyarrow + stdlib only)."""
+def _footer_rows(full_path: str) -> tuple[int, dict]:
+    """(row count, per-column min/max) from the parquet FOOTER — a
+    bounded ranged read, not a data scan (executor-safe: pyarrow +
+    stdlib only). Stats cover NUMERIC and BOOLEAN top-level columns
+    only: parquet writers may TRUNCATE string min/max (a truncated
+    upper bound is not a valid pruning bound across writers), so
+    string columns are deliberately excluded — a file without stats
+    for a column is always kept by the pruner."""
     from urllib.parse import urlparse
     import pyarrow.parquet as pq
+
+    def _stats(md):
+        # a column needs VALID stats in every row group to be usable:
+        # dropped (None-marked) once any row group lacks them
+        out: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if '.' in name:
+                    continue  # nested leaf — not a top-level column
+                st = col.statistics
+                if (st is None or not st.has_min_max
+                        or not isinstance(st.min, (int, float, bool))
+                        or not isinstance(st.max, (int, float, bool))):
+                    out[name] = None
+                    continue
+                if rg == 0:
+                    out[name] = [st.min, st.max]
+                elif out.get(name) is not None:
+                    out[name] = [min(out[name][0], st.min),
+                                 max(out[name][1], st.max)]
+        return {k: v for k, v in out.items() if v is not None}
+
     if len(urlparse(full_path).scheme) > 1:
         from pyarrow import fs as pafs
         filesystem, rel = pafs.FileSystem.from_uri(full_path)
         with filesystem.open_input_file(rel) as fh:
-            return pq.ParquetFile(fh).metadata.num_rows
+            md = pq.ParquetFile(fh).metadata
+            return md.num_rows, _stats(md)
     with open(full_path, 'rb') as fh:
-        return pq.ParquetFile(fh).metadata.num_rows
+        md = pq.ParquetFile(fh).metadata
+        return md.num_rows, _stats(md)
 
 
-def _collect_rows(spark: SparkSession, paths: list[str]) -> dict[str, int]:
-    """{path: num_rows} via footer reads: driver loop under
-    ``_DRIVER_STAT_CAP`` files, one Spark job above (the avro
-    header-collection split). The job closure touches only
+def _collect_rows(spark: SparkSession, paths: list[str]) \
+        -> dict[str, tuple[int, dict]]:
+    """{path: (num_rows, column min/max)} via footer reads: driver
+    loop under ``_DRIVER_STAT_CAP`` files, one Spark job above (the
+    avro header-collection split). The job closure touches only
     stdlib/pyarrow by name — the wds import-chain rule."""
     if len(paths) <= _DRIVER_STAT_CAP:
         return {p: _footer_rows(p) for p in paths}
@@ -263,7 +297,11 @@ def write_manifest_parquet(df: DataFrame, path: str,
             finals.append(join_path(data_dir, final_name, scheme))
         rows = _collect_rows(df.sparkSession, finals)
         for e, full in zip(entries, finals):
-            e['rows'] = rows[full]
+            e['rows'], stats = rows[full]
+            if stats:
+                # numeric/boolean per-file min/max off the same footer
+                # read — the read path's file-skipping index
+                e['stats'] = stats
     finally:
         _delete_dir(staging, scheme)
 
@@ -307,12 +345,46 @@ class ConcurrentWriteError(RuntimeError):
     """A rival writer advanced the dataset pointer during a commit."""
 
 
+def _prune_entries(entries: list[dict],
+                   where: tuple | None) -> list[dict]:
+    """Manifest-level file skipping: keep entries whose recorded
+    [min, max] for ``where``'s column can intersect [lo, hi]; entries
+    without stats for the column are always kept (pruning may only
+    ever DROP provably-disjoint files)."""
+    if where is None:
+        return entries
+    col, lo, hi = where
+    if lo is not None and hi is not None and lo > hi:
+        raise ValueError(f'empty where range: {lo!r} > {hi!r}')
+    kept = []
+    for e in entries:
+        mm = e.get('stats', {}).get(col)
+        if mm is None:
+            kept.append(e)
+            continue
+        if (hi is not None and mm[0] > hi) or \
+                (lo is not None and mm[1] < lo):
+            continue
+        kept.append(e)
+    return kept
+
+
 def read_manifest_parquet(path: str, spark: SparkSession | None = None,
-                          version: int | None = None) -> DataFrame:
+                          version: int | None = None,
+                          where: tuple | None = None) -> DataFrame:
     """Snapshot read planned from the MANIFEST's explicit file list
     (never a directory listing) with the manifest's pinned schema —
     ``version=None`` follows the ``_latest`` pointer; an integer time-
-    travels to that snapshot (readable until vacuumed)."""
+    travels to that snapshot (readable until vacuumed).
+
+    ``where=(col, lo, hi)`` (either bound may be None) both FILTERS
+    rows to the inclusive range AND prunes files the manifest's
+    per-file min/max prove disjoint BEFORE Spark plans the scan — at
+    100 TB on a range-clustered column this is the difference between
+    opening every object and opening the few that can match; parquet
+    row-group pruning then applies inside the survivors as usual.
+    Files without recorded stats for the column are read (and
+    row-filtered), never wrongly skipped."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         from erde_spark.session import get_spark
@@ -326,10 +398,35 @@ def read_manifest_parquet(path: str, spark: SparkSession | None = None,
     mf = _load_manifest(path, scheme, version)
     schema = T.StructType.fromJson(json.loads(mf['schema']))
     data_dir = join_path(path, _DATA_DIR, scheme)
-    files = [join_path(data_dir, e['path'], scheme) for e in mf['files']]
+    entries = _prune_entries(mf['files'], where)
+    files = [join_path(data_dir, e['path'], scheme) for e in entries]
     if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*files)
+    if where is not None:
+        col, lo, hi = where
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+    return df
+
+
+def manifest_planned_files(path: str, version: int | None = None,
+                           where: tuple | None = None) -> list[str]:
+    """The data file names a :func:`read_manifest_parquet` call with
+    the same arguments would plan — the observability hook for
+    file-skipping tests and ops tooling."""
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    if version is None:
+        version = _pointer_version(path, scheme)
+        if version is None:
+            raise FileNotFoundError(f'no manifest dataset at {path!r}')
+    mf = _load_manifest(path, scheme, version)
+    return [e['path'] for e in _prune_entries(mf['files'], where)]
 
 
 def manifest_versions(path: str) -> list[dict]:

@@ -303,3 +303,51 @@ def test_vacuum_sweeps_dead_driver_staging(spark, tmp_path):
     vacuum_manifest(ds)
     assert not os.path.exists(dead)
     assert read_manifest_parquet(ds, spark).count() == 10
+
+
+class TestFileSkipping:
+    def _range_ds(self, spark, tmp_path):
+        ds = str(tmp_path / 'd.mparquet')
+        # range-clustered files: disjoint doc_id bands per file
+        df = _docs(spark, 0, 400).repartitionByRange(8, 'doc_id')
+        write_manifest_parquet(df, ds)
+        return ds
+
+    def test_where_prunes_files_and_filters_rows(self, spark, tmp_path):
+        from erde_spark.io.manifest import manifest_planned_files
+        ds = self._range_ds(spark, tmp_path)
+        total = manifest_planned_files(ds)
+        planned = manifest_planned_files(ds, where=('doc_id', 100, 149))
+        assert len(planned) < len(total)
+        got = _ids(read_manifest_parquet(ds, spark,
+                                         where=('doc_id', 100, 149)))
+        assert got == list(range(100, 150))
+
+    def test_open_bounds(self, spark, tmp_path):
+        ds = self._range_ds(spark, tmp_path)
+        assert _ids(read_manifest_parquet(
+            ds, spark, where=('doc_id', 390, None))) == \
+            list(range(390, 400))
+        assert _ids(read_manifest_parquet(
+            ds, spark, where=('doc_id', None, 9))) == list(range(10))
+
+    def test_disjoint_range_reads_nothing(self, spark, tmp_path):
+        from erde_spark.io.manifest import manifest_planned_files
+        ds = self._range_ds(spark, tmp_path)
+        assert manifest_planned_files(ds, where=('doc_id', 1000, 2000)) \
+            == []
+        assert read_manifest_parquet(
+            ds, spark, where=('doc_id', 1000, 2000)).count() == 0
+
+    def test_column_without_stats_is_never_skipped(self, spark, tmp_path):
+        from erde_spark.io.manifest import manifest_planned_files
+        ds = self._range_ds(spark, tmp_path)
+        # strings carry no manifest stats (writer truncation hazard):
+        # the pruner must keep every file, the row filter still applies
+        planned = manifest_planned_files(ds, where=('text', 'a', 'b'))
+        assert planned == manifest_planned_files(ds)
+
+    def test_empty_range_raises(self, spark, tmp_path):
+        ds = self._range_ds(spark, tmp_path)
+        with pytest.raises(ValueError, match='empty where range'):
+            read_manifest_parquet(ds, spark, where=('doc_id', 5, 4))
