@@ -779,14 +779,17 @@ def entropy(input_data: DataFrame, min_ratio: float = 1.1,
 
 
 @autocli
-def snapshot(dataset: str, action: str = 'stats', keep_last: int = 1):
+def snapshot(dataset: str, action: str = 'stats', keep_last: int = 1,
+             min_bytes: int = 32 << 20, target_bytes: int = 128 << 20):
     """Inspect or maintain a manifested parquet dataset (*.mparquet,
     io/manifest.py — versioned manifests + atomic pointer commit):
     action 'stats' (latest-snapshot metadata without touching a data
-    byte), 'versions' (every readable snapshot) or 'vacuum' (delete
-    data files unreferenced by the newest --keep-last snapshots).
-    The data plane needs no dedicated command: every subcommand's
-    input/output paths dispatch *.mparquet through the facade."""
+    byte), 'versions' (every readable snapshot), 'vacuum' (delete
+    data files unreferenced by the newest --keep-last snapshots) or
+    'compact' (rewrite files under --min-bytes into ~--target-bytes
+    files as a new snapshot). The data plane needs no dedicated
+    command: every subcommand's input/output paths dispatch
+    *.mparquet through the facade."""
     import json
     from erde_spark.io import manifest as m
     if action == 'stats':
@@ -795,9 +798,13 @@ def snapshot(dataset: str, action: str = 'stats', keep_last: int = 1):
         out = m.manifest_versions(dataset)
     elif action == 'vacuum':
         out = {'removed': m.vacuum_manifest(dataset, keep_last=keep_last)}
+    elif action == 'compact':
+        out = {'version': m.compact_manifest(dataset, min_bytes=min_bytes,
+                                             target_bytes=target_bytes)}
     else:
         raise ValueError(f'unknown snapshot action {action!r} '
-                         "(use 'stats', 'versions' or 'vacuum')")
+                         "(use 'stats', 'versions', 'vacuum' or "
+                         "'compact')")
     print(json.dumps(out))
     return out
 

@@ -279,9 +279,26 @@ def write_manifest_parquet(df: DataFrame, path: str,
         raise FileExistsError(
             f'manifest dataset already exists at {path!r} (version '
             f'{parent}); use overwrite or append')
+    entries = _stage_dataframe(df, path, scheme)
+    schema_json = df.schema.json()
+    if mode == 'append' and parent is not None:
+        parent_mf = _load_manifest(path, scheme, parent)
+        if parent_mf['schema'] != schema_json:
+            raise ValueError(
+                'append schema mismatch: the snapshot schema is pinned '
+                'by the parent manifest; rewrite (overwrite) to evolve')
+        entries = parent_mf['files'] + entries
+    return _commit_snapshot(path, scheme, parent, entries, schema_json,
+                            mode, txn)
+
+
+def _stage_dataframe(df: DataFrame, path: str, scheme: str) -> list[dict]:
+    """Data plane of a commit: Spark-write ``df`` into a commit-scoped
+    staging directory, move each part to its immutable final name
+    under ``data/``, and return the manifest entries (name, bytes,
+    rows, numeric min/max stats) — all from footer reads."""
     data_dir = join_path(path, _DATA_DIR, scheme)
     _mkdirs(data_dir, scheme)
-
     token = uuid.uuid4().hex[:12]
     staging = join_path(path, f'_staging-{token}', scheme)
     try:
@@ -302,17 +319,17 @@ def write_manifest_parquet(df: DataFrame, path: str,
                 # numeric/boolean per-file min/max off the same footer
                 # read — the read path's file-skipping index
                 e['stats'] = stats
+        return entries
     finally:
         _delete_dir(staging, scheme)
 
-    schema_json = df.schema.json()
-    if mode == 'append' and parent is not None:
-        parent_mf = _load_manifest(path, scheme, parent)
-        if parent_mf['schema'] != schema_json:
-            raise ValueError(
-                'append schema mismatch: the snapshot schema is pinned '
-                'by the parent manifest; rewrite (overwrite) to evolve')
-        entries = parent_mf['files'] + entries
+
+def _commit_snapshot(path: str, scheme: str, parent: int | None,
+                     entries: list[dict], schema_json: str,
+                     mode: str, txn: int | None = None) -> int:
+    """Control plane of a commit: write the immutable manifest, re-check
+    the parent pointer (concurrent-advance detection), swap the pointer
+    atomically. Shared by the writer and the compactor."""
     version = (parent or 0) + 1
     manifest = {
         'version': version,
@@ -462,6 +479,58 @@ def manifest_stats(path: str, version: int | None = None) -> dict:
     return {'version': mf['version'], 'parent': mf['parent'],
             'num_files': len(mf['files']), 'total_rows': mf['total_rows'],
             'total_bytes': mf['total_bytes']}
+
+
+def compact_manifest(path: str, spark: SparkSession | None = None,
+                     min_bytes: int = 32 << 20,
+                     target_bytes: int = 128 << 20) -> int | None:
+    """Rewrite the live snapshot's SMALL files (< ``min_bytes``) into
+    ~``target_bytes`` files and commit the result as a new snapshot;
+    returns the new version, or None when fewer than two files qualify
+    (nothing worth compacting).
+
+    The maintenance op the streaming sink needs: every micro-batch
+    commit adds a few small files, and at 100 TB a scan over millions
+    of tiny objects is dominated by per-file open cost. Compaction
+    reads ONLY the qualifying small files (manifest-planned, pinned
+    schema), coalesces them WITHOUT a shuffle (``coalesce`` on the
+    scan — compaction moves bytes, it never needs a repartition), and
+    commits large-files-kept + compacted-files as version N+1. Row
+    conservation is verified from footer counts before the pointer
+    swap — a lost or duplicated row aborts with only unreferenced
+    debris. Prior versions still reference the original small files
+    (time travel intact) until :func:`vacuum_manifest`; the parent's
+    ``txn`` high-water mark carries forward so the streaming replay
+    guard is unaffected by interleaved compactions."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        from erde_spark.session import get_spark
+        spark = get_spark()
+    scheme = _scheme(path)
+    path = path.rstrip('/')
+    parent = _pointer_version(path, scheme)
+    if parent is None:
+        raise FileNotFoundError(f'no manifest dataset at {path!r}')
+    mf = _load_manifest(path, scheme, parent)
+    small = [e for e in mf['files'] if e['bytes'] < min_bytes]
+    if len(small) < 2:
+        return None
+    big = [e for e in mf['files'] if e['bytes'] >= min_bytes]
+    data_dir = join_path(path, _DATA_DIR, scheme)
+    schema = T.StructType.fromJson(json.loads(mf['schema']))
+    total = sum(e['bytes'] for e in small)
+    n_out = max(1, -(-total // target_bytes))
+    df = (spark.read.schema(schema)
+          .parquet(*[join_path(data_dir, e['path'], scheme)
+                     for e in small])
+          .coalesce(n_out))
+    entries = _stage_dataframe(df, path, scheme)
+    if sum(e['rows'] for e in entries) != sum(e['rows'] for e in small):
+        raise IOError(
+            'compaction row-count mismatch — refusing to publish '
+            '(the staged files are unreferenced; vacuum sweeps them)')
+    return _commit_snapshot(path, scheme, parent, big + entries,
+                            mf['schema'], 'compact', mf.get('txn'))
 
 
 def manifest_last_txn(path: str) -> int | None:

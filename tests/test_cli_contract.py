@@ -686,3 +686,20 @@ def test_snapshot_subcommand(spark, tmp_path, capsys):
     entrypoint(['dedup', ds, out2, '--strategy', 'exact',
                 '--text-column', 'text'])
     assert read_df(out2, spark).count() == 30
+
+
+def test_snapshot_compact_action(spark, tmp_path):
+    """snapshot --action compact rewrites the small files as a new
+    snapshot from the shell."""
+    from erde_spark.cli import entrypoint
+    from erde_spark.io import read_df, write_df
+    from erde_spark.io.manifest import manifest_planned_files
+    ds = str(tmp_path / 'd.mparquet')
+    df = spark.range(40).selectExpr('id AS doc_id',
+                                    'CAST(id AS STRING) AS text')
+    write_df(df.filter('doc_id < 20').coalesce(1), ds)
+    write_df(df.filter('doc_id >= 20').coalesce(1), ds, mode='append')
+    out = entrypoint(['snapshot', ds, '--action', 'compact'])
+    assert out['version'] == 3
+    assert len(manifest_planned_files(ds)) == 1
+    assert read_df(ds, spark).count() == 40

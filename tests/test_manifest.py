@@ -351,3 +351,66 @@ class TestFileSkipping:
         ds = self._range_ds(spark, tmp_path)
         with pytest.raises(ValueError, match='empty where range'):
             read_manifest_parquet(ds, spark, where=('doc_id', 5, 4))
+
+
+class TestCompaction:
+    def test_compact_streaming_debris(self, spark, tmp_path):
+        from erde_spark.io.manifest import (compact_manifest,
+                                            manifest_planned_files,
+                                            manifest_last_txn)
+        from erde_spark.streaming.shards import stream_to_manifest
+        ds = str(tmp_path / 'd.mparquet')
+        in_dir = TestStreamingBridge()._stage(spark, tmp_path, n=60)
+        schema = _docs(spark, 0, 0).schema
+        src = (spark.readStream.schema(schema)
+               .option('maxFilesPerTrigger', '1').parquet(in_dir))
+        stream_to_manifest(src, ds, str(tmp_path / 'ckpt1')) \
+            .awaitTermination()
+        before = manifest_planned_files(ds)
+        assert len(before) >= 2
+        v = compact_manifest(ds, spark, min_bytes=32 << 20)
+        assert v == 3
+        after = manifest_planned_files(ds)
+        assert len(after) < len(before)
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(60))
+        # time travel: the pre-compaction snapshot still reads
+        assert _ids(read_manifest_parquet(ds, spark, version=2)) == \
+            list(range(60))
+        # the txn high-water mark survives compaction, so a full
+        # replay against a fresh checkpoint still lands zero batches
+        assert manifest_last_txn(ds) == 1
+        src2 = (spark.readStream.schema(schema)
+                .option('maxFilesPerTrigger', '1').parquet(in_dir))
+        stream_to_manifest(src2, ds, str(tmp_path / 'ckpt2')) \
+            .awaitTermination()
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(60))
+        assert manifest_versions(ds)[-1]['version'] == 3
+        # vacuum to the live snapshot: the replaced small files go
+        removed = vacuum_manifest(ds, keep_last=1)
+        assert removed
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(60))
+
+    def test_compact_nothing_to_do(self, spark, tmp_path):
+        from erde_spark.io.manifest import compact_manifest
+        ds = str(tmp_path / 'd.mparquet')
+        write_manifest_parquet(_docs(spark, 0, 20).coalesce(1), ds)
+        assert compact_manifest(ds, spark) is None
+
+    def test_compact_keeps_large_files_untouched(self, spark, tmp_path):
+        import erde_spark.io.manifest as m
+        ds = str(tmp_path / 'd.mparquet')
+        write_manifest_parquet(_docs(spark, 0, 50).coalesce(1), ds)
+        write_manifest_parquet(_docs(spark, 50, 60).coalesce(1), ds,
+                               mode='append')
+        write_manifest_parquet(_docs(spark, 60, 70).coalesce(1), ds,
+                               mode='append')
+        mf = m._load_manifest(ds, '', 3)
+        sizes = {e['path']: e['bytes'] for e in mf['files']}
+        big_name = m.manifest_planned_files(ds, version=1)[0]
+        # threshold exactly at the v1 file's size: strict < keeps it,
+        # the two appended files qualify and merge into one
+        v = m.compact_manifest(ds, spark, min_bytes=sizes[big_name])
+        assert v == 4
+        after = m.manifest_planned_files(ds)
+        assert big_name in after and len(after) == 2
+        assert _ids(read_manifest_parquet(ds, spark)) == list(range(70))
