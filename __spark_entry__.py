@@ -3572,7 +3572,11 @@ def q_events_stateful(spark, sf_dir):
     from erde_spark.streaming.stateful import (run_stateful_batch,
                                                running_user_stats)
     ev = _t(spark, sf_dir, 'events')['events'].limit(500)
-    out = run_stateful_batch(spark, ev, running_user_stats, tempfile.mkdtemp())
+    # stateful shuffle sized to the data (500 events / bounded users):
+    # each stateful partition costs a state-store commit + a Python
+    # worker per micro-batch (the stream_interval_join finding)
+    out = run_stateful_batch(spark, ev, running_user_stats,
+                             tempfile.mkdtemp(), shuffle_partitions=8)
     return (out.groupBy('user_id')
             .agg(F.max('n_events').alias('n_events'),
                  F.round(F.max('sum_value'), 4).alias('sum_value')))
@@ -4118,8 +4122,16 @@ def q_events_stateful_check(spark, sf_dir):
                       'doc_id')
     in_dir = _stateful_staged_input(spark, sf_dir, events)
     base = tempfile.mkdtemp(prefix='erde_stateful_gate_')
+    # stateful shuffle sized to the data (40 users): at the session
+    # default (cores) each of the 32 partitions pays a state-store
+    # open/snapshot/commit plus an applyInPandasWithState Python
+    # worker PER micro-batch — the same fixed fan-out the
+    # stream_interval_join gate measured at 3-6x the query; at 100 TB
+    # the same knob sizes UP for state volume (documented in
+    # run_stateful_batch)
     out = run_stateful_batch(spark, events, running_user_stats, base,
-                             src_dir=in_dir, max_files_per_trigger=1)
+                             src_dir=in_dir, max_files_per_trigger=1,
+                             shuffle_partitions=8)
     res = (out.groupBy('user_id')
            .agg(F.max('n_events').alias('n_events'),
                 F.max('sum_value').alias('sum_value'))
@@ -5498,6 +5510,11 @@ def q_quality_classifier(spark, sf_dir):
     clf = train_quality_classifier(labeled, max_iter=20)
     both = docs.unionByName(
         neg.select((F.col('doc_id') + 1000000).alias('doc_id'), 'text'))
+    # NOTE (r12 optimization round): checkpointing `scored` here was
+    # tried and REVERTED — the real/twin id-range filters below push
+    # through the scoring projections into each union branch, so each
+    # branch already scores only its own half (no double evaluation);
+    # the checkpoint only added a materialization job.
     scored = clf.score(both)
     real = scored.where(F.col('id') < 1000000) \
         .select(F.col('id').alias('doc_id'),
@@ -6323,7 +6340,15 @@ def q_curation_pipeline_check(spark, sf_dir):
             .when(cls == 1, prose(key1))
             .when(cls == 2, gib)
             .otherwise(F.rtrim(F.repeat(F.lit('the data of rows '), 40))))
-    docs = d.select('doc_id', text.alias('text'))
+    # materialize the planted corpus before the pipeline: the fixture
+    # text is a 60-md5 synthesis expression, and the curate stages are
+    # FILTERS over text — Catalyst inlines the whole synthesis into
+    # every gopher flag / compression / PII / fingerprint reference
+    # (the before-plan's Filter conditions each embed the full 4-branch
+    # 60-md5 tree), so the fixture was re-synthesized ~10x per row.
+    # One narrow job materializes it once; the timed pipeline then
+    # measures curate, not the fixture generator.
+    docs = d.select('doc_id', text.alias('text')).localCheckpoint(eager=True)
     out = curate(docs, steps=('quality', 'compression', 'pii', 'dedup'))
     return (out.select('doc_id', F.md5('text').alias('text_md5'))
             .orderBy('doc_id'))
@@ -6860,6 +6885,13 @@ def q_perplexity_rank_check(spark, sf_dir):
                               i.cast('string'))), 1, 8)))
     twins = docs.select((F.col('doc_id') + 1000000).alias('doc_id'),
                         gib.alias('text'))
+    # NOTE (r12 optimization round): checkpointing `scored` here was
+    # tried and REVERTED — the real/twin doc_id-range filters push
+    # below the tokenize/backoff-join pipeline into each union branch
+    # (the 8 scans in the before-plan are filtered-empty early), so
+    # there is no double evaluation to save; the checkpoint measured
+    # SLOWER (6.7 s vs 5.1 s same-phase) by forcing a full
+    # materialization the branch filters avoid.
     scored = score_perplexity(docs.unionByName(twins), lm,
                               broadcast_counts=True)
     real = scored.where(F.col('doc_id') < 1000000) \

@@ -48,7 +48,8 @@ def running_user_stats(stream: DataFrame, key_col: str = 'user_id',
 
 def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
                        ts_col: str = 'ts', src_dir: str | None = None,
-                       max_files_per_trigger: int | None = None) -> DataFrame:
+                       max_files_per_trigger: int | None = None,
+                       shuffle_partitions: int | None = None) -> DataFrame:
     """Drive a stateful streaming transform over a batch table: write the
     table as the file-stream source, run with availableNow into a memory
     sink, return the final result as a DataFrame (test/backfill utility).
@@ -56,7 +57,17 @@ def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
     Pass a pre-staged ``src_dir`` (file mtimes pin the source's batch
     order) plus ``max_files_per_trigger`` to drive the transform through
     MULTIPLE ordered micro-batches — the shape the cross-batch state-
-    persistence gate needs; ``source_df`` then only supplies the schema."""
+    persistence gate needs; ``source_df`` then only supplies the schema.
+
+    ``shuffle_partitions`` sizes the STATEFUL shuffle to the data (the
+    ``stream_interval_join`` knob): every stateful partition carries a
+    state store that is opened, snapshotted and committed per micro-
+    batch, plus one Python worker for ``applyInPandasWithState`` — at
+    the session default (cores) that fixed fan-out dominates small-key
+    streams; at 100 TB the same knob sizes UP for state volume. The
+    session default is restored after the run (the number is baked
+    into the checkpoint by the first micro-batch, so it must be set
+    before ``start``)."""
     ckpt = f'{tmp_dir}/ckpt'
     if src_dir is None:
         src_dir = f'{tmp_dir}/src'
@@ -69,8 +80,16 @@ def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
     out = transform(stream)
     import re
     name = 'stateful_out_' + re.sub(r'\W', '_', tmp_dir).strip('_')
-    q = (out.writeStream.format('memory').queryName(name)
-         .outputMode('update').option('checkpointLocation', ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    old_parts = spark.conf.get('spark.sql.shuffle.partitions')
+    if shuffle_partitions:
+        spark.conf.set('spark.sql.shuffle.partitions',
+                       str(shuffle_partitions))
+    try:
+        q = (out.writeStream.format('memory').queryName(name)
+             .outputMode('update').option('checkpointLocation', ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set('spark.sql.shuffle.partitions', old_parts)
     return spark.table(name)

@@ -1168,6 +1168,40 @@ def test_ivfpq_codes_compress_and_recall(spark, embs):
     assert recall >= 0.9, recall
 
 
+def test_pq_codebooks_perdim_bit_identical():
+    """The per-dimension distance accumulation in _pq_codebooks (r12
+    optimization: avoids the n x ks x sub broadcast temp) must produce
+    BIT-IDENTICAL codebooks to the reference formulation
+    ((x[:,None,:]-cent)**2).sum(axis=2) — same additions in the same
+    order for any sub < numpy's pairwise-summation blocksize (128),
+    i.e. every realistic PQ subspace width."""
+    import numpy as np
+
+    from erde_spark.scale.similarity import _pq_codebooks
+
+    rng = np.random.RandomState(7)
+    sample = rng.rand(500, 64)
+    for m, ks in ((16, 32), (8, 16), (4, 8)):
+        got = _pq_codebooks(sample, m, ks, seed=42, iters=5)
+        # reference implementation (pre-r12), inlined
+        n, dim = sample.shape
+        sub = dim // m
+        ref_rng = np.random.RandomState(42)
+        ref = np.empty((m, ks, sub))
+        for j in range(m):
+            x = sample[:, j * sub:(j + 1) * sub]
+            cent = x[ref_rng.choice(n, size=ks, replace=False)].copy()
+            for _ in range(5):
+                d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(ks):
+                    members = x[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            ref[j] = cent
+        assert np.array_equal(got, ref), (m, ks)
+
+
 def test_ivfpq_adc_only_mode(spark, embs):
     """refine=0 returns ADC scores directly: k rows per query, ranks
     contiguous, scores monotonically non-increasing."""
