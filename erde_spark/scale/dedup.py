@@ -249,12 +249,29 @@ def _lsh_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
                .select('id', F.col('b.band').alias('band'), F.col('b.bh').alias('bh')))
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a LOW-PARALLELISM input to the session's
+    core count before the compute-heavy tokenize/minhash kernels
+    (optimization guide §2.5 input skew): a single small parquet file —
+    the sf test corpora, or one micro-batch file on the streaming
+    path — scans as ONE partition, serializing the xxhash64 tokenize
+    and the (tokens x perms) signature kernel on one core. The
+    repartition moves only (id, text) rows once. DATA-ADAPTIVE: inputs
+    that already carry >= cores partitions (any real multi-split
+    dataset at scale) are returned untouched, so no shuffle is ever
+    added at 100 TB."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str,
                        shingles: int | None = None) -> DataFrame:
     """(id, toks: array<long>) distinct 64-bit token hashes per document.
     Integer ``array_intersect`` is several times cheaper than string,
     identical up to ~1e-10/pair collisions."""
-    return df.select(
+    return _spread_scan(df).select(
         F.col(id_col).alias('id'),
         F.array_distinct(F.transform(_units(text_col, shingles),
                                      lambda t: F.xxhash64(t))).alias('toks'))
