@@ -62,17 +62,27 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                    .select('dst', (F.col('rank') / F.col('out'))
                            .alias('c')))
         inflow = contrib.groupBy('dst').agg(F.sum('c').alias('in_rank'))
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (ranks.join(out_deg,
-                               ranks['node'] == out_deg['src'],
-                               'left_anti')
-                    .agg(F.coalesce(F.sum('rank'), F.lit(0.0)))
-                    .first()[0])
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling mass (rank held by nodes with no out-edges) as a
+        # broadcast 1-row aggregate INSIDE the iteration's plan — the
+        # old `.first()` per iteration was a second driver action per
+        # round (2 jobs/iteration -> 1; r12 optimization). The float
+        # expression keeps the exact operation order of the old
+        # driver-side arithmetic ((1-d)/n + (d*dangling)/n + d*inflow),
+        # so ranks are bit-identical (pinned by the existing pytest
+        # values and the rounded oracle gate).
+        dang = (ranks.join(out_deg,
+                           ranks['node'] == out_deg['src'],
+                           'left_anti')
+                .agg(F.coalesce(F.sum('rank'), F.lit(0.0))
+                     .alias('__dang')))
         ranks = (nodes.join(inflow, nodes['node'] == inflow['dst'],
                             'left')
+                 .crossJoin(F.broadcast(dang))
                  .select('node',
-                         (F.lit(base) + F.lit(damping)
+                         (F.lit((1.0 - damping) / n)
+                          + (F.lit(damping) * F.col('__dang'))
+                          / F.lit(float(n))
+                          + F.lit(damping)
                           * F.coalesce(F.col('in_rank'), F.lit(0.0)))
                          .alias('rank'))
                  .localCheckpoint(eager=True))
