@@ -159,16 +159,66 @@ def score_perplexity(docs: DataFrame, lm: NgramLM, id_col: str = 'doc_id',
     (right call when ``min_count`` pruning bounded the model — the
     common production shape); default leaves the join strategy to
     Catalyst/AQE, which shuffle-joins on the gram key when the model
-    is itself corpus-sized."""
+    is itself corpus-sized.
+
+    Two physical shapes behind one contract (r12 optimization — the
+    per-position arithmetic, keys and backoff CASE are byte-identical
+    between them; only the dataflow differs):
+
+    * ``broadcast_counts=True``: ONE row per position carrying its
+      2n-1 gram-key strings, resolved by 2n-1 reused broadcast-hash
+      probes of the same built relation, scored in-row, then a
+      map-side-combined per-document aggregation — the only exchange
+      carries one partial row per document, not 5 rows per token
+      (guide §2.3 "aggregate before you shuffle"). Right whenever the
+      pruned model broadcasts, which is the production filter shape.
+    * default (corpus-sized model): the 2n-1 role keys explode to rows
+      and resolve through ONE shuffle equi-join on the gram key —
+      broadcast probes would become 2n-1 full shuffle joins there.
+    """
     n = lm.n
     base = _padded_base(docs, text_col, n, id_col=id_col)
-    # per position: the n gram keys + n-1 context keys, role-tagged
-    roles = [(f'g{k}', 0, k) for k in range(1, n + 1)] \
-        + [(f'c{k}', 1, k - 1) for k in range(2, n + 1)]
+    # per position: the n gram keys + n-1 context keys, role-tagged.
     # role (name, ends_at_prev, klen): key = klen-gram ending at i
     # (ends_at_prev=0) or i-1 (ends_at_prev=1); padded index of real
     # token i is i+n-1, so the gram starts at i+n-klen-ends_at_prev.
     # Slices read the BOUND _p column — see _padded_base for why.
+    roles = [(f'g{k}', 0, k) for k in range(1, n + 1)] \
+        + [(f'c{k}', 1, k - 1) for k in range(2, n + 1)]
+    if broadcast_counts:
+        row = base.select(
+            'id',
+            F.explode(F.sequence(F.lit(1), F.col('_len'))).alias('pos'),
+            '_p')
+        row = row.select(
+            'id',
+            *[F.array_join(
+                F.slice(F.col('_p'), F.col('pos') + (n - klen - prev),
+                        klen), SEP).alias(f'_{name}')
+              for name, prev, klen in roles])
+        # every probe joins the IDENTICAL build-side plan (same
+        # projection, alias only) so the physical plans canonicalize
+        # equal and Spark builds ONE broadcast hash relation, reusing
+        # it across the 2n-1 joins (ReusedExchange) — per-role column
+        # renames here would fork 2n-1 separate builds, each re-running
+        # the model-counts aggregation
+        for name, _, _ in roles:
+            cr = lm.counts.alias(f'cnt_{name}')
+            row = (row.join(F.broadcast(cr),
+                            row[f'_{name}'] == F.col(f'cnt_{name}.gram'),
+                            'left')
+                   .select(*[row[c] for c in row.columns
+                             if c != f'_{name}'],
+                           F.col(f'cnt_{name}.count').alias(name)))
+        m = {name: F.col(name) for name, _, _ in roles}
+        logp = F.log(_backoff_expr(lm, m))
+        return (row.select('id', logp.alias('_lp'))
+                .groupBy('id')
+                .agg(F.count(F.lit(1)).alias('n_tokens'),
+                     F.avg('_lp').alias('avg_logprob'))
+                .select(F.col('id').alias(id_col), 'n_tokens',
+                        'avg_logprob',
+                        F.exp(-F.col('avg_logprob')).alias('perplexity')))
     keys = F.flatten(F.transform(
         F.sequence(F.lit(1), F.col('_len')),
         lambda i: F.array(*[
@@ -179,8 +229,7 @@ def score_perplexity(docs: DataFrame, lm: NgramLM, id_col: str = 'doc_id',
             for name, prev, klen in roles])))
     pos_keys = (base.select('id', F.explode(keys).alias('k'))
                 .select('id', 'k.pos', 'k.role', 'k.gram'))
-    counts = F.broadcast(lm.counts) if broadcast_counts else lm.counts
-    joined = pos_keys.join(counts, 'gram', 'left')
+    joined = pos_keys.join(lm.counts, 'gram', 'left')
     per_pos = joined.groupBy('id', 'pos').agg(
         F.map_from_entries(F.collect_list(
             F.struct('role', 'count'))).alias('m'))
