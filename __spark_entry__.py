@@ -4443,56 +4443,45 @@ def q_image_phash_dedup(spark, sf_dir):
     from ``doc_id % 40``. A green row therefore certifies the PNG codec,
     the pHash kernel, the banded Hamming join, and CC in one check."""
     from erde_spark.scale.imagehash import image_dedup_clusters, image_hashes
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
 
-    # r12 optimization: the fixture has only 80 DISTINCT blobs
-    # ((doc_id%40) x near-dup flag). Synthesizing per distinct key and
-    # broadcast-joining the blobs back replaces the old per-task blob
-    # cache inside the row kernel — that cache made the synthesis
-    # single-partition-bound (spreading the rows re-encoded every class
-    # in every task: measured 40x the encode work). Now: 80 encodes,
-    # spread across cores; the 5000-row DECODE side (the operator under
-    # test) spreads independently; output rows identical.
     def _mk(batches):
         import numpy as np
         import pandas as pd
         from erde_spark.scale.png import encode_png
+        cache = {}
         for pdf in batches:
-            rows = []
-            for c, near in zip(pdf['c'], pdf['near']):
-                c, near = int(c), bool(near)
-                rng = np.random.RandomState(1000 + c)
-                y, x = np.mgrid[0:32, 0:32].astype(np.float64)
-                img = (90
-                       + 60 * np.sin(2 * np.pi * (rng.uniform(.5, 3.) * x / 32
-                                                  + rng.uniform(.5, 3.) * y / 32)))
-                # rectangle patches give each class distinctive
-                # low-freq content: measured intra-class pHash
-                # distance <= 6, cross-class >= 12 over all 40
-                # classes (threshold 8 sits mid-gap; deterministic)
-                for _ in range(4):
-                    y0, x0 = rng.randint(0, 24, 2)
-                    hh, ww = rng.randint(6, 16, 2)
-                    img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
-                if near:
-                    nrng = np.random.RandomState(5000 + c)
-                    img = img + nrng.randint(-4, 5, img.shape)
-                blob = encode_png(np.clip(img, 0, 255).astype(np.uint8))
-                rows.append((c, near, bytearray(blob), len(blob)))
-            yield pd.DataFrame(rows, columns=['c', 'near', 'media', 'n_bytes'])
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                c = did % 40
+                key = (c, did % 3 == 0)
+                if key not in cache:
+                    rng = np.random.RandomState(1000 + c)
+                    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+                    img = (90
+                           + 60 * np.sin(2 * np.pi * (rng.uniform(.5, 3.) * x / 32
+                                                      + rng.uniform(.5, 3.) * y / 32)))
+                    # rectangle patches give each class distinctive
+                    # low-freq content: measured intra-class pHash
+                    # distance <= 6, cross-class >= 12 over all 40
+                    # classes (threshold 8 sits mid-gap; deterministic)
+                    for _ in range(4):
+                        y0, x0 = rng.randint(0, 24, 2)
+                        hh, ww = rng.randint(6, 16, 2)
+                        img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
+                    if key[1]:
+                        nrng = np.random.RandomState(5000 + c)
+                        img = img + nrng.randint(-4, 5, img.shape)
+                    cache[key] = encode_png(np.clip(img, 0, 255).astype(np.uint8))
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'image/png', 'width': 32,
+                              'height': 32, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs, 'meta': metas})
 
-    keyed = d.select('doc_id', (F.col('doc_id') % 40).cast('int').alias('c'),
-                     (F.col('doc_id') % 3 == 0).alias('near'))
-    keys = keyed.select('c', 'near').distinct()
-    blobs = _spread(spark, keys).mapInPandas(
-        _mk, schema='c int, near boolean, media binary, n_bytes long')
-    assets = (_spread(spark, keyed)
-              .join(F.broadcast(blobs), ['c', 'near'])
-              .select(F.col('doc_id').alias('asset_id'), 'media',
-                      F.struct(F.lit('image/png').alias('format'),
-                               F.lit(32).alias('width'),
-                               F.lit(32).alias('height'),
-                               F.col('n_bytes')).alias('meta')))
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
     comp = image_dedup_clusters(image_hashes(assets), max_hamming=8)
     sizes = (comp.groupBy('hash_component')
              .agg(F.count(F.lit(1)).alias('cluster_size')))
@@ -4635,40 +4624,29 @@ def q_video_metadata(spark, sf_dir):
     sampled-frame count — all predictable in SQL, so a green row
     certifies the encoder/parser/range-planner agreement end-to-end."""
     from erde_spark.scale.mp4 import frame_sample_ranges, mp4_metadata
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
 
-    # r12 optimization: 60 distinct containers ((doc_id%20) frame
-    # counts x (doc_id%3) widths) — synthesize per distinct key and
-    # broadcast-join back (the image_phash_dedup restructure) instead
-    # of the per-task blob cache that pinned synthesis to one scan
-    # partition; the parse/range-plan side spreads independently.
     def _mk(batches):
         import pandas as pd
         from erde_spark.scale.mp4 import encode_mp4_stub
+        cache = {}
         for pdf in batches:
-            rows = []
-            for nf, w in zip(pdf['nf'], pdf['w']):
-                nf, w = int(nf), int(w)
-                blob = encode_mp4_stub(n_frames=nf, fps=12, width=w,
-                                       height=48, frame_bytes=24)
-                rows.append((nf, w, bytearray(blob), len(blob)))
-            yield pd.DataFrame(rows, columns=['nf', 'w', 'media', 'n_bytes'])
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                key = (12 + did % 20, 64 + (did % 3) * 16)
+                if key not in cache:
+                    cache[key] = encode_mp4_stub(
+                        n_frames=key[0], fps=12, width=key[1], height=48,
+                        frame_bytes=24)
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'video/mp4', 'width': key[1],
+                              'height': 48, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs, 'meta': metas})
 
-    keyed = d.select('doc_id',
-                     (F.lit(12) + F.col('doc_id') % 20).cast('int').alias('nf'),
-                     (F.lit(64) + (F.col('doc_id') % 3) * 16).cast('int')
-                     .alias('w'))
-    keys = keyed.select('nf', 'w').distinct()
-    blobs = _spread(spark, keys).mapInPandas(
-        _mk, schema='nf int, w int, media binary, n_bytes long')
-    assets = (_spread(spark, keyed)
-              .join(F.broadcast(blobs), ['nf', 'w'])
-              .select(F.col('doc_id').alias('asset_id'), 'media',
-                      F.struct(F.lit('video/mp4').alias('format'),
-                               F.col('w').alias('width'),
-                               F.lit(48).alias('height'),
-                               F.col('n_bytes')).alias('meta'))
-              .localCheckpoint())
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA).localCheckpoint()
     meta = mp4_metadata(assets)
     sampled = (frame_sample_ranges(assets, every_n=5)
                .groupBy('asset_id')
@@ -4837,7 +4815,7 @@ def q_media_decode_mixed(spark, sf_dir):
     predicts it from doc_id arithmetic — a red row means some format
     failed to decode, so this is the codec-regression canary in the
     gate."""
-    from erde_spark.scale.multimodal import extract_features
+    from erde_spark.scale.multimodal import ASSET_SCHEMA, extract_features
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
     fmts = ['png', 'jpeg', 'gif', 'tiff', 'webp', 'webp_lossy',
             'jpeg_arith', 'tiff_tiled', 'tiff16']
@@ -4863,43 +4841,33 @@ def q_media_decode_mixed(spark, sf_dir):
                    a, compression=5, tiled=16, predictor=True),
                'tiff16': lambda a: encode_tiff(
                    (a.astype(np.uint16) << 8) | a, big_endian=True)}
+        cache = {}
         for pdf in batches:
-            rows = []
-            for fi, s in zip(pdf['fi'], pdf['s']):
-                fi, s = int(fi), int(s)
-                fmt = fmts[fi]
-                rng = np.random.RandomState(100 + s)
-                y, x = np.mgrid[0:24, 0:24].astype(np.float64)
-                img = np.clip(110 + 70 * np.sin(
-                    2 * np.pi * (rng.uniform(.5, 2.) * x / 24
-                                 + rng.uniform(.5, 2.) * y / 24)),
-                    0, 255).astype(np.uint8)
-                blob = enc[fmt](np.stack([img] * 3, axis=2))
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                fmt = fmts[did % 9]
+                key = (fmt, did % 8)
+                if key not in cache:
+                    rng = np.random.RandomState(100 + did % 8)
+                    y, x = np.mgrid[0:24, 0:24].astype(np.float64)
+                    img = np.clip(110 + 70 * np.sin(
+                        2 * np.pi * (rng.uniform(.5, 2.) * x / 24
+                                     + rng.uniform(.5, 2.) * y / 24)),
+                        0, 255).astype(np.uint8)
+                    cache[key] = enc[fmt](np.stack([img] * 3, axis=2))
+                ids.append(did)
+                blobs.append(cache[key])
                 mime = ('image/webp' if 'webp' in fmt else
                         'image/jpeg' if 'jpeg' in fmt else
                         'image/tiff' if 'tiff' in fmt else
                         'image/' + fmt)
-                rows.append((fi, s, bytearray(blob), mime, len(blob)))
-            yield pd.DataFrame(rows, columns=['fi', 's', 'media', 'mime',
-                                              'n_bytes'])
+                metas.append({'format': mime, 'width': 24,
+                              'height': 24, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs,
+                                'meta': metas})
 
-    # r12 optimization: 72 distinct blobs (9 formats x doc_id%8 image
-    # seeds) — synthesize per distinct key, broadcast-join back (the
-    # image_phash_dedup restructure; the old per-task cache pinned all
-    # 9 encoders to one scan partition); the 9-codec DECODE pass (the
-    # operator under test) spreads independently.
-    keyed = d.select('doc_id', (F.col('doc_id') % 9).cast('int').alias('fi'),
-                     (F.col('doc_id') % 8).cast('int').alias('s'))
-    keys = keyed.select('fi', 's').distinct()
-    blobs = _spread(spark, keys).mapInPandas(
-        _mk, schema='fi int, s int, media binary, mime string, n_bytes long')
-    assets = (_spread(spark, keyed)
-              .join(F.broadcast(blobs), ['fi', 's'])
-              .select(F.col('doc_id').alias('asset_id'), 'media',
-                      F.struct(F.col('mime').alias('format'),
-                               F.lit(24).alias('width'),
-                               F.lit(24).alias('height'),
-                               F.col('n_bytes')).alias('meta')))
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
     feats = extract_features(assets, on_error='null')
     fmt_of = F.element_at(F.array(*[F.lit(f) for f in fmts]),
                           (F.col('asset_id') % 9 + 1).cast('int'))
@@ -5106,52 +5074,44 @@ def q_video_frame_dedup(spark, sf_dir):
     pHash kernel, banded Hamming join and CC in one check."""
     from erde_spark.scale.imagehash import image_dedup_clusters
     from erde_spark.scale.mp4 import encode_mp4_mjpeg, video_frame_hashes
+    from erde_spark.scale.multimodal import ASSET_SCHEMA
     d = _t(spark, sf_dir, 'documents')['documents'].select('doc_id')
 
-    # r12 optimization: 50 distinct MP4s ((doc_id%25) x near flag) —
-    # synthesize per distinct key, broadcast-join back (the
-    # image_phash_dedup restructure): the old in-kernel cache pinned
-    # the MJPEG encodes to one scan partition, while spreading the rows
-    # would re-encode every class per task. The 5000-row decode/pHash
-    # side (the operator under test) spreads independently.
     def _mk(batches):
         import numpy as np
         import pandas as pd
+        cache = {}
         for pdf in batches:
-            rows = []
-            for c, near in zip(pdf['c'], pdf['near']):
-                c, near = int(c), bool(near)
-                rng = np.random.RandomState(2000 + c)
-                fx, fy = rng.uniform(0.5, 2.5, 2)
-                frames = []
-                for i in range(2):
-                    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
-                    img = 110 + 70 * np.sin(
-                        2 * np.pi * (fx * x / 32 + fy * y / 32) + i)
-                    for _ in range(4):
-                        y0, x0 = rng.randint(0, 24, 2)
-                        hh, ww = rng.randint(6, 16, 2)
-                        img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
-                    if near:
-                        nrng = np.random.RandomState(6000 + c + i)
-                        img = img + nrng.randint(-3, 4, img.shape)
-                    frames.append(np.clip(img, 0, 255).astype(np.uint8))
-                blob = encode_mp4_mjpeg(frames, fps=8, quality=92)
-                rows.append((c, near, bytearray(blob), len(blob)))
-            yield pd.DataFrame(rows, columns=['c', 'near', 'media', 'n_bytes'])
+            ids, blobs, metas = [], [], []
+            for did in pdf['doc_id']:
+                did = int(did)
+                c = did % 25
+                key = (c, did % 3 == 0)
+                if key not in cache:
+                    rng = np.random.RandomState(2000 + c)
+                    fx, fy = rng.uniform(0.5, 2.5, 2)
+                    frames = []
+                    for i in range(2):
+                        y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+                        img = 110 + 70 * np.sin(
+                            2 * np.pi * (fx * x / 32 + fy * y / 32) + i)
+                        for _ in range(4):
+                            y0, x0 = rng.randint(0, 24, 2)
+                            hh, ww = rng.randint(6, 16, 2)
+                            img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-70, 70)
+                        if key[1]:
+                            nrng = np.random.RandomState(6000 + c + i)
+                            img = img + nrng.randint(-3, 4, img.shape)
+                        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+                    cache[key] = encode_mp4_mjpeg(frames, fps=8, quality=92)
+                ids.append(did)
+                blobs.append(cache[key])
+                metas.append({'format': 'video/mp4', 'width': 32,
+                              'height': 32, 'n_bytes': len(cache[key])})
+            yield pd.DataFrame({'asset_id': ids, 'media': blobs,
+                                'meta': metas})
 
-    keyed = d.select('doc_id', (F.col('doc_id') % 25).cast('int').alias('c'),
-                     (F.col('doc_id') % 3 == 0).alias('near'))
-    keys = keyed.select('c', 'near').distinct()
-    blobs = _spread(spark, keys).mapInPandas(
-        _mk, schema='c int, near boolean, media binary, n_bytes long')
-    assets = (_spread(spark, keyed)
-              .join(F.broadcast(blobs), ['c', 'near'])
-              .select(F.col('doc_id').alias('asset_id'), 'media',
-                      F.struct(F.lit('video/mp4').alias('format'),
-                               F.lit(32).alias('width'),
-                               F.lit(32).alias('height'),
-                               F.col('n_bytes')).alias('meta')))
+    assets = d.mapInPandas(_mk, schema=ASSET_SCHEMA)
     h0 = (video_frame_hashes(assets, every_n=2)
           .where(F.col('frame_idx') == 0)
           .select('asset_id', 'phash'))
