@@ -260,16 +260,55 @@ def main():
 
     # Artifact defense (round-10 verdict ask #3): the recorded number
     # must not need manual reinterpretation when the host wobbles
-    # mid-run. Two unsettledness signals — intra-run sentinel drift
-    # >10% and per-query spread/min > 2 — trigger bounded re-runs of
+    # mid-run. THREE unsettledness signals — intra-run sentinel drift
+    # >10%, per-query spread/min > 2, and (round-12: the settled-flag
+    # blind spot) a query whose sentinel-normalized best exceeds the
+    # committed settled record by >2.5x — trigger bounded re-runs of
     # exactly the polluted queries; each retry pass re-brackets with
-    # fresh sentinels. min-of-all-runs is kept (a slow run never makes
-    # a query's best worse), the spread band is REPLACED by the retry
-    # pass's so the artifact reflects the settled measurement, and the
-    # retry counts land in the payload.
+    # fresh sentinels. The third signal catches the case BENCH_r12's
+    # 16:12 run exposed: an external load spike that covers ALL of one
+    # query's runs uniformly (so the spread test passes) while missing
+    # both sentinel brackets — its minhash recorded 39.7 s with spread
+    # [39.7, 60.1] under a flag that read settled. min-of-all-runs is
+    # kept (a slow run never makes a query's best worse), the spread
+    # band is REPLACED by the retry pass's so the artifact reflects
+    # the settled measurement, and the retry counts land in the
+    # payload.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    settled_path = os.path.join(repo_dir, 'BENCH_SETTLED.json')
+    cur_sf = float(SF_DIR.rstrip('/').rsplit('sf', 1)[-1])
+    baseline = None
+    baseline_sf = None
+    if os.path.exists(settled_path):
+        try:
+            with open(settled_path) as fh:
+                baseline = json.load(fh)
+            baseline_sf = baseline.get('sf')
+        except (OSError, ValueError):
+            baseline = None
+    if baseline is not None and baseline_sf != cur_sf:
+        # a dev run at another scale factor must neither compare
+        # against nor (below) displace the committed sf0.1 baseline
+        baseline = None
+
+    def _vs_extreme(name):
+        # normalized best > 2.5x the settled record (+0.5 floor, the
+        # vs_settled scale): either a real >2.5x code regression — in
+        # which case the artifact SHOULD read unsettled until a human
+        # blesses a new baseline (delete BENCH_SETTLED.json to
+        # re-baseline) — or, far more often on this box, a uniform
+        # external spike the spread test cannot see
+        if not baseline:
+            return False
+        p = baseline.get('queries', {}).get(name, {}).get('norm')
+        if not p:
+            return False
+        return timings[name] / min(sent_cpu) > 2.5 * p + 0.5
+
     retried = {}
     for _pass in range(2):
-        suspect = [k for k in BENCH_QUERIES if _spready(k)]
+        suspect = [k for k in BENCH_QUERIES
+                   if _spready(k) or _vs_extreme(k)]
         if not suspect:
             break
         for name in suspect:
@@ -287,11 +326,15 @@ def main():
 
     total = sum(timings.values())
     # settled = the final bracketing sentinel sits within 15% of the
-    # run's best AND no query kept a >2x spread through the retries;
-    # false means "interpret this artifact against BENCH_NORM.json's
-    # sentinel column", recorded instead of needing to be rediscovered
+    # run's best AND no query kept a >2x spread through the retries
+    # AND no query kept a >2.5x normalized regression vs the committed
+    # settled record (the round-12 third signal — see the retry
+    # comment); false means "interpret this artifact against
+    # BENCH_NORM.json's sentinel column", recorded instead of needing
+    # to be rediscovered
     host_settled = (sent_cpu[-1] / min(sent_cpu) - 1 <= 0.15
-                    and not any(_spready(k) for k in BENCH_QUERIES))
+                    and not any(_spready(k) or _vs_extreme(k)
+                                for k in BENCH_QUERIES))
 
     # Self-normalizing record (round-9 verdict ask #3): every query as
     # BOTH min-of-N seconds AND sentinel-normalized units
@@ -315,22 +358,8 @@ def main():
     # even an unsettled artifact reads stand-alone. Regression bar =
     # normalized ratio > 1.6x with a +0.5 floor (the same scale as the
     # spread heuristic: smaller deltas are host noise on this box).
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    settled_path = os.path.join(repo_dir, 'BENCH_SETTLED.json')
-    cur_sf = float(SF_DIR.rstrip('/').rsplit('sf', 1)[-1])
-    baseline = None
-    baseline_sf = None
-    if os.path.exists(settled_path):
-        try:
-            with open(settled_path) as fh:
-                baseline = json.load(fh)
-            baseline_sf = baseline.get('sf')
-        except (OSError, ValueError):
-            baseline = None
-    if baseline is not None and baseline_sf != cur_sf:
-        # a dev run at another scale factor must neither compare
-        # against nor (below) displace the committed sf0.1 baseline
-        baseline = None
+    # (baseline already loaded above, before the retry loop, so the
+    # third unsettledness signal could use it)
     vs_settled = None
     vs_verdict = None
     if baseline:
