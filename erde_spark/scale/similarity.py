@@ -307,11 +307,16 @@ def _pq_codebooks(sample: np.ndarray, m: int, ks: int,
         x = sample[:, j * sub:(j + 1) * sub]
         cent = x[rng.choice(n, size=ks, replace=False)].copy()
         for _ in range(iters):
-            # per-dimension accumulation: same sums in the same order
-            # as ((x[:,None,:]-cent)**2).sum(axis=2) (bit-identical,
-            # asserted in tests) without materializing the n x ks x sub
-            # broadcast temp — measured ~2x faster at the default
-            # sample/ks and the win grows with sub
+            # per-dimension accumulation avoids materializing the
+            # n x ks x sub broadcast temp of
+            # ((x[:,None,:]-cent)**2).sum(axis=2) — measured ~2x faster
+            # at the default sample/ks and the win grows with sub.
+            # NOT order-identical summation in general (numpy's axis
+            # reduction goes pairwise for sub >= 8, so d2 can differ at
+            # ulp scale); the refactor is ASSIGNMENT-STABLE in practice
+            # — argmin ties are not decided at ulp distance on real
+            # data — and codebook equality on fixed seeds is pinned in
+            # tests/test_scale.py::test_pq_codebooks_perdim_bit_identical
             d2 = np.zeros((len(x), len(cent)))
             for dd in range(sub):
                 t = x[:, dd, None] - cent[None, :, dd]

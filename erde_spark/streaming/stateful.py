@@ -67,7 +67,15 @@ def run_stateful_batch(spark, source_df: DataFrame, transform, tmp_dir: str,
     streams; at 100 TB the same knob sizes UP for state volume. The
     session default is restored after the run (the number is baked
     into the checkpoint by the first micro-batch, so it must be set
-    before ``start``)."""
+    before ``start``).
+
+    SINGLE-THREADED ASSUMPTION (r12 ADVICE): setting the knob mutates
+    the session-global ``spark.sql.shuffle.partitions`` for the whole
+    ``awaitTermination`` window, so any query another thread runs on
+    the SAME SparkSession meanwhile silently picks up the temporary
+    value. Callers that drive concurrent work should hand this helper
+    a cloned session (``spark.newSession()`` — shares the context,
+    isolates the conf) instead."""
     ckpt = f'{tmp_dir}/ckpt'
     if src_dir is None:
         src_dir = f'{tmp_dir}/src'

@@ -1171,10 +1171,16 @@ def test_ivfpq_codes_compress_and_recall(spark, embs):
 def test_pq_codebooks_perdim_bit_identical():
     """The per-dimension distance accumulation in _pq_codebooks (r12
     optimization: avoids the n x ks x sub broadcast temp) must produce
-    BIT-IDENTICAL codebooks to the reference formulation
-    ((x[:,None,:]-cent)**2).sum(axis=2) — same additions in the same
-    order for any sub < numpy's pairwise-summation blocksize (128),
-    i.e. every realistic PQ subspace width."""
+    codebooks equal to the reference formulation
+    ((x[:,None,:]-cent)**2).sum(axis=2) on these fixed seeds/sizes.
+    The summation ORDER is not identical in general (numpy reduces the
+    axis pairwise for sub >= 8, so d2 can differ at ulp scale) — the
+    refactor is assignment-stable: k-means argmin assignments are not
+    decided at ulp distance on this data, so every centroid update sees
+    the same members and the codebooks come out bit-equal here. A real
+    ulp-scale argmin tie could in principle flip an assignment; this
+    test pins the fixed-seed behavior, not order-identical arithmetic
+    (r12 ADVICE)."""
     import numpy as np
 
     from erde_spark.scale.similarity import _pq_codebooks

@@ -9,6 +9,7 @@ status store so "where does the time go" is answerable per query
 Usage:
   python tools/profile_query.py q1 [q2 ...] [--runs N] [--plandir DIR]
   python tools/profile_query.py q1 --noop      # time with noop sink
+  python tools/profile_query.py q1 --alljobs   # every job, not top-8
 """
 
 import os
@@ -26,6 +27,7 @@ def main():
     runs = 3
     plandir = None
     use_noop = '--noop' in args
+    alljobs = '--alljobs' in args
     if '--runs' in args:
         i = args.index('--runs')
         runs = int(args[i + 1])
@@ -96,7 +98,7 @@ def main():
                 print(f'{name}: wall={min(times):.3f}s (runs={[round(t,3) for t in times]}) '
                       f'jobs={len(new)} jobsum={tot:.2f}s '
                       f'max_job={max(durs) if durs else 0:.2f}s')
-                if '--alljobs' in sys.argv:
+                if alljobs:
                     for jid, dur, desc in sorted(new):
                         print(f'   job {jid}: {dur if dur is not None else -1:.2f}s  {desc}')
                 else:
