@@ -73,16 +73,12 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     a compute-heavy per-row kernel (guide §2.5 input skew / §6 split
     sizing): the sf test files are single-small-file scans — ONE input
     partition — so an encode/decode/hash kernel downstream would run on
-    1 of N cores. Round-robin repartition to defaultParallelism (=N in
-    local[N], scales with the driver's core-count sweep) costs one
-    shuffle of the tiny key columns and unlocks the other N-1 cores.
-    DATA-ADAPTIVE: a scan that already has >= cores partitions (any
-    real multi-file dataset, e.g. 100 TB of parquet splits) is returned
-    untouched, so this never inserts a shuffle at scale."""
-    cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
-        return df
-    return df.repartition(cores)
+    1 of N cores. Delegates to
+    :func:`erde_spark.session.spread_to_cores` (data-adaptive: no-op on
+    any multi-split input, file-index probe instead of ``df.rdd``,
+    streaming frames returned unchanged)."""
+    from erde_spark.session import spread_to_cores
+    return spread_to_cores(df)
 
 
 def _dsum(col) -> F.Column:
@@ -5559,13 +5555,21 @@ def q_quality_classifier(spark, sf_dir):
     # branch already scores only its own half (no double evaluation);
     # the checkpoint only added a materialization job.
     scored = clf.score(both)
-    real = scored.where(F.col('id') < 1000000) \
-        .select(F.col('id').alias('doc_id'),
-                F.col('quality_prob').alias('_p_real'))
-    twin = scored.where(F.col('id') >= 1000000) \
-        .select((F.col('id') - 1000000).alias('doc_id'),
-                F.col('quality_prob').alias('_p_twin'))
-    return (real.join(twin, 'doc_id')
+    # real/twin pairing as ONE map-side-combined aggregation over the
+    # scored union instead of a real-side x twin-side self-join (r13,
+    # guide §2.3/§2.4): every doc_id has exactly one real and one twin
+    # row by construction, so max() over the two when()-split columns
+    # reassembles the pair with a single exchange carrying one partial
+    # row per doc — the join shape shuffled both branches separately
+    # and sorted them. Verified row-identical against the oracle.
+    paired = (scored.groupBy(
+        F.when(F.col('id') >= 1000000, F.col('id') - 1000000)
+        .otherwise(F.col('id')).alias('doc_id'))
+        .agg(F.max(F.when(F.col('id') < 1000000, F.col('quality_prob')))
+             .alias('_p_real'),
+             F.max(F.when(F.col('id') >= 1000000, F.col('quality_prob')))
+             .alias('_p_twin')))
+    return (paired
             .select('doc_id',
                     (F.col('_p_real') > F.col('_p_twin')).cast('int')
                     .alias('ranked_ok'))

@@ -256,14 +256,12 @@ def _spread_scan(df: DataFrame) -> DataFrame:
     the sf test corpora, or one micro-batch file on the streaming
     path — scans as ONE partition, serializing the xxhash64 tokenize
     and the (tokens x perms) signature kernel on one core. The
-    repartition moves only (id, text) rows once. DATA-ADAPTIVE: inputs
-    that already carry >= cores partitions (any real multi-split
-    dataset at scale) are returned untouched, so no shuffle is ever
-    added at 100 TB."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
-        return df
-    return df.repartition(cores)
+    repartition moves only (id, text) rows once. Delegates to
+    :func:`erde_spark.session.spread_to_cores` (data-adaptive: no-op on
+    any multi-split input, file-index probe instead of ``df.rdd``,
+    streaming frames returned unchanged)."""
+    from erde_spark.session import spread_to_cores
+    return spread_to_cores(df)
 
 
 def _hashed_token_sets(df: DataFrame, id_col: str, text_col: str,
@@ -737,13 +735,21 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     edges = base.union(base.select(F.col('id_b').alias('id_a'),
                                    F.col('id_a').alias('id_b')))
     edges = edges.localCheckpoint(eager=True)
-    labels = (edges.select(F.col('id_a').alias('id')).distinct()
-              .select('id', F.col('id').alias('component'))
-              .localCheckpoint(eager=True))
     # sum-shortcut only for integral ids: a fractional label decrease
     # smaller than 1 could leave the truncated decimal sum unchanged and
     # terminate propagation early; float/decimal ids use the join-compare
-    numeric = isinstance(labels.schema['component'].dataType, T.IntegralType)
+    numeric = isinstance(pairs.schema['id_a'].dataType, T.IntegralType)
+    # On the numeric path each round's checkpoint is LAZY and the
+    # convergence sum right after it is what materializes the frame —
+    # the sum's partial-aggregate stage scans every partition, so the
+    # checkpoint completes in the SAME job instead of paying a separate
+    # materialization action per round (one job saved per round + one
+    # at init; r13, guide §5 driver-side actions). The non-numeric path
+    # keeps eager checkpoints: its change-probe is a limit(1) that can
+    # short-circuit and leave a lazy checkpoint partially computed.
+    labels = (edges.select(F.col('id_a').alias('id')).distinct()
+              .select('id', F.col('id').alias('component'))
+              .localCheckpoint(eager=not numeric))
     # decimal sum: long-id sums overflow int64 on large corpora
     label_sum = (lambda df_: df_.agg(
         F.sum(F.col('component').cast(T.DecimalType(38, 0)))).first()[0])
@@ -760,7 +766,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         jumped = (stepped.join(ptr, stepped['component'] == ptr['pid'], 'left')
                   .select('id', F.least('component', F.coalesce('pcomp', 'component'))
                           .alias('component'))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=not numeric))
         if numeric:
             cur_sum = label_sum(jumped)
             changed = cur_sum != prev_sum
@@ -1075,6 +1081,14 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        sc = sess.sparkContext
+
+        def _label(step: str):
+            # job labels per optimization-guide §1.5 so the UI/status
+            # store attributes per-batch time to pipeline phases
+            sc.setJobDescription(f'neardup b{batch_id}: {step}')
+
+        _label('batch dedup')
         state: dict = {}
         kept = dedup_clusters(batch_df, id_col, text_col, threshold,
                               pair_strategy='spanning', num_perm=num_perm,
@@ -1087,25 +1101,24 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
                               ).drop('cluster_size')
         pf_memo['pf'] = state['prefilter']
         # reuse the tokenize/minhash/bucket state dedup_clusters already
-        # materialized for the whole batch: restricting it to the kept
-        # ids is two semi-joins on checkpointed frames instead of a
-        # second full hashing pass over the survivors
-        # lazy restrictions over the state frames dedup_clusters already
-        # materialized: each is evaluated at most twice (store join +
-        # final write), and a semi-join over checkpointed micro-batch
-        # state is cheaper than the extra eager-checkpoint job it would
-        # take to avoid the recompute
+        # materialized for the whole batch: the final survivor-id set is
+        # materialized ONCE (it is micro-batch-bounded and id-only), so
+        # each of the three writes below is a single semi-join off a
+        # checkpointed/parquet frame instead of re-deriving the whole
+        # kept chain per write (r12 profile: the writes phase re-ran the
+        # rep join + anti-join 3x = 12-19 jobs per batch)
         kept_ids = kept.select(F.col(id_col).alias('id'))
-        tok = state['tok'].join(kept_ids, 'id', 'left_semi')
-        bk = state['buckets'].join(kept_ids, 'id', 'left_semi')
+        _label('store join')
         if os.path.isdir(os.path.join(state_dir, 'buckets')):
             sb = sess.read.parquet(os.path.join(state_dir, 'buckets')).drop('batch')
             st = sess.read.parquet(os.path.join(state_dir, 'toks')).drop('batch')
-            cand = (bk.join(sb.withColumnRenamed('id', 'sid'), ['band', 'bh'])
+            bk_kept = state['buckets'].join(kept_ids, 'id', 'left_semi')
+            tok_kept = state['tok'].join(kept_ids, 'id', 'left_semi')
+            cand = (bk_kept.join(sb.withColumnRenamed('id', 'sid'), ['band', 'bh'])
                     .filter(F.col('id') != F.col('sid'))
                     .select(F.col('id').alias('id_a'), F.col('sid').alias('id_b'))
                     .distinct())
-            ta = tok.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
+            ta = tok_kept.select(F.col('id').alias('id_a'), F.col('toks').alias('toks_a'))
             tb = st.select(F.col('id').alias('id_b'), F.col('toks').alias('toks_b'))
             dup_ids = (cand.join(ta, 'id_a').join(tb, 'id_b')
                        .withColumn('inter',
@@ -1114,18 +1127,34 @@ def streaming_neardup_dedup(spark, in_dir: str, schema, out_dir: str,
                                    (F.size('toks_a') + F.size('toks_b')
                                     - F.col('inter')))
                        .filter(F.col('j') >= threshold)
-                       .select(F.col('id_a').alias('id')).distinct()
-                       .localCheckpoint(eager=True))
-            kept = kept.join(dup_ids.withColumnRenamed('id', id_col),
-                             id_col, 'left_anti')
-            tok = tok.join(dup_ids, 'id', 'left_anti')
-            bk = bk.join(dup_ids, 'id', 'left_anti')
-        kept.write.mode('overwrite').parquet(
-            os.path.join(out_dir, f'batch={batch_id}'))
-        tok.write.mode('overwrite').parquet(
-            os.path.join(state_dir, 'toks', f'batch={batch_id}'))
-        bk.write.mode('overwrite').parquet(
-            os.path.join(state_dir, 'buckets', f'batch={batch_id}'))
+                       .select(F.col('id_a').alias('id')).distinct())
+            # dup_ids is consumed exactly once below (folded into the
+            # survivor-id set), so it needs no checkpoint of its own
+            kept_ids = kept_ids.join(dup_ids, 'id', 'left_anti')
+        kept_ids = kept_ids.localCheckpoint(eager=True)
+        kept = batch_df.join(kept_ids.withColumnRenamed('id', id_col),
+                             id_col, 'left_semi')
+        tok = state['tok'].join(kept_ids, 'id', 'left_semi')
+        bk = state['buckets'].join(kept_ids, 'id', 'left_semi')
+        _label('writes')
+        # three independent sinks (different directories, disjoint
+        # plans off materialized inputs): overlap them so the tail of
+        # one write back-fills cores freed by another (guide §2.6);
+        # job descriptions are thread-local, so re-label per thread
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(df_path):
+            df_, path = df_path
+            _label('writes')
+            df_.write.mode('overwrite').parquet(path)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_write, [
+                (kept, os.path.join(out_dir, f'batch={batch_id}')),
+                (tok, os.path.join(state_dir, 'toks', f'batch={batch_id}')),
+                (bk, os.path.join(state_dir, 'buckets', f'batch={batch_id}')),
+            ]))
+        sc.setJobDescription(None)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -64,8 +64,10 @@ def main():
             dur = None
             if sub.isDefined() and comp.isDefined():
                 dur = (comp.get().getTime() - sub.get().getTime()) / 1000.0
-            out.append((j.jobId(), dur,
-                        j.name().replace('\n', ' ')[:100]))
+            desc = j.description()
+            label = (desc.get() if desc.isDefined()
+                     else j.name()).replace('\n', ' ')[:100]
+            out.append((j.jobId(), dur, label))
         return out
 
     for name in names:
