@@ -149,11 +149,16 @@ def nb_token_logratios(labeled: DataFrame, text_col: str = 'text',
     baseline for quality/langid-style filters."""
     toks = labeled.select(F.col(label_col).cast('int').alias('_y'),
                           F.explode(tokens(text_col)).alias('token'))
+    # vocabulary-sized count table read twice (class totals + the
+    # returned log-ratio projection): the lazy checkpoint is
+    # materialized by the totals aggregation below, so the token-stream
+    # shuffle runs ONCE with no extra action (r13, guide §5)
     counts = (toks.groupBy('token')
               .agg(F.sum(F.when(F.col('_y') == 1, 1).otherwise(0))
                    .alias('_cp'),
                    F.sum(F.when(F.col('_y') == 0, 1).otherwise(0))
-                   .alias('_cn')))
+                   .alias('_cn'))
+              .localCheckpoint(eager=False))
     tot = counts.agg(F.sum('_cp').alias('np'), F.sum('_cn').alias('nn'),
                      F.count(F.lit(1)).alias('v')).first()
     np_, nn, v = float(tot['np']), float(tot['nn']), float(tot['v'])

@@ -884,7 +884,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             .localCheckpoint(eager=True)
         touched = None  # round 1 checks all rep pairs; later rounds prune
         touched_vals = None  # driver-known touched labels (bounded list)
-        for _ in range(merge_rounds):
+        for _round in range(merge_rounds):
             # representatives (= component labels) back into their buckets;
             # ALL pairs of representatives sharing a bucket are verified
             # (star edges would miss pairs whose shared buckets all have a
@@ -916,13 +916,62 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
                     hot = (rep_buckets.join(tb, 'rid', 'left_semi')
                            .select('band', 'bh').distinct())
                 rep_buckets = rep_buckets.join(hot, ['band', 'bh'], 'left_semi')
-            # materialize: the bucket-size split inside _bucket_all_pairs
-            # references this plan four times — uncheckpointed, Catalyst
-            # re-analyzes the join+distinct per branch per round (lazy
-            # variants measured 15-35% SLOWER on micro-batches, ABBA
-            # round 7 — the recompute+re-analysis exceeds the job cost)
-            rep_buckets = rep_buckets.localCheckpoint(eager=True)
-            rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
+            rep_cand = None
+            if touched_vals is not None:
+                # rounds after the first with a DRIVER-KNOWN touched set:
+                # the hot-restricted rep-bucket table is bounded (touched
+                # reps x bands buckets, whole buckets kept), so build the
+                # candidate pairs in memory — same max_bucket=64 split,
+                # star fallback and touched filter as the distributed
+                # _bucket_all_pairs branch below — and spend Spark
+                # actions only on the exact-Jaccard verify (r13: replaces
+                # the rep_buckets checkpoint + 4-branch pair chain, ~8
+                # AQE stage jobs per round; zero candidates = zero jobs)
+                probe = rep_buckets.limit(
+                    _MICROBATCH_BUCKET_CAP + 1).collect()
+                if len(probe) <= _MICROBATCH_BUCKET_CAP:
+                    tset = set(touched_vals)
+                    bmap: dict = {}
+                    for r in probe:
+                        bmap.setdefault((r['band'], r['bh']),
+                                        set()).add(r['rid'])
+                    cand = set()
+                    overflow = False
+                    for reps_in_b in bmap.values():
+                        if len(reps_in_b) < 2:
+                            continue
+                        rs = sorted(reps_in_b)
+                        if len(rs) <= 64:  # _bucket_all_pairs max_bucket
+                            pp = [(rs[i], rs[j]) for i in range(len(rs))
+                                  for j in range(i + 1, len(rs))]
+                        else:  # oversized bucket: star edges
+                            pp = [(rs[0], x) for x in rs[1:]]
+                        for p in pp:
+                            if p[0] in tset or p[1] in tset:
+                                cand.add(p)
+                        if len(cand) > _MICROBATCH_CAND_CAP:
+                            overflow = True
+                            break
+                    if not overflow:
+                        if not cand:
+                            break
+                        ctype0 = comp.schema['component'].dataType
+                        rep_cand = comp.sparkSession.createDataFrame(
+                            sorted(cand),
+                            T.StructType([T.StructField('id_a', ctype0),
+                                          T.StructField('id_b', ctype0)]))
+                        # falls through to the shared verify/apply below;
+                        # the touched isin re-filter there is a no-op on
+                        # this already-filtered local relation
+            if rep_cand is None:
+                # materialize: the bucket-size split inside
+                # _bucket_all_pairs references this plan four times —
+                # uncheckpointed, Catalyst re-analyzes the join+distinct
+                # per branch per round (lazy variants measured 15-35%
+                # SLOWER on micro-batches, ABBA round 7 — the
+                # recompute+re-analysis exceeds the job cost)
+                rep_buckets = rep_buckets.localCheckpoint(eager=True)
+                rep_cand = _bucket_all_pairs(rep_buckets, member_col='rid')
             if touched is not None:
                 if touched_vals is not None and len(touched_vals) <= 5000:
                     rep_cand = rep_cand.filter(

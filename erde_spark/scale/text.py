@@ -246,7 +246,12 @@ def unigram_logprob(df: DataFrame, id_col: str = 'doc_id',
     """
     t = df.select(F.col(id_col).alias('id'),
                   F.explode(tokens(text_col)).alias('token'))
-    counts = t.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+    # vocabulary-sized wordcount read twice (corpus totals + the logprob
+    # table): the lazy checkpoint is materialized by the totals
+    # aggregation below, so the token-stream shuffle runs ONCE with no
+    # extra action (r13, guide §5)
+    counts = (t.groupBy('token').agg(F.count(F.lit(1)).alias('n'))
+              .localCheckpoint(eager=False))
     tot = counts.agg(F.sum('n').alias('N'),
                      F.count(F.lit(1)).alias('V')).first()
     n_total, v_size = int(tot['N'] or 0), int(tot['V'] or 0)
@@ -288,7 +293,13 @@ def token_divergence(df: DataFrame, group_col: str, slice_a, slice_b,
     both = (ca.withColumnRenamed('n', 'n_a')
             .join(cb.withColumnRenamed('n', 'n_b'), 'token', 'full_outer')
             .select('token', F.coalesce('n_a', F.lit(0)).alias('n_a'),
-                    F.coalesce('n_b', F.lit(0)).alias('n_b')))
+                    F.coalesce('n_b', F.lit(0)).alias('n_b'))
+            # vocabulary-sized frame read twice (totals probe + top-k
+            # output): the lazy checkpoint is materialized by the
+            # totals aggregation below — which scans every partition —
+            # so the two wordcount passes + full-outer join run ONCE
+            # instead of twice, with no extra action (r13, guide §5)
+            .localCheckpoint(eager=False))
     tot = both.agg(F.sum('n_a').alias('na'), F.sum('n_b').alias('nb'),
                    F.count(F.lit(1)).alias('v')).first()
     da = float((tot['na'] or 0) + alpha * (tot['v'] or 0)) or 1.0
