@@ -930,6 +930,30 @@ def test_dedup_clusters_driver_path_parity(spark, monkeypatch):
         monkeypatch.undo()
 
 
+def test_dedup_clusters_driver_merge_rounds_parity(spark, monkeypatch):
+    """r13: merge rounds AFTER the first with a driver-known touched set
+    build rep-pair candidates in memory (bounded collect of the
+    hot-restricted rep-bucket table) instead of the distributed
+    _bucket_all_pairs chain. Forcing the probe cap to 0 disables the
+    driver rounds (every round distributed); both modes must be
+    row-identical on the dup-dense corpus where multi-round merges
+    fire, and on the synthetic clique."""
+    import erde_spark.scale.dedup as D
+    for docs in (_clique_corpus(spark),
+                 spark.read.parquet('/root/testdata/sf0.01/documents.parquet')):
+        drv = sorted((r['doc_id'], r['cluster_size']) for r in
+                     D.dedup_clusters(docs, threshold=0.9,
+                                      pair_strategy='spanning',
+                                      merge_rounds=3).collect())
+        monkeypatch.setattr(D, '_MICROBATCH_BUCKET_CAP', 0)
+        dist = sorted((r['doc_id'], r['cluster_size']) for r in
+                      D.dedup_clusters(docs, threshold=0.9,
+                                       pair_strategy='spanning',
+                                       merge_rounds=3).collect())
+        monkeypatch.undo()
+        assert drv == dist
+
+
 def test_dedup_clusters_rejects_bad_bands(spark):
     from erde_spark.scale.dedup import dedup_clusters
     docs = _clique_corpus(spark)
