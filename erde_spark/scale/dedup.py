@@ -884,7 +884,7 @@ def dedup_clusters(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text'
             .localCheckpoint(eager=True)
         touched = None  # round 1 checks all rep pairs; later rounds prune
         touched_vals = None  # driver-known touched labels (bounded list)
-        for _round in range(merge_rounds):
+        for _ in range(merge_rounds):
             # representatives (= component labels) back into their buckets;
             # ALL pairs of representatives sharing a bucket are verified
             # (star edges would miss pairs whose shared buckets all have a
